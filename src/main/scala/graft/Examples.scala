@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable API examples — the library's public surface end-to-end:
+  * list-of-rows tables (reference: xorbits_sql/table.py:92-103), nested
+  * table names (core.py:60-67), DuckDB-ish dialect shim (`==`, READ_CSV).
+  *
+  * `sbt "runMain graft.Examples"`
+  */
+object Examples {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val t = Engine.tableFromRows(spark, Seq(
+      Map("a" -> 1, "b" -> "x"),
+      Map("a" -> 2, "b" -> "y"),
+      Map("a" -> 2, "b" -> "z")))
+
+    val r1 = Engine.execute(spark,
+      "SELECT b FROM t WHERE a == 2 ORDER BY b",
+      Map("t" -> t), Dialect.DuckDbish)
+    println("example1(duckdbish ==): " +
+      r1.collect().map(_.getString(0)).mkString(","))
+
+    val r2 = Engine.execute(spark,
+      "SELECT a FROM nest.t2 WHERE b = 'y'",
+      Map("nest.t2" -> t))
+    println("example2(nested name): " +
+      r2.collect().map(_.getInt(0)).mkString(","))
+
+    val csv = java.nio.file.Files.createTempFile("graft_ex", ".csv")
+    java.nio.file.Files.writeString(csv, "k|v\n1|10\n2|20\n")
+    val r3 = Engine.execute(spark,
+      s"SELECT SUM(v) AS s FROM READ_CSV('$csv', 'delimiter', '|') AS c WHERE k > 0",
+      Map.empty, Dialect.DuckDbish)
+    println("example3(read_csv): " + r3.collect().head.get(0))
+
+    spark.stop()
+  }
+}
