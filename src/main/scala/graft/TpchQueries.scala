@@ -51,5 +51,329 @@ object TpchQueries {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
-  val all: Seq[Q] = Seq(q1)
+  /** Q2 min-cost supplier — correlated scalar subquery (reference corpus:
+    * tests/tpc-h/tpc-h.sql Q2). Adapted: no `partsupp` table in testdata, so
+    * part↔supplier pairs come from distinct lineitem pairs and min supply
+    * cost becomes min supplier account balance within the region.
+    */
+  val q2: Q = same("q2_min_cost_supplier",
+    """WITH sp AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+      |FROM part, sp, supplier, nation, region
+      |WHERE p_partkey = sp.partkey AND s_suppkey = sp.suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+      |  AND s_acctbal = (
+      |    SELECT MIN(s2.s_acctbal)
+      |    FROM sp sp2, supplier s2, nation n2, region r2
+      |    WHERE sp2.partkey = p_partkey AND s2.s_suppkey = sp2.suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin)
+
+  /** Q3 shipping priority — 3-way join + group + top-k. Adapted: no
+    * o_shippriority column; date output cast to STRING for stable compare.
+    */
+  val q3: Q = same("q3_shipping_priority",
+    s"""SELECT l_orderkey,
+       |  ${money("l_extendedprice * (1 - l_discount)", "revenue")},
+       |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey
+       |LIMIT 10""".stripMargin)
+
+  /** Q4 order priority — EXISTS semi-join. Adapted: no l_commitdate /
+    * l_receiptdate; "late" means shipped after the order date.
+    */
+  val q4: Q = same("q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin)
+
+  /** Q5 local supplier volume — 6-way join. */
+  val q5: Q = same("q5_local_supplier",
+    s"""SELECT n_name, ${money("l_extendedprice * (1 - l_discount)", "revenue")}
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+       |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+       |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin)
+
+  /** Q6 forecast revenue — selective scan + global agg. */
+  val q6: Q = same("q6_forecast_revenue",
+    s"""SELECT ${money("l_extendedprice * l_discount", "revenue")}
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+
+  /** Q7 volume shipping — self-joined nation pair + year extraction. */
+  val q7: Q = same("q7_volume_shipping",
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${money("volume", "revenue")}
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       |    l_extendedprice * (1 - l_discount) AS volume
+       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+       |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+       |                       AND TIMESTAMP '1997-12-31 00:00:00'
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** Q8 market share — 8-way join, ratio of exact cent sums (bit-exact
+    * double division of identical operands in both engines).
+    */
+  val q8: Q = same("q8_market_share",
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_cents ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(volume_cents) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS volume_cents,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      |    AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                        AND TIMESTAMP '1997-12-31 00:00:00'
+      |    AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin)
+
+  /** Q9 product profit — LIKE scan + multi-join + year group. Adapted: no
+    * ps_supplycost; cost modeled as 0.5 * p_retailprice * l_quantity.
+    */
+  val q9: Q = same("q9_product_profit",
+    """SELECT nation, o_year,
+      |  CAST(SUM(amount_cents) AS DOUBLE) / 100 AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(FLOOR((l_extendedprice * (1 - l_discount)
+      |                - 0.5 * p_retailprice * l_quantity) * 100) AS BIGINT) AS amount_cents
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+      |    AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin)
+
+  /** Q10 returned items — join + group + top-20 by revenue. Adapted: no
+    * c_address/c_phone/c_comment columns.
+    */
+  val q10: Q = same("q10_returned_items",
+    s"""SELECT c_custkey, c_name,
+       |  ${money("l_extendedprice * (1 - l_discount)", "revenue")},
+       |  c_acctbal, n_name
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin)
+
+  /** Q11 important stock — HAVING against a global scalar subquery.
+    * Adapted: part value from lineitem extended price (no partsupp).
+    */
+  val q11: Q = same("q11_important_stock",
+    """SELECT l_partkey AS ps_partkey,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+      |GROUP BY l_partkey
+      |HAVING CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) > (
+      |  SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) * 0.001
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_5')
+      |ORDER BY value DESC, ps_partkey""".stripMargin)
+
+  /** Q12 shipping modes — conditional CASE aggregation. Adapted: no
+    * l_shipmode/l_commitdate; groups by l_linestatus on ship-year window.
+    */
+  val q12: Q = same("q12_priority_lines",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin)
+
+  /** Q13 customer order distribution — outer join with ON-filter, nested
+    * group-by. Adapted: filter on o_orderpriority (no o_comment).
+    */
+  val q13: Q = same("q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  /** Q14 promo revenue — CASE ratio over join. Adapted: p_type equality
+    * (single-word types in testdata).
+    */
+  val q14: Q = same("q14_promo_revenue",
+    """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      |    ELSE 0 END) AS DOUBLE) * 100
+      |  / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)
+
+  /** Q15 top supplier — CTE used twice + scalar MAX subquery. */
+  val q15: Q = same("q15_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_cents AS DOUBLE) / 100 AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_cents = (SELECT MAX(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin)
+
+  /** Q16 parts/supplier counts — NOT IN anti-join + COUNT(DISTINCT).
+    * Adapted: pairs from lineitem (no partsupp); excluded suppliers are
+    * those with negative balance.
+    */
+  val q16: Q = same("q16_parts_suppliers",
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand <> 'Brand#3' AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
+  /** Q17 small-quantity revenue — correlated average subquery per part. */
+  val q17: Q = same("q17_small_quantity",
+    """SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / 7.0
+      |  AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+      |  AND l_quantity < (
+      |    SELECT 0.5 * (CAST(SUM(CAST(FLOOR(l2.l_quantity * 100) AS BIGINT)) AS DOUBLE)
+      |                  / 100 / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+
+  /** Q18 large-volume customers — IN over grouped HAVING subquery. */
+  val q18: Q = same("q18_large_volume_customer",
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) > 12000)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin)
+
+  /** Q19 discounted revenue — disjunction of conjunctive ranges. Adapted:
+    * p_brand/p_size ranges replace p_container/shipmode predicates.
+    */
+  val q19: Q = same("q19_discounted_revenue",
+    s"""SELECT ${money("l_extendedprice * (1 - l_discount)", "revenue")}
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey AND (
+       |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity >= 1 AND l_quantity <= 21)
+       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |    AND l_quantity >= 10 AND l_quantity <= 30)
+       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |    AND l_quantity >= 20 AND l_quantity <= 40))""".stripMargin)
+
+  /** Q20 potential promotion — nested IN subqueries with grouped HAVING. */
+  val q20: Q = same("q20_potential_promotion",
+    """SELECT s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    GROUP BY l_suppkey
+      |    HAVING SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) > 5000)
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+      |ORDER BY s_name""".stripMargin)
+
+  /** Q21 waiting supplier — self-join EXISTS + NOT EXISTS with non-equi
+    * correlation. Adapted: "late" = shipped after order date (no
+    * receipt/commit dates).
+    */
+  val q21: Q = same("q21_waiting_supplier",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin)
+
+  /** Q22 global sales opportunity — anti-join + global average subquery.
+    * Adapted: country code from c_name digits (no c_phone); anti-join on
+    * urgent orders so the result is non-empty on dense synthetic data.
+    */
+  val q22: Q = same("q22_global_sales",
+    """SELECT cntrycode, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
+      |FROM (
+      |  SELECT SUBSTRING(c_name, 15, 2) AS cntrycode, c_acctbal
+      |  FROM customer
+      |  WHERE SUBSTRING(c_name, 15, 2) IN ('00', '01', '02', '05', '07', '10', '12')
+      |    AND c_acctbal > (
+      |      SELECT CAST(SUM(CAST(FLOOR(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+      |             / 100 / COUNT(*)
+      |      FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |    AND NOT EXISTS (SELECT 1 FROM orders
+      |                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin)
+
+  val all: Seq[Q] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11,
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
 }
