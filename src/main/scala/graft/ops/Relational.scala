@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operator library — the Spark-first re-expression of the
+  * reference's dataflow operators (SURVEY.md §2.1) and expression surface
+  * (§2.3–2.6). Where the reference interprets plan steps over pandas
+  * (reference: xorbits_sql/executor.py:210-516), every operator here is a
+  * declarative DataFrame transformation, so Catalyst owns pushdown, join
+  * strategy, partial aggregation and codegen — the properties that make the
+  * same code viable on a 1000-executor cluster.
+  *
+  * The pieces the reference left broken are implemented correctly here:
+  * full outer join (executor.py:457-461 silently degrades to inner),
+  * set operations (executor.py:513-516 raises), per-key null ordering
+  * (executor.py:499-502 requires a single global setting).
+  */
+object Relational {
+
+  /** Exact money representation: floor(x*100) cents as BIGINT. Sums of
+    * cents are associative/commutative exactly, so distributed partial
+    * aggregation (HashAggregate partial/final) cannot change the result —
+    * unlike raw double sums, whose value depends on reduction order.
+    */
+  def cents(c: Column): Column = floor(c * lit(100)).cast("long")
+
+  /** Exact-cents sum reported as double (one deterministic final division). */
+  def moneySum(c: Column, alias: String): Column =
+    (sum(cents(c)).cast("double") / 100).as(alias)
+
+  /** Exact 4-decimal average over non-null inputs. */
+  def exactAvg(c: Column, alias: String): Column =
+    (sum(floor(c * lit(10000)).cast("long")).cast("double") / 10000 / count(lit(1))).as(alias)
+
+  /** Top-k with a total order — Spark plans this as TakeOrderedAndProject
+    * (per-partition heap + driver merge of k rows), no global sort of the
+    * full data; the scalable top-k (reference sort+head: executor.py:508-509).
+    */
+  def topK(df: DataFrame, k: Int, keys: Column*): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+
+  /** EXISTS — native left-semi join (the reference only ever sees the
+    * sqlglot rewrite into LEFT JOIN + IS NOT NULL, SURVEY.md §2.5).
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_semi")
+
+  /** NOT EXISTS — native left-anti join. */
+  def antiJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right, cond, "left_anti")
+
+  /** SQL UNION (set semantics). DataFrame.union is bag (UNION ALL);
+    * SQL UNION deduplicates. Reference never implemented either
+    * (executor.py:513-516).
+    */
+  def union(l: DataFrame, r: DataFrame): DataFrame = l.union(r).distinct()
+  def unionAll(l: DataFrame, r: DataFrame): DataFrame = l.union(r)
+  def intersect(l: DataFrame, r: DataFrame): DataFrame = l.intersect(r)
+  def intersectAll(l: DataFrame, r: DataFrame): DataFrame = l.intersectAll(r)
+  def except(l: DataFrame, r: DataFrame): DataFrame = l.except(r)
+  def exceptAll(l: DataFrame, r: DataFrame): DataFrame = l.exceptAll(r)
+
+  /** Sample variance/stddev from exact integer moments: inputs are scaled to
+    * integers (here: cents), so s1=Σc and s2=Σc² are exact BIGINTs and the
+    * final double formula is evaluated identically by any engine — unlike
+    * native streaming-moment stddev, which is order-dependent in the last
+    * bits. `scale` is the integer scaling applied to the input (100 ⇒
+    * descale variance by 100²).
+    */
+  def exactMoments(df: DataFrame, valueCol: Column, keys: Seq[String], scale: Int = 100): DataFrame = {
+    val c = floor(valueCol * lit(scale)).cast("long").as("c")
+    val base = df.select(keys.map(col) :+ c: _*)
+    val g = base.groupBy(keys.map(col): _*)
+      .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"), count(lit(1)).as("n"))
+    val varExpr = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+      (col("n") - 1) / lit(scale.toDouble * scale)
+    g.withColumn("var_samp_exact", varExpr)
+      .withColumn("stddev_samp_exact", sqrt(col("var_samp_exact")))
+  }
+}
