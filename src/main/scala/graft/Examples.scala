@@ -41,6 +41,20 @@ object Examples {
       Map.empty, Dialect.DuckDbish)
     println("example3(read_csv): " + r3.collect().head.get(0))
 
+    // multimodal: both decode paths (column-expression stub vs the
+    // mapPartitions codec shape) must agree row-for-row
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaExpr = llm.Multimodal.decodeImageMeta(llm.Multimodal.attachBlob(docs))
+      .select("doc_id", "width", "height", "channels", "n_bytes")
+    val viaPart = llm.Multimodal.decodeImagePartitioned(spark, llm.Multimodal.attachBlob(docs))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("width").cast("long"),
+        org.apache.spark.sql.functions.col("height").cast("long"),
+        org.apache.spark.sql.functions.col("channels").cast("long"),
+        org.apache.spark.sql.functions.col("n_bytes"))
+    val diff = viaExpr.exceptAll(viaPart).count() + viaPart.exceptAll(viaExpr).count()
+    println(s"example4(multimodal decode paths agree): diff=$diff of ${docs.count()}")
+
     spark.stop()
   }
 }

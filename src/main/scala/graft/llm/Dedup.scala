@@ -1,0 +1,184 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines — the
+  * north-star extensions beyond the reference's surface (BASELINE.json;
+  * SURVEY.md §7.2(7)). Every operator is expressed as shuffle-bounded
+  * DataFrame transformations:
+  *
+  *  - exact dedup: one hash-shuffle on the digest — the 100 TB-safe shape
+  *    (never a pairwise compare).
+  *  - MinHash LSH: shingle → k min-hashes → b bands; candidate generation
+  *    is a self-join on (band, bandKey) buckets, i.e. shuffle on bucket
+  *    keys with cost ~ Σ bucket² instead of n² — the standard LSH bound.
+  *  - SimHash: 64-bit fingerprints via higher-order aggregates (no
+  *    shuffle until the band join).
+  *  - n-gram Jaccard: inverted-index join on shingles (shuffle on shingle
+  *    hash), exact similarity only for co-bucketed pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate grouping by content digest. One shuffle on md5(text);
+    * `keep_id` is the smallest doc id of each duplicate group.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    docs
+      .withColumn("h", md5(col(textCol)))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keep_id"))
+  }
+
+  /** Word 3-gram shingles as a distinct array column `shingles`.
+    * Documents shorter than 3 tokens contribute their whole text as the
+    * single shingle.
+    */
+  def withShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .withColumn("shingles",
+        when(size(col("w")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(1, size(w) - 2), " +
+              "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
+          .otherwise(array(col(textCol))))
+      .drop("w")
+
+  /** MinHash signatures: `numHashes` permutations h_j(x) = (a_j·x + b_j)
+    * mod p over murmur3 shingle hashes, computed entirely with codegen'd /
+    * JVM-native higher-order functions — one pass over each document, no
+    * shuffle. Returns `sig` (array&lt;bigint&gt; of length numHashes).
+    */
+  def minHashSignatures(shingled: DataFrame, numHashes: Int = 32): DataFrame = {
+    require(numHashes > 0)
+    val p = 4294967311L // smallest prime > 2^32
+    shingled
+      .withColumn("sh_hash", expr("transform(shingles, s -> abs(cast(hash(s) as bigint)))"))
+      .withColumn("sig", expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+           |  j -> aggregate(sh_hash, cast(${p - 1} as bigint),
+           |         (acc, h) -> least(acc, pmod((2 * j + 1) * h + j * 2654435761, cast($p as bigint)))))
+           |""".stripMargin))
+      .drop("sh_hash")
+  }
+
+  /** LSH banding: split the signature into `bands` bands and emit one row
+    * per (doc, band) with the band's key. Candidate pairs are then a plain
+    * aggregation-join on (band, band_key) — the only shuffle in the
+    * pipeline, and the one that replaces the O(n²) all-pairs compare.
+    */
+  def lshBands(signed: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    signed.select(col("doc_id"), col("shingles"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', slice(sig, b * $r + 1, $r)))"))
+        .as(Seq("band", "band_key")))
+  }
+
+  /** Candidate pairs from shared LSH buckets, verified with exact Jaccard
+    * over the shingle sets; only pairs with jaccard ≥ threshold survive.
+    */
+  def minHashCandidatePairs(banded: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Full MinHash dedup: per-document cluster assignment. `keep_id` is the
+    * smallest id reachable via a verified duplicate pair (one hop — for
+    * full transitive closure iterate, SURVEY.md §7 growth); docs with no
+    * duplicate keep themselves. Always one row per document.
+    */
+  def minHashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val banded = lshBands(minHashSignatures(withShingles(docs), numHashes), numHashes, bands)
+    val pairs = minHashCandidatePairs(banded, threshold)
+    val partners = pairs.select(col("b_id").as("doc_id"), col("a_id").as("partner"))
+      .union(pairs.select(col("a_id").as("doc_id"), col("b_id").as("partner")))
+      .groupBy(col("doc_id")).agg(min(col("partner")).as("min_partner"))
+    docs.select(col("doc_id"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_partner"), col("doc_id"))).as("keep_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+  }
+
+  /** 64-bit SimHash fingerprint: each token hashed with xxhash64; bit i of
+    * the fingerprint is the sign of Σ_tokens (±1 by the token's bit i).
+    * Bit-vote accumulation is a single `aggregate` higher-order fold per
+    * document — no shuffle, no UDF.
+    */
+  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("th", expr(s"transform(split($textCol, ' '), t -> xxhash64(t))"))
+      .withColumn("votes", expr(
+        """aggregate(th, array_repeat(0, 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |                (v, i) -> v + if(((h >> i) & 1) = 1, 1, -1)))
+          |""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(zip_with(votes, sequence(0, 63), (v, i) -> if(v > 0, shiftleft(1L, i), 0L)),
+          |  0L, (acc, b) -> acc | b)
+          |""".stripMargin))
+      .drop("th", "votes")
+
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into four
+    * 16-bit chunks (hamming distance ≤ 3 ⇒ at least one identical chunk),
+    * join on equal chunks, then verify true hamming distance ≤ maxHamming.
+    */
+  def simHashPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunked = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("a_id"), col("simhash").as("a_hash"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("b_id"), col("simhash").as("b_hash"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("a_hash").bitwiseXOR(col("b_hash"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
+    * self-join on the shingle (shuffle on shingle, cost bounded by
+    * co-occurrence, never n²), count common shingles per pair, and compute
+    * jaccard = |∩| / (|A| + |B| − |∩|) from exact integers — bit-exact
+    * against any engine.
+    */
+  def ngramJaccardPairs(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val sh = withShingles(docs.filter(size(split(col("text"), " ")) >= 3))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,226 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpQueries.OpQ
+
+/** Driver queries for the LLM-pipeline operators (dedup, similarity,
+  * text analysis, multimodal) over the `documents` / `embeddings` tables.
+  * SQL-expressible ops carry a DuckDB oracle (dialect-specific text where
+  * the engines' function names differ); hash-based ops (murmur3/xxhash64
+  * have no DuckDB equivalent) are rows-only here and covered by ScalaTest
+  * specs instead.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
+
+  /** Exact dedup — md5 digest grouping (oracle: DuckDB md5 is identical). */
+  val dedupExact = OpQ("llm_dedup_exact",
+    (s, d) => Dedup.exactDedup(docs(s, d))
+      .select(col("doc_id"), col("h"), col("keep_id"), col("n_copies"), col("is_dup"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(text) AS h,
+           |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+           |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+           |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** MinHash LSH dedup — per-document cluster assignment (murmur3-based;
+    * no oracle, verified by DedupSpec against exact Jaccard).
+    */
+  val dedupMinHash = OpQ("llm_dedup_minhash",
+    (s, d) => Dedup.minHashDedup(docs(s, d)).orderBy(col("doc_id")),
+    None)
+
+  /** SimHash fingerprints + near-dup candidate count (xxhash64-based;
+    * no oracle, verified by DedupSpec).
+    */
+  val dedupSimHash = OpQ("llm_dedup_simhash",
+    (s, d) => Dedup.simHash(docs(s, d))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** Exact word-trigram Jaccard top pairs via inverted-index join —
+    * bit-exact oracle (integer intersection counts).
+    */
+  val dedupNgramJaccard = OpQ("llm_dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(docs(s, d), topK = 100),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+           |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY a.doc_id, b.doc_id)
+           |SELECT a_id, b_id, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+           |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+           |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin))
+
+  /** Brute-force cosine top-5 for query vectors (exact scaled-integer dot
+    * products — bit-exact across engines and reduction orders).
+    */
+  val annBruteForce = OpQ("llm_ann_bruteforce_topk",
+    (s, d) => Similarity.bruteForceTopK(emb(s, d), k = 5, queryMaxId = 5),
+    Some("""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |q AS (SELECT * FROM e WHERE vec_id < 5),
+           |dots AS (SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+           |           SUM(CAST(FLOOR(q.x * c.x * 1000000) AS BIGINT)) AS dot_m,
+           |           SUM(CAST(FLOOR(q.x * q.x * 1000000) AS BIGINT)) AS qq_m,
+           |           SUM(CAST(FLOOR(c.x * c.x * 1000000) AS BIGINT)) AS cc_m
+           |         FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+           |         GROUP BY q.vec_id, c.vec_id)
+           |SELECT a_id, b_id,
+           |  CAST(dot_m AS DOUBLE) / (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+           |    AS cosine,
+           |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY
+           |    CAST(dot_m AS DOUBLE) / (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+           |    DESC, b_id) AS INTEGER) AS rn
+           |FROM dots
+           |QUALIFY rn <= 5
+           |ORDER BY a_id, rn""".stripMargin))
+
+  /** IVF-style top-3 within the query's coarse cell (`label` column as the
+    * quantizer cell) — same exact math, 1/cells of the scan.
+    */
+  val annIvf = OpQ("llm_ann_ivf_topk",
+    (s, d) => Similarity.ivfTopK(emb(s, d), k = 3, queryMaxId = 5),
+    Some("""WITH e AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+           |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |q AS (SELECT * FROM e WHERE vec_id < 5),
+           |dots AS (SELECT q.vec_id AS a_id, q.label AS cell, c.vec_id AS b_id,
+           |           SUM(CAST(FLOOR(q.x * c.x * 1000000) AS BIGINT)) AS dot_m,
+           |           SUM(CAST(FLOOR(q.x * q.x * 1000000) AS BIGINT)) AS qq_m,
+           |           SUM(CAST(FLOOR(c.x * c.x * 1000000) AS BIGINT)) AS cc_m
+           |         FROM q JOIN e c ON q.i = c.i AND q.label = c.label AND q.vec_id <> c.vec_id
+           |         GROUP BY q.vec_id, q.label, c.vec_id)
+           |SELECT a_id, cell, b_id,
+           |  CAST(dot_m AS DOUBLE) / (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+           |    AS cosine,
+           |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY
+           |    CAST(dot_m AS DOUBLE) / (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+           |    DESC, b_id) AS INTEGER) AS rn
+           |FROM dots
+           |QUALIFY rn <= 3
+           |ORDER BY a_id, rn""".stripMargin))
+
+  /** LSH (sign-random-projection) bucketed top-k — murmur3-derived
+    * hyperplanes, no oracle; recall measured by SimilaritySpec.
+    */
+  val annLsh = OpQ("llm_ann_lsh_topk",
+    (s, d) => Similarity.lshTopK(emb(s, d), k = 3, queryMaxId = 10, planes = 6),
+    None)
+
+  /** Token statistics (exact-integer oracle). */
+  val textStats = OpQ("llm_text_stats",
+    (s, d) => TextAnalysis.tokenStats(docs(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_chars_m").as("n_chars_len"), col("avg_word_len"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars_len,
+           |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+           |    / len(string_split(text, ' ')) AS avg_word_len
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  private def duckStopScore(lang: String): String = {
+    val list = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS BIGINT) AS score_$lang"
+  }
+
+  /** Language id by stopword-lexicon scoring (exact-integer oracle with the
+    * same lexicons and tie-break).
+    */
+  val textLangId = OpQ("llm_text_langid",
+    (s, d) => TextAnalysis.langId(docs(s, d))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        col("score_de"), col("score_en"), col("score_es"), col("score_fr"),
+        col("predicted_lang"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH scored AS (
+            |  SELECT doc_id, lang AS labeled_lang,
+            |    ${duckStopScore("de")}, ${duckStopScore("en")},
+            |    ${duckStopScore("es")}, ${duckStopScore("fr")}
+            |  FROM documents)
+            |SELECT doc_id, labeled_lang, score_de, score_en, score_es, score_fr,
+            |  CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+            |       WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+            |       WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+            |       WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+            |       ELSE 'fr' END AS predicted_lang
+            |FROM scored ORDER BY doc_id""".stripMargin))
+
+  /** Quality score from exact integer counts (oracle mirrors the formula). */
+  val textQuality = OpQ("llm_text_quality",
+    (s, d) => TextAnalysis.qualityScore(docs(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_distinct"), col("quality"))
+      .orderBy(col("doc_id")),
+    Some({
+      val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS BIGINT) AS n_stop,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         |  LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.4
+         |    + (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS DOUBLE)
+         |       / len(string_split(text, ' '))) * 0.3
+         |    + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |       / len(string_split(text, ' '))) * 0.3 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }))
+
+  /** md5 content fingerprint (oracle-able); the rolling FNV-1a fingerprint
+    * rides along in [[fingerprintRolling]] (rows-only — custom expression,
+    * verified with known values in FunctionsSpec).
+    */
+  val textFingerprint = OpQ("llm_text_fingerprint",
+    (s, d) => TextAnalysis.fingerprints(docs(s, d))
+      .select(col("doc_id"), col("md5_fp"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id""".stripMargin))
+
+  val fingerprintRolling = OpQ("llm_fingerprint_rolling",
+    (s, d) => TextAnalysis.fingerprints(docs(s, d))
+      .select(col("doc_id"), col("rolling_fp"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** Multimodal: binary payload + stub-decoded image metadata (the stub
+    * dims are a pure function of byte length, so DuckDB can oracle the
+    * whole plumbing).
+    */
+  val multimodalDecode = OpQ("llm_multimodal_decode",
+    (s, d) => Multimodal.decodeImageMeta(Multimodal.attachBlob(docs(s, d)))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           |  64 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 64 AS width,
+           |  64 + (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 7) % 64 AS height,
+           |  CAST(3 AS BIGINT) AS channels
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Multimodal: frame-sampling explode shape (frame_idx, byte_offset). */
+  val multimodalFrames = OpQ("llm_multimodal_frames",
+    (s, d) => Multimodal.sampleFrames(Multimodal.attachBlob(docs(s, d)))
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           |  CAST(i AS BIGINT) AS frame_idx,
+           |  CAST(i * 256 AS BIGINT) AS byte_offset
+           |FROM documents,
+           |  UNNEST(range(0, 1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 7)) t(i)
+           |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(
+    dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard,
+    annBruteForce, annIvf, annLsh,
+    textStats, textLangId, textQuality, textFingerprint, fingerprintRolling,
+    multimodalDecode, multimodalFrames)
+}

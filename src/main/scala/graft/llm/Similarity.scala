@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`) — north-star
+  * extension (BASELINE.json). Three tiers:
+  *
+  *  - brute-force top-k: exact, O(|Q|·n·d) — the correctness baseline.
+  *    Dot products use exact scaled-integer sums so results are
+  *    reproducible bit-for-bit on any cluster size / reduction order.
+  *  - IVF-style partitioned top-k: restrict the search to a coarse
+  *    partition (here the precomputed `label` column as the quantizer
+  *    cell) — the classic inverted-file scale path: each query probes
+  *    1/cells of the data.
+  *  - sign-random-projection LSH buckets: deterministic hyperplanes from
+  *    murmur3, 16-bit bucket key, search within bucket — sublinear
+  *    candidate generation when no quantizer exists.
+  */
+object Similarity {
+
+  /** Normalize embeddings to double and attach exact self-dot (μ-units:
+    * floor(x²·10⁶) summed as BIGINT — order-independent). Keeps all other
+    * columns of `e`.
+    */
+  private def withNorm(e: DataFrame, vecCol: String): DataFrame =
+    e.withColumn("vd", expr(s"transform($vecCol, x -> cast(x as double))"))
+      .withColumn("norm_m", expr(
+        "aggregate(vd, 0L, (acc, x) -> acc + cast(floor(x * x * 1000000) as bigint))"))
+
+  /** Exact brute-force cosine top-k for the query set `queryPred` (e.g.
+    * `col("vec_id") < 5`). Cosine = Σ⌊xᵢyᵢ·10⁶⌋ / (√Σ⌊xᵢ²·10⁶⌋·√Σ⌊yᵢ²·10⁶⌋)
+    * — quantized at 1e-6 but exactly reproducible across engines and
+    * reduction orders.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 5,
+      queryMaxId: Long = 5, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = withNorm(embeddings.select(col(idCol), col(vecCol)), vecCol)
+    val q = base.select(col(idCol).as("a_id"), col("vd").as("a_vd"), col("norm_m").as("a_norm"))
+      .filter(col("a_id") < queryMaxId)
+    val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"), col("norm_m").as("b_norm"))
+    val dots = q.join(c, col("a_id") =!= col("b_id"))
+      .withColumn("dot_m", expr(
+        "aggregate(zip_with(a_vd, b_vd, (x, y) -> cast(floor(x * y * 1000000) as bigint)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        col("dot_m").cast("double") /
+          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
+    dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("cosine"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** IVF-style top-k: identical math, but candidates are restricted to the
+    * query's coarse cell (`label`). At 100 TB this is the difference
+    * between scanning the corpus per query and scanning one cell.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 3, queryMaxId: Long = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val base = withNorm(
+      embeddings.select(col(idCol), col(vecCol), col(cellCol).as("cell")), vecCol)
+    val q = base.select(col(idCol).as("a_id"), col("vd").as("a_vd"),
+      col("norm_m").as("a_norm"), col("cell"))
+      .filter(col("a_id") < queryMaxId)
+    val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"),
+      col("norm_m").as("b_norm"), col("cell"))
+    val dots = q.join(c, Seq("cell")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("dot_m", expr(
+        "aggregate(zip_with(a_vd, b_vd, (x, y) -> cast(floor(x * y * 1000000) as bigint)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        col("dot_m").cast("double") /
+          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
+    dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a_id"), col("cell"), col("b_id"), col("cosine"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
+  /** Sign-random-projection bucket key: `planes` pseudo-random hyperplanes
+    * with deterministic ±1 Rademacher weights derived from murmur3 of
+    * (plane, dimension). Bucket = packed sign bits. Pure per-row compute —
+    * the only shuffle of [[lshTopK]] is the bucket-key join.
+    */
+  def srpBuckets(embeddings: DataFrame, planes: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    withNorm(embeddings.select(col(idCol), col(vecCol)), vecCol)
+      .withColumn("bucket", expr(
+        s"""aggregate(
+           |  transform(sequence(0, ${planes - 1}),
+           |    p -> if(aggregate(zip_with(vd, sequence(0, size(vd) - 1),
+           |             (x, i) -> if(pmod(hash(p * 7919 + i), 2) = 0, x, -x)),
+           |           cast(0.0 as double), (acc, v) -> acc + v) > 0,
+           |         shiftleft(1L, p), 0L)),
+           |  0L, (acc, b) -> acc | b)""".stripMargin))
+
+  /** LSH-bucketed approximate top-k: exact cosine within the query's
+    * bucket only. Recall < 1 by construction; the ScalaTest suite measures
+    * it against [[bruteForceTopK]].
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 3, queryMaxId: Long = 5,
+      planes: Int = 12, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = srpBuckets(embeddings, planes, idCol, vecCol)
+    val q = base.select(col(idCol).as("a_id"), col("vd").as("a_vd"),
+      col("norm_m").as("a_norm"), col("bucket")).filter(col("a_id") < queryMaxId)
+    val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"),
+      col("norm_m").as("b_norm"), col("bucket"))
+    val dots = q.join(c, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+      .withColumn("dot_m", expr(
+        "aggregate(zip_with(a_vd, b_vd, (x, y) -> cast(floor(x * y * 1000000) as bigint)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine",
+        col("dot_m").cast("double") /
+          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
+    dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a_id"), col("bucket"), col("b_id"), col("cosine"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operators on constructed corpora with known duplicate structure —
+  * covers the hash-based paths that have no DuckDB oracle (minhash,
+  * simhash) plus exact-value checks for jaccard.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(texts: Seq[String]) = {
+    initLog()
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val nearDup = base.replace("omicron", "OMICRON") // 1-word change
+  private val unrelated = (1 to 20).map(i => s"word$i").mkString(" ")
+  private val unrelated2 = (21 to 40).map(i => s"tok$i").mkString(" ")
+
+  test("exactDedup groups identical texts, keeps min id") {
+    val docs = mkDocs(Seq(base, unrelated, base, unrelated2, base))
+    val out = Dedup.exactDedup(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("keep_id")).toSeq === Seq(0L, 1L, 0L, 3L, 0L))
+    assert(out.map(_.getAs[Boolean]("is_dup")).toSeq === Seq(false, false, true, false, true))
+    assert(out.filter(_.getAs[Long]("doc_id") == 0L).head.getAs[Long]("n_copies") === 3L)
+  }
+
+  test("minHashDedup clusters a near-duplicate pair and leaves unrelated docs alone") {
+    val docs = mkDocs(Seq(base, nearDup, unrelated, unrelated2))
+    val out = Dedup.minHashDedup(docs, threshold = 0.5).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("keep_id") === 0L)
+    assert(out(1).getAs[Long]("keep_id") === 0L) // near-dup joins cluster 0
+    assert(out(1).getAs[Boolean]("is_dup"))
+    assert(out(2).getAs[Long]("keep_id") === 2L)
+    assert(out(3).getAs[Long]("keep_id") === 3L)
+  }
+
+  test("ngramJaccardPairs computes the exact jaccard value") {
+    // base has 18 distinct 3-gram shingles; the 1-word edit changes 3 of
+    // them → |∩| = 15, |∪| = 18 + 18 - 15 = 21.
+    val docs = mkDocs(Seq(base, nearDup))
+    val out = Dedup.ngramJaccardPairs(docs).collect()
+    assert(out.length === 1)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 15.0 / 21.0) < 1e-12)
+  }
+
+  test("simHash: identical texts collide, near-dups are hamming-close") {
+    val docs = mkDocs(Seq(base, base, nearDup, unrelated))
+    val hashed = Dedup.simHash(docs)
+    val fp = hashed.orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(fp(0) === fp(1))
+    val hammingNear = java.lang.Long.bitCount(fp(0) ^ fp(2))
+    val hammingFar = java.lang.Long.bitCount(fp(0) ^ fp(3))
+    assert(hammingNear < hammingFar)
+    val pairs = Dedup.simHashPairs(hashed, maxHamming = 0)
+      .filter(col("a_id") === 0 && col("b_id") === 1).collect()
+    assert(pairs.length === 1 && pairs.head.getAs[Int]("hamming") === 0)
+  }
+
+  test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)
+      .filter(col("jaccard") >= 0.7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clusters = Dedup.minHashDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    val recalled = exact.count { case (a, b) => clusters(a) == clusters(b) }
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(recalled.toDouble / exact.size >= 0.9,
+      s"minhash recall $recalled/${exact.size} below 0.9")
+  }
+}

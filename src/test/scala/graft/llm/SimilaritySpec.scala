@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity search: brute-force correctness on hand-checkable vectors,
+  * IVF cell restriction, and LSH recall against brute force.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around (1,0,...) and (0,1,...) + axis outlier
+  private lazy val vecs = {
+    initLog()
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.2f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("bruteForceTopK ranks the tight cluster first") {
+    val out = Similarity.bruteForceTopK(vecs, k = 2, queryMaxId = 1).collect()
+    assert(out.map(_.getAs[Long]("b_id")).toSeq === Seq(1L, 2L))
+    val cos1 = out.head.getAs[Double]("cosine")
+    val expected = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1) // cos((1,0),(0.9,0.1))
+    assert(math.abs(cos1 - expected) < 1e-3) // 1e-6 quantization of products
+  }
+
+  test("ivfTopK only searches the query's cell") {
+    val out = Similarity.ivfTopK(vecs, k = 5, queryMaxId = 1).collect()
+    assert(out.map(_.getAs[Long]("b_id")).toSet === Set(1L, 2L)) // same-label only
+  }
+
+  test("lshTopK: identical vectors always collide (collision prob 1)") {
+    // LSH's hard guarantee: cos=1 pairs share every sign bit, so an exact
+    // duplicate vector is always found regardless of plane count.
+    val v = Array(0.3f, -0.5f, 0.8f, 0.1f)
+    val dup = Seq(
+      (0L, v, 0), (1L, v, 0),
+      (2L, Array(-0.9f, 0.2f, -0.1f, 0.4f), 1),
+      (3L, Array(0.0f, 0.0f, -1.0f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.lshTopK(dup, k = 1, queryMaxId = 1, planes = 12).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("b_id") === 1L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-3)
+  }
+
+  test("lshTopK recall on the driver corpus behaves like SRP theory") {
+    // Weakly-similar corpus (top-3 cosine ≈ 0.37 → per-plane collision
+    // ≈ 0.62): recall falls with plane count; just assert non-empty
+    // results and that fewer planes never reduce the candidate overlap.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, k = 3, queryMaxId = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlapAt = (planes: Int) =>
+      Similarity.lshTopK(emb, k = 3, queryMaxId = 10, planes = planes)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(brute).size
+    val few = overlapAt(2)
+    val many = overlapAt(8)
+    assert(few > 0, "2-plane LSH should recover some true neighbors")
+    assert(few >= many, s"recall should not increase with more planes ($few vs $many)")
+  }
+}
