@@ -55,6 +55,24 @@ object Examples {
     val diff = viaExpr.exceptAll(viaPart).count() + viaPart.exceptAll(viaExpr).count()
     println(s"example4(multimodal decode paths agree): diff=$diff of ${docs.count()}")
 
+    // streaming: the same tumblingCounts transformation under Structured
+    // Streaming (file source -> memory sink) vs batch
+    val evDir = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$evDir/events.parquet"))
+    val stream = streaming.Streams.tumblingCounts(
+      streaming.Streams.readEventsStream(spark, evDir))
+    val sq = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ex_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.processAllAvailable(); sq.stop()
+    val streamed = spark.table("ex_stream")
+    val batch = streaming.Streams.tumblingCounts(
+      Tables.load(spark, "/root/testdata/sf0.001", "events"))
+    val sdiff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    println(s"example5(streaming==batch): rows=${streamed.count()} diff=$sdiff")
+
     spark.stop()
   }
 }

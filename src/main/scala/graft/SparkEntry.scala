@@ -20,12 +20,14 @@ object SparkEntry {
       q.name -> ((s: SparkSession, dir: String) => Tables.sql(s, dir, q.spark))
     }.toMap ++
       ops.OpQueries.all.map(q => q.name -> q.fn).toMap ++
-      llm.LlmQueries.all.map(q => q.name -> q.fn).toMap
+      llm.LlmQueries.all.map(q => q.name -> q.fn).toMap ++
+      streaming.StreamQueries.all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TpchQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       ops.OpQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
-      llm.LlmQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+      llm.LlmQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
+      streaming.StreamQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.OpQueries.OpQ
+
+/** Driver queries for the streaming surface, run in batch mode over the
+  * events table (the transformations are batch/stream-unified; the
+  * streaming execution path is exercised by StreamingSpec with a memory
+  * sink). Oracles use DuckDB's date_trunc/epoch_us equivalents.
+  */
+object StreamQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** Tumbling 1h windows per event type (window start == date_trunc hour). */
+  val tumbling = OpQ("stream_tumbling_window",
+    (s, d) => Streams.tumblingCounts(ev(s, d))
+      .orderBy(col("win_start"), col("event_type")),
+    Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS STRING) AS win_start,
+           |  event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+
+  /** Sliding 2h/1h windows: each event lands in the two covering windows. */
+  val sliding = OpQ("stream_sliding_window",
+    (s, d) => Streams.slidingCounts(ev(s, d))
+      .orderBy(col("win_start"), col("event_type")),
+    Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+           |         - k * INTERVAL 1 HOUR AS STRING) AS win_start,
+           |  event_type, COUNT(*) AS n
+           |FROM events, UNNEST(range(0, 2)) t(k)
+           |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+
+  /** Sessionization (30-min gap) via gaps-and-islands window functions. */
+  val sessions = OpQ("stream_sessionize",
+    (s, d) => Streams.sessionize(ev(s, d))
+      .orderBy(col("user_id"), col("session_id")),
+    Some("""WITH marked AS (
+           |  SELECT user_id, event_id, ts,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+           |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+           |  FROM events),
+           |sessioned AS (
+           |  SELECT user_id, ts,
+           |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+           |             THEN 1 ELSE 0 END) OVER
+           |      (PARTITION BY user_id ORDER BY us, event_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM marked)
+           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           |  COUNT(*) AS n_events,
+           |  CAST(MIN(CAST(ts AS TIMESTAMP)) AS STRING) AS session_start,
+           |  CAST(MAX(CAST(ts AS TIMESTAMP)) AS STRING) AS session_end
+           |FROM sessioned GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin))
+
+  /** Semi-structured props extraction (regexp over the JSON payload —
+    * portable across both engines without a JSON extension).
+    */
+  val propsExtract = OpQ("stream_props_extract",
+    (s, d) => ev(s, d)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract)
+}

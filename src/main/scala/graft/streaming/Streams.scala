@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface over the `events` table — pure growth beyond the
+  * reference (it has no streaming at all, SURVEY.md §2.8; the driver's
+  * events table is reserved for exactly this, TESTDATA.md).
+  *
+  * Every transformation here is written against a plain DataFrame, so the
+  * SAME code runs in batch (for the DuckDB oracle) and under Structured
+  * Streaming (readStream → writeStream) — Spark's unified model. Watermarks
+  * are no-ops in batch. State size is bounded: windowed aggregations evict
+  * by watermark; the stateful session counter times out idle keys.
+  */
+object Streams {
+
+  /** events.parquet physical schema: the driver writes TIMESTAMP(NANOS),
+    * which Spark's reader only accepts as long (nanosAsLong). `load` in
+    * [[graft.Tables]] converts for batch; this schema is for readStream.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (spark.sql.legacy.parquet.nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open an events directory as an unbounded stream (file source — each
+    * parquet file dropped into `eventsDir` becomes micro-batch input; the
+    * source requires a DIRECTORY, not a single file).
+    */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type. Exact cents for the value
+    * sum (order-independent → identical in batch, streaming, and DuckDB).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100).cast("long")).cast("double") / 100).as("sum_value"))
+      .select(col("window.start").cast("string").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window counts (2h window, 1h slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("win_start"), col("event_type"), col("n"))
+
+  /** Gaps-and-islands sessionization (30-min inactivity gap) as plain
+    * window functions — runs in batch and has a direct DuckDB oracle. The
+    * streaming-native equivalent is [[runningCountsStateful]] /
+    * `session_window`.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("string").as("session_start"),
+        max(col("ts")).cast("string").as("session_end"))
+  }
+
+  final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Custom streaming state: running per-user event count via
+    * `flatMapGroupsWithState` — the mapGroupsWithState shape for state
+    * Spark's windowed operators can't express (SURVEY.md §7.2(8)).
+    *
+    * `evictIdleState=true` uses a processing-time timeout to drop idle
+    * keys (the production setting — state must be bounded on an unbounded
+    * key space); `false` keeps state forever, which is what finite
+    * replay/backfill runs (and the spec's AvailableNow trigger, which
+    * would otherwise idle waiting on timers) want.
+    */
+  def runningCountsStateful(spark: SparkSession, events: DataFrame,
+      evictIdleState: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val timeout =
+      if (evictIdleState) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            if (evictIdleState) state.setTimeoutDuration("1 hour")
+            Iterator.single(UserCount(userId, n))
+          }
+        })
+      .toDF()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming execution: the same transformations the driver
+  * checks in batch must produce identical results when run as a stream
+  * (file source → memory sink), plus the stateful
+  * flatMapGroupsWithState path.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The file stream source needs a directory; stage the single events
+    * parquet into one (models files arriving in a landing dir).
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("tumblingCounts: streaming result equals batch result") {
+    initLog()
+    val batch = Streams.tumblingCounts(graft.Tables.load(spark, dir, "events"))
+    val stream = Streams.tumblingCounts(Streams.readEventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("tumbling_out")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream and batch disagree")
+    assert(got.count() > 0)
+  }
+
+  test("runningCountsStateful: per-user totals accumulate to batch counts") {
+    val events = Streams.readEventsStream(spark, streamDir)
+    val q = Streams.runningCountsStateful(spark, events, evictIdleState = false).writeStream
+      .outputMode("update")
+      .format("memory").queryName("stateful_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // last update per user == total batch count per user
+    val last = spark.sql(
+      """SELECT user_id, MAX(n) AS n FROM stateful_out GROUP BY user_id""")
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    assert(last.exceptAll(batch).isEmpty && batch.exceptAll(last).isEmpty)
+  }
+
+  test("sessionize assigns increasing session ids within a user") {
+    val out = Streams.sessionize(graft.Tables.load(spark, dir, "events")).collect()
+    assert(out.nonEmpty)
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.head == 1L && ids.toSeq == (1L to ids.length).toSeq)
+    }
+  }
+}
