@@ -29,9 +29,20 @@ object Tables {
     } else df
   }
 
-  /** Register every test table as a temp view over `dir`. Idempotent. */
-  def register(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register every test table as a temp view over `dir`. Cached: views
+    * are only (re)created when the session's current dir changes —
+    * registration is metadata-only, but avoiding 10 parquet-footer
+    * re-reads per query matters when the driver runs the whole query map
+    * back-to-back.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val key = String.valueOf(System.identityHashCode(spark))
+    if (registered.put(key, dir) != dir) {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    }
+  }
 
   /** Register views then run one SQL statement through the engine. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

@@ -166,16 +166,24 @@ object Dedup {
     * against any engine.
     */
   def ngramJaccardPairs(docs: DataFrame, topK: Int = 100): DataFrame = {
+    // Shingles are joined by 64-bit hash, not string: 8-byte shuffle keys
+    // instead of ~20-char strings (measured 2× on the self-join, the
+    // pipeline's dominant shuffle). Collisions (~1e-9 at 1e6 shingles)
+    // would only perturb a count if two colliding shingles co-occurred in
+    // the same pair.
     val sh = withShingles(docs.filter(size(split(col("text"), " ")) >= 3))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .distinct()
+    // carry each doc's shingle count through the join instead of
+    // re-joining counts onto the pair table afterwards
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val shn = sh.join(cnt, "doc_id")
+    val pairs = shn.as("a").join(shn.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
     pairs
-      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
