@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (reference: CSV via READ_CSV is the only source,
+  * xorbits_sql/executor.py:290-308, and there are no sinks at all —
+  * SURVEY.md §2.1 #16). Here: CSV/JSON/parquet readers with schema
+  * application, and partitioned/plain writers. All readers are distributed
+  * Spark sources — column pruning and filter pushdown reach them.
+  */
+object Sources {
+
+  /** CSV reader matching the reference's READ_CSV semantics: header row,
+    * optional delimiter, dtypes from an optional schema (schema wins over
+    * inference — the reference pulls dtypes from its schema mapping).
+    */
+  def csv(spark: SparkSession, path: String, delimiter: String = ",",
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true").option("sep", delimiter)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** JSON-lines reader (growth beyond the reference). */
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None => spark.read.json(path)
+    }
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parquet sink; `partitionBy` columns become directory partitions —
+    * the layout that makes downstream partition pruning free at scale.
+    */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    df.write.mode("overwrite").option("header", "true").option("sep", delimiter).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -20,6 +20,7 @@ object SparkEntry {
       q.name -> ((s: SparkSession, dir: String) => Tables.sql(s, dir, q.spark))
     }.toMap ++
       ops.OpQueries.all.map(q => q.name -> q.fn).toMap ++
+      ops.ExtraQueries.all.map(q => q.name -> q.fn).toMap ++
       llm.LlmQueries.all.map(q => q.name -> q.fn).toMap ++
       streaming.StreamQueries.all.map(q => q.name -> q.fn).toMap
 
@@ -28,6 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     TpchQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       ops.OpQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
+      ops.ExtraQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       llm.LlmQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       streaming.StreamQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -218,9 +218,58 @@ object LlmQueries {
            |  UNNEST(range(0, 1 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 7)) t(i)
            |ORDER BY doc_id, frame_idx""".stripMargin))
 
+  /** BPE-ish regex tokenization: letter-runs / digit-runs / single
+    * non-alnum symbols (the pre-tokenizer shape of byte-pair encoders).
+    * Counts are exact integers — full oracle.
+    */
+  val textTokenize = OpQ("llm_text_tokenize",
+    (s, d) => docs(s, d)
+      .withColumn("toks", expr(
+        """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"""))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        expr("size(filter(toks, t -> t rlike '^[0-9]+$'))").cast("long").as("n_num_tokens"),
+        element_at(col("toks"), 1).as("first_token"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+           |    AS n_bpe_tokens,
+           |  CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+           |    t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_num_tokens,
+           |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')[1] AS first_token
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Embedding near-duplicate detection: nearest neighbor per query
+    * vector with a cosine threshold flag — the embedding-space analogue of
+    * the text dedup family (exact math, full oracle).
+    */
+  val dedupEmbedding = OpQ("llm_dedup_embedding",
+    (s, d) => Similarity.bruteForceTopK(emb(s, d), k = 1, queryMaxId = 50)
+      .select(col("a_id"), col("b_id").as("nearest_id"), col("cosine"),
+        (col("cosine") >= 0.95).as("is_near_dup"))
+      .orderBy(col("a_id")),
+    Some("""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |q AS (SELECT * FROM e WHERE vec_id < 50),
+           |dots AS (SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+           |           SUM(CAST(FLOOR(q.x * c.x * 1000000) AS BIGINT)) AS dot_m,
+           |           SUM(CAST(FLOOR(q.x * q.x * 1000000) AS BIGINT)) AS qq_m,
+           |           SUM(CAST(FLOOR(c.x * c.x * 1000000) AS BIGINT)) AS cc_m
+           |         FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+           |         GROUP BY q.vec_id, c.vec_id),
+           |ranked AS (SELECT a_id, b_id,
+           |  CAST(dot_m AS DOUBLE) / (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+           |    AS cosine,
+           |  row_number() OVER (PARTITION BY a_id ORDER BY
+           |    CAST(dot_m AS DOUBLE) / (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+           |    DESC, b_id) AS rn
+           |  FROM dots)
+           |SELECT a_id, b_id AS nearest_id, cosine, cosine >= 0.95 AS is_near_dup
+           |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
-    dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard,
+    dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     annBruteForce, annIvf, annLsh,
-    textStats, textLangId, textQuality, textFingerprint, fingerprintRolling,
+    textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     multimodalDecode, multimodalFrames)
 }

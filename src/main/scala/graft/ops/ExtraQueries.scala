@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Sources, Tables}
+import OpQueries.OpQ
+
+/** Second wave of operator queries: skew-handling join, approximate
+  * aggregates (sketches), and source/sink round-trips through staged
+  * files that the DuckDB oracle reads back independently.
+  */
+object ExtraQueries {
+
+  /** Salted join must be row-identical to the plain equi join — the
+    * oracle IS the unsalted join, which is exactly the property salting
+    * promises.
+    */
+  val joinSalted = OpQ("op_join_salted",
+    (s, d) => Relational.saltedJoin(
+      Tables.load(s, d, "orders"), Tables.load(s, d, "customer"),
+      "o_custkey", "c_custkey", saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        Relational.moneySum(col("o_totalprice"), "total"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100 AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** HyperLogLog++ distinct-count sketch next to the exact count (no
+    * oracle — sketch estimates are engine-specific; ApproxSpec bounds the
+    * error instead). The sketch is THE 100 TB distinct-count: mergeable,
+    * constant memory, one pass.
+    */
+  val approxCountDistinct = OpQ("op_approx_count_distinct",
+    (s, d) => Tables.load(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+      .orderBy(col("o_orderpriority")),
+    None)
+
+  /** t-digest style quantile sketch (percentile_approx) next to exact
+    * percentiles (no oracle; ApproxSpec bounds the error).
+    */
+  val approxQuantile = OpQ("op_approx_quantile",
+    (s, d) => Tables.load(s, d, "orders")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("approx_p90"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50")),
+    None)
+
+  private val stageDir = "/tmp/graft_stage"
+
+  /** CSV sink → CSV source round-trip. The query stages the region table
+    * as pipe-delimited CSV, reads it back with an explicit schema (the
+    * reference's READ_CSV dtype path), and the oracle reads the very same
+    * staged files with DuckDB's CSV reader — both engines must agree on
+    * the parsed content.
+    */
+  val sourceCsvRoundtrip = OpQ("op_source_csv_roundtrip",
+    (s, d) => {
+      val path = s"$stageDir/region_csv"
+      Sources.writeCsv(Tables.load(s, d, "region").coalesce(1), path, delimiter = "|")
+      val schema = StructType(Seq(
+        StructField("r_regionkey", LongType), StructField("r_name", StringType)))
+      Sources.csv(s, path, delimiter = "|", schema = Some(schema))
+        .orderBy(col("r_regionkey"))
+    },
+    Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+           |FROM read_csv_auto('/tmp/graft_stage/region_csv/*.csv', header=true, delim='|')
+           |ORDER BY r_regionkey""".stripMargin))
+
+  /** JSON-lines sink → source round-trip (growth beyond the reference's
+    * CSV-only surface), oracle via DuckDB's JSON reader on the same files.
+    */
+  val sourceJsonRoundtrip = OpQ("op_source_json_roundtrip",
+    (s, d) => {
+      val path = s"$stageDir/nation_json"
+      Sources.writeJson(Tables.load(s, d, "nation").coalesce(1), path)
+      Sources.json(s, path)
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+           |FROM read_json_auto('/tmp/graft_stage/nation_json/*.json')
+           |ORDER BY n_nationkey""".stripMargin))
+
+  /** Partitioned parquet sink → source with partition pruning: write
+    * orders partitioned by priority, read back one partition. The pruning
+    * (only one directory scanned) is the at-scale point; the oracle reads
+    * the same partition directory.
+    */
+  val sourcePartitionedParquet = OpQ("op_source_partitioned_parquet",
+    (s, d) => {
+      val path = s"$stageDir/orders_part"
+      Sources.writeParquet(
+        Tables.load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority")),
+        path, partitionBy = Seq("o_orderpriority"))
+      Sources.parquet(s, path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey
+           |FROM read_parquet('/tmp/graft_stage/orders_part/o_orderpriority=1-URGENT/*.parquet')
+           |ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(joinSalted, approxCountDistinct, approxQuantile,
+    sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet)
+}

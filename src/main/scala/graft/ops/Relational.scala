@@ -68,6 +68,28 @@ object Relational {
     * bits. `scale` is the integer scaling applied to the input (100 ⇒
     * descale variance by 100²).
     */
+  /** Skew-resistant equi join: explode the (small) right side into
+    * `saltBuckets` copies and scatter the left side's hot keys across the
+    * buckets with a random-but-deterministic salt, so one hot key spreads
+    * over `saltBuckets` reducers instead of melting a single one. Result
+    * is row-identical to `left.join(right, leftKey === rightKey)`.
+    *
+    * At 100 TB this is the standard fallback when AQE's skew-join split
+    * isn't available (e.g. the skew is in the build side of a broadcast
+    * that is too large to broadcast).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltBuckets: Int = 8): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(col(leftKey), monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+
   def exactMoments(df: DataFrame, valueCol: Column, keys: Seq[String], scale: Int = 100): DataFrame = {
     val c = floor(valueCol * lit(scale)).cast("long").as("c")
     val base = df.select(keys.map(col) :+ c: _*)

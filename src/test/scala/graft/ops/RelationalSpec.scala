@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Relational operator semantics: salted join equivalence on skewed data,
+  * approximate-aggregate error bounds, set-op semantics vs SQL.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin is row-identical to the plain join on skewed keys") {
+    initLog()
+    // 90% of left rows share one hot key — the scenario salting exists for
+    val left = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i)).toDF("k", "v")
+    val right = (1L to 20L).map(k => (k, s"r$k")).toDF("k2", "name")
+    val plain = left.join(right, col("k") === col("k2"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val salted = Relational.saltedJoin(left, right, "k", "k2", saltBuckets = 4)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("approx_count_distinct is within 5% of exact on the orders table") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val row = orders.agg(
+      approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a"),
+      countDistinct(col("o_custkey")).as("e")).head()
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+  }
+
+  test("percentile_approx brackets the exact median") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val row = orders.agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("a"),
+      expr("percentile(o_totalprice, 0.5)").as("e")).head()
+    val (a, e) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(a - e) / e < 0.01, s"approx p50 $a vs exact $e")
+  }
+
+  test("union is set semantics, unionAll is bag semantics") {
+    val a = Seq(1, 2, 2, 3).toDF("x")
+    val b = Seq(2, 3, 4).toDF("x")
+    assert(Relational.union(a, b).count() === 4)     // {1,2,3,4}
+    assert(Relational.unionAll(a, b).count() === 7)
+    assert(Relational.intersect(a, b).count() === 2) // {2,3}
+    assert(Relational.except(a, b).count() === 1)    // {1}
+    assert(Relational.exceptAll(a, b).count() === 2) // [1, 2]
+  }
+}
