@@ -267,8 +267,31 @@ object LlmQueries {
            |SELECT a_id, b_id AS nearest_id, cosine, cosine >= 0.95 AS is_near_dup
            |FROM ranked WHERE rn = 1 ORDER BY a_id""".stripMargin))
 
+  /** Exact corpus-wide top tokens (explode → count → top-k, oracle-exact). */
+  val textTopTokens = OpQ("llm_text_top_tokens",
+    (s, d) => docs(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20),
+    Some("""SELECT token, COUNT(*) AS n
+           |FROM documents, UNNEST(string_split(text, ' ')) t(token)
+           |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
+
+  /** Misra–Gries heavy-hitters sketch over the token stream (bounded
+    * memory, merge-order-dependent within the n/capacity bound → spec-
+    * gated in FunctionsSpec, rows-only here).
+    */
+  val textTopTokensSketch = OpQ("llm_text_top_tokens_sketch",
+    (s, d) => docs(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(graft.functions.TopKFreq.top_k_freq(col("token"), 10).as("top_tokens"))
+      .select(posexplode(col("top_tokens")).as(Seq("rank", "token"))),
+    None)
+
   val all: Seq[OpQ] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
+    textTopTokens, textTopTokensSketch,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     multimodalDecode, multimodalFrames)

@@ -111,6 +111,63 @@ object ExtraQueries {
            |FROM read_parquet('/tmp/graft_stage/orders_part/o_orderpriority=1-URGENT/*.parquet')
            |ORDER BY o_orderkey""".stripMargin))
 
-  val all: Seq[OpQ] = Seq(joinSalted, approxCountDistinct, approxQuantile,
+  /** Backward AS-OF join: each purchase event matched to the user's most
+    * recent view event at-or-before it (DuckDB has a native ASOF JOIN —
+    * the oracle). The right side is pre-aggregated to one row per
+    * (user, ts) with max_by/arg_max in both engines, making ties
+    * deterministic.
+    */
+  val joinAsOf = OpQ("op_join_asof",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_event_id"),
+          expr("max_by(value, event_id)").as("view_value"))
+      Relational.asOfJoin(purchases, views, "user_id", "ts", "view_ts")
+        .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH purchases AS (
+           |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events WHERE event_type = 'purchase'),
+           |views AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+           |    MAX(event_id) AS view_event_id, ARG_MAX(value, event_id) AS view_value
+           |  FROM events WHERE event_type = 'view'
+           |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+           |SELECT p.event_id, p.user_id, v.view_event_id, v.view_value
+           |FROM purchases p ASOF LEFT JOIN views v
+           |  ON p.user_id = v.user_id AND p.ts >= v.view_ts
+           |ORDER BY p.event_id""".stripMargin))
+
+  /** Range join via bucketing: quantity bands × lineitem, planned as an
+    * equi join on bucket ids + residual filter instead of a nested-loop
+    * product. Oracle: the plain non-equi join over the same VALUES bands.
+    */
+  val joinRange = OpQ("op_join_range",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(("tiny", 1.0, 10.0), ("small", 11.0, 20.0),
+        ("mid", 21.0, 35.0), ("large", 36.0, 50.0))
+        .toDF("band", "lo", "hi")
+      Relational.rangeJoin(
+        Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "l_quantity", bands, "lo", "hi", bucketWidth = 10.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("band"))
+    },
+    Some("""SELECT band, COUNT(*) AS n
+           |FROM lineitem
+           |JOIN (VALUES ('tiny', 1.0, 10.0), ('small', 11.0, 20.0),
+           |             ('mid', 21.0, 35.0), ('large', 36.0, 50.0)) b(band, lo, hi)
+           |  ON l_quantity >= lo AND l_quantity <= hi
+           |GROUP BY band ORDER BY band""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
+    approxCountDistinct, approxQuantile,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet)
 }

@@ -90,6 +90,59 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Backward AS-OF join: each left row picks the latest right row with
+    * `right.ts <= left.ts` for the same key (NULLs when none) — the
+    * time-series join Spark lacks as a native operator.
+    *
+    * Composed from built-ins per the extension preference order (compose
+    * before custom strategy): tag both sides, union, and carry right-side
+    * payloads forward with `last(ignoreNulls)` over one (key, ts, side)
+    * window. Exactly ONE shuffle (the window partition on key) — the
+    * merge-join shape that scales, vs a per-row subquery or a range
+    * cross-join. Equal timestamps match (>=); the right side must be
+    * unique per (key, ts) — pre-aggregate it if not (see the asof driver
+    * query for the max_by pattern).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightPayload = right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    val leftTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val rightTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .drop(rightTs)
+    val u = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal ts → ties match
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+
+  /** Range (interval) join: left rows matched to right rows whose
+    * [lo, hi] interval contains the left value. Instead of the
+    * BroadcastNestedLoopJoin a naive non-equi join plans, each left row
+    * gets ONE bucket id and each right interval explodes into the buckets
+    * it spans — the join becomes an equi join on bucket + residual filter,
+    * shuffling on bucket keys. Pick `bucketWidth` near the typical
+    * interval length: cost is |left| + Σ(interval span / width) rows.
+    */
+  def rangeJoin(left: DataFrame, leftVal: String,
+      right: DataFrame, lo: String, hi: String, bucketWidth: Double): DataFrame = {
+    val lb = left.withColumn("__b", floor(col(leftVal) / bucketWidth).cast("long"))
+    val rb = right.withColumn("__b",
+      explode(expr(s"sequence(cast(floor($lo / $bucketWidth) as bigint), " +
+        s"cast(floor($hi / $bucketWidth) as bigint))")))
+    lb.join(rb, Seq("__b"))
+      .filter(col(leftVal) >= col(lo) && col(leftVal) <= col(hi))
+      .drop("__b")
+  }
+
   def exactMoments(df: DataFrame, valueCol: Column, keys: Seq[String], scale: Int = 100): DataFrame = {
     val c = floor(valueCol * lit(scale)).cast("long").as("c")
     val base = df.select(keys.map(col) :+ c: _*)

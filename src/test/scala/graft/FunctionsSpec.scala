@@ -50,6 +50,18 @@ class FunctionsSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("TopKFreq heavy-hitters sketch surfaces true heavy hitters on skewed data") {
+    import graft.functions.TopKFreq.top_k_freq
+    // zipf-ish: "hot" appears 5000 times, others ≤ 100 — hot MUST survive
+    // any Misra-Gries merge order (freq > n/capacity)
+    val tokens = Seq.fill(5000)("hot") ++
+      (1 to 100).flatMap(i => Seq.fill(100 - i % 7)(s"tok$i"))
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .shuffle(tokens).toDF("t").repartition(7)
+    val top = df.agg(top_k_freq(col("t"), 3)).head().getSeq[String](0)
+    assert(top.head === "hot", s"top=$top")
+  }
+
   test("exactMoments matches native var_samp within float tolerance") {
     val df = (1 to 500).map(i => ("k", (i % 37) * 1.0)).toDF("k", "v")
     val exact = ops.Relational.exactMoments(df, col("v"), Seq("k"))
