@@ -37,10 +37,39 @@ object Engine {
       spark: SparkSession,
       sql: String,
       tables: Map[String, DataFrame] = Map.empty,
-      dialect: Dialect = Dialect.Spark): DataFrame = {
-    tables.foreach { case (name, df) => registerTable(spark, name, df) }
+      dialect: Dialect = Dialect.Spark,
+      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): DataFrame = {
+    tables.foreach { case (name, df) =>
+      val typed = schemas.get(name) match {
+        case Some(st) => applySchema(df, st)
+        case None => df
+      }
+      registerTable(spark, name, typed)
+    }
     val rewritten = dialect.rewrite(spark, flattenQualifiedNames(sql, tables.keys))
-    spark.sql(rewritten)
+    try spark.sql(rewritten)
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new ExecuteError(s"parse error: ${e.getMessage}", e)
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new ExecuteError(s"analysis error: ${e.getMessage}", e)
+    }
+  }
+
+  /** Apply a declared schema to a table by casting the listed columns —
+    * the reference's schema argument (xorbits_sql/core.py:60-65, dtype
+    * application executor.py:283-288; unlike the reference, non-numeric
+    * types are applied too — SURVEY.md §2.9 Q10).
+    */
+  private[graft] def applySchema(df: DataFrame, st: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val declared = st.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.columns.map { c =>
+      declared.get(c) match {
+        case Some(dt) => col(c).cast(dt).as(c)
+        case None => col(c)
+      }
+    }.toSeq: _*)
   }
 
   /** Rows-as-maps table constructor (reference: list-of-dict tables,

@@ -55,6 +55,17 @@ object Examples {
     val diff = viaExpr.exceptAll(viaPart).count() + viaPart.exceptAll(viaExpr).count()
     println(s"example4(multimodal decode paths agree): diff=$diff of ${docs.count()}")
 
+    // error surface + declared-schema application
+    val errKind = try { Engine.execute(spark, "SELEC broken"); "none" }
+      catch { case _: ExecuteError => "ExecuteError"; case _: Throwable => "other" }
+    val typedSum = Engine.execute(spark, "SELECT SUM(a) AS s FROM typed",
+      Map("typed" -> Engine.tableFromRows(spark, Seq(Map("a" -> "1"), Map("a" -> "2")))),
+      schemas = Map("typed" -> org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType)))))
+      .head().getLong(0)
+    println(s"example6(errors+schema): $errKind sum=$typedSum")
+
     // streaming: the same tumblingCounts transformation under Structured
     // Streaming (file source -> memory sink) vs batch
     val evDir = java.nio.file.Files.createTempDirectory("graft_ev").toString

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL-semantics regression suite for the reference quirks we deliberately
+  * do NOT replicate (SURVEY.md §2.9) — each test pins the standard-SQL
+  * behavior the oracle expects, so a future "optimization" can't quietly
+  * reintroduce pandas semantics.
+  */
+class SemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](sql: String): T = {
+    initLog()
+    spark.sql(s"SELECT $sql").head().getAs[T](0)
+  }
+  private def isNull(sql: String): Boolean = spark.sql(s"SELECT $sql").head().isNullAt(0)
+
+  test("three-valued logic truth table (quirks Q2/Q5: pandas NaN==x is False, SQL is NULL)") {
+    assert(isNull("CAST(NULL AS INT) = 1"))
+    assert(isNull("NOT CAST(NULL AS BOOLEAN)"))
+    assert(one[Boolean]("CAST(NULL AS BOOLEAN) OR TRUE"))
+    assert(isNull("CAST(NULL AS BOOLEAN) OR FALSE"))
+    assert(!one[Boolean]("CAST(NULL AS BOOLEAN) AND FALSE"))
+    assert(isNull("CAST(NULL AS BOOLEAN) AND TRUE"))
+    assert(one[Boolean]("CAST(NULL AS INT) <=> CAST(NULL AS INT)")) // null-safe eq
+  }
+
+  test("LIKE is anchored and NULL-propagating (quirks Q3/Q4: ref is unanchored, NULL→TRUE)") {
+    assert(one[Boolean]("'abc' LIKE 'abc'"))
+    assert(!one[Boolean]("'xabcx' LIKE 'abc'")) // ref's regex contains() would match
+    assert(one[Boolean]("'xabcx' LIKE '%abc%'"))
+    assert(one[Boolean]("'a_c' LIKE 'a\\\\_c'")) // escaped underscore is literal
+    assert(isNull("CAST(NULL AS STRING) LIKE 'a%'")) // ref maps to TRUE
+  }
+
+  test("COUNT(col) skips NULLs, COUNT(*) does not (quirk Q1: ref counts NULLs)") {
+    val df = Seq(Some(1), None, Some(3)).toDF("x")
+    val r = df.agg(count(col("x")), count(lit(1))).head()
+    assert(r.getLong(0) === 2 && r.getLong(1) === 3)
+  }
+
+  test("FULL OUTER join does not degrade to inner (quirk Q9)") {
+    val l = Seq((1, "a")).toDF("k", "lv")
+    val r = Seq((2, "b")).toDF("k2", "rv")
+    val out = l.join(r, col("k") === col("k2"), "full").collect()
+    assert(out.length === 2) // ref's executor would return 0 (inner on disjoint keys)
+  }
+
+  test("sample stddev/variance use ddof=1 (quirk Q7 — the one quirk that matches SQL)") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val v = df.agg(var_samp(col("x"))).head().getDouble(0)
+    assert(math.abs(v - 5.0 / 3.0) < 1e-12) // Σ(x-2.5)²/(n-1)
+  }
+
+  test("division is double division; ANSI divide-by-zero errors, try_divide yields NULL") {
+    assert(math.abs(one[Double]("5 / 2") - 2.5) < 1e-15)
+    assert(one[Long]("5 DIV 2") === 2L)
+    // Spark 4 runs ANSI mode by default: x/0 raises; try_divide is the
+    // NULL-yielding escape hatch (oracles never divide by zero)
+    intercept[Exception](spark.sql("SELECT 1 / 0").collect())
+    assert(isNull("try_divide(1, 0)"))
+  }
+
+  test("Engine.execute wraps parse and analysis failures in ExecuteError") {
+    intercept[ExecuteError](Engine.execute(spark, "SELEC nonsense"))
+    intercept[ExecuteError](Engine.execute(spark, "SELECT * FROM table_that_is_not_there"))
+  }
+
+  test("Engine.execute applies declared schemas (reference schema argument)") {
+    import org.apache.spark.sql.types._
+    val df = Seq(("1", "x"), ("2", "y")).toDF("k", "v")
+    val out = Engine.execute(spark, "SELECT SUM(k) AS s FROM t", Map("t" -> df),
+      schemas = Map("t" -> StructType(Seq(StructField("k", LongType)))))
+    assert(out.head().getLong(0) === 3L)
+  }
+}
