@@ -289,9 +289,49 @@ object LlmQueries {
       .select(posexplode(col("top_tokens")).as(Seq("rank", "token"))),
     None)
 
+  /** End-to-end corpus curation pipeline — the composition a training-data
+    * job actually runs: exact-dedup (keep first), quality-filter, attach
+    * token statistics and fingerprints, emit the curated set. One Spark
+    * job, three shuffles (dedup window, none for scoring, final sort);
+    * fully oracle-expressible because each stage is.
+    */
+  val pipelineCurate = OpQ("llm_pipeline_curate",
+    (s, d) => {
+      val deduped = Dedup.exactDedup(docs(s, d))
+        .filter(!col("is_dup"))
+        .select(col("doc_id"), col("text"), col("lang"))
+      val scored = TextAnalysis.qualityScore(deduped)
+        .filter(col("quality") >= 0.4)
+      TextAnalysis.fingerprints(scored)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"), col("md5_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some({
+      val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH deduped AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |      doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |    FROM documents) t
+         |  WHERE NOT is_dup),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.4
+         |      + (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS DOUBLE)
+         |         / len(string_split(text, ' '))) * 0.3
+         |      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |         / len(string_split(text, ' '))) * 0.3 AS quality,
+         |    md5(text) AS md5_fp
+         |  FROM deduped)
+         |SELECT doc_id, lang, n_tokens, quality, md5_fp
+         |FROM scored WHERE quality >= 0.4
+         |ORDER BY doc_id""".stripMargin
+    }))
+
   val all: Seq[OpQ] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
-    textTopTokens, textTopTokensSketch,
+    textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     multimodalDecode, multimodalFrames)
