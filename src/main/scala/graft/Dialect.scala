@@ -40,9 +40,13 @@ object Dialect {
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) {
-        out.append(c)
-        if (c == '\'') inStr = false
-        i += 1
+        if (c == '\\' && i + 1 < sql.length) { // backslash escape inside literal
+          out.append(c).append(sql.charAt(i + 1)); i += 2
+        } else {
+          out.append(c)
+          if (c == '\'') inStr = false
+          i += 1
+        }
       } else if (c == '\'') { inStr = true; out.append(c); i += 1 }
       else if (c == '=' && i + 1 < sql.length && sql.charAt(i + 1) == '=') {
         out.append('='); i += 2

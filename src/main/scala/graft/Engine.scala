@@ -88,7 +88,9 @@ object Engine {
       case _: Boolean | _: java.lang.Boolean => BooleanType
       case _: java.sql.Date => DateType
       case _: java.sql.Timestamp => TimestampType
-      case m: Map[_, _] => MapType(StringType, StringType)
+      case m: Map[_, _] if m.nonEmpty => // key/value types from the first entry
+        MapType(inferType(m.head._1), inferType(m.head._2))
+      case _: Map[_, _] => MapType(StringType, StringType)
       case _ => StringType
     }
     val schema = StructType(cols.map(c => StructField(c, inferType(rows.head(c)), nullable = true)))
@@ -100,13 +102,49 @@ object Engine {
   private[graft] def registerTable(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(flatName(name))
 
-  private[graft] def flatName(name: String): String = name.replace(".", "__")
+  /** "db.t" → "db__t"; characters Spark's view-name validator rejects
+    * (anything non-word) are mapped to '_'.
+    */
+  private[graft] def flatName(name: String): String =
+    name.replace(".", "__").replaceAll("[^A-Za-z0-9_]", "_")
 
   /** Rewrite qualified references to registered nested tables into their
-    * flat view names. Only names the caller registered are touched.
+    * flat view names. Only names the caller registered are touched, and
+    * only OUTSIDE string literals (a literal `'db.t'` must survive); the
+    * replacement is literal (no regex group semantics for `$` in names).
     */
-  private def flattenQualifiedNames(sql: String, names: Iterable[String]): String =
-    names.filter(_.contains(".")).foldLeft(sql) { (s, n) =>
-      s.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b", flatName(n))
+  private def flattenQualifiedNames(sql: String, names: Iterable[String]): String = {
+    val nested = names.filter(_.contains(".")).toSeq.sortBy(-_.length)
+    if (nested.isEmpty) return sql
+    val res = nested.foldLeft((sql: CharSequence)) { (cur, n) =>
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+      val s = cur.toString
+      val out = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(s).foreach { m =>
+        if (!insideStringLiteral(s, m.start)) {
+          out.append(s.substring(last, m.start)).append(flatName(n))
+          last = m.end
+        }
+      }
+      out.append(s.substring(last))
+      out.toString
     }
+    res.toString
+  }
+
+  /** Is position `pos` inside a single-quoted SQL string literal
+    * (honoring backslash escapes, as Spark's default parser does)?
+    */
+  private[graft] def insideStringLiteral(s: String, pos: Int): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (inStr && c == '\\') i += 1 // skip escaped char
+      else if (c == '\'') inStr = !inStr
+      i += 1
+    }
+    inStr
+  }
 }

@@ -39,8 +39,9 @@ object Tables {
     */
   def register(spark: SparkSession, dir: String): Unit = {
     val key = String.valueOf(System.identityHashCode(spark))
-    if (registered.put(key, dir) != dir) {
+    if (registered.get(key) != dir) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(key, dir) // only cache after every view registered
     }
   }
 

@@ -29,9 +29,17 @@ object Relational {
   def moneySum(c: Column, alias: String): Column =
     (sum(cents(c)).cast("double") / 100).as(alias)
 
-  /** Exact 4-decimal average over non-null inputs. */
+  /** Exact 4-decimal average over non-null inputs (divisor counts only
+    * non-null values of `c`, matching SQL AVG).
+    */
   def exactAvg(c: Column, alias: String): Column =
-    (sum(floor(c * lit(10000)).cast("long")).cast("double") / 10000 / count(lit(1))).as(alias)
+    (sum(floor(c * lit(10000)).cast("long")).cast("double") / 10000 / count(c)).as(alias)
+
+  private def requireNoWorkingCols(df: DataFrame, op: String, cols: String*): Unit = {
+    val clash = df.columns.toSet.intersect(cols.toSet)
+    require(clash.isEmpty,
+      s"$op uses internal working column(s) ${clash.mkString(", ")}; rename them in the input")
+  }
 
   /** Top-k with a total order — Spark plans this as TakeOrderedAndProject
     * (per-partition heap + driver merge of k rows), no global sort of the
@@ -80,6 +88,8 @@ object Relational {
     */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, saltBuckets: Int = 8): DataFrame = {
+    requireNoWorkingCols(left, "saltedJoin", "__salt")
+    requireNoWorkingCols(right, "saltedJoin", "__salt")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(col(leftKey), monotonically_increasing_id()), lit(saltBuckets)))
     val saltedRight = right.withColumn("__salt",
@@ -106,22 +116,28 @@ object Relational {
   def asOfJoin(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireNoWorkingCols(left, "asOfJoin", "__ts", "__side", "__r")
+    requireNoWorkingCols(right, "asOfJoin", "__ts", "__side", "__r")
     val rightPayload = right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    // payloads travel as ONE struct so the fill always takes the complete
+    // latest right row — per-column fills could mix values from different
+    // rows and would skip a genuinely-NULL field in the as-of row
     val leftTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
     val rightTagged = right
-      .withColumn("__ts", col(rightTs))
+      .select(col(key), col(rightTs).as("__ts"),
+        struct(rightPayload.map(col): _*).as("__r"))
       .withColumn("__side", lit(0))
-      .drop(rightTs)
     val u = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
     // right rows (side 0) sort before left rows at equal ts → ties match
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = u.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val unpacked = rightPayload.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__r").getField(c))
     }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    unpacked.filter(col("__side") === 1).drop("__ts", "__side", "__r")
   }
 
   /** Range (interval) join: left rows matched to right rows whose
@@ -134,6 +150,8 @@ object Relational {
     */
   def rangeJoin(left: DataFrame, leftVal: String,
       right: DataFrame, lo: String, hi: String, bucketWidth: Double): DataFrame = {
+    requireNoWorkingCols(left, "rangeJoin", "__b")
+    requireNoWorkingCols(right, "rangeJoin", "__b")
     val lb = left.withColumn("__b", floor(col(leftVal) / bucketWidth).cast("long"))
     val rb = right.withColumn("__b",
       explode(expr(s"sequence(cast(floor($lo / $bucketWidth) as bigint), " +

@@ -64,8 +64,27 @@ class EngineSpec extends SparkSpec {
     assert(types === Map("b" -> "boolean", "d" -> "double", "i" -> "int", "l" -> "bigint", "s" -> "string"))
   }
 
-  test("dialect: == rewrite preserves string literals") {
+  test("dialect: == rewrite preserves string literals, incl. backslash escapes") {
     assert(Dialect.rewriteDoubleEquals("SELECT 'a==b' WHERE x == 1") ===
       "SELECT 'a==b' WHERE x = 1")
+    // \' does not end the literal; the == inside must survive
+    assert(Dialect.rewriteDoubleEquals("SELECT 'a\\'==b' WHERE x == 1") ===
+      "SELECT 'a\\'==b' WHERE x = 1")
+  }
+
+  test("nested-name flattening leaves string literals alone and handles $ in names") {
+    val out = Engine.execute(spark,
+      "SELECT COUNT(*) AS n FROM db.tbl WHERE 'db.tbl' = 'db.tbl'",
+      Map("db.tbl" -> t1))
+    assert(out.collect().head.getLong(0) === 100)
+    val dollar = Engine.execute(spark, "SELECT COUNT(*) AS n FROM db.t$1",
+      Map("db.t$1" -> t1))
+    assert(dollar.collect().head.getLong(0) === 100)
+  }
+
+  test("tableFromRows infers typed maps from the first entry") {
+    val df = Engine.tableFromRows(spark, Seq(Map("m" -> Map("a" -> 1))))
+    assert(df.schema("m").dataType.simpleString === "map<string,int>")
+    assert(df.collect().head.getMap[String, Int](0)("a") === 1)
   }
 }

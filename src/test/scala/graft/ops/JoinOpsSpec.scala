@@ -22,6 +22,26 @@ class JoinOpsSpec extends SparkSpec {
       Seq((1L, 3L, null), (1L, 10L, "b"), (2L, 50L, null)))
   }
 
+  test("asOfJoin returns the complete as-of row: NULL payloads honored, no cross-row mixing") {
+    val left = Seq((1L, 12L, "p")).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 5L, Some(7.0), Some("w5")),
+      (1L, 10L, None: Option[Double], Some("w10"))
+    ).toDF("k", "rt", "rv", "rw")
+    val out = Relational.asOfJoin(left, right, "k", "t", "rt").collect()
+    assert(out.length === 1)
+    // as-of row is ts=10: rv must be its NULL (not the stale 7.0 from
+    // ts=5) and rw must be w10 from the SAME row
+    assert(out.head.isNullAt(out.head.fieldIndex("rv")))
+    assert(out.head.getAs[String]("rw") === "w10")
+  }
+
+  test("internal working-column collisions are rejected, not silently dropped") {
+    val l = Seq((1L, 2L)).toDF("k", "__salt")
+    val r = Seq((1L, "x")).toDF("k2", "v")
+    intercept[IllegalArgumentException](Relational.saltedJoin(l, r, "k", "k2"))
+  }
+
   test("rangeJoin equals the plain non-equi join") {
     val left = (1 to 500).map(i => (i.toLong, (i % 97) * 1.0)).toDF("id", "v")
     val bands = Seq(("a", 0.0, 30.0), ("b", 25.0, 60.0), ("c", 90.0, 96.0)).toDF("band", "lo", "hi")
