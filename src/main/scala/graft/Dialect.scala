@@ -24,10 +24,20 @@ object Dialect {
     def rewrite(spark: SparkSession, sql: String): String = sql
   }
 
-  /** DuckDB-ish surface used by the reference tests. */
+  /** DuckDB-ish surface used by the reference tests. Table functions we
+    * do NOT shim raise [[graft.UnsupportedError]] up front — a clear
+    * unsupported-dialect error instead of a confusing Spark parse error
+    * (the reference's UnsupportedError analogue, executor.py:192-195).
+    */
   case object DuckDbish extends Dialect {
-    def rewrite(spark: SparkSession, sql: String): String =
+    private val unsupported = Seq("READ_JSON", "READ_JSON_AUTO", "READ_CSV_AUTO", "GLOB")
+    def rewrite(spark: SparkSession, sql: String): String = {
+      unsupported.find(fn => sql.toUpperCase.contains(fn + "(")).foreach { fn =>
+        throw new graft.UnsupportedError(
+          s"dialect construct $fn(...) is not supported; use READ_CSV or register a table")
+      }
       rewriteReadCsv(spark, rewriteDoubleEquals(sql))
+    }
   }
 
   /** `==` → `=` outside string literals (single-pass scanner so `'a==b'`

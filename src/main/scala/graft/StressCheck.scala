@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe — `sbt "runMain graft.StressCheck [factor]"`.
+  *
+  * Reads sf0.1 and self-unions the fact tables `factor`× (default 10 →
+  * 6M lineitem rows) to observe how the headline plans behave one order
+  * of magnitude past the bench scale: per-query wall time should grow
+  * ~linearly (scan/agg) or ~n log n (shuffle joins), dim joins must stay
+  * broadcast, and nothing should collect to the driver. This is the
+  * "would the plan survive a scale-up" check from SCALE.md, executable.
+  */
+object StressCheck {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def amplify(df: DataFrame): DataFrame =
+      (1 until factor).foldLeft(df)((acc, _) => acc.union(df))
+
+    val li = amplify(Tables.load(spark, dir, "lineitem"))
+    val ord = amplify(Tables.load(spark, dir, "orders"))
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val nat = Tables.load(spark, dir, "nation")
+
+    def timeIt(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"STRESS $name rows=$n%d ${secs}%.2fs")
+    }
+
+    println(s"STRESS factor=$factor lineitem=${li.count()}")
+    timeIt("q1_shape_agg") {
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+    }
+    timeIt("join_fact_dim_agg") {
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev"))
+    }
+    timeIt("join_fact_fact") {
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+    }
+    timeIt("topk") {
+      ord.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }
+    // plan sanity at amplified scale: dims still broadcast, filters pushed
+    val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString
+    println("STRESS plan_broadcast=" + plan.contains("BroadcastHashJoin") +
+      " plan_pushdown=" + plan.contains("GreaterThan(l_quantity,45.0)"))
+    spark.stop()
+  }
+}

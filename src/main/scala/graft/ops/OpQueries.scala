@@ -49,11 +49,14 @@ object OpQueries {
       .agg(
         count(lit(1)).as("n"),
         moneySum(col("l_extendedprice"), "sum_price"),
+        exactAvg(col("l_quantity"), "avg_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
       .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag, COUNT(*) AS n,
            |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)/100 AS sum_price,
+           |  CAST(SUM(CAST(FLOOR(l_quantity * 10000) AS BIGINT)) AS DOUBLE)/10000
+           |    / COUNT(l_quantity) AS avg_qty,
            |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 

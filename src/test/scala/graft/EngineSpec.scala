@@ -82,6 +82,11 @@ class EngineSpec extends SparkSpec {
     assert(dollar.collect().head.getLong(0) === 100)
   }
 
+  test("unsupported dialect constructs raise UnsupportedError up front") {
+    intercept[UnsupportedError](
+      Engine.execute(spark, "SELECT * FROM READ_JSON('x.json')", dialect = Dialect.DuckDbish))
+  }
+
   test("tableFromRows infers typed maps from the first entry") {
     val df = Engine.tableFromRows(spark, Seq(Map("m" -> Map("a" -> 1))))
     assert(df.schema("m").dataType.simpleString === "map<string,int>")
