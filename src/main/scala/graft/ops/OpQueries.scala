@@ -535,6 +535,54 @@ object OpQueries {
            |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
+  /** CUBE grouping sets — all 2ᵏ subtotal combinations. */
+  val cubeOp = OpQ("op_cube",
+    (s, d) => t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  /** Explicit GROUPING SETS through the SQL engine path (same text runs
+    * in both engines).
+    */
+  val groupingSetsOp = OpQ("op_grouping_sets",
+    (s, d) => graft.Tables.sql(s, d,
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  /** RANGE window frame: 30-day trailing spend per customer — the frame
+    * is value-based (micros), so results are independent of tie order.
+    */
+  val windowRangeFrame = OpQ("op_window_range_frame",
+    (s, d) => {
+      val us30d = 30L * 24 * 3600 * 1000000L
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("us"))
+        .rangeBetween(-us30d, 0)
+      t(s, d, "orders").filter(col("o_custkey") < 50)
+        // parquet NTZ timestamp → TIMESTAMP (UTC session) before epoch math
+        .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100)
+            .as("trailing_30d_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+           |    PARTITION BY o_custkey ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP))
+           |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+           |    AS trailing_30d_spend
+           |FROM orders WHERE o_custkey < 50
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
   /** PIVOT (DataFrame API) — oracle expressed as CASE sums. */
   val pivotOp = OpQ("op_pivot",
     (s, d) => t(s, d, "lineitem")
@@ -561,5 +609,6 @@ object OpQueries {
     setUnion, setUnionAll, setIntersect, setIntersectAll, setExcept, setExceptAll,
     scalarCaseLikeIn, scalarArithNull, scalarCast, scalarStrings, scalarMath,
     scalarDates,
-    windowTopkPerGroup, windowRunning, rollupOp, pivotOp)
+    windowTopkPerGroup, windowRunning, windowRangeFrame,
+    rollupOp, cubeOp, groupingSetsOp, pivotOp)
 }
