@@ -329,8 +329,22 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin
     }))
 
+  /** spark.ml MinHashLSH near-dup pairs (seeded; rows-only — MLlib hash
+    * families aren't DuckDB-expressible; recall vs exact jaccard in
+    * MlLshSpec).
+    */
+  val dedupMinHashMl = OpQ("llm_dedup_minhash_ml",
+    (s, d) => MlLsh.minHashPairsMl(docs(s, d), maxJaccardDistance = 0.3),
+    None)
+
+  /** spark.ml BucketedRandomProjectionLSH embedding pairs (rows-only). */
+  val embeddingPairsMl = OpQ("llm_embedding_pairs_ml",
+    (s, d) => MlLsh.embeddingPairsMl(emb(s, d), maxL2 = 1.15),
+    None)
+
   val all: Seq[OpQ] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
+    dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,

@@ -1,0 +1,29 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** spark.ml LSH variants against ground truth on the driver corpus. */
+class MlLshSpec extends SparkSpec {
+
+  test("MinHashLSH (spark.ml) recovers the planted near-dup pairs") {
+    initLog()
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, topK = 1000)
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ml = MlLsh.minHashPairsMl(docs, maxJaccardDistance = 0.3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recalled = truth.count(ml.contains)
+    assert(recalled.toDouble / truth.size >= 0.9,
+      s"ml minhash recall $recalled/${truth.size}")
+  }
+
+  test("BucketedRandomProjectionLSH returns verified close pairs only") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pairs = MlLsh.embeddingPairsMl(emb, maxL2 = 1.2).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("l2") <= 1.2)) // join verifies distance
+  }
+}
