@@ -31,7 +31,7 @@ object MlLsh {
     * `maxJaccardDistance` = 1 − jaccard threshold.
     */
   def minHashPairsMl(docs: DataFrame, maxJaccardDistance: Double = 0.3,
-      numHashTables: Int = 8): DataFrame = {
+      numHashTables: Int = 4): DataFrame = {
     val vec = shingleVectors(docs)
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
