@@ -66,6 +66,12 @@ object Examples {
       .head().getLong(0)
     println(s"example6(errors+schema): $errKind sum=$typedSum")
 
+    // custom Catalyst expression callable from SQL text
+    functions.RollingHash64.registerSql(spark)
+    val fp = Engine.execute(spark, "SELECT rolling_hash64('graft') AS h")
+      .head().getLong(0)
+    println(s"example7(sql function registration): rolling_hash64('graft')=$fp")
+
     // streaming: the same tumblingCounts transformation under Structured
     // Streaming (file source -> memory sink) vs batch
     val evDir = java.nio.file.Files.createTempDirectory("graft_ev").toString

@@ -58,4 +58,9 @@ object RollingHash64 {
   def rolling_hash64(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       RollingHash64(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** Make `rolling_hash64(...)` callable from SQL text in this session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "rolling_hash64", exprs => RollingHash64(exprs.head))
 }

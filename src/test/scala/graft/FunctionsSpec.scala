@@ -38,6 +38,12 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("rolling_hash64 is callable from SQL after registration") {
+    RollingHash64.registerSql(spark)
+    val got = spark.sql("SELECT rolling_hash64('abc') AS h").head().getLong(0)
+    assert(got === fnv1a("abc"))
+  }
+
   test("rolling_hash64 is null-safe") {
     val got = Seq(Some("a"), None).toDF("s").select(rolling_hash64(col("s"))).collect()
     assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
