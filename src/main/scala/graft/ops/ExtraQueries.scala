@@ -167,7 +167,40 @@ object ExtraQueries {
            |  ON l_quantity >= lo AND l_quantity <= hi
            |GROUP BY band ORDER BY band""".stripMargin))
 
+  /** unionByName — position-independent union (DuckDB: UNION ALL BY NAME). */
+  val setUnionByName = OpQ("op_set_union_by_name",
+    (s, d) => {
+      val a = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"))
+      val b = Tables.load(s, d, "supplier")
+        .select(col("s_acctbal").as("bal"), col("s_suppkey").as("id")) // reversed order
+      a.unionByName(b).groupBy(lit(1).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          Relational.moneySum(col("bal"), "total_bal"))
+    },
+    Some("""SELECT 1 AS grp, COUNT(*) AS n,
+           |  CAST(SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS DOUBLE)/100 AS total_bal
+           |FROM (
+           |  SELECT c_custkey AS id, c_acctbal AS bal FROM customer
+           |  UNION ALL BY NAME
+           |  SELECT s_acctbal AS bal, s_suppkey AS id FROM supplier)""".stripMargin))
+
+  /** Generator / table function: posexplode with ordinality (the
+    * Generator shape from SURVEY §2.8 — reference has no table functions
+    * at all).
+    */
+  val explodeGenerator = OpQ("op_explode_generator",
+    (s, d) => Tables.load(s, d, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy(col("doc_id"), col("pos")),
+    Some("""SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
+           |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20) t,
+           |  UNNEST(range(1, len(w) + 1)) u(i)
+           |ORDER BY doc_id, pos""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
+    setUnionByName, explodeGenerator,
     approxCountDistinct, approxQuantile,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet)
 }
