@@ -99,23 +99,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** Full MinHash dedup: per-document cluster assignment. `keep_id` is the
-    * smallest id reachable via a verified duplicate pair (one hop — for
-    * full transitive closure iterate, SURVEY.md §7 growth); docs with no
-    * duplicate keep themselves. Always one row per document.
+  /** Full MinHash dedup: per-document cluster assignment with transitive
+    * closure — a chain A≈B≈C lands in ONE cluster even when A–C itself is
+    * below threshold. Closure runs pointer-jumping label propagation
+    * (keep ← keep[keep] until fixpoint): each round is one self-join on
+    * the label table, and rounds needed is O(log(longest chain)), so a
+    * 100 TB corpus with million-doc clusters converges in ~20 bounded
+    * shuffles. Docs with no duplicate keep themselves; always one row per
+    * document.
     */
   def minHashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxClosureRounds: Int = 10): DataFrame = {
     val banded = lshBands(minHashSignatures(withShingles(docs), numHashes), numHashes, bands)
     val pairs = minHashCandidatePairs(banded, threshold)
     val partners = pairs.select(col("b_id").as("doc_id"), col("a_id").as("partner"))
       .union(pairs.select(col("a_id").as("doc_id"), col("b_id").as("partner")))
       .groupBy(col("doc_id")).agg(min(col("partner")).as("min_partner"))
-    docs.select(col("doc_id"))
+    var labels = docs.select(col("doc_id"))
       .join(partners, Seq("doc_id"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("min_partner"), col("doc_id"))).as("keep_id"))
-      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+    // pointer jumping: keep := min(keep, keep[keep]). Each round is
+    // persisted so iteration k doesn't recompute rounds 1..k-1 (lineage
+    // would otherwise grow quadratically); previous round is released.
+    labels = labels.persist()
+    var round = 0
+    var converged = false
+    while (round < maxClosureRounds && !converged) {
+      val parents = labels.select(col("doc_id").as("p_id"), col("keep_id").as("p_keep"))
+      val next = labels.join(parents, col("keep_id") === col("p_id"))
+        .select(col("doc_id"), least(col("keep_id"), col("p_keep")).as("keep_id"))
+        .persist()
+      // converged when no row's keep changed this round
+      val changed = next.as("n").join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
+        .filter(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
+      converged = changed == 0
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    labels.withColumn("is_dup", col("doc_id") =!= col("keep_id"))
   }
 
   /** 64-bit SimHash fingerprint: each token hashed with xxhash64; bit i of

@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs.head.getAs[Int]("hamming") === 0)
   }
 
+  test("minHashDedup closes transitive chains: A~B~C one cluster even when A-C is sub-threshold") {
+    // 40-word doc; B edits the last 2 words of A, C edits the first 2 of
+    // B. A-B and B-C trigram jaccard 0.9; A-C 0.81 — below the 0.85
+    // threshold, so only closure links A and C.
+    val words = (1 to 40).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(2) ++ Seq("X1", "X2")).mkString(" ")
+    val cc = (Seq("Y1", "Y2") ++ words.slice(2, 38) ++ Seq("X1", "X2")).mkString(" ")
+    val docs = mkDocs(Seq(a, b, cc, unrelated))
+    // sanity: A-C really is below threshold while A-B and B-C are above
+    val jac = Dedup.ngramJaccardPairs(docs.filter(col("doc_id") < 3), topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((0L, 1L)) >= 0.85 && jac((1L, 2L)) >= 0.85 && jac((0L, 2L)) < 0.85,
+      s"fixture drifted: $jac")
+    val out = Dedup.minHashDedup(docs, threshold = 0.85).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("keep_id")).toSeq === Seq(0L, 0L, 0L, 3L))
+  }
+
   test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)
