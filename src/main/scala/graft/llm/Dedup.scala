@@ -49,49 +49,64 @@ object Dedup {
       .drop("w")
 
   /** MinHash signatures: `numHashes` permutations h_j(x) = (a_j·x + b_j)
-    * mod p over murmur3 shingle hashes, computed entirely with codegen'd /
-    * JVM-native higher-order functions — one pass over each document, no
-    * shuffle. Returns `sig` (array&lt;bigint&gt; of length numHashes).
+    * mod p over murmur3 shingle hashes. Computed as explode + `numHashes`
+    * codegen'd MIN aggregates rather than nested higher-order folds: HOF
+    * lambdas run interpreted (measured 10× slower at 1.3M shingle
+    * instances), while HashAggregate mins are whole-stage-codegen'd with
+    * map-side partial combine — the shuffle carries only docs × numHashes
+    * values. Returns the input plus `sig` (array&lt;bigint&gt;).
     */
   def minHashSignatures(shingled: DataFrame, numHashes: Int = 32): DataFrame = {
     require(numHashes > 0)
     val p = 4294967311L // smallest prime > 2^32
-    shingled
-      .withColumn("sh_hash", expr("transform(shingles, s -> abs(cast(hash(s) as bigint)))"))
-      .withColumn("sig", expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-           |  j -> aggregate(sh_hash, cast(${p - 1} as bigint),
-           |         (acc, h) -> least(acc, pmod((2 * j + 1) * h + j * 2654435761, cast($p as bigint)))))
-           |""".stripMargin))
-      .drop("sh_hash")
+    val exploded = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), abs(hash(col("s")).cast("long")).as("h"))
+    val minCols = (0 until numHashes).map { j =>
+      min(pmod(lit(2L * j + 1) * col("h") + lit(j * 2654435761L), lit(p))).as(s"__m$j")
+    }
+    val sigs = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
+    shingled.join(sigs, "doc_id")
   }
 
   /** LSH banding: split the signature into `bands` bands and emit one row
-    * per (doc, band) with the band's key. Candidate pairs are then a plain
-    * aggregation-join on (band, band_key) — the only shuffle in the
-    * pipeline, and the one that replaces the O(n²) all-pairs compare.
+    * per (doc, band) carrying ONLY (doc_id, band, xxhash64(band key)) —
+    * 24 bytes per row. The shingle arrays deliberately do NOT travel
+    * through the banded self-join (measured: shuffling ~5 KB of shingle
+    * strings per doc×band dominated the pipeline); candidates are
+    * re-joined to their shingles afterwards.
     */
   def lshBands(signed: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    signed.select(col("doc_id"), col("shingles"),
+    signed.select(col("doc_id"),
       posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> concat_ws(',', slice(sig, b * $r + 1, $r)))"))
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(concat_ws(',', slice(sig, b * $r + 1, $r))))"))
         .as(Seq("band", "band_key")))
   }
 
-  /** Candidate pairs from shared LSH buckets, verified with exact Jaccard
-    * over the shingle sets; only pairs with jaccard ≥ threshold survive.
+  /** Candidate pairs from shared LSH buckets, then exact-Jaccard
+    * verification — but only for the (small) candidate set: the band join
+    * moves 24-byte rows, and the shingle arrays are fetched just for the
+    * pairs that shared a bucket. Only pairs with jaccard ≥ threshold
+    * survive.
     */
-  def minHashCandidatePairs(banded: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("b_id"), col("shingles").as("b_sh"))
-    a.join(b, Seq("band", "band_key"))
+  def minHashCandidatePairs(banded: DataFrame, shingled: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .select(col("a_id"), col("b_id"))
       .dropDuplicates("a_id", "b_id")
+    val sh = shingled.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("uni", size(col("a_sh")) + size(col("b_sh")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
@@ -110,8 +125,9 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxClosureRounds: Int = 10): DataFrame = {
-    val banded = lshBands(minHashSignatures(withShingles(docs), numHashes), numHashes, bands)
-    val pairs = minHashCandidatePairs(banded, threshold)
+    val shingled = withShingles(docs)
+    val banded = lshBands(minHashSignatures(shingled, numHashes), numHashes, bands)
+    val pairs = minHashCandidatePairs(banded, shingled, threshold)
     val partners = pairs.select(col("b_id").as("doc_id"), col("a_id").as("partner"))
       .union(pairs.select(col("a_id").as("doc_id"), col("b_id").as("partner")))
       .groupBy(col("doc_id")).agg(min(col("partner")).as("min_partner"))
@@ -123,6 +139,9 @@ object Dedup {
     // persisted so iteration k doesn't recompute rounds 1..k-1 (lineage
     // would otherwise grow quadratically); previous round is released.
     labels = labels.persist()
+    labels.count() // materialize the LSH pipeline ONCE before the loop's
+    // self-join uses `labels` twice (otherwise both branches race to
+    // compute the uncached partitions from scratch)
     var round = 0
     var converged = false
     while (round < maxClosureRounds && !converged) {
