@@ -37,10 +37,22 @@ object Bench {
       // failures are marked -1 (not a fast success) and excluded from total
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the line compact; the driver captures only
+    // a bounded tail of stdout (round 1's full-precision line overflowed it),
+    // so the same line is also written to bench.json / $SPARK_GRAFT_BENCH_OUT.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val outs = Seq("bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outs.foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] write $p: ${e.getMessage}") }
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -39,6 +39,12 @@ object Engine {
       tables: Map[String, DataFrame] = Map.empty,
       dialect: Dialect = Dialect.Spark,
       schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): DataFrame = {
+    // Distinct registered names that mangle to the same flat view ("db.t",
+    // "db__t") would silently clobber each other — refuse up front.
+    tables.keys.groupBy(flatName).collect { case (flat, ns) if ns.size > 1 =>
+      throw new ExecuteError(
+        s"table names ${ns.mkString(", ")} collide on view name '$flat'; rename one")
+    }
     tables.foreach { case (name, df) =>
       val typed = schemas.get(name) match {
         case Some(st) => applySchema(df, st)

@@ -29,7 +29,11 @@ object Tables {
     } else df
   }
 
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Keyed by session identity via WeakHashMap: identityHashCode is not
+  // unique, and a weak key lets a stopped session's entry be collected.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every test table as a temp view over `dir`. Cached: views
     * are only (re)created when the session's current dir changes —
@@ -38,10 +42,9 @@ object Tables {
     * back-to-back.
     */
   def register(spark: SparkSession, dir: String): Unit = {
-    val key = String.valueOf(System.identityHashCode(spark))
-    if (registered.get(key) != dir) {
+    if (registered.get(spark) != dir) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(key, dir) // only cache after every view registered
+      registered.put(spark, dir) // only cache after every view registered
     }
   }
 
