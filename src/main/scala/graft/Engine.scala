@@ -52,7 +52,9 @@ object Engine {
       }
       registerTable(spark, name, typed)
     }
-    val rewritten = dialect.rewrite(spark, flattenQualifiedNames(sql, tables.keys))
+    // schemas also reach the dialect: READ_CSV applies a declared schema for
+    // its alias instead of an inference scan (reference executor.py:303-305)
+    val rewritten = dialect.rewrite(spark, flattenQualifiedNames(sql, tables.keys), schemas)
     try spark.sql(rewritten)
     catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Dialect, Engine, Sources, Tables}
+import OpQueries.OpQ
+
+/** Driver queries for the input-dialect shim ([[graft.Dialect]]) — the
+  * reference's multi-dialect headline (xorbits_sql/core.py:66,102,
+  * README.md:31-32, sqlglot `read=` dialects). Each query is DuckDB-flavored
+  * SQL text run through `Engine.execute(dialect = DuckDbish)`; most oracles
+  * are the *same text* run by DuckDB itself — the strongest possible
+  * faithfulness check for a transpilation layer.
+  *
+  * Bit-exactness rules follow TpchQueries: FLOOR before any double→int cast
+  * (DuckDB rounds, Spark truncates), BIGINT over INT in outputs, a total
+  * order under every LIMIT.
+  */
+object DialectQueries {
+
+  private def duck(s: SparkSession, d: String, sql: String,
+      schemas: Map[String, StructType] = Map.empty): DataFrame = {
+    Tables.register(s, d)
+    Engine.execute(s, sql, dialect = Dialect.DuckDbish, schemas = schemas)
+  }
+
+  /** `expr::TYPE` casts — literal, column, parenthesized and function-call
+    * operands, plus a chained cast.
+    */
+  val castColon = OpQ("op_dialect_cast_colon",
+    (s, d) => duck(s, d,
+      """SELECT o_orderkey,
+        |  FLOOR(o_totalprice)::BIGINT AS price_int,
+        |  o_orderkey::VARCHAR(20) AS key_str,
+        |  ('19' || '96')::INT::BIGINT AS yr
+        |FROM orders WHERE o_totalprice > 100000
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+    Some("""SELECT o_orderkey,
+           |  FLOOR(o_totalprice)::BIGINT AS price_int,
+           |  o_orderkey::VARCHAR(20) AS key_str,
+           |  ('19' || '96')::INT::BIGINT AS yr
+           |FROM orders WHERE o_totalprice > 100000
+           |ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
+  /** Double-quoted identifiers + `==` equality (reference
+    * tests/test_execute.py:90) — identical text on both engines.
+    */
+  val quotedIdent = OpQ("op_dialect_quoted_ident",
+    (s, d) => duck(s, d,
+      """SELECT "c_custkey" AS custkey, "c_name" AS name, "c_acctbal" AS bal
+        |FROM customer WHERE "c_mktsegment" == 'BUILDING'
+        |ORDER BY "c_custkey" LIMIT 100""".stripMargin),
+    Some("""SELECT "c_custkey" AS custkey, "c_name" AS name, "c_acctbal" AS bal
+           |FROM customer WHERE "c_mktsegment" == 'BUILDING'
+           |ORDER BY "c_custkey" LIMIT 100""".stripMargin))
+
+  /** `strftime` with C format codes → `date_format` with Java patterns. */
+  val strftimeOp = OpQ("op_dialect_strftime",
+    (s, d) => duck(s, d,
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  strftime(o_orderdate, '%j') AS doy,
+        |  strftime(o_orderdate, 'day %d of %B') AS pretty
+        |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin),
+    Some("""SELECT o_orderkey,
+           |  strftime(o_orderdate, '%Y-%m') AS ym,
+           |  strftime(o_orderdate, '%j') AS doy,
+           |  strftime(o_orderdate, 'day %d of %B') AS pretty
+           |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin))
+
+  /** `//` integer division → `DIV` (values integral and positive, so
+    * DuckDB/Spark agree; FLOOR precedes the int cast per the cross-engine
+    * rules).
+    */
+  val intDiv = OpQ("op_dialect_intdiv",
+    (s, d) => duck(s, d,
+      """SELECT l_orderkey, l_linenumber,
+        |  (FLOOR(l_quantity)::BIGINT // 7)::BIGINT AS q7
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  (FLOOR(l_quantity)::BIGINT // 7)::BIGINT AS q7
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin))
+
+  /** DuckDB list/string function names over Spark builtins: `len`,
+    * `string_split` (literal separator → \Q-quoted regex),
+    * `list_contains`, `array_length`, `regexp_matches`.
+    */
+  val functionsOp = OpQ("op_dialect_functions",
+    (s, d) => duck(s, d,
+      """SELECT p_partkey,
+        |  len(p_name)::BIGINT AS name_len,
+        |  list_contains(string_split(p_name, ' '), 'red') AS has_red,
+        |  array_length(string_split(p_name, ' '))::BIGINT AS n_words,
+        |  regexp_matches(p_type, 'BRUSHED') AS is_brushed
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin),
+    Some("""SELECT p_partkey,
+           |  len(p_name)::BIGINT AS name_len,
+           |  list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           |  array_length(string_split(p_name, ' '))::BIGINT AS n_words,
+           |  regexp_matches(p_type, 'BRUSHED') AS is_brushed
+           |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin))
+
+  /** Constructs Spark accepts natively that still need the gate: TRY_CAST,
+    * ILIKE, IS NOT DISTINCT FROM — same text both engines.
+    */
+  val nativePassthrough = OpQ("op_dialect_native",
+    (s, d) => duck(s, d,
+      """SELECT c_custkey,
+        |  TRY_CAST(substr(c_name, 10, 6) AS INT)::BIGINT AS name_num,
+        |  TRY_CAST(c_mktsegment AS INT)::BIGINT AS bad_int,
+        |  (c_mktsegment ILIKE '%build%') AS is_building_ilike,
+        |  (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building
+        |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin),
+    Some("""SELECT c_custkey,
+           |  TRY_CAST(substr(c_name, 10, 6) AS INT)::BIGINT AS name_num,
+           |  TRY_CAST(c_mktsegment AS INT)::BIGINT AS bad_int,
+           |  (c_mktsegment ILIKE '%build%') AS is_building_ilike,
+           |  (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS is_building
+           |FROM customer ORDER BY c_custkey LIMIT 200""".stripMargin))
+
+  /** Trino/Presto function names ([[Dialect.Trinoish]]): strpos, codepoint.
+    * Oracle uses the DuckDB spellings of the same functions.
+    */
+  val trinoFunctions = OpQ("op_dialect_trino",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+          |  CAST(codepoint(substr(o_orderpriority, 1, 1)) AS BIGINT) AS first_cp
+          |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin,
+        dialect = Dialect.Trinoish)
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+           |  CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT) AS first_cp
+           |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin))
+
+  private val stageDir = "/tmp/graft_stage"
+
+  /** READ_CSV with a *declared schema* for its alias (reference
+    * executor.py:303-305): the schema reaches the reader via
+    * `Engine.execute(schemas = ...)` — typed read, no inference scan. The
+    * oracle reads the very same staged files.
+    */
+  val readCsvTyped = OpQ("op_dialect_read_csv_typed",
+    (s, d) => {
+      val path = s"$stageDir/customer_typed_csv"
+      Sources.writeCsv(
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .coalesce(1),
+        path, delimiter = "|")
+      val st = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType)))
+      Engine.execute(s,
+        s"""SELECT c_custkey, c_mktsegment, c_acctbal
+           |FROM READ_CSV('$path', 'delimiter', '|') AS cust
+           |WHERE c_acctbal > 5000.0
+           |ORDER BY c_custkey LIMIT 100""".stripMargin,
+        dialect = Dialect.DuckDbish,
+        schemas = Map("cust" -> st))
+    },
+    Some(s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, c_acctbal
+            |FROM read_csv_auto('$stageDir/customer_typed_csv/*.csv', header=true, delim='|')
+            |WHERE c_acctbal > 5000.0
+            |ORDER BY c_custkey LIMIT 100""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
+    functionsOp, nativePassthrough, trinoFunctions, readCsvTyped)
+}

@@ -389,6 +389,49 @@ object OpQueries {
            |  (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open
            |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin))
 
+  /** Null-safe equality `<=>` (reference `IS`, executor.py:203-208; DuckDB
+    * spelling IS NOT DISTINCT FROM): NULL <=> NULL is TRUE, NULL <=> x is
+    * FALSE — never NULL. NULLs are manufactured with NULLIF since the TPC-H
+    * tables carry none.
+    */
+  val scalarNullSafeEq = OpQ("op_scalar_null_safe_eq",
+    (s, d) => t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (nullif(col("l_returnflag"), lit("N")) <=> nullif(col("l_linestatus"), lit("F")))
+          .as("both_null_eq"),
+        (nullif(col("l_returnflag"), lit("N")) <=> lit("R")).as("null_vs_r"),
+        (col("l_returnflag") <=> col("l_linestatus")).as("plain_eq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).limit(200),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM NULLIF(l_linestatus, 'F'))
+           |    AS both_null_eq,
+           |  (NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM 'R') AS null_vs_r,
+           |  (l_returnflag IS NOT DISTINCT FROM l_linestatus) AS plain_eq
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin))
+
+  /** ARRAY_AGG + higher-order EXISTS (the reference's Q21 decorrelation
+    * artifact, tests/tpc-h/tpc-h.sql:1316-1351: ARRAY_AGG then ARRAY_ANY):
+    * collect_list sorted for determinism, membership via `exists(col, λ)`,
+    * array rendered as a string so the oracle compare stays scalar.
+    */
+  val arrayAggOp = OpQ("op_array_agg",
+    (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") < 600)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .select(
+        col("l_orderkey"),
+        concat_ws(",", col("lines")).as("lines_str"),
+        expr("exists(lines, x -> x = 3)").as("has_line3"),
+        size(col("lines")).cast("long").as("n_lines"))
+      .orderBy(col("l_orderkey")),
+    Some("""SELECT l_orderkey,
+           |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines_str,
+           |  list_contains(list(l_linenumber), 3) AS has_line3,
+           |  CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines
+           |FROM lineitem WHERE l_orderkey < 600
+           |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin))
+
   /** CAST surface (executor.py:106-141): numeric/string/date round-trips.
     * l_quantity is integral so double→BIGINT is exact in both engines.
     */
@@ -607,8 +650,8 @@ object OpQueries {
     joinExprKeys, joinTheta, joinMultiway,
     sortMultikeyNulls, topKOp, offsetOp,
     setUnion, setUnionAll, setIntersect, setIntersectAll, setExcept, setExceptAll,
-    scalarCaseLikeIn, scalarArithNull, scalarCast, scalarStrings, scalarMath,
-    scalarDates,
+    scalarCaseLikeIn, scalarArithNull, scalarNullSafeEq, arrayAggOp,
+    scalarCast, scalarStrings, scalarMath, scalarDates,
     windowTopkPerGroup, windowRunning, windowRangeFrame,
     rollupOp, cubeOp, groupingSetsOp, pivotOp)
 }

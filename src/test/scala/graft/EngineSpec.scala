@@ -87,6 +87,88 @@ class EngineSpec extends SparkSpec {
       Engine.execute(spark, "SELECT * FROM READ_JSON('x.json')", dialect = Dialect.DuckDbish))
   }
 
+  test("dialect: :: cast rewrite — literal, column, function-call, chained") {
+    assert(Dialect.rewriteColonCast("SELECT '7'::INT") === "SELECT CAST('7' AS INT)")
+    assert(Dialect.rewriteColonCast("SELECT t.x::BIGINT FROM t") ===
+      "SELECT CAST(t.x AS BIGINT) FROM t")
+    assert(Dialect.rewriteColonCast("SELECT floor(x)::BIGINT") ===
+      "SELECT CAST(floor(x) AS BIGINT)")
+    assert(Dialect.rewriteColonCast("SELECT (a || b)::VARCHAR(20)") ===
+      "SELECT CAST((a || b) AS VARCHAR(20))")
+    assert(Dialect.rewriteColonCast("SELECT x::INT::VARCHAR(9)") ===
+      "SELECT CAST(CAST(x AS INT) AS VARCHAR(9))")
+    assert(Dialect.rewriteColonCast("SELECT d::DECIMAL(12,2)") ===
+      "SELECT CAST(d AS DECIMAL(12,2))")
+    // '::' inside a string literal is untouched
+    assert(Dialect.rewriteColonCast("SELECT 'a::b'") === "SELECT 'a::b'")
+  }
+
+  test("dialect: double-quoted identifiers and // int division") {
+    assert(Dialect.rewriteDoubleQuotedIdents("""SELECT "a b" FROM t WHERE '"' = x""") ===
+      "SELECT `a b` FROM t WHERE '\"' = x")
+    assert(Dialect.rewriteIntDiv("SELECT a // b, '//' AS lit") ===
+      "SELECT a  DIV  b, '//' AS lit")
+  }
+
+  test("dialect: strftime format translation and letter-run quoting") {
+    assert(Dialect.translateStrftimeFormat("%Y-%m-%d") === "yyyy-MM-dd")
+    assert(Dialect.translateStrftimeFormat("day %d of %B") === "'day 'dd' of 'MMMM")
+    assert(Dialect.translateStrftimeFormat("%H:%M:%S%%") === "HH:mm:ss%")
+    intercept[UnsupportedError](Dialect.translateStrftimeFormat("%Q"))
+    assert(Dialect.rewriteStrftime("SELECT strftime(d, '%Y-%m') FROM t") ===
+      "SELECT date_format(d, 'yyyy-MM') FROM t")
+    // nested call in the first argument survives the arg split
+    assert(Dialect.rewriteStrftime("SELECT strftime(coalesce(a, b), '%j')") ===
+      "SELECT date_format(coalesce(a, b), 'DDD')")
+  }
+
+  test("dialect: string_split quotes literal separators; renames are boundary-aware") {
+    assert(Dialect.rewriteStringSplit("SELECT string_split(s, '.')") ===
+      "SELECT split(s, '\\\\Q.\\\\E')")
+    assert(Dialect.rewriteStringSplit("SELECT string_split(s, sep)") ===
+      "SELECT split(s, concat('\\\\Q', sep, '\\\\E'))")
+    val ren = Dialect.renameFunctions("SELECT len(a), array_length(b), 'len(x)'",
+      Map("len" -> "length", "array_length" -> "size"))
+    // 'len' inside array_length and inside the string literal stays put
+    assert(ren === "SELECT length(a), size(b), 'len(x)'")
+  }
+
+  test("dialect: DuckDbish end-to-end over a constructed frame") {
+    val out = Engine.execute(spark,
+      """SELECT "a", len("a")::BIGINT AS n, (c // 2)::BIGINT AS c2
+        |FROM t1 WHERE c == 6 ORDER BY a LIMIT 5""".stripMargin,
+      Map("t1" -> t1), Dialect.DuckDbish)
+    val rows = out.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => r.getLong(1) === r.getString(0).length.toLong))
+    assert(rows.forall(_.getLong(2) === 3L))
+  }
+
+  test("dialect: READ_CSV applies a declared schema for its alias (no inference)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "t.csv"),
+      "k|v\n1|a\n2|b\n".getBytes("UTF-8"))
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val out = Engine.execute(spark,
+      s"SELECT k, v FROM READ_CSV('$dir/t.csv', 'delimiter', '|') AS mytab ORDER BY k",
+      dialect = Dialect.DuckDbish, schemas = Map("mytab" -> st))
+    assert(out.schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("dialect: Trinoish function renames") {
+    val out = Engine.execute(spark,
+      "SELECT approx_distinct(c) AS ad, arbitrary(a) AS ar, max(strpos(a, '_')) AS p FROM t1",
+      Map("t1" -> t1), Dialect.Trinoish)
+    val r = out.collect().head
+    assert(r.getLong(0) === 7L) // c has 7 distinct values; HLL exact at n=7
+    assert(r.getString(1).startsWith("t_"))
+    assert(r.getInt(2) === 2)
+  }
+
   test("tableFromRows infers typed maps from the first entry") {
     val df = Engine.tableFromRows(spark, Seq(Map("m" -> Map("a" -> 1))))
     assert(df.schema("m").dataType.simpleString === "map<string,int>")
