@@ -63,6 +63,22 @@ object StressCheck {
     timeIt("topk") {
       ord.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }
+    // simHash banding: candidate volume must grow ~linearly with corpus
+    // size (amplified corpus = `factor` exact copies of every doc, so true
+    // pairs grow ~factor²·dups but *bucket* fan-out per doc stays C(b,3);
+    // compare candidate counts at 1× and factor× to see the slope).
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // distinct ids per copy: every doc gains factor-1 exact duplicates, so
+    // TRUE pairs grow ~factor²·dup-groups; the stress signal is that wall
+    // time tracks that true-pair volume instead of exploding on bucket width
+    val docsAmp = (0 until factor)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    Seq("1x" -> docs, s"${factor}x" -> docsAmp).foreach { case (label, d) =>
+      val t0 = System.nanoTime()
+      val n = graft.llm.Dedup.simHashPairs(graft.llm.Dedup.simHash(d), maxHamming = 3).count()
+      println(f"STRESS simhash_$label pairs=$n%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString

@@ -122,6 +122,14 @@ object Dedup {
     * 100 TB corpus with million-doc clusters converges in ~20 bounded
     * shuffles. Docs with no duplicate keep themselves; always one row per
     * document.
+    *
+    * Cache contract: the loop persists each round's label table and
+    * releases the previous one; on return the final table is materialized
+    * once (eager `localCheckpoint`, truncating the multi-round lineage so
+    * downstream actions never replay the LSH pipeline) and every loop
+    * cache is unpersisted — the only retained storage is the returned
+    * result's own checkpoint, released when the caller drops it (or
+    * explicitly via `result.unpersist()`).
     */
   def minHashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxClosureRounds: Int = 10): DataFrame = {
@@ -157,7 +165,12 @@ object Dedup {
       labels = next
       round += 1
     }
-    labels.withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+    // materialize the answer, then drop the last loop cache — see contract
+    val result = labels
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** 64-bit SimHash fingerprint: each token hashed with xxhash64; bit i of
@@ -179,20 +192,48 @@ object Dedup {
           |""".stripMargin))
       .drop("th", "votes")
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into four
-    * 16-bit chunks (hamming distance ≤ 3 ⇒ at least one identical chunk),
-    * join on equal chunks, then verify true hamming distance ≤ maxHamming.
+  /** SimHash near-dup candidates via Manku-style block-combination banding
+    * (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07): split the 64-bit fingerprint into `maxHamming+3`
+    * disjoint blocks and band on every 3-block combination. Pigeonhole: a
+    * pair within hamming ≤ maxHamming has at most maxHamming corrupted
+    * blocks, so at least 3 blocks are intact and at least one combination
+    * key matches — recall is exact, like the old 4×16-bit chunk scheme.
+    *
+    * The difference is the band-key width: ~33 bits (three ~11-bit blocks)
+    * instead of 16. The old scheme capped the key space at 65,536 buckets
+    * per chunk table, so at ~10⁹ docs the expected bucket held ~15k rows
+    * and the Σ bucket² self-join exploded; with 2³³ keys the expected
+    * bucket stays O(1) at the same scale and candidate volume stays
+    * ~n·C(b,3) — the cost is 20 (k=3) band rows per doc instead of 4.
+    * Verification of true hamming distance is unchanged.
     */
   def simHashPairs(hashed: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunked = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
-        .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"),
+    require(maxHamming >= 0 && maxHamming <= 8, "maxHamming must be in [0, 8]")
+    // hamming 0 = identical fingerprints: one band on the fingerprint itself
+    val keys =
+      if (maxHamming == 0) array(col("simhash"))
+      else {
+        val b = maxHamming + 3 // ≥ 4 blocks → every block ≤ 16 bits
+        val base = 64 / b
+        val extra = 64 % b // first `extra` blocks are one bit wider
+        val widths = (0 until b).map(i => if (i < extra) base + 1 else base)
+        val offsets = widths.scanLeft(0)(_ + _).dropRight(1)
+        def blk(i: Int): Column =
+          shiftrightunsigned(col("simhash"), offsets(i))
+            .bitwiseAND(lit((1L << widths(i)) - 1))
+        val combos = (0 until b).combinations(3).toSeq
+        array(combos.map { c =>
+          blk(c(0)) * lit(1L << 32) + blk(c(1)) * lit(1L << 16) + blk(c(2))
+        }: _*)
+      }
+    val banded = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(keys).as(Seq("combo", "band_key")))
+    val a = banded.select(col("combo"), col("band_key"),
       col("doc_id").as("a_id"), col("simhash").as("a_hash"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"),
+    val bb = banded.select(col("combo"), col("band_key"),
       col("doc_id").as("b_id"), col("simhash").as("b_hash"))
-    a.join(b, Seq("chunk_idx", "chunk"))
+    a.join(bb, Seq("combo", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
       .dropDuplicates("a_id", "b_id")

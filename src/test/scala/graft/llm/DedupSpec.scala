@@ -61,6 +61,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length === 1 && pairs.head.getAs[Int]("hamming") === 0)
   }
 
+  test("simHashPairs: combination banding recalls every pair within maxHamming (pigeonhole)") {
+    initLog()
+    import spark.implicits._
+    // synthetic fingerprints at controlled hamming distances from a base:
+    // flips spread across far-apart bit positions to cross block borders
+    val baseFp = 0x5a5a3c3cf0f01e1eL
+    def flip(bits: Int*): Long = bits.foldLeft(baseFp)((h, b) => h ^ (1L << b))
+    val fps = Seq(
+      0L -> baseFp,
+      1L -> flip(0), // hamming 1
+      2L -> flip(0, 21, 42), // hamming 3, one flip per 22-bit region
+      3L -> flip(5, 15, 25, 35), // hamming 4 — must NOT appear at k=3
+      4L -> flip(63)) // hamming 1 at the top bit
+    val hashed = fps.toDF("doc_id", "simhash")
+    val pairs = Dedup.simHashPairs(hashed, maxHamming = 3)
+      .filter(col("a_id") === 0).orderBy("b_id").collect()
+    assert(pairs.map(_.getAs[Long]("b_id")).toSeq === Seq(1L, 2L, 4L))
+    assert(pairs.map(_.getAs[Int]("hamming")).toSeq === Seq(1, 3, 1))
+  }
+
+  test("minHashDedup releases its loop caches (only the result's checkpoint is retained)") {
+    val docs = mkDocs(Seq(base, base, nearDup, unrelated))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.minHashDedup(docs)
+    assert(out.count() === 4)
+    val retained = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the eager localCheckpoint of the result is the single retained entry
+    assert(retained.size <= 1, s"leaked caches: $retained")
+  }
+
   test("minHashDedup closes transitive chains: A~B~C one cluster even when A-C is sub-threshold") {
     // 40-word doc; B edits the last 2 words of A, C edits the first 2 of
     // B. A-B and B-C trigram jaccard 0.9; A-C 0.81 — below the 0.85
