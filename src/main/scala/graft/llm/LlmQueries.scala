@@ -206,6 +206,25 @@ object LlmQueries {
            |  CAST(3 AS BIGINT) AS channels
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal: REAL PNG codec round-trip — synthetic PNGs are encoded
+    * per-row on executors (dims a known function of doc_id) and decoded by
+    * the real `javax.imageio` path, so DuckDB oracles the whole
+    * encode→decode loop arithmetically.
+    */
+  val multimodalPng = OpQ("llm_multimodal_png",
+    (s, d) => Multimodal.decodeImagePartitioned(s,
+        Multimodal.syntheticPngBlobs(docs(s, d)))
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+           |  CAST(8 + doc_id % 11 AS BIGINT) AS height,
+           |  CAST(3 AS BIGINT) AS channels
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Multimodal: frame-sampling explode shape (frame_idx, byte_offset). */
   val multimodalFrames = OpQ("llm_multimodal_frames",
     (s, d) => Multimodal.sampleFrames(Multimodal.attachBlob(docs(s, d)))
@@ -348,5 +367,5 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    multimodalDecode, multimodalFrames)
+    multimodalDecode, multimodalPng, multimodalFrames)
 }

@@ -6,10 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns plus typed metadata structs (north-star extension,
-  * BASELINE.json). The container has no image/audio codecs, so the decode
-  * step is a clearly marked deterministic STUB — the Spark-side plumbing
-  * (schema, binary columns, per-partition batched iteration, explode of
-  * frame samples) is real and is what carries over to a production codec.
+  * BASELINE.json). PNG is decoded for real — `javax.imageio` is pure JVM —
+  * through two cross-checking paths: a codegen-friendly IHDR header parse
+  * in column expressions ([[pngHeaderMeta]]) and a full `ImageIO` decode in
+  * the per-partition codec shape ([[decodeImagePartitioned]]). Formats with
+  * no JVM codec in this container (JPEG works too, but audio/video don't)
+  * keep the clearly marked deterministic STUB so text-payload pipelines
+  * stay reproducible.
   */
 object Multimodal {
 
@@ -55,22 +58,73 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("n_bytes", LongType)))
 
-  /** STUB image decode, `mapPartitions` form — the shape a native codec
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private[llm] def isPng(blob: Array[Byte]): Boolean =
+    blob.length >= 24 && PngMagic.indices.forall(i => blob(i) == PngMagic(i))
+
+  /** Image decode, `mapPartitions` form — the shape a native codec
     * (JNI/JavaCPP) integration takes: per-partition batched iteration over
-    * binary payloads, one decoded-metadata row out per blob. The `???`
-    * codec is faked with the same deterministic function as
-    * [[decodeImageMeta]] so the two paths cross-check each other in tests.
+    * binary payloads, one decoded-metadata row out per blob. PNG payloads
+    * (magic-sniffed) get a REAL decode: `javax.imageio.ImageIO` pixels +
+    * color model (headless-safe, no native deps). Other payloads keep the
+    * deterministic stand-in of [[decodeImageMeta]] so the two paths
+    * cross-check each other in tests and text-blob pipelines stay exactly
+    * reproducible.
     */
   def decodeImagePartitioned(spark: SparkSession, withBlob: DataFrame): DataFrame = {
     val rdd = withBlob.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(0)
         val blob = row.getAs[Array[Byte]](1)
-        // real codec goes here: ImageIO/ffmpeg bindings over `blob`
         val n = blob.length.toLong
-        Row(id, (64 + n % 64).toInt, (64 + (n * 7) % 64).toInt, 3, n)
+        if (isPng(blob)) {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+          Row(id, img.getWidth, img.getHeight, img.getColorModel.getNumComponents, n)
+        } else {
+          // non-image payload: deterministic stand-in (see decodeImageMeta)
+          Row(id, (64 + n % 64).toInt, (64 + (n * 7) % 64).toInt, 3, n)
+        }
       }
     }
     spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** PNG metadata WITHOUT a row-at-a-time decode: width/height live in the
+    * IHDR chunk at fixed offsets (bytes 17–20 and 21–24, big-endian), so
+    * the parse is pure column expressions — whole-stage-codegen'd, no UDF,
+    * no buffered-image allocation. This is the 100 TB path for metadata
+    * extraction: a scan that touches 24 bytes per blob instead of decoding
+    * pixels. (substr is 1-based; conv() does hex → decimal.)
+    */
+  def pngHeaderMeta(withBlob: DataFrame): DataFrame = {
+    def be32(offset1Based: Int): org.apache.spark.sql.Column =
+      conv(hex(substring(col("blob"), offset1Based, 4)), 16, 10).cast("long")
+    withBlob
+      .withColumn("width", be32(17))
+      .withColumn("height", be32(21))
+      .withColumn("bit_depth", conv(hex(substring(col("blob"), 25, 1)), 16, 10).cast("long"))
+  }
+
+  /** Distributed synthetic-PNG fixture: real encoded PNG bytes generated
+    * per-row on executors (deterministic size/pixels from `doc_id`). Used
+    * by specs and the rows-only driver query to exercise the real codec.
+    */
+  def syntheticPngBlobs(docs: DataFrame): DataFrame = {
+    val enc = udf { (id: Long) =>
+      val w = 8 + (id % 16).toInt
+      val h = 8 + (id % 11).toInt
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) { img.setRGB(x, y, (id * 2654435761L + x * 31 + y).toInt); y += 1 }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    docs.select(col("doc_id")).withColumn("blob", enc(col("doc_id")))
   }
 }
