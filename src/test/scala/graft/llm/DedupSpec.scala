@@ -109,6 +109,32 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("keep_id")).toSeq === Seq(0L, 0L, 0L, 3L))
   }
 
+  test("LSH recall harness at sf0.01: measured recall meets the 1-(1-j^r)^b band bound") {
+    initLog()
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val shingled = Dedup.withShingles(docs)
+    // ground truth: ALL exact n-gram-Jaccard pairs >= tau on the same corpus
+    val truth = Dedup.ngramJaccardPairs(docs, topK = 100000)
+      .filter(col("jaccard") >= 0.7)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(truth.size >= 20, s"corpus should contain planted near-dups, got ${truth.size}")
+    val numHashes = 32
+    val bands = 8
+    val r = numHashes / bands
+    val banded = Dedup.lshBands(Dedup.minHashSignatures(shingled, numHashes), numHashes, bands)
+    val found = Dedup.minHashCandidatePairs(banded, shingled, threshold = 0.7)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = truth.keysIterator.count(found.contains).toDouble / truth.size
+    // per-pair detection probability from its exact jaccard; the mean is the
+    // expected recall of banded MinHash — allow 0.1 sampling/hash-family slack
+    val expected = truth.valuesIterator
+      .map(j => 1 - math.pow(1 - math.pow(j, r), bands)).sum / truth.size
+    info(f"sf0.01: recall=$recall%.3f expected=$expected%.3f over ${truth.size} truth pairs")
+    assert(recall >= expected - 0.1,
+      f"recall $recall%.3f below 1-(1-j^r)^b bound $expected%.3f - 0.1")
+  }
+
   test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)
