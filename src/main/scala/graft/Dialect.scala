@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.StructType
   *   - `==` equality (reference tests/test_execute.py:90)
   *   - `expr::TYPE` cast → `CAST(expr AS TYPE)`
   *   - `"ident"` double-quoted identifiers → backtick-quoted
-  *   - `a // b` integer division → `a DIV b`
+  *   - `a // b` integer division → `a DIV b` (both truncate toward zero —
+  *     measured against the oracle DuckDB and gated with negative operands)
   *   - `strftime(ts, '%Y-%m')` → `date_format(ts, 'yyyy-MM')` (C format
   *     codes translated to Java patterns; unknown codes raise)
   *   - `string_split(s, sep)` → `split(s, <regex-quoted sep>)` (DuckDB's
@@ -32,10 +33,21 @@ import org.apache.spark.sql.types.StructType
   * [[Dialect.Trinoish]] (Presto/Trino names for Spark builtins):
   *   approx_distinct→approx_count_distinct, strpos→instr,
   *   arbitrary→any_value, json_extract_scalar→get_json_object,
-  *   to_unixtime→unix_timestamp, codepoint→ascii.
+  *   to_unixtime→unix_timestamp, codepoint→ascii; plus `"ident"`
+  *   identifiers and backslash-literal escaping (Trino is ANSI).
+  *
+  * [[Dialect.Snowflakeish]]: IFF, DATEADD/DATEDIFF date parts,
+  * TO_VARCHAR/TO_CHAR formats, `"ident"` identifiers.
+  *
+  * [[Dialect.BigQueryish]]: SAFE_CAST + INT64/FLOAT64/BOOL/BYTES type
+  * names, FORMAT_DATE/FORMAT_TIMESTAMP, DATE_DIFF/TIMESTAMP_DIFF,
+  * REGEXP_CONTAINS; backtick identifiers pass through untouched.
   *
   * Everything the rewriter does is textual and literal-span-aware: content
-  * of single-quoted SQL string literals is never touched.
+  * of single-quoted SQL string literals is never touched. DuckDB/Trino
+  * literals are ANSI ('' doubling, backslash plain — backslashes are doubled
+  * for Spark's escaping parser); Snowflake/BigQuery literals use backslash
+  * escapes exactly as Spark does and are scanned accordingly.
   */
 sealed trait Dialect {
   def rewrite(spark: SparkSession, sql: String,
@@ -56,7 +68,11 @@ object Dialect {
     * UnsupportedError analogue, executor.py:192-195).
     */
   case object DuckDbish extends Dialect {
-    private val unsupported = Seq("READ_JSON", "READ_JSON_AUTO", "READ_CSV_AUTO", "GLOB")
+    // word-boundary + optional space before '(' + literal-span filtered: a
+    // READ_JSON mention inside a string literal must NOT raise, and
+    // `READ_JSON ('x')` with a space must still be caught.
+    private val unsupportedRe =
+      """(?i)\b(READ_JSON_AUTO|READ_JSON|READ_CSV_AUTO|GLOB)\s*\(""".r
     private val renames = Map(
       "len" -> "length",
       "list_contains" -> "array_contains",
@@ -65,22 +81,25 @@ object Dialect {
       "list_sort" -> "sort_array",
       "list_distinct" -> "array_distinct",
       "array_length" -> "size",
-      "regexp_matches" -> "regexp_like",
-      "epoch" -> "unix_timestamp")
+      "regexp_matches" -> "regexp_like")
 
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
-      unsupported.find(fn => sql.toUpperCase.contains(fn + "(")).foreach { fn =>
-        throw new graft.UnsupportedError(
-          s"dialect construct $fn(...) is not supported; use READ_CSV or register a table")
-      }
+      val spans = literalSpans(sql)
+      unsupportedRe.findAllMatchIn(sql).find(m => outsideLiterals(spans, m.start))
+        .foreach { m =>
+          throw new graft.UnsupportedError(
+            s"dialect construct ${m.group(1)}(...) is not supported; use READ_CSV or register a table")
+        }
       val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals, // FIRST: later steps generate Spark-escaped literals
         rewriteDoubleEquals,
-        rewriteDoubleQuotedIdents,
+        rewriteDoubleQuotedIdents(_),
         rewriteIntDiv,
         rewriteColonCast,
         rewriteStrftime,
         rewriteStringSplit,
+        rewriteEpoch,
         s => renameFunctions(s, renames))
       rewriteReadCsv(spark, steps.foldLeft(sql)((s, f) => f(s)), schemas)
     }
@@ -99,17 +118,81 @@ object Dialect {
       "to_unixtime" -> "unix_timestamp",
       "codepoint" -> "ascii")
     def rewrite(spark: SparkSession, sql: String,
-        schemas: Map[String, StructType]): String =
-      renameFunctions(rewriteDoubleEquals(sql), renames)
+        schemas: Map[String, StructType]): String = {
+      // Trino is ANSI like DuckDB: "ident" is an identifier (Spark's default
+      // parser would read it as a string literal — a silent semantic change),
+      // and backslash is a plain character inside string literals.
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        rewriteDoubleEquals,
+        rewriteDoubleQuotedIdents(_),
+        s => renameFunctions(s, renames))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Snowflake-ish surface (reference README.md:31-32, core.py:66 — sqlglot
+    * `read="snowflake"`): `"ident"` identifiers, `IFF`, `DATEADD`/`DATEDIFF`
+    * with a date-part argument (boundary-crossing semantics, translated to
+    * exact year/quarter/month arithmetic — NOT Spark's complete-interval
+    * `timestampdiff`), `TO_VARCHAR` with Snowflake date format elements.
+    * `NVL`/`NVL2`/`TRY_CAST`/`ILIKE` are already Spark-native. Snowflake
+    * string literals use backslash escapes (matching Spark's default parser),
+    * so literals are scanned with `backslashEscapes = true` and NOT doubled.
+    */
+  case object Snowflakeish extends Dialect {
+    private val renames = Map("iff" -> "if", "to_char" -> "to_varchar")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        s => renameFunctions(s, renames, esc = true), // to_char joins to_varchar
+        s => rewriteDoubleQuotedIdents(s, esc = true),
+        rewriteSnowDateAdd,
+        rewriteSnowDateDiff,
+        rewriteToVarchar)
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** BigQuery-ish surface (reference README.md:31-32, core.py:66 — sqlglot
+    * `read="bigquery"`): `SAFE_CAST`→`TRY_CAST`, BigQuery type names
+    * (`INT64`/`FLOAT64`/`BOOL`/`BYTES`), `FORMAT_DATE`/`FORMAT_TIMESTAMP`
+    * (C strftime codes, format-first argument order), `DATE_DIFF` with a
+    * trailing date part (boundary-crossing semantics),
+    * `REGEXP_CONTAINS`→`regexp_like`. Backtick identifiers pass through —
+    * they are already Spark's quoting. BigQuery string literals use
+    * backslash escapes (matching Spark), so literals are not doubled.
+    */
+  case object BigQueryish extends Dialect {
+    private val renames = Map(
+      "safe_cast" -> "try_cast",
+      "regexp_contains" -> "regexp_like")
+    private val typeRenames = Map(
+      "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "BOOL" -> "BOOLEAN",
+      "BYTES" -> "BINARY")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        rewriteFormatDate,
+        rewriteBqDateDiff,
+        s => renameWords(s, typeRenames, esc = true),
+        s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
   }
 
   // ---- literal-span machinery ---------------------------------------------
 
-  /** [start, end) spans of single-quoted string literals, honoring backslash
-    * escapes and doubled-quote ('') escapes. Every rewrite below leaves these
-    * spans untouched.
+  /** [start, end) spans of single-quoted string literals. ANSI/DuckDB/Trino
+    * literals escape ONLY via doubled quotes ('') — a backslash is a plain
+    * character (a literal like 'C:\' must close at its quote, or every
+    * rewrite after it lands in the wrong place). Snowflake/BigQuery literals
+    * use backslash escapes (as Spark's default parser does) — pass
+    * `backslashEscapes = true` for those dialects. Every rewrite below
+    * leaves these spans untouched.
     */
-  private[graft] def literalSpans(sql: String): Vector[(Int, Int)] = {
+  private[graft] def literalSpans(sql: String,
+      backslashEscapes: Boolean = false): Vector[(Int, Int)] = {
     val spans = Vector.newBuilder[(Int, Int)]
     var i = 0
     while (i < sql.length) {
@@ -119,7 +202,7 @@ object Dialect {
         var done = false
         while (i < sql.length && !done) {
           val c = sql.charAt(i)
-          if (c == '\\' && i + 1 < sql.length) i += 2
+          if (backslashEscapes && c == '\\' && i + 1 < sql.length) i += 2
           else if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
           else if (c == '\'') { done = true; i += 1 }
           else i += 1
@@ -128,6 +211,24 @@ object Dialect {
       } else i += 1
     }
     spans.result()
+  }
+
+  /** Double every backslash inside string literals. DuckDB/Trino treat `\`
+    * in a literal as a plain character; Spark's default parser processes it
+    * as an escape — without this, 'C:\' swallows its closing quote and
+    * '\n' silently becomes a newline.
+    */
+  private[graft] def escapeBackslashLiterals(sql: String): String = {
+    val spans = literalSpans(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\\' && !outsideLiterals(spans, i)) out.append("\\\\")
+      else out.append(c)
+      i += 1
+    }
+    out.toString
   }
 
   private def outsideLiterals(spans: Vector[(Int, Int)], i: Int): Boolean =
@@ -151,8 +252,8 @@ object Dialect {
     * literal quote). Spark's default parser reads double quotes as string
     * literals, which would silently change semantics — so always rewrite.
     */
-  private[graft] def rewriteDoubleQuotedIdents(sql: String): String = {
-    val spans = literalSpans(sql)
+  private[graft] def rewriteDoubleQuotedIdents(sql: String, esc: Boolean = false): String = {
+    val spans = literalSpans(sql, esc)
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
@@ -173,9 +274,51 @@ object Dialect {
     out.toString
   }
 
-  /** DuckDB `a // b` integer division → Spark `a DIV b`. `//` cannot appear
-    * in any other SQL construct outside a string literal, so the rewrite is
-    * unambiguous.
+  /** Start index of the operand ending at `e` (inclusive): a string literal,
+    * a parenthesized/bracketed tail with its leading function name, or an
+    * identifier/number. Shared by `rewriteColonCast` and `rewriteIntDiv`.
+    */
+  private def operandStart(cur: String, spans: Vector[(Int, Int)], e: Int): Int =
+    cur.charAt(e) match {
+      case '\'' =>
+        // end of a string literal: find its span
+        spans.find(s => s._2 - 1 == e).map(_._1).getOrElse(
+          throw new graft.UnsupportedError(s"unbalanced string literal at $e in: $cur"))
+      case ')' | ']' =>
+        var depth = 0
+        var j = e
+        var start = -1
+        while (j >= 0 && start < 0) {
+          if (outsideLiterals(spans, j)) {
+            val c = cur.charAt(j)
+            if (c == ')' || c == ']') depth += 1
+            else if (c == '(' || c == '[') { depth -= 1; if (depth == 0) start = j }
+          }
+          j -= 1
+        }
+        if (start < 0)
+          throw new graft.UnsupportedError(s"unbalanced parens at $e in: $cur")
+        // include a leading function name: floor(x)::T casts floor(x)
+        var k = start - 1
+        while (k >= 0 && (cur.charAt(k).isLetterOrDigit || cur.charAt(k) == '_')) k -= 1
+        k + 1
+      case c if c.isLetterOrDigit || c == '_' || c == '.' || c == '`' =>
+        var k = e
+        while (k >= 0 && (cur.charAt(k).isLetterOrDigit ||
+            "._`".indexOf(cur.charAt(k)) >= 0)) k -= 1
+        k + 1
+      case other =>
+        throw new graft.UnsupportedError(s"cannot parse operand '$other' at $e in: $cur")
+    }
+
+  /** DuckDB `a // b` integer division → Spark `a DIV b`. Measured against
+    * the oracle DuckDB build: integer `//` TRUNCATES toward zero exactly as
+    * Spark's DIV does (-7 // 2 = -3, 23 // -3 = -7), so the mapping is exact
+    * including negative operands — gated by `op_dialect_intdiv_neg`. (Python
+    * floors; DuckDB's integer `//` does not.) Operands must be integral:
+    * Spark's DIV raises on doubles, and DuckDB's double `//` (which floors)
+    * is out of scope. `//` cannot appear in any other SQL construct outside
+    * a string literal, so the token rewrite is unambiguous.
     */
   private[graft] def rewriteIntDiv(sql: String): String = {
     val spans = literalSpans(sql)
@@ -232,37 +375,7 @@ object Dialect {
       var e = idx - 1
       while (e >= 0 && cur.charAt(e) == ' ') e -= 1
       if (e < 0) throw new graft.UnsupportedError(s"no operand before '::' in: $cur")
-      val opStart: Int = cur.charAt(e) match {
-        case '\'' =>
-          // end of a string literal: find its span
-          spans.find(s => s._2 - 1 == e).map(_._1).getOrElse(
-            throw new graft.UnsupportedError(s"unbalanced string literal before '::' in: $cur"))
-        case ')' | ']' =>
-          var depth = 0
-          var j = e
-          var start = -1
-          while (j >= 0 && start < 0) {
-            if (outsideLiterals(spans, j)) {
-              val c = cur.charAt(j)
-              if (c == ')' || c == ']') depth += 1
-              else if (c == '(' || c == '[') { depth -= 1; if (depth == 0) start = j }
-            }
-            j -= 1
-          }
-          if (start < 0)
-            throw new graft.UnsupportedError(s"unbalanced parens before '::' in: $cur")
-          // include a leading function name: floor(x)::T casts floor(x)
-          var k = start - 1
-          while (k >= 0 && (cur.charAt(k).isLetterOrDigit || cur.charAt(k) == '_')) k -= 1
-          k + 1
-        case c if c.isLetterOrDigit || c == '_' || c == '.' || c == '`' =>
-          var k = e
-          while (k >= 0 && (cur.charAt(k).isLetterOrDigit ||
-              "._`".indexOf(cur.charAt(k)) >= 0)) k -= 1
-          k + 1
-        case other =>
-          throw new graft.UnsupportedError(s"cannot parse operand '$other' before '::' in: $cur")
-      }
+      val opStart = operandStart(cur, spans, e)
       val operand = cur.substring(opStart, e + 1)
       cur = cur.substring(0, opStart) + s"CAST($operand AS $typ)" + cur.substring(tEnd)
       guard += 1
@@ -413,9 +526,10 @@ object Dialect {
   }
 
   /** Rename `from(` → `to(` at word boundaries, outside string literals. */
-  private[graft] def renameFunctions(sql: String, renames: Map[String, String]): String = {
+  private[graft] def renameFunctions(sql: String, renames: Map[String, String],
+      esc: Boolean = false): String = {
     renames.foldLeft(sql) { case (cur, (from, to)) =>
-      val spans = literalSpans(cur)
+      val spans = literalSpans(cur, esc)
       val re = ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\s*\\(").r
       val out = new StringBuilder
       var last = 0
@@ -429,6 +543,223 @@ object Dialect {
       out.toString
     }
   }
+
+  /** Rename bare words (type names like INT64 → BIGINT) at word boundaries,
+    * outside string literals.
+    */
+  private[graft] def renameWords(sql: String, renames: Map[String, String],
+      esc: Boolean = false): String = {
+    renames.foldLeft(sql) { case (cur, (from, to)) =>
+      val spans = literalSpans(cur, esc)
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+      val out = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(cur).foreach { m =>
+        if (outsideLiterals(spans, m.start)) {
+          out.append(cur.substring(last, m.start)).append(to)
+          last = m.end
+        }
+      }
+      out.append(cur.substring(last))
+      out.toString
+    }
+  }
+
+  // ---- generic call rewriter ----------------------------------------------
+
+  /** Replace every `name(args…)` call outside string literals with
+    * `transform(name, args)`, leftmost-first, re-scanning after each
+    * replacement (so calls nested inside a replacement's argument text are
+    * rewritten on a later pass). `names` is a regex alternation of function
+    * names. The transform must not emit a call that itself matches `names`
+    * (guarded at 256 passes).
+    */
+  private def rewriteCall(sql: String, names: String, esc: Boolean = false)(
+      transform: (String, Seq[String]) => String): String = {
+    val re = ("(?i)\\b(" + names + ")\\s*\\(").r
+    var cur = sql
+    var changed = true
+    var guard = 0
+    while (changed) {
+      changed = false
+      guard += 1
+      if (guard > 256)
+        throw new graft.UnsupportedError(s"rewrite of $names did not terminate")
+      val spans = literalSpans(cur, esc)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
+        val open = m.end - 1 // the regex consumed through '('
+        val close = matchParen(cur, spans, open)
+        if (close < 0)
+          throw new graft.UnsupportedError(s"unbalanced ${m.group(1)}( in: $cur")
+        val args = splitArgs(cur, spans, open + 1, close).map(_.trim)
+        cur = cur.substring(0, m.start) + transform(m.group(1), args) +
+          cur.substring(close + 1)
+        changed = true
+      }
+    }
+    cur
+  }
+
+  /** DuckDB `epoch(ts)` returns DOUBLE seconds including the fraction;
+    * `unix_timestamp` would truncate to whole seconds. Spark's
+    * timestamp→double cast is exactly epoch-seconds-with-fraction (session
+    * time zone applies to DATE inputs on both engines).
+    */
+  private[graft] def rewriteEpoch(sql: String): String =
+    rewriteCall(sql, "epoch") { (_, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError("epoch expects a single argument")
+      s"CAST(CAST(${args(0)} AS TIMESTAMP) AS DOUBLE)"
+    }
+
+  // ---- Snowflake constructs -----------------------------------------------
+
+  /** Normalize a Snowflake date-part argument: optionally quoted, many
+    * abbreviations (dd, mon, yyyy …) per Snowflake's docs.
+    */
+  private def snowPart(arg: String, fn: String): String = {
+    val p = arg.stripPrefix("'").stripSuffix("'").toLowerCase
+    val canon = Map(
+      "day" -> "day", "d" -> "day", "dd" -> "day", "dayofmonth" -> "day",
+      "week" -> "week", "w" -> "week", "wk" -> "week",
+      "month" -> "month", "mm" -> "month", "mon" -> "month",
+      "quarter" -> "quarter", "q" -> "quarter", "qtr" -> "quarter",
+      "year" -> "year", "y" -> "year", "yy" -> "year", "yyyy" -> "year",
+      "hour" -> "hour", "hh" -> "hour",
+      "minute" -> "minute", "mi" -> "minute",
+      "second" -> "second", "s" -> "second", "ss" -> "second")
+    canon.getOrElse(p,
+      throw new graft.UnsupportedError(s"$fn date part '$p' is not supported"))
+  }
+
+  /** Snowflake `DATEADD(part, n, expr)`. day/week/month/quarter/year keep
+    * DATE inputs DATE (date_add/add_months), sub-day parts go through
+    * `timestampadd`.
+    */
+  private[graft] def rewriteSnowDateAdd(sql: String): String =
+    rewriteCall(sql, "dateadd", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects (part, n, expr)")
+      val n = args(1)
+      val x = args(2)
+      snowPart(args(0), fn) match {
+        case "day" => s"date_add($x, ($n))"
+        case "week" => s"date_add($x, 7 * ($n))"
+        case "month" => s"add_months($x, ($n))"
+        case "quarter" => s"add_months($x, 3 * ($n))"
+        case "year" => s"add_months($x, 12 * ($n))"
+        case sub => s"timestampadd(${sub.toUpperCase}, ($n), $x)"
+      }
+    }
+
+  /** Count of `part` boundaries crossed from `start` to `end` — Snowflake's
+    * and BigQuery's DATEDIFF/DATE_DIFF semantics (2 months minus 1 day is
+    * still 2 month boundaries), NOT Spark `timestampdiff`'s complete
+    * intervals. Exact calendar arithmetic, no epoch math. `dayFn` picks
+    * which Spark spelling (`date_diff` vs `datediff`) to emit — the one the
+    * calling dialect's own pattern does NOT re-match. `weekAnchor` is a
+    * day-1-of-week date far in the past (proleptic 0001-01-01 is a Monday)
+    * so the DIV 7 never sees a negative dividend.
+    */
+  private def boundaryDateDiff(part: String, start: String, end: String,
+      weekAnchor: String, dayFn: String): String =
+    part match {
+      case "day" => s"$dayFn(($end), ($start))"
+      case "week" =>
+        s"(($dayFn(($end), DATE '$weekAnchor') DIV 7) - ($dayFn(($start), DATE '$weekAnchor') DIV 7))"
+      case "month" =>
+        s"((year($end) * 12 + month($end)) - (year($start) * 12 + month($start)))"
+      case "quarter" =>
+        s"((year($end) * 4 + quarter($end)) - (year($start) * 4 + quarter($start)))"
+      case "year" => s"(year($end) - year($start))"
+      case sub =>
+        throw new graft.UnsupportedError(s"date part '$sub' is not supported in DATEDIFF")
+    }
+
+  /** Snowflake `DATEDIFF(part, start, end)` (boundary crossings; weeks start
+    * Monday — Snowflake's WEEK_START=0 ISO-like default).
+    */
+  private[graft] def rewriteSnowDateDiff(sql: String): String =
+    rewriteCall(sql, "datediff", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects (part, start, end)")
+      boundaryDateDiff(snowPart(args(0), fn), args(1), args(2), "0001-01-01", "date_diff")
+    }
+
+  /** Snowflake date format elements → Java pattern, longest token first
+    * (HH24 before HH, MON before MM). Unknown letters raise.
+    */
+  private[graft] def translateSnowflakeFormat(fmt: String): String = {
+    val tokens = Seq(
+      "YYYY" -> "yyyy", "YY" -> "yy", "MON" -> "MMM", "MM" -> "MM",
+      "DY" -> "EEE", "DD" -> "dd", "HH24" -> "HH", "HH12" -> "hh",
+      "HH" -> "HH", "MI" -> "mm", "SS" -> "ss", "AM" -> "a", "PM" -> "a")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s.replace("'", "''"))
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      tokens.find { case (t, _) => fmt.regionMatches(true, i, t, 0, t.length) } match {
+        case Some((t, j)) => flush(); out.append(j); i += t.length
+        case None =>
+          val c = fmt.charAt(i)
+          if (c.isLetter)
+            throw new graft.UnsupportedError(s"TO_VARCHAR format element '$c' is not supported")
+          lit.append(c); i += 1
+      }
+    }
+    flush()
+    out.toString
+  }
+
+  /** Snowflake `TO_VARCHAR(x)` → CAST AS STRING; `TO_VARCHAR(x, 'fmt')` →
+    * `date_format` with the translated pattern (date/timestamp formats only;
+    * numeric picture formats raise).
+    */
+  private[graft] def rewriteToVarchar(sql: String): String =
+    rewriteCall(sql, "to_varchar", esc = true) { (fn, args) =>
+      args match {
+        case Seq(x) => s"CAST($x AS STRING)"
+        case Seq(x, SingleLiteral(f)) =>
+          val java = translateSnowflakeFormat(f)
+          s"date_format($x, '${java.replace("'", "''")}')"
+        case _ =>
+          throw new graft.UnsupportedError(s"$fn expects (expr) or (expr, 'format')")
+      }
+    }
+
+  // ---- BigQuery constructs ------------------------------------------------
+
+  /** BigQuery `FORMAT_DATE('%Y-%m', d)` / `FORMAT_TIMESTAMP` — C strftime
+    * codes with the format FIRST → `date_format(d, javaPattern)`.
+    */
+  private[graft] def rewriteFormatDate(sql: String): String =
+    rewriteCall(sql, "format_date|format_timestamp", esc = true) { (fn, args) =>
+      args match {
+        case Seq(SingleLiteral(f), x) =>
+          val java = translateStrftimeFormat(f)
+          s"date_format($x, '${java.replace("'", "''")}')"
+        case _ =>
+          throw new graft.UnsupportedError(s"$fn expects ('format', expr)")
+      }
+    }
+
+  /** BigQuery `DATE_DIFF(end, start, PART)` — note end-first argument order
+    * and the trailing unquoted part; boundary-crossing semantics like
+    * Snowflake's DATEDIFF (weeks start Sunday, BigQuery's WEEK default —
+    * proleptic 0001-01-07 is a Sunday).
+    */
+  private[graft] def rewriteBqDateDiff(sql: String): String =
+    rewriteCall(sql, "date_diff|timestamp_diff", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects (end, start, part)")
+      boundaryDateDiff(snowPart(args(2), fn), args(1), args(0), "0001-01-07", "datediff")
+    }
 
   // ---- READ_CSV table function --------------------------------------------
 

@@ -171,6 +171,111 @@ object DialectQueries {
             |WHERE c_acctbal > 5000.0
             |ORDER BY c_custkey LIMIT 100""".stripMargin))
 
+  /** `//` with NEGATIVE operands — proves the DIV mapping is exact there
+    * too: this DuckDB's integer `//` truncates toward zero just like Spark's
+    * DIV (measured: -7 // 2 = -3; Python-style flooring would give -4).
+    * Same text on both engines.
+    */
+  val intDivNeg = OpQ("op_dialect_intdiv_neg",
+    (s, d) => duck(s, d,
+      """SELECT l_orderkey, l_linenumber,
+        |  ((FLOOR(l_quantity)::BIGINT - 25) // 7)::BIGINT AS q7,
+        |  ((25 - FLOOR(l_quantity)::BIGINT) // -3)::BIGINT AS qneg
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  ((FLOOR(l_quantity)::BIGINT - 25) // 7)::BIGINT AS q7,
+           |  ((25 - FLOOR(l_quantity)::BIGINT) // -3)::BIGINT AS qneg
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin))
+
+  /** Literal-edge cases, same text both engines: a trailing-backslash
+    * literal (DuckDB treats `\` as a plain character; the shim doubles it
+    * for Spark's escaping parser), `epoch()` (DOUBLE seconds — not the
+    * truncating unix_timestamp), and an unsupported-construct name INSIDE a
+    * string literal (must not raise).
+    */
+  val literalEdges = OpQ("op_dialect_literal_edges",
+    (s, d) => duck(s, d,
+      """SELECT o_orderkey,
+        |  'C:\' || o_orderpriority AS winpath,
+        |  epoch(o_orderdate)::BIGINT AS epoch_s,
+        |  'it''s READ_JSON(x)' AS tricky
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+    Some("""SELECT o_orderkey,
+           |  'C:\' || o_orderpriority AS winpath,
+           |  epoch(o_orderdate)::BIGINT AS epoch_s,
+           |  'it''s READ_JSON(x)' AS tricky
+           |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
+  /** Snowflake surface ([[Dialect.Snowflakeish]]): IFF, NVL2 (Spark-native),
+    * DATEADD day/month, DATEDIFF day/month/year (boundary crossings),
+    * TO_VARCHAR with and without a format, quoted identifiers. Oracle is the
+    * DuckDB spelling of the same semantics.
+    */
+  val snowflake = OpQ("op_dialect_snowflake",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  IFF(o_totalprice > 150000, 'big', 'small') AS size_tag,
+          |  NVL2(NULLIF(o_orderstatus, 'O'), 'closed', 'open') AS status_tag,
+          |  TO_VARCHAR(DATEADD(day, 30, o_orderdate), 'YYYY-MM-DD') AS due_date,
+          |  TO_VARCHAR(DATEADD('month', 2, o_orderdate), 'YYYY-MM-DD') AS due_month,
+          |  CAST(DATEDIFF(day, o_orderdate, DATE '1998-12-31') AS BIGINT) AS days_left,
+          |  CAST(DATEDIFF(month, o_orderdate, DATE '1998-12-31') AS BIGINT) AS months_left,
+          |  CAST(DATEDIFF(year, o_orderdate, DATE '1998-12-31') AS BIGINT) AS years_left,
+          |  TO_VARCHAR(o_orderdate, 'YYYY-MM-DD') AS ds,
+          |  TO_VARCHAR(o_orderkey) AS key_str
+          |FROM orders WHERE "o_orderpriority" = '1-URGENT'
+          |ORDER BY o_orderkey LIMIT 200""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT o_orderkey,
+           |  CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_tag,
+           |  CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT NULL THEN 'closed' ELSE 'open' END AS status_tag,
+           |  strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS due_date,
+           |  strftime(o_orderdate::DATE + INTERVAL 2 MONTH, '%Y-%m-%d') AS due_month,
+           |  date_diff('day', o_orderdate::DATE, DATE '1998-12-31')::BIGINT AS days_left,
+           |  date_diff('month', o_orderdate::DATE, DATE '1998-12-31')::BIGINT AS months_left,
+           |  date_diff('year', o_orderdate::DATE, DATE '1998-12-31')::BIGINT AS years_left,
+           |  strftime(o_orderdate, '%Y-%m-%d') AS ds,
+           |  o_orderkey::VARCHAR AS key_str
+           |FROM orders WHERE o_orderpriority = '1-URGENT'
+           |ORDER BY o_orderkey LIMIT 200""".stripMargin))
+
+  /** BigQuery surface ([[Dialect.BigQueryish]]): backtick identifiers
+    * (pass-through), SAFE_CAST with INT64/FLOAT64/STRING type names,
+    * FORMAT_DATE (strftime codes, format-first), DATE_DIFF (end-first,
+    * trailing part, boundary crossings), REGEXP_CONTAINS. Oracle is the
+    * DuckDB spelling.
+    */
+  val bigquery = OpQ("op_dialect_bigquery",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT `o_orderkey` AS okey,
+          |  SAFE_CAST(o_orderpriority AS INT64) AS pri_num,
+          |  SAFE_CAST(o_custkey AS STRING) AS ship_str,
+          |  SAFE_CAST(o_custkey AS FLOAT64) AS ship_f,
+          |  FORMAT_DATE('%Y/%m', o_orderdate) AS ym,
+          |  CAST(DATE_DIFF(DATE '1998-12-31', o_orderdate, DAY) AS INT64) AS days_left,
+          |  CAST(DATE_DIFF(DATE '1998-12-31', o_orderdate, MONTH) AS INT64) AS months_left,
+          |  REGEXP_CONTAINS(o_orderpriority, 'URGENT') AS is_urgent
+          |FROM orders ORDER BY okey LIMIT 200""".stripMargin,
+        dialect = Dialect.BigQueryish)
+    },
+    Some("""SELECT o_orderkey AS okey,
+           |  TRY_CAST(o_orderpriority AS BIGINT) AS pri_num,
+           |  o_custkey::VARCHAR AS ship_str,
+           |  o_custkey::DOUBLE AS ship_f,
+           |  strftime(o_orderdate, '%Y/%m') AS ym,
+           |  date_diff('day', o_orderdate, DATE '1998-12-31')::BIGINT AS days_left,
+           |  date_diff('month', o_orderdate, DATE '1998-12-31')::BIGINT AS months_left,
+           |  regexp_matches(o_orderpriority, 'URGENT') AS is_urgent
+           |FROM orders ORDER BY okey LIMIT 200""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
-    functionsOp, nativePassthrough, trinoFunctions, readCsvTyped)
+    functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
+    intDivNeg, literalEdges, snowflake, bigquery)
 }

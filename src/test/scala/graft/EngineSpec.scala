@@ -64,12 +64,19 @@ class EngineSpec extends SparkSpec {
     assert(types === Map("b" -> "boolean", "d" -> "double", "i" -> "int", "l" -> "bigint", "s" -> "string"))
   }
 
-  test("dialect: == rewrite preserves string literals, incl. backslash escapes") {
+  test("dialect: == rewrite preserves string literals (ANSI '' doubling, backslash plain)") {
     assert(Dialect.rewriteDoubleEquals("SELECT 'a==b' WHERE x == 1") ===
       "SELECT 'a==b' WHERE x = 1")
-    // \' does not end the literal; the == inside must survive
-    assert(Dialect.rewriteDoubleEquals("SELECT 'a\\'==b' WHERE x == 1") ===
-      "SELECT 'a\\'==b' WHERE x = 1")
+    // '' doubling: the == inside must survive
+    assert(Dialect.rewriteDoubleEquals("SELECT 'a''==b' WHERE x == 1") ===
+      "SELECT 'a''==b' WHERE x = 1")
+    // ANSI: backslash is a plain char — a trailing-backslash literal closes
+    // at its quote instead of swallowing the rest of the statement
+    assert(Dialect.rewriteDoubleEquals("SELECT 'C:\\' WHERE x == 1") ===
+      "SELECT 'C:\\' WHERE x = 1")
+    // and the Spark-side escape step doubles it so Spark's parser agrees
+    assert(Dialect.escapeBackslashLiterals("SELECT 'C:\\' || x") ===
+      "SELECT 'C:\\\\' || x")
   }
 
   test("nested-name flattening leaves string literals alone and handles $ in names") {
@@ -85,6 +92,72 @@ class EngineSpec extends SparkSpec {
   test("unsupported dialect constructs raise UnsupportedError up front") {
     intercept[UnsupportedError](
       Engine.execute(spark, "SELECT * FROM READ_JSON('x.json')", dialect = Dialect.DuckDbish))
+    // whitespace before the paren is still caught
+    intercept[UnsupportedError](
+      Engine.execute(spark, "SELECT * FROM READ_JSON ('x.json')", dialect = Dialect.DuckDbish))
+    // ...but a mention INSIDE a string literal must NOT raise
+    val ok = Engine.execute(spark, "SELECT 'use READ_JSON(x)' AS s FROM t1 LIMIT 1",
+      Map("t1" -> t1), Dialect.DuckDbish)
+    assert(ok.collect().head.getString(0) === "use READ_JSON(x)")
+  }
+
+  test("dialect: Trinoish rewrites double-quoted identifiers (not string literals)") {
+    val out = Engine.execute(spark,
+      """SELECT "a" AS ident, 'a' AS lit FROM t1 ORDER BY "a" LIMIT 1""",
+      Map("t1" -> t1), Dialect.Trinoish)
+    val r = out.collect().head
+    assert(r.getString(0).startsWith("t_")) // the column, not the constant 'a'
+    assert(r.getString(1) === "a")
+  }
+
+  test("dialect: epoch() keeps fractional seconds (DuckDB returns DOUBLE)") {
+    val out = Engine.execute(spark,
+      "SELECT epoch(TIMESTAMP '1970-01-01 00:00:01.5') AS e",
+      dialect = Dialect.DuckDbish)
+    assert(out.collect().head.getDouble(0) === 1.5)
+  }
+
+  test("dialect: Snowflakeish constructs — textual rewrites") {
+    assert(Dialect.rewriteSnowDateAdd("SELECT DATEADD(day, 5, d)") ===
+      "SELECT date_add(d, (5))")
+    assert(Dialect.rewriteSnowDateAdd("SELECT DATEADD('month', n, d)") ===
+      "SELECT add_months(d, (n))")
+    assert(Dialect.rewriteSnowDateAdd("SELECT DATEADD(yyyy, 1, d)") ===
+      "SELECT add_months(d, 12 * (1))")
+    assert(Dialect.rewriteSnowDateDiff("SELECT DATEDIFF(year, a, b)") ===
+      "SELECT (year(b) - year(a))")
+    assert(Dialect.rewriteSnowDateDiff("SELECT DATEDIFF(day, a, b)") ===
+      "SELECT date_diff((b), (a))")
+    assert(Dialect.translateSnowflakeFormat("YYYY-MM-DD HH24:MI:SS") ===
+      "yyyy-MM-dd HH:mm:ss")
+    assert(Dialect.rewriteToVarchar("SELECT TO_VARCHAR(x)") ===
+      "SELECT CAST(x AS STRING)")
+    assert(Dialect.rewriteToVarchar("SELECT TO_VARCHAR(d, 'YYYY-MM')") ===
+      "SELECT date_format(d, 'yyyy-MM')")
+    intercept[UnsupportedError](Dialect.rewriteSnowDateDiff("SELECT DATEDIFF(fortnight, a, b)"))
+  }
+
+  test("dialect: Snowflakeish end-to-end — IFF + NVL2 + quoted idents") {
+    val out = Engine.execute(spark,
+      """SELECT IFF(c > 3, 'hi', 'lo') AS tag, NVL2("a", 1, 0) AS has_a
+        |FROM t1 WHERE c == 6 ORDER BY "a" LIMIT 2""".stripMargin
+        .replace("==", "="), // Snowflake has no ==; plain =
+      Map("t1" -> t1), Dialect.Snowflakeish)
+    val rows = out.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(r => r.getString(0) === "hi" && r.getInt(1) === 1))
+  }
+
+  test("dialect: BigQueryish — SAFE_CAST/type names/FORMAT_DATE/DATE_DIFF") {
+    val r = Dialect.BigQueryish.rewrite(spark,
+      "SELECT SAFE_CAST(x AS INT64) AS a, FORMAT_DATE('%Y', d) AS b, DATE_DIFF(e2, e1, DAY) AS c")
+    assert(r === "SELECT try_cast(x AS BIGINT) AS a, date_format(d, 'yyyy') AS b, datediff((e2), (e1)) AS c")
+    val out = Engine.execute(spark,
+      "SELECT SAFE_CAST(a AS FLOAT64) AS bad, SAFE_CAST(c AS STRING) AS cs FROM t1 ORDER BY `a` LIMIT 1",
+      Map("t1" -> t1), Dialect.BigQueryish)
+    val row = out.collect().head
+    assert(row.isNullAt(0)) // 't_0' → NULL, not an ANSI cast error
+    assert(row.getString(1).forall(_.isDigit))
   }
 
   test("dialect: :: cast rewrite — literal, column, function-call, chained") {
