@@ -79,6 +79,24 @@ object StressCheck {
       val n = graft.llm.Dedup.simHashPairs(graft.llm.Dedup.simHash(d), maxHamming = 3).count()
       println(f"STRESS simhash_$label pairs=$n%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // ngram-Jaccard df-capping: a stop-shingle present in every doc makes
+    // the uncapped inverted-index self-join generate Σ df² ≈ n² candidate
+    // rows; with maxDf the hot shingle is dropped from the index and the
+    // join cost falls back to co-occurrence of the RARE shingles. Skewed
+    // corpus: every doc shares one 3-gram prefix ("the quick brown ...").
+    locally {
+      // 6000 docs sharing two stop-shingles → 2·C(6000,2) ≈ 36M candidate
+      // rows uncapped; capped pays one extra df-count shuffle instead
+      val skewed = docs.limit(6000)
+        .select(col("doc_id"), concat(lit("the quick brown fox "), col("text")).as("text"))
+      val t0 = System.nanoTime()
+      val capped = graft.llm.Dedup.ngramJaccardPairs(skewed, topK = 50, maxDf = 100).count()
+      val tCap = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val uncapped = graft.llm.Dedup.ngramJaccardPairs(skewed, topK = 50).count()
+      val tUncap = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS ngram_df_cap capped_rows=$capped%d ${tCap}%.2fs uncapped_rows=$uncapped%d ${tUncap}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString

@@ -248,16 +248,27 @@ object Dedup {
     * jaccard = |∩| / (|A| + |B| − |∩|) from exact integers — bit-exact
     * against any engine.
     */
-  def ngramJaccardPairs(docs: DataFrame, topK: Int = 100): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, topK: Int = 100, maxDf: Int = 0): DataFrame = {
     // Shingles are joined by 64-bit hash, not string: 8-byte shuffle keys
     // instead of ~20-char strings (measured 2× on the self-join, the
     // pipeline's dominant shuffle). Collisions (~1e-9 at 1e6 shingles)
     // would only perturb a count if two colliding shingles co-occurred in
     // the same pair.
-    val sh = withShingles(docs.filter(size(split(col("text"), " ")) >= 3))
+    val sh0 = withShingles(docs.filter(size(split(col("text"), " ")) >= 3))
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("sh"))
       .distinct()
+    // Σ df² relief valve (SCALE.md): a stop-shingle appearing in df docs
+    // contributes df² candidate rows to the self-join but carries almost no
+    // similarity signal. maxDf > 0 drops shingles with document frequency
+    // above the cap BEFORE the join — the result is exact Jaccard over the
+    // df-capped shingle space (counts and denominators both post-filter).
+    // maxDf = 0 (default) is the exact full-space path, byte-identical to
+    // the uncapped plan. One extra count-shuffle on the 8-byte key when on.
+    val sh = if (maxDf > 0) {
+      val dfc = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh0.join(dfc.filter(col("df") <= maxDf).select(col("sh")), "sh")
+    } else sh0
     // carry each doc's shingle count through the join instead of
     // re-joining counts onto the pair table afterwards
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -225,6 +225,24 @@ object LlmQueries {
            |  CAST(3 AS BIGINT) AS channels
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal: REAL JPEG codec round-trip — same loop as
+    * `llm_multimodal_png` but through ImageIO's JPEG writer/reader (lossy
+    * pixels; dims and channel count are exact, so the oracle holds).
+    */
+  val multimodalJpeg = OpQ("llm_multimodal_jpeg",
+    (s, d) => Multimodal.decodeImagePartitioned(s,
+        Multimodal.syntheticJpegBlobs(docs(s, d)))
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+           |  CAST(8 + doc_id % 11 AS BIGINT) AS height,
+           |  CAST(3 AS BIGINT) AS channels
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Multimodal: frame-sampling explode shape (frame_idx, byte_offset). */
   val multimodalFrames = OpQ("llm_multimodal_frames",
     (s, d) => Multimodal.sampleFrames(Multimodal.attachBlob(docs(s, d)))
@@ -367,5 +385,5 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    multimodalDecode, multimodalPng, multimodalFrames)
+    multimodalDecode, multimodalPng, multimodalJpeg, multimodalFrames)
 }

@@ -6,13 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns plus typed metadata structs (north-star extension,
-  * BASELINE.json). PNG is decoded for real — `javax.imageio` is pure JVM —
-  * through two cross-checking paths: a codegen-friendly IHDR header parse
-  * in column expressions ([[pngHeaderMeta]]) and a full `ImageIO` decode in
-  * the per-partition codec shape ([[decodeImagePartitioned]]). Formats with
-  * no JVM codec in this container (JPEG works too, but audio/video don't)
-  * keep the clearly marked deterministic STUB so text-payload pipelines
-  * stay reproducible.
+  * BASELINE.json). PNG and JPEG are decoded for real — `javax.imageio` is
+  * pure JVM — through cross-checking paths: a codegen-friendly IHDR header
+  * parse in column expressions ([[pngHeaderMeta]]) and a full magic-sniffed
+  * `ImageIO` decode in the per-partition codec shape
+  * ([[decodeImagePartitioned]]). Formats with no JVM codec in this
+  * container (audio/video) keep the clearly marked deterministic STUB so
+  * text-payload pipelines stay reproducible.
   */
 object Multimodal {
 
@@ -63,14 +63,22 @@ object Multimodal {
   private[llm] def isPng(blob: Array[Byte]): Boolean =
     blob.length >= 24 && PngMagic.indices.forall(i => blob(i) == PngMagic(i))
 
+  /** JFIF/EXIF JPEG: SOI marker FF D8 followed by a marker byte FF. */
+  private[llm] def isJpeg(blob: Array[Byte]): Boolean =
+    blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
+      (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff
+
   /** Image decode, `mapPartitions` form — the shape a native codec
     * (JNI/JavaCPP) integration takes: per-partition batched iteration over
-    * binary payloads, one decoded-metadata row out per blob. PNG payloads
-    * (magic-sniffed) get a REAL decode: `javax.imageio.ImageIO` pixels +
-    * color model (headless-safe, no native deps). Other payloads keep the
-    * deterministic stand-in of [[decodeImageMeta]] so the two paths
-    * cross-check each other in tests and text-blob pipelines stay exactly
-    * reproducible.
+    * binary payloads, one decoded-metadata row out per blob. PNG and JPEG
+    * payloads (magic-sniffed) get a REAL decode: `javax.imageio.ImageIO`
+    * pixels + color model (headless-safe, no native deps). Bytes that pass
+    * the sniff but fail to decode (truncated/corrupt file) raise a
+    * descriptive error naming the doc_id — ImageIO.read returns null there,
+    * and an opaque executor NPE would be the worst possible surface for
+    * real-world corrupt data. Other payloads keep the deterministic
+    * stand-in of [[decodeImageMeta]] so the two paths cross-check each
+    * other in tests and text-blob pipelines stay exactly reproducible.
     */
   def decodeImagePartitioned(spark: SparkSession, withBlob: DataFrame): DataFrame = {
     val rdd = withBlob.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
@@ -78,8 +86,19 @@ object Multimodal {
         val id = row.getLong(0)
         val blob = row.getAs[Array[Byte]](1)
         val n = blob.length.toLong
-        if (isPng(blob)) {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        if (isPng(blob) || isJpeg(blob)) {
+          // ImageIO.read returns null OR throws on truncated/corrupt bytes;
+          // both must surface as a descriptive error naming the doc, not an
+          // opaque executor NPE/IIOException.
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(
+                s"doc_id=$id: $n-byte payload has an image magic but failed to decode (${e.getMessage})", e)
+            }
+          if (img == null)
+            throw new IllegalArgumentException(
+              s"doc_id=$id: $n-byte payload has an image magic but failed to decode (truncated or corrupt)")
           Row(id, img.getWidth, img.getHeight, img.getColorModel.getNumComponents, n)
         } else {
           // non-image payload: deterministic stand-in (see decodeImageMeta)
@@ -106,11 +125,13 @@ object Multimodal {
       .withColumn("bit_depth", conv(hex(substring(col("blob"), 25, 1)), 16, 10).cast("long"))
   }
 
-  /** Distributed synthetic-PNG fixture: real encoded PNG bytes generated
+  /** Distributed synthetic-image fixture: real encoded bytes generated
     * per-row on executors (deterministic size/pixels from `doc_id`). Used
-    * by specs and the rows-only driver query to exercise the real codec.
+    * by specs and the driver queries to exercise the real codec. `format`
+    * is an ImageIO writer name ("png", "jpg") — dimensions and channel
+    * count survive JPEG's lossy pixels, so the decode oracle stays exact.
     */
-  def syntheticPngBlobs(docs: DataFrame): DataFrame = {
+  private def syntheticImageBlobs(docs: DataFrame, format: String): DataFrame = {
     val enc = udf { (id: Long) =>
       val w = 8 + (id % 16).toInt
       val h = 8 + (id % 11).toInt
@@ -122,9 +143,13 @@ object Multimodal {
         x += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.write(img, format, bos)
       bos.toByteArray
     }
     docs.select(col("doc_id")).withColumn("blob", enc(col("doc_id")))
   }
+
+  def syntheticPngBlobs(docs: DataFrame): DataFrame = syntheticImageBlobs(docs, "png")
+
+  def syntheticJpegBlobs(docs: DataFrame): DataFrame = syntheticImageBlobs(docs, "jpg")
 }

@@ -48,6 +48,23 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("jaccard") - 15.0 / 21.0) < 1e-12)
   }
 
+  test("ngramJaccardPairs df cap: no-op above max df, drops stop-shingle inflation") {
+    val docs = mkDocs(Seq(base, nearDup, unrelated, unrelated2))
+    // cap above every shingle's df → byte-identical to the exact path
+    val exact = Dedup.ngramJaccardPairs(docs, topK = 100).collect().toSeq
+    val capped = Dedup.ngramJaccardPairs(docs, topK = 100, maxDf = 1000).collect().toSeq
+    assert(capped === exact)
+    // skew: one stop-shingle prefix shared by ALL docs creates pairs among
+    // otherwise-unrelated docs; maxDf = 2 drops it and only the true
+    // near-dup pair (which shares many rare shingles) survives
+    val skewed = mkDocs(Seq(base, nearDup, unrelated, unrelated2).map("the quick brown fox " + _))
+    val uncapped = Dedup.ngramJaccardPairs(skewed, topK = 100).collect()
+    assert(uncapped.length === 6) // every pair shares the stop-shingles
+    val cappedSkew = Dedup.ngramJaccardPairs(skewed, topK = 100, maxDf = 2).collect()
+    assert(cappedSkew.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet ===
+      Set((0L, 1L)))
+  }
+
   test("simHash: identical texts collide, near-dups are hamming-close") {
     val docs = mkDocs(Seq(base, base, nearDup, unrelated))
     val hashed = Dedup.simHash(docs)

@@ -58,6 +58,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("decodeImagePartitioned decodes JPEG via the same magic-sniffed path") {
+    val blobs = Multimodal.syntheticJpegBlobs(docs)
+    blobs.collect().foreach { r =>
+      assert(Multimodal.isJpeg(r.getAs[Array[Byte]]("blob")),
+        s"doc ${r.getLong(0)}: not a JPEG")
+    }
+    val out = Multimodal.decodeImagePartitioned(spark, blobs).orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8 + (id % 16).toInt) // width survives lossy encode
+      assert(r.getInt(2) === 8 + (id % 11).toInt)
+      assert(r.getInt(3) === 3)
+    }
+  }
+
+  test("corrupt bytes behind an image magic raise a descriptive error, not an NPE") {
+    val corrupt = Seq((7L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.fill[Byte](40)(0x42))).toDF("doc_id", "blob")
+    val e = intercept[Exception] {
+      Multimodal.decodeImagePartitioned(spark, corrupt).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("doc_id=7") && msgs.contains("failed to decode"))
+  }
+
   test("non-PNG payloads fall back to the deterministic stand-in") {
     val out = Multimodal.decodeImagePartitioned(spark, Multimodal.attachBlob(docs))
       .orderBy("doc_id").collect()
