@@ -1,18 +1,94 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.QueryExecution
 
-/** Plan auditor — `sbt "runMain graft.PlanCheck [sfDir]"`.
+/** Plan auditor and GATE — `sbt "runMain graft.PlanCheck [sfDir]"`.
   *
   * Prints, for every driver query, the scale-critical properties of its
-  * physical plan: parquet filter pushdown, read-schema pruning, join
-  * strategies (broadcast vs shuffle), and whole-stage codegen coverage.
-  * This is the ".explain and iterate" loop from the build brief turned
-  * into a repeatable report — a plan regression (lost pushdown, a dim
-  * join degrading to sort-merge) shows up as a diff of this output.
+  * physical plan: parquet filter pushdown, join strategies (broadcast vs
+  * shuffle), top-k, whole-stage codegen and exchange counts. This is the
+  * ".explain and iterate" loop from the build brief turned into a
+  * repeatable report.
+  *
+  * Since round 4 it is also a FAILING gate: [[rules]] pins the invariants
+  * the audited queries must keep (a pushed filter that stops pushing, a dim
+  * join degrading to sort-merge, a top-k degrading to a global sort), the
+  * main exits non-zero on any violation, and `PlanGateSpec` runs the same
+  * audit at sf0.001 under `sbt test`.
   */
 object PlanCheck {
+
+  /** Named plan-feature counts extracted from an executedPlan string. */
+  private[graft] def planFeatures(plan: String): Map[String, Int] = {
+    def count(s: String): Int = s.r.findAllIn(plan).length
+    Map(
+      "bhj" -> count("BroadcastHashJoin"),
+      "smj" -> count("SortMergeJoin"),
+      "shj" -> count("ShuffledHashJoin"),
+      "bnlj" -> count("BroadcastNestedLoopJoin"),
+      "cartesian" -> count("CartesianProduct"),
+      "topk" -> count("TakeOrderedAndProject"),
+      "partial_agg" -> count("HashAggregate"),
+      "wscg" -> count("WholeStageCodegen"),
+      "exchange" -> count("Exchange "),
+      "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length)
+  }
+
+  /** One pinned invariant on one audited query's physical plan. */
+  final case class Rule(query: String, desc: String, check: Map[String, Int] => Boolean)
+
+  /** Conservative floors recorded from the sf0.001 plans — AQE may improve
+    * on them at runtime, but the static plan must already satisfy them.
+    */
+  val rules: Seq[Rule] = Seq(
+    Rule("q1_pricing_summary", "shipdate filter pushed to the parquet scan", _("pushed_filters") >= 1),
+    Rule("q1_pricing_summary", "partial (map-side) + final aggregation", _("partial_agg") >= 2),
+    Rule("q1_pricing_summary", "no join in a scan→agg query",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("q3_shipping_priority", "top-10 via TakeOrderedAndProject, not a global sort", _("topk") >= 1),
+    Rule("q3_shipping_priority", "customer/orders joins broadcast at this SF", _("bhj") >= 2),
+    Rule("q5_local_supplier", "dim joins broadcast", _("bhj") >= 3),
+    Rule("q6_forecast_revenue", "filters pushed to the parquet scan", _("pushed_filters") >= 1),
+    Rule("q6_forecast_revenue", "scan→agg only: no shuffle join, one agg exchange",
+      f => f("smj") + f("shj") == 0 && f("exchange") <= 1),
+    Rule("q9_product_profit", "dim joins broadcast", _("bhj") >= 3),
+    Rule("q18_large_volume_customer", "top-100 via TakeOrderedAndProject", _("topk") >= 1),
+    Rule("q21_waiting_supplier", "semi/anti + dim joins stay broadcast", _("bhj") >= 3),
+    Rule("q21_waiting_supplier", "top-k via TakeOrderedAndProject", _("topk") >= 1),
+    Rule("op_topk", "TakeOrderedAndProject with NO exchange (a global sort would shuffle)",
+      f => f("topk") >= 1 && f("exchange") == 0),
+    Rule("op_scan_project_filter_limit", "filter pushed to the parquet scan", _("pushed_filters") >= 1),
+    Rule("op_join_inner", "small side broadcast", _("bhj") >= 1),
+    Rule("op_join_multiway", "left-deep dim joins all broadcast", _("bhj") >= 3),
+    Rule("op_join_semi", "native broadcast semi join", _("bhj") >= 1),
+    Rule("op_join_anti", "native broadcast anti join", _("bhj") >= 1),
+    Rule("llm_text_top_tokens", "global top-k via TakeOrderedAndProject", _("topk") >= 1))
+
+  /** Run every rule against its query's static physical plan; returns the
+    * violations (empty = gate passes). Only audited queries are planned —
+    * nothing is executed.
+    */
+  def audit(spark: SparkSession, sfDir: String): Seq[String] = {
+    val qs = SparkEntry.queries
+    rules.groupBy(_.query).toSeq.sortBy(_._1).flatMap { case (name, rs) =>
+      qs.get(name) match {
+        case None => Seq(s"$name: audit rule references an unknown query")
+        case Some(fn) =>
+          try {
+            val f = planFeatures(fn(spark, sfDir).queryExecution.executedPlan.toString)
+              .withDefaultValue(0)
+            val shown = f.filter(_._2 > 0).toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString(" ")
+            rs.collect { case r if !r.check(f) =>
+              s"$name: VIOLATION '${r.desc}' (plan: $shown)"
+            }
+          } catch {
+            case e: Throwable => Seq(s"$name: ERROR ${e.getMessage.take(120)}")
+          }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -26,27 +102,19 @@ object PlanCheck {
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val qe: QueryExecution = fn(spark, sfDir).queryExecution
-        val plan = qe.executedPlan.toString
-        def count(s: String): Int = s.r.findAllIn(plan).length
-        val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
-        val features = Seq(
-          "bhj" -> count("BroadcastHashJoin"),
-          "smj" -> count("SortMergeJoin"),
-          "shj" -> count("ShuffledHashJoin"),
-          "bnlj" -> count("BroadcastNestedLoopJoin"),
-          "topk" -> count("TakeOrderedAndProject"),
-          "partial_agg" -> count("HashAggregate"),
-          "wscg" -> count("WholeStageCodegen"),
-          "exchange" -> count("Exchange "),
-          "pushed_filters" -> pushed)
-          .filter(_._2 > 0)
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val features = planFeatures(plan)
+          .filter(_._2 > 0).toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(" ")
         println(s"PLAN $name :: $features")
       } catch {
         case e: Throwable => println(s"PLAN $name :: ERROR ${e.getMessage.take(80)}")
       }
     }
+    val violations = audit(spark, sfDir)
+    violations.foreach(v => println(s"PLANGATE $v"))
+    println(s"PLANGATE ${if (violations.isEmpty) "OK" else s"${violations.size} violation(s)"}")
     spark.stop()
+    if (violations.nonEmpty) sys.exit(1)
   }
 }

@@ -66,4 +66,21 @@ class SimilaritySpec extends SparkSpec {
     assert(few > 0, "2-plane LSH should recover some true neighbors")
     assert(few >= many, s"recall should not increase with more planes ($few vs $many)")
   }
+
+  test("lshTopK recall at sf0.1 vs brute force — bench scale", graft.SlowTest) {
+    // Same weakly-similar corpus at 100× the rows: with 2 planes the
+    // per-pair bucket-collision probability for the top-k cosines (~0.4)
+    // is (1 - θ/π)² ≈ 0.38, so over 20 queries × k=3 the expected overlap
+    // is ≈ 23 pairs; ≥ 10 is > 5σ below that — a real recall floor, while
+    // still loose enough for seed variance.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val brute = Similarity.bruteForceTopK(emb, k = 3, queryMaxId = 20)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, k = 3, queryMaxId = 20, planes = 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = brute.intersect(lsh).size
+    info(f"sf0.1: SRP-LSH overlap $overlap/${brute.size} at 2 planes")
+    assert(brute.size >= 50, s"expected ~60 brute-force pairs, got ${brute.size}")
+    assert(overlap >= 10, s"SRP recall collapsed at sf0.1: $overlap/${brute.size}")
+  }
 }
