@@ -34,6 +34,13 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC reader — Spark-native columnar source; like parquet, filter
+    * pushdown and column pruning reach the scan (growth beyond the
+    * reference's CSV-only surface).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Parquet sink; `partitionBy` columns become directory partitions —
     * the layout that makes downstream partition pruning free at scale.
     */
@@ -47,4 +54,9 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

@@ -111,6 +111,27 @@ object ExtraQueries {
            |FROM read_parquet('/tmp/graft_stage/orders_part/o_orderpriority=1-URGENT/*.parquet')
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** ORC sink → source round-trip (second Spark-native columnar format,
+    * beyond the reference's CSV-only surface; filter pushdown reaches the
+    * ORC scan just as it does parquet). DuckDB has no ORC reader, so the
+    * oracle reads the ORIGINAL parquet table — the check is that the ORC
+    * write + filtered read reproduces it bit-exactly, doubles included.
+    */
+  val sourceOrcRoundtrip = OpQ("op_source_orc_roundtrip",
+    (s, d) => {
+      val path = s"$stageDir/supplier_orc"
+      Sources.writeOrc(
+        Tables.load(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")),
+        path)
+      Sources.orc(s, path)
+        .filter(col("s_acctbal") > 0.0)
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+           |FROM supplier WHERE s_acctbal > 0.0
+           |ORDER BY s_suppkey""".stripMargin))
+
   /** Backward AS-OF join: each purchase event matched to the user's most
     * recent view event at-or-before it (DuckDB has a native ASOF JOIN —
     * the oracle). The right side is pre-aggregated to one row per
@@ -202,5 +223,6 @@ object ExtraQueries {
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
     setUnionByName, explodeGenerator,
     approxCountDistinct, approxQuantile,
-    sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet)
+    sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
+    sourceOrcRoundtrip)
 }

@@ -68,5 +68,23 @@ object StreamQueries {
            |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract)
+  /** Exactly-once recovery over at-least-once input: the batch replay of
+    * [[Streams.dedupEvents]] — the input is the events table unioned with
+    * itself (every event delivered twice), the output must be the original
+    * table. The duplicate copies are identical, so the kept-row choice is
+    * immaterial and the oracle is exact.
+    */
+  val dedup = OpQ("stream_dedup",
+    (s, d) => {
+      val e = ev(s, d)
+      Streams.dedupEvents(e.union(e))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_cents"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, event_type,
+           |  CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup)
 }

@@ -82,6 +82,22 @@ object Streams {
         max(col("ts")).cast("string").as("session_end"))
   }
 
+  /** At-least-once delivery dedup: exactly-once semantics recovered by
+    * dropping `event_id` duplicates within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). Streaming state holds one entry per
+    * event_id only until the watermark passes — bounded by arrival skew,
+    * not stream length, which is what makes it safe on an unbounded
+    * stream; plain `dropDuplicates` state would grow forever. Spark rejects
+    * `dropDuplicatesWithinWatermark` on batch frames outright, so the batch
+    * replay (where the whole input is visible and state is not a concern)
+    * is the equivalent distinct-by-key.
+    */
+  def dedupEvents(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "1 hour")
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark("event_id")
+    else wm.dropDuplicates("event_id")
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long)
 

@@ -40,6 +40,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("dedupEvents: duplicated stream input collapses to the batch distinct set") {
+    initLog()
+    // two copies of the same file in the landing dir = every event
+    // delivered twice (at-least-once replay)
+    val d = java.nio.file.Files.createTempDirectory("graft_events_dup").toString
+    Seq("events.parquet", "events_replay.parquet").foreach { name =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$d/$name"))
+    }
+    val q = Streams.dedupEvents(Streams.readEventsStream(spark, d))
+      .select(col("event_id"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val batchDistinct = graft.Tables.load(spark, dir, "events")
+      .select("event_id").distinct().count()
+    assert(spark.table("dedup_out").count() === batchDistinct)
+    assert(spark.table("dedup_out").distinct().count() === batchDistinct)
+  }
+
   test("runningCountsStateful: per-user totals accumulate to batch counts") {
     val events = Streams.readEventsStream(spark, streamDir)
     val q = Streams.runningCountsStateful(spark, events, evictIdleState = false).writeStream
