@@ -17,6 +17,25 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
   private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
 
+  /** Synthetic image blobs staged ONCE per (sf, format) as a parquet blob
+    * store, then read back — the realistic pipeline shape (blobs live in
+    * object storage, not a per-query encode UDF), and repeat runs time the
+    * DECODE operator instead of the fixture encoder. Content is a pure
+    * function of doc_id, so a pre-existing stage dir is always valid.
+    */
+  private def stagedBlobs(s: SparkSession, d: String, fmt: String): DataFrame = {
+    val sf = new java.io.File(d).getName
+    val path = s"/tmp/graft_stage/blobs_${fmt}_$sf"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val blobs = fmt match {
+        case "png" => Multimodal.syntheticPngBlobs(docs(s, d))
+        case _ => Multimodal.syntheticJpegBlobs(docs(s, d))
+      }
+      graft.Sources.writeParquet(blobs, path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Exact dedup — md5 digest grouping (oracle: DuckDB md5 is identical). */
   val dedupExact = OpQ("llm_dedup_exact",
     (s, d) => Dedup.exactDedup(docs(s, d))
@@ -212,8 +231,7 @@ object LlmQueries {
     * encode→decode loop arithmetically.
     */
   val multimodalPng = OpQ("llm_multimodal_png",
-    (s, d) => Multimodal.decodeImagePartitioned(s,
-        Multimodal.syntheticPngBlobs(docs(s, d)))
+    (s, d) => Multimodal.decodeImagePartitioned(s, stagedBlobs(s, d, "png"))
       .select(col("doc_id"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
@@ -230,8 +248,7 @@ object LlmQueries {
     * pixels; dims and channel count are exact, so the oracle holds).
     */
   val multimodalJpeg = OpQ("llm_multimodal_jpeg",
-    (s, d) => Multimodal.decodeImagePartitioned(s,
-        Multimodal.syntheticJpegBlobs(docs(s, d)))
+    (s, d) => Multimodal.decodeImagePartitioned(s, stagedBlobs(s, d, "jpg"))
       .select(col("doc_id"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
