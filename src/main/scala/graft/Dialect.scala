@@ -56,6 +56,20 @@ sealed trait Dialect {
 
 object Dialect {
 
+  /** Dialect by sqlglot-style name — the reference's string `dialect`
+    * argument (core.py:66 `read=dialect`, README.md:31-32 lists spark /
+    * presto / duckdb / snowflake / bigquery). Unknown names raise
+    * [[graft.UnsupportedError]] rather than silently parsing as Spark.
+    */
+  def forName(name: String): Dialect = name.toLowerCase match {
+    case "spark" | "hive" | "" => Spark
+    case "duckdb" => DuckDbish
+    case "presto" | "trino" => Trinoish
+    case "snowflake" => Snowflakeish
+    case "bigquery" => BigQueryish
+    case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
+  }
+
   /** Native Spark SQL — no rewriting. */
   case object Spark extends Dialect {
     def rewrite(spark: SparkSession, sql: String,

@@ -72,6 +72,17 @@ object Examples {
       .head().getLong(0)
     println(s"example7(sql function registration): rolling_hash64('graft')=$fp")
 
+    // the reference's string dialect argument: the same query text in four
+    // dialects through Dialect.forName (core.py:66 read=dialect)
+    val snowOut = Engine.execute(spark,
+      "SELECT IFF(1 > 0, 'y', 'n') AS a, TO_VARCHAR(DATE '1996-01-02', 'YYYY/MM') AS b",
+      dialect = Dialect.forName("snowflake")).head()
+    val bqOut = Engine.execute(spark,
+      "SELECT SAFE_CAST('x' AS INT64) IS NULL AS ok, FORMAT_DATE('%Y/%m', DATE '1996-01-02') AS b",
+      dialect = Dialect.forName("bigquery")).head()
+    println(s"example8(snowflake+bigquery): ${snowOut.getString(0)} ${snowOut.getString(1)} " +
+      s"${bqOut.getBoolean(0)} ${bqOut.getString(1)}")
+
     // streaming: the same tumblingCounts transformation under Structured
     // Streaming (file source -> memory sink) vs batch
     val evDir = java.nio.file.Files.createTempDirectory("graft_ev").toString

@@ -210,6 +210,35 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** PII redaction: every pipeline's scrubbing pass. The corpus has no
+    * real PII, so a deterministic contact line (email + phone derived from
+    * doc_id) is appended in BOTH engines and must be masked identically;
+    * counts after masking are exact integers. The regexes are RE2-safe so
+    * the identical pattern text runs on java.util.regex and DuckDB.
+    */
+  val textRedact = OpQ("llm_text_redact",
+    (s, d) => TextAnalysis.redactPii(
+        docs(s, d).withColumn("text",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("clean_text"))
+      .orderBy(col("doc_id")),
+    Some {
+      val em = TextAnalysis.emailRe
+      val ph = TextAnalysis.phoneRe
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or (555) 010-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g') AS clean_text
+         |FROM t ORDER BY doc_id""".stripMargin
+    })
+
   /** Multimodal: binary payload + stub-decoded image metadata (the stub
     * dims are a pure function of byte length, so DuckDB can oracle the
     * whole plumbing).
@@ -402,5 +431,6 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
+    textRedact,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalFrames)
 }

@@ -83,4 +83,29 @@ object TextAnalysis {
     docs
       .withColumn("md5_fp", md5(col(textCol)))
       .withColumn("rolling_fp", rolling_hash64(col(textCol)))
+
+  /** Email-address pattern kept RE2-compatible (no backrefs/lookaround) so
+    * the same regex text runs in Spark (java.util.regex) and DuckDB (RE2) —
+    * and would run in a Trino/BigQuery oracle too.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone pattern (e.g. 555-0100, (555) 010-0100). */
+  val phoneRe = "\\(?[0-9]{3}\\)?[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+
+  /** PII redaction — the scrubbing pass every training-data pipeline runs
+    * before anything else sees the text: mask emails and phone numbers,
+    * count what was masked (the counts drive corpus-level PII-rate
+    * monitoring). Pure per-row codegen'd expressions, zero shuffle,
+    * linear scan at any scale.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          lit(phoneRe), lit(0))).cast("long"))
+      .withColumn("clean_text",
+        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
 }

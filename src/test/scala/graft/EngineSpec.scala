@@ -242,6 +242,15 @@ class EngineSpec extends SparkSpec {
     assert(r.getInt(2) === 2)
   }
 
+  test("dialect: forName mirrors the reference's string dialect argument") {
+    assert(Dialect.forName("duckdb") === Dialect.DuckDbish)
+    assert(Dialect.forName("Presto") === Dialect.Trinoish)
+    assert(Dialect.forName("snowflake") === Dialect.Snowflakeish)
+    assert(Dialect.forName("bigquery") === Dialect.BigQueryish)
+    assert(Dialect.forName("spark") === Dialect.Spark)
+    intercept[UnsupportedError](Dialect.forName("mysql"))
+  }
+
   test("tableFromRows infers typed maps from the first entry") {
     val df = Engine.tableFromRows(spark, Seq(Map("m" -> Map("a" -> 1))))
     assert(df.schema("m").dataType.simpleString === "map<string,int>")
