@@ -565,6 +565,43 @@ object OpQueries {
            |FROM orders WHERE o_custkey < 50
            |ORDER BY o_custkey, o_orderkey""".stripMargin))
 
+  /** Full ranking-function suite over one partition spec: rank/dense_rank
+    * (ties on c_nationkey), ntile, percent_rank/cume_dist (same
+    * integer-ratio double arithmetic in both engines → bit-exact), and
+    * first/last value over the full frame (explicit UNBOUNDED FOLLOWING —
+    * the default frame would make last_value the current row).
+    */
+  val windowRankSuite = OpQ("op_window_rank_suite",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "customer").filter(col("c_custkey") <= 200)
+        .select(
+          col("c_mktsegment"), col("c_custkey"),
+          rank().over(Window.partitionBy(col("c_mktsegment")).orderBy(col("c_nationkey"))).as("rnk"),
+          dense_rank().over(Window.partitionBy(col("c_mktsegment")).orderBy(col("c_nationkey"))).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          first(col("c_custkey")).over(full).as("first_key"),
+          last(col("c_custkey")).over(full).as("last_key"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+           |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rnk,
+           |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS drnk,
+           |  NTILE(4) OVER w AS quartile,
+           |  PERCENT_RANK() OVER w AS pct_rank,
+           |  CUME_DIST() OVER w AS cdist,
+           |  FIRST_VALUE(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND UNBOUNDED FOLLOWING) AS first_key,
+           |  LAST_VALUE(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND UNBOUNDED FOLLOWING) AS last_key
+           |FROM customer WHERE c_custkey <= 200
+           |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey)
+           |ORDER BY c_mktsegment, c_custkey""".stripMargin))
+
   /** ROLLUP grouping sets (subtotal rows carry NULL keys — explicit NULLS
     * FIRST in the oracle's ORDER BY).
     */
@@ -652,6 +689,6 @@ object OpQueries {
     setUnion, setUnionAll, setIntersect, setIntersectAll, setExcept, setExceptAll,
     scalarCaseLikeIn, scalarArithNull, scalarNullSafeEq, arrayAggOp,
     scalarCast, scalarStrings, scalarMath, scalarDates,
-    windowTopkPerGroup, windowRunning, windowRangeFrame,
+    windowTopkPerGroup, windowRunning, windowRangeFrame, windowRankSuite,
     rollupOp, cubeOp, groupingSetsOp, pivotOp)
 }

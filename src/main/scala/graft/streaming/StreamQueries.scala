@@ -86,5 +86,25 @@ object StreamQueries {
            |  CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup)
+  /** Batch replay of the stream-stream interval join
+    * ([[Streams.purchaseAttribution]]): purchases × same-user views in the
+    * trailing hour. Counts per purchase (not raw pairs) keep the output
+    * compact; the oracle is the equivalent DuckDB range join.
+    */
+  val attribution = OpQ("stream_interval_join",
+    (s, d) => Streams.purchaseAttribution(ev(s, d))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n_views"),
+        max(col("v_ts")).cast("string").as("last_view_ts"))
+      .orderBy(col("p_id")),
+    Some("""SELECT p.event_id AS p_id, COUNT(*) AS n_views,
+           |  CAST(MAX(CAST(v.ts AS TIMESTAMP)) AS STRING) AS last_view_ts
+           |FROM events p JOIN events v
+           |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+           | AND p.user_id = v.user_id
+           | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+           | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+           |GROUP BY p.event_id ORDER BY p_id""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup, attribution)
 }

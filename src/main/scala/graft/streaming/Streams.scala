@@ -98,6 +98,27 @@ object Streams {
     else wm.dropDuplicates("event_id")
   }
 
+  /** Stream-stream interval join: each purchase joined to the SAME user's
+    * view events in the preceding hour (attribution). In streaming both
+    * sides carry watermarks and the join condition bounds event time on
+    * both sides, so Spark can size the join state and evict it as the
+    * watermark advances — the only way a stream-stream join is safe on
+    * unbounded input. In batch the watermarks are no-ops and this is a
+    * plain range join; the same code runs in both modes.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long)
 

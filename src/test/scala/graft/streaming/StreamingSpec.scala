@@ -64,6 +64,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").distinct().count() === batchDistinct)
   }
 
+  test("purchaseAttribution: stream-stream interval join equals batch") {
+    initLog()
+    val stream = Streams.purchaseAttribution(Streams.readEventsStream(spark, streamDir))
+    assert(stream.isStreaming)
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_out")
+    val batch = Streams.purchaseAttribution(graft.Tables.load(spark, dir, "events"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream-stream join and batch range join disagree")
+  }
+
   test("runningCountsStateful: per-user totals accumulate to batch counts") {
     val events = Streams.readEventsStream(spark, streamDir)
     val q = Streams.runningCountsStateful(spark, events, evictIdleState = false).writeStream
