@@ -52,6 +52,29 @@ object ExtraQueries {
         expr("percentile(o_totalprice, 0.5)").as("exact_p50")),
     None)
 
+  /** Exact ordered-set aggregates, same text on both engines:
+    * PERCENTILE_CONT / PERCENTILE_DISC (WITHIN GROUP) and MEDIAN over
+    * integer-valued doubles. Quartile fractions are powers of two, so the
+    * linear interpolation is bit-exact regardless of whether an engine
+    * computes (1−f)·a+f·b or a+f·(b−a).
+    */
+  val percentileExact = OpQ("op_percentile_exact",
+    (s, d) => graft.Tables.sql(s, d,
+      """SELECT l_returnflag,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS q1,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS q2,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS q3,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS p50_disc,
+        |  median(FLOOR(l_quantity)) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    Some("""SELECT l_returnflag,
+           |  percentile_cont(0.25) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS q1,
+           |  percentile_cont(0.5) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS q2,
+           |  percentile_cont(0.75) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS q3,
+           |  percentile_disc(0.5) WITHIN GROUP (ORDER BY FLOOR(l_quantity)) AS p50_disc,
+           |  median(FLOOR(l_quantity)) AS med
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   private val stageDir = "/tmp/graft_stage"
 
   /** CSV sink → CSV source round-trip. The query stages the region table
@@ -222,7 +245,7 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
     setUnionByName, explodeGenerator,
-    approxCountDistinct, approxQuantile,
+    approxCountDistinct, approxQuantile, percentileExact,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)
 }
