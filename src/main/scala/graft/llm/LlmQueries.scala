@@ -29,6 +29,7 @@ object LlmQueries {
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val blobs = fmt match {
         case "png" => Multimodal.syntheticPngBlobs(docs(s, d))
+        case "wav" => Multimodal.syntheticWavBlobs(docs(s, d))
         case _ => Multimodal.syntheticJpegBlobs(docs(s, d))
       }
       graft.Sources.writeParquet(blobs, path)
@@ -289,6 +290,24 @@ object LlmQueries {
            |  CAST(3 AS BIGINT) AS channels
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal: REAL WAV audio codec — synthetic PCM WAVs (rate/channels/
+    * frames known functions of doc_id) decoded by `javax.sound`, so the
+    * oracle is arithmetic. The codegen header parse (`wavHeaderMeta`) is
+    * cross-checked in MultimodalSpec.
+    */
+  val multimodalWav = OpQ("llm_multimodal_wav",
+    (s, d) => Multimodal.decodeAudioPartitioned(s, stagedBlobs(s, d, "wav"))
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_frames"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+           |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Multimodal: frame-sampling explode shape (frame_idx, byte_offset). */
   val multimodalFrames = OpQ("llm_multimodal_frames",
     (s, d) => Multimodal.sampleFrames(Multimodal.attachBlob(docs(s, d)))
@@ -432,5 +451,5 @@ object LlmQueries {
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact,
-    multimodalDecode, multimodalPng, multimodalJpeg, multimodalFrames)
+    multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

@@ -84,6 +84,35 @@ class MultimodalSpec extends SparkSpec {
     assert(msgs.contains("doc_id=7") && msgs.contains("failed to decode"))
   }
 
+  test("WAV: AudioSystem decode and codegen header parse agree with the fixture math") {
+    val blobs = Multimodal.syntheticWavBlobs(docs)
+    val full = Multimodal.decodeAudioPartitioned(spark, blobs).orderBy("doc_id").collect()
+    full.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8000 + (id % 4).toInt * 4000) // sample_rate
+      assert(r.getInt(2) === 1 + (id % 2).toInt) // channels
+      assert(r.getLong(3) === 100 + id % 50) // n_frames
+    }
+    val header = Multimodal.wavHeaderMeta(blobs)
+      .select(col("doc_id"), col("channels"), col("sample_rate"), col("bits_per_sample"),
+        col("n_frames"))
+      .orderBy("doc_id").collect()
+    header.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 1 + id % 2)
+      assert(r.getLong(2) === 8000 + (id % 4) * 4000)
+      assert(r.getLong(3) === 16L)
+      assert(r.getLong(4) === 100 + id % 50)
+    }
+    // the header parse must stay UDF-free / codegen-friendly: plan it over a
+    // materialized blob frame (no fixture-encoder UDF in the tree)
+    val materialized = spark.createDataFrame(
+      spark.sparkContext.parallelize(blobs.collect().toList), blobs.schema)
+    val plan = Multimodal.wavHeaderMeta(materialized)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
+  }
+
   test("non-PNG payloads fall back to the deterministic stand-in") {
     val out = Multimodal.decodeImagePartitioned(spark, Multimodal.attachBlob(docs))
       .orderBy("doc_id").collect()
