@@ -3,13 +3,17 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.ScaledDotMicros.scaled_dot_micros
 
 /** Similarity search over embedding columns (`array<float>`) — north-star
   * extension (BASELINE.json). Three tiers:
   *
   *  - brute-force top-k: exact, O(|Q|·n·d) — the correctness baseline.
   *    Dot products use exact scaled-integer sums so results are
-  *    reproducible bit-for-bit on any cluster size / reduction order.
+  *    reproducible bit-for-bit on any cluster size / reduction order,
+  *    computed by the codegen'd [[graft.functions.ScaledDotMicros]]
+  *    expression (a fused multiply-floor-accumulate loop inside
+  *    whole-stage codegen, not an interpreted zip_with/aggregate chain).
   *  - IVF-style partitioned top-k: restrict the search to a coarse
   *    partition (here the precomputed `label` column as the quantizer
   *    cell) — the classic inverted-file scale path: each query probes
@@ -26,8 +30,7 @@ object Similarity {
     */
   private def withNorm(e: DataFrame, vecCol: String): DataFrame =
     e.withColumn("vd", expr(s"transform($vecCol, x -> cast(x as double))"))
-      .withColumn("norm_m", expr(
-        "aggregate(vd, 0L, (acc, x) -> acc + cast(floor(x * x * 1000000) as bigint))"))
+      .withColumn("norm_m", scaled_dot_micros(col("vd"), col("vd")))
 
   /** Exact brute-force cosine top-k for the query set `queryPred` (e.g.
     * `col("vec_id") < 5`). Cosine = Σ⌊xᵢyᵢ·10⁶⌋ / (√Σ⌊xᵢ²·10⁶⌋·√Σ⌊yᵢ²·10⁶⌋)
@@ -41,9 +44,7 @@ object Similarity {
       .filter(col("a_id") < queryMaxId)
     val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"), col("norm_m").as("b_norm"))
     val dots = q.join(c, col("a_id") =!= col("b_id"))
-      .withColumn("dot_m", expr(
-        "aggregate(zip_with(a_vd, b_vd, (x, y) -> cast(floor(x * y * 1000000) as bigint)), " +
-          "0L, (acc, v) -> acc + v)"))
+      .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
       .withColumn("cosine",
         col("dot_m").cast("double") /
           (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
@@ -68,9 +69,7 @@ object Similarity {
     val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"),
       col("norm_m").as("b_norm"), col("cell"))
     val dots = q.join(c, Seq("cell")).filter(col("a_id") =!= col("b_id"))
-      .withColumn("dot_m", expr(
-        "aggregate(zip_with(a_vd, b_vd, (x, y) -> cast(floor(x * y * 1000000) as bigint)), " +
-          "0L, (acc, v) -> acc + v)"))
+      .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
       .withColumn("cosine",
         col("dot_m").cast("double") /
           (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
@@ -109,9 +108,7 @@ object Similarity {
     val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"),
       col("norm_m").as("b_norm"), col("bucket"))
     val dots = q.join(c, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
-      .withColumn("dot_m", expr(
-        "aggregate(zip_with(a_vd, b_vd, (x, y) -> cast(floor(x * y * 1000000) as bigint)), " +
-          "0L, (acc, v) -> acc + v)"))
+      .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
       .withColumn("cosine",
         col("dot_m").cast("double") /
           (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))

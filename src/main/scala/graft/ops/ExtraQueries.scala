@@ -52,6 +52,32 @@ object ExtraQueries {
         expr("percentile(o_totalprice, 0.5)").as("exact_p50")),
     None)
 
+  /** JSON scalar functions over the events `props` payload plus a
+    * constructed nested document (array index + nested-object paths):
+    * `get_json_object` path extraction and typed `from_json` on the Spark
+    * side vs DuckDB's `json_extract`. Same JSONPath syntax both engines.
+    */
+  val jsonFunctions = OpQ("op_json_functions",
+    (s, d) => graft.Tables.sql(s, d,
+      """SELECT event_id,
+        |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k,
+        |  from_json(props, 'k BIGINT').k AS k2,
+        |  CAST(get_json_object(
+        |    concat('{"a": [', CAST(event_id % 7 AS STRING), ', 2], "m": {"x": ',
+        |           CAST(event_id % 5 AS STRING), '}}'), '$.a[0]') AS BIGINT) AS a0,
+        |  CAST(get_json_object(
+        |    concat('{"a": [', CAST(event_id % 7 AS STRING), ', 2], "m": {"x": ',
+        |           CAST(event_id % 5 AS STRING), '}}'), '$.m.x') AS BIGINT) AS mx
+        |FROM events ORDER BY event_id""".stripMargin),
+    Some("""SELECT event_id,
+           |  json_extract(props, '$.k')::BIGINT AS k,
+           |  json_extract(props, '$.k')::BIGINT AS k2,
+           |  json_extract('{"a": [' || (event_id % 7)::VARCHAR || ', 2], "m": {"x": '
+           |    || (event_id % 5)::VARCHAR || '}}', '$.a[0]')::BIGINT AS a0,
+           |  json_extract('{"a": [' || (event_id % 7)::VARCHAR || ', 2], "m": {"x": '
+           |    || (event_id % 5)::VARCHAR || '}}', '$.m.x')::BIGINT AS mx
+           |FROM events ORDER BY event_id""".stripMargin))
+
   /** Exact ordered-set aggregates, same text on both engines:
     * PERCENTILE_CONT / PERCENTILE_DISC (WITHIN GROUP) and MEDIAN over
     * integer-valued doubles. Quartile fractions are powers of two, so the
@@ -245,7 +271,7 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
     setUnionByName, explodeGenerator,
-    approxCountDistinct, approxQuantile, percentileExact,
+    approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)
 }

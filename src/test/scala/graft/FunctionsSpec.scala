@@ -49,6 +49,43 @@ class FunctionsSpec extends SparkSpec {
     assert(!got(0).isNullAt(0) && got(1).isNullAt(0))
   }
 
+  test("scaled_dot_micros equals the HOF formulation on random vectors + edge cases") {
+    import graft.functions.ScaledDotMicros.scaled_dot_micros
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-2.0, 2.0))
+    val rows = (1L to 50L).map { seed =>
+      val a = vecGen.apply(Gen.Parameters.default, Seed(seed)).get
+      val b = vecGen.apply(Gen.Parameters.default, Seed(seed + 1000)).get
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"), col("b").cast("array<double>").as("b"))
+    val native = df.select(scaled_dot_micros(col("a"), col("b"))).as[Long].collect()
+    val hof = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> cast(floor(x * y * 1000000) as bigint)), " +
+        "0L, (acc, v) -> acc + v)")).as[Long].collect()
+    assert(native.toSeq === hof.toSeq)
+    // reference loop agrees too
+    val expected = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.floor(x * y * 1e6).toLong }.sum
+    }
+    assert(native.toSeq === expected)
+    // length mismatch and null element -> NULL (zip_with-pad semantics)
+    val edge = Seq(
+      (Seq(1.0, 2.0), Seq(1.0)),
+      (Seq(1.0), Seq(1.0))).toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"), col("b").cast("array<double>").as("b"))
+      .select(scaled_dot_micros(col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getLong(0) === 1000000L)
+    // SQL registration
+    graft.functions.ScaledDotMicros.registerSql(spark)
+    val viaSql = spark.sql(
+      "SELECT scaled_dot_micros(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Long].head()
+    assert(viaSql === 11000000L)
+  }
+
   test("cents sums are independent of partitioning (exactness invariant)") {
     val df = (1 to 10000).map(i => i * 0.07).toDF("x")
     val one = df.repartition(1).agg(sum(ops.Relational.cents(col("x")))).as[Long].head()
