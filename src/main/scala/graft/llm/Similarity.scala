@@ -87,14 +87,8 @@ object Similarity {
   def srpBuckets(embeddings: DataFrame, planes: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     withNorm(embeddings.select(col(idCol), col(vecCol)), vecCol)
-      .withColumn("bucket", expr(
-        s"""aggregate(
-           |  transform(sequence(0, ${planes - 1}),
-           |    p -> if(aggregate(zip_with(vd, sequence(0, size(vd) - 1),
-           |             (x, i) -> if(pmod(hash(p * 7919 + i), 2) = 0, x, -x)),
-           |           cast(0.0 as double), (acc, v) -> acc + v) > 0,
-           |         shiftleft(1L, p), 0L)),
-           |  0L, (acc, b) -> acc | b)""".stripMargin))
+      .withColumn("bucket",
+        graft.functions.SrpBucket.srp_bucket(col("vd"), planes))
 
   /** LSH-bucketed approximate top-k: exact cosine within the query's
     * bucket only. Recall < 1 by construction; the ScalaTest suite measures

@@ -67,6 +67,27 @@ class SimilaritySpec extends SparkSpec {
     assert(few >= many, s"recall should not increase with more planes ($few vs $many)")
   }
 
+  test("SrpBucket native expression is bit-identical to the HOF formulation") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = 12
+    val base = Similarity.srpBuckets(emb, planes).select(col("vec_id"), col("bucket"))
+    // the pre-round-4 doubly-nested HOF text — the independent reference
+    val hof = emb
+      .withColumn("vd", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("bucket_hof", expr(
+        s"""aggregate(
+           |  transform(sequence(0, ${planes - 1}),
+           |    p -> if(aggregate(zip_with(vd, sequence(0, size(vd) - 1),
+           |             (x, i) -> if(pmod(hash(p * 7919 + i), 2) = 0, x, -x)),
+           |           cast(0.0 as double), (acc, v) -> acc + v) > 0,
+           |         shiftleft(1L, p), 0L)),
+           |  0L, (acc, b) -> acc | b)""".stripMargin))
+      .select(col("vec_id").as("h_id"), col("bucket_hof"))
+    val joined = base.join(hof, col("vec_id") === col("h_id"))
+    assert(joined.filter(col("bucket") =!= col("bucket_hof")).count() === 0)
+    assert(joined.count() > 0)
+  }
+
   test("lshTopK recall at sf0.1 vs brute force — bench scale", graft.SlowTest) {
     // Same weakly-similar corpus at 100× the rows: with 2 planes the
     // per-pair bucket-collision probability for the top-k cosines (~0.4)
