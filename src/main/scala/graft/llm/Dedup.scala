@@ -175,22 +175,14 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint: each token hashed with xxhash64; bit i of
     * the fingerprint is the sign of Σ_tokens (±1 by the token's bit i).
-    * Bit-vote accumulation is a single `aggregate` higher-order fold per
-    * document — no shuffle, no UDF.
+    * Computed by the codegen'd [[graft.functions.SimHash64]] expression —
+    * one stack-allocated vote array per document inside whole-stage
+    * codegen, no shuffle, no UDF (and none of the per-token array
+    * allocation the old higher-order fold paid).
     */
   def simHash(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("th", expr(s"transform(split($textCol, ' '), t -> xxhash64(t))"))
-      .withColumn("votes", expr(
-        """aggregate(th, array_repeat(0, 64),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |                (v, i) -> v + if(((h >> i) & 1) = 1, 1, -1)))
-          |""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(votes, sequence(0, 63), (v, i) -> if(v > 0, shiftleft(1L, i), 0L)),
-          |  0L, (acc, b) -> acc | b)
-          |""".stripMargin))
-      .drop("th", "votes")
+    docs.withColumn("simhash",
+      graft.functions.SimHash64.simhash64(split(col(textCol), " ")))
 
   /** SimHash near-dup candidates via Manku-style block-combination banding
     * (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web

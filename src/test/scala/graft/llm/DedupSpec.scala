@@ -65,6 +65,26 @@ class DedupSpec extends SparkSpec {
       Set((0L, 1L)))
   }
 
+  test("SimHash64 native expression is bit-identical to the old HOF fold") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val native = Dedup.simHash(docs).select(col("doc_id"), col("simhash"))
+    // the pre-round-4 two-stage HOF fold — the independent reference
+    val hof = docs
+      .withColumn("th", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .withColumn("votes", expr(
+        """aggregate(th, array_repeat(0, 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |                (v, i) -> v + if(((h >> i) & 1) = 1, 1, -1)))""".stripMargin))
+      .withColumn("simhash_hof", expr(
+        """aggregate(zip_with(votes, sequence(0, 63), (v, i) -> if(v > 0, shiftleft(1L, i), 0L)),
+          |  0L, (acc, b) -> acc | b)""".stripMargin))
+      .select(col("doc_id").as("h_id"), col("simhash_hof"))
+    val joined = native.join(hof, col("doc_id") === col("h_id"))
+    assert(joined.filter(col("simhash") =!= col("simhash_hof")).count() === 0)
+    assert(joined.count() > 0)
+  }
+
   test("simHash: identical texts collide, near-dups are hamming-close") {
     val docs = mkDocs(Seq(base, base, nearDup, unrelated))
     val hashed = Dedup.simHash(docs)
