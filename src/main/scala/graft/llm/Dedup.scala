@@ -49,27 +49,19 @@ object Dedup {
       .drop("w")
 
   /** MinHash signatures: `numHashes` permutations h_j(x) = (a_j·x + b_j)
-    * mod p over murmur3 shingle hashes. Computed as explode + `numHashes`
-    * codegen'd MIN aggregates rather than nested higher-order folds: HOF
-    * lambdas run interpreted (measured 10× slower at 1.3M shingle
-    * instances), while HashAggregate mins are whole-stage-codegen'd with
-    * map-side partial combine — the shuffle carries only docs × numHashes
-    * values. Returns the input plus `sig` (array&lt;bigint&gt;).
+    * mod p over murmur3 shingle hashes, computed by the per-row codegen'd
+    * [[graft.functions.MinHashSig]] expression. The signature depends only
+    * on the document's own shingles, so it belongs in the row scan: the
+    * previous explode → groupBy(`numHashes` MIN aggs) → join-back pipeline
+    * paid two shuffles (one row per doc×shingle into the aggregation, then
+    * the signature join); this is a ZERO-shuffle map stage with identical
+    * bits (DedupSpec gates the equivalence). Returns the input plus `sig`
+    * (array&lt;bigint&gt;).
     */
   def minHashSignatures(shingled: DataFrame, numHashes: Int = 32): DataFrame = {
     require(numHashes > 0)
-    val p = 4294967311L // smallest prime > 2^32
-    val exploded = shingled
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), abs(hash(col("s")).cast("long")).as("h"))
-    val minCols = (0 until numHashes).map { j =>
-      min(pmod(lit(2L * j + 1) * col("h") + lit(j * 2654435761L), lit(p))).as(s"__m$j")
-    }
-    val sigs = exploded.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(j => col(s"__m$j")): _*).as("sig"))
-    shingled.join(sigs, "doc_id")
+    shingled.withColumn("sig",
+      graft.functions.MinHashSig.minhash_sig(col("shingles"), numHashes))
   }
 
   /** LSH banding: split the signature into `bands` bands and emit one row

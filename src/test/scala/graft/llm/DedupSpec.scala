@@ -65,6 +65,29 @@ class DedupSpec extends SparkSpec {
       Set((0L, 1L)))
   }
 
+  test("MinHashSig native expression is bit-identical to the explode+MIN-agg pipeline") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val shingled = Dedup.withShingles(docs)
+    val native = Dedup.minHashSignatures(shingled, numHashes = 32)
+      .select(col("doc_id"), col("sig"))
+    // the pre-round-4 aggregate formulation — the independent reference
+    val p = 4294967311L
+    val exploded = shingled
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), abs(hash(col("s")).cast("long")).as("h"))
+    val minCols = (0 until 32).map { j =>
+      min(pmod(lit(2L * j + 1) * col("h") + lit(j * 2654435761L), lit(p))).as(s"__m$j")
+    }
+    val ref = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id").as("r_id"),
+        array((0 until 32).map(j => col(s"__m$j")): _*).as("sig_ref"))
+    val joined = native.join(ref, col("doc_id") === col("r_id"))
+    assert(joined.filter(col("sig") =!= col("sig_ref")).count() === 0)
+    assert(joined.count() > 0)
+  }
+
   test("SimHash64 native expression is bit-identical to the old HOF fold") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
