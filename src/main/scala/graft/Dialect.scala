@@ -109,6 +109,7 @@ object Dialect {
         escapeBackslashLiterals, // FIRST: later steps generate Spark-escaped literals
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
+        rewriteQualify(_),
         rewriteIntDiv,
         rewriteColonCast,
         rewriteStrftime,
@@ -161,6 +162,7 @@ object Dialect {
       val steps: Seq[String => String] = Seq(
         s => renameFunctions(s, renames, esc = true), // to_char joins to_varchar
         s => rewriteDoubleQuotedIdents(s, esc = true),
+        s => rewriteQualify(s, esc = true),
         rewriteSnowDateAdd,
         rewriteSnowDateDiff,
         rewriteToVarchar)
@@ -187,6 +189,7 @@ object Dialect {
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
+        s => rewriteQualify(s, esc = true),
         rewriteFormatDate,
         rewriteBqDateDiff,
         s => renameWords(s, typeRenames, esc = true),
@@ -625,6 +628,105 @@ object Dialect {
         throw new graft.UnsupportedError("epoch expects a single argument")
       s"CAST(CAST(${args(0)} AS TIMESTAMP) AS DOUBLE)"
     }
+
+  // ---- QUALIFY ------------------------------------------------------------
+
+  /** Paren depth before each character (literal-span aware). */
+  private def depthAt(sql: String, spans: Vector[(Int, Int)]): Array[Int] = {
+    val d = new Array[Int](sql.length + 1)
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      d(i) = depth
+      if (outsideLiterals(spans, i)) {
+        val c = sql.charAt(i)
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      }
+      i += 1
+    }
+    d(sql.length) = depth
+    d
+  }
+
+  /** First word-boundary match of `kw` at paren depth 0, outside literals,
+    * at or after `from`; -1 if none.
+    */
+  private def topLevelKeyword(sql: String, spans: Vector[(Int, Int)],
+      depth: Array[Int], kw: String, from: Int = 0): Int =
+    ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(sql)
+      .find(m => m.start >= from && depth(m.start) == 0 && outsideLiterals(spans, m.start))
+      .map(_.start).getOrElse(-1)
+
+  /** Output-column name of a select-list item: the identifier after a
+    * trailing AS, or the last segment of a bare column reference. Anything
+    * else (un-aliased expression, `*`) raises — QUALIFY rewriting needs a
+    * name to re-select by.
+    */
+  private def itemName(item: String): String = {
+    val t = item.trim
+    val asRe = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$".r
+    asRe.findFirstMatchIn(t) match {
+      case Some(m) => m.group(1)
+      case None =>
+        if (t.matches("[A-Za-z_][A-Za-z0-9_.]*")) t.split('.').last
+        else throw new graft.UnsupportedError(
+          s"QUALIFY requires aliased select items to derive output names; cannot name: $t")
+    }
+  }
+
+  /** `QUALIFY <pred>` (Snowflake/DuckDB/BigQuery — filter on window results;
+    * Spark has no such clause) → subquery + WHERE:
+    *
+    *   - predicate over ALIASED window columns (`QUALIFY rn <= 3`): wrap the
+    *     select and filter — `SELECT * FROM (inner) WHERE pred`.
+    *   - predicate with an INLINE window (`QUALIFY row_number() OVER (…) = 1`,
+    *     the canonical idiom): the window cannot live in a WHERE clause, so
+    *     it is materialized as a boolean column inside the subquery and the
+    *     outer select re-projects the original output names —
+    *     `SELECT names FROM (SELECT items, (pred) AS __qual FROM …) WHERE __qual`.
+    *
+    * Both preserve QUALIFY semantics exactly because the inner query is
+    * unfiltered: windows see the same rows they would in the source engine.
+    * Only a top-level QUALIFY is rewritten; SELECT DISTINCT with an inline
+    * window raises (adding the __qual column would change the distinct).
+    */
+  private[graft] def rewriteQualify(sql: String, esc: Boolean = false): String = {
+    val spans = literalSpans(sql, esc)
+    val depth = depthAt(sql, spans)
+    val qIdx = topLevelKeyword(sql, spans, depth, "QUALIFY")
+    if (qIdx < 0) return sql
+    val afterQ = qIdx + "QUALIFY".length
+    val boundary = Seq("ORDER", "LIMIT")
+      .map(kw => topLevelKeyword(sql, spans, depth, kw, afterQ))
+      .filter(_ >= 0)
+      .sorted.headOption.getOrElse(sql.length)
+    val inner = sql.substring(0, qIdx).trim
+    val pred = sql.substring(afterQ, boundary).trim
+    val tail = sql.substring(boundary)
+    if (pred.isEmpty) throw new graft.UnsupportedError("QUALIFY requires a predicate")
+    val predSpans = literalSpans(pred, esc)
+    val hasWindow = "(?i)\\bOVER\\s*\\(".r.findAllMatchIn(pred)
+      .exists(m => outsideLiterals(predSpans, m.start))
+    if (!hasWindow) {
+      s"SELECT * FROM ( $inner ) __qualify WHERE $pred $tail"
+    } else {
+      val iSpans = literalSpans(inner, esc)
+      val iDepth = depthAt(inner, iSpans)
+      val selIdx = topLevelKeyword(inner, iSpans, iDepth, "SELECT")
+      val fromIdx = topLevelKeyword(inner, iSpans, iDepth, "FROM")
+      if (selIdx != 0 || fromIdx < 0)
+        throw new graft.UnsupportedError(s"cannot locate SELECT … FROM around QUALIFY in: $sql")
+      if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(inner).isDefined)
+        throw new graft.UnsupportedError(
+          "QUALIFY with an inline window is not supported under SELECT DISTINCT")
+      val listStart = selIdx + "SELECT".length
+      val items = splitArgs(inner, iSpans, listStart, fromIdx).map(_.trim).filter(_.nonEmpty)
+      val names = items.map(itemName).mkString(", ")
+      val augmented = inner.substring(0, fromIdx) + s", ($pred) AS __qual " +
+        inner.substring(fromIdx)
+      s"SELECT $names FROM ( $augmented ) __qualify WHERE __qual $tail"
+    }
+  }
 
   // ---- Snowflake constructs -----------------------------------------------
 

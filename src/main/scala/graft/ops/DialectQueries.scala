@@ -208,6 +208,23 @@ object DialectQueries {
            |  'it''s READ_JSON(x)' AS tricky
            |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
 
+  /** QUALIFY — the Snowflake/DuckDB/BigQuery window-filter clause Spark
+    * lacks, in its canonical inline-window form. Same text both engines:
+    * DuckDB runs QUALIFY natively, Spark through the subquery rewrite.
+    */
+  val qualifyOp = OpQ("op_dialect_qualify",
+    (s, d) => duck(s, d,
+      """SELECT c_mktsegment, c_custkey, c_acctbal
+        |FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal DESC, c_custkey) <= 2
+        |ORDER BY c_mktsegment, c_custkey LIMIT 100""".stripMargin),
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal
+           |FROM customer
+           |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+           |                           ORDER BY c_acctbal DESC, c_custkey) <= 2
+           |ORDER BY c_mktsegment, c_custkey LIMIT 100""".stripMargin))
+
   /** Snowflake surface ([[Dialect.Snowflakeish]]): IFF, NVL2 (Spark-native),
     * DATEADD day/month, DATEDIFF day/month/year (boundary crossings),
     * TO_VARCHAR with and without a format, quoted identifiers. Oracle is the
@@ -277,5 +294,5 @@ object DialectQueries {
 
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
-    intDivNeg, literalEdges, snowflake, bigquery)
+    intDivNeg, literalEdges, snowflake, bigquery, qualifyOp)
 }

@@ -242,6 +242,31 @@ class EngineSpec extends SparkSpec {
     assert(r.getInt(2) === 2)
   }
 
+  test("dialect: QUALIFY rewrite — aliased predicate, inline window, edge cases") {
+    // aliased predicate → simple wrap
+    assert(Dialect.rewriteQualify(
+      "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t QUALIFY rn <= 3 ORDER BY a") ===
+      "SELECT * FROM ( SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t ) __qualify WHERE rn <= 3 ORDER BY a")
+    // inline window → materialized __qual column + name re-projection
+    assert(Dialect.rewriteQualify(
+      "SELECT a, t.b FROM t QUALIFY row_number() OVER (ORDER BY a) = 1") ===
+      "SELECT a, b FROM ( SELECT a, t.b , (row_number() OVER (ORDER BY a) = 1) AS __qual FROM t ) __qualify WHERE __qual ")
+    // QUALIFY inside a subquery (depth > 0) is not touched
+    val sub = "SELECT * FROM (SELECT a FROM t) x WHERE 'QUALIFY' = 'QUALIFY'"
+    assert(Dialect.rewriteQualify(sub) === sub)
+    // un-aliased expression under an inline window → clear error
+    intercept[UnsupportedError](Dialect.rewriteQualify(
+      "SELECT a + 1 FROM t QUALIFY row_number() OVER (ORDER BY a) = 1"))
+    // end-to-end over a constructed frame, aliased-predicate form
+    val out = Engine.execute(spark,
+      """SELECT c, a, row_number() OVER (PARTITION BY c ORDER BY a) AS rn
+        |FROM t1 QUALIFY rn = 1 ORDER BY c""".stripMargin,
+      Map("t1" -> t1), Dialect.DuckDbish)
+    val rows = out.collect()
+    assert(rows.length === 7) // one row per c value
+    assert(rows.forall(_.getInt(2) === 1))
+  }
+
   test("dialect: forName mirrors the reference's string dialect argument") {
     assert(Dialect.forName("duckdb") === Dialect.DuckDbish)
     assert(Dialect.forName("Presto") === Dialect.Trinoish)
