@@ -238,25 +238,34 @@ object Dedup {
     // pipeline's dominant shuffle). Collisions (~1e-9 at 1e6 shingles)
     // would only perturb a count if two colliding shingles co-occurred in
     // the same pair.
-    val sh0 = withShingles(docs.filter(size(split(col("text"), " ")) >= 3))
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
-      .distinct()
+    // `shingles` is array_distinct per doc, so (doc_id, sh) is already
+    // distinct (up to 64-bit hash collisions, ~1e-19 per doc) — no dedup
+    // shuffle needed, and the per-doc shingle count rides along as
+    // size(shingles) instead of a groupBy + join-back. The single
+    // repartition on the join key is load-bearing: it is the partitioning
+    // the self-join needs anyway, and the exchange is REUSED by both join
+    // sides, so the shingling pipeline (split/transform/explode/hash)
+    // executes once — without it each side recomputes it from the scan
+    // (measured 2.2× slower at sf0.1).
+    val shAll = withShingles(docs.filter(size(split(col("text"), " ")) >= 3))
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+      .repartition(col("sh"))
     // Σ df² relief valve (SCALE.md): a stop-shingle appearing in df docs
     // contributes df² candidate rows to the self-join but carries almost no
     // similarity signal. maxDf > 0 drops shingles with document frequency
     // above the cap BEFORE the join — the result is exact Jaccard over the
-    // df-capped shingle space (counts and denominators both post-filter).
-    // maxDf = 0 (default) is the exact full-space path, byte-identical to
-    // the uncapped plan. One extra count-shuffle on the 8-byte key when on.
-    val sh = if (maxDf > 0) {
-      val dfc = sh0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      sh0.join(dfc.filter(col("df") <= maxDf).select(col("sh")), "sh")
-    } else sh0
-    // carry each doc's shingle count through the join instead of
-    // re-joining counts onto the pair table afterwards
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shn = sh.join(cnt, "doc_id")
+    // df-capped shingle space, so the per-doc count is recomputed
+    // post-filter (a groupBy + join this branch genuinely needs).
+    // maxDf = 0 (default) keeps the exact full-space plan the oracle checks.
+    val shn = if (maxDf > 0) {
+      val dfc = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val kept = shAll.drop("n")
+        .join(dfc.filter(col("df") <= maxDf).select(col("sh")), "sh")
+      val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      kept.join(cnt, "doc_id")
+    } else shAll
     val pairs = shn.as("a").join(shn.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
