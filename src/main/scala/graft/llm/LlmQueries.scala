@@ -211,6 +211,25 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** Deterministic stratified sampling: 20 docs per byte-length stratum,
+    * picked by an exact integer pseudo-random permutation — the balanced
+    * downsampling step of a curation pipeline, bit-reproducible on any
+    * engine (unlike RNG sampleBy), hence a full DuckDB oracle.
+    */
+  val sampleStratified = OpQ("llm_sample_stratified",
+    (s, d) => TextAnalysis.stratifiedSample(
+        docs(s, d).withColumn("stratum",
+          pmod(octet_length(col("text")).cast("long"), lit(5L))),
+        "stratum", perKey = 20)
+      .select(col("doc_id"), col("stratum"))
+      .orderBy(col("stratum"), col("doc_id")),
+    Some("""SELECT doc_id, stratum FROM (
+           |  SELECT doc_id, octet_length(CAST(text AS BLOB)) % 5 AS stratum,
+           |    ROW_NUMBER() OVER (PARTITION BY octet_length(CAST(text AS BLOB)) % 5
+           |      ORDER BY (doc_id * 2654435761) % 4294967311, doc_id) AS rn
+           |  FROM documents) t
+           |WHERE rn <= 20 ORDER BY stratum, doc_id""".stripMargin))
+
   /** PII redaction: every pipeline's scrubbing pass. The corpus has no
     * real PII, so a deterministic contact line (email + phone derived from
     * doc_id) is appended in BOTH engines and must be masked identically;
@@ -450,6 +469,6 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    textRedact,
+    textRedact, sampleStratified,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

@@ -93,6 +93,24 @@ object TextAnalysis {
   /** North-American-style phone pattern (e.g. 555-0100, (555) 010-0100). */
   val phoneRe = "\\(?[0-9]{3}\\)?[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
 
+  /** Deterministic stratified sampling: keep `perKey` rows per stratum,
+    * chosen by a Weyl-style pseudo-random permutation of the id
+    * ((id·2654435761) mod p — exact BIGINT arithmetic, so any engine
+    * reproduces the same sample, unlike RNG-based sampleBy). The balanced
+    * per-class downsampling step of a training-data pipeline: one window
+    * shuffle on the stratum key, no global sort.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, perKey: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(4294967311L)), col(idCol))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perKey)
+      .drop("__rn")
+  }
+
   /** PII redaction — the scrubbing pass every training-data pipeline runs
     * before anything else sees the text: mask emails and phone numbers,
     * count what was masked (the counts drive corpus-level PII-rate
