@@ -10,11 +10,12 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins the invariants
-  * the audited queries must keep (a pushed filter that stops pushing, a dim
-  * join degrading to sort-merge, a top-k degrading to a global sort), the
-  * main exits non-zero on any violation, and `PlanGateSpec` runs the same
-  * audit at sf0.001 under `sbt test`.
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 31 invariants
+  * across 22 audited queries (a pushed filter that stops pushing, a dim
+  * join degrading to sort-merge, a top-k degrading to a global sort, a
+  * map-only operator growing a join or extra exchange); the main exits
+  * non-zero on any violation, and `PlanGateSpec` runs the same audit at
+  * sf0.001 under `sbt test`.
   */
 object PlanCheck {
 
@@ -62,7 +63,21 @@ object PlanCheck {
     Rule("op_join_multiway", "left-deep dim joins all broadcast", _("bhj") >= 3),
     Rule("op_join_semi", "native broadcast semi join", _("bhj") >= 1),
     Rule("op_join_anti", "native broadcast anti join", _("bhj") >= 1),
-    Rule("llm_text_top_tokens", "global top-k via TakeOrderedAndProject", _("topk") >= 1))
+    Rule("llm_text_top_tokens", "global top-k via TakeOrderedAndProject", _("topk") >= 1),
+    Rule("llm_dedup_minhash", "post-checkpoint stage stays lean", _("exchange") <= 2),
+    Rule("llm_dedup_ngram_jaccard", "pair ranking via TakeOrderedAndProject", _("topk") >= 1),
+    Rule("llm_text_redact", "pure per-row scan: no join, one output exchange",
+      f => f("exchange") <= 1 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0),
+    Rule("llm_text_stats", "pure per-row scan: one output exchange", _("exchange") <= 1),
+    Rule("llm_multimodal_png", "decode is a map stage: no join, one output exchange",
+      f => f("exchange") <= 1 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0),
+    Rule("llm_sample_stratified", "one window shuffle, no global sort",
+      f => f("exchange") <= 2 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0),
+    Rule("op_percentile_exact", "partial + final ordered-set aggregation", _("partial_agg") >= 2),
+    Rule("op_dialect_qualify", "QUALIFY rewrite keeps the top-k shape", _("topk") >= 1),
+    Rule("stream_interval_join", "event-type filters pushed to the scan", _("pushed_filters") >= 2),
+    Rule("stream_interval_join", "a real join (any strategy), never cartesian",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —
