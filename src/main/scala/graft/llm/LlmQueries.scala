@@ -211,6 +211,24 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** Context-window chunking (64-token windows, 16-token overlap) — chunk
+    * boundaries, sizes and text are exact functions of the token array, so
+    * the full explode output oracles bit-exact.
+    */
+  val chunkDocs = OpQ("llm_chunk_documents",
+    (s, d) => TextAnalysis.chunkDocuments(docs(s, d), chunkTokens = 64, overlap = 16)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""SELECT doc_id, n_tokens,
+           |  ((start - 1) // 48)::BIGINT AS chunk_idx,
+           |  start::BIGINT AS start_token,
+           |  len(list_slice(w, start, start + 63))::BIGINT AS chunk_tokens,
+           |  array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text
+           |FROM (
+           |  SELECT doc_id, len(w)::BIGINT AS n_tokens, w,
+           |    UNNEST(range(1, greatest(1, len(w) - 16) + 1, 48)) AS start
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s) t
+           |ORDER BY doc_id, chunk_idx""".stripMargin))
+
   /** Deterministic stratified sampling: 20 docs per byte-length stratum,
     * picked by an exact integer pseudo-random permutation — the balanced
     * downsampling step of a curation pipeline, bit-reproducible on any
@@ -469,6 +487,6 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    textRedact, sampleStratified,
+    textRedact, sampleStratified, chunkDocs,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

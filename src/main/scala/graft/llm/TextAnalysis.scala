@@ -93,6 +93,30 @@ object TextAnalysis {
   /** North-American-style phone pattern (e.g. 555-0100, (555) 010-0100). */
   val phoneRe = "\\(?[0-9]{3}\\)?[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
 
+  /** Overlapping token-window chunking — the canonical LLM preprocessing
+    * step (context-window packing): chunk starts advance by
+    * `chunkTokens - overlap`, the final chunk absorbs the tail, short docs
+    * yield one chunk. Explode shape: one shuffle-free generator per doc,
+    * chunk boundaries and text are exact functions of the token array so
+    * the whole operator oracles bit-exact.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .withColumn("w", split(col(textCol), " "))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("w"),
+        posexplode(expr(s"sequence(1L, greatest(1L, n_tokens - $overlap), $stride)"))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_token"),
+        expr(s"size(slice(w, int(start), $chunkTokens))").cast("long").as("chunk_tokens"),
+        expr(s"concat_ws(' ', slice(w, int(start), $chunkTokens))").as("chunk_text"))
+  }
+
   /** Deterministic stratified sampling: keep `perKey` rows per stratum,
     * chosen by a Weyl-style pseudo-random permutation of the id
     * ((id·2654435761) mod p — exact BIGINT arithmetic, so any engine
