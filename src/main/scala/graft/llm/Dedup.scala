@@ -226,6 +226,27 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Decontamination: flag corpus documents sharing ANY word-3-gram
+    * shingle with a blocklist (the benchmark/test-set overlap removal
+    * step every training-data pipeline runs before training). The
+    * blocklist's distinct shingles are BROADCAST — benchmark suites are
+    * tiny next to a 100 TB corpus — so the scan side never shuffles: a
+    * broadcast semi-join per partition, then one distinct on the (small)
+    * contaminated id set. Exact containment, no similarity threshold.
+    */
+  def decontaminate(docs: DataFrame, blocklist: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val ds = withShingles(docs, textCol)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val bs = withShingles(blocklist.select(col("doc_id"), col(textCol)), textCol)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val contaminated = ds.join(broadcast(bs), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    docs.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
     * self-join on the shingle (shuffle on shingle, cost bounded by
     * co-occurrence, never n²), count common shingles per pair, and compute

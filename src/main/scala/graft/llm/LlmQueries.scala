@@ -211,6 +211,34 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** Decontamination against a deterministic blocklist (docs with
+    * doc_id % 97 = 0 stand in for a benchmark suite): any shared 3-gram
+    * shingle flags the document. The planted duplicate groups in the
+    * corpus guarantee non-trivial cross-document contamination. The
+    * oracle mirrors the shingle construction (distinct word 3-grams,
+    * whole-text fallback under 3 tokens) exactly.
+    */
+  val decontaminate = OpQ("llm_decontaminate",
+    (s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminate(all, all.filter(col("doc_id") % 97 === 0))
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+           |         i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+           |    ELSE [text] END AS shingles
+           |  FROM w),
+           |ds AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+           |bs AS (SELECT DISTINCT UNNEST(shingles) AS s FROM sh WHERE doc_id % 97 = 0),
+           |bad AS (SELECT DISTINCT ds.doc_id FROM ds JOIN bs USING (s))
+           |SELECT w.doc_id, w.doc_id IN (SELECT doc_id FROM bad) AS contaminated
+           |FROM w ORDER BY doc_id""".stripMargin))
+
   /** Context-window chunking (64-token windows, 16-token overlap) — chunk
     * boundaries, sizes and text are exact functions of the token array, so
     * the full explode output oracles bit-exact.
@@ -487,6 +515,6 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    textRedact, sampleStratified, chunkDocs,
+    textRedact, sampleStratified, chunkDocs, decontaminate,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

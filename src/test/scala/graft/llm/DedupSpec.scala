@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("jaccard") - 15.0 / 21.0) < 1e-12)
   }
 
+  test("decontaminate flags exactly the docs sharing a shingle with the blocklist") {
+    // corpus: base, its near-dup, and two unrelated docs; blocklist: base
+    val corpus = mkDocs(Seq(base, nearDup, unrelated, unrelated2))
+    val blocklist = corpus.filter(col("doc_id") === 0)
+    val out = Dedup.decontaminate(corpus, blocklist)
+      .select("doc_id", "contaminated").orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("contaminated")).toSeq ===
+      Seq(true, true, false, false)) // base itself + its near-dup share shingles
+  }
+
   test("ngramJaccardPairs df cap: no-op above max df, drops stop-shingle inflation") {
     val docs = mkDocs(Seq(base, nearDup, unrelated, unrelated2))
     // cap above every shingle's df → byte-identical to the exact path
