@@ -211,6 +211,25 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** Gopher-style repetition filters (repeated-bigram fractions) — exact
+    * integer histogram + deterministic ratios, full oracle.
+    */
+  val textRepetition = OpQ("llm_text_repetition",
+    (s, d) => TextAnalysis.repetitionStats(docs(s, d))
+      .orderBy(col("doc_id")),
+    Some("""WITH g AS (
+           |  SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s,
+           |       UNNEST(range(1, greatest(len(w) - 1, 1) + 1)) t(i)),
+           |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+           |SELECT doc_id,
+           |  SUM(c)::BIGINT AS n_bigrams,
+           |  MAX(c)::BIGINT AS top_bigram_n,
+           |  SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS repeated_bigram_n,
+           |  MAX(c)::DOUBLE / SUM(c) AS top_bigram_frac,
+           |  SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / SUM(c) AS repeated_bigram_frac
+           |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Decontamination against a deterministic blocklist (docs with
     * doc_id % 97 = 0 stand in for a benchmark suite): any shared 3-gram
     * shingle flags the document. The planted duplicate groups in the
@@ -515,6 +534,6 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    textRedact, sampleStratified, chunkDocs, decontaminate,
+    textRedact, sampleStratified, chunkDocs, decontaminate, textRepetition,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

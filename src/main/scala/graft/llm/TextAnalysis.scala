@@ -93,6 +93,32 @@ object TextAnalysis {
   /** North-American-style phone pattern (e.g. 555-0100, (555) 010-0100). */
   val phoneRe = "\\(?[0-9]{3}\\)?[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
 
+  /** Repetition statistics — the repeated-n-gram quality filters of Rae et
+    * al.'s Gopher rules (arXiv:2112.11446 §A1.1): fraction of bigrams
+    * occupied by the single most frequent bigram, and fraction occupied by
+    * any repeated bigram. Exact integer counts (bigram histogram via
+    * explode + two-level aggregation — one shuffle on (doc, gram), partial
+    * map-side combine) and a deterministic double ratio, so the whole
+    * filter oracles bit-exact.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .withColumn("w", split(col(textCol), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1)), i -> concat_ws(' ', slice(w, i, 2)))"))
+        .as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("repeated_bigram_n"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .withColumn("repeated_bigram_frac",
+        col("repeated_bigram_n").cast("double") / col("n_bigrams"))
+  }
+
   /** Overlapping token-window chunking — the canonical LLM preprocessing
     * step (context-window packing): chunk starts advance by
     * `chunkTokens - overlap`, the final chunk absorbs the tail, short docs
