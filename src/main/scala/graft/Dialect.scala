@@ -110,6 +110,8 @@ object Dialect {
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
         rewriteQualify(_),
+        rewriteDistinctOn(_),
+        rewriteExclude,
         rewriteIntDiv,
         rewriteColonCast,
         rewriteStrftime,
@@ -726,6 +728,78 @@ object Dialect {
         inner.substring(fromIdx)
       s"SELECT $names FROM ( $augmented ) __qualify WHERE __qual $tail"
     }
+  }
+
+  /** DuckDB `* EXCLUDE (cols)` / `* EXCLUDE col` → Spark `* EXCEPT (cols)`
+    * (verified native in Spark 4). Only the star-adjacent keyword is
+    * touched — the EXCEPT set operator never follows `*`.
+    */
+  private[graft] def rewriteExclude(sql: String): String = {
+    val spans = literalSpans(sql)
+    val withParens = new StringBuilder
+    var last = 0
+    val re = """(?i)\*\s*EXCLUDE\s*\(""".r
+    re.findAllMatchIn(sql).foreach { m =>
+      if (outsideLiterals(spans, m.start)) {
+        withParens.append(sql.substring(last, m.start)).append("* EXCEPT (")
+        last = m.end
+      }
+    }
+    withParens.append(sql.substring(last))
+    val cur = withParens.toString
+    // bare single-column form: * EXCLUDE col
+    val spans2 = literalSpans(cur)
+    val re2 = """(?i)\*\s*EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+    val out = new StringBuilder
+    last = 0
+    re2.findAllMatchIn(cur).foreach { m =>
+      if (outsideLiterals(spans2, m.start)) {
+        out.append(cur.substring(last, m.start)).append("* EXCEPT (").append(m.group(1)).append(")")
+        last = m.end
+      }
+    }
+    out.append(cur.substring(last))
+    out.toString
+  }
+
+  /** DuckDB/Postgres `SELECT DISTINCT ON (keys) items … ORDER BY ord`:
+    * keep the first row per key set according to ORDER BY. Spark has no
+    * DISTINCT ON; rewritten as a row_number window — partition by the keys,
+    * order by the statement's ORDER BY (or the keys when absent, matching
+    * DuckDB's arbitrary pick), keep rank 1, preserve the outer ORDER BY /
+    * LIMIT. Like QUALIFY, select items must be nameable (alias or bare
+    * column) so the outer projection can re-select them.
+    */
+  private[graft] def rewriteDistinctOn(sql: String, esc: Boolean = false): String = {
+    val spans = literalSpans(sql, esc)
+    val depth = depthAt(sql, spans)
+    val m = "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findAllMatchIn(sql)
+      .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
+      .getOrElse(return sql)
+    val keysOpen = m.end - 1
+    val keysClose = matchParen(sql, spans, keysOpen)
+    if (keysClose < 0)
+      throw new graft.UnsupportedError(s"unbalanced DISTINCT ON ( in: $sql")
+    val keys = sql.substring(keysOpen + 1, keysClose).trim
+    val fromIdx = topLevelKeyword(sql, spans, depth, "FROM", keysClose)
+    if (fromIdx < 0)
+      throw new graft.UnsupportedError(s"cannot locate FROM after DISTINCT ON in: $sql")
+    val items = splitArgs(sql, spans, keysClose + 1, fromIdx).map(_.trim).filter(_.nonEmpty)
+    val names = items.map(itemName).mkString(", ")
+    val orderIdx = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
+    val limitIdx = topLevelKeyword(sql, spans, depth, "LIMIT", fromIdx)
+    val bodyEnd = Seq(orderIdx, limitIdx).filter(_ >= 0).sorted.headOption.getOrElse(sql.length)
+    val body = sql.substring(fromIdx, bodyEnd).trim // "FROM …"
+    val ord =
+      if (orderIdx >= 0) {
+        val ordEnd = if (limitIdx > orderIdx) limitIdx else sql.length
+        sql.substring(orderIdx + "ORDER".length, ordEnd).trim.replaceAll("(?i)^BY\\s+", "")
+      } else keys
+    val tail = if (limitIdx >= 0) " " + sql.substring(limitIdx) else ""
+    val outerOrder = s" ORDER BY $ord"
+    s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+      s"row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn $body ) __don " +
+      s"WHERE __rn = 1$outerOrder$tail"
   }
 
   // ---- Snowflake constructs -----------------------------------------------

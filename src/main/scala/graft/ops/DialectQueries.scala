@@ -225,6 +225,28 @@ object DialectQueries {
            |                           ORDER BY c_acctbal DESC, c_custkey) <= 2
            |ORDER BY c_mktsegment, c_custkey LIMIT 100""".stripMargin))
 
+  /** DISTINCT ON (DuckDB/Postgres) — first row per key set by ORDER BY,
+    * rewritten to a row_number window; plus `* EXCLUDE` → `* EXCEPT`.
+    * Same text both engines (DuckDB runs both constructs natively).
+    */
+  val distinctOn = OpQ("op_dialect_distinct_on",
+    (s, d) => duck(s, d,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 200""".stripMargin),
+    Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+           |FROM orders
+           |ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+           |LIMIT 200""".stripMargin))
+
+  val excludeStar = OpQ("op_dialect_exclude",
+    (s, d) => duck(s, d,
+      """SELECT * EXCLUDE (o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+    Some("""SELECT * EXCLUDE (o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+           |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
   /** Snowflake surface ([[Dialect.Snowflakeish]]): IFF, NVL2 (Spark-native),
     * DATEADD day/month, DATEDIFF day/month/year (boundary crossings),
     * TO_VARCHAR with and without a format, quoted identifiers. Oracle is the
@@ -294,5 +316,6 @@ object DialectQueries {
 
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
-    intDivNeg, literalEdges, snowflake, bigquery, qualifyOp)
+    intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
+    distinctOn, excludeStar)
 }

@@ -267,6 +267,32 @@ class EngineSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) === 1))
   }
 
+  test("dialect: DISTINCT ON and * EXCLUDE rewrites") {
+    assert(Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 5") ===
+      "SELECT k, v FROM ( SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY k, v DESC) AS __rn FROM t ) __don WHERE __rn = 1 ORDER BY k, v DESC LIMIT 5")
+    // no ORDER BY → keys order (DuckDB's arbitrary pick made deterministic)
+    assert(Dialect.rewriteDistinctOn("SELECT DISTINCT ON (k) k, v FROM t") ===
+      "SELECT k, v FROM ( SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY k) AS __rn FROM t ) __don WHERE __rn = 1 ORDER BY k")
+    // plain DISTINCT (no ON) untouched
+    val plain = "SELECT DISTINCT k FROM t"
+    assert(Dialect.rewriteDistinctOn(plain) === plain)
+    assert(Dialect.rewriteExclude("SELECT * EXCLUDE (a, b) FROM t") ===
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(Dialect.rewriteExclude("SELECT t.* EXCLUDE a FROM t") ===
+      "SELECT t.* EXCEPT (a) FROM t")
+    // end-to-end: max-b row per c
+    val out = Engine.execute(spark,
+      "SELECT DISTINCT ON (c) c, a, b FROM t1 ORDER BY c, b DESC, a",
+      Map("t1" -> t1), Dialect.DuckDbish)
+    val rows = out.collect()
+    assert(rows.length === 7)
+    // each kept row carries its group's max b
+    val maxB = t1.groupBy("c").agg(max("b").as("mb")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rows.forall(r => r.getDouble(2) === maxB(r.getInt(0))))
+  }
+
   test("dialect: forName mirrors the reference's string dialect argument") {
     assert(Dialect.forName("duckdb") === Dialect.DuckDbish)
     assert(Dialect.forName("Presto") === Dialect.Trinoish)
