@@ -100,4 +100,15 @@ object MinHashSig {
   def minhash_sig(c: Column, numHashes: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       MinHashSig(org.apache.spark.sql.GraftBridge.expression(c), numHashes))
+
+  /** Make `minhash_sig(shingles, n)` callable from SQL text (n must be an
+    * integer literal).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "minhash_sig", exprs => MinHashSig(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new graft.UnsupportedError(
+          s"minhash_sig numHashes must be an integer literal, got $other")
+      }))
 }

@@ -94,4 +94,9 @@ object SimHash64 {
   def simhash64(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       SimHash64(org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** Make `simhash64(tokens)` callable from SQL text in this session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "simhash64", exprs => SimHash64(exprs.head))
 }

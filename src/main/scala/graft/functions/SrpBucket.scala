@@ -88,4 +88,15 @@ object SrpBucket {
   def srp_bucket(c: Column, planes: Int): Column =
     org.apache.spark.sql.GraftBridge.column(
       SrpBucket(org.apache.spark.sql.GraftBridge.expression(c), planes))
+
+  /** Make `srp_bucket(vd, planes)` callable from SQL text (planes must be
+    * an integer literal).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "srp_bucket", exprs => SrpBucket(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new graft.UnsupportedError(
+          s"srp_bucket planes must be an integer literal, got $other")
+      }))
 }

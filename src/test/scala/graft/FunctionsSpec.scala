@@ -86,6 +86,24 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql === 11000000L)
   }
 
+  test("GraftFunctions.registerAll exposes every native expression to SQL") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash64('graft') AS rh,
+        |  scaled_dot_micros(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  simhash64(array('a', 'b', 'a')) AS sh,
+        |  size(minhash_sig(array('x y z', 'y z w'), 8)) AS nsig,
+        |  srp_bucket(array(1.0D, -1.0D), 4) AS bucket""".stripMargin).head()
+    assert(r.getLong(0) === fnv1a("graft"))
+    assert(r.getLong(1) === 11000000L)
+    // simhash of tokens equals the Column-API value
+    val viaCol = Seq(Seq("a", "b", "a")).toDF("t")
+      .select(graft.functions.SimHash64.simhash64(col("t"))).as[Long].head()
+    assert(r.getLong(2) === viaCol)
+    assert(r.getInt(3) === 8)
+    assert(r.getLong(4) >= 0L && r.getLong(4) < 16L) // 4 planes → 4-bit bucket
+  }
+
   test("cents sums are independent of partitioning (exactness invariant)") {
     val df = (1 to 10000).map(i => i * 0.07).toDF("x")
     val one = df.repartition(1).agg(sum(ops.Relational.cents(col("x")))).as[Long].head()
