@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 31 invariants
-  * across 22 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 35 invariants
+  * across 26 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -77,7 +77,14 @@ object PlanCheck {
     Rule("op_dialect_qualify", "QUALIFY rewrite keeps the top-k shape", _("topk") >= 1),
     Rule("stream_interval_join", "event-type filters pushed to the scan", _("pushed_filters") >= 2),
     Rule("stream_interval_join", "a real join (any strategy), never cartesian",
-      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0))
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0),
+    Rule("llm_decontaminate", "blocklist shingles BROADCAST to the scan side",
+      _("bhj") >= 1),
+    Rule("llm_chunk_documents", "chunking is a shuffle-free generator", _("exchange") <= 1),
+    Rule("llm_text_repetition", "partial map-side combine on the bigram histogram",
+      _("partial_agg") >= 4),
+    Rule("op_dialect_distinct_on", "DISTINCT ON rewrite keeps the top-k shape",
+      _("topk") >= 1))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —
