@@ -205,6 +205,29 @@ class DedupSpec extends SparkSpec {
       f"recall $recall%.3f below 1-(1-j^r)^b bound $expected%.3f - 0.1")
   }
 
+  test("LSH recall harness at sf0.1 — bench scale", graft.SlowTest) {
+    initLog()
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val shingled = Dedup.withShingles(docs)
+    val truth = Dedup.ngramJaccardPairs(docs, topK = 1000000)
+      .filter(col("jaccard") >= 0.7)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(truth.size >= 200, s"sf0.1 corpus should contain planted near-dups, got ${truth.size}")
+    val numHashes = 32
+    val bands = 8
+    val r = numHashes / bands
+    val banded = Dedup.lshBands(Dedup.minHashSignatures(shingled, numHashes), numHashes, bands)
+    val found = Dedup.minHashCandidatePairs(banded, shingled, threshold = 0.7)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val recall = truth.keysIterator.count(found.contains).toDouble / truth.size
+    val expected = truth.valuesIterator
+      .map(j => 1 - math.pow(1 - math.pow(j, r), bands)).sum / truth.size
+    info(f"sf0.1: recall=$recall%.3f expected=$expected%.3f over ${truth.size} truth pairs")
+    assert(recall >= expected - 0.1,
+      f"recall $recall%.3f below 1-(1-j^r)^b bound $expected%.3f - 0.1 at sf0.1")
+  }
+
   test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)
