@@ -515,6 +515,66 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin
     }))
 
+  /** E2E curation v2 — the round-4 pipeline: exact dedup → decontaminate
+    * against a blocklist → PII-redact → context-window chunk (32/8). Four
+    * stages, each individually oracle-proven, composed into one lazy plan:
+    * dedup window shuffle, broadcast decontamination semi-join, per-row
+    * redaction, shuffle-free chunk explode. Fully oracle-expressible.
+    */
+  val pipelineCurate2 = OpQ("llm_pipeline_curate_v2",
+    (s, d) => {
+      val all = docs(s, d)
+      val deduped = Dedup.exactDedup(all).filter(!col("is_dup"))
+        .select(col("doc_id"), col("text"))
+      val clean = Dedup.decontaminate(deduped, all.filter(col("doc_id") % 97 === 0))
+        .filter(!col("contaminated"))
+        .select(col("doc_id"), col("text"))
+      val redacted = TextAnalysis.redactPii(
+          clean.withColumn("text",
+            concat(col("text"), lit(" mail user"), col("doc_id"), lit("@example.com"))))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      TextAnalysis.chunkDocuments(redacted, chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some {
+      val em = TextAnalysis.emailRe
+      val ph = TextAnalysis.phoneRe
+      val mkShingles =
+        """CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1),
+          |       i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+          |     ELSE [text] END""".stripMargin
+      s"""WITH deduped AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+         |    FROM documents) t WHERE NOT is_dup),
+         |shd AS (
+         |  SELECT doc_id, $mkShingles AS shingles
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM deduped) x),
+         |shb AS (
+         |  SELECT $mkShingles AS shingles
+         |  FROM (SELECT text, string_split(text, ' ') AS w FROM documents
+         |        WHERE doc_id % 97 = 0) x),
+         |bs AS (SELECT DISTINCT UNNEST(shingles) AS s FROM shb),
+         |ds AS (SELECT doc_id, UNNEST(shingles) AS s FROM shd),
+         |bad AS (SELECT DISTINCT ds.doc_id FROM ds JOIN bs USING (s)),
+         |red AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(
+         |      text || ' mail user' || doc_id || '@example.com',
+         |      '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g') AS text
+         |  FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |wr AS (SELECT doc_id, string_split(text, ' ') AS w FROM red)
+         |SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         |  ((start - 1) // 24)::BIGINT AS chunk_idx,
+         |  start::BIGINT AS start_token,
+         |  len(list_slice(w, start, start + 31))::BIGINT AS chunk_tokens,
+         |  array_to_string(list_slice(w, start, start + 31), ' ') AS chunk_text
+         |FROM (SELECT doc_id, w, UNNEST(range(1, greatest(len(w) - 8, 1) + 1, 24)) AS start
+         |      FROM wr) t
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    })
+
   /** spark.ml MinHashLSH near-dup pairs (seeded; rows-only — MLlib hash
     * families aren't DuckDB-expressible; recall vs exact jaccard in
     * MlLshSpec).
@@ -531,7 +591,7 @@ object LlmQueries {
   val all: Seq[OpQ] = Seq(
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupMinHashMl, embeddingPairsMl,
-    textTopTokens, textTopTokensSketch, pipelineCurate,
+    textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, chunkDocs, decontaminate, textRepetition,
