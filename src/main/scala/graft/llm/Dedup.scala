@@ -243,7 +243,10 @@ object Dedup {
     val contaminated = ds.join(broadcast(bs), Seq("s"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
-    docs.join(contaminated, Seq("doc_id"), "left")
+    // the flagged id set is bounded by docs overlapping the blocklist —
+    // small by assumption (a contaminated corpus has bigger problems), so
+    // broadcast it too: the corpus side is never shuffled by this operator
+    docs.join(broadcast(contaminated), Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
