@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of a bounded stdout tail as JSON
+// (BENCH_r{N}.json). sbt's default LoggedOutput re-logs the forked JVM's
+// stdout as "[info] <line>" and then prints "[success] Total time: ...",
+// both of which break that parse. StdoutOutput passes the forked process
+// streams through verbatim; showSuccess drops the trailing success line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
