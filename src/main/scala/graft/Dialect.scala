@@ -43,6 +43,13 @@ import org.apache.spark.sql.types.StructType
   * names, FORMAT_DATE/FORMAT_TIMESTAMP, DATE_DIFF/TIMESTAMP_DIFF,
   * REGEXP_CONTAINS; backtick identifiers pass through untouched.
   *
+  * [[Dialect.MySqlish]] (reference core.py:66 names "mysql" as an input
+  * dialect): `LIMIT offset, count`, DATE_FORMAT/STR_TO_DATE with MySQL
+  * `%` codes (note `%i` = minutes, `%M` = month NAME — not strftime),
+  * GROUP_CONCAT → listagg, LOCATE(sub, str) argument swap, UCASE/LCASE/MID
+  * renames. Backtick identifiers, `REGEXP`, IFNULL, IF, SUBSTRING_INDEX,
+  * DATEDIFF(d1, d2) are already Spark-native and pass through.
+  *
   * Everything the rewriter does is textual and literal-span-aware: content
   * of single-quoted SQL string literals is never touched. DuckDB/Trino
   * literals are ANSI ('' doubling, backslash plain — backslashes are doubled
@@ -62,11 +69,15 @@ object Dialect {
     * [[graft.UnsupportedError]] rather than silently parsing as Spark.
     */
   def forName(name: String): Dialect = name.toLowerCase match {
+    // Hive: Spark SQL is the Hive dialect's direct descendant — LATERAL
+    // VIEW, backtick identifiers, RLIKE, SORT/DISTRIBUTE BY all parse
+    // natively (gated by op_dialect_hive), so "hive" maps to pass-through.
     case "spark" | "hive" | "" => Spark
     case "duckdb" => DuckDbish
     case "presto" | "trino" => Trinoish
     case "snowflake" => Snowflakeish
     case "bigquery" => BigQueryish
+    case "mysql" => MySqlish
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -195,6 +206,39 @@ object Dialect {
         rewriteFormatDate,
         rewriteBqDateDiff,
         s => renameWords(s, typeRenames, esc = true),
+        s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** MySQL-ish surface (reference core.py:66 — `dialect` accepts "mysql").
+    * MySQL string literals use backslash escapes exactly as Spark's default
+    * parser does (esc = true, no doubling), and backtick identifiers are
+    * already Spark's quoting. Constructs translated:
+    *   - `LIMIT offset, count` → `LIMIT count OFFSET offset`
+    *   - `DATE_FORMAT(x, '%d/%m/%Y')` / `STR_TO_DATE(s, 'fmt')` — MySQL `%`
+    *     codes (`%i` minutes, `%M` month name) → Java patterns; STR_TO_DATE
+    *     emits `to_timestamp` when the format has time codes, `to_date`
+    *     otherwise (MySQL's DATE-vs-DATETIME result typing)
+    *   - `GROUP_CONCAT([DISTINCT] x [ORDER BY …] [SEPARATOR 's'])` →
+    *     `listagg([DISTINCT] x, 's') [WITHIN GROUP (ORDER BY …)]`
+    *   - `LOCATE(sub, str)` → `instr(str, sub)` (argument order swap)
+    *   - renames: UCASE→upper, LCASE→lower, MID→substring,
+    *     CURDATE→current_date
+    * `REGEXP`, `IFNULL`, `IF`, `SUBSTRING_INDEX`, `DATEDIFF(d1, d2)` (same
+    * d1−d2 day count), `CONCAT_WS`, `NOW()` are Spark-native pass-throughs.
+    */
+  case object MySqlish extends Dialect {
+    private val renames = Map(
+      "ucase" -> "upper", "lcase" -> "lower", "mid" -> "substring",
+      "curdate" -> "current_date")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        rewriteMysqlLimit,
+        rewriteGroupConcat,
+        rewriteMysqlDateFns,
+        rewriteMysqlLocate,
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -949,6 +993,172 @@ object Dialect {
       if (args.length != 3)
         throw new graft.UnsupportedError(s"$fn expects (end, start, part)")
       boundaryDateDiff(snowPart(args(2), fn), args(1), args(0), "0001-01-07", "datediff")
+    }
+
+  // ---- MySQL constructs ---------------------------------------------------
+
+  /** Like [[rewriteCall]], but the transform may decline (`None`) and the
+    * scan then advances past that match instead of re-visiting it. Needed
+    * when the emitted call matches the searched name again (MySQL
+    * `DATE_FORMAT` is rewritten to Spark's function of the SAME name with a
+    * translated pattern — the second visit sees no `%` codes and declines).
+    */
+  private def rewriteCallOpt(sql: String, names: String, esc: Boolean = false)(
+      transform: (String, Seq[String]) => Option[String]): String = {
+    val re = ("(?i)\\b(" + names + ")\\s*\\(").r
+    var cur = sql
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val spans = literalSpans(cur, esc)
+      re.findAllMatchIn(cur).find(m => m.start >= from && outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced ${m.group(1)}( in: $cur")
+          val args = splitArgs(cur, spans, open + 1, close).map(_.trim)
+          transform(m.group(1), args) match {
+            case Some(repl) =>
+              cur = cur.substring(0, m.start) + repl + cur.substring(close + 1)
+              from = m.start // nested calls inside repl still get visited
+            case None => from = m.start + 1
+          }
+      }
+    }
+    throw new graft.UnsupportedError(s"rewrite of $names did not terminate")
+  }
+
+  /** MySQL date format codes → Java pattern. NOT the C strftime table:
+    * `%i` is minutes (strftime `%M`), `%M` is the month NAME, `%s`/`%S` are
+    * both seconds, `%c`/`%e` are unpadded month/day. Unknown codes raise.
+    */
+  private[graft] def translateMysqlFormat(fmt: String): String = {
+    val codes = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M",
+      'd' -> "dd", 'e' -> "d", 'H' -> "HH", 'k' -> "H",
+      'h' -> "hh", 'I' -> "hh", 'i' -> "mm", 's' -> "ss", 'S' -> "ss",
+      'p' -> "a", 'M' -> "MMMM", 'b' -> "MMM", 'a' -> "EEE", 'W' -> "EEEE",
+      'j' -> "DDD", 'f' -> "SSSSSS", 'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s.replace("'", "''"))
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt.charAt(i + 1)
+        if (code == '%') { lit.append('%'); i += 2 }
+        else {
+          flush()
+          out.append(codes.getOrElse(code,
+            throw new graft.UnsupportedError(s"MySQL format code %$code is not supported")))
+          i += 2
+        }
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  private val MysqlCodeRe = """%[A-Za-z]""".r
+
+  /** `DATE_FORMAT(x, '%Y-%m')` → `date_format(x, 'yyyy-MM')`;
+    * `STR_TO_DATE(s, '%d/%m/%Y')` → `to_date(s, 'dd/MM/yyyy')`, or
+    * `to_timestamp` when the format carries time codes. The format must be a
+    * string literal. DATE_FORMAT re-emits the same function name, so matches
+    * whose format has no `%`-codes are declined rather than re-rewritten.
+    */
+  private[graft] def rewriteMysqlDateFns(sql: String): String =
+    rewriteCallOpt(sql, "date_format|str_to_date", esc = true) { (fn, args) =>
+      args match {
+        case Seq(x, SingleLiteral(f)) if MysqlCodeRe.findFirstIn(f).isDefined =>
+          val java = translateMysqlFormat(f).replace("'", "''")
+          if (fn.equalsIgnoreCase("str_to_date")) {
+            val hasTime =
+              MysqlCodeRe.findAllIn(f).exists(m => "HkhIisSTrf".contains(m.charAt(1)))
+            val target = if (hasTime) "to_timestamp" else "to_date"
+            Some(s"$target($x, '$java')")
+          } else Some(s"date_format($x, '$java')")
+        case _ if fn.equalsIgnoreCase("str_to_date") =>
+          throw new graft.UnsupportedError("STR_TO_DATE format must be a '%'-code string literal")
+        case _ => None // Spark-pattern date_format — leave untouched
+      }
+    }
+
+  /** `GROUP_CONCAT([DISTINCT] x [ORDER BY …] [SEPARATOR 'sep'])` →
+    * `listagg([DISTINCT] x, 'sep') [WITHIN GROUP (ORDER BY …)]` (Spark 4
+    * native). Default separator is `,` (MySQL's). Multiple exprs
+    * (`GROUP_CONCAT(a, b)` concatenation form) are not shimmed — raise.
+    */
+  private[graft] def rewriteGroupConcat(sql: String): String =
+    rewriteCall(sql, "group_concat", esc = true) { (fn, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError(
+          s"$fn with multiple expressions is not supported; use CONCAT_WS inside it")
+      val arg = args.head
+      val spans = literalSpans(arg, backslashEscapes = true)
+      val depth = depthAt(arg, spans)
+      def find(re: String): Option[scala.util.matching.Regex.Match] =
+        re.r.findAllMatchIn(arg).find(m => depth(m.start) == 0 && outsideLiterals(spans, m.start))
+      val sepM = find("""(?i)\bSEPARATOR\b""")
+      val ordM = find("""(?i)\bORDER\s+BY\b""")
+      val sep = sepM match {
+        case Some(m) => arg.substring(m.end).trim match {
+          case SingleLiteral(lit) => lit
+          case other => throw new graft.UnsupportedError(
+            s"$fn SEPARATOR must be a string literal, got: $other")
+        }
+        case None => ","
+      }
+      val exprEnd = Seq(ordM.map(_.start), sepM.map(_.start)).flatten
+        .sorted.headOption.getOrElse(arg.length)
+      val expr = arg.substring(0, exprEnd).trim
+      if (expr.isEmpty) throw new graft.UnsupportedError(s"$fn requires an expression")
+      val ord = ordM.map(m => arg.substring(m.end,
+        sepM.map(_.start).filter(_ > m.end).getOrElse(arg.length)).trim)
+      val sepLit = "'" + sep.replace("'", "''") + "'"
+      s"listagg($expr, $sepLit)" + ord.map(o => s" WITHIN GROUP (ORDER BY $o)").getOrElse("")
+    }
+
+  /** MySQL `LIMIT offset, count` → `LIMIT count OFFSET offset`. The
+    * comma form only occurs in a LIMIT clause, so the token rewrite is
+    * unambiguous at any nesting depth.
+    */
+  private[graft] def rewriteMysqlLimit(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val re = """(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)""".r
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).foreach { m =>
+      if (outsideLiterals(spans, m.start)) {
+        out.append(sql.substring(last, m.start))
+          .append("LIMIT ").append(m.group(2)).append(" OFFSET ").append(m.group(1))
+        last = m.end
+      }
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
+
+  /** MySQL `LOCATE(substr, str)` → Spark `instr(str, substr)` (swapped
+    * argument order, same 1-based / 0-when-absent contract). The 3-argument
+    * start-position form has no Spark builtin — raise.
+    */
+  private[graft] def rewriteMysqlLocate(sql: String): String =
+    rewriteCall(sql, "locate", esc = true) { (fn, args) =>
+      args match {
+        case Seq(sub, str) => s"instr($str, $sub)"
+        case _ => throw new graft.UnsupportedError(
+          s"$fn expects (substr, str); the 3-argument form is not supported")
+      }
     }
 
   // ---- READ_CSV table function --------------------------------------------

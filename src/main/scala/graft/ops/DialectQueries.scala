@@ -314,8 +314,87 @@ object DialectQueries {
            |  regexp_matches(o_orderpriority, 'URGENT') AS is_urgent
            |FROM orders ORDER BY okey LIMIT 200""".stripMargin))
 
+  /** MySQL surface ([[Dialect.MySqlish]], reference core.py:66 names
+    * "mysql"): `LIMIT offset, count`, DATE_FORMAT/STR_TO_DATE with MySQL `%`
+    * codes, LOCATE's swapped argument order, UCASE/MID renames, and
+    * Spark-native pass-throughs (backticks, REGEXP, IFNULL). Oracle is the
+    * DuckDB spelling (strftime/strptime/strpos/coalesce).
+    */
+  val mysql = OpQ("op_dialect_mysql",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT `o_orderkey` AS okey,
+          |  DATE_FORMAT(o_orderdate, '%Y-%m') AS ym,
+          |  DATE_FORMAT(o_orderdate, '%d/%m/%Y') AS dmy,
+          |  DATE_FORMAT(STR_TO_DATE('05/03/1996', '%d/%m/%Y'), '%Y-%m-%d') AS fixed_date,
+          |  UCASE(MID(o_orderpriority, 3, 6)) AS pri_word,
+          |  CAST(LOCATE('-', o_orderpriority) AS BIGINT) AS dash_pos,
+          |  IFNULL(NULLIF(o_orderstatus, 'O'), 'open') AS status_tag,
+          |  (o_orderpriority REGEXP 'URGENT|HIGH') AS is_hot
+          |FROM orders
+          |ORDER BY okey LIMIT 120, 80""".stripMargin,
+        dialect = Dialect.MySqlish)
+    },
+    Some("""SELECT o_orderkey AS okey,
+           |  strftime(o_orderdate, '%Y-%m') AS ym,
+           |  strftime(o_orderdate, '%d/%m/%Y') AS dmy,
+           |  strftime(strptime('05/03/1996', '%d/%m/%Y'), '%Y-%m-%d') AS fixed_date,
+           |  upper(substring(o_orderpriority, 3, 6)) AS pri_word,
+           |  strpos(o_orderpriority, '-')::BIGINT AS dash_pos,
+           |  coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_tag,
+           |  regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot
+           |FROM orders
+           |ORDER BY okey LIMIT 80 OFFSET 120""".stripMargin))
+
+  /** MySQL GROUP_CONCAT (DISTINCT + ORDER BY + SEPARATOR) → Spark 4
+    * `listagg … WITHIN GROUP`. Oracle is DuckDB's ordered `string_agg` —
+    * deterministic because both sides order by the aggregated value.
+    */
+  val mysqlGroupConcat = OpQ("op_dialect_mysql_group_concat",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority,
+          |  GROUP_CONCAT(DISTINCT o_orderstatus ORDER BY o_orderstatus SEPARATOR '|') AS statuses,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM orders
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+        dialect = Dialect.MySqlish)
+    },
+    Some("""SELECT o_orderpriority,
+           |  string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
+           |  COUNT(*)::BIGINT AS n
+           |FROM orders
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** Hive surface (reference core.py:66 names "hive"): Spark SQL descends
+    * directly from HiveQL, so LATERAL VIEW explode, backtick identifiers and
+    * RLIKE parse natively — the gate proves the pass-through mapping is
+    * faithful, with the DuckDB unnest spelling as oracle.
+    */
+  val hive = OpQ("op_dialect_hive",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT w.word, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM part LATERAL VIEW explode(split(`p_name`, ' ')) w AS word
+          |WHERE p_partkey <= 1000 AND p_type RLIKE 'ECONOMY|SMALL'
+          |GROUP BY w.word HAVING COUNT(*) >= 5
+          |ORDER BY w.word""".stripMargin,
+        dialect = Dialect.forName("hive"))
+    },
+    Some("""SELECT word, COUNT(*)::BIGINT AS n
+           |FROM (SELECT unnest(string_split(p_name, ' ')) AS word
+           |      FROM part
+           |      WHERE p_partkey <= 1000 AND regexp_matches(p_type, 'ECONOMY|SMALL'))
+           |GROUP BY word HAVING COUNT(*) >= 5
+           |ORDER BY word""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
-    distinctOn, excludeStar)
+    distinctOn, excludeStar, mysql, mysqlGroupConcat, hive)
 }

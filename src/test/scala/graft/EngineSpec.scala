@@ -160,6 +160,50 @@ class EngineSpec extends SparkSpec {
     assert(row.getString(1).forall(_.isDigit))
   }
 
+  test("dialect: MySqlish constructs — textual rewrites") {
+    // MySQL's table, NOT strftime: %i = minutes, %M = month name, %e unpadded
+    assert(Dialect.translateMysqlFormat("%Y-%m-%d") === "yyyy-MM-dd")
+    assert(Dialect.translateMysqlFormat("%d/%m/%Y %H:%i:%s") === "dd/MM/yyyy HH:mm:ss")
+    assert(Dialect.translateMysqlFormat("%W, %M %e") === "EEEE, MMMM d")
+    intercept[UnsupportedError](Dialect.translateMysqlFormat("%Q"))
+    assert(Dialect.rewriteMysqlDateFns("SELECT DATE_FORMAT(d, '%Y-%m') AS ym") ===
+      "SELECT date_format(d, 'yyyy-MM') AS ym")
+    // second pass sees no % codes and declines — the rewrite is idempotent
+    assert(Dialect.rewriteMysqlDateFns("SELECT date_format(d, 'yyyy-MM') AS ym") ===
+      "SELECT date_format(d, 'yyyy-MM') AS ym")
+    assert(Dialect.rewriteMysqlDateFns("SELECT STR_TO_DATE(s, '%d/%m/%Y')") ===
+      "SELECT to_date(s, 'dd/MM/yyyy')")
+    assert(Dialect.rewriteMysqlDateFns("SELECT STR_TO_DATE(s, '%Y-%m-%d %H:%i')") ===
+      "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm')")
+    assert(Dialect.rewriteMysqlLimit("SELECT * FROM t LIMIT 10, 5") ===
+      "SELECT * FROM t LIMIT 5 OFFSET 10")
+    assert(Dialect.rewriteMysqlLimit("SELECT 'LIMIT 1, 2' AS s FROM t LIMIT 3") ===
+      "SELECT 'LIMIT 1, 2' AS s FROM t LIMIT 3")
+    assert(Dialect.rewriteMysqlLocate("SELECT LOCATE('-', s) AS p") ===
+      "SELECT instr(s, '-') AS p")
+    intercept[UnsupportedError](Dialect.rewriteMysqlLocate("SELECT LOCATE('-', s, 3)"))
+    assert(Dialect.rewriteGroupConcat("SELECT GROUP_CONCAT(x) FROM t") ===
+      "SELECT listagg(x, ',') FROM t")
+    assert(Dialect.rewriteGroupConcat(
+      "SELECT GROUP_CONCAT(DISTINCT x ORDER BY x SEPARATOR '|') FROM t") ===
+      "SELECT listagg(DISTINCT x, '|') WITHIN GROUP (ORDER BY x) FROM t")
+    intercept[UnsupportedError](Dialect.rewriteGroupConcat("SELECT GROUP_CONCAT(a, b)"))
+  }
+
+  test("dialect: MySqlish end-to-end — GROUP_CONCAT + LIMIT offset + renames") {
+    val out = Engine.execute(spark,
+      """SELECT c, GROUP_CONCAT(UCASE(a) ORDER BY a SEPARATOR '-') AS names
+        |FROM t1 WHERE c = 6 GROUP BY c""".stripMargin,
+      Map("t1" -> t1), Dialect.MySqlish)
+    val row = out.collect().head
+    assert(row.getInt(0) === 6)
+    assert(row.getString(1).startsWith("T_13-T_20-T_27")) // ordered, uppercased
+    val paged = Engine.execute(spark,
+      "SELECT a FROM t1 ORDER BY a LIMIT 95, 10",
+      Map("t1" -> t1), Dialect.MySqlish)
+    assert(paged.count() === 5) // 100 rows, offset 95
+  }
+
   test("dialect: :: cast rewrite — literal, column, function-call, chained") {
     assert(Dialect.rewriteColonCast("SELECT '7'::INT") === "SELECT CAST('7' AS INT)")
     assert(Dialect.rewriteColonCast("SELECT t.x::BIGINT FROM t") ===
@@ -299,7 +343,9 @@ class EngineSpec extends SparkSpec {
     assert(Dialect.forName("snowflake") === Dialect.Snowflakeish)
     assert(Dialect.forName("bigquery") === Dialect.BigQueryish)
     assert(Dialect.forName("spark") === Dialect.Spark)
-    intercept[UnsupportedError](Dialect.forName("mysql"))
+    assert(Dialect.forName("hive") === Dialect.Spark)
+    assert(Dialect.forName("mysql") === Dialect.MySqlish)
+    intercept[UnsupportedError](Dialect.forName("oracle"))
   }
 
   test("tableFromRows infers typed maps from the first entry") {
