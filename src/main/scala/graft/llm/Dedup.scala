@@ -108,61 +108,32 @@ object Dedup {
 
   /** Full MinHash dedup: per-document cluster assignment with transitive
     * closure — a chain A≈B≈C lands in ONE cluster even when A–C itself is
-    * below threshold. Closure runs pointer-jumping label propagation
-    * (keep ← keep[keep] until fixpoint): each round is one self-join on
-    * the label table, and rounds needed is O(log(longest chain)), so a
-    * 100 TB corpus with million-doc clusters converges in ~20 bounded
-    * shuffles. Docs with no duplicate keep themselves; always one row per
-    * document.
+    * below threshold. Closure is [[graft.ops.Relational.connectedComponents]]
+    * over the verified candidate-pair edges: alternating edge relaxation +
+    * pointer jumping, O(log longestChain) bounded shuffles. (An earlier
+    * version jumped over min-partner pointers ONLY, which strands a node
+    * whose sole partner has a larger id — e.g. pairs (a,z),(m,z) with z
+    * largest left m unclustered. Edge relaxation closes that hole;
+    * DedupSpec gates the exact scenario.) Docs with no duplicate keep
+    * themselves; always one row per document.
     *
-    * Cache contract: the loop persists each round's label table and
-    * releases the previous one; on return the final table is materialized
-    * once (eager `localCheckpoint`, truncating the multi-round lineage so
-    * downstream actions never replay the LSH pipeline) and every loop
-    * cache is unpersisted — the only retained storage is the returned
-    * result's own checkpoint, released when the caller drops it (or
-    * explicitly via `result.unpersist()`).
+    * Cache contract (delegated to connectedComponents): every loop cache
+    * is released before return; the result is an eager `localCheckpoint`,
+    * so downstream actions never replay the LSH pipeline — the caller
+    * holds the only retained storage and frees it by dropping the result
+    * (or explicitly via `result.unpersist()`).
     */
   def minHashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxClosureRounds: Int = 10): DataFrame = {
     val shingled = withShingles(docs)
     val banded = lshBands(minHashSignatures(shingled, numHashes), numHashes, bands)
     val pairs = minHashCandidatePairs(banded, shingled, threshold)
-    val partners = pairs.select(col("b_id").as("doc_id"), col("a_id").as("partner"))
-      .union(pairs.select(col("a_id").as("doc_id"), col("b_id").as("partner")))
-      .groupBy(col("doc_id")).agg(min(col("partner")).as("min_partner"))
-    var labels = docs.select(col("doc_id"))
-      .join(partners, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("min_partner"), col("doc_id"))).as("keep_id"))
-    // pointer jumping: keep := min(keep, keep[keep]). Each round is
-    // persisted so iteration k doesn't recompute rounds 1..k-1 (lineage
-    // would otherwise grow quadratically); previous round is released.
-    labels = labels.persist()
-    labels.count() // materialize the LSH pipeline ONCE before the loop's
-    // self-join uses `labels` twice (otherwise both branches race to
-    // compute the uncached partitions from scratch)
-    var round = 0
-    var converged = false
-    while (round < maxClosureRounds && !converged) {
-      val parents = labels.select(col("doc_id").as("p_id"), col("keep_id").as("p_keep"))
-      val next = labels.join(parents, col("keep_id") === col("p_id"))
-        .select(col("doc_id"), least(col("keep_id"), col("p_keep")).as("keep_id"))
-        .persist()
-      // converged when no row's keep changed this round
-      val changed = next.as("n").join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
-        .filter(col("n.keep_id") =!= col("l.keep_id")).limit(1).count()
-      converged = changed == 0
-      labels.unpersist()
-      labels = next
-      round += 1
-    }
-    // materialize the answer, then drop the last loop cache — see contract
-    val result = labels
+    graft.ops.Relational.connectedComponents(
+      pairs, srcCol = "a_id", dstCol = "b_id",
+      nodes = Some(docs.select(col("doc_id"))),
+      maxRounds = maxClosureRounds)
+      .select(col("node").as("doc_id"), col("component").as("keep_id"))
       .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
-      .localCheckpoint(true)
-    labels.unpersist()
-    result
   }
 
   /** 64-bit SimHash fingerprint: each token hashed with xxhash64; bit i of

@@ -28,6 +28,43 @@ object ExtraQueries {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Distributed connected components ([[Relational.connectedComponents]]):
+    * per-customer order chains (each order linked to the customer's next
+    * orderkey) form path graphs up to ~11 nodes — long enough that edge
+    * relaxation alone would need diameter rounds and the pointer-jumping
+    * acceleration shows. The oracle is a DuckDB recursive CTE computing
+    * min-reachable-label per node — an independent formulation of the same
+    * fixpoint.
+    */
+  val graphComponents = OpQ("op_graph_components",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seq = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey").as("node"), col("o_custkey"),
+          lead(col("o_orderkey"), 1).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))).as("nxt"))
+      val edges = seq.filter(col("nxt").isNotNull)
+        .select(col("node").as("src"), col("nxt").as("dst"))
+      Relational.connectedComponents(edges, nodes = Some(seq.select(col("node"))))
+        .orderBy(col("node"))
+    },
+    Some("""WITH RECURSIVE seq AS (
+           |  SELECT o_orderkey AS node, o_custkey,
+           |         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
+           |  FROM orders WHERE o_orderkey < 5000
+           |), edges AS (
+           |  SELECT node AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL
+           |), undirected AS (
+           |  SELECT src AS a, dst AS b FROM edges UNION SELECT dst AS a, src AS b FROM edges
+           |), walk(node, lbl) AS (
+           |  SELECT node, node FROM seq
+           |  UNION
+           |  SELECT u.a, w.lbl FROM walk w JOIN undirected u ON u.b = w.node
+           |)
+           |SELECT node, MIN(lbl) AS component FROM walk
+           |GROUP BY node ORDER BY node""".stripMargin))
+
   /** HyperLogLog++ distinct-count sketch next to the exact count (no
     * oracle — sketch estimates are engine-specific; ApproxSpec bounds the
     * error instead). The sketch is THE 100 TB distinct-count: mergeable,
@@ -270,7 +307,7 @@ object ExtraQueries {
            |ORDER BY doc_id, pos""".stripMargin))
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
-    setUnionByName, explodeGenerator,
+    setUnionByName, explodeGenerator, graphComponents,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)

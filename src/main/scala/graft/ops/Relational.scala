@@ -161,6 +161,84 @@ object Relational {
       .drop("__b")
   }
 
+  /** Distributed connected components over an edge list: `(node, component)`
+    * with `component` = the smallest node id reachable from `node`.
+    *
+    * Min-label propagation with two alternating moves per round:
+    *   1. edge relaxation — `lbl(n) := min(lbl(n), min over neighbors m of
+    *      lbl(m))`: one shuffle on the edge endpoint, correct at fixpoint
+    *      (labels equal across every edge ⇒ constant per component, and the
+    *      component's minimum keeps itself);
+    *   2. pointer jumping — `lbl(n) := min(lbl(n), lbl(lbl(n)))`: halves
+    *      label-tree depth, giving O(log longestChain) convergence instead
+    *      of O(diameter) from relaxation alone.
+    * Relaxation is what makes this CORRECT on arbitrary graphs: jumping
+    * over min-neighbor pointers alone strands a node whose only neighbor
+    * has a larger id than itself (the bridge node's information flows one
+    * way) — the bug class a chain a–z, m–z with z largest exposes.
+    *
+    * Convergence is detected as a fixpoint of the full round. The diff
+    * count doubles as the round's materialization action: it computes every
+    * partition of the new label table INTO its cache before the previous
+    * round's cache is released, so no round ever replays earlier rounds'
+    * lineage. Each round's LOGICAL plan is also flattened to an O(1)
+    * `LogicalRDD` over the cache ([[org.apache.spark.sql.GraftBridge.flattenPlan]]):
+    * the round's self-joins reference the previous table several times, so
+    * without flattening the plan tree grows ~4× per round and Spark OOMs
+    * formatting it long before any data pressure. The result is an eager
+    * `localCheckpoint` and every working cache is dropped before returning —
+    * the caller holds the only retained storage and releases it by dropping
+    * the result.
+    *
+    * At 100 TB: every step is a key shuffle or a self-join on the label
+    * table — no per-component state ever lands on one executor, and round
+    * count is logarithmic in the longest chain, not the corpus size.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", nodes: Option[DataFrame] = None,
+      maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    val und = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
+      .filter(col("__a") =!= col("__b"))
+      .distinct()
+      .persist()
+    val nodeIds = nodes
+      .map(n => n.select(col(n.columns.head).as("node")))
+      .map(_.union(und.select(col("__a").as("node"))))
+      .getOrElse(und.select(col("__a").as("node")))
+      .distinct()
+    var cached = nodeIds.select(col("node"), col("node").as("lbl")).persist()
+    cached.count() // materialize before the loop reuses it on several join sides
+    var labels = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nmin = und.join(labels, col("__b") === col("node"))
+        .groupBy(col("__a")).agg(min(col("lbl")).as("__nmin"))
+      val relaxed = labels.join(nmin, col("node") === col("__a"), "left")
+        .select(col("node"), least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
+        .persist()
+      val parents = relaxed.select(col("node").as("__p"), col("lbl").as("__plbl"))
+      val jumped = relaxed.join(parents, col("lbl") === col("__p"))
+        .select(col("node"), least(col("lbl"), col("__plbl")).as("lbl"))
+        .persist()
+      val changed = jumped.as("j").join(labels.as("l"), "node")
+        .filter(col("j.lbl") =!= col("l.lbl")).count() // materializes jumped
+      converged = changed == 0
+      relaxed.unpersist()
+      cached.unpersist() // jumped is in its own cache now; safe to drop
+      cached = jumped
+      labels = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    val result = labels.select(col("node"), col("lbl").as("component"))
+      .localCheckpoint(true)
+    cached.unpersist()
+    und.unpersist()
+    result
+  }
+
   def exactMoments(df: DataFrame, valueCol: Column, keys: Seq[String], scale: Int = 100): DataFrame = {
     val c = floor(valueCol * lit(scale)).cast("long").as("c")
     val base = df.select(keys.map(col) :+ c: _*)

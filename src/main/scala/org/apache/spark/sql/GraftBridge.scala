@@ -12,6 +12,22 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Replace a materialized (persisted-and-computed) DataFrame's logical
+    * plan with an O(1) `LogicalRDD` over its execution RDD. Iterative
+    * algorithms need this: a loop whose round k references round k−1's
+    * DataFrame more than once (self-joins) grows the logical tree
+    * exponentially even when every round is persisted — the cache bounds
+    * recompute, not plan size, and a ~6-round loop OOMs just *printing*
+    * the plan. The caller must keep the ORIGINAL DataFrame handle to
+    * unpersist, and must not release it until everything derived from the
+    * flattened plan is itself materialized (the LogicalRDD scans the
+    * cache; dropping the cache would silently replay the old lineage).
+    */
+  def flattenPlan(df: Dataset[Row]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+  }
+
   /** Register a temp SQL function backed by a Catalyst expression builder
     * (the registry lives behind `sessionState`, also `private[sql]`).
     */

@@ -179,6 +179,21 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("keep_id")).toSeq === Seq(0L, 0L, 0L, 3L))
   }
 
+  test("minHashDedup closure: bridge doc with the LARGEST id still merges its neighbors") {
+    // Same chain fixture, but the bridge doc is given the HIGHEST doc_id
+    // (order: A, C, B → ids 0, 1, 2 with 2 the bridge). Min-partner
+    // pointer jumping alone strands doc 1 (its only partner, 2, is larger,
+    // so the 1–2 edge collapses into "1 keeps itself"); the edge-relaxation
+    // step of connectedComponents is what closes this.
+    val words = (1 to 40).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(2) ++ Seq("X1", "X2")).mkString(" ")
+    val cc = (Seq("Y1", "Y2") ++ words.slice(2, 38) ++ Seq("X1", "X2")).mkString(" ")
+    val docs = mkDocs(Seq(a, cc, b, unrelated)) // bridge b is doc_id 2
+    val out = Dedup.minHashDedup(docs, threshold = 0.85).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("keep_id")).toSeq === Seq(0L, 0L, 0L, 3L))
+  }
+
   test("LSH recall harness at sf0.01: measured recall meets the 1-(1-j^r)^b band bound") {
     initLog()
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")

@@ -48,4 +48,43 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.except(a, b).count() === 1)    // {1}
     assert(Relational.exceptAll(a, b).count() === 2) // [1, 2]
   }
+
+  private def ccMap(edges: Seq[(Long, Long)], nodes: Seq[Long] = Nil): Map[Long, Long] = {
+    val e = edges.toDF("src", "dst")
+    val n = if (nodes.isEmpty) None else Some(nodes.toDF("node"))
+    Relational.connectedComponents(e, nodes = n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents: path graph collapses to the min node") {
+    // reversed path 5-4-3-2-1: relaxation alone needs diameter rounds;
+    // jumping gets there in O(log)
+    val m = ccMap(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents: bridge node with the largest id (pointer-jump-only counterexample)") {
+    // 1–9, 2–9: node 2's only neighbor is larger, so a min-partner pointer
+    // forest loses the 2–9 edge; edge relaxation must carry 1 across
+    val m = ccMap(Seq((1L, 9L), (2L, 9L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 9L -> 1L))
+  }
+
+  test("connectedComponents: multiple components, isolated nodes, self-loops") {
+    val m = ccMap(
+      Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 30L)),
+      nodes = Seq(10L, 11L, 12L, 20L, 21L, 30L, 40L))
+    assert(m === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 40L -> 40L))
+  }
+
+  test("connectedComponents releases every working cache") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Relational.connectedComponents(
+      (1L to 64L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst"))
+    assert(out.count() === 64)
+    assert(out.collect().forall(_.getLong(1) == 1L))
+    val retained = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(retained.size <= 1, s"leaked caches: $retained") // the result checkpoint
+  }
 }
