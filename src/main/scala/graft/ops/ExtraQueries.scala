@@ -65,6 +65,54 @@ object ExtraQueries {
            |SELECT node, MIN(lbl) AS component FROM walk
            |GROUP BY node ORDER BY node""".stripMargin))
 
+  /** MERGE/upsert ([[Relational.upsert]]): a delta of segment updates plus
+    * brand-new keys merged into customer — updated rows replaced, unmatched
+    * target rows kept, new keys inserted. Oracle spells the same semantics
+    * as UNION ALL + NOT IN.
+    */
+  val mergeUpsert = OpQ("op_merge_upsert",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val source = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("UPSERTED").as("c_mktsegment"),
+          (col("c_acctbal") + 1000).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") < 20)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("INSERTED").as("c_mktsegment"), col("c_acctbal")))
+      Relational.upsert(cust, source, Seq("c_custkey")).orderBy(col("c_custkey"))
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+           |source AS (
+           |  SELECT c_custkey, 'UPSERTED' AS c_mktsegment, c_acctbal + 1000 AS c_acctbal
+           |  FROM cust WHERE c_custkey % 10 = 0
+           |  UNION ALL
+           |  SELECT c_custkey + 1000000, 'INSERTED', c_acctbal FROM cust WHERE c_custkey < 20
+           |)
+           |SELECT * FROM source
+           |UNION ALL
+           |SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Ordered string aggregation — Spark 4 `listagg … WITHIN GROUP` vs
+    * DuckDB's ordered `string_agg`; deterministic because both sides order
+    * by the aggregated key.
+    */
+  val stringAgg = OpQ("op_string_agg",
+    (s, d) => {
+      Tables.register(s, d)
+      s.sql("""SELECT c_mktsegment,
+              |  listagg(CAST(c_custkey AS STRING), ',') WITHIN GROUP (ORDER BY c_custkey) AS custs,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM customer WHERE c_custkey < 100
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    },
+    Some("""SELECT c_mktsegment,
+           |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custs,
+           |  COUNT(*)::BIGINT AS n
+           |FROM customer WHERE c_custkey < 100
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** HyperLogLog++ distinct-count sketch next to the exact count (no
     * oracle — sketch estimates are engine-specific; ApproxSpec bounds the
     * error instead). The sketch is THE 100 TB distinct-count: mergeable,
@@ -307,7 +355,7 @@ object ExtraQueries {
            |ORDER BY doc_id, pos""".stripMargin))
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
-    setUnionByName, explodeGenerator, graphComponents,
+    setUnionByName, explodeGenerator, graphComponents, mergeUpsert, stringAgg,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)

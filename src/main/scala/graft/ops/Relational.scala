@@ -161,6 +161,24 @@ object Relational {
       .drop("__b")
   }
 
+  /** MERGE/upsert (SCD type 1): source rows replace target rows that share
+    * a key; unmatched target rows survive; source-only keys are inserts.
+    * Expressed as `source ∪ (target ▷ source)` — one native left-anti join
+    * plus a by-name union, NOT a full outer join with per-column coalesce:
+    * the anti join shuffles (or broadcasts, when the source is a small
+    * delta — the common case, and Catalyst picks it by size) half the
+    * payload a full outer would, and whole rows are replaced so no
+    * column-level merge logic exists to get wrong. Requires identical
+    * column sets; `keys` must be unique in `source` (last-writer semantics
+    * inside a batch are a pipeline bug, not an operator feature).
+    */
+  def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"upsert requires identical column sets; target=${target.columns.mkString(",")} " +
+        s"source=${source.columns.mkString(",")}")
+    source.unionByName(target.join(source, keys, "left_anti"))
+  }
+
   /** Distributed connected components over an edge list: `(node, component)`
     * with `component` = the smallest node id reachable from `node`.
     *

@@ -49,6 +49,17 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.exceptAll(a, b).count() === 2) // [1, 2]
   }
 
+  test("upsert: source wins on shared keys, target survives, new keys insert") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "tag", "v")
+    val source = Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("k", "tag", "v")
+    val out = Relational.upsert(target, source, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      1L -> ("a", 10.0), 2L -> ("B2", 99.0), 3L -> ("c", 30.0), 9L -> ("new", 1.0)))
+    intercept[IllegalArgumentException](
+      Relational.upsert(target, source.drop("v"), Seq("k")))
+  }
+
   private def ccMap(edges: Seq[(Long, Long)], nodes: Seq[Long] = Nil): Map[Long, Long] = {
     val e = edges.toDF("src", "dst")
     val n = if (nodes.isEmpty) None else Some(nodes.toDF("node"))
