@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 35 invariants
-  * across 26 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 41 invariants
+  * across 33 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -84,7 +84,18 @@ object PlanCheck {
     Rule("llm_text_repetition", "partial map-side combine on the bigram histogram",
       _("partial_agg") >= 4),
     Rule("op_dialect_distinct_on", "DISTINCT ON rewrite keeps the top-k shape",
-      _("topk") >= 1))
+      _("topk") >= 1),
+    Rule("op_merge_upsert", "upsert's anti join broadcasts the small delta",
+      f => f("bhj") >= 1 && f("cartesian") == 0),
+    Rule("op_merge_upsert", "key filters pushed to the parquet scans", _("pushed_filters") >= 2),
+    Rule("op_string_agg", "partial + final listagg aggregation", _("partial_agg") >= 2),
+    Rule("op_string_agg", "key filter pushed to the parquet scan", _("pushed_filters") >= 1),
+    Rule("op_dialect_mysql", "LIMIT offset,count rewrite keeps the top-k shape", _("topk") >= 1),
+    Rule("op_dialect_mysql_group_concat", "two-phase DISTINCT listagg", _("partial_agg") >= 2),
+    Rule("op_dialect_hive", "LATERAL VIEW agg keeps partial aggregation and pushdown",
+      f => f("partial_agg") >= 2 && f("pushed_filters") >= 1),
+    Rule("op_graph_components", "converged labels read from the checkpoint: output exchange only",
+      f => f("exchange") <= 1 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —
