@@ -97,6 +97,29 @@ object StressCheck {
       val tUncap = (System.nanoTime() - t1) / 1e9
       println(f"STRESS ngram_df_cap capped_rows=$capped%d ${tCap}%.2fs uncapped_rows=$uncapped%d ${tUncap}%.2fs")
     }
+    // connected components on long chains: amplified orders (factor×150k
+    // keys) arranged into ~1500-node paths (key DIV 1500 buckets, linked by
+    // consecutive rank). Relaxation alone would need ~1500 rounds; the
+    // pointer-jumping acceleration must converge in ~O(log n) — wall time
+    // is the proof, and per-round plan flattening keeps the driver flat.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val keys = ord.select(col("o_orderkey")).distinct()
+        .withColumn("bucket", col("o_orderkey") % 100)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("o_orderkey"))))
+      val edges = keys
+        .withColumn("nxt", lead(col("o_orderkey"), 1).over(
+          Window.partitionBy(col("bucket")).orderBy(col("rank"))))
+        .filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+      val t0 = System.nanoTime()
+      val comp = graft.ops.Relational.connectedComponents(edges)
+      val nComp = comp.select(col("component")).distinct().count()
+      println(f"STRESS connected_components nodes=${comp.count()}%d components=$nComp%d " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+      comp.unpersist()
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString
