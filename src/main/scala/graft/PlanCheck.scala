@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 41 invariants
-  * across 33 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 43 invariants
+  * across 34 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -32,7 +32,8 @@ object PlanCheck {
       "partial_agg" -> count("HashAggregate"),
       "wscg" -> count("WholeStageCodegen"),
       "exchange" -> count("Exchange "),
-      "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length)
+      "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length,
+      "bloom" -> count("(?i)might_contain"))
   }
 
   /** One pinned invariant on one audited query's physical plan. */
@@ -95,7 +96,11 @@ object PlanCheck {
     Rule("op_dialect_hive", "LATERAL VIEW agg keeps partial aggregation and pushdown",
       f => f("partial_agg") >= 2 && f("pushed_filters") >= 1),
     Rule("op_graph_components", "converged labels read from the checkpoint: output exchange only",
-      f => f("exchange") <= 1 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0))
+      f => f("exchange") <= 1 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0),
+    Rule("op_join_bloom_prefilter", "bloom predicate applied on the probe side before the exact join",
+      _("bloom") >= 1),
+    Rule("op_join_bloom_prefilter", "exact semi join present (false positives must die)",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -65,6 +65,27 @@ object ExtraQueries {
            |SELECT node, MIN(lbl) AS component FROM walk
            |GROUP BY node ORDER BY node""".stripMargin))
 
+  /** Bloom-prefiltered semi join ([[Relational.bloomSemiJoin]]): lineitem
+    * probed against the hot-order keys through an explicit
+    * BloomFilterAggregate scalar subquery before the exact semi join —
+    * the big-⋈-big shuffle reducer. The oracle is the plain semi join the
+    * operator must be row-identical to (false positives die in the exact
+    * join).
+    */
+  val joinBloomPrefilter = OpQ("op_join_bloom_prefilter",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val hot = Tables.load(s, d, "orders").filter(col("o_totalprice") > 450000)
+      Relational.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(500)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+           |FROM lineitem
+           |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+           |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin))
+
   /** MERGE/upsert ([[Relational.upsert]]): a delta of segment updates plus
     * brand-new keys merged into customer — updated rows replaced, unmatched
     * target rows kept, new keys inserted. Oracle spells the same semantics
@@ -356,6 +377,7 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
     setUnionByName, explodeGenerator, graphComponents, mergeUpsert, stringAgg,
+    joinBloomPrefilter,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)

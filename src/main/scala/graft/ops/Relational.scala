@@ -179,6 +179,37 @@ object Relational {
     source.unionByName(target.join(source, keys, "left_anti"))
   }
 
+  /** Bloom-prefiltered semi join — the big-⋈-big reduction for when the
+    * filtering side is too large to broadcast but much smaller than the
+    * probe side. Builds a bloom filter over `small`'s join keys with the
+    * internal `BloomFilterAggregate` (the same machinery as Spark's
+    * runtime row-level filtering, constructed explicitly), hands it to the
+    * probe side as an uncorrelated scalar subquery (no `collect()`
+    * anywhere — the driver relays one ~MB blob exactly as a broadcast
+    * would), and drops non-candidate rows BEFORE the exact left-semi
+    * join's shuffle. Result is identical to `big ⋉ small` — the bloom's
+    * false positives are caught by the exact join; `expectedItems` only
+    * tunes the false-positive rate and therefore how much shuffle the
+    * prefilter saves (at 100 TB: the probe side's shuffle volume drops by
+    * the selectivity of the semi join, the dominant cost of a big-big
+    * semi join).
+    */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, expectedItems: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val hashed = small.select(xxhash64(col(smallKey)).as("__h"))
+    val bloomAgg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(col("__h")), expectedItems)
+        .toAggregateExpression())
+    val bloomDf = hashed.agg(bloomAgg.as("__bloom"))
+    val mightContain = GraftBridge.column(new BloomFilterMightContain(
+      GraftBridge.expression(GraftBridge.scalarSubquery(bloomDf)),
+      GraftBridge.expression(xxhash64(col(bigKey)))))
+    big.filter(mightContain).join(small, col(bigKey) === col(smallKey), "left_semi")
+  }
+
   /** Distributed connected components over an edge list: `(node, component)`
     * with `component` = the smallest node id reachable from `node`.
     *

@@ -28,6 +28,16 @@ object GraftBridge {
     cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
   }
 
+  /** Wrap a one-row/one-column DataFrame as an uncorrelated scalar
+    * subquery expression — the vehicle Spark's own runtime row-level
+    * filtering uses to hand a driver-computed value (e.g. a bloom filter
+    * blob) to executor-side predicates without any collect() in user code.
+    */
+  def scalarSubquery(df: Dataset[Row]): Column = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    column(catalyst.expressions.ScalarSubquery(cdf.queryExecution.analyzed))
+  }
+
   /** Register a temp SQL function backed by a Catalyst expression builder
     * (the registry lives behind `sessionState`, also `private[sql]`).
     */

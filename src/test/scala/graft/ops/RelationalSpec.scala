@@ -49,6 +49,16 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.exceptAll(a, b).count() === 2) // [1, 2]
   }
 
+  test("bloomSemiJoin is row-identical to the plain left-semi join") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val cust = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .filter(col("c_acctbal") > 5000)
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+    val bloomed = Relational.bloomSemiJoin(orders, cust, "o_custkey", "c_custkey")
+    assert(bloomed.count() === plain.count())
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
   test("upsert: source wins on shared keys, target survives, new keys insert") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "tag", "v")
     val source = Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("k", "tag", "v")
