@@ -65,6 +65,36 @@ object ExtraQueries {
            |SELECT node, MIN(lbl) AS component FROM walk
            |GROUP BY node ORDER BY node""".stripMargin))
 
+  /** Exact bivariate stats ([[Relational.exactCorr]]): covariance and
+    * Pearson correlation from six exact integer sums with one deterministic
+    * closed form, spelled identically in the oracle — bit-reproducible
+    * under any partitioning, unlike streaming corr/covar updates.
+    */
+  val statsCorr = OpQ("op_stats_corr",
+    (s, d) => Relational.exactCorr(
+      Tables.load(s, d, "lineitem"),
+      col("l_extendedprice"), col("l_quantity"), Seq("l_returnflag"))
+      .orderBy(col("l_returnflag")),
+    Some("""WITH base AS (
+           |  SELECT l_returnflag,
+           |         CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+           |         CAST(FLOOR(l_quantity) AS BIGINT) AS y
+           |  FROM lineitem
+           |), g AS (
+           |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           |         SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+           |  FROM base GROUP BY l_returnflag
+           |)
+           |SELECT l_returnflag, n,
+           |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           |    / (CAST(n AS DOUBLE) - 1) AS covar_samp_exact,
+           |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           |    / CAST(n AS DOUBLE) AS covar_pop_exact,
+           |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           |         * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS corr_exact
+           |FROM g ORDER BY l_returnflag""".stripMargin))
+
   /** Bloom-prefiltered semi join ([[Relational.bloomSemiJoin]]): lineitem
     * probed against the hot-order keys through an explicit
     * BloomFilterAggregate scalar subquery before the exact semi join —
@@ -377,7 +407,7 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
     setUnionByName, explodeGenerator, graphComponents, mergeUpsert, stringAgg,
-    joinBloomPrefilter,
+    joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)

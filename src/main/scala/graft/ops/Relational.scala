@@ -288,6 +288,38 @@ object Relational {
     result
   }
 
+  /** Exact bivariate statistics (covariance, Pearson correlation) from six
+    * integer sums — the same cross-engine bit-exactness recipe as
+    * [[exactMoments]]: inputs are floored to integers, the per-group sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs whose partial
+    * aggregation is order-independent, and the final double arithmetic is
+    * ONE deterministic closed-form expression spelled identically in the
+    * DuckDB oracle. Built-in `corr`/`covar_samp` stream Welford-style
+    * updates whose result depends on partition order — useless for
+    * bit-reproducibility across engines or even across two runs of the
+    * same 1000-executor job. Caller is responsible for input magnitudes:
+    * Σx² must fit a BIGINT (floor to dollars, not cents, for prices).
+    */
+  def exactCorr(df: DataFrame, xCol: Column, yCol: Column, keys: Seq[String]): DataFrame = {
+    val x = floor(xCol).cast("long").as("x")
+    val y = floor(yCol).cast("long").as("y")
+    val base = df.select(keys.map(col) ++ Seq(x, y): _*)
+    val g = base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    val dx = col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / n
+    val dy = col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / n
+    val dxy = col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / n
+    g.withColumn("covar_samp_exact", dxy / (n - 1))
+      .withColumn("covar_pop_exact", dxy / n)
+      .withColumn("corr_exact", dxy / sqrt(dx * dy))
+      .drop("sx", "sy", "sxy", "sxx", "syy")
+  }
+
   def exactMoments(df: DataFrame, valueCol: Column, keys: Seq[String], scale: Int = 100): DataFrame = {
     val c = floor(valueCol * lit(scale)).cast("long").as("c")
     val base = df.select(keys.map(col) :+ c: _*)

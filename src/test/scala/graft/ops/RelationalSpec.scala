@@ -49,6 +49,18 @@ class RelationalSpec extends SparkSpec {
     assert(Relational.exceptAll(a, b).count() === 2) // [1, 2]
   }
 
+  test("exactCorr agrees with Spark's built-in corr/covar to float tolerance") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(floor(col("l_extendedprice")).as("x"), floor(col("l_quantity")).as("y"))
+    val builtin = li.agg(corr(col("x"), col("y")).as("c"),
+      covar_samp(col("x"), col("y")).as("cs")).head()
+    val exact = Relational.exactCorr(li.withColumn("g", lit(1)),
+      col("x"), col("y"), Seq("g")).head()
+    assert(math.abs(exact.getAs[Double]("corr_exact") - builtin.getDouble(0)) < 1e-9)
+    assert(math.abs(exact.getAs[Double]("covar_samp_exact") - builtin.getDouble(1))
+      / math.abs(builtin.getDouble(1)) < 1e-9)
+  }
+
   test("bloomSemiJoin is row-identical to the plain left-semi join") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val cust = graft.Tables.load(spark, "/root/testdata/sf0.001", "customer")
