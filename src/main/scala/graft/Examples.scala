@@ -83,6 +83,21 @@ object Examples {
     println(s"example8(snowflake+bigquery): ${snowOut.getString(0)} ${snowOut.getString(1)} " +
       s"${bqOut.getBoolean(0)} ${bqOut.getString(1)}")
 
+    // MySQL dialect (core.py:66 names "mysql"): LIMIT offset,count +
+    // %-code DATE_FORMAT + GROUP_CONCAT -> listagg, and a distributed
+    // connected-components run over an explicit edge list
+    val myOut = Engine.execute(spark,
+      "SELECT DATE_FORMAT(DATE '1996-01-02', '%d/%m/%Y') AS d, " +
+        "GROUP_CONCAT(x ORDER BY x SEPARATOR '|') AS xs " +
+        "FROM (SELECT 'b' AS x UNION ALL SELECT 'a') t LIMIT 0, 1",
+      dialect = Dialect.forName("mysql")).head()
+    import spark.implicits._
+    val comps = ops.Relational.connectedComponents(
+      Seq((1L, 9L), (2L, 9L), (5L, 6L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"example9(mysql+components): ${myOut.getString(0)} ${myOut.getString(1)} " +
+      s"comp2=${comps(2L)} comp6=${comps(6L)}")
+
     // streaming: the same tumblingCounts transformation under Structured
     // Streaming (file source -> memory sink) vs batch
     val evDir = java.nio.file.Files.createTempDirectory("graft_ev").toString
