@@ -106,5 +106,20 @@ object StreamQueries {
            | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
            |GROUP BY p.event_id ORDER BY p_id""".stripMargin))
 
-  val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup, attribution)
+  /** Batch replay of streaming near-dup dedup ([[Streams.dedupNearDupDocs]])
+    * on a doubled documents corpus. Output is the surviving FINGERPRINT set
+    * (hex-sorted), not surviving rows — which of several colliding docs
+    * survives is arrival-order-dependent by design, the fingerprint set is
+    * not. No DuckDB oracle (simhash has no equivalent there): rows-only
+    * driver check + the stream≡batch StreamingSpec gate.
+    */
+  val dedupNearDup = OpQ("stream_dedup_neardup",
+    (s, d) => Streams.dedupNearDupDocs(
+      Tables.load(s, d, "documents").unionAll(Tables.load(s, d, "documents")))
+      .select(hex(col("simhash")).as("fp"))
+      .orderBy(col("fp")),
+    None)
+
+  val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
+    attribution, dedupNearDup)
 }

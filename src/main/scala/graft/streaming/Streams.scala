@@ -98,6 +98,38 @@ object Streams {
     else wm.dropDuplicates("event_id")
   }
 
+  /** File-stream source over a directory of documents parquet (same shape
+    * as the testdata `documents` table; file streams need a declared
+    * schema).
+    */
+  def readDocumentsStream(spark: SparkSession, docsDir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .parquet(docsDir)
+
+  /** Near-duplicate STREAMING dedup: each document is fingerprinted with
+    * the codegen'd [[graft.functions.SimHash64]] expression (the same
+    * tokenization as `llm.Dedup.simHash`, so whitespace/token-order
+    * variants collide) and only the first arrival per 64-bit fingerprint
+    * inside the watermark survives — the online counterpart of the batch
+    * SimHash dedup, with state bounded by arrival skew exactly as in
+    * [[dedupEvents]]. Event time derives deterministically from `doc_id`,
+    * so the batch replay (`dropDuplicates` on the fingerprint) processes
+    * identical rows and the stream≡batch equivalence is testable. At
+    * 100 TB-scale ingest this is the shape that keeps a dedup decision
+    * O(state lookup) per arriving document instead of a periodic
+    * all-corpus batch job.
+    */
+  def dedupNearDupDocs(docs: DataFrame): DataFrame = {
+    val fp = docs
+      .withColumn("simhash",
+        graft.functions.SimHash64.simhash64(split(col("text"), " ")))
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("doc_id")))
+      .withWatermark("ts", "1 hour")
+    if (fp.isStreaming) fp.dropDuplicatesWithinWatermark("simhash")
+    else fp.dropDuplicates("simhash")
+  }
+
   /** Stream-stream interval join: each purchase joined to the SAME user's
     * view events in the preceding hour (attribution). In streaming both
     * sides carry watermarks and the join condition bounds event time on

@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("dedupNearDupDocs: streaming fingerprint set equals the batch near-dup set") {
+    initLog()
+    // doubled documents landing dir = every document delivered twice
+    val d = java.nio.file.Files.createTempDirectory("graft_docs_dup").toString
+    Seq("documents.parquet", "documents_replay.parquet").foreach { name =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        java.nio.file.Paths.get(s"$d/$name"))
+    }
+    val q = Streams.dedupNearDupDocs(Streams.readDocumentsStream(spark, d))
+      .select(hex(col("simhash")).as("fp"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("neardup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("neardup_out")
+    val batch = Streams.dedupNearDupDocs(graft.Tables.load(spark, dir, "documents"))
+      .select(hex(col("simhash")).as("fp"))
+    // the fingerprint SET is deterministic (survivor choice is not)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // and it actually deduplicates: the corpus contains exact/near dups
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    assert(streamed.count() < total)
+  }
+
   test("dedupEvents: duplicated stream input collapses to the batch distinct set") {
     initLog()
     // two copies of the same file in the landing dir = every event
