@@ -199,14 +199,25 @@ object Relational {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val hashed = small.select(xxhash64(col(smallKey)).as("__h"))
+    // xxhash64 is type-sensitive (INT 5 and BIGINT 5 hash differently), so
+    // both keys are cast to the type the exact join itself would coerce to
+    // before hashing — otherwise the bloom prefilter would silently drop
+    // true matches that the exact join would have kept.
+    val bigT = big.schema(bigKey).dataType
+    val smallT = small.schema(smallKey).dataType
+    val keyT =
+      if (bigT == smallT) bigT
+      else GraftBridge.widerType(bigT, smallT).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloomSemiJoin: incomparable key types $bigT vs $smallT"))
+    val hashed = small.select(xxhash64(col(smallKey).cast(keyT)).as("__h"))
     val bloomAgg = GraftBridge.column(
       new BloomFilterAggregate(GraftBridge.expression(col("__h")), expectedItems)
         .toAggregateExpression())
     val bloomDf = hashed.agg(bloomAgg.as("__bloom"))
     val mightContain = GraftBridge.column(new BloomFilterMightContain(
       GraftBridge.expression(GraftBridge.scalarSubquery(bloomDf)),
-      GraftBridge.expression(xxhash64(col(bigKey)))))
+      GraftBridge.expression(xxhash64(col(bigKey).cast(keyT)))))
     big.filter(mightContain).join(small, col(bigKey) === col(smallKey), "left_semi")
   }
 
@@ -251,41 +262,63 @@ object Relational {
       .filter(col("__a") =!= col("__b"))
       .distinct()
       .persist()
+    // Node universe comes from the RAW endpoints, before the self-loop
+    // filter above — a node whose only edge is a self-loop is a singleton
+    // component, not absent.
+    val endpoints = e.select(col("__a").as("node"))
+      .union(e.select(col("__b").as("node")))
     val nodeIds = nodes
-      .map(n => n.select(col(n.columns.head).as("node")))
-      .map(_.union(und.select(col("__a").as("node"))))
-      .getOrElse(und.select(col("__a").as("node")))
+      .map(n => n.select(col(n.columns.head).as("node")).union(endpoints))
+      .getOrElse(endpoints)
       .distinct()
     var cached = nodeIds.select(col("node"), col("node").as("lbl")).persist()
-    cached.count() // materialize before the loop reuses it on several join sides
-    var labels = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      val nmin = und.join(labels, col("__b") === col("node"))
-        .groupBy(col("__a")).agg(min(col("lbl")).as("__nmin"))
-      val relaxed = labels.join(nmin, col("node") === col("__a"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
-        .persist()
-      val parents = relaxed.select(col("node").as("__p"), col("lbl").as("__plbl"))
-      val jumped = relaxed.join(parents, col("lbl") === col("__p"))
-        .select(col("node"), least(col("lbl"), col("__plbl")).as("lbl"))
-        .persist()
-      val changed = jumped.as("j").join(labels.as("l"), "node")
-        .filter(col("j.lbl") =!= col("l.lbl")).count() // materializes jumped
-      converged = changed == 0
-      relaxed.unpersist()
-      cached.unpersist() // jumped is in its own cache now; safe to drop
-      cached = jumped
-      labels = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
-      round += 1
+    // In-flight per-round caches, tracked so an exception anywhere in the
+    // loop (including the non-convergence require below) releases them.
+    var relaxedLive: DataFrame = null
+    var jumpedLive: DataFrame = null
+    try {
+      cached.count() // materialize before the loop reuses it on several join sides
+      var labels = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val relaxed = {
+          val nmin = und.join(labels, col("__b") === col("node"))
+            .groupBy(col("__a")).agg(min(col("lbl")).as("__nmin"))
+          labels.join(nmin, col("node") === col("__a"), "left")
+            .select(col("node"), least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
+            .persist()
+        }
+        relaxedLive = relaxed
+        val parents = relaxed.select(col("node").as("__p"), col("lbl").as("__plbl"))
+        val jumped = relaxed.join(parents, col("lbl") === col("__p"))
+          .select(col("node"), least(col("lbl"), col("__plbl")).as("lbl"))
+          .persist()
+        jumpedLive = jumped
+        val changed = jumped.as("j").join(labels.as("l"), "node")
+          .filter(col("j.lbl") =!= col("l.lbl")).count() // materializes jumped
+        converged = changed == 0
+        relaxed.unpersist()
+        relaxedLive = null
+        cached.unpersist() // jumped is in its own cache now; safe to drop
+        cached = jumped
+        jumpedLive = null
+        labels = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
+        round += 1
+      }
+      // Relaxation + pointer jumping converge in O(log longestChain) rounds:
+      // the default 30 covers chains ~2^30 deep, far past any real corpus.
+      // Non-convergence therefore means maxRounds was lowered deliberately —
+      // fail hard rather than return a partially-merged labeling.
+      require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+      labels.select(col("node"), col("lbl").as("component"))
+        .localCheckpoint(true)
+    } finally {
+      if (relaxedLive != null) relaxedLive.unpersist()
+      if (jumpedLive != null) jumpedLive.unpersist()
+      cached.unpersist()
+      und.unpersist()
     }
-    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-    val result = labels.select(col("node"), col("lbl").as("component"))
-      .localCheckpoint(true)
-    cached.unpersist()
-    und.unpersist()
-    result
   }
 
   /** Exact bivariate statistics (covariance, Pearson correlation) from six

@@ -38,6 +38,13 @@ object GraftBridge {
     column(catalyst.expressions.ScalarSubquery(cdf.queryExecution.analyzed))
   }
 
+  /** The wider of two types under Spark's own union/comparison coercion
+    * rules (`TypeCoercion.findWiderTypeForTwo`) — what a join condition
+    * would coerce both sides to. None when the pair is incomparable.
+    */
+  def widerType(a: types.DataType, b: types.DataType): Option[types.DataType] =
+    catalyst.analysis.TypeCoercion.findWiderTypeForTwo(a, b)
+
   /** Register a temp SQL function backed by a Catalyst expression builder
     * (the registry lives behind `sessionState`, also `private[sql]`).
     */

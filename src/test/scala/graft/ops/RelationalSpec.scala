@@ -71,6 +71,20 @@ class RelationalSpec extends SparkSpec {
     assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
   }
 
+  test("bloomSemiJoin coerces mismatched key types before hashing") {
+    // INT keys on the probe side, BIGINT on the filter side: xxhash64 hashes
+    // the two representations of the same value differently, so without the
+    // coercion fix the bloom prefilter drops every true match.
+    val big = (1 to 100).map(i => (i % 10, i)).toDF("k", "v") // k: INT
+    val small = Seq(3L, 7L).toDF("k2")                        // k2: BIGINT
+    val plain = big.join(small, col("k") === col("k2"), "left_semi")
+    val bloomed = Relational.bloomSemiJoin(big, small, "k", "k2")
+    assert(bloomed.count() === plain.count() && plain.count() === 20)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+    intercept[IllegalArgumentException](
+      Relational.bloomSemiJoin(big, small.select(array(col("k2")).as("k2")), "k", "k2"))
+  }
+
   test("upsert: source wins on shared keys, target survives, new keys insert") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "tag", "v")
     val source = Seq((2L, "B2", 99.0), (9L, "new", 1.0)).toDF("k", "tag", "v")
@@ -109,6 +123,22 @@ class RelationalSpec extends SparkSpec {
       nodes = Seq(10L, 11L, 12L, 20L, 21L, 30L, 40L))
     assert(m === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L, 30L -> 30L, 40L -> 40L))
+  }
+
+  test("connectedComponents: self-loop-only node survives without an explicit node list") {
+    // 30's only edge is the self-loop — it must appear as its own singleton
+    // component even when the universe is derived from the edges alone
+    val m = ccMap(Seq((1L, 2L), (30L, 30L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 30L -> 30L))
+  }
+
+  test("connectedComponents releases caches even when it fails to converge") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (1L to 64L).sliding(2).map(p => (p(0), p(1))).toSeq.toDF("src", "dst")
+    intercept[IllegalArgumentException](
+      Relational.connectedComponents(chain, maxRounds = 1))
+    val retained = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(retained.isEmpty, s"leaked caches: $retained")
   }
 
   test("connectedComponents releases every working cache") {
