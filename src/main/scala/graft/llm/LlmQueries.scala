@@ -575,6 +575,68 @@ object LlmQueries {
          |ORDER BY doc_id, chunk_idx""".stripMargin
     })
 
+  /** Shuffle-free deterministic rate sampling ([[Mixing.hashSample]]):
+    * 12% of the corpus by permuted-id threshold. Pure per-row predicate —
+    * the oracle replays the identical BIGINT arithmetic.
+    */
+  val sampleHash = OpQ("llm_sample_hash",
+    (s, d) => Mixing.hashSample(docs(s, d), keepPpm = 120000L)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source FROM documents
+           |WHERE (doc_id * 2654435761) % 4294967311 % 1000000 < 120000
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Weighted domain mixing ([[Mixing.mixDomains]]): per-source quotas from
+    * integer target weights (here w = suffix%4 + 1 derived from the source
+    * name so the oracle can rebuild the same weight table), exact BIGINT
+    * quota arithmetic, lowest-permutation rows win.
+    */
+  val mixDomains = OpQ("llm_mix_domains",
+    (s, d) => {
+      val weights = docs(s, d).select(col("source")).distinct()
+        .select(col("source"),
+          (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+      Mixing.mixDomains(docs(s, d), weights)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH wt AS (
+           |  SELECT source, (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+           |  FROM (SELECT DISTINCT source FROM documents)),
+           |cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+           |j AS (SELECT c.source, c.n, w.w FROM cnt c JOIN wt w USING (source) WHERE w.w > 0),
+           |tot AS (SELECT SUM(w) AS sumw FROM j),
+           |tt AS (SELECT MIN(j.n * tot.sumw // j.w) AS t FROM j, tot),
+           |q AS (SELECT j.source, j.w * tt.t // tot.sumw AS m FROM j, tot, tt),
+           |r AS (SELECT doc_id, source,
+           |        ROW_NUMBER() OVER (PARTITION BY source
+           |          ORDER BY (doc_id * 2654435761) % 4294967311, doc_id) AS rn
+           |      FROM documents)
+           |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+           |WHERE r.rn <= q.m ORDER BY source, doc_id""".stripMargin))
+
+  /** Greedy sequence packing ([[Mixing.packSequences]]): 64-token context
+    * windows, shard-local (per source) head-to-tail layout. Offsets and
+    * sequence ids are exact integer window arithmetic → full oracle.
+    */
+  val packSequences = OpQ("llm_pack_sequences",
+    (s, d) => Mixing.packSequences(docs(s, d), contextLen = 64)
+      .orderBy(col("source"), col("doc_id")),
+    Some("""SELECT source, doc_id, n_tokens,
+           |  cum - n_tokens AS start_offset,
+           |  (cum - n_tokens) // 64 AS seq_id,
+           |  (cum - n_tokens) % 64 AS seq_pos,
+           |  (cum - 1) // 64 AS end_seq_id
+           |FROM (
+           |  SELECT source, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           |      PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM documents) t
+           |ORDER BY source, doc_id""".stripMargin))
+
   /** spark.ml MinHashLSH near-dup pairs (seeded; rows-only — MLlib hash
     * families aren't DuckDB-expressible; recall vs exact jaccard in
     * MlLshSpec).
@@ -594,6 +656,7 @@ object LlmQueries {
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    textRedact, sampleStratified, chunkDocs, decontaminate, textRepetition,
+    textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
+    chunkDocs, decontaminate, textRepetition,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

@@ -1,0 +1,114 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators — the steps that turn a pile of curated
+  * documents into the training mixture an LLM actually sees: deterministic
+  * subsampling, weighted domain (source) mixing, and greedy sequence
+  * packing into fixed context windows.
+  *
+  * The reference engine (xorbits_sql) has no counterpart — these extend the
+  * LLM-pipeline surface the same way `Dedup`/`TextAnalysis` do. Everything
+  * here is exact BIGINT arithmetic over the same integer permutation as
+  * [[TextAnalysis.stratifiedSample]] ((id·2654435761) mod 4294967311), so
+  * every sample is bit-reproducible on any engine and any cluster size —
+  * DuckDB oracles compare hash-exact, and a re-run of a 1000-executor job
+  * picks the identical mixture.
+  */
+object Mixing {
+
+  /** The exact integer pseudo-random permutation used for all sampling
+    * decisions: Knuth multiplicative hashing mod the first prime above
+    * 2^32. BIGINT-exact, order-free, engine-free.
+    */
+  def permute(id: Column): Column = pmod(id * lit(2654435761L), lit(4294967311L))
+
+  /** Deterministic rate sampling WITHOUT a shuffle: keep a row iff its
+    * permuted id falls below `keepPpm` parts-per-million of the permutation
+    * modulus. The whole operator is one codegen'd per-row predicate — at
+    * 100 TB this is the sampler that runs inside the scan (no window, no
+    * aggregation, no state), at the cost of only approximating the target
+    * rate (each row is an independent keep/drop; the realized fraction
+    * concentrates around keepPpm/1e6 by construction of the permutation).
+    * Use [[mixDomains]] when exact quotas matter.
+    */
+  def hashSample(df: DataFrame, keepPpm: Long, idCol: String = "doc_id"): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, "keepPpm must be in [0, 1e6]")
+    df.filter(permute(col(idCol)) % lit(1000000L) < lit(keepPpm))
+  }
+
+  /** Weighted domain mixing: downsample each source so the surviving corpus
+    * matches the target mixture `weights` (integer relative parts, e.g.
+    * web=7, code=2, wiki=1) as closely as the available data allows, keeping
+    * as many total rows as possible.
+    *
+    * Semantics (all BIGINT, truncating division, so both engines agree to
+    * the bit): with n_s rows available in source s, weight w_s and
+    * W = Σ w_s, the largest feasible total is T = min_s ⌊n_s·W / w_s⌋ and
+    * each source keeps its m_s = ⌊w_s·T / W⌋ lowest-permutation rows
+    * (m_s ≤ n_s follows from the floors). Sources absent from `weights`
+    * (or with weight 0) are dropped — mixing is also how a pipeline
+    * excludes a domain.
+    *
+    * Scale shape: the per-source count table is |sources| rows — the
+    * quota computation is a broadcast-sized side plan, never a driver
+    * collect. The corpus itself pays exactly one window shuffle on the
+    * source key (the per-source ranking); skew relief for a dominant
+    * source is the documented salting composition in SCALE.md.
+    *
+    * @param weights two columns: source value, INTEGER weight parts
+    */
+  def mixDomains(docs: DataFrame, weights: DataFrame,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val wdf = weights.toDF("__src", "__w").filter(col("__w") > 0)
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .join(broadcast(wdf), col(sourceCol) === col("__src"))
+    val sumw = counts.agg(sum(col("__w")).as("__sumw")) // 1 row
+    val totals = sumw.crossJoin(
+      counts.crossJoin(broadcast(sumw))
+        .agg(min(expr("__n * __sumw div __w")).as("__t"))) // 1 row: (W, T)
+    val quota = counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol).as("__qsrc"),
+        expr("__w * __t div __sumw").as("__m"))
+    val rn = Window.partitionBy(col(sourceCol))
+      .orderBy(permute(col(idCol)), col(idCol))
+    docs.withColumn("__rn", row_number().over(rn).cast("long"))
+      .join(broadcast(quota), col(sourceCol) === col("__qsrc"))
+      .filter(col("__rn") <= col("__m"))
+      .drop("__rn", "__qsrc", "__m")
+  }
+
+  /** Greedy sequence packing — the "concatenate then split every
+    * `contextLen` tokens" construction of LLM training sequences. Documents
+    * are laid head-to-tail in `idCol` order within each shard and each
+    * receives its global token offset; a document starting at offset o
+    * belongs to sequence ⌊o / contextLen⌋ at in-sequence position
+    * o mod contextLen (it may spill into following sequences —
+    * `end_seq_id` tells how far).
+    *
+    * Packing is SHARD-LOCAL by design (`shardCol`, default the source
+    * column): a global head-to-tail order would be a single-partition
+    * running sum — the classic scale killer — and training pipelines never
+    * need cross-shard contiguity, only that every shard emits dense
+    * fixed-length sequences. Each shard pays one window sort; shards pack
+    * in parallel.
+    */
+  def packSequences(docs: DataFrame, contextLen: Int,
+      shardCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_offset div ${contextLen}L"))
+      .withColumn("seq_pos", col("start_offset") % lit(contextLen.toLong))
+      .withColumn("end_seq_id",
+        expr(s"(start_offset + n_tokens - 1L) div ${contextLen}L"))
+      .select(col(shardCol), col(idCol), col("n_tokens"), col("start_offset"),
+        col("seq_id"), col("seq_pos"), col("end_seq_id"))
+  }
+}

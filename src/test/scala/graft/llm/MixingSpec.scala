@@ -1,0 +1,70 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition semantics: exact mixing quotas, packing offsets,
+  * deterministic sampling.
+  */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSample is deterministic and tracks the requested rate") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val a = Mixing.hashSample(docs, keepPpm = 200000L).select("doc_id")
+    val b = Mixing.hashSample(docs, keepPpm = 200000L).select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val frac = a.count().toDouble / docs.count().toDouble
+    assert(math.abs(frac - 0.2) < 0.05, s"realized fraction $frac")
+    // monotone: a higher threshold keeps a superset
+    val wider = Mixing.hashSample(docs, keepPpm = 400000L).select("doc_id")
+    assert(a.exceptAll(wider).isEmpty)
+  }
+
+  test("mixDomains hits exact integer quotas and drops zero-weight sources") {
+    // a: 100 rows, b: 50, c: 30, z: 10 — weights 3/1/1/0
+    val docs = (
+      (1L to 100L).map(i => (i, "a")) ++ (101L to 150L).map(i => (i, "b")) ++
+      (151L to 180L).map(i => (i, "c")) ++ (181L to 190L).map(i => (i, "z"))
+    ).toDF("doc_id", "source")
+    val weights = Seq(("a", 3L), ("b", 1L), ("c", 1L), ("z", 0L)).toDF("source", "w")
+    val out = Mixing.mixDomains(docs, weights)
+    // W=5; T=min(100*5/3, 50*5/1, 30*5/1)=min(166,250,150)=150
+    // quotas: a=3*150/5=90, b=1*150/5=30, c=30, z dropped
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 90L, "b" -> 30L, "c" -> 30L))
+    // quota rows are the lowest-permutation ones: re-running on the kept set
+    // with the same weights keeps everything (fixpoint)
+    val again = Mixing.mixDomains(out, weights.filter(col("w") > 0))
+    assert(again.count() === out.count())
+  }
+
+  test("packSequences lays documents head-to-tail with exact offsets") {
+    val docs = Seq(
+      (1L, "s", "a b c"),           // 3 tokens, start 0, seq 0
+      (2L, "s", "d e f g h i j"),   // 7 tokens, start 3, spans seq 0..1
+      (3L, "s", "k l"),             // 2 tokens, start 10, seq 1
+      (4L, "t", "x y z")            // separate shard restarts at 0
+    ).toDF("doc_id", "source", "text")
+    val out = Mixing.packSequences(docs, contextLen = 8)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (start_offset, seq_id, seq_pos, end_seq_id)
+    assert(out(1L) === ((0L, 0L, 0L, 0L)))
+    assert(out(2L) === ((3L, 0L, 3L, 1L)))  // crosses the 8-token boundary
+    assert(out(3L) === ((10L, 1L, 2L, 1L)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("packSequences offsets are dense within each shard on real data") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Mixing.packSequences(docs, contextLen = 64)
+    // Σ n_tokens per shard == last start_offset + its n_tokens (no gaps)
+    val check = out.groupBy("source").agg(
+      sum("n_tokens").as("total"),
+      max(col("start_offset") + col("n_tokens")).as("laid"))
+      .filter(col("total") =!= col("laid"))
+    assert(check.isEmpty)
+  }
+}
