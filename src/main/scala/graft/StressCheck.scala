@@ -98,8 +98,10 @@ object StressCheck {
       println(f"STRESS ngram_df_cap capped_rows=$capped%d ${tCap}%.2fs uncapped_rows=$uncapped%d ${tUncap}%.2fs")
     }
     // connected components on long chains: amplified orders (factor×150k
-    // keys) arranged into ~1500-node paths (key DIV 1500 buckets, linked by
-    // consecutive rank). Relaxation alone would need ~1500 rounds; the
+    // keys) arranged into 100 paths of ~keys/100 nodes each (bucket =
+    // o_orderkey % 100, linked by consecutive rank — ~1500-node chains at
+    // the default factor). Relaxation alone would need ~chain-length
+    // rounds; the
     // pointer-jumping acceleration must converge in ~O(log n) — wall time
     // is the proof, and per-round plan flattening keeps the driver flat.
     locally {

@@ -118,10 +118,13 @@ object Dedup {
     * themselves; always one row per document.
     *
     * Cache contract (delegated to connectedComponents): every loop cache
-    * is released before return; the result is an eager `localCheckpoint`,
-    * so downstream actions never replay the LSH pipeline — the caller
-    * holds the only retained storage and frees it by dropping the result
-    * (or explicitly via `result.unpersist()`).
+    * is released before return; the result is a projection over an eager
+    * `localCheckpoint`, so downstream actions never replay the LSH
+    * pipeline. The checkpoint storage is the only retained state and is
+    * released by dropping the result reference (the ContextCleaner frees
+    * the checkpoint RDD on GC) — `unpersist()` on the returned projection
+    * is a no-op, since the storage belongs to the internal checkpoint,
+    * not a CacheManager entry.
     */
   def minHashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxClosureRounds: Int = 10): DataFrame = {

@@ -623,6 +623,8 @@ object LlmQueries {
   val packSequences = OpQ("llm_pack_sequences",
     (s, d) => Mixing.packSequences(docs(s, d), contextLen = 64)
       .orderBy(col("source"), col("doc_id")),
+    // DuckDB SUM(BIGINT) widens to HUGEINT (pandas renders it float64 →
+    // driver hash mismatch vs Spark's int64); cast cum back to BIGINT.
     Some("""SELECT source, doc_id, n_tokens,
            |  cum - n_tokens AS start_offset,
            |  (cum - n_tokens) // 64 AS seq_id,
@@ -631,9 +633,9 @@ object LlmQueries {
            |FROM (
            |  SELECT source, doc_id,
            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
            |      PARTITION BY source ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
            |  FROM documents) t
            |ORDER BY source, doc_id""".stripMargin))
 
