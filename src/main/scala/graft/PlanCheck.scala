@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 43 invariants
-  * across 34 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 49 invariants
+  * across 39 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -100,7 +100,17 @@ object PlanCheck {
     Rule("op_join_bloom_prefilter", "bloom predicate applied on the probe side before the exact join",
       _("bloom") >= 1),
     Rule("op_join_bloom_prefilter", "exact semi join present (false positives must die)",
-      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0))
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0),
+    Rule("llm_shuffle_shard", "one window shuffle + output range sort, no joins",
+      f => f("exchange") <= 2 && f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_mix_token_budget", "quota side joins by BROADCAST (corpus never shuffle-joins)",
+      f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0),
+    Rule("llm_dedup_paragraph", "partial-aggregating first-occurrence groupBy, nothing pairwise",
+      f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0),
+    Rule("llm_decontaminate_neardup", "inverted-index equi-join on the shingle hash, never pairwise",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") + f("bnlj") == 0),
+    Rule("llm_text_keywords", "partial map-side tf aggregation; df join is an equi-join",
+      f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -224,6 +224,77 @@ object Dedup {
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
   }
 
+  /** Near-dup decontamination: exact n-gram Jaccard between a training
+    * corpus and a benchmark set (bipartite inverted index — the
+    * similarity-threshold big sibling of [[decontaminate]]'s exact
+    * containment). Returns one row per (train doc, benchmark doc) pair
+    * with jaccard ≥ `threshold`; anti-join the train corpus against the
+    * flagged ids to remove them.
+    *
+    * Scale shape: both sides explode to (doc, shingle-hash-64) rows and
+    * meet in ONE shuffle on the 8-byte hash; candidate volume is bounded
+    * by shingle co-occurrence (never |train|×|bench|), and the benchmark
+    * side is tiny by assumption. The df-cap relief valve of
+    * [[ngramJaccardPairs]] applies unchanged if a stop-shingle corpus
+    * ever makes Σ df_train·df_bench blow up.
+    */
+  def decontaminateNearDupPairs(train: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    def side(df: DataFrame) = withShingles(
+        df.filter(size(split(col(textCol), " ")) >= 3), textCol)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+    val t = side(train)
+    val b = side(benchmark)
+    t.as("t").join(b.as("b"), col("t.sh") === col("b.sh"))
+      .groupBy(col("t.doc_id").as("train_id"), col("b.doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("common"), max(col("t.n")).as("nt"), max(col("b.n")).as("nb"))
+      .select(col("train_id"), col("bench_id"),
+        (col("common").cast("double") / (col("nt") + col("nb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Paragraph-level exact dedup (the C4/RefinedWeb boilerplate-removal
+    * step): split every document on `delim`, keep only the globally FIRST
+    * occurrence of each distinct paragraph (smallest (doc_id, position)),
+    * and reassemble documents from their surviving paragraphs in original
+    * order. Documents whose every paragraph appeared earlier elsewhere
+    * vanish entirely (their row count is the `n_kept > 0` survivors).
+    *
+    * Scale shape: paragraphs travel through the one global shuffle as
+    * 8-byte xxhash64 keys + (doc_id, idx) — never the paragraph text —
+    * via a partial-aggregating groupBy(min(struct)) + hash join back;
+    * reassembly is a second groupBy on doc_id (collect_list of the
+    * surviving (idx, para) structs, sorted in-memory per doc). Collision
+    * risk is the usual 64-bit hash caveat (~1e-19 per paragraph pair).
+    */
+  def paragraphDedup(docs: DataFrame, delim: String,
+      textCol: String = "text"): DataFrame = {
+    require(delim.nonEmpty, "delim must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val paras = docs
+      .select(col("doc_id"),
+        size(split(col(textCol), quoted)).cast("long").as("n_total"),
+        posexplode(split(col(textCol), quoted)).as(Seq("idx", "para")))
+      .withColumn("h", xxhash64(col("para")))
+    val firstOcc = paras
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"),
+        count(lit(1)).as("df"))
+    val kept = paras.join(firstOcc, "h")
+      .filter(struct(col("doc_id"), col("idx")) === col("first"))
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(delim, expr("transform(array_sort(collect_list(struct(idx, para))), x -> x.para)"))
+          .as("text_dedup"),
+        count(lit(1)).as("n_kept"),
+        first(col("n_total")).as("n_total"),
+        sum(col("df")).as("df_sum"))
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
     * self-join on the shingle (shuffle on shingle, cost bounded by
     * co-occurrence, never n²), count common shingles per pair, and compute

@@ -639,6 +639,134 @@ object LlmQueries {
            |  FROM documents) t
            |ORDER BY source, doc_id""".stripMargin))
 
+  /** Token-budget domain mixing ([[Mixing.mixDomainsByTokens]]): 20k-token
+    * budget split across sources by the same derived weights as
+    * `llm_mix_domains`; greedy inclusive-prefix keep in permutation order.
+    * All-BIGINT quota/cumsum arithmetic (DuckDB window SUM widened to
+    * HUGEINT is cast back — see `llm_pack_sequences`).
+    */
+  val mixTokenBudget = OpQ("llm_mix_token_budget",
+    (s, d) => {
+      val weights = docs(s, d).select(col("source")).distinct()
+        .select(col("source"),
+          (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+      Mixing.mixDomainsByTokens(docs(s, d), weights, budgetTokens = 20000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""WITH wt AS (
+           |  SELECT source, (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS w
+           |  FROM (SELECT DISTINCT source FROM documents)),
+           |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM wt),
+           |q AS (SELECT source, CAST(w * 20000 AS BIGINT) // sumw AS m FROM wt, tot),
+           |r AS (SELECT doc_id, source,
+           |        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+           |          PARTITION BY source
+           |          ORDER BY (doc_id * 2654435761) % 4294967311, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |      FROM documents)
+           |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+           |WHERE r.cum <= q.m ORDER BY source, doc_id""".stripMargin))
+
+  /** Deterministic global shuffle + sharding ([[Mixing.shuffleShard]]):
+    * 8 shards, position by permutation rank within shard — byte-identical
+    * layout on any engine or cluster size.
+    */
+  val shuffleShard = OpQ("llm_shuffle_shard",
+    (s, d) => Mixing.shuffleShard(docs(s, d), numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos")),
+    Some("""SELECT doc_id,
+           |  (doc_id * 2654435761) % 4294967311 % 8 AS shard,
+           |  ROW_NUMBER() OVER (
+           |    PARTITION BY (doc_id * 2654435761) % 4294967311 % 8
+           |    ORDER BY (doc_id * 2654435761) % 4294967311, doc_id) AS pos
+           |FROM documents ORDER BY shard, pos""".stripMargin))
+
+  /** C4-style paragraph dedup ([[Dedup.paragraphDedup]]): fragments between
+    * occurrences of " the " act as paragraphs (the synthetic corpus has no
+    * newlines; any literal delimiter works), keep the globally first
+    * occurrence, reassemble. df_sum rides along so the oracle checks the
+    * df accounting too (DuckDB SUM widens to HUGEINT → cast back).
+    */
+  val dedupParagraph = OpQ("llm_dedup_paragraph",
+    (s, d) => Dedup.paragraphDedup(docs(s, d), delim = " the ")
+      .orderBy(col("doc_id")),
+    Some("""WITH wr AS (SELECT doc_id, string_split(text, ' the ') AS w FROM documents),
+           |p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_total, idx, w[idx] AS para
+           |      FROM (SELECT doc_id, w, UNNEST(range(1, len(w) + 1)) AS idx FROM wr) t),
+           |f AS (SELECT doc_id, n_total, idx, para,
+           |        ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn,
+           |        COUNT(*) OVER (PARTITION BY para) AS df
+           |      FROM p)
+           |SELECT doc_id,
+           |  string_agg(para, ' the ' ORDER BY idx) AS text_dedup,
+           |  COUNT(*) AS n_kept,
+           |  MIN(n_total) AS n_total,
+           |  CAST(SUM(df) AS BIGINT) AS df_sum
+           |FROM f WHERE rn = 1
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Near-dup decontamination ([[Dedup.decontaminateNearDupPairs]]): the
+    * benchmark set is the 40-token prefix of every 97th document (a
+    * benchmark question extracted from a training page — so the planted
+    * contamination is IN the train corpus), train = the whole corpus;
+    * exact bipartite n-gram Jaccard at threshold 0.3 (measured: planted
+    * pairs score ≥ 0.39, cross-doc background ≤ 0.035 at sf0.01).
+    */
+  val decontaminateNearDup = OpQ("llm_decontaminate_neardup",
+    (s, d) => {
+      val all = docs(s, d)
+      val bench = all.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      Dedup.decontaminateNearDupPairs(
+          all.select(col("doc_id"), col("text")), bench, threshold = 0.3)
+        .orderBy(col("train_id"), col("bench_id"))
+    },
+    Some("""WITH bench AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
+           |  FROM documents WHERE doc_id % 97 = 0),
+           |train AS (SELECT doc_id, text FROM documents),
+           |ts AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |bs AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t,
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |tc AS (SELECT doc_id, COUNT(*) AS n FROM ts GROUP BY doc_id),
+           |bc AS (SELECT doc_id, COUNT(*) AS n FROM bs GROUP BY doc_id),
+           |pairs AS (SELECT ts.doc_id AS train_id, bs.doc_id AS bench_id,
+           |            COUNT(*) AS common
+           |          FROM ts JOIN bs ON ts.s = bs.s GROUP BY 1, 2)
+           |SELECT train_id, bench_id,
+           |  CAST(common AS DOUBLE) / (tc.n + bc.n - common) AS jaccard
+           |FROM pairs JOIN tc ON tc.doc_id = train_id JOIN bc ON bc.doc_id = bench_id
+           |WHERE CAST(common AS DOUBLE) / (tc.n + bc.n - common) >= 0.3
+           |ORDER BY train_id, bench_id""".stripMargin))
+
+  /** Log-free TF-IDF keywords ([[TextAnalysis.tfidfTopTerms]]): top-3 terms
+    * per doc by tf·10⁶ div df (integer weight — ln/exp are banned from
+    * oracles by the bit-exactness rules), ties by term.
+    */
+  val textKeywords = OpQ("llm_text_keywords",
+    (s, d) => TextAnalysis.tfidfTopTerms(docs(s, d), k = 3)
+      .orderBy(col("doc_id"), col("rank")),
+    Some("""WITH tf AS (
+           |  SELECT doc_id, term, COUNT(*) AS tf
+           |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+           |        FROM documents) t
+           |  GROUP BY doc_id, term),
+           |idf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+           |r AS (SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+           |        tf.tf * 1000000 // idf.df AS weight
+           |      FROM tf JOIN idf USING (term)),
+           |s AS (SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY doc_id ORDER BY weight DESC, term) AS rank FROM r)
+           |SELECT doc_id, rank, term, tf, df, weight FROM s
+           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
   /** spark.ml MinHashLSH near-dup pairs (seeded; rows-only — MLlib hash
     * families aren't DuckDB-expressible; recall vs exact jaccard in
     * MlLshSpec).
@@ -659,6 +787,8 @@ object LlmQueries {
     annBruteForce, annIvf, annLsh,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
+    mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
+    textKeywords,
     chunkDocs, decontaminate, textRepetition,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

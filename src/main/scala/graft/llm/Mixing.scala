@@ -80,6 +80,67 @@ object Mixing {
       .drop("__rn", "__qsrc", "__m")
   }
 
+  /** Token-budget domain mixing: like [[mixDomains]] but quotas are in
+    * TOKENS, the unit a training run actually budgets. Each source s with
+    * weight w_s gets a token quota m_s = ⌊w_s·B / W⌋ (B = `budgetTokens`,
+    * W = Σ w_s, BIGINT truncating division) and keeps its lowest-permutation
+    * documents greedily while the running token count stays within the
+    * quota: a document is kept iff its INCLUSIVE running sum ≤ m_s, so the
+    * kept prefix never exceeds the quota (the first document longer than
+    * the whole quota is dropped along with everything after it).
+    *
+    * Scale shape: the weight/quota side is a broadcast-sized plan like
+    * [[mixDomains]]; the corpus pays one window shuffle on the source key
+    * (per-source permutation order + running sum — the same single window
+    * [[mixDomains]] pays for row ranks). Tokens are whitespace counts
+    * ([[TextAnalysis]] convention); swap `tokenCount` for a BPE-aware
+    * column when real tokenizer counts are available.
+    */
+  def mixDomainsByTokens(docs: DataFrame, weights: DataFrame, budgetTokens: Long,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val wdf = weights.toDF("__src", "__w").filter(col("__w") > 0)
+    val sumw = wdf.agg(sum(col("__w")).as("__sumw")) // 1 row
+    val quota = wdf.crossJoin(broadcast(sumw))
+      .select(col("__src").as("__qsrc"),
+        expr(s"__w * ${budgetTokens}L div __sumw").as("__m"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(permute(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__nt", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__cum", sum(col("__nt")).over(w))
+      .join(broadcast(quota), col(sourceCol) === col("__qsrc"))
+      .filter(col("__cum") <= col("__m"))
+      .drop("__nt", "__cum", "__qsrc", "__m")
+  }
+
+  /** Deterministic global shuffle + sharding — the last step before a
+    * training run reads the corpus: every document gets a pseudo-random
+    * but REPRODUCIBLE (shard, position) from the integer permutation, so
+    * two runs (or two engines) lay out byte-identical shards with no RNG
+    * state. shard = permute(id) mod numShards; position = rank of
+    * permute(id) within the shard (ties impossible: the permutation is a
+    * bijection mod 4294967311 for ids below it, and `idCol` breaks any
+    * residual tie deterministically).
+    *
+    * Scale shape: one shuffle on the shard key + a per-shard sort — the
+    * same cost as the `repartition(numShards).sortWithinPartitions`
+    * a sharded writer pays anyway; compose with
+    * `.write.partitionBy("shard")` (or `repartition(col("shard"))` +
+    * per-partition files) to materialize training shards.
+    */
+  def shuffleShard(docs: DataFrame, numShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(permute(col(idCol)), col(idCol))
+    docs
+      .withColumn("shard", permute(col(idCol)) % lit(numShards.toLong))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Greedy sequence packing — the "concatenate then split every
     * `contextLen` tokens" construction of LLM training sequences. Documents
     * are laid head-to-tail in `idCol` order within each shard and each

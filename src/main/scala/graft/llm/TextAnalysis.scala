@@ -161,6 +161,40 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** TF-IDF-style keyword extraction: the top-`k` most distinctive terms
+    * per document, ranked by a LOG-FREE integer weight
+    * tf·10⁶ div df (BIGINT truncating division). Dropping the usual
+    * log(N/df) keeps the ranking monotone in tf/df — the same top-k order
+    * for any fixed tf — while staying bit-exact across engines (ln/exp
+    * diverge by 1 ulp between libms, which breaks hash-equality gates;
+    * see TpchQueries' bit-exactness rules). Ties break by term asc.
+    *
+    * Scale shape: explode → groupBy(doc, term) with partial (map-side)
+    * aggregation → groupBy(term) for df (a term-cardinality-sized frame)
+    * → hash join back on term → one window per doc for the top-k. Two
+    * aggregation shuffles + one join shuffle on the term key, nothing
+    * pairwise; the df side is the only frame that grows with vocabulary,
+    * not corpus size.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("weight", expr("tf * 1000000L div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("weight"))
+  }
+
   /** PII redaction — the scrubbing pass every training-data pipeline runs
     * before anything else sees the text: mask emails and phone numbers,
     * count what was masked (the counts drive corpus-level PII-rate

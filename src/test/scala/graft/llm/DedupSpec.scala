@@ -243,6 +243,59 @@ class DedupSpec extends SparkSpec {
       f"recall $recall%.3f below 1-(1-j^r)^b bound $expected%.3f - 0.1 at sf0.1")
   }
 
+  test("paragraphDedup keeps first occurrences and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha|beta|gamma"),
+      (2L, "beta|delta"),       // beta seen in doc 1 idx 1 → dropped here
+      (3L, "alpha|alpha|zeta"), // both alphas dupes of doc 1 idx 0
+      (4L, "beta|alpha")        // everything seen before → doc vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, delim = "|").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_dedup"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_total")))).toMap
+    assert(out(1L) === (("alpha|beta|gamma", 3L, 3L)))
+    assert(out(2L) === (("delta", 1L, 2L)))
+    assert(out(3L) === (("zeta", 1L, 3L)))
+    assert(!out.contains(4L), "a doc with no surviving paragraph is dropped")
+    // global invariant: each distinct paragraph survives exactly once
+    val survivors = Dedup.paragraphDedup(docs, delim = "|")
+      .select(explode(split(col("text_dedup"), "\\|")).as("p"))
+      .groupBy("p").count().filter(col("count") > 1)
+    assert(survivors.isEmpty)
+  }
+
+  test("decontaminateNearDupPairs flags planted prefix contamination exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+    val pairs = Dedup.decontaminateNearDupPairs(
+      docs.select(col("doc_id"), col("text")), bench, threshold = 0.3)
+    val flagged = pairs.select("train_id", "bench_id").as[(Long, Long)].collect().toSet
+    val planted = bench.select("doc_id").as[Long].collect().toSet
+    // every planted (d, d) self pair must be found (prefix ⊂ doc → high jaccard)
+    val selfFound = planted.count(d => flagged.contains((d, d)))
+    assert(selfFound == planted.size,
+      s"only $selfFound/${planted.size} planted contaminations flagged")
+    // all reported jaccards honor the threshold
+    assert(pairs.filter(col("jaccard") < 0.3).isEmpty)
+  }
+
+  test("tfidfTopTerms ranks by exact integer weight with term tiebreak") {
+    import spark.implicits._
+    // doc 1: 'x' tf=3 df=1 → weight 3M; 'y' tf=1 df=2 → 500k; 'z' tf=1 df=1 → 1M
+    val docs = Seq((1L, "x x x y z"), (2L, "y w")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Long]("weight")))).toMap
+    assert(out((1L, 1L)) === (("x", 3000000L)))
+    assert(out((1L, 2L)) === (("z", 1000000L)))
+    assert(out((2L, 1L)) === (("w", 1000000L)))
+    assert(out((2L, 2L)) === (("y", 500000L)))
+  }
+
   test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)

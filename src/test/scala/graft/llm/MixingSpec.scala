@@ -57,6 +57,56 @@ class MixingSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0L, 0L)))
   }
 
+  test("mixDomainsByTokens keeps the greedy prefix within each token quota") {
+    // a: 4 docs of 10 tokens, b: 4 docs of 10 tokens; weights a=3, b=1;
+    // B=40 → W=4, quota a=30, b=10 → a keeps 3 docs, b keeps 1
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = ((1L to 4L).map(i => (i, "a", ten)) ++
+      (5L to 8L).map(i => (i, "b", ten))).toDF("doc_id", "source", "text")
+    val weights = Seq(("a", 3L), ("b", 1L)).toDF("source", "w")
+    val out = Mixing.mixDomainsByTokens(docs, weights, budgetTokens = 40L)
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 1L))
+    // a doc longer than the whole quota truncates the prefix at that doc
+    val long = Seq((1L, "c", (1 to 50).map(i => s"x$i").mkString(" ")),
+      (2L, "c", "a b")).toDF("doc_id", "source", "text")
+    val kept = Mixing.mixDomainsByTokens(long, Seq(("c", 1L)).toDF("source", "w"),
+      budgetTokens = 20L).select("doc_id").collect().map(_.getLong(0)).toSet
+    // permutation order decides which doc comes first; whatever the order,
+    // the 50-token doc can never fit a 20-token quota
+    assert(!kept.contains(1L))
+  }
+
+  test("mixDomainsByTokens never exceeds quota on real data") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val weights = docs.select(col("source")).distinct()
+      .select(col("source"), lit(1L).as("w"))
+    val n = weights.count()
+    val out = Mixing.mixDomainsByTokens(docs, weights, budgetTokens = 10000L)
+    val perSource = out
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source").agg(sum("nt").as("tok"))
+      .filter(col("tok") > lit(10000L / n))
+    assert(perSource.isEmpty, "a source exceeded its token quota")
+  }
+
+  test("shuffleShard is a deterministic permutation with dense per-shard positions") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Mixing.shuffleShard(docs, numShards = 8)
+    val b = Mixing.shuffleShard(docs, numShards = 8)
+    assert(a.select("doc_id", "shard", "pos")
+      .exceptAll(b.select("doc_id", "shard", "pos")).isEmpty)
+    // every doc appears exactly once
+    assert(a.count() === docs.count())
+    assert(a.select("doc_id").distinct().count() === docs.count())
+    // positions are 1..count(shard) dense
+    val holes = a.groupBy("shard").agg(
+      count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+    assert(holes.isEmpty)
+  }
+
   test("packSequences offsets are dense within each shard on real data") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Mixing.packSequences(docs, contextLen = 64)
