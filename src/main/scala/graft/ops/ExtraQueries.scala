@@ -405,7 +405,69 @@ object ExtraQueries {
            |  UNNEST(range(1, len(w) + 1)) u(i)
            |ORDER BY doc_id, pos""".stripMargin))
 
+  /** Native recursive CTE (Spark 4 `WITH RECURSIVE`): digit-chop hierarchy
+    * over customers — parent(k) = k div 10, roots are custkey &lt; 10 — a
+    * 4–6-level tree that labels every customer with its root and depth.
+    * The oracle is DuckDB's own WITH RECURSIVE over the identical fixpoint
+    * (`//` vs `DIV` spelling is the only dialect delta). The reference has
+    * no recursion at all (sqlglot parses it; the executor raises).
+    */
+  val recursiveCte = OpQ("op_recursive_cte",
+    (s, d) => Tables.sql(s, d,
+      """WITH RECURSIVE h(custkey, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.root, h.depth + 1
+        |  FROM customer c JOIN h ON c.c_custkey DIV 10 = h.custkey
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, COUNT(*) AS n_desc, CAST(MAX(depth) AS BIGINT) AS max_depth
+        |FROM h GROUP BY root ORDER BY root""".stripMargin),
+    Some("""WITH RECURSIVE h(custkey, root, depth) AS (
+           |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+           |  UNION ALL
+           |  SELECT c.c_custkey, h.root, h.depth + 1
+           |  FROM customer c JOIN h ON c.c_custkey // 10 = h.custkey
+           |  WHERE c.c_custkey >= 10)
+           |SELECT root, COUNT(*) AS n_desc, CAST(MAX(depth) AS BIGINT) AS max_depth
+           |FROM h GROUP BY root ORDER BY root""".stripMargin))
+
+  /** Dataset.unpivot (wide→long melt; the inverse of `op_pivot`). The
+    * oracle is the dialect-neutral UNION ALL expansion — exactly the
+    * semantics unpivot promises.
+    */
+  val unpivot = OpQ("op_unpivot",
+    (s, d) => Tables.load(s, d, "part")
+      .select(col("p_partkey"),
+        col("p_retailprice").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("retailprice"), col("size")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric")),
+    Some("""SELECT p_partkey, metric, value FROM (
+           |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+           |  UNION ALL
+           |  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part) t
+           |ORDER BY p_partkey, metric""".stripMargin))
+
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 customers
+    * per nation, the classic lateral top-k shape, running as the SAME SQL
+    * text on both engines.
+    */
+  val joinLateral = OpQ("op_join_lateral",
+    (s, d) => Tables.sql(s, d,
+      """SELECT n_name, c.c_name, c.c_acctbal FROM nation,
+        |  LATERAL (SELECT c_name, c_acctbal FROM customer
+        |           WHERE c_nationkey = n_nationkey
+        |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin),
+    Some("""SELECT n_name, c.c_name, c.c_acctbal FROM nation,
+           |  LATERAL (SELECT c_name, c_acctbal FROM customer
+           |           WHERE c_nationkey = n_nationkey
+           |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+           |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
+    recursiveCte, unpivot, joinLateral,
     setUnionByName, explodeGenerator, graphComponents, mergeUpsert, stringAgg,
     joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,

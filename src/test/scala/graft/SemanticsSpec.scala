@@ -67,6 +67,34 @@ class SemanticsSpec extends SparkSpec {
     intercept[ExecuteError](Engine.execute(spark, "SELECT * FROM table_that_is_not_there"))
   }
 
+  test("WITH RECURSIVE reaches the fixpoint (depth = chain length, no early stop)") {
+    // a 12-node path: recursion must run 12 levels, well past any default
+    // "a few iterations" unrolling
+    val edges = (1 to 11).map(i => (i, i + 1)).toDF("src", "dst")
+    edges.createOrReplaceTempView("rec_edges")
+    val out = spark.sql(
+      """WITH RECURSIVE walk(node, depth) AS (
+        |  SELECT 1, 0
+        |  UNION ALL
+        |  SELECT e.dst, w.depth + 1 FROM rec_edges e JOIN walk w ON e.src = w.node)
+        |SELECT MAX(depth) AS d, COUNT(*) AS n FROM walk""".stripMargin).head()
+    assert(out.getInt(0) === 11 && out.getLong(1) === 12L)
+  }
+
+  test("correlated LATERAL with LIMIT equals the window-function top-k") {
+    val df = Seq((1, "a", 5.0), (1, "b", 7.0), (1, "c", 3.0),
+      (2, "d", 1.0), (2, "e", 2.0)).toDF("g", "name", "score")
+    df.createOrReplaceTempView("lat_t")
+    val lateral = spark.sql(
+      """SELECT k.g, top.name FROM (SELECT DISTINCT g FROM lat_t) k,
+        |  LATERAL (SELECT name FROM lat_t WHERE g = k.g
+        |           ORDER BY score DESC, name LIMIT 2) top""".stripMargin)
+    val window = spark.sql(
+      """SELECT g, name FROM (SELECT g, name, ROW_NUMBER() OVER (
+        |  PARTITION BY g ORDER BY score DESC, name) rn FROM lat_t) WHERE rn <= 2""".stripMargin)
+    assert(lateral.exceptAll(window).isEmpty && window.exceptAll(lateral).isEmpty)
+  }
+
   test("Engine.execute applies declared schemas (reference schema argument)") {
     import org.apache.spark.sql.types._
     val df = Seq(("1", "x"), ("2", "y")).toDF("k", "v")
