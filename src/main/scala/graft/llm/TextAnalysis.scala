@@ -102,10 +102,13 @@ object TextAnalysis {
     * filter oracles bit-exact.
     */
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // token array bound as a lambda var (not an alias) so the split runs
+    // once per row, not once per bigram — see Dedup.withShingles
     val grams = docs
-      .withColumn("w", split(col(textCol), " "))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(w) - 1, 1)), i -> concat_ws(' ', slice(w, i, 2)))"))
+        s"""flatten(transform(array(split(`$textCol`, ' ')), w ->
+           |  transform(sequence(1, greatest(size(w) - 1, 1)),
+           |            i -> concat_ws(' ', slice(w, i, 2)))))""".stripMargin))
         .as("g"))
     grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
