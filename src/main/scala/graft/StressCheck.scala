@@ -97,6 +97,30 @@ object StressCheck {
       val tUncap = (System.nanoTime() - t1) / 1e9
       println(f"STRESS ngram_df_cap capped_rows=$capped%d ${tCap}%.2fs uncapped_rows=$uncapped%d ${tUncap}%.2fs")
     }
+    // paragraph dedup at 1x vs factor-x: the amplified corpus repeats every
+    // text factor× under fresh ids, so each distinct paragraph occurs
+    // factor× more often — survivors must stay EXACTLY the 1x survivor
+    // count (first-occurrence keep is id-minimal, and the 1x ids are the
+    // smallest), while wall time tracks the exploded row volume.
+    Seq("1x" -> docs, s"${factor}x" -> docsAmp).foreach { case (label, d) =>
+      val t0 = System.nanoTime()
+      val out = graft.llm.Dedup.paragraphDedup(d, delim = " the ")
+      val survivors = out.agg(sum(col("n_kept"))).head().getLong(0)
+      println(f"STRESS paragraph_dedup_$label docs=${out.count()}%d " +
+        f"paragraphs_kept=$survivors%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    // near-dup decontamination: the benchmark side stays FIXED (52 prefix
+    // docs) while the train side amplifies factor× — candidate volume and
+    // wall time must track Σ df_train·df_bench linearly with the train
+    // side, never |train|×|bench|.
+    Seq("1x" -> docs, s"${factor}x" -> docsAmp).foreach { case (label, d) =>
+      val bench = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      val t0 = System.nanoTime()
+      val n = graft.llm.Dedup.decontaminateNearDupPairs(d, bench, threshold = 0.3).count()
+      println(f"STRESS decontam_neardup_$label pairs=$n%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // connected components on long chains: amplified orders (factor×150k
     // keys) arranged into 100 paths of ~keys/100 nodes each (bucket =
     // o_orderkey % 100, linked by consecutive rank — ~1500-node chains at
