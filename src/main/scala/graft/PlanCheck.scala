@@ -110,7 +110,25 @@ object PlanCheck {
     Rule("llm_decontaminate_neardup", "inverted-index equi-join on the shingle hash, never pairwise",
       f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") + f("bnlj") == 0),
     Rule("llm_text_keywords", "partial map-side tf aggregation; df join is an equi-join",
-      f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0))
+      f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0),
+    Rule("llm_text_bm25", "top-k via TakeOrderedAndProject; df/dl joins broadcast " +
+      "(the single bnlj is the 1-row totals broadcast)",
+      f => f("topk") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
+        f("bnlj") <= 1 && f("bhj") >= 2),
+    Rule("llm_text_normalize", "pure per-row normalize: no join, one output exchange",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
+        f("exchange") <= 1),
+    Rule("llm_dedup_span", "span-key shuffles only: no pairwise join shapes, map-side partial agg",
+      f => f("cartesian") + f("bnlj") == 0 && f("partial_agg") >= 2),
+    Rule("op_json_variant", "per-row variant extraction: no join, one output exchange",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
+        f("exchange") <= 1),
+    Rule("op_layout_zorder", "Morton top-k with ZERO exchange (pure scan→TakeOrdered)",
+      f => f("topk") >= 1 && f("exchange") == 0),
+    Rule("op_merge_scd2", "every delta join broadcasts; no sort-merge/cartesian fallback",
+      f => f("bhj") >= 4 && f("smj") + f("shj") + f("cartesian") == 0),
+    Rule("stream_static_join", "static dim joined by broadcast; stream side never shuffles for the join",
+      f => f("bhj") >= 1 && f("smj") + f("shj") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

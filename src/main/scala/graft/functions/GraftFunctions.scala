@@ -16,5 +16,6 @@ object GraftFunctions {
     SimHash64.registerSql(spark)
     MinHashSig.registerSql(spark)
     SrpBucket.registerSql(spark)
+    NfcNormalize.registerSql(spark)
   }
 }

@@ -308,6 +308,47 @@ object Dedup {
         sum(col("df")).as("df_sum"))
   }
 
+  /** Sliding-window span dedup (the window-granular form of
+    * suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): every `window`-token
+    * span of every document is keyed; a span whose globally-first
+    * occurrence (min doc_id) lies in an EARLIER document is a duplicated
+    * span. Per document: span count, duplicated-span count, and an exact
+    * integer duplication fraction (ppm) — the signal pipelines threshold
+    * on to drop or trim span-duplicated documents. Documents shorter than
+    * `window` contribute their whole text as one span.
+    *
+    * Scale shape: one generator explode (positions × docs — linear in
+    * corpus tokens), one groupBy on the span key for first-occurrence,
+    * one join back on the span key, one per-doc aggregate. All shuffles
+    * are on span keys — cost is corpus-token-linear, never pairwise. At
+    * 100 TB the span key should be `xxhash64(span)` (8-byte shuffle keys;
+    * pass `hashSpans = true`); the raw-string default keys make the
+    * result DuckDB-oracle-able.
+    */
+  def spanDedup(docs: DataFrame, window: Int = 8, hashSpans: Boolean = false,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val wins = docs
+      .select(col("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(w) >= $window
+           |  THEN transform(sequence(0, size(w) - $window),
+           |                 i -> array_join(slice(w, i + 1, $window), ' '))
+           |  ELSE array(array_join(w, ' ')) END""".stripMargin)).as("span"))
+      .withColumn("k", if (hashSpans) xxhash64(col("span")) else col("span"))
+    val firsts = wins.groupBy(col("k")).agg(min(col("doc_id")).as("first_doc"))
+    wins.join(firsts, "k")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("is_span_dup", col("n_dup_windows") > 0)
+      .withColumn("dup_frac_ppm",
+        expr("n_dup_windows * 1000000L div n_windows"))
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
     * self-join on the shingle (shuffle on shingle, cost bounded by
     * co-occurrence, never n²), count common shingles per pair, and compute

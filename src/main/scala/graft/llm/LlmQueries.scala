@@ -767,6 +767,87 @@ object LlmQueries {
            |SELECT doc_id, rank, term, tf, df, weight FROM s
            |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  /** BM25 full-text ranking ([[TextAnalysis.bm25Rank]]): top-10 documents
+    * for a 3-term query. Every score input is an exact integer and the
+    * double arithmetic is a fixed IEEE tree evaluated identically by both
+    * engines (per-term FLOOR to BIGINT before the per-doc sum makes the
+    * only reordering-sensitive step associative) — so the ranking oracles
+    * hash-exact, scores included.
+    */
+  val textBm25 = OpQ("llm_text_bm25",
+    (s, d) => TextAnalysis.bm25Rank(docs(s, d),
+      Seq("spark", "vector", "stream"), k = 10),
+    Some("""WITH lens AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           |  FROM documents),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |               CAST(SUM(dl) AS BIGINT) AS a_tokens FROM lens),
+           |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+           |             FROM documents) t
+           |       WHERE term IN ('spark', 'vector', 'stream')
+           |       GROUP BY doc_id, term),
+           |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+           |           ((CAST(2*(n_docs - df) + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)) *
+           |            ((CAST(22 AS DOUBLE)*tf*a_tokens) /
+           |             (CAST(10 AS DOUBLE)*tf*a_tokens + CAST(3 AS DOUBLE)*a_tokens +
+           |              CAST(9 AS DOUBLE)*dl*n_docs)))) AS BIGINT) AS score_term
+           |       FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id), tot)
+           |SELECT doc_id, CAST(SUM(score_term) AS BIGINT) AS score,
+           |  COUNT(*) AS n_terms_hit
+           |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+
+  /** Sliding-window span dedup ([[Dedup.spanDedup]], window=4): per-doc
+    * duplicated-span counts against global first occurrence. Raw-string
+    * span keys so every count oracles exactly (the 100 TB path hashes the
+    * keys — same plan shape, gated by DedupSpec equivalence).
+    */
+  val dedupSpan = OpQ("llm_dedup_span",
+    (s, d) => Dedup.spanDedup(docs(s, d), window = 4)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |wins AS (
+           |  SELECT doc_id, UNNEST(CASE WHEN len(w) >= 4
+           |    THEN list_transform(range(1, len(w) - 2),
+           |                        i -> array_to_string(list_slice(w, i, i + 3), ' '))
+           |    ELSE [array_to_string(w, ' ')] END) AS span
+           |  FROM toks),
+           |firsts AS (SELECT span, MIN(doc_id) AS first_doc FROM wins GROUP BY span),
+           |per AS (
+           |  SELECT w.doc_id, COUNT(*) AS n_windows,
+           |    CAST(SUM(CASE WHEN f.first_doc < w.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_dup_windows
+           |  FROM wins w JOIN firsts f USING (span) GROUP BY w.doc_id)
+           |SELECT doc_id, n_windows, n_dup_windows,
+           |  n_dup_windows > 0 AS is_span_dup,
+           |  n_dup_windows * 1000000 // n_windows AS dup_frac_ppm
+           |FROM per ORDER BY doc_id""".stripMargin))
+
+  /** CCNet-style normalization ([[TextAnalysis.normalizeText]]). The corpus
+    * is pure ASCII, so the query decorates each doc with mixed-case
+    * punctuation AND a decomposed accent sequence ("CAFE" + combining
+    * acute U+0301) — NFC must compose it to "café" on both engines
+    * (JDK Normalizer vs DuckDB utf8proc) for the hash to match, so the
+    * non-trivial normalization path is what's actually gated.
+    */
+  val textNormalize = OpQ("llm_text_normalize",
+    (s, d) => TextAnalysis.normalizeText(
+        docs(s, d).withColumn("text",
+          concat(col("text"), lit(" CAFE\u0301!!  ,,Mix-Case??"))))
+      .select(col("doc_id"), col("norm_text"), col("norm_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(
+           |    lower(nfc_normalize(text || ' CAFE\u0301!!  ,,Mix-Case??')),
+           |    '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+           |  CAST(len(string_split(trim(regexp_replace(regexp_replace(
+           |    lower(nfc_normalize(text || ' CAFE\u0301!!  ,,Mix-Case??')),
+           |    '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT)
+           |    AS norm_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** spark.ml MinHashLSH near-dup pairs (seeded; rows-only — MLlib hash
     * families aren't DuckDB-expressible; recall vs exact jaccard in
     * MlLshSpec).
@@ -788,7 +869,7 @@ object LlmQueries {
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
-    textKeywords,
+    textKeywords, textBm25, textNormalize, dedupSpan,
     chunkDocs, decontaminate, textRepetition,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

@@ -198,6 +198,93 @@ object TextAnalysis {
         col("tf"), col("df"), col("weight"))
   }
 
+  /** BM25 keyword ranking — full-text relevance scoring over the corpus
+    * for a fixed bag of query terms (reference has no search operator;
+    * this is the retrieval half of a data-curation / RAG pipeline:
+    * "find the documents most about X").
+    *
+    * Okapi BM25 with k1=1.2, b=0.75. Every input to the score is an exact
+    * integer (tf, df, dl, N, A=Σdl), and the per-term score is evaluated
+    * as a FIXED expression tree over those integers:
+    *
+    *   idf   = (N - df + 0.5)/(df + 0.5)        = (2(N-df)+1)/(2df+1)
+    *   tfp   = tf(k1+1) / (tf + k1(1-b+b·dl·N/A))
+    *         = 22·tf·A  / (10·tf·A + 3·A + 9·dl·N)   (×10A both sides)
+    *   score_term = FLOOR(1e6 · idf · tfp)  :: BIGINT
+    *
+    * Determinism across engines: each double op (int→double cast, ×, ÷)
+    * is IEEE-754 correctly rounded, so two engines evaluating the SAME
+    * tree produce bit-identical doubles; FLOOR then lands on the same
+    * integer. The only order-sensitive step — summing term scores per
+    * doc — happens AFTER the floor, as a BIGINT sum (associative), so
+    * partial-aggregation order can't change the result. (The log-idf of
+    * textbook BM25 is deliberately replaced by its rational argument:
+    * ln() is not correctly rounded and differs across libms; the ratio
+    * is monotone in the same direction so rankings agree.)
+    *
+    * Scale shape: dl is a per-row `size(split())` — no explode for the
+    * length pass; N and A are one scalar aggregate broadcast to every
+    * row; tf explodes only rows' matching terms (the IN-list filter is
+    * inside the generator projection, so the shuffle carries query-term
+    * postings only, not the whole corpus vocabulary); df is a ≤|terms|-row
+    * frame joined by broadcast. One groupBy(doc) shuffle on postings +
+    * one global top-k. At 100 TB the only corpus-sized exchange is the
+    * per-doc posting aggregation, which is proportional to occurrences
+    * of the query terms, not corpus tokens.
+    */
+  def bm25Rank(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val lens = docs.select(col("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val totals = lens.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("a_tokens"))
+    val termArray = array(queryTerms.map(lit): _*)
+    val withQt = docs.withColumn("qt", termArray)
+    val tfQ = withQt
+      .select(col("doc_id"),
+        explode(expr(s"filter(split($textCol, ' '), t -> array_contains(qt, t))"))
+          .as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tfQ
+      .join(broadcast(df), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_term", expr(
+        """CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+          |  ((CAST(2*(n_docs - df) + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)) *
+          |   ((CAST(22 AS DOUBLE)*tf*a_tokens) /
+          |    (CAST(10 AS DOUBLE)*tf*a_tokens + CAST(3 AS DOUBLE)*a_tokens +
+          |     CAST(9 AS DOUBLE)*dl*n_docs)))) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_term")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** CCNet-style text normalization — the canonical pre-hash cleanup every
+    * curation pipeline runs before fingerprinting/dedup: Unicode NFC
+    * (custom codegen expression, [[graft.functions.NfcNormalize]]),
+    * lowercase, punctuation→space, whitespace collapse, trim. Pure per-row
+    * column expressions: zero shuffle, whole-stage codegen with the scan,
+    * linear at any corpus size. `\p{L}\p{N}` character classes have the
+    * same semantics in Java regex and RE2, so the result oracles exactly.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(
+            lower(graft.functions.NfcNormalize.nfc_normalize(col(textCol))),
+            "[^\\p{L}\\p{N}\\s]+", " "),
+          "\\s+", " ")))
+      .withColumn("norm_tokens", size(split(col("norm_text"), " ")).cast("long"))
+
   /** PII redaction — the scrubbing pass every training-data pipeline runs
     * before anything else sees the text: mask emails and phone numbers,
     * count what was masked (the counts drive corpus-level PII-rate

@@ -145,6 +145,78 @@ object ExtraQueries {
            |SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** SCD-2 history merge ([[Relational.scd2Merge]]): a versioned customer
+    * dimension with pre-existing history rows takes a change batch that
+    * updates some balances, repeats others unchanged, and introduces new
+    * keys — changed keys close their current version at the as-of date
+    * and open a new one; everything else passes through. Oracle spells
+    * all five branches (history / untouched / closed / opened / inserted)
+    * as UNION ALL + IN/NOT IN.
+    */
+  val mergeScd2 = OpQ("op_merge_scd2",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val current = cust
+        .withColumn("valid_from", to_date(lit("2024-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val history = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") - 50)
+        .withColumn("valid_from", to_date(lit("2023-01-01")))
+        .withColumn("valid_to", to_date(lit("2024-01-01")))
+        .withColumn("is_current", lit(false))
+      val source = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(cust.filter(col("c_custkey") % 3 === 1))
+        .unionByName(cust.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      Relational.scd2Merge(current.unionByName(history), source,
+          keys = Seq("c_custkey"), tracked = Seq("c_nationkey", "c_acctbal"),
+          asOf = to_date(lit("2024-06-01")))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("valid_from").cast("string").as("valid_from"),
+          col("valid_to").cast("string").as("valid_to"), col("is_current"))
+        .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+           |tcur AS (SELECT c_custkey, c_nationkey, c_acctbal,
+           |           DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           |           TRUE AS is_current FROM cust),
+           |thist AS (SELECT c_custkey, c_nationkey, c_acctbal - 50 AS c_acctbal,
+           |            DATE '2023-01-01' AS valid_from, DATE '2024-01-01' AS valid_to,
+           |            FALSE AS is_current FROM cust WHERE c_custkey % 7 = 0),
+           |src AS (
+           |  SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
+           |  FROM cust WHERE c_custkey % 3 = 0
+           |  UNION ALL SELECT c_custkey, c_nationkey, c_acctbal
+           |  FROM cust WHERE c_custkey % 3 = 1
+           |  UNION ALL SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+           |  FROM cust WHERE c_custkey % 11 = 0),
+           |toclose AS (SELECT t.* FROM tcur t JOIN src s USING (c_custkey)
+           |            WHERE t.c_acctbal IS DISTINCT FROM s.c_acctbal
+           |               OR t.c_nationkey IS DISTINCT FROM s.c_nationkey)
+           |SELECT c_custkey, c_nationkey, c_acctbal,
+           |  CAST(valid_from AS VARCHAR) AS valid_from,
+           |  CAST(valid_to AS VARCHAR) AS valid_to, is_current
+           |FROM (
+           |  SELECT * FROM thist
+           |  UNION ALL
+           |  SELECT * FROM tcur
+           |  WHERE c_custkey NOT IN (SELECT c_custkey FROM toclose)
+           |  UNION ALL
+           |  SELECT c_custkey, c_nationkey, c_acctbal, valid_from,
+           |    DATE '2024-06-01' AS valid_to, FALSE AS is_current FROM toclose
+           |  UNION ALL
+           |  SELECT s.c_custkey, s.c_nationkey, s.c_acctbal,
+           |    DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+           |  FROM src s WHERE s.c_custkey IN (SELECT c_custkey FROM toclose)
+           |  UNION ALL
+           |  SELECT s.c_custkey, s.c_nationkey, s.c_acctbal,
+           |    DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+           |  FROM src s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM tcur)
+           |) t ORDER BY c_custkey, valid_from, is_current""".stripMargin))
+
   /** Ordered string aggregation — Spark 4 `listagg … WITHIN GROUP` vs
     * DuckDB's ordered `string_agg`; deterministic because both sides order
     * by the aggregated key.
@@ -212,6 +284,61 @@ object ExtraQueries {
            |    || (event_id % 5)::VARCHAR || '}}', '$.a[0]')::BIGINT AS a0,
            |  json_extract('{"a": [' || (event_id % 7)::VARCHAR || ', 2], "m": {"x": '
            |    || (event_id % 5)::VARCHAR || '}}', '$.m.x')::BIGINT AS mx
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Z-order (Morton) clustering key ([[Layout.zorder2]]) — the layout
+    * operator's arithmetic, gated bit-exact: interleaved 16-bit dims of
+    * (o_custkey, o_orderkey), DuckDB computing the same spread chain in
+    * plain SQL. The write-side shuffle shape (`repartitionByRange` on the
+    * key) is gated by LayoutSpec + PlanCheck, not the oracle.
+    */
+  val layoutZorder = OpQ("op_layout_zorder",
+    (s, d) => {
+      val base = Tables.load(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 65536).as("x"),
+        (col("o_orderkey") % 65536).as("y"))
+      base.withColumn("zvalue", Layout.zorder2(col("x"), col("y")))
+        .orderBy(col("zvalue"), col("o_orderkey"))
+        .limit(200)
+    },
+    Some("""WITH b AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+           |                  o_orderkey % 65536 AS y FROM orders),
+           |c1 AS (SELECT *, (x | (x << 8)) & 16711935 AS ax,
+           |               (y | (y << 8)) & 16711935 AS ay FROM b),
+           |c2 AS (SELECT *, (ax | (ax << 4)) & 252645135 AS bx,
+           |               (ay | (ay << 4)) & 252645135 AS by2 FROM c1),
+           |c3 AS (SELECT *, (bx | (bx << 2)) & 858993459 AS cx,
+           |               (by2 | (by2 << 2)) & 858993459 AS cy FROM c2),
+           |c4 AS (SELECT *, (cx | (cx << 1)) & 1431655765 AS dx,
+           |               (cy | (cy << 1)) & 1431655765 AS dy FROM c3)
+           |SELECT o_orderkey, x, y, dx | (dy << 1) AS zvalue FROM c4
+           |ORDER BY zvalue, o_orderkey LIMIT 200""".stripMargin))
+
+  /** Spark 4 VARIANT ingestion — the modern semi-structured path (binary
+    * variant encoding decoded per-path at read time, no per-access
+    * re-parse like `get_json_object`): `parse_json` → `variant_get` with
+    * typed extraction, plus `try_variant_get` returning NULL on a type
+    * mismatch (`$.k` as DATE) instead of failing the query. Oracle:
+    * DuckDB `json_extract` of the same paths — the variant layer must be
+    * value-transparent.
+    */
+  val jsonVariant = OpQ("op_json_variant",
+    (s, d) => graft.Tables.sql(s, d,
+      """SELECT event_id,
+        |  variant_get(parse_json(props), '$.k', 'bigint') AS k,
+        |  variant_get(parse_json(concat('{"tag": "', event_type, '", "nest": {"v": [',
+        |      CAST(event_id % 9 AS STRING), ']}}')), '$.nest.v[0]', 'bigint') AS nv0,
+        |  variant_get(parse_json(concat('{"tag": "', event_type, '", "nest": {"v": [',
+        |      CAST(event_id % 9 AS STRING), ']}}')), '$.tag', 'string') AS tag,
+        |  try_variant_get(parse_json(props), '$.k', 'date') AS k_as_date
+        |FROM events ORDER BY event_id""".stripMargin),
+    Some("""SELECT event_id,
+           |  json_extract(props, '$.k')::BIGINT AS k,
+           |  json_extract('{"tag": "' || event_type || '", "nest": {"v": ['
+           |    || (event_id % 9)::VARCHAR || ']}}', '$.nest.v[0]')::BIGINT AS nv0,
+           |  json_extract_string('{"tag": "' || event_type || '", "nest": {"v": ['
+           |    || (event_id % 9)::VARCHAR || ']}}', '$.tag') AS tag,
+           |  CAST(NULL AS DATE) AS k_as_date
            |FROM events ORDER BY event_id""".stripMargin))
 
   /** Exact ordered-set aggregates, same text on both engines:
@@ -468,9 +595,11 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
     recursiveCte, unpivot, joinLateral,
-    setUnionByName, explodeGenerator, graphComponents, mergeUpsert, stringAgg,
+    setUnionByName, explodeGenerator, graphComponents, mergeUpsert, mergeScd2,
+    stringAgg,
     joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
+    jsonVariant, layoutZorder,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering — the write-side half of scan performance at
+  * 100 TB. Z-order (Morton) interleaving maps two sort dimensions onto one
+  * clustering key so parquet row-group min/max stats stay tight on BOTH
+  * columns; a reader filtering on either dimension (or a box on both)
+  * skips most files, where a lexicographic sort is tight only on the
+  * leading column. Same operator family as Delta Lake's OPTIMIZE ZORDER
+  * BY; expressed here as pure codegen'd column arithmetic (shifts/masks
+  * fuse into whole-stage codegen with the scan — no UDF, no custom
+  * expression needed).
+  */
+object Layout {
+
+  private val SpreadSteps = Seq(
+    (16, 0x0000FFFF0000FFFFL),
+    (8, 0x00FF00FF00FF00FFL),
+    (4, 0x0F0F0F0F0F0F0F0FL),
+    (2, 0x3333333333333333L),
+    (1, 0x5555555555555555L))
+
+  /** Spread the low 32 bits of `c` so bit i lands at position 2i
+    * (magic-number bit spreading, public-domain bit-twiddling idiom).
+    */
+  def spread32(c: Column): Column =
+    SpreadSteps.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (s, m)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** 64-bit Morton code of two 32-bit dimensions: x bits at even
+    * positions, y bits at odd.
+    */
+  def zorder2(x: Column, y: Column): Column =
+    spread32(x).bitwiseOR(shiftleft(spread32(y), 1))
+
+  /** Cluster a frame for writing: range-partition on the Morton code of
+    * (xCol, yCol), sort within partitions, so each output file covers a
+    * compact box in (x, y) space. `keepKey` retains the `zvalue` column
+    * for inspection. At scale this is the one full shuffle you pay at
+    * write time to make every later selective scan cheap.
+    */
+  def clusterByZOrder(df: DataFrame, xCol: String, yCol: String,
+      numPartitions: Int, keepKey: Boolean = false): DataFrame = {
+    require(numPartitions > 0, "numPartitions must be positive")
+    val keyed = df.withColumn("zvalue", zorder2(col(xCol), col(yCol)))
+    val parted = keyed
+      .repartitionByRange(numPartitions, col("zvalue"))
+      .sortWithinPartitions(col("zvalue"))
+    if (keepKey) parted else parted.drop("zvalue")
+  }
+}

@@ -179,6 +179,54 @@ object Relational {
     source.unionByName(target.join(source, keys, "left_anti"))
   }
 
+  /** MERGE (SCD type 2): history-preserving upsert into a versioned
+    * dimension. The target carries `valid_from`/`valid_to`/`is_current`;
+    * each source row that CHANGES a tracked attribute closes the current
+    * version (`valid_to := asOf`, `is_current := false`) and opens a new
+    * one; unchanged matches and historical rows pass through untouched;
+    * source-only keys insert as new current rows.
+    *
+    * Three branches of one left/anti join pair, unioned by name — the
+    * same delta-broadcast shape as [[upsert]]: with a small change batch
+    * Catalyst broadcasts `source` to every branch and the only full pass
+    * over the (100 TB) target is the one column-append scan; no window,
+    * no full-outer coalesce. `keys` must be unique in `source`, and
+    * `target` must hold at most one current row per key (the operator's
+    * own output invariant, so it composes with itself day over day).
+    */
+  def scd2Merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+      tracked: Seq[String], asOf: Column): DataFrame = {
+    require(tracked.nonEmpty, "tracked attribute list must be non-empty")
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    require(meta.forall(target.columns.contains),
+      s"target must carry ${meta.mkString("/")} columns")
+    require(source.columns.sorted.sameElements(
+      target.columns.filterNot(meta.contains).sorted),
+      "source must carry exactly the target's business columns")
+    val changed = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val current = target.filter(col("is_current"))
+    val history = target.filter(!col("is_current"))
+    // current rows whose tracked attrs differ from their source row
+    val diff = tracked.map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
+    val toClose = current.as("t").join(source.as("s"), changed)
+      .filter(diff).select(col("t.*"))
+    val closed = toClose
+      .withColumn("valid_to", asOf)
+      .withColumn("is_current", lit(false))
+    val untouchedCurrent = current.join(
+      toClose.select(keys.map(col): _*), keys, "left_anti")
+    val opened = source.as("s").join(toClose.as("t"), changed, "left_semi")
+      .withColumn("valid_from", asOf)
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val inserted = source.join(current, keys, "left_anti")
+      .withColumn("valid_from", asOf)
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    history.unionByName(untouchedCurrent).unionByName(closed)
+      .unionByName(opened).unionByName(inserted)
+  }
+
   /** Bloom-prefiltered semi join — the big-⋈-big reduction for when the
     * filtering side is too large to broadcast but much smaller than the
     * probe side. Builds a bloom filter over `small`'s join keys with the

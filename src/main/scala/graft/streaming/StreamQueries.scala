@@ -120,6 +120,22 @@ object StreamQueries {
       .orderBy(col("fp")),
     None)
 
+  /** Stream-static enrichment ([[Streams.enrichedWindowCounts]]): events
+    * joined to the broadcast customer dimension, rolled up per tumbling
+    * hour × market segment. Batch replay here; the stream≡batch
+    * equivalence (and the per-micro-batch broadcast) is gated by
+    * StreamingSpec.
+    */
+  val staticEnrich = OpQ("stream_static_join",
+    (s, d) => Streams.enrichedWindowCounts(
+        ev(s, d), Tables.load(s, d, "customer"))
+      .orderBy(col("win_start"), col("c_mktsegment")),
+    Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS STRING) AS win_start,
+           |  c_mktsegment, COUNT(*) AS n,
+           |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+           |FROM events JOIN customer ON user_id + 1 = c_custkey
+           |GROUP BY 1, 2 ORDER BY win_start, c_mktsegment""".stripMargin))
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
-    attribution, dedupNearDup)
+    attribution, dedupNearDup, staticEnrich)
 }

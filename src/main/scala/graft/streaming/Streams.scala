@@ -60,6 +60,25 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("string").as("win_start"), col("event_type"), col("n"))
 
+  /** Stream-static enrichment join + windowed rollup: each event is joined
+    * to a static dimension (here customer, keyed by `user_id + 1 =
+    * c_custkey`) and aggregated per tumbling window × segment. The
+    * dimension is explicitly `broadcast()` — in Structured Streaming the
+    * static side is re-planned per micro-batch, and broadcasting it keeps
+    * every micro-batch shuffle-free on the stream side (the only stateful
+    * exchange is the window aggregation itself). This is THE standard
+    * streaming-ETL shape: fact stream ⋈ slowly-changing dim → rollup.
+    */
+  def enrichedWindowCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), col("user_id") + 1 === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100).cast("long")).cast("double") / 100).as("sum_value"))
+      .select(col("window.start").cast("string").as("win_start"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+
   /** Gaps-and-islands sessionization (30-min inactivity gap) as plain
     * window functions — runs in batch and has a direct DuckDB oracle. The
     * streaming-native equivalent is [[runningCountsStateful]] /

@@ -296,6 +296,23 @@ class DedupSpec extends SparkSpec {
     assert(out((2L, 2L)) === (("y", 500000L)))
   }
 
+  test("spanDedup flags spans first seen in earlier docs; hashed keys agree") {
+    val docs = mkDocs(Seq(
+      "a b c d e f",       // doc 0: 3 windows, none dup
+      "x y c d e f z",     // doc 1: 4 windows, "c d e f" first seen in doc 0
+      "p q r",             // doc 2: shorter than window → whole text, unique
+      "x y c d e f z"))    // doc 3: all 4 windows first seen in doc 1
+    val out = Dedup.spanDedup(docs, window = 4).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_windows")).toSeq === Seq(3L, 4L, 1L, 4L))
+    assert(out.map(_.getAs[Long]("n_dup_windows")).toSeq === Seq(0L, 1L, 0L, 4L))
+    assert(out.map(_.getAs[Boolean]("is_span_dup")).toSeq ===
+      Seq(false, true, false, true))
+    assert(out(1).getAs[Long]("dup_frac_ppm") === 250000L)
+    val hashed = Dedup.spanDedup(docs, window = 4, hashSpans = true)
+      .orderBy("doc_id").collect()
+    assert(hashed.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)

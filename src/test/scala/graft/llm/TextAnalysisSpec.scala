@@ -1,0 +1,80 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.NfcNormalize
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking and CCNet-style normalization — exact-value checks against
+  * independently computed references (the driver's DuckDB oracle covers the
+  * corpus-scale path; these pin the formula and the Unicode edge cases).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BM25 term score — the same IEEE expression tree the
+    * operator evaluates, in plain Scala doubles.
+    */
+  private def refScore(tf: Long, df: Long, dl: Long, n: Long, a: Long): Long = {
+    val idf = (2 * (n - df) + 1).toDouble / (2 * df + 1).toDouble
+    val tfp = (22.0 * tf * a) / (10.0 * tf * a + 3.0 * a + 9.0 * dl * n)
+    math.floor(1000000.0 * (idf * tfp)).toLong
+  }
+
+  test("bm25Rank scores and ranks a known corpus exactly") {
+    initLog()
+    val docs = Seq(
+      (0L, "spark spark spark filler filler filler filler filler"), // tf=3, dl=8
+      (1L, "spark filler filler filler"),                           // tf=1, dl=4
+      (2L, "filler filler filler filler filler filler"),            // no hit
+      (3L, "spark spark")                                           // tf=2, dl=2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(docs, Seq("spark"), k = 10).collect()
+    val n = 4L; val a = 8L + 4L + 6L + 2L; val df = 3L
+    val expected = Map(
+      0L -> refScore(3, df, 8, n, a),
+      1L -> refScore(1, df, 4, n, a),
+      3L -> refScore(2, df, 2, n, a))
+    assert(out.length === 3) // doc 2 has no query term
+    assert(out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap === expected)
+    // short doc with tf=2 outranks long doc with tf=3 (length normalization)
+    assert(out.head.getAs[Long]("doc_id") === 3L)
+    assert(out.forall(_.getAs[Long]("n_terms_hit") === 1L))
+  }
+
+  test("bm25Rank sums per-term scores for multi-term queries") {
+    initLog()
+    val docs = Seq(
+      (0L, "cat dog cat"),
+      (1L, "cat bird bird bird")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(docs, Seq("cat", "dog"), k = 10)
+      .orderBy("doc_id").collect()
+    val n = 2L; val a = 7L
+    assert(out(0).getAs[Long]("score") ===
+      refScore(2, 2, 3, n, a) + refScore(1, 1, 3, n, a))
+    assert(out(0).getAs[Long]("n_terms_hit") === 2L)
+    assert(out(1).getAs[Long]("score") === refScore(1, 2, 4, n, a))
+  }
+
+  test("normalizeText composes NFC, lowercases, strips punct, collapses space") {
+    initLog()
+    val docs = Seq((0L, "CAFE\u0301  ,,The--QUICK!!  fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(docs).head()
+    assert(r.getAs[String]("norm_text") === "café the quick fox")
+    assert(r.getAs[Long]("norm_tokens") === 4L)
+  }
+
+  test("nfc_normalize: ASCII passthrough, composition, null, SQL registration") {
+    initLog()
+    val df = Seq(
+      (0L, "plain ascii"),
+      (1L, "e\u0301clair"),  // decomposed, must compose
+      (2L, null.asInstanceOf[String])).toDF("id", "s")
+    val out = df.select(col("id"), NfcNormalize.nfc_normalize(col("s")).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("n") === "plain ascii")
+    assert(out(1).getAs[String]("n") === "éclair")
+    assert(out(2).isNullAt(1))
+    NfcNormalize.registerSql(spark)
+    assert(spark.sql("SELECT nfc_normalize('o\u0308') AS x").head().getString(0) === "\u00f6")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: Morton-code correctness against a reference
+  * implementation, and the property the operator exists for — clustered
+  * partitions cover compact boxes in BOTH dimensions, where a
+  * lexicographic sort is compact only in the leading one.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refSpread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  test("zorder2 matches bit-by-bit reference on edge and random values") {
+    initLog()
+    val vals = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (0xFFFFFFFFL, 0xFFFFFFFFL), (12345L, 54321L), (0xDEADBEEFL, 0xCAFEBABEL))
+    val out = vals.toDF("x", "y")
+      .withColumn("z", Layout.zorder2(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (x, y, z) =>
+      assert(z === (refSpread(x) | (refSpread(y) << 1)), s"($x, $y)")
+    }
+  }
+
+  test("clusterByZOrder shrinks per-partition extent on the second dimension") {
+    initLog()
+    // 64x64 grid, shuffled input: a lexicographic sort on x leaves each
+    // partition spanning the FULL y range; z-order boxes both.
+    val grid = spark.range(4096).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    def meanYExtent(df: org.apache.spark.sql.DataFrame): Double = {
+      val ext = df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max("y") - min("y")).as("ey"))
+        .agg(avg("ey")).head().getDouble(0)
+      ext
+    }
+    val z = Layout.clusterByZOrder(grid, "x", "y", numPartitions = 16)
+    val lex = grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+    val (zExt, lexExt) = (meanYExtent(z), meanYExtent(lex))
+    assert(zExt < lexExt / 2,
+      s"z-order mean y-extent $zExt should be well under lexicographic $lexExt")
+    // no rows lost, key column dropped by default
+    assert(z.count() === 4096L)
+    assert(!z.columns.contains("zvalue"))
+  }
+}

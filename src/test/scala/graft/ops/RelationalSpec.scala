@@ -103,6 +103,41 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("scd2Merge: closes changed, passes unchanged, inserts new, composes day-over-day") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    def dim(rows: Seq[(Long, Double, String, String, Boolean)]) =
+      rows.toDF("id", "bal", "valid_from", "valid_to", "is_current")
+        .withColumn("valid_from", to_date(col("valid_from")))
+        .withColumn("valid_to", to_date(col("valid_to")))
+    val target = dim(Seq(
+      (1L, 10.0, "2024-01-01", null, true),
+      (2L, 20.0, "2024-01-01", null, true),
+      (2L, 15.0, "2023-01-01", "2024-01-01", false))) // prior history
+    val batch1 = Seq((1L, 11.0), (2L, 20.0), (3L, 30.0)).toDF("id", "bal")
+    val day1 = Relational.scd2Merge(target, batch1, Seq("id"), Seq("bal"),
+      to_date(lit("2024-06-01")))
+    val rows1 = day1.orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        String.valueOf(r.getDate(2)), String.valueOf(r.getDate(3)), r.getBoolean(4)))
+    assert(rows1.toSeq === Seq(
+      (1L, 10.0, "2024-01-01", "2024-06-01", false), // closed
+      (1L, 11.0, "2024-06-01", "null", true),        // opened
+      (2L, 15.0, "2023-01-01", "2024-01-01", false), // history untouched
+      (2L, 20.0, "2024-01-01", "null", true),        // unchanged current
+      (3L, 30.0, "2024-06-01", "null", true)))       // insert
+    // composition: a second batch on day1's output chains versions
+    val batch2 = Seq((1L, 12.0)).toDF("id", "bal")
+    val day2 = Relational.scd2Merge(day1, batch2, Seq("id"), Seq("bal"),
+      to_date(lit("2024-09-01")))
+    val v1 = day2.filter(col("id") === 1L).orderBy("valid_from").collect()
+    assert(v1.length === 3)
+    assert(v1.map(_.getBoolean(4)).toSeq === Seq(false, false, true))
+    assert(String.valueOf(v1(1).getDate(3)) === "2024-09-01")
+    // at most one current row per key
+    val curCounts = day2.filter(col("is_current")).groupBy("id").count().collect()
+    assert(curCounts.forall(_.getLong(1) === 1L))
+  }
+
   test("connectedComponents: path graph collapses to the min node") {
     // reversed path 5-4-3-2-1: relaxation alone needs diameter rounds;
     // jumping gets there in O(log)

@@ -40,6 +40,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("enrichedWindowCounts: stream-static broadcast join equals batch") {
+    initLog()
+    val dim = graft.Tables.load(spark, dir, "customer")
+    val batch = Streams.enrichedWindowCounts(
+      graft.Tables.load(spark, dir, "events"), dim)
+    val stream = Streams.enrichedWindowCounts(
+      Streams.readEventsStream(spark, streamDir), dim)
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "stream and batch disagree")
+    assert(got.count() > 0)
+  }
+
   test("dedupNearDupDocs: streaming fingerprint set equals the batch near-dup set") {
     initLog()
     // doubled documents landing dir = every document delivered twice
