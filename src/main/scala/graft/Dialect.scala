@@ -78,6 +78,7 @@ object Dialect {
     case "snowflake" => Snowflakeish
     case "bigquery" => BigQueryish
     case "mysql" => MySqlish
+    case "postgres" | "postgresql" => Postgresish
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -240,6 +241,34 @@ object Dialect {
         rewriteMysqlDateFns,
         rewriteMysqlLocate,
         s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Postgres-ish surface: `expr::TYPE` casts and `"ident"` identifiers
+    * (ANSI, like DuckDB), `TO_CHAR` with Postgres template patterns
+    * (`YYYY-MM-DD HH24:MI:SS`, translated to a Java pattern), the `~` /
+    * `!~` regex-match operators (→ RLIKE / NOT RLIKE), `EXTRACT(EPOCH
+    * FROM …)` (→ unix_timestamp, second precision), and
+    * `string_to_array` → split. `ILIKE`, `SPLIT_PART`, `POSITION(x IN
+    * y)`, `LEFT`/`RIGHT`, `now()` are already Spark-native and pass
+    * through. Postgres standard-conforming literals treat backslash as a
+    * plain character, so they are escaped for Spark's parser like
+    * DuckDB/Trino's.
+    */
+  case object Postgresish extends Dialect {
+    private val renames = Map("string_to_array" -> "split")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        rewriteDoubleEquals,
+        rewriteDoubleQuotedIdents(_),
+        rewriteColonCast,
+        rewritePgToChar,
+        rewritePgRegexMatch,
+        rewritePgExtractEpoch,
+        s => renameFunctions(s, renames))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -1202,4 +1231,85 @@ object Dialect {
     }
     rewritten
   }
+
+  // ---- Postgres-ish helpers ----------------------------------------------
+
+  /** Postgres TO_CHAR template patterns → Java date pattern. Longest match
+    * first (HH24 before HH, Month before Mon before MM … order matters
+    * only for same-prefix templates). Unknown alphabetic patterns raise.
+    */
+  private[graft] def translatePgFormat(fmt: String): String = {
+    val templates = Seq(
+      "HH24" -> "HH", "HH12" -> "hh", "Month" -> "MMMM", "Mon" -> "MMM",
+      "YYYY" -> "yyyy", "YY" -> "yy", "MM" -> "MM", "DDD" -> "DDD",
+      "DD" -> "dd", "Day" -> "EEEE", "Dy" -> "EEE", "MI" -> "mm",
+      "SS" -> "ss", "MS" -> "SSS", "AM" -> "a", "PM" -> "a", "TZ" -> "z")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter)) out.append('\'').append(s.replace("'", "''")).append('\'')
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      templates.find { case (pg, _) => fmt.startsWith(pg, i) } match {
+        case Some((pg, java)) => flush(); out.append(java); i += pg.length
+        case None =>
+          val c = fmt.charAt(i)
+          if (c.isLetter)
+            throw new graft.UnsupportedError(
+              s"Postgres TO_CHAR pattern not supported at '$c' in '$fmt'")
+          lit.append(c); i += 1
+      }
+    }
+    flush()
+    out.toString
+  }
+
+  /** `TO_CHAR(x, 'templates')` → `date_format(x, 'java pattern')`. A
+    * non-literal format raises (translating it would need runtime info).
+    */
+  private[graft] def rewritePgToChar(sql: String): String =
+    rewriteCallOpt(sql, "to_char") { (_, args) =>
+      args match {
+        case Seq(x, SingleLiteral(f)) =>
+          Some(s"date_format($x, '${translatePgFormat(f).replace("'", "''")}')")
+        case _ =>
+          throw new graft.UnsupportedError("TO_CHAR format must be a string literal")
+      }
+    }
+
+  /** Postgres regex-match operators: ` ~ ` → ` RLIKE `, ` !~ ` →
+    * ` NOT RLIKE ` (whitespace-delimited binary form only — a unary `~`
+    * is Spark's bitwise NOT and is left alone; literal spans untouched).
+    */
+  private[graft] def rewritePgRegexMatch(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val re = """(?<=\s)(!~|~)(?=\s)""".r
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
+      out.append(sql.substring(last, m.start))
+      out.append(if (m.group(1) == "!~") "NOT RLIKE" else "RLIKE")
+      last = m.end
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
+
+  /** `EXTRACT(EPOCH FROM x)` → `unix_timestamp(x)` (second precision —
+    * the integral part of Postgres' fractional epoch). Other EXTRACT
+    * fields are Spark-native and left alone.
+    */
+  private[graft] def rewritePgExtractEpoch(sql: String): String =
+    rewriteCallOpt(sql, "extract") { (_, args) =>
+      args match {
+        case Seq(one) =>
+          val m = """(?is)^\s*EPOCH\s+FROM\s+(.+)$""".r.findFirstMatchIn(one)
+          m.map(g => s"unix_timestamp(${g.group(1)})")
+        case _ => None
+      }
+    }
 }

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 49 invariants
-  * across 39 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 60 invariants
+  * across 51 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -128,7 +128,21 @@ object PlanCheck {
     Rule("op_merge_scd2", "every delta join broadcasts; no sort-merge/cartesian fallback",
       f => f("bhj") >= 4 && f("smj") + f("shj") + f("cartesian") == 0),
     Rule("stream_static_join", "static dim joined by broadcast; stream side never shuffles for the join",
-      f => f("bhj") >= 1 && f("smj") + f("shj") == 0))
+      f => f("bhj") >= 1 && f("smj") + f("shj") == 0),
+    Rule("op_timeseries_gapfill", "price+date filters pushed; spine join broadcast; map-side partial agg",
+      f => f("pushed_filters") >= 1 && f("bhj") >= 1 && f("smj") + f("shj") == 0 &&
+        f("partial_agg") >= 2),
+    Rule("op_grouping_id", "grouping sets expand map-side (partial agg), no join",
+      f => f("partial_agg") >= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_window_ignore_nulls", "custkey filter pushed to the scan; no join",
+      f => f("pushed_filters") >= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_dedup_incremental", "corpus probe joins by broadcast/hash, never cartesian; batch filters pushed",
+      f => f("cartesian") + f("bnlj") == 0 && f("pushed_filters") >= 2),
+    Rule("op_dialect_postgres", "translated text plans a pure top-k scan",
+      f => f("topk") >= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

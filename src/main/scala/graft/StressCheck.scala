@@ -109,6 +109,28 @@ object StressCheck {
       println(f"STRESS paragraph_dedup_$label docs=${out.count()}%d " +
         f"paragraphs_kept=$survivors%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // BM25 at 1x vs factor-x: postings volume for the 3 query terms grows
+    // factor× (tf/df/N/A all scale), but the plan shape is fixed — one
+    // postings groupBy + broadcast df/totals + global top-k — so wall time
+    // must track the corpus scan, not the pairwise document count.
+    Seq("1x" -> docs, s"${factor}x" -> docsAmp).foreach { case (label, d) =>
+      val t0 = System.nanoTime()
+      val top = graft.llm.TextAnalysis.bm25Rank(
+        d, Seq("spark", "vector", "stream"), k = 10).count()
+      println(f"STRESS bm25_$label topk=$top%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    // span dedup at 1x vs factor-x (hashed keys — the 100 TB path): the
+    // amplified corpus repeats every text factor× under fresh larger ids,
+    // so EVERY copy beyond the 1x set is fully span-duplicated; flagged
+    // docs must equal (factor-1)·|docs| + the 1x flagged count, while the
+    // window explode stays linear in corpus tokens.
+    Seq("1x" -> docs, s"${factor}x" -> docsAmp).foreach { case (label, d) =>
+      val t0 = System.nanoTime()
+      val flagged = graft.llm.Dedup.spanDedup(d, window = 4, hashSpans = true)
+        .filter(col("is_span_dup")).count()
+      println(f"STRESS span_dedup_$label flagged=$flagged%d " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // near-dup decontamination: the benchmark side stays FIXED (52 prefix
     // docs) while the train side amplifies factor× — candidate volume and
     // wall time must track Σ df_train·df_bench linearly with the train

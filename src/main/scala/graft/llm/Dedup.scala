@@ -33,6 +33,29 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("keep_id"))
   }
 
+  /** Incremental (cross-snapshot) exact dedup — the shape every refreshed
+    * corpus runs: a NEW batch arrives, and only documents unseen in the
+    * existing corpus AND not repeated earlier within the batch survive.
+    * The corpus is never rewritten or windowed — it participates only as
+    * the build side of one digest semi-join probe (at 100 TB of corpus
+    * state that is the whole point: cost scales with the BATCH, plus one
+    * corpus digest scan that a pipeline would keep materialized anyway).
+    * Within-batch first-occurrence uses the same min-id window as
+    * [[exactDedup]], over batch rows only.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    val corpusHashes = corpus.select(md5(col(textCol)).as("h")).distinct()
+    batch
+      .withColumn("h", md5(col(textCol)))
+      .withColumn("dup_in_batch", col(idCol) =!= min(col(idCol)).over(w))
+      .join(corpusHashes.withColumn("__in_corpus", lit(true)), Seq("h"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("__in_corpus"), lit(false)))
+      .withColumn("keep", !col("dup_in_batch") && !col("dup_of_corpus"))
+      .drop("__in_corpus")
+  }
+
   /** Word 3-gram shingles as a distinct array column `shingles`.
     * Documents shorter than 3 tokens contribute their whole text as the
     * single shingle.

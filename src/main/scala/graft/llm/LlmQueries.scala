@@ -825,6 +825,52 @@ object LlmQueries {
            |  n_dup_windows * 1000000 // n_windows AS dup_frac_ppm
            |FROM per ORDER BY doc_id""".stripMargin))
 
+  /** Incremental cross-snapshot dedup ([[Dedup.incrementalDedup]]): the
+    * whole documents table is the existing corpus; the incoming batch is
+    * constructed with all three outcomes planted — exact copies of corpus
+    * docs (`%7==0`, flagged dup_of_corpus), genuinely fresh texts
+    * (`%7==1`, kept), and a pair of identical new texts (`%7==2`, first
+    * kept / second flagged dup_in_batch).
+    */
+  val dedupIncremental = OpQ("llm_dedup_incremental",
+    (s, d) => {
+      val all = docs(s, d)
+      val copies = all.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val fresh = all.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" fresh "), col("doc_id")).as("text"))
+      val pairA = all.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" batchdup")).as("text"))
+      val pairB = all.filter(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" batchdup")).as("text"))
+      Dedup.incrementalDedup(all, copies.unionByName(fresh)
+          .unionByName(pairA).unionByName(pairB))
+        .select(col("doc_id"), col("h"), col("dup_in_batch"),
+          col("dup_of_corpus"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH batch AS (
+           |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000, text || ' fresh ' || doc_id
+           |  FROM documents WHERE doc_id % 7 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 300000, text || ' batchdup' FROM documents WHERE doc_id % 7 = 2
+           |  UNION ALL
+           |  SELECT doc_id + 400000, text || ' batchdup' FROM documents WHERE doc_id % 7 = 2),
+           |hashed AS (SELECT doc_id, md5(text) AS h FROM batch),
+           |marked AS (
+           |  SELECT doc_id, h,
+           |    doc_id <> MIN(doc_id) OVER (PARTITION BY h) AS dup_in_batch,
+           |    h IN (SELECT md5(text) FROM documents) AS dup_of_corpus
+           |  FROM hashed)
+           |SELECT doc_id, h, dup_in_batch, dup_of_corpus,
+           |  NOT dup_in_batch AND NOT dup_of_corpus AS keep
+           |FROM marked ORDER BY doc_id""".stripMargin))
+
   /** CCNet-style normalization ([[TextAnalysis.normalizeText]]). The corpus
     * is pure ASCII, so the query decorates each doc with mixed-case
     * punctuation AND a decomposed accent sequence ("CAFE" + combining
@@ -869,7 +915,7 @@ object LlmQueries {
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
-    textKeywords, textBm25, textNormalize, dedupSpan,
+    textKeywords, textBm25, textNormalize, dedupSpan, dedupIncremental,
     chunkDocs, decontaminate, textRepetition,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

@@ -393,8 +393,45 @@ object DialectQueries {
            |GROUP BY word HAVING COUNT(*) >= 5
            |ORDER BY word""".stripMargin))
 
+  /** Postgres-ish input surface ([[graft.Dialect.Postgresish]]): `::` casts,
+    * `"ident"` quoting, TO_CHAR template patterns (YYYY/MM/DD/HH24/MI/SS),
+    * the `~` / `!~` regex-match operators (Spark RLIKE is Postgres'
+    * partial-match semantics; the oracle uses DuckDB regexp_matches, NOT
+    * DuckDB's full-match `~`), EXTRACT(EPOCH FROM …), string_to_array →
+    * split (regex-based: literal delimiters only), and the Spark-native
+    * pass-throughs SPLIT_PART / POSITION(x IN y) / ILIKE / CARDINALITY.
+    */
+  val postgres = OpQ("op_dialect_postgres",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT "o_orderkey"::BIGINT AS okey,
+          |  TO_CHAR(o_orderdate, 'YYYY-MM') AS ym,
+          |  TO_CHAR(o_orderdate, 'DD/MM/YYYY HH24:MI:SS') AS full_ts,
+          |  SPLIT_PART(o_orderpriority, '-', 2) AS pri_word,
+          |  CARDINALITY(string_to_array(o_orderpriority, '-'))::BIGINT AS pri_parts,
+          |  (o_orderpriority ~ 'URGENT|HIGH') AS is_hot,
+          |  (o_orderstatus !~ 'O|P') AS closed,
+          |  EXTRACT(EPOCH FROM o_orderdate)::BIGINT AS epoch_s,
+          |  POSITION('-' IN o_orderpriority)::BIGINT AS dash_pos,
+          |  (o_orderstatus ILIKE 'o') AS is_open
+          |FROM orders ORDER BY okey LIMIT 150""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""SELECT o_orderkey::BIGINT AS okey,
+           |  strftime(o_orderdate, '%Y-%m') AS ym,
+           |  strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS full_ts,
+           |  split_part(o_orderpriority, '-', 2) AS pri_word,
+           |  len(string_split(o_orderpriority, '-'))::BIGINT AS pri_parts,
+           |  regexp_matches(o_orderpriority, 'URGENT|HIGH') AS is_hot,
+           |  NOT regexp_matches(o_orderstatus, 'O|P') AS closed,
+           |  epoch(o_orderdate)::BIGINT AS epoch_s,
+           |  strpos(o_orderpriority, '-')::BIGINT AS dash_pos,
+           |  (o_orderstatus ILIKE 'o') AS is_open
+           |FROM orders ORDER BY okey LIMIT 150""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
-    distinctOn, excludeStar, mysql, mysqlGroupConcat, hive)
+    distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres)
 }

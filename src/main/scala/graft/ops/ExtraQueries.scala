@@ -145,6 +145,113 @@ object ExtraQueries {
            |SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** Time-series gap filling — the date-spine pattern: generate the full
+    * calendar with `sequence()` + explode, left-join sparse daily
+    * aggregates onto it, zero-fill counts, and forward-fill the last seen
+    * value with an IGNORE NULLS running window. Q1-1995 high-value orders
+    * hit only 59 of 90 days, so both fills are exercised. The spine is
+    * generated, not scanned — at any corpus scale it stays a few thousand
+    * rows broadcast to the join.
+    */
+  val timeseriesGapfill = OpQ("op_timeseries_gapfill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 400000 &&
+          col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-04-01")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents_raw"))
+      val spine = s.range(1).select(explode(expr(
+        "sequence(DATE'1995-01-01', DATE'1995-03-31', interval 1 day)")).as("day"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day").cast("string").as("day"),
+          coalesce(col("n_raw"), lit(0L)).as("n"),
+          coalesce(col("cents_raw"), lit(0L)).as("cents"),
+          last(col("cents_raw"), ignoreNulls = true).over(w).as("ff_cents"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderdate::DATE AS day, COUNT(*) AS n_raw,
+           |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_raw
+           |  FROM orders
+           |  WHERE o_totalprice > 400000
+           |    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+           |  GROUP BY 1),
+           |spine AS (SELECT UNNEST(generate_series(
+           |  DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS day)
+           |SELECT CAST(s.day AS VARCHAR) AS day,
+           |  COALESCE(n_raw, 0) AS n, COALESCE(cents_raw, 0) AS cents,
+           |  last_value(cents_raw IGNORE NULLS) OVER (
+           |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_cents
+           |FROM spine s LEFT JOIN daily d ON s.day = d.day
+           |ORDER BY day""".stripMargin))
+
+  /** IGNORE NULLS window navigation — nth_value/first_value/last_value and
+    * lead/lag with null skipping, the forms every sessionized-metrics
+    * pipeline leans on. Same SQL text semantics on both engines.
+    */
+  val windowIgnoreNulls = OpQ("op_window_ignore_nulls",
+    (s, d) => {
+      Tables.register(s, d)
+      s.sql("""SELECT o_orderkey, o_custkey,
+              |  first_value(hi) IGNORE NULLS OVER w AS first_hi,
+              |  last_value(hi) IGNORE NULLS OVER
+              |    (PARTITION BY o_custkey ORDER BY o_orderkey
+              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_hi,
+              |  nth_value(hi, 2) IGNORE NULLS OVER w AS second_hi
+              |FROM (SELECT o_orderkey, o_custkey,
+              |        CASE WHEN o_totalprice > 200000 THEN o_orderkey END AS hi
+              |      FROM orders WHERE o_custkey < 200)
+              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  first_value(hi IGNORE NULLS) OVER w AS first_hi,
+           |  last_value(hi IGNORE NULLS) OVER
+           |    (PARTITION BY o_custkey ORDER BY o_orderkey
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_hi,
+           |  nth_value(hi, 2 IGNORE NULLS) OVER w AS second_hi
+           |FROM (SELECT o_orderkey, o_custkey,
+           |        CASE WHEN o_totalprice > 200000 THEN o_orderkey END AS hi
+           |      FROM orders WHERE o_custkey < 200)
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** GROUPING SETS with grouping() / grouping_id disambiguation — how a
+    * reader tells a real NULL group key from a super-aggregate row. Spark
+    * spells the bitmask `grouping_id()`, DuckDB `GROUPING(a, b)`; same
+    * bit order (first listed key = most significant bit).
+    */
+  val groupingId = OpQ("op_grouping_id",
+    (s, d) => {
+      Tables.register(s, d)
+      s.sql("""SELECT o_orderpriority, o_orderstatus,
+              |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+              |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              |  CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+              |  COUNT(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+              |                        (o_orderpriority), (o_orderstatus), ())
+              |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+        .stripMargin)
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus,
+           |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+           |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           |  COUNT(*) AS n
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+           |                        (o_orderpriority), (o_orderstatus), ())
+           |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+      .stripMargin))
+
   /** SCD-2 history merge ([[Relational.scd2Merge]]): a versioned customer
     * dimension with pre-existing history rows takes a change batch that
     * updates some balances, repeats others unchanged, and introduces new
@@ -599,7 +706,7 @@ object ExtraQueries {
     stringAgg,
     joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
-    jsonVariant, layoutZorder,
+    jsonVariant, layoutZorder, timeseriesGapfill, windowIgnoreNulls, groupingId,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)
 }
