@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 60 invariants
-  * across 51 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 65 invariants
+  * across 56 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -142,7 +142,21 @@ object PlanCheck {
       f => f("cartesian") + f("bnlj") == 0 && f("pushed_filters") >= 2),
     Rule("op_dialect_postgres", "translated text plans a pure top-k scan",
       f => f("topk") >= 1 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_table_checksum", "one map-combined aggregate, no join, one exchange",
+      f => f("partial_agg") >= 2 && f("exchange") <= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_funnel", "stage frames join by broadcast/hash, never nested-loop; type filters pushed",
+      f => f("cartesian") + f("bnlj") == 0 && f("pushed_filters") >= 3 &&
+        f("partial_agg") >= 2),
+    Rule("op_cohort_retention", "first-seen frame broadcast onto the event scan; partial agg",
+      f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
+        f("partial_agg") >= 2),
+    Rule("op_graph_triangles", "both closure joins are equi-joins (never a node cross product)",
+      f => f("cartesian") + f("bnlj") == 0 && f("partial_agg") >= 2),
+    Rule("llm_vocab_oov", "vocab built by top-k and probed by broadcast; token agg map-combined",
+      f => f("topk") >= 1 && f("bhj") >= 1 && f("smj") + f("shj") == 0 &&
+        f("partial_agg") >= 2))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -825,6 +825,26 @@ object LlmQueries {
            |  n_dup_windows * 1000000 // n_windows AS dup_frac_ppm
            |FROM per ORDER BY doc_id""".stripMargin))
 
+  /** Vocabulary + OOV rate ([[TextAnalysis.vocabOov]], top-30 vocabulary):
+    * per-doc out-of-vocabulary ppm against the corpus-frequency
+    * vocabulary. Corpus has ~35 distinct tokens, so a 30-token vocabulary
+    * leaves real OOV mass to measure.
+    */
+  val vocabOovQ = OpQ("llm_vocab_oov",
+    (s, d) => TextAnalysis.vocabOov(docs(s, d), vocabSize = 30)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+           |              FROM documents),
+           |vocab AS (SELECT term, TRUE AS in_vocab FROM (
+           |  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+           |  ORDER BY cnt DESC, term LIMIT 30))
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |  CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // COUNT(*) AS oov_ppm
+           |FROM toks LEFT JOIN vocab USING (term)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Incremental cross-snapshot dedup ([[Dedup.incrementalDedup]]): the
     * whole documents table is the existing corpus; the incoming batch is
     * constructed with all three outcomes planted — exact copies of corpus
@@ -916,6 +936,7 @@ object LlmQueries {
     textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupIncremental,
+    vocabOovQ,
     chunkDocs, decontaminate, textRepetition,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
 }

@@ -285,6 +285,32 @@ object TextAnalysis {
           "\\s+", " ")))
       .withColumn("norm_tokens", size(split(col("norm_text"), " ")).cast("long"))
 
+  /** Vocabulary build + out-of-vocabulary rate — the tokenizer-coverage
+    * signal: build the top-`vocabSize` token vocabulary by corpus
+    * frequency (deterministic tiebreak on the token), then score every
+    * document's OOV fraction against it in exact ppm. Pipelines threshold
+    * on OOV rate to drop documents a fixed tokenizer would shred.
+    *
+    * Scale shape: one token-count aggregate (map-side combined), one
+    * global top-k for the vocabulary (vocab-sized, broadcast), then one
+    * per-token broadcast probe + per-doc aggregate — corpus-token-linear,
+    * with the only global structure a `vocabSize`-row frame.
+    */
+  def vocabOov(docs: DataFrame, vocabSize: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000L div n_tokens"))
+  }
+
   /** PII redaction — the scrubbing pass every training-data pipeline runs
     * before anything else sees the text: mask emails and phone numbers,
     * count what was masked (the counts drive corpus-level PII-rate

@@ -145,6 +145,127 @@ object ExtraQueries {
            |SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** Cross-engine table checksum ([[Relational.tableChecksum]]): the
+    * data-integrity fingerprint itself IS the gate — DuckDB computes the
+    * same md5/bit_xor/modular-sum over the same sanitized projection
+    * (doubles pre-converted to exact cents; see the operator's caller
+    * contract) and must land on identical 60-bit values.
+    */
+  val tableChecksum = OpQ("op_table_checksum",
+    (s, d) => Relational.tableChecksum(
+      Tables.load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderdate").cast("string").as("o_orderdate"),
+        col("o_orderpriority"))),
+    Some("""WITH rh AS (
+           |  SELECT ('0x' || substr(md5(
+           |    concat_ws(chr(1),
+           |      coalesce(o_orderkey::VARCHAR, chr(0) || 'NULL'),
+           |      coalesce(o_custkey::VARCHAR, chr(0) || 'NULL'),
+           |      coalesce(o_orderstatus, chr(0) || 'NULL'),
+           |      coalesce(CAST(FLOOR(o_totalprice * 100) AS BIGINT)::VARCHAR, chr(0) || 'NULL'),
+           |      coalesce(CAST(o_orderdate AS TIMESTAMP)::VARCHAR, chr(0) || 'NULL'),
+           |      coalesce(o_orderpriority, chr(0) || 'NULL'))), 1, 15))::BIGINT AS h
+           |  FROM orders)
+           |SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_checksum,
+           |  CAST(SUM(h % 1000000007) AS BIGINT) AS modsum_checksum
+           |FROM rh""".stripMargin))
+
+  /** Funnel analysis — staged conversion (view → click within the session
+    * horizon → purchase) with strictly ordered timestamps, the standard
+    * product-analytics rollup. Three conditional aggregates chained by
+    * broadcast join (each stage's frame is one row per user — tiny at any
+    * event volume); output is the per-stage user count.
+    */
+  val funnel = OpQ("op_funnel",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      val users = ev.select(col("user_id")).distinct()
+      users.join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_users"),
+          count(col("v_ts")).as("n_viewed"),
+          count(col("c_ts")).as("n_clicked_after_view"),
+          count(col("p_ts")).as("n_purchased_after_click"))
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+           |           WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+           |      JOIN v ON e.user_id = v.user_id
+           |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+           |      GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+           |      JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+           |      GROUP BY e.user_id),
+           |u AS (SELECT DISTINCT user_id FROM events)
+           |SELECT COUNT(*) AS n_users, COUNT(v_ts) AS n_viewed,
+           |  COUNT(c_ts) AS n_clicked_after_view,
+           |  COUNT(p_ts) AS n_purchased_after_click
+           |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           |LEFT JOIN p USING (user_id)""".stripMargin))
+
+  /** Cohort retention — users bucketed by first-seen week, activity counted
+    * per week offset: the classic retention triangle. Two aggregates (one
+    * per-user first-seen, one per (cohort, offset) distinct-user count)
+    * with the first-seen frame broadcast back onto the event scan.
+    */
+  val cohortRetention = OpQ("op_cohort_retention",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"),
+          date_trunc("week", col("first_day")).cast("date").cast("string").as("cohort_week"),
+          (datediff(col("day"), col("first_day")) / 7).cast("long").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+           |first AS (SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id)
+           |SELECT CAST(date_trunc('week', first_day) AS DATE)::VARCHAR AS cohort_week,
+           |  CAST((day - first_day) // 7 AS BIGINT) AS week_offset,
+           |  COUNT(DISTINCT ev.user_id) AS n_active
+           |FROM ev JOIN first ON ev.user_id = first.user_id
+           |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+
+  /** Triangle counting — the standard two-join formulation over an
+    * oriented edge list (u < v kills each triangle's 6 permutations down
+    * to 1): edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c). Derived deterministic
+    * graph: 100 nodes, edge (u,v) iff some order links them. Both joins
+    * shuffle on edge endpoints — never a node-pair cross product.
+    */
+  val graphTriangles = OpQ("op_graph_triangles",
+    (s, d) => {
+      val e = Tables.load(s, d, "orders")
+        .select((col("o_custkey") % 100).as("u"), (col("o_orderkey") % 100).as("v"))
+        .filter(col("u") < col("v")).distinct()
+      val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
+      e1.join(e2, col("e1.v") === col("e2.u"))
+        .join(e3, col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT o_custkey % 100 AS u, o_orderkey % 100 AS v
+           |  FROM orders WHERE o_custkey % 100 < o_orderkey % 100)
+           |SELECT COUNT(*) AS n_triangles
+           |FROM e e1 JOIN e e2 ON e1.v = e2.u
+           |JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""".stripMargin))
+
   /** Time-series gap filling — the date-spine pattern: generate the full
     * calendar with `sequence()` + explode, left-join sparse daily
     * aggregates onto it, zero-fill counts, and forward-fill the last seen
@@ -707,6 +828,7 @@ object ExtraQueries {
     joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     jsonVariant, layoutZorder, timeseriesGapfill, windowIgnoreNulls, groupingId,
+    tableChecksum, funnel, cohortRetention, graphTriangles,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)
 }

@@ -227,6 +227,34 @@ object Relational {
       .unionByName(opened).unionByName(inserted)
   }
 
+  /** Order-independent table checksum — cross-engine data-integrity
+    * fingerprint (verify a migration, a format conversion, or two engines'
+    * copies of the same table without moving the data). Per row: the
+    * first 15 hex digits (60 bits) of md5 over all columns, joined with a
+    *  separator and a  NULL marker (so (a,NULL) never collides
+    * with (a,'')); per table: `bit_xor` of the row hashes (order- and
+    * partitioning-independent, overflow-free) plus a modular sum (catches
+    * the duplicated-pair rows XOR cancels) and the row count. One
+    * map-side-combined aggregate — a single scan at any scale, ~16 bytes
+    * to the driver.
+    *
+    * Caller contract: columns must stringify identically on every engine
+    * being compared — integers, strings, dates and timestamps do; raw
+    * DOUBLEs do NOT (exponent formatting differs), so project them to
+    * exact cents/BIGINT first.
+    */
+  def tableChecksum(df: DataFrame): DataFrame = {
+    val keyed = df.withColumn("__rh",
+      expr(("conv(substring(md5(concat_ws('\u0001', " +
+        df.columns.map(c => s"coalesce(cast(`$c` as string), '\u0000NULL')")
+          .mkString(", ") +
+        ")), 1, 15), 16, 10)")).cast("long"))
+    keyed.agg(
+      count(lit(1)).as("n_rows"),
+      expr("bit_xor(__rh)").as("xor_checksum"),
+      sum(col("__rh") % 1000000007L).as("modsum_checksum"))
+  }
+
   /** Bloom-prefiltered semi join — the big-⋈-big reduction for when the
     * filtering side is too large to broadcast but much smaller than the
     * probe side. Builds a bloom filter over `small`'s join keys with the
