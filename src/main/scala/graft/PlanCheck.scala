@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 65 invariants
-  * across 56 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 70 invariants
+  * across 61 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -156,7 +156,22 @@ object PlanCheck {
       f => f("cartesian") + f("bnlj") == 0 && f("partial_agg") >= 2),
     Rule("llm_vocab_oov", "vocab built by top-k and probed by broadcast; token agg map-combined",
       f => f("topk") >= 1 && f("bhj") >= 1 && f("smj") + f("shj") == 0 &&
-        f("partial_agg") >= 2))
+        f("partial_agg") >= 2),
+    Rule("op_join_null_safe", "null-safe join stays a broadcast equi-join (never nested-loop)",
+      f => f("bhj") >= 1 && f("bnlj") + f("cartesian") == 0 &&
+        f("pushed_filters") >= 2),
+    Rule("op_not_in_nulls", "both subqueries plan as joins with pushed key filters",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0 &&
+        f("pushed_filters") >= 2),
+    Rule("op_rel_division", "divisor frame broadcast; two-phase distinct aggregation",
+      f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
+        f("partial_agg") >= 2),
+    Rule("llm_dedup_keep_best", "one cluster-key window shuffle, no join shapes",
+      f => f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_multimodal_resize", "resize is a map stage: no join, one output exchange",
+      f => f("exchange") <= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

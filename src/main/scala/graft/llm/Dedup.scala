@@ -33,6 +33,29 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("keep_id"))
   }
 
+  /** KEEP-BEST dedup over an arbitrary cluster key — the selection policy
+    * real pipelines pair with near-dup clustering: within each cluster
+    * keep the highest-quality member (longest text, smallest id as the
+    * deterministic tiebreak), not the arbitrary first one. `clusterKey`
+    * is any canonicalization — a normalized-text digest, a prefix
+    * fingerprint, or the `keep_id` column minHashDedup emits. One
+    * struct-max window over the cluster key: a single hash shuffle,
+    * identical shape to [[exactDedup]].
+    */
+  def keepBestDedup(docs: DataFrame, clusterKey: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("__ck"))
+    docs
+      .withColumn("__ck", clusterKey)
+      // (len, -id) struct max = longest text, then SMALLEST id on ties
+      .withColumn("__best",
+        max(struct(length(col(textCol)).as("l"), (-col(idCol)).as("nid"))).over(w))
+      .withColumn("keep_id", -col("__best.nid"))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keep_id"))
+      .drop("__ck", "__best")
+  }
+
   /** Incremental (cross-snapshot) exact dedup — the shape every refreshed
     * corpus runs: a NEW batch arrives, and only documents unseen in the
     * existing corpus AND not repeated earlier within the batch survive.

@@ -825,6 +825,53 @@ object LlmQueries {
            |  n_dup_windows * 1000000 // n_windows AS dup_frac_ppm
            |FROM per ORDER BY doc_id""".stripMargin))
 
+  /** Image resize ([[Multimodal.resizeImagesPartitioned]]): 16×16
+    * nearest-neighbor thumbnails of the staged PNG store, reported as
+    * deterministic position-weighted pixel checksums. Rows-only at the
+    * driver (PNG pixel decode has no DuckDB equivalent); exact-value and
+    * single-machine-reference gates live in MultimodalSpec.
+    */
+  val multimodalResize = OpQ("llm_multimodal_resize",
+    (s, d) => Multimodal.resizeImagesPartitioned(s, stagedBlobs(s, d, "png"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** Keep-best dedup ([[Dedup.keepBestDedup]]): the batch is each document
+    * plus a 20-token truncation of it under a new id; clustering on the
+    * 10-token prefix fingerprint groups each original with its truncation,
+    * and keep-best must retain the LONGER original (min-id policies would
+    * keep whichever id sorted first).
+    */
+  val dedupKeepBest = OpQ("llm_dedup_keep_best",
+    (s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("text"))
+      val truncated = all.select((col("doc_id") + 500000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
+      val batch = all.unionByName(truncated)
+      Dedup.keepBestDedup(batch,
+          md5(array_join(slice(split(col("text"), " "), 1, 10), " ")))
+        .select(col("doc_id"), col("keep_id"), col("n_cluster"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH batch AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 500000,
+           |    array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+           |  FROM documents),
+           |keyed AS (
+           |  SELECT doc_id, text,
+           |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')) AS ck
+           |  FROM batch),
+           |best AS (
+           |  SELECT doc_id, ck,
+           |    COUNT(*) OVER (PARTITION BY ck) AS n_cluster,
+           |    MAX_BY(doc_id, length(text) * 10000000 - doc_id) OVER (PARTITION BY ck)
+           |      AS keep_id
+           |  FROM keyed)
+           |SELECT doc_id, keep_id, n_cluster, doc_id <> keep_id AS is_dup
+           |FROM best ORDER BY doc_id""".stripMargin))
+
   /** Vocabulary + OOV rate ([[TextAnalysis.vocabOov]], top-30 vocabulary):
     * per-doc out-of-vocabulary ppm against the corpus-frequency
     * vocabulary. Corpus has ~35 distinct tokens, so a 30-token vocabulary
@@ -936,7 +983,8 @@ object LlmQueries {
     textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupIncremental,
-    vocabOovQ,
+    vocabOovQ, dedupKeepBest,
     chunkDocs, decontaminate, textRepetition,
-    multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames)
+    multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames,
+    multimodalResize)
 }

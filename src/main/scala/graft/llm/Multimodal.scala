@@ -112,6 +112,58 @@ object Multimodal {
     spark.createDataFrame(rdd, decodedSchema)
   }
 
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("src_width", IntegerType),
+    StructField("src_height", IntegerType),
+    StructField("out_width", IntegerType),
+    StructField("out_height", IntegerType),
+    StructField("pixel_checksum", LongType)))
+
+  /** Image RESIZE — the feature-extraction transform after decode:
+    * nearest-neighbor downsample to a fixed (targetW × targetH) thumbnail,
+    * reported as a position-weighted pixel checksum (the deterministic
+    * stand-in for an embedding/feature payload; integer arithmetic, so the
+    * result is identical on any partitioning or engine). Same
+    * `mapPartitions` batch shape as [[decodeImagePartitioned]]: blobs
+    * never leave the executor, one decoded image in memory at a time, and
+    * the output is a fixed few dozen bytes per row regardless of source
+    * resolution — the 100 TB contract for pixel pipelines. Nearest
+    * neighbor (src = (dst · srcDim) / dstDim, integer division) rather
+    * than an interpolating kernel so the math is exactly reproducible;
+    * swap the sampler, not the plumbing, for production quality.
+    */
+  def resizeImagesPartitioned(spark: SparkSession, withBlob: DataFrame,
+      targetW: Int = 16, targetH: Int = 16): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val rdd = withBlob.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val blob = row.getAs[Array[Byte]](1)
+        require(isPng(blob) || isJpeg(blob), s"doc_id=$id: not an image payload")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        if (img == null)
+          throw new IllegalArgumentException(s"doc_id=$id: corrupt image payload")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < targetH) {
+          val sy = y * h / targetH
+          var x = 0
+          while (x < targetW) {
+            val sx = x * w / targetW
+            val rgb = img.getRGB(sx, sy) & 0xFFFFFF
+            sum += rgb.toLong * (y * targetW + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w, h, targetW, targetH, sum)
+      }
+    }
+    spark.createDataFrame(rdd, resizedSchema)
+  }
+
   /** PNG metadata WITHOUT a row-at-a-time decode: width/height live in the
     * IHDR chunk at fixed offsets (bytes 17–20 and 21–24, big-endian), so
     * the parse is pure column expressions — whole-stage-codegen'd, no UDF,

@@ -145,6 +145,85 @@ object ExtraQueries {
            |SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** Null-safe equi join — `<=>` as the JOIN condition (NULL keys match
+    * each other, the semantics `=` silently drops). Nullable keys
+    * constructed with NULLIF; oracle is DuckDB's IS NOT DISTINCT FROM
+    * join.
+    */
+  val joinNullSafe = OpQ("op_join_null_safe",
+    (s, d) => {
+      val a = Tables.load(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"),
+          nullif(col("o_custkey") % 10, lit(3)).as("k"))
+      val b = Tables.load(s, d, "customer").filter(col("c_custkey") < 40)
+        .select(col("c_custkey"),
+          nullif(col("c_custkey") % 10, lit(3)).as("k"))
+      a.join(b, a("k") <=> b("k"))
+        .select(col("o_orderkey"), col("c_custkey"), a("k").as("k"))
+        .orderBy(col("o_orderkey"), col("c_custkey"))
+    },
+    Some("""SELECT o_orderkey, c_custkey, a.k
+           |FROM (SELECT o_orderkey, NULLIF(o_custkey % 10, 3) AS k
+           |      FROM orders WHERE o_orderkey < 2000) a
+           |JOIN (SELECT c_custkey, NULLIF(c_custkey % 10, 3) AS k
+           |      FROM customer WHERE c_custkey < 40) b
+           |ON a.k IS NOT DISTINCT FROM b.k
+           |ORDER BY o_orderkey, c_custkey""".stripMargin))
+
+  /** NOT IN with a NULL in the subquery — the classic three-valued-logic
+    * trap: one NULL in the NOT IN list makes every row's predicate
+    * UNKNOWN, so the query must return ZERO rows (NOT EXISTS, by
+    * contrast, returns the real complement). Both forms gated; same text
+    * both engines.
+    */
+  val notInNulls = OpQ("op_not_in_nulls",
+    (s, d) => {
+      Tables.register(s, d)
+      s.sql("""SELECT
+              |  (SELECT COUNT(*) FROM customer
+              |   WHERE c_custkey NOT IN
+              |     (SELECT NULLIF(o_custkey, 170) FROM orders WHERE o_orderkey < 100))
+              |    AS n_not_in_with_null,
+              |  (SELECT COUNT(*) FROM customer c
+              |   WHERE NOT EXISTS (SELECT 1 FROM orders
+              |     WHERE o_orderkey < 100 AND NULLIF(o_custkey, 170) = c.c_custkey))
+              |    AS n_not_exists""".stripMargin)
+    },
+    Some("""SELECT
+           |  (SELECT COUNT(*) FROM customer
+           |   WHERE c_custkey NOT IN
+           |     (SELECT NULLIF(o_custkey, 170) FROM orders WHERE o_orderkey < 100))
+           |    AS n_not_in_with_null,
+           |  (SELECT COUNT(*) FROM customer c
+           |   WHERE NOT EXISTS (SELECT 1 FROM orders
+           |     WHERE o_orderkey < 100 AND NULLIF(o_custkey, 170) = c.c_custkey))
+           |    AS n_not_exists""".stripMargin))
+
+  /** Relational division — "customers who ordered in EVERY priority
+    * class": the universal-quantifier join, expressed as the scalable
+    * count-matching form (group + distinct count = |divisor|), never a
+    * nested NOT EXISTS double negation.
+    */
+  val relDivision = OpQ("op_rel_division",
+    (s, d) => {
+      val ord = Tables.load(s, d, "orders")
+      // divisor size as a 1-row broadcast frame — no eager driver action
+      val divisor = ord.agg(countDistinct(col("o_orderpriority")).as("n_total_pri"))
+      ord.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("n_pri"),
+          count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(divisor))
+        .filter(col("n_pri") === col("n_total_pri"))
+        .select(col("o_custkey"), col("n_orders"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders
+           |FROM orders
+           |GROUP BY o_custkey
+           |HAVING COUNT(DISTINCT o_orderpriority) =
+           |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+           |ORDER BY o_custkey""".stripMargin))
+
   /** Cross-engine table checksum ([[Relational.tableChecksum]]): the
     * data-integrity fingerprint itself IS the gate — DuckDB computes the
     * same md5/bit_xor/modular-sum over the same sanitized projection
@@ -829,6 +908,7 @@ object ExtraQueries {
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     jsonVariant, layoutZorder, timeseriesGapfill, windowIgnoreNulls, groupingId,
     tableChecksum, funnel, cohortRetention, graphTriangles,
+    joinNullSafe, notInNulls, relDivision,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)
 }

@@ -313,6 +313,21 @@ class DedupSpec extends SparkSpec {
     assert(hashed.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("keepBestDedup keeps the longest member, smallest id on ties") {
+    val docs = Seq(
+      (0L, "alpha beta"),            // cluster A (prefix "alpha"): shorter
+      (1L, "alpha beta gamma delta"), // cluster A: longest → keep
+      (2L, "alpha beta gamma delta"), // cluster A: same length, larger id
+      (3L, "zeta eta")               // cluster B: singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.keepBestDedup(docs,
+      md5(split(col("text"), " ").getItem(0))).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("keep_id")).toSeq === Seq(1L, 1L, 1L, 3L))
+    assert(out.map(_.getAs[Boolean]("is_dup")).toSeq ===
+      Seq(true, false, true, false))
+    assert(out(0).getAs[Long]("n_cluster") === 3L)
+  }
+
   test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)

@@ -113,6 +113,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("resizeImagesPartitioned: dims fixed, checksum matches a single-machine reference") {
+    val blobs = Multimodal.syntheticPngBlobs(docs)
+    val out = Multimodal.resizeImagesPartitioned(spark, blobs, 16, 16)
+      .orderBy("doc_id").collect()
+    assert(out.length === 40)
+    assert(out.forall(r => r.getInt(3) == 16 && r.getInt(4) == 16))
+    // independent single-machine reference for a few ids: decode the same
+    // blob directly and run the same integer nearest-neighbor walk
+    val sample = blobs.filter(col("doc_id") < 5).orderBy("doc_id").collect()
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      var expected = 0L
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val rgb = img.getRGB(x * img.getWidth / 16, y * img.getHeight / 16) & 0xFFFFFF
+        expected += rgb.toLong * (y * 16 + x + 1)
+      }
+      val got = out.find(_.getLong(0) == id).get
+      assert(got.getLong(5) === expected, s"doc $id")
+      assert(got.getInt(1) === img.getWidth && got.getInt(2) === img.getHeight)
+    }
+    // determinism across runs/partitionings
+    val again = Multimodal.resizeImagesPartitioned(spark, blobs.repartition(7), 16, 16)
+      .orderBy("doc_id").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("non-PNG payloads fall back to the deterministic stand-in") {
     val out = Multimodal.decodeImagePartitioned(spark, Multimodal.attachBlob(docs))
       .orderBy("doc_id").collect()
