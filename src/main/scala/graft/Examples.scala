@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Examples {
   def main(args: Array[String]): Unit = {
+    // withExtensions exercises the builder-time registration path of the
+    // optimizer extension (the spec covers the live-session install path)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -115,6 +118,22 @@ object Examples {
       Tables.load(spark, "/root/testdata/sf0.001", "events"))
     val sdiff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
     println(s"example5(streaming==batch): rows=${streamed.count()} diff=$sdiff")
+
+    // example10: the builder-registered optimizer rule flips COUNT(DISTINCT)
+    // to HLL++ only under the session flag
+    val ordersEx = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    ordersEx.createOrReplaceTempView("orders_ex10")
+    val exactPlan = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders_ex10")
+      .queryExecution.optimizedPlan.toString
+    spark.conf.set(graft.plans.ApproxCountDistinctRule.FlagKey, "true")
+    val approxPlan = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders_ex10")
+      .queryExecution.optimizedPlan.toString
+    val approxN = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders_ex10")
+      .head().getLong(0)
+    spark.conf.set(graft.plans.ApproxCountDistinctRule.FlagKey, "false")
+    println("example10(optimizer extension): exact_plan_hll=" +
+      exactPlan.contains("approx_count_distinct") + " flagged_plan_hll=" +
+      approxPlan.contains("approx_count_distinct") + s" approx_n=$approxN")
 
     spark.stop()
   }
