@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 70 invariants
-  * across 61 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 72 invariants
+  * across 63 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -171,6 +171,11 @@ object PlanCheck {
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("llm_multimodal_resize", "resize is a map stage: no join, one output exchange",
       f => f("exchange") <= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_join_fuzzy", "deletion-variant blocking joins as an equi-join, NEVER the cross product",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("bnlj") + f("cartesian") == 0),
+    Rule("stream_session_window", "native session windows: partial agg, no join",
+      f => f("partial_agg") >= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the

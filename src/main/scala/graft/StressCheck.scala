@@ -131,6 +131,20 @@ object StressCheck {
       println(f"STRESS span_dedup_$label flagged=$flagged%d " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // fuzzy join at scale: 100k synthetic entity names vs a one-deletion
+    // perturbation of each — deletion-variant blocking explodes each side
+    // ~|name| ways and equi-joins, so candidate volume tracks rows·len,
+    // never the 10^10 cross product; every dirty name must match exactly
+    // its source (shared prefixes stay distance ≥ 2 apart in the digits).
+    locally {
+      val names = spark.range(100000)
+        .select(format_string("entity-%08d", col("id")).as("a"))
+      val dirty = names.select(
+        expr("concat(substring(a, 1, 5), substring(a, 7))").as("b"))
+      val t0 = System.nanoTime()
+      val n = graft.ops.Relational.fuzzyJoinEd1(names, dirty, "a", "b").count()
+      println(f"STRESS fuzzy_join_100k pairs=$n%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // near-dup decontamination: the benchmark side stays FIXED (52 prefix
     // docs) while the train side amplifies factor× — candidate volume and
     // wall time must track Σ df_train·df_bench linearly with the train

@@ -145,6 +145,38 @@ object ExtraQueries {
            |SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** Fuzzy join ([[Relational.fuzzyJoinEd1]]): supplier names matched to a
+    * perturbed copy (one deletion / one substitution / exact, by key mod
+    * 3) through deletion-neighborhood blocking. The oracle is the ground
+    * truth the blocking must reproduce exactly: a plain cross join
+    * filtered on `levenshtein ≤ 1` (these near-identical names produce
+    * many-to-many matches — deleting the last digit makes a name distance
+    * 1 from every sibling — so missing ANY candidate pair fails the
+    * hash).
+    */
+  val joinFuzzy = OpQ("op_join_fuzzy",
+    (s, d) => {
+      val sup = Tables.load(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      val dirty = sup.select((col("s_suppkey") + 1000).as("d_id"),
+        when(col("s_suppkey") % 3 === 0,
+          concat(substring(col("s_name"), 1, 9), substring(col("s_name"), 11, 100)))
+          .when(col("s_suppkey") % 3 === 1,
+            concat(substring(col("s_name"), 1, 17), lit("X")))
+          .otherwise(col("s_name")).as("d_name"))
+      Relational.fuzzyJoinEd1(sup, dirty, "s_name", "d_name")
+        .orderBy(col("s_suppkey"), col("d_id"))
+    },
+    Some("""WITH dirty AS (
+           |  SELECT s_suppkey + 1000 AS d_id,
+           |    CASE WHEN s_suppkey % 3 = 0 THEN substr(s_name, 1, 9) || substr(s_name, 11)
+           |         WHEN s_suppkey % 3 = 1 THEN substr(s_name, 1, 17) || 'X'
+           |         ELSE s_name END AS d_name
+           |  FROM supplier)
+           |SELECT s.s_suppkey, s.s_name, d.d_id, d.d_name
+           |FROM supplier s, dirty d
+           |WHERE levenshtein(s.s_name, d.d_name) <= 1
+           |ORDER BY s_suppkey, d_id""".stripMargin))
+
   /** Null-safe equi join — `<=>` as the JOIN condition (NULL keys match
     * each other, the semantics `=` silently drops). Nullable keys
     * constructed with NULLIF; oracle is DuckDB's IS NOT DISTINCT FROM
@@ -908,7 +940,7 @@ object ExtraQueries {
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     jsonVariant, layoutZorder, timeseriesGapfill, windowIgnoreNulls, groupingId,
     tableChecksum, funnel, cohortRetention, graphTriangles,
-    joinNullSafe, notInNulls, relDivision,
+    joinNullSafe, notInNulls, relDivision, joinFuzzy,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip)
 }

@@ -227,6 +227,34 @@ object Relational {
       .unionByName(opened).unionByName(inserted)
   }
 
+  /** Fuzzy string join, edit distance ≤ 1 — deletion-neighborhood
+    * blocking (the SymSpell/SymmetricDelete idea): every string expands
+    * to itself plus its |s| one-character-deletion variants; two strings
+    * within edit distance 1 ALWAYS share a variant (equal, one is the
+    * other's deletion, or both delete down to the same string at the
+    * substitution position), so an equi-join on the variant finds every
+    * candidate and an exact `levenshtein ≤ 1` filter removes the false
+    * positives (distance-2 pairs like ab→b←bc can collide). The join
+    * shuffles on variant hashes — cost |rows|·avg_len, NEVER the |L|×|R|
+    * cross product a naive `levenshtein(a,b) <= 1` condition plans. This
+    * is the entity-resolution join at corpus scale.
+    */
+  def fuzzyJoinEd1(left: DataFrame, right: DataFrame,
+      leftCol: String, rightCol: String): DataFrame = {
+    requireNoWorkingCols(left, "fuzzyJoinEd1", "__v")
+    requireNoWorkingCols(right, "fuzzyJoinEd1", "__v")
+    def variants(df: DataFrame, c: String) = df.withColumn("__v",
+      explode(expr(
+        s"""array_union(
+           |  array($c),
+           |  transform(sequence(1, length($c)),
+           |            i -> concat(substring($c, 1, i - 1), substring($c, i + 1))))"""
+          .stripMargin)))
+    variants(left, leftCol).join(variants(right, rightCol), Seq("__v"))
+      .drop("__v").distinct()
+      .filter(levenshtein(col(leftCol), col(rightCol)) <= 1)
+  }
+
   /** Order-independent table checksum — cross-engine data-integrity
     * fingerprint (verify a migration, a format conversion, or two engines'
     * copies of the same table without moving the data). Per row: the

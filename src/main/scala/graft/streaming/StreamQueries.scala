@@ -136,6 +136,34 @@ object StreamQueries {
            |FROM events JOIN customer ON user_id + 1 = c_custkey
            |GROUP BY 1, 2 ORDER BY win_start, c_mktsegment""".stripMargin))
 
+  /** Native `session_window` sessions ([[Streams.sessionWindowCounts]]).
+    * Oracle is the gaps-and-islands formulation with the native
+    * boundary semantics (an event exactly `gap` after the previous one
+    * opens a NEW session, i.e. `diff >= gap`, where a session extends
+    * [first, last + gap)).
+    */
+  val sessionWindow = OpQ("stream_session_window",
+    (s, d) => Streams.sessionWindowCounts(ev(s, d))
+      .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH marked AS (
+           |  SELECT user_id, event_id, ts,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+           |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+           |  FROM events),
+           |sessioned AS (
+           |  SELECT user_id, ts,
+           |    SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+           |             THEN 1 ELSE 0 END) OVER
+           |      (PARTITION BY user_id ORDER BY us, event_id
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           |  FROM marked)
+           |SELECT user_id,
+           |  CAST(MIN(CAST(ts AS TIMESTAMP)) AS STRING) AS session_start,
+           |  COUNT(*) AS n_events
+           |FROM sessioned GROUP BY user_id, session_id
+           |ORDER BY user_id, session_start""".stripMargin))
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
-    attribution, dedupNearDup, staticEnrich)
+    attribution, dedupNearDup, staticEnrich, sessionWindow)
 }

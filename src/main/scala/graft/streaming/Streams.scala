@@ -60,6 +60,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("string").as("win_start"), col("event_type"), col("n"))
 
+  /** NATIVE session windows — `session_window(ts, gap)` with a watermark:
+    * Spark's built-in dynamic-gap session operator (state evicts when the
+    * watermark passes a session's close), vs [[sessionize]]'s
+    * gaps-and-islands window formulation. Both compute the same
+    * 30-minute-gap sessions; gating them against each other (and the
+    * DuckDB oracle) proves the native operator's semantics match the
+    * portable SQL formulation.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("string").as("session_start"),
+        col("n_events"))
+
   /** Stream-static enrichment join + windowed rollup: each event is joined
     * to a static dimension (here customer, keyed by `user_id + 1 =
     * c_custkey`) and aggregated per tumbling window × segment. The

@@ -138,6 +138,32 @@ class RelationalSpec extends SparkSpec {
     assert(curCounts.forall(_.getLong(1) === 1L))
   }
 
+  test("fuzzyJoinEd1: finds all distance<=1 pairs, rejects distance-2 collisions") {
+    import org.apache.spark.sql.functions.col
+    val l = Seq("cat", "dog", "bird", "x").toDF("a")
+    val r = Seq("cat",   // equal → match cat
+      "cart",            // insertion vs cat → match
+      "dig",             // substitution vs dog → match
+      "birds",           // insertion vs bird → match
+      "ab",              // "x" vs "ab": distance 2, but deletion variants
+                         // ("a","b") meet x's variant ""? no — must NOT match
+      "y"                // substitution vs x → match
+    ).toDF("b")
+    val out = Relational.fuzzyJoinEd1(l, r, "a", "b")
+      .select(col("a"), col("b")).collect().map(t => (t.getString(0), t.getString(1))).toSet
+    assert(out === Set(("cat", "cat"), ("cat", "cart"), ("dog", "dig"),
+      ("bird", "birds"), ("x", "y")))
+    // blocking completeness vs brute force on a denser set
+    val names = (0 until 30).map(i => s"name$i")
+    val dirty = names.map(n => n.dropRight(1)) // one deletion each
+    val got = Relational.fuzzyJoinEd1(names.toDF("a"), dirty.toDF("b"), "a", "b")
+      .select(col("a"), col("b")).collect().map(t => (t.getString(0), t.getString(1))).toSet
+    val brute = (for { a <- names; b <- dirty
+      if org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+        .apply(a, b) <= 1 } yield (a, b)).toSet
+    assert(got === brute)
+  }
+
   test("connectedComponents: path graph collapses to the min node") {
     // reversed path 5-4-3-2-1: relaxation alone needs diameter rounds;
     // jumping gets there in O(log)

@@ -59,6 +59,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("sessionWindowCounts: append-mode stream emits a correct subset of batch sessions") {
+    initLog()
+    val batch = Streams.sessionWindowCounts(
+      graft.Tables.load(spark, dir, "events")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val stream = Streams.sessionWindowCounts(Streams.readEventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .outputMode("append") // session state evicts as the watermark passes
+      .format("memory").queryName("session_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // sessions still open at the final watermark are withheld by design;
+    // everything that DID emit must be byte-identical to a batch session
+    assert(got.nonEmpty, "no sessions emitted")
+    assert(got.subsetOf(batch), s"streamed sessions not in batch: ${got.diff(batch).take(3)}")
+  }
+
+  test("foreachBatch parquet sink: replay is idempotent (overwrite by batch id)") {
+    initLog()
+    val out = java.nio.file.Files.createTempDirectory("graft_fbsink").toString
+    def runOnce(): Unit = {
+      val q = Streams.readEventsStream(spark, streamDir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // deterministic per-batch dir + overwrite = exactly-once on replay
+          batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$out/batch=0").count()
+    runOnce() // no checkpoint → same input replays as batch 0 and overwrites
+    val second = spark.read.parquet(s"$out/batch=0").count()
+    val expected = graft.Tables.load(spark, dir, "events").count()
+    assert(first === expected && second === expected,
+      s"sink not idempotent: $first then $second, want $expected")
+  }
+
   test("dedupNearDupDocs: streaming fingerprint set equals the batch near-dup set") {
     initLog()
     // doubled documents landing dir = every document delivered twice
