@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 72 invariants
-  * across 63 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 74 invariants
+  * across 65 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -176,7 +176,12 @@ object PlanCheck {
       f => f("bhj") + f("smj") + f("shj") >= 1 && f("bnlj") + f("cartesian") == 0),
     Rule("stream_session_window", "native session windows: partial agg, no join",
       f => f("partial_agg") >= 2 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_text_novelty", "bigram-key equi-join, map-side partial aggs, nothing pairwise",
+      f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0),
+    Rule("stream_interval_join_outer", "outer interval join: type filters pushed, never cartesian",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0 &&
+        f("pushed_filters") >= 2))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -230,6 +230,28 @@ object LlmQueries {
            |  SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / SUM(c) AS repeated_bigram_frac
            |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Corpus bigram novelty ([[TextAnalysis.bigramNovelty]]): exact-integer
+    * commonness/novelty per document — the log-free n-gram-LM filter
+    * signal.
+    */
+  val textNovelty = OpQ("llm_text_novelty",
+    (s, d) => TextAnalysis.bigramNovelty(docs(s, d))
+      .orderBy(col("doc_id")),
+    Some("""WITH g AS (
+           |  SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) s,
+           |       UNNEST(range(1, greatest(len(w) - 1, 1) + 1)) t(i)),
+           |pd AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY doc_id, g),
+           |cf AS (SELECT g, CAST(SUM(c) AS BIGINT) AS cf FROM pd GROUP BY g),
+           |agg AS (
+           |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           |    CAST(SUM(c * cf.cf) AS BIGINT) AS freq_sum
+           |  FROM pd JOIN cf USING (g) GROUP BY doc_id)
+           |SELECT doc_id, n_bigrams, freq_sum,
+           |  freq_sum // n_bigrams AS commonness,
+           |  1000000 * n_bigrams // freq_sum AS novelty_ppm
+           |FROM agg ORDER BY doc_id""".stripMargin))
+
   /** Decontamination against a deterministic blocklist (docs with
     * doc_id % 97 = 0 stand in for a benchmark suite): any shared 3-gram
     * shingle flags the document. The planted duplicate groups in the
@@ -984,7 +1006,7 @@ object LlmQueries {
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupIncremental,
     vocabOovQ, dedupKeepBest,
-    chunkDocs, decontaminate, textRepetition,
+    chunkDocs, decontaminate, textRepetition, textNovelty,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames,
     multimodalResize)
 }

@@ -122,6 +122,36 @@ object TextAnalysis {
         col("repeated_bigram_n").cast("double") / col("n_bigrams"))
   }
 
+  /** Corpus-level bigram commonness / novelty — the cross-document
+    * counterpart of [[repetitionStats]]: how typical is each document's
+    * phrasing for THIS corpus. Every bigram occurrence is weighted by the
+    * corpus-wide occurrence count of that bigram; a document of boilerplate
+    * scores high (its bigrams are everywhere), novel text scores low —
+    * the exact-integer stand-in for an n-gram LM perplexity filter (no
+    * log, so it oracles bit-exact; monotone in the same direction).
+    *
+    * Scale shape: one (doc,bigram) aggregate, one bigram-level aggregate
+    * (vocabulary-sized), one equi-join back on the bigram, one per-doc
+    * sum — all shuffles on bigram/doc keys, corpus-token-linear.
+    */
+  def bigramNovelty(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(array(split(`$textCol`, ' ')), w ->
+           |  transform(sequence(1, greatest(size(w) - 1, 1)),
+           |            i -> concat_ws(' ', slice(w, i, 2)))))""".stripMargin))
+        .as("g"))
+    val perDoc = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val corpus = perDoc.groupBy(col("g")).agg(sum(col("c")).as("cf"))
+    perDoc.join(corpus, "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("cf")).as("freq_sum"))
+      .withColumn("commonness", expr("freq_sum div n_bigrams"))
+      // 1e6 when every bigram is corpus-unique, → 0 as phrasing gets common
+      .withColumn("novelty_ppm", expr("1000000L * n_bigrams div freq_sum"))
+  }
+
   /** Overlapping token-window chunking — the canonical LLM preprocessing
     * step (context-window packing): chunk starts advance by
     * `chunkTokens - overlap`, the final chunk absorbs the tail, short docs

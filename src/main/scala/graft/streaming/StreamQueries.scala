@@ -164,6 +164,26 @@ object StreamQueries {
            |FROM sessioned GROUP BY user_id, session_id
            |ORDER BY user_id, session_start""".stripMargin))
 
+  /** Batch replay of the LEFT OUTER interval join
+    * ([[Streams.purchaseAttributionOuter]]): every purchase appears,
+    * view-less ones with n_views = 0 and a NULL last view. `COUNT(v_id)`
+    * (null-skipping) gives the zero for free.
+    */
+  val attributionOuter = OpQ("stream_interval_join_outer",
+    (s, d) => Streams.purchaseAttributionOuter(ev(s, d))
+      .groupBy(col("p_id"))
+      .agg(count(col("v_id")).as("n_views"),
+        max(col("v_ts")).cast("string").as("last_view_ts"))
+      .orderBy(col("p_id")),
+    Some("""SELECT p.event_id AS p_id, COUNT(v.event_id) AS n_views,
+           |  CAST(MAX(CAST(v.ts AS TIMESTAMP)) AS STRING) AS last_view_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           |  ON p.user_id = v.user_id
+           | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+           | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+           |GROUP BY p.event_id ORDER BY p_id""".stripMargin))
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
-    attribution, dedupNearDup, staticEnrich, sessionWindow)
+    attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter)
 }

@@ -187,6 +187,28 @@ object Streams {
         col("v_ts") <= col("p_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[purchaseAttribution]]'s
+    * inner form misses the rows marketing actually asks about: purchases
+    * with NO preceding view. In streaming, an unmatched left row can only
+    * emit once BOTH watermarks have passed its join window (the engine
+    * must prove no matching view can still arrive), so null-matched
+    * output trails by the watermark delay — the StreamingSpec gate
+    * asserts exactly that contract against the batch replay.
+    */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long)
 

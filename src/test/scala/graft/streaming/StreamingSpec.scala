@@ -174,6 +174,35 @@ class StreamingSpec extends SparkSpec {
       "stream-stream join and batch range join disagree")
   }
 
+  test("purchaseAttributionOuter: streamed rows ⊆ batch; settled null-matches all emit") {
+    initLog()
+    val batchDf = Streams.purchaseAttributionOuter(
+      graft.Tables.load(spark, dir, "events"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)) // (p_id, v_id|null)
+    val batch = batchDf.collect().map(key).toSet
+    val maxTs = graft.Tables.load(spark, dir, "events")
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val stream = Streams.purchaseAttributionOuter(Streams.readEventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("attr_outer_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val gotRows = spark.table("attr_outer_out").collect()
+    val got = gotRows.map(key).toSet
+    assert(got.nonEmpty && got.subsetOf(batch), s"streamed-not-in-batch: ${got.diff(batch).take(3)}")
+    // null-matched purchases emit once the final watermark clears their
+    // window: every batch null-match 3h+ before the last event must appear
+    val settledNulls = batchDf.filter(col("v_id").isNull)
+      .filter(col("p_ts") < new java.sql.Timestamp(maxTs - 3 * 3600 * 1000L))
+      .collect().map(key).toSet
+    assert(settledNulls.nonEmpty, "fixture should contain settled view-less purchases")
+    assert(settledNulls.subsetOf(got),
+      s"withheld settled null-matches: ${settledNulls.diff(got).take(3)}")
+  }
+
   test("runningCountsStateful: per-user totals accumulate to batch counts") {
     val events = Streams.readEventsStream(spark, streamDir)
     val q = Streams.runningCountsStateful(spark, events, evictIdleState = false).writeStream
