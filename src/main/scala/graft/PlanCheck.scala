@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 74 invariants
-  * across 65 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 77 invariants
+  * across 68 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -181,7 +181,15 @@ object PlanCheck {
       f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0),
     Rule("stream_interval_join_outer", "outer interval join: type filters pushed, never cartesian",
       f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0 &&
-        f("pushed_filters") >= 2))
+        f("pushed_filters") >= 2),
+    Rule("llm_ann_sq8_topk", "query side broadcast (one bnlj of the tiny query set), id filter pushed",
+      f => f("bnlj") <= 1 && f("cartesian") == 0 && f("pushed_filters") >= 1),
+    Rule("llm_multimodal_binary_files", "file listing + header parse: no join, one exchange",
+      f => f("exchange") <= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_source_text_roundtrip", "text scan: no join, one output sort exchange",
+      f => f("exchange") <= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -41,6 +41,25 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Plain-text reader — one row per line, single `value` column: the raw
+    * corpus-ingestion format (crawl dumps, log lines). Distributed line
+    * splitting; schema is fixed by the format.
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Text sink (one column, one line per row). */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  /** Binary-file reader — one row per FILE (`path`, `modificationTime`,
+    * `length`, `content`): the blob-ingestion path for image/audio stores
+    * laid out as individual objects rather than parquet-packed blobs.
+    * `pathGlobFilter` narrows the listing before any bytes are read.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
   /** Parquet sink; `partitionBy` columns become directory partitions —
     * the layout that makes downstream partition pruning free at scale.
     */

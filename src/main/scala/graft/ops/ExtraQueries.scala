@@ -768,6 +768,20 @@ object ExtraQueries {
     * oracle reads the ORIGINAL parquet table — the check is that the ORC
     * write + filtered read reproduces it bit-exactly, doubles included.
     */
+  /** Plain-text sink → source round-trip — the raw corpus-ingestion
+    * format (one document per line). Line order is not preserved across
+    * a distributed write/read, so the gate is the sorted multiset of
+    * lines vs the original table.
+    */
+  val sourceTextRoundtrip = OpQ("op_source_text_roundtrip",
+    (s, d) => {
+      val path = s"$stageDir/documents_txt"
+      Sources.writeText(
+        Tables.load(s, d, "documents").select(col("text")), path)
+      Sources.text(s, path).orderBy(col("value"))
+    },
+    Some("SELECT text AS value FROM documents ORDER BY value"))
+
   val sourceOrcRoundtrip = OpQ("op_source_orc_roundtrip",
     (s, d) => {
       val path = s"$stageDir/supplier_orc"
@@ -942,5 +956,5 @@ object ExtraQueries {
     tableChecksum, funnel, cohortRetention, graphTriangles,
     joinNullSafe, notInNulls, relDivision, joinFuzzy,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
-    sourceOrcRoundtrip)
+    sourceOrcRoundtrip, sourceTextRoundtrip)
 }

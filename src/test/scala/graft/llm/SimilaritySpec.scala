@@ -88,6 +88,24 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("sq8TopK: quantized ranking keeps high recall vs the exact ranking") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, k = 5, queryMaxId = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(emb, k = 5, queryMaxId = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.intersect(sq8).size
+    info(s"SQ8 overlap $overlap/${exact.size}")
+    // int8 quantization of 64-dim unit-bounded vectors barely moves the
+    // ranking — require 80% top-5 agreement
+    assert(overlap.toDouble / exact.size >= 0.8,
+      s"SQ8 recall collapsed: $overlap/${exact.size}")
+    // determinism under repartitioning (pure integer math)
+    val again = Similarity.sq8TopK(emb.repartition(7), k = 5, queryMaxId = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === sq8)
+  }
+
   test("lshTopK recall at sf0.1 vs brute force — bench scale", graft.SlowTest) {
     // Same weakly-similar corpus at 100× the rows: with 2 planes the
     // per-pair bucket-collision probability for the top-k cosines (~0.4)
