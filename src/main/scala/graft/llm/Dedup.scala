@@ -56,6 +56,57 @@ object Dedup {
       .drop("__ck", "__best")
   }
 
+  /** Span dedup, REWRITE form — the Lee et al. 2022 semantic at window
+    * granularity: instead of flagging documents ([[spanDedup]]), REMOVE
+    * the duplicated text. Every token covered by any `window`-token span
+    * whose globally-first occurrence lies in an earlier document is
+    * dropped; the surviving tokens reassemble in order (the first
+    * occurrence of every span keeps its text verbatim, later documents
+    * keep only their novel spans). Documents shorter than `window` have
+    * no spans and pass through unchanged; a fully-duplicated document
+    * comes back empty (n_kept = 0) rather than disappearing.
+    *
+    * Scale shape: span first-occurrence is one groupBy on the span key;
+    * coverage is a generator explode of duplicated windows into (doc,
+    * pos) pairs (≤ window× the duplicated-token volume) anti-joined
+    * against the token positions; reassembly sorts each doc's survivors
+    * in memory (bounded by the longest document). Tokens cross the wire
+    * as positions + text once — the same budget paragraphDedup pays.
+    */
+  def spanDedupRewrite(docs: DataFrame, window: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val base = docs.select(col("doc_id"), split(col(textCol), " ").as("w"))
+    val toks = base.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "tok")))
+    val wins = base.filter(size(col("w")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $window),
+           |          i -> struct(i AS wpos,
+           |                      array_join(slice(w, i + 1, $window), ' ') AS span))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.wpos").as("wpos"), col("x.span").as("span"))
+    val firsts = wins.groupBy(col("span")).agg(min(col("doc_id")).as("first_doc"))
+    val dupWins = wins.join(firsts, "span")
+      .filter(col("first_doc") < col("doc_id"))
+      .select(col("doc_id"), col("wpos"))
+    val covered = dupWins
+      .select(col("doc_id"),
+        explode(expr(s"sequence(wpos, wpos + ${window - 1})")).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("text_dedup"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Incremental (cross-snapshot) exact dedup — the shape every refreshed
     * corpus runs: a NEW batch arrives, and only documents unseen in the
     * existing corpus AND not repeated earlier within the batch survive.

@@ -1013,6 +1013,34 @@ object LlmQueries {
            |  NOT dup_in_batch AND NOT dup_of_corpus AS keep
            |FROM marked ORDER BY doc_id""".stripMargin))
 
+  /** Span-dedup rewrite ([[Dedup.spanDedupRewrite]], window=4): duplicated
+    * spans REMOVED from later documents, survivors reassembled in order —
+    * token counts and rewritten text both hash-exact.
+    */
+  val dedupSpanRewrite = OpQ("llm_dedup_span_rewrite",
+    (s, d) => Dedup.spanDedupRewrite(docs(s, d), window = 4)
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+           |         FROM b, UNNEST(range(1, len(w) + 1)) t(i)),
+           |wins AS (SELECT doc_id, i - 1 AS wpos,
+           |           array_to_string(list_slice(w, i, i + 3), ' ') AS span
+           |         FROM b, UNNEST(range(1, len(w) - 2)) t(i) WHERE len(w) >= 4),
+           |firsts AS (SELECT span, MIN(doc_id) AS fd FROM wins GROUP BY span),
+           |dup AS (SELECT w.doc_id, w.wpos FROM wins w JOIN firsts f USING (span)
+           |        WHERE f.fd < w.doc_id),
+           |cov AS (SELECT DISTINCT doc_id, wpos + k AS pos
+           |        FROM dup, UNNEST(range(0, 4)) t(k)),
+           |kept AS (
+           |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |    string_agg(t.tok, ' ' ORDER BY t.pos) AS text_dedup
+           |  FROM toks t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           |  GROUP BY t.doc_id)
+           |SELECT b.doc_id, CAST(len(b.w) AS BIGINT) AS n_total,
+           |  COALESCE(n_kept, 0) AS n_kept,
+           |  COALESCE(text_dedup, '') AS text_dedup
+           |FROM b LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin))
+
   /** CCNet-style normalization ([[TextAnalysis.normalizeText]]). The corpus
     * is pure ASCII, so the query decorates each doc with mixed-case
     * punctuation AND a decomposed accent sequence ("CAFE" + combining
@@ -1057,8 +1085,8 @@ object LlmQueries {
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
-    textKeywords, textBm25, textNormalize, dedupSpan, dedupIncremental,
-    vocabOovQ, dedupKeepBest,
+    textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,
+    dedupIncremental, vocabOovQ, dedupKeepBest,
     chunkDocs, decontaminate, textRepetition, textNovelty,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames,
     multimodalResize, multimodalBinaryFiles)

@@ -313,6 +313,19 @@ class DedupSpec extends SparkSpec {
     assert(hashed.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("spanDedupRewrite removes covered tokens, keeps first occurrence verbatim") {
+    val docs = mkDocs(Seq(
+      "a b c d e f",       // doc 0: first occurrence, untouched
+      "x c d e f y",       // doc 1: window "c d e f" covers pos 1..4 → "x y"
+      "c d e f",           // doc 2: fully duplicated → empty
+      "p q"))              // doc 3: shorter than window, untouched
+    val out = Dedup.spanDedupRewrite(docs, window = 4).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("text_dedup")).toSeq ===
+      Seq("a b c d e f", "x y", "", "p q"))
+    assert(out.map(_.getAs[Long]("n_kept")).toSeq === Seq(6L, 2L, 0L, 2L))
+    assert(out.map(_.getAs[Long]("n_total")).toSeq === Seq(6L, 6L, 4L, 2L))
+  }
+
   test("keepBestDedup keeps the longest member, smallest id on ties") {
     val docs = Seq(
       (0L, "alpha beta"),            // cluster A (prefix "alpha"): shorter
