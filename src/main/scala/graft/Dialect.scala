@@ -79,6 +79,7 @@ object Dialect {
     case "bigquery" => BigQueryish
     case "mysql" => MySqlish
     case "postgres" | "postgresql" => Postgresish
+    case "sqlite" => SqliteIsh
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -269,6 +270,26 @@ object Dialect {
         rewritePgRegexMatch,
         rewritePgExtractEpoch,
         s => renameFunctions(s, renames))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** SQLite-ish surface: `"ident"` identifiers, `strftime('fmt', expr)`
+    * with the format argument FIRST (the opposite of DuckDB's order —
+    * same C codes, translated by the shared table), `expr GLOB 'pat'`
+    * (→ anchored RLIKE, `*`/`?` wildcards), and the pass-throughs SQLite
+    * shares with Spark: IFNULL, INSTR, two-argument SUBSTR, `||`, LIMIT
+    * … OFFSET. SQLite literals escape by doubling quotes only.
+    */
+  case object SqliteIsh extends Dialect {
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        rewriteDoubleEquals,
+        rewriteDoubleQuotedIdents(_),
+        rewriteSqliteStrftime,
+        rewriteSqliteGlob)
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -1230,6 +1251,53 @@ object Dialect {
       df.createOrReplaceTempView(view)
     }
     rewritten
+  }
+
+  // ---- SQLite-ish helpers -------------------------------------------------
+
+  /** `strftime('C codes', expr)` — format first (SQLite argument order) —
+    * → `date_format(expr, 'java pattern')` via the shared strftime table.
+    */
+  private[graft] def rewriteSqliteStrftime(sql: String): String =
+    rewriteCallOpt(sql, "strftime") { (_, args) =>
+      args match {
+        case Seq(SingleLiteral(f), x) =>
+          Some(s"date_format(${x.trim}, " +
+            s"'${translateStrftimeFormat(f).replace("'", "''")}')")
+        case _ => throw new graft.UnsupportedError(
+          "SQLite strftime expects ('format', expr)")
+      }
+    }
+
+  /** `expr GLOB 'pattern'` → `expr RLIKE '^regex$'`: `*` → `.*`, `?` →
+    * `.`, everything else regex-quoted. Anchored because GLOB matches the
+    * whole string where RLIKE searches. Only the literal-pattern form is
+    * supported (a computed pattern can't be translated statically).
+    */
+  private[graft] def rewriteSqliteGlob(sql: String): String = {
+    val re = """(?i)\bGLOB\s*'([^']*)'""".r
+    var cur = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val spans = literalSpans(cur, backslashEscapes = true)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
+        val pat = m.group(1)
+        val rx = new StringBuilder("^")
+        pat.foreach {
+          case '*' => rx.append(".*")
+          case '?' => rx.append('.')
+          case c if "\\.[]{}()<>+-=!$|^".contains(c) => rx.append('\\').append(c)
+          case c => rx.append(c)
+        }
+        rx.append('$')
+        cur = cur.substring(0, m.start) +
+          "RLIKE '" + rx.toString.replace("'", "''") + "'" +
+          cur.substring(m.end)
+        changed = true
+      }
+    }
+    cur
   }
 
   // ---- Postgres-ish helpers ----------------------------------------------

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 78 invariants
-  * across 69 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 79 invariants
+  * across 70 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -191,7 +191,10 @@ object PlanCheck {
       f => f("exchange") <= 1 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("llm_dedup_span_rewrite", "span/coverage joins are equi-joins, nothing pairwise",
-      f => f("cartesian") + f("bnlj") == 0 && f("partial_agg") >= 2))
+      f => f("cartesian") + f("bnlj") == 0 && f("partial_agg") >= 2),
+    Rule("op_dialect_sqlite", "translated text plans a pure top-k scan",
+      f => f("topk") >= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -430,8 +430,37 @@ object DialectQueries {
            |  (o_orderstatus ILIKE 'o') AS is_open
            |FROM orders ORDER BY okey LIMIT 150""".stripMargin))
 
+  /** SQLite-ish input surface ([[graft.Dialect.SqliteIsh]]): strftime with
+    * the format argument FIRST, GLOB wildcards (whole-string match, `*`
+    * and `?`), and the IFNULL/INSTR/two-arg-SUBSTR pass-throughs. Oracle
+    * spells GLOB as anchored LIKE.
+    */
+  val sqlite = OpQ("op_dialect_sqlite",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT "o_orderkey" AS okey,
+          |  strftime('%Y-%m', o_orderdate) AS ym,
+          |  IFNULL(NULLIF(o_orderstatus, 'O'), 'open') AS status_tag,
+          |  (o_orderpriority GLOB '*URGENT*') AS is_urgent,
+          |  (o_orderpriority GLOB '?-*') AS has_dash_2,
+          |  CAST(INSTR(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+          |  SUBSTR(o_orderpriority, 3) AS pri_tail
+          |FROM orders ORDER BY okey LIMIT 100""".stripMargin,
+        dialect = Dialect.SqliteIsh)
+    },
+    Some("""SELECT o_orderkey AS okey,
+           |  strftime(o_orderdate, '%Y-%m') AS ym,
+           |  coalesce(NULLIF(o_orderstatus, 'O'), 'open') AS status_tag,
+           |  (o_orderpriority LIKE '%URGENT%') AS is_urgent,
+           |  (o_orderpriority LIKE '_-%') AS has_dash_2,
+           |  strpos(o_orderpriority, '-')::BIGINT AS dash_pos,
+           |  substr(o_orderpriority, 3) AS pri_tail
+           |FROM orders ORDER BY okey LIMIT 100""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
-    distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres)
+    distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
+    sqlite)
 }

@@ -219,6 +219,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.exceptAll(batch).isEmpty && batch.exceptAll(last).isEmpty)
   }
 
+  test("RocksDB state store: windowed aggregation matches batch (off-heap state tier)") {
+    initLog()
+    // the production state backend for state larger than executor heap —
+    // same query, provider swapped by config, results must be identical
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = Streams.tumblingCounts(graft.Tables.load(spark, dir, "events"))
+      val stream = Streams.tumblingCounts(Streams.readEventsStream(spark, streamDir))
+      val q = stream.writeStream
+        .outputMode("complete")
+        .format("memory").queryName("rocksdb_out")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocksdb_out")
+      assert(got.count() > 0)
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+        "RocksDB-backed stream disagrees with batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionize assigns increasing session ids within a user") {
     val out = Streams.sessionize(graft.Tables.load(spark, dir, "events")).collect()
     assert(out.nonEmpty)
