@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 79 invariants
-  * across 70 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 80 invariants
+  * across 71 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -194,6 +194,9 @@ object PlanCheck {
       f => f("cartesian") + f("bnlj") == 0 && f("partial_agg") >= 2),
     Rule("op_dialect_sqlite", "translated text plans a pure top-k scan",
       f => f("topk") >= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_profile_table", "single agg tree (multi-distinct Expand allows 2 exchanges), no join",
+      f => f("exchange") <= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the

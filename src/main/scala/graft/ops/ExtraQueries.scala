@@ -283,6 +283,41 @@ object ExtraQueries {
            |  CAST(SUM(h % 1000000007) AS BIGINT) AS modsum_checksum
            |FROM rh""".stripMargin))
 
+  /** Table profile ([[Relational.profile]]): per-column nulls / exact
+    * distincts / min / max over orders (timestamp projected to string so
+    * both engines render it identically; the double column to exact
+    * cents). Oracle is a UNION ALL of per-column aggregates.
+    */
+  val profileTable = OpQ("op_profile_table",
+    (s, d) => Relational.profile(
+      Tables.load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderdate").cast("string").as("o_orderdate")))
+      .orderBy(col("column_name")),
+    Some("""WITH t AS (SELECT o_orderkey, o_orderstatus,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+           |    CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS o_orderdate
+           |  FROM orders)
+           |SELECT 'o_orderkey' AS column_name,
+           |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+           |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM t
+           |UNION ALL
+           |SELECT 'o_orderstatus',
+           |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus) FROM t
+           |UNION ALL
+           |SELECT 'price_cents',
+           |  CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  COUNT(DISTINCT price_cents),
+           |  CAST(MIN(price_cents) AS VARCHAR), CAST(MAX(price_cents) AS VARCHAR) FROM t
+           |UNION ALL
+           |SELECT 'o_orderdate',
+           |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  COUNT(DISTINCT o_orderdate), MIN(o_orderdate), MAX(o_orderdate) FROM t
+           |ORDER BY column_name""".stripMargin))
+
   /** Funnel analysis — staged conversion (view → click within the session
     * horizon → purchase) with strictly ordered timestamps, the standard
     * product-analytics rollup. Three conditional aggregates chained by
@@ -953,7 +988,7 @@ object ExtraQueries {
     joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     jsonVariant, layoutZorder, timeseriesGapfill, windowIgnoreNulls, groupingId,
-    tableChecksum, funnel, cohortRetention, graphTriangles,
+    tableChecksum, profileTable, funnel, cohortRetention, graphTriangles,
     joinNullSafe, notInNulls, relDivision, joinFuzzy,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip, sourceTextRoundtrip)

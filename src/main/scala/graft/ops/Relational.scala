@@ -227,6 +227,31 @@ object Relational {
       .unionByName(opened).unionByName(inserted)
   }
 
+  /** Table profile — the data-ops report every ingestion job runs: per
+    * column, null count, exact distinct count, and min/max rendered as
+    * strings. ONE pass over the data (all per-column aggregates in a
+    * single `agg`, map-side combined), then a local explode of the 1-row
+    * result into the long (column, metric) layout — the profile never
+    * shuffles more than one row per partition. Doubles render via the
+    * caller's projection rules if cross-engine comparison matters (see
+    * [[tableChecksum]]'s contract).
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = df.columns.map { c =>
+      s"struct('$c' AS column_name, `__n_$c` AS n_nulls, `__d_$c` AS n_distinct, " +
+        s"`__min_$c` AS min_value, `__max_$c` AS max_value)"
+    }.mkString(", ")
+    one.select(expr(s"inline(array($stacked))"))
+  }
+
   /** Fuzzy string join, edit distance ≤ 1 — deletion-neighborhood
     * blocking (the SymSpell/SymmetricDelete idea): every string expands
     * to itself plus its |s| one-character-deletion variants; two strings
