@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 80 invariants
-  * across 71 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 82 invariants
+  * across 73 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -197,6 +197,12 @@ object PlanCheck {
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("op_profile_table", "single agg tree (multi-distinct Expand allows 2 exchanges), no join",
       f => f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_cdc_apply", "touched-key anti join broadcasts the change batch; key filters pushed",
+      f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
+        f("pushed_filters") >= 2),
+    Rule("op_histogram", "constant-size bucket aggregate: partial agg, no join",
+      f => f("partial_agg") >= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the

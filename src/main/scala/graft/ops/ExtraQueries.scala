@@ -519,6 +519,64 @@ object ExtraQueries {
            |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
       .stripMargin))
 
+  /** CDC apply ([[Relational.applyCdc]]): a change batch with deletes
+    * (`%13`), whole-row updates (`%7`, balance bumped), and inserts (new
+    * keys) folded into customer. Oracle spells the same fold as NOT IN +
+    * UNION ALL.
+    */
+  val cdcApply = OpQ("op_cdc_apply",
+    (s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val deletes = cust.filter(col("c_custkey") % 13 === 0)
+        .select(lit("D").as("op"), col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal"))
+      val updates = cust.filter(col("c_custkey") % 13 =!= 0 &&
+          col("c_custkey") % 7 === 0)
+        .select(lit("U").as("op"), col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") + 500).as("c_acctbal"))
+      val inserts = cust.filter(col("c_custkey") < 30)
+        .select(lit("I").as("op"), (col("c_custkey") + 2000000).as("c_custkey"),
+          lit("CDC-NEW").as("c_mktsegment"), col("c_acctbal"))
+      Relational.applyCdc(cust, deletes.unionByName(updates).unionByName(inserts),
+          keys = Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+           |touched AS (
+           |  SELECT c_custkey FROM cust WHERE c_custkey % 13 = 0
+           |  UNION ALL
+           |  SELECT c_custkey FROM cust WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+           |  UNION ALL
+           |  SELECT c_custkey + 2000000 FROM cust WHERE c_custkey < 30)
+           |SELECT * FROM cust WHERE c_custkey NOT IN (SELECT c_custkey FROM touched)
+           |UNION ALL
+           |SELECT c_custkey, c_mktsegment, c_acctbal + 500
+           |FROM cust WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+           |UNION ALL
+           |SELECT c_custkey + 2000000, 'CDC-NEW', c_acctbal
+           |FROM cust WHERE c_custkey < 30
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Histogram binning — fixed-width buckets with exact integer bucket
+    * ids (`floor((x − lo) / width)`, identical arithmetic both engines;
+    * no width_bucket, whose edge semantics differ across engines), plus
+    * exact-cents per-bucket sums. The groupBy carries one row per bucket —
+    * the constant-size aggregate any 100 TB profiler wants.
+    */
+  val histogram = OpQ("op_histogram",
+    (s, d) => Tables.load(s, d, "orders")
+      .withColumn("bucket",
+        floor((col("o_totalprice") - 0) / 50000).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Relational.moneySum(col("o_totalprice"), "sum_price"))
+      .orderBy(col("bucket")),
+    Some("""SELECT CAST(FLOOR((o_totalprice - 0) / 50000) AS BIGINT) AS bucket,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)/100 AS sum_price
+           |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin))
+
   /** SCD-2 history merge ([[Relational.scd2Merge]]): a versioned customer
     * dimension with pre-existing history rows takes a change batch that
     * updates some balances, repeats others unchanged, and introduces new
@@ -984,7 +1042,7 @@ object ExtraQueries {
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
     recursiveCte, unpivot, joinLateral,
     setUnionByName, explodeGenerator, graphComponents, mergeUpsert, mergeScd2,
-    stringAgg,
+    cdcApply, histogram, stringAgg,
     joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,
     jsonVariant, layoutZorder, timeseriesGapfill, windowIgnoreNulls, groupingId,

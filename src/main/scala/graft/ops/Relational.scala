@@ -179,6 +179,28 @@ object Relational {
     source.unionByName(target.join(source, keys, "left_anti"))
   }
 
+  /** CDC apply — a change batch with an `op` column (`I`/`U`/`D`) folded
+    * into the target: deletes drop their keys, updates replace whole
+    * rows, inserts add new keys. The same delta-broadcast shape as
+    * [[upsert]] (one anti join against the touched keys + a union of the
+    * surviving changes); at 100 TB the target is scanned once and the
+    * (small) change batch broadcasts. Last-writer-wins INSIDE a batch is
+    * rejected: `keys` must be unique in `changes` (collapse a multi-op
+    * stream per key upstream — e.g. keep-latest by version — before
+    * applying).
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(changes.columns.contains(opCol), s"changes must carry '$opCol'")
+    require(target.columns.sorted.sameElements(
+      changes.columns.filterNot(_ == opCol).sorted),
+      "changes must carry exactly the target's columns plus the op column")
+    val touched = changes.select(keys.map(col): _*)
+    val survivors = target.join(touched, keys, "left_anti")
+    val applied = changes.filter(col(opCol).isin("I", "U")).drop(opCol)
+    survivors.unionByName(applied)
+  }
+
   /** MERGE (SCD type 2): history-preserving upsert into a versioned
     * dimension. The target carries `valid_from`/`valid_to`/`is_current`;
     * each source row that CHANGES a tracked attribute closes the current

@@ -138,6 +138,19 @@ class RelationalSpec extends SparkSpec {
     assert(curCounts.forall(_.getLong(1) === 1L))
   }
 
+  test("applyCdc: deletes drop, updates replace, inserts add, untouched survive") {
+    import org.apache.spark.sql.functions.col
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val changes = Seq(("D", 2L, "b"), ("U", 3L, "c2"), ("I", 4L, "d"))
+      .toDF("op", "id", "v")
+    val out = Relational.applyCdc(target, changes, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a"), (3L, "c2"), (4L, "d")))
+    // column-set mismatch is rejected up front
+    intercept[IllegalArgumentException](
+      Relational.applyCdc(target, Seq(("I", 9L)).toDF("op", "id"), Seq("id")))
+  }
+
   test("fuzzyJoinEd1: finds all distance<=1 pairs, rejects distance-2 collisions") {
     import org.apache.spark.sql.functions.col
     val l = Seq("cat", "dog", "bird", "x").toDF("a")
