@@ -11,8 +11,12 @@ object DevOne {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    val sql = SparkEntry.oracleSql.get(name).map(s => s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n").replace("\t", "\\t")).getOrElse("")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), s"""{"$name": "$sql"}""")
+    // no-oracle queries are OMITTED (matching Verify) — an empty-string
+    // oracle would make check.py execute "" and fail spuriously
+    val entry = SparkEntry.oracleSql.get(name)
+      .map(s => s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n").replace("\t", "\\t"))
+      .map(sql => s""""$name": "$sql"""").getOrElse("")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), s"{$entry}")
     spark.stop()
   }
 }

@@ -184,6 +184,17 @@ object StreamQueries {
            | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
            |GROUP BY p.event_id ORDER BY p_id""".stripMargin))
 
+  /** Windowed approximate distinct users ([[Streams.approxUserCounts]]).
+    * Rows-only at the driver (DuckDB's HLL family differs); the
+    * stream≡batch identity and the accuracy bound are StreamingSpec
+    * gates.
+    */
+  val approxUsers = OpQ("stream_approx_users",
+    (s, d) => Streams.approxUserCounts(ev(s, d))
+      .orderBy(col("win_start")),
+    None)
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
-    attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter)
+    attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter,
+    approxUsers)
 }

@@ -60,6 +60,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("string").as("win_start"), col("event_type"), col("n"))
 
+  /** Windowed approximate distinct users — the sketch/streaming
+    * intersection: HLL++ (`approx_count_distinct`) per tumbling window,
+    * constant state per window regardless of user cardinality (the exact
+    * distinct would hold every user id in state). HLL register merges are
+    * max-operations — commutative and insertion-order-independent — so
+    * the streaming result is IDENTICAL to the batch replay, not merely
+    * close; accuracy vs the exact count is the spec's second gate.
+    */
+  def approxUserCounts(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("string").as("win_start"),
+        col("n_users_approx"), col("n_events"))
+
   /** NATIVE session windows — `session_window(ts, gap)` with a watermark:
     * Spark's built-in dynamic-gap session operator (state evicts when the
     * watermark passes a session's close), vs [[sessionize]]'s

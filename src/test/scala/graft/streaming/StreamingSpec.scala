@@ -219,6 +219,35 @@ class StreamingSpec extends SparkSpec {
     assert(last.exceptAll(batch).isEmpty && batch.exceptAll(last).isEmpty)
   }
 
+  test("approxUserCounts: stream equals batch exactly; sketch within rsd of exact") {
+    initLog()
+    val events = graft.Tables.load(spark, dir, "events")
+    val batch = Streams.approxUserCounts(events)
+    val stream = Streams.approxUserCounts(Streams.readEventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("approx_users_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("approx_users_out")
+    // HLL merges are order-independent → stream must be IDENTICAL to batch
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "HLL stream/batch results diverge")
+    // and the sketch must track the exact per-window distinct count
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .select(col("window.start").cast("string").as("win_start"), col("n_exact"))
+    val joined = got.join(exact, "win_start").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (approx, ex) = (r.getAs[Long]("n_users_approx"), r.getAs[Long]("n_exact"))
+      assert(math.abs(approx - ex).toDouble / math.max(ex, 1L) <= 0.15,
+        s"window ${r.getString(0)}: approx=$approx exact=$ex")
+    }
+  }
+
   test("RocksDB state store: windowed aggregation matches batch (off-heap state tier)") {
     initLog()
     // the production state backend for state larger than executor heap —
