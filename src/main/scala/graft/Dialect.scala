@@ -1273,16 +1273,23 @@ object Dialect {
     * `.`, everything else regex-quoted. Anchored because GLOB matches the
     * whole string where RLIKE searches. Only the literal-pattern form is
     * supported (a computed pattern can't be translated statically).
+    *
+    * Runs AFTER [[escapeBackslashLiterals]], so the captured literal text
+    * is already Spark-escaped (backslashes doubled, quotes as `''`): the
+    * pattern is first UNESCAPED back to its actual characters, translated
+    * to a regex, then RE-ESCAPED for Spark's parser — without the
+    * round-trip a generated `\.` would reach Spark's literal parser,
+    * which drops unknown escapes, and the dot would match any character.
     */
   private[graft] def rewriteSqliteGlob(sql: String): String = {
-    val re = """(?i)\bGLOB\s*'([^']*)'""".r
+    val re = """(?i)\bGLOB\s*'((?:[^'\\]|''|\\.)*)'""".r
     var cur = sql
     var changed = true
     while (changed) {
       changed = false
       val spans = literalSpans(cur, backslashEscapes = true)
       re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
-        val pat = m.group(1)
+        val pat = m.group(1).replace("\\\\", "\\").replace("''", "'")
         val rx = new StringBuilder("^")
         pat.foreach {
           case '*' => rx.append(".*")
@@ -1291,8 +1298,9 @@ object Dialect {
           case c => rx.append(c)
         }
         rx.append('$')
+        val sparkLit = rx.toString.replace("\\", "\\\\").replace("'", "''")
         cur = cur.substring(0, m.start) +
-          "RLIKE '" + rx.toString.replace("'", "''") + "'" +
+          "RLIKE '" + sparkLit + "'" +
           cur.substring(m.end)
         changed = true
       }
@@ -1303,12 +1311,14 @@ object Dialect {
   // ---- Postgres-ish helpers ----------------------------------------------
 
   /** Postgres TO_CHAR template patterns → Java date pattern. Longest match
-    * first (HH24 before HH, Month before Mon before MM … order matters
-    * only for same-prefix templates). Unknown alphabetic patterns raise.
+    * first (HH24 before HH12 before bare HH — Postgres HH is an alias for
+    * HH12; Month before Mon before MM … order matters only for same-prefix
+    * templates). Unknown alphabetic patterns raise.
     */
   private[graft] def translatePgFormat(fmt: String): String = {
     val templates = Seq(
-      "HH24" -> "HH", "HH12" -> "hh", "Month" -> "MMMM", "Mon" -> "MMM",
+      "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh",
+      "Month" -> "MMMM", "Mon" -> "MMM",
       "YYYY" -> "yyyy", "YY" -> "yy", "MM" -> "MM", "DDD" -> "DDD",
       "DD" -> "dd", "Day" -> "EEEE", "Dy" -> "EEE", "MI" -> "mm",
       "SS" -> "ss", "MS" -> "SSS", "AM" -> "a", "PM" -> "a", "TZ" -> "z")

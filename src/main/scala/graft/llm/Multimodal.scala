@@ -132,6 +132,15 @@ object Multimodal {
     * neighbor (src = (dst · srcDim) / dstDim, integer division) rather
     * than an interpolating kernel so the math is exactly reproducible;
     * swap the sampler, not the plumbing, for production quality.
+    *
+    * Degradation mirrors [[decodeImagePartitioned]]: a payload WITHOUT an
+    * image magic gets the same deterministic stand-in dimensions and a
+    * fake-pixel checksum sampled through the identical nearest-neighbor
+    * loop (so mixed text/image corpora flow through without aborting the
+    * job), while a payload that claims to be an image but fails to decode
+    * raises a descriptive error naming the doc_id — at corpus scale one
+    * corrupt blob must degrade or name itself, never kill 10⁶ tasks with
+    * an opaque executor NPE.
     */
   def resizeImagesPartitioned(spark: SparkSession, withBlob: DataFrame,
       targetW: Int = 16, targetH: Int = 16): DataFrame = {
@@ -140,11 +149,26 @@ object Multimodal {
       it.map { row =>
         val id = row.getLong(0)
         val blob = row.getAs[Array[Byte]](1)
-        require(isPng(blob) || isJpeg(blob), s"doc_id=$id: not an image payload")
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-        if (img == null)
-          throw new IllegalArgumentException(s"doc_id=$id: corrupt image payload")
-        val (w, h) = (img.getWidth, img.getHeight)
+        val n = blob.length.toLong
+        val (w, h, pixel) =
+          if (isPng(blob) || isJpeg(blob)) {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+              catch { case e: Exception =>
+                throw new IllegalArgumentException(
+                  s"doc_id=$id: $n-byte payload has an image magic but failed to decode (${e.getMessage})", e)
+              }
+            if (img == null)
+              throw new IllegalArgumentException(
+                s"doc_id=$id: $n-byte payload has an image magic but failed to decode (truncated or corrupt)")
+            (img.getWidth, img.getHeight, (sx: Int, sy: Int) => img.getRGB(sx, sy) & 0xFFFFFF)
+          } else {
+            // non-image payload: the decodeImageMeta stand-in dims plus a
+            // deterministic fake pixel — same sampler, reproducible anywhere
+            val fw = (64 + n % 64).toInt
+            val fh = (64 + (n * 7) % 64).toInt
+            (fw, fh, (sx: Int, sy: Int) => ((n + sx * 31L + sy * 17L) % 0x1000000L).toInt)
+          }
         var sum = 0L
         var y = 0
         while (y < targetH) {
@@ -152,8 +176,7 @@ object Multimodal {
           var x = 0
           while (x < targetW) {
             val sx = x * w / targetW
-            val rgb = img.getRGB(sx, sy) & 0xFFFFFF
-            sum += rgb.toLong * (y * targetW + x + 1)
+            sum += pixel(sx, sy).toLong * (y * targetW + x + 1)
             x += 1
           }
           y += 1

@@ -249,8 +249,12 @@ object TextAnalysis {
     * doc — happens AFTER the floor, as a BIGINT sum (associative), so
     * partial-aggregation order can't change the result. (The log-idf of
     * textbook BM25 is deliberately replaced by its rational argument:
-    * ln() is not correctly rounded and differs across libms; the ratio
-    * is monotone in the same direction so rankings agree.)
+    * ln() is not correctly rounded and differs across libms. The ratio
+    * is monotone in the same direction, so SINGLE-term rankings agree
+    * exactly with textbook BM25; for multi-term queries the per-doc sum
+    * of ratios is not a monotone transform of the sum of logs, so
+    * orderings are deterministic and self-consistent but can diverge
+    * from textbook Okapi on documents whose scores straddle terms.)
     *
     * Scale shape: dl is a per-row `size(split())` — no explode for the
     * length pass; N and A are one scalar aggregate broadcast to every

@@ -179,25 +179,53 @@ object Relational {
     source.unionByName(target.join(source, keys, "left_anti"))
   }
 
+  /** Opt-in loud precondition check: every `keys` combination appears at
+    * most once in `df`. One count-over-window pass (a full shuffle on the
+    * keys — which is why callers opt in rather than paying it on every
+    * batch); the first violating row fails the job with a `raise_error`
+    * naming the operator and the offending key, instead of letting the
+    * duplicate silently corrupt the merged output downstream.
+    */
+  private def requireUniqueKeys(df: DataFrame, keys: Seq[String],
+      what: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireNoWorkingCols(df, what, "__kc")
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__kc", count(lit(1)).over(w))
+      .filter(
+        when(col("__kc") > 1,
+          raise_error(concat(lit(s"$what: duplicate key ("),
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*),
+            lit(")"))).cast("boolean"))
+          .otherwise(lit(true)))
+      .drop("__kc")
+  }
+
   /** CDC apply — a change batch with an `op` column (`I`/`U`/`D`) folded
     * into the target: deletes drop their keys, updates replace whole
     * rows, inserts add new keys. The same delta-broadcast shape as
     * [[upsert]] (one anti join against the touched keys + a union of the
     * surviving changes); at 100 TB the target is scanned once and the
     * (small) change batch broadcasts. Last-writer-wins INSIDE a batch is
-    * rejected: `keys` must be unique in `changes` (collapse a multi-op
+    * NOT defined: `keys` must be unique in `changes` (collapse a multi-op
     * stream per key upstream — e.g. keep-latest by version — before
-    * applying).
+    * applying). By default that precondition is the CALLER'S
+    * responsibility (the operator would silently emit one output row per
+    * duplicate change row); pass `validate = true` to pay one
+    * count-over-window pass on the (small) change batch and fail loudly
+    * on the first duplicate key instead.
     */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op", validate: Boolean = false): DataFrame = {
     require(changes.columns.contains(opCol), s"changes must carry '$opCol'")
     require(target.columns.sorted.sameElements(
       changes.columns.filterNot(_ == opCol).sorted),
       "changes must carry exactly the target's columns plus the op column")
-    val touched = changes.select(keys.map(col): _*)
+    val chg = if (validate) requireUniqueKeys(changes, keys, "applyCdc changes")
+              else changes
+    val touched = chg.select(keys.map(col): _*)
     val survivors = target.join(touched, keys, "left_anti")
-    val applied = changes.filter(col(opCol).isin("I", "U")).drop(opCol)
+    val applied = chg.filter(col(opCol).isin("I", "U")).drop(opCol)
     survivors.unionByName(applied)
   }
 
@@ -215,9 +243,13 @@ object Relational {
     * no full-outer coalesce. `keys` must be unique in `source`, and
     * `target` must hold at most one current row per key (the operator's
     * own output invariant, so it composes with itself day over day).
+    * Both preconditions default to the CALLER'S responsibility —
+    * violations silently fan out duplicate versions; `validate = true`
+    * buys a loud first-duplicate failure for one extra keyed window pass
+    * over the source and the current slice of the target.
     */
   def scd2Merge(target: DataFrame, source: DataFrame, keys: Seq[String],
-      tracked: Seq[String], asOf: Column): DataFrame = {
+      tracked: Seq[String], asOf: Column, validate: Boolean = false): DataFrame = {
     require(tracked.nonEmpty, "tracked attribute list must be non-empty")
     val meta = Seq("valid_from", "valid_to", "is_current")
     require(meta.forall(target.columns.contains),
@@ -226,22 +258,27 @@ object Relational {
       target.columns.filterNot(meta.contains).sorted),
       "source must carry exactly the target's business columns")
     val changed = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-    val current = target.filter(col("is_current"))
+    val src = if (validate) requireUniqueKeys(source, keys, "scd2Merge source")
+              else source
+    val current0 = target.filter(col("is_current"))
+    val current =
+      if (validate) requireUniqueKeys(current0, keys, "scd2Merge current target")
+      else current0
     val history = target.filter(!col("is_current"))
     // current rows whose tracked attrs differ from their source row
     val diff = tracked.map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
-    val toClose = current.as("t").join(source.as("s"), changed)
+    val toClose = current.as("t").join(src.as("s"), changed)
       .filter(diff).select(col("t.*"))
     val closed = toClose
       .withColumn("valid_to", asOf)
       .withColumn("is_current", lit(false))
     val untouchedCurrent = current.join(
       toClose.select(keys.map(col): _*), keys, "left_anti")
-    val opened = source.as("s").join(toClose.as("t"), changed, "left_semi")
+    val opened = src.as("s").join(toClose.as("t"), changed, "left_semi")
       .withColumn("valid_from", asOf)
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
-    val inserted = source.join(current, keys, "left_anti")
+    val inserted = src.join(current, keys, "left_anti")
       .withColumn("valid_from", asOf)
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))

@@ -117,6 +117,22 @@ class EngineSpec extends SparkSpec {
     assert(out.collect().head.getDouble(0) === 1.5)
   }
 
+  test("dialect: SQLite GLOB executes end-to-end with metachars, quotes, backslashes") {
+    val df = spark.createDataFrame(Seq(
+      ("a.b", 1), ("axb", 2), ("a+b", 3), ("a'b", 4), ("a\\b", 5), ("pre-zz", 6)
+    )).toDF("s", "i")
+    def q(glob: String): Seq[Int] =
+      Engine.execute(spark, s"SELECT i FROM t WHERE s GLOB '$glob' ORDER BY i",
+        Map("t" -> df), Dialect.SqliteIsh).collect().map(_.getInt(0)).toSeq
+    assert(q("a.b") === Seq(1))   // literal dot: must NOT match axb
+    assert(q("a+b") === Seq(3))   // + quoted: no dangling-quantifier regex error
+    assert(q("a''b") === Seq(4))  // doubled quote recovered, not truncated
+    assert(q("a\\b") === Seq(5))  // backslash char matches itself
+    assert(q("pre*") === Seq(6))  // * wildcard
+    assert(q("?x?") === Seq(2))   // ? wildcard
+    assert(q("a?b") === Seq(1, 2, 3, 4, 5))
+  }
+
   test("dialect: Snowflakeish constructs — textual rewrites") {
     assert(Dialect.rewriteSnowDateAdd("SELECT DATEADD(day, 5, d)") ===
       "SELECT date_add(d, (5))")

@@ -150,4 +150,31 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(2) === (64 + (n * 7) % 64).toInt)
     }
   }
+
+  test("resizeImagesPartitioned degrades on non-image payloads like decode does") {
+    // text blobs (no image magic): stand-in dims + deterministic checksum,
+    // never an abort — mirrors decodeImagePartitioned's contract
+    val textBlobs = Multimodal.attachBlob(docs)
+    val out = Multimodal.resizeImagesPartitioned(spark, textBlobs, 8, 8)
+      .orderBy("doc_id").collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      assert(r.getInt(3) === 8 && r.getInt(4) === 8)
+      assert(r.getInt(1) >= 64 && r.getInt(1) < 128) // stand-in dims
+    }
+    // deterministic across partitionings
+    val again = Multimodal.resizeImagesPartitioned(spark, textBlobs.repartition(5), 8, 8)
+      .orderBy("doc_id").collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+    // a payload CLAIMING to be an image but corrupt names its doc, not an NPE
+    import spark.implicits._
+    val corrupt = Seq((7L, Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a) ++ Array.fill[Byte](64)(0)))
+      .toDF("doc_id", "blob")
+    val e = intercept[Exception] {
+      Multimodal.resizeImagesPartitioned(spark, corrupt, 8, 8).collect()
+    }
+    assert(e.getMessage.contains("doc_id=7") || e.getCause != null &&
+      e.getCause.getMessage.contains("doc_id=7"))
+  }
 }

@@ -151,6 +151,37 @@ class RelationalSpec extends SparkSpec {
       Relational.applyCdc(target, Seq(("I", 9L)).toDF("op", "id"), Seq("id")))
   }
 
+  test("applyCdc/scd2Merge: validate=true fails loudly on duplicate keys") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    val target = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dupChanges = Seq(("U", 1L, "x"), ("D", 1L, "a"), ("I", 3L, "c"))
+      .toDF("op", "id", "v")
+    // default: precondition is the caller's problem — no error, dup rows out
+    assert(Relational.applyCdc(target, dupChanges, Seq("id")).count() === 3)
+    // opt-in: first duplicate fails the job with a message naming the key
+    val e = intercept[Exception] {
+      Relational.applyCdc(target, dupChanges, Seq("id"), validate = true).count()
+    }
+    assert(e.getMessage.contains("duplicate key") && e.getMessage.contains("1"))
+    // a clean batch under validate=true matches the unvalidated result
+    val clean = Seq(("U", 1L, "x"), ("I", 3L, "c")).toDF("op", "id", "v")
+    val a = Relational.applyCdc(target, clean, Seq("id")).orderBy("id").collect()
+    val b = Relational.applyCdc(target, clean, Seq("id"), validate = true)
+      .orderBy("id").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+
+    val dim = Seq((1L, 10.0, "2024-01-01", null.asInstanceOf[String], true))
+      .toDF("id", "bal", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", to_date(col("valid_from")))
+      .withColumn("valid_to", to_date(col("valid_to")))
+    val dupSrc = Seq((1L, 11.0), (1L, 12.0)).toDF("id", "bal")
+    val e2 = intercept[Exception] {
+      Relational.scd2Merge(dim, dupSrc, Seq("id"), Seq("bal"),
+        to_date(lit("2024-06-01")), validate = true).count()
+    }
+    assert(e2.getMessage.contains("duplicate key"))
+  }
+
   test("fuzzyJoinEd1: finds all distance<=1 pairs, rejects distance-2 collisions") {
     import org.apache.spark.sql.functions.col
     val l = Seq("cat", "dog", "bird", "x").toDF("a")
