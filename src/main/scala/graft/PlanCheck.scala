@@ -203,7 +203,13 @@ object PlanCheck {
         f("pushed_filters") >= 2),
     Rule("op_histogram", "constant-size bucket aggregate: partial agg, no join",
       f => f("partial_agg") >= 2 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_join_bucketed", "bucketed scans co-locate the sort-merge join: ZERO join-side " +
+      "exchange (only the agg + output-sort exchanges remain)",
+      f => f("smj") >= 1 && f("bhj") == 0 && f("exchange") <= 2),
+    Rule("stream_interval_join_full", "full outer interval join: type filters pushed, never cartesian",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0 &&
+        f("pushed_filters") >= 2))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

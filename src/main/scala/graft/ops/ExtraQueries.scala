@@ -1039,7 +1039,54 @@ object ExtraQueries {
            |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
            |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin))
 
-  val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange,
+  /** Bucketed co-located join — bucketing is the PRE-SHUFFLE for stable
+    * join keys at 100 TB: both sides are staged once as
+    * `bucketBy(8, key).sortBy(key)` parquet tables (one file per bucket
+    * via a write-side hash repartition), so the sort-merge join reads
+    * already-co-located, already-sorted buckets and plans ZERO join-side
+    * exchange — the join cost that dominates a naive 100 TB fact-fact
+    * join is paid once at write time and amortized over every subsequent
+    * query. The `merge` hint pins SMJ so the gate proves co-location (a
+    * broadcast would hide it); PlanCheck asserts the plan has no
+    * join-side exchange (only the aggregation + output-sort exchanges
+    * remain). The oracle runs the same join/aggregate over the ORIGINAL
+    * parquet in DuckDB — bucketing must be invisible to results.
+    */
+  val joinBucketed = OpQ("op_join_bucketed",
+    (s, d) => {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      def staged(name: String, key: String, df: => org.apache.spark.sql.DataFrame): String = {
+        val tbl = s"graft_bkt_${name}_$tag"
+        if (!s.catalog.tableExists(tbl)) {
+          df.repartition(8, col(key))
+            .write.mode("overwrite").format("parquet")
+            .option("path", s"$stageDir/bucketed_${name}_$tag")
+            .bucketBy(8, key).sortBy(key)
+            .saveAsTable(tbl)
+        }
+        tbl
+      }
+      val o = s.table(staged("orders", "o_custkey",
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))))
+      val c = s.table(staged("customer", "c_custkey",
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))))
+      o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Relational.cents(col("o_totalprice"))).as("sum_cents"),
+          min(col("o_orderkey")).as("min_orderkey"),
+          max(col("o_orderkey")).as("max_orderkey"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           |  MIN(o_orderkey) AS min_orderkey, MAX(o_orderkey) AS max_orderkey
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange, joinBucketed,
     recursiveCte, unpivot, joinLateral,
     setUnionByName, explodeGenerator, graphComponents, mergeUpsert, mergeScd2,
     cdcApply, histogram, stringAgg,

@@ -184,6 +184,32 @@ object StreamQueries {
            | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
            |GROUP BY p.event_id ORDER BY p_id""".stripMargin))
 
+  /** FULL OUTER interval join ([[Streams.purchaseAttributionFull]]),
+    * folded to a per-user match matrix: matched pairs, view-less
+    * purchases, and orphan views that never converted. Oracle: the same
+    * FULL JOIN with the identical time-range condition in DuckDB.
+    */
+  val attributionFull = OpQ("stream_interval_join_full",
+    (s, d) => Streams.purchaseAttributionFull(ev(s, d))
+      .groupBy(coalesce(col("p_user"), col("v_user")).as("user_id"))
+      .agg(
+        count(when(col("p_id").isNotNull && col("v_id").isNotNull, 1)).as("n_matched"),
+        count(when(col("p_id").isNotNull && col("v_id").isNull, 1)).as("n_view_less"),
+        count(when(col("p_id").isNull, 1)).as("n_orphan_views"))
+      .orderBy(col("user_id")),
+    Some("""SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+           |  COUNT(CASE WHEN p.event_id IS NOT NULL AND v.event_id IS NOT NULL
+           |        THEN 1 END) AS n_matched,
+           |  COUNT(CASE WHEN p.event_id IS NOT NULL AND v.event_id IS NULL
+           |        THEN 1 END) AS n_view_less,
+           |  COUNT(CASE WHEN p.event_id IS NULL THEN 1 END) AS n_orphan_views
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           |  ON p.user_id = v.user_id
+           | AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+           | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+           |GROUP BY 1 ORDER BY user_id""".stripMargin))
+
   /** Windowed approximate distinct users ([[Streams.approxUserCounts]]).
     * Rows-only at the driver (DuckDB's HLL family differs); the
     * stream≡batch identity and the accuracy bound are StreamingSpec
@@ -196,5 +222,5 @@ object StreamQueries {
 
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
     attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter,
-    approxUsers)
+    attributionFull, approxUsers)
 }

@@ -226,6 +226,32 @@ object Streams {
       "left_outer")
   }
 
+  /** FULL OUTER stream-stream interval join — completes the join matrix
+    * beyond [[purchaseAttributionOuter]]: matched (purchase, view) pairs,
+    * purchases with NO preceding view, AND views never followed by a
+    * purchase inside the hour (the "wasted impression" rows a marketing
+    * funnel audits). In streaming, an unmatched row on EITHER side can
+    * only emit once both watermarks have passed its join window — the
+    * engine must prove no partner can still arrive — so null-padded
+    * output on both sides trails the matched stream by the watermark
+    * delay (gated against the batch replay in StreamingSpec). State
+    * stays watermark-bounded exactly as in the inner/left forms: one
+    * eviction horizon of both inputs, sharded by user.
+    */
+  def purchaseAttributionFull(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "full_outer")
+  }
+
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long)
 

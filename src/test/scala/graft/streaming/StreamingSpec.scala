@@ -203,6 +203,40 @@ class StreamingSpec extends SparkSpec {
       s"withheld settled null-matches: ${settledNulls.diff(got).take(3)}")
   }
 
+  test("purchaseAttributionFull: streamed rows ⊆ batch; both null sides emit when settled") {
+    initLog()
+    val batchDf = Streams.purchaseAttributionFull(
+      graft.Tables.load(spark, dir, "events"))
+    def key(r: org.apache.spark.sql.Row) =
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3)) // (p_id|null, v_id|null)
+    val batch = batchDf.collect().map(key).toSet
+    val maxTs = graft.Tables.load(spark, dir, "events")
+      .agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val stream = Streams.purchaseAttributionFull(Streams.readEventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("attr_full_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("attr_full_out").collect().map(key).toSet
+    assert(got.nonEmpty && got.subsetOf(batch), s"streamed-not-in-batch: ${got.diff(batch).take(3)}")
+    // settled unmatched rows on BOTH sides must have emitted: anything
+    // whose join window closed 3h+ before the last event
+    val settled = new java.sql.Timestamp(maxTs - 3 * 3600 * 1000L)
+    val settledNullViews = batchDf.filter(col("v_id").isNull)
+      .filter(col("p_ts") < settled).collect().map(key).toSet
+    val settledNullPurchases = batchDf.filter(col("p_id").isNull)
+      .filter(col("v_ts") < settled).collect().map(key).toSet
+    assert(settledNullViews.nonEmpty && settledNullPurchases.nonEmpty,
+      "fixture should contain settled unmatched rows on both sides")
+    assert(settledNullViews.subsetOf(got),
+      s"withheld settled view-less purchases: ${settledNullViews.diff(got).take(3)}")
+    assert(settledNullPurchases.subsetOf(got),
+      s"withheld settled orphan views: ${settledNullPurchases.diff(got).take(3)}")
+  }
+
   test("runningCountsStateful: per-user totals accumulate to batch counts") {
     val events = Streams.readEventsStream(spark, streamDir)
     val q = Streams.runningCountsStateful(spark, events, evictIdleState = false).writeStream
