@@ -209,7 +209,27 @@ object PlanCheck {
       f => f("smj") >= 1 && f("bhj") == 0 && f("exchange") <= 2),
     Rule("stream_interval_join_full", "full outer interval join: type filters pushed, never cartesian",
       f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0 &&
-        f("pushed_filters") >= 2))
+        f("pushed_filters") >= 2),
+    Rule("op_sequence_match", "per-step chained joins stay broadcast/hash with pushed type filters, never cartesian",
+      f => f("bhj") >= 1 && f("cartesian") + f("bnlj") == 0 &&
+        f("pushed_filters") >= 3 && f("partial_agg") >= 4),
+    Rule("op_anomaly_zscore", "group stats broadcast back onto the scan; corpus never shuffle-joins",
+      f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
+        f("partial_agg") >= 2 && f("exchange") <= 3),
+    Rule("op_incr_agg_merge", "state union merges with aggregation only: no join, date filters pushed",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
+        f("partial_agg") >= 4 && f("pushed_filters") >= 2 && f("exchange") <= 3),
+    Rule("op_array_functions", "per-row lambda surface: top-k scan with ZERO exchange, no join",
+      f => f("topk") >= 1 && f("exchange") == 0 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_sample_weighted", "weighted keep-predicate pushed into the scan: no join, one output exchange",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_dedup_url", "canonical-key dedup is one hash aggregation: no join, map-side partial agg",
+      f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_ann_pq_topk", "codebook + ADC dot tables join by broadcast; never a cross product",
+      f => f("bhj") >= 2 && f("cartesian") + f("bnlj") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -496,4 +496,36 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(topK)
   }
+
+  /** URL canonicalization — the CommonCrawl-style dedup key. Normalizes,
+    * in order: case, `http://` → `https://`, leading `www.`, fragment,
+    * TRAILING `utm_*` tracking parameters, a slash directly before the
+    * query string, and a trailing slash. Pure per-row regex/string
+    * expressions (codegen, zero shuffle); every pattern is anchored or
+    * single-occurrence so engines that replace first-match (DuckDB) and
+    * all-matches (Spark) agree. Real (non-tracking) query parameters
+    * survive — two pages of a paginated listing are NOT duplicates.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "^http://" -> "https://",
+      "^https://www\\." -> "https://",
+      "#.*$" -> "",
+      "[?&]utm_[^&#]*(&utm_[^&#]*)*$" -> "",
+      "/\\?" -> "?",
+      "/$" -> "")
+    steps.foldLeft(lower(url)) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+  }
+
+  /** URL dedup: group by [[canonicalUrl]], keep the lowest id as the
+    * canonical representative. One hash shuffle on the canonical key —
+    * the same one-pass shape as [[exactDedup]], applied to the address
+    * instead of the content.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String = "doc_id"): DataFrame =
+    df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_urls"))
 }

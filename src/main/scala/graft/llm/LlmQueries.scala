@@ -154,6 +154,15 @@ object LlmQueries {
     (s, d) => Similarity.lshTopK(emb(s, d), k = 3, queryMaxId = 10, planes = 6),
     None)
 
+  /** Product-quantization ADC top-k ([[Similarity.pqTopK]]): learned
+    * integer codebooks, code-lookup candidate ranking, exact shortlist
+    * re-rank. No DuckDB oracle (the learned codebook has no SQL
+    * counterpart); recall vs brute force is a SimilaritySpec gate.
+    */
+  val annPq = OpQ("llm_ann_pq_topk",
+    (s, d) => Similarity.pqTopK(emb(s, d), k = 5, queryMaxId = 5),
+    None)
+
   /** Token statistics (exact-integer oracle). */
   val textStats = OpQ("llm_text_stats",
     (s, d) => TextAnalysis.tokenStats(docs(s, d))
@@ -628,6 +637,69 @@ object LlmQueries {
            |WHERE (doc_id * 2654435761) % 4294967311 % 1000000 < 120000
            |ORDER BY doc_id""".stripMargin))
 
+  /** Weight-proportional sampling ([[Mixing.weightedSample]]): longer
+    * documents keep with higher probability (w = min(n_chars·2000,
+    * 800000) ppm) — the quality/length-weighted corpus thinning step,
+    * still one exact-integer per-row predicate with no shuffle.
+    */
+  val sampleWeighted = OpQ("llm_sample_weighted",
+    (s, d) => Mixing.weightedSample(docs(s, d),
+      least(col("n_chars") * 2000L, lit(800000L)))
+      .select(col("doc_id"), col("n_chars"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_chars, source FROM documents
+           |WHERE (doc_id * 2654435761) % 4294967311 % 1000000
+           |      < LEAST(n_chars * 2000, 800000)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** URL canonicalization dedup ([[Dedup.urlDedup]]): synthetic dirty
+    * URLs (scheme/case/www/trailing-slash/utm/fragment variants built
+    * deterministically from doc_id so the oracle can rebuild them)
+    * collapse to canonical groups; real query params (`?page=2`)
+    * survive. The oracle replicates the exact normalization chain —
+    * every pattern anchored/single-match so RE2-first-match (DuckDB)
+    * and Java-all-match (Spark) semantics coincide.
+    */
+  val dedupUrl = OpQ("llm_dedup_url",
+    (s, d) => {
+      val withUrl = docs(s, d).select(col("doc_id")).withColumn("url", concat(
+        when(col("doc_id") % 2 === 0, lit("http://")).otherwise(lit("https://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (col("doc_id") % 50).cast("string"),
+        lit(".Example.com/p/"), (col("doc_id") % 200).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=feed&utm_id=3"))
+          .otherwise(when(col("doc_id") % 7 === 0, lit("?page=2")).otherwise(lit(""))),
+        when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit(""))))
+      Dedup.urlDedup(withUrl, "url").orderBy(col("canonical_url"))
+    },
+    Some("""WITH u AS (SELECT doc_id,
+           |  (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END) ||
+           |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+           |  'Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.com/p/' ||
+           |  CAST(doc_id % 200 AS VARCHAR) ||
+           |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+           |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_id=3'
+           |        WHEN doc_id % 7 = 0 THEN '?page=2' ELSE '' END) ||
+           |  (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END) AS url
+           |  FROM documents),
+           |c AS (SELECT doc_id,
+           |  regexp_replace(
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(lower(url), '^http://', 'https://'),
+           |            '^https://www\.', 'https://'),
+           |          '#.*$', ''),
+           |        '[?&]utm_[^&#]*(&utm_[^&#]*)*$', ''),
+           |      '/\?', '?'),
+           |    '/$', '') AS canonical_url
+           |  FROM u)
+           |SELECT canonical_url, MIN(doc_id) AS keep_doc_id,
+           |  COUNT(*) AS n_urls
+           |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin))
+
   /** Weighted domain mixing ([[Mixing.mixDomains]]): per-source quotas from
     * integer target weights (here w = suffix%4 + 1 derived from the source
     * name so the oracle can rebuild the same weight table), exact BIGINT
@@ -1081,9 +1153,10 @@ object LlmQueries {
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,
-    annBruteForce, annIvf, annLsh, annSq8,
+    annBruteForce, annIvf, annLsh, annSq8, annPq,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
-    textRedact, sampleStratified, sampleHash, mixDomains, packSequences,
+    textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
+    mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,
     dedupIncremental, vocabOovQ, dedupKeepBest,

@@ -39,6 +39,19 @@ object Mixing {
     df.filter(permute(col(idCol)) % lit(1000000L) < lit(keepPpm))
   }
 
+  /** Weight-PROPORTIONAL deterministic sampling: each row keeps with its
+    * own probability `weightPpm/1e6` (clamped to 1), decided by the same
+    * exact integer permutation as [[hashSample]] — quality-weighted and
+    * length-weighted corpus sampling in one codegen'd per-row predicate,
+    * no shuffle, no state, reproducible on any engine. Inclusion
+    * probability is exactly proportional to the weight; it is NOT a
+    * fixed-size sample (see [[mixDomains]] for exact quotas).
+    */
+  def weightedSample(df: DataFrame, weightPpm: Column,
+      idCol: String = "doc_id"): DataFrame =
+    df.filter(permute(col(idCol)) % lit(1000000L) <
+      least(weightPpm.cast("long"), lit(1000000L)))
+
   /** Weighted domain mixing: downsample each source so the surviving corpus
     * matches the target mixture `weights` (integer relative parts, e.g.
     * web=7, code=2, wiki=1) as closely as the available data allows, keeping

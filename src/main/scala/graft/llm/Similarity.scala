@@ -106,6 +106,85 @@ object Similarity {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** Product-quantization (PQ) top-k — the compressed-domain ANN tier
+    * beyond [[sq8TopK]]: the vector splits into `m` contiguous subspaces,
+    * each subspace is quantized to one of 16 codes, and candidate ranking
+    * runs on CODE LOOKUPS instead of vector arithmetic (Jégou et al.,
+    * TPAMI 2011 — asymmetric distance computation). Memory per vector in
+    * the ranking scan: `m` small ints instead of d floats — at 100 TB the
+    * difference between an in-memory candidate pass and a disk-bound one.
+    *
+    * The codebook is LEARNED from the data in one aggregation pass: cell
+    * = 4 sign bits of the subspace's leading dimensions, centroid = the
+    * per-dimension floor-mean of the cell's members in exact micro-int
+    * arithmetic (BIGINT sums — no float accumulation), so training is
+    * deterministic on any partitioning/reduction order. Search is
+    * asymmetric: each query builds a 16-entry exact dot table per
+    * subspace (|Q|·m·16 rows, broadcast), the corpus scan sums `m`
+    * looked-up dots per candidate (map-side combined groupBy), the top
+    * `k·refine` shortlist is re-ranked with the exact codegen'd
+    * [[graft.functions.ScaledDotMicros]] cosine, and only the final
+    * top-k survives. Recall vs [[bruteForceTopK]] is measured in
+    * SimilaritySpec.
+    */
+  def pqTopK(embeddings: DataFrame, k: Int = 5, queryMaxId: Long = 5,
+      m: Int = 8, dims: Int = 64, refine: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val dsub = dims / m
+    require(dsub >= 4, "each subspace needs >= 4 dims for the 4 sign bits")
+    val base = withNorm(embeddings.select(col(idCol), col(vecCol)), vecCol)
+      .withColumn("vm", expr("transform(vd, x -> CAST(FLOOR(x * 1000000) AS BIGINT))"))
+    def sub(mi: Int) = expr(s"slice(vm, ${mi * dsub + 1}, $dsub)")
+    def code(mi: Int) = (0 until 4).map { j =>
+      when(expr(s"element_at(vm, ${mi * dsub + 1 + j})") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+    // one (id, subspace, code, subvector) row per vector per subspace
+    val parts = (0 until m).map { mi =>
+      base.select(col(idCol).as("b_id"), lit(mi).as("m_idx"),
+        code(mi).as("code"), sub(mi).as("sub"))
+    }.reduce(_ unionAll _)
+    // codebook: exact integer floor-mean per (subspace, code, dim)
+    val codebook = parts
+      .select(col("m_idx"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("m_idx"), col("code"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("c"))
+      .groupBy(col("m_idx"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("centroid"))
+    // asymmetric dot tables: exact query subvector x every centroid
+    val qsubs = (0 until m).map { mi =>
+      base.filter(col(idCol) < queryMaxId)
+        .select(col(idCol).as("a_id"), lit(mi).as("m_idx"), sub(mi).as("qsub"))
+    }.reduce(_ unionAll _)
+    val dotTable = qsubs.join(codebook, Seq("m_idx"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qsub, centroid, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+      .select(col("a_id"), col("m_idx"), col("code"), col("dot"))
+    // ADC scan: m code lookups per candidate, summed map-side
+    val shortlist = parts.select(col("b_id"), col("m_idx"), col("code"))
+      .join(broadcast(dotTable), Seq("m_idx", "code"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("dot")).as("adc"))
+    val wAdc = Window.partitionBy(col("a_id")).orderBy(col("adc").desc, col("b_id"))
+    val cands = shortlist.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * refine)
+      .select(col("a_id"), col("b_id"))
+    // exact re-rank of the shortlist only
+    val q = base.select(col(idCol).as("a_id"), col("vd").as("a_vd"), col("norm_m").as("a_norm"))
+    val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"), col("norm_m").as("b_norm"))
+    val refined = cands.join(q, "a_id").join(c, "b_id")
+      .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
+      .withColumn("cosine",
+        col("dot_m").cast("double") /
+          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
+    refined.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"), col("cosine"), col("rn"))
+      .orderBy(col("a_id"), col("rn"))
+  }
+
   /** Sign-random-projection bucket key: `planes` pseudo-random hyperplanes
     * with deterministic ±1 Rademacher weights derived from murmur3 of
     * (plane, dimension). Bucket = packed sign bits. Pure per-row compute —

@@ -1039,6 +1039,127 @@ object ExtraQueries {
            |           ORDER BY c_acctbal DESC, c_name LIMIT 2) c
            |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin))
 
+  /** Ordered-sequence pattern match ([[Relational.sequenceMatch]]):
+    * view → click → purchase per user, earliest-greedy, whole chain
+    * inside 48 hours. Oracle: the same three chained min-aggregations in
+    * DuckDB CTEs — the semantics are plain SQL, the operator packages
+    * them for arbitrary step lists.
+    */
+  val sequenceMatch = OpQ("op_sequence_match",
+    (s, d) => Relational.sequenceMatch(
+      Tables.load(s, d, "events"), "user_id", "ts",
+      steps = Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"),
+      within = Some(expr("INTERVAL 48 HOURS")))
+      .select(col("user_id"), col("ts_1").cast("string").as("t_view"),
+        col("ts_2").cast("string").as("t_click"),
+        col("ts_3").cast("string").as("t_purchase"))
+      .orderBy(col("user_id")),
+    Some("""WITH s1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+           |            FROM events WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, t1, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+           |       FROM events e JOIN s1 USING (user_id)
+           |       WHERE event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1
+           |       GROUP BY 1, 2),
+           |s3 AS (SELECT e.user_id, t1, t2, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+           |       FROM events e JOIN s2 USING (user_id)
+           |       WHERE event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2
+           |       GROUP BY 1, 2, 3)
+           |SELECT user_id, CAST(t1 AS STRING) AS t_view,
+           |  CAST(t2 AS STRING) AS t_click, CAST(t3 AS STRING) AS t_purchase
+           |FROM s3 WHERE t3 <= t1 + INTERVAL 48 HOURS
+           |ORDER BY user_id""".stripMargin))
+
+  /** Exact integer z-score outliers ([[Relational.zscoreOutliers]]) on
+    * cent-scaled event values per type — the data-quality gate every
+    * ingestion pipeline runs. The oracle evaluates the IDENTICAL integer
+    * inequality (DuckDB `//` and Spark `div` agree on the positive
+    * variance numerator), so the flagged set matches bit-exactly —
+    * no sqrt, no doubles anywhere.
+    */
+  val anomalyZscore = OpQ("op_anomaly_zscore",
+    (s, d) => Relational.zscoreOutliers(
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100).as("vc")),
+      "vc", Seq("event_type"), sigmas = 3)
+      .select(col("event_id"), col("event_type"), col("vc"))
+      .orderBy(col("event_id")),
+    Some("""WITH b AS (SELECT event_id, event_type,
+           |    CAST(FLOOR(value * 100) AS BIGINT) AS vc FROM events),
+           |st AS (SELECT event_type, COUNT(*) AS n,
+           |         CAST(SUM(vc) AS BIGINT) AS s1,
+           |         CAST(SUM(vc * vc) AS BIGINT) AS s2
+           |       FROM b GROUP BY 1)
+           |SELECT event_id, b.event_type, vc
+           |FROM b JOIN st USING (event_type)
+           |WHERE n > 1 AND (n*vc - s1)*(n*vc - s1) > 9 * n * ((n*s2 - s1*s1) // (n - 1))
+           |ORDER BY event_id""".stripMargin))
+
+  /** Incremental aggregate maintenance ([[Relational.aggState]] +
+    * [[Relational.mergeAggStates]]): per-customer order states computed
+    * separately on the pre-1997 history and the 1997+ delta, then merged
+    * WITHOUT rescanning either input. The oracle aggregates the full
+    * table directly — merged states must be indistinguishable from a
+    * full recompute, which is the operator's entire contract.
+    */
+  val incrAggMerge = OpQ("op_incr_agg_merge",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"),
+          Relational.cents(col("o_totalprice")).as("pc"))
+      val history = Relational.aggState(
+        orders.filter(col("o_orderdate") < "1997-01-01"), col("pc"), Seq("o_custkey"))
+      val delta = Relational.aggState(
+        orders.filter(col("o_orderdate") >= "1997-01-01"), col("pc"), Seq("o_custkey"))
+      Relational.mergeAggStates(Seq(history, delta), Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_v").as("sum_cents"), col("min_v").as("min_cents"),
+          col("max_v").as("max_cents"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           |  MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS min_cents,
+           |  MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS max_cents
+           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
+  /** Higher-order array function surface — transform / filter / aggregate
+    * (fold) / sort / distinct / slice / position / contains / flatten,
+    * the lambda-expression layer both engines ship natively. Every
+    * result is integer-valued so the arrays compare bit-exactly.
+    */
+  val arrayFunctions = OpQ("op_array_functions",
+    (s, d) => Tables.sql(s, d,
+      """SELECT o_orderkey,
+        |  transform(arr, x -> x * 2 + 1) AS doubled,
+        |  size(filter(arr, x -> x % 2 = 0)) AS n_even,
+        |  aggregate(arr, 0L, (a, x) -> a + x) AS total,
+        |  array_sort(arr) AS sorted,
+        |  array_sort(array_distinct(arr)) AS uniq,
+        |  slice(array_sort(arr), 2, 2) AS mid,
+        |  array_position(arr, 1) AS pos1,
+        |  array_contains(arr, 3) AS has3,
+        |  flatten(array(arr, array(o_orderkey % 2))) AS flat
+        |FROM (SELECT o_orderkey,
+        |        array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3) AS arr
+        |      FROM orders)
+        |ORDER BY o_orderkey LIMIT 500""".stripMargin),
+    Some("""SELECT o_orderkey,
+           |  list_transform(arr, x -> x * 2 + 1) AS doubled,
+           |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
+           |  CAST(list_sum(arr) AS BIGINT) AS total,
+           |  list_sort(arr) AS sorted,
+           |  list_sort(list_distinct(arr)) AS uniq,
+           |  list_sort(arr)[2:3] AS mid,
+           |  CAST(COALESCE(list_position(arr, 1), 0) AS BIGINT) AS pos1,
+           |  list_contains(arr, 3) AS has3,
+           |  flatten([arr, [o_orderkey % 2]]) AS flat
+           |FROM (SELECT o_orderkey,
+           |        [o_orderkey % 7, o_custkey % 5, o_orderkey % 3] AS arr
+           |      FROM orders)
+           |ORDER BY o_orderkey LIMIT 500""".stripMargin))
+
   /** Bucketed co-located join — bucketing is the PRE-SHUFFLE for stable
     * join keys at 100 TB: both sides are staged once as
     * `bucketBy(8, key).sortBy(key)` parquet tables (one file per bucket
@@ -1087,6 +1208,7 @@ object ExtraQueries {
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange, joinBucketed,
+    sequenceMatch, anomalyZscore, incrAggMerge, arrayFunctions,
     recursiveCte, unpivot, joinLateral,
     setUnionByName, explodeGenerator, graphComponents, mergeUpsert, mergeScd2,
     cdcApply, histogram, stringAgg,

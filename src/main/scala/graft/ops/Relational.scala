@@ -552,4 +552,99 @@ object Relational {
     g.withColumn("var_samp_exact", varExpr)
       .withColumn("stddev_samp_exact", sqrt(col("var_samp_exact")))
   }
+
+  /** Ordered-sequence pattern match (MATCH_RECOGNIZE-lite, earliest-greedy
+    * semantics): per key, find the chain of events satisfying `steps(0)`,
+    * then `steps(1)` strictly later, … taking the EARLIEST candidate at
+    * every step, and keep keys whose whole chain fits inside `within` of
+    * the first step. Earliest-greedy is deterministic and composes as
+    * K−1 filtered-input joins + min-aggregations — each step shuffles
+    * only the rows matching ITS predicate (at 100 TB the funnel steps
+    * are each a sliver of the event stream), never a per-key sort of
+    * everything like a window-function formulation would.
+    *
+    * Output: one row per completed key with `ts_1 … ts_K` step times.
+    * Note: earliest-greedy can miss chains a backtracking matcher would
+    * find (taking a LATER step-1 event could admit an earlier finish) —
+    * it is the streaming-friendly semantics, not full regex matching.
+    */
+  def sequenceMatch(events: DataFrame, keyCol: String, timeCol: String,
+      steps: Seq[Column], within: Option[Column] = None): DataFrame = {
+    require(steps.nonEmpty, "at least one step predicate required")
+    val first = events.filter(steps.head)
+      .groupBy(col(keyCol)).agg(min(col(timeCol)).as("ts_1"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (pred, i)) =>
+        events.filter(pred)
+          .join(prev, Seq(keyCol))
+          .filter(col(timeCol) > col(s"ts_$i"))
+          .groupBy((col(keyCol) +: (1 to i).map(j => col(s"ts_$j"))): _*)
+          .agg(min(col(timeCol)).as(s"ts_${i + 1}"))
+    }
+    within match {
+      case Some(bound) =>
+        chained.filter(col(s"ts_${steps.size}") <= col("ts_1") + bound)
+      case None => chained
+    }
+  }
+
+  /** Exact z-score outlier flagging: keep rows whose integer-valued
+    * `value` deviates from its group mean by more than `sigmas` sample
+    * standard deviations — evaluated ENTIRELY in integer arithmetic
+    * ((n·x − s1)² > sigmas²·n·((n·s2 − s1²) div (n−1)), all BIGINT), so
+    * the flagged set is bit-identical on any engine or reduction order;
+    * no sqrt, no doubles, no libm. One stats pass (map-side combined)
+    * broadcast back onto the scan — the corpus itself never shuffles.
+    * Overflow bound: |n·x − s1| must stay under 3·10⁹ (its square under
+    * 2⁶³) — holds for cent-scaled values ≤ 10⁵ with group sizes ≤ 10⁵;
+    * larger corpora scale the value units down or move the comparison
+    * to the (deterministic, identically-parenthesized) double tree.
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String, keys: Seq[String],
+      sigmas: Int = 3): DataFrame = {
+    requireNoWorkingCols(df, "zscoreOutliers", "__n", "__s1", "__s2")
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(v).as("__s1"),
+        sum(v * v).as("__s2"))
+    df.join(broadcast(stats), keys)
+      .filter(col("__n") > 1 &&
+        (col("__n") * v - col("__s1")) * (col("__n") * v - col("__s1")) >
+          lit(sigmas.toLong * sigmas) * col("__n") *
+            expr("(__n * __s2 - __s1 * __s1) div (__n - 1)"))
+      .drop("__n", "__s1", "__s2")
+  }
+
+  /** Merge algebraic aggregation states — incremental materialized-view
+    * maintenance: each input frame carries per-key partial states
+    * (`n_rows`, `sum_v`, `min_v`, `max_v`, the four algebraic aggregates
+    * whose merge is their own combine), and the result is the state the
+    * FULL data would produce — without rescanning it. At 100 TB this is
+    * the nightly pattern: yesterday's stored states + today's (small)
+    * batch states, one union + one groupBy over |keys| rows instead of a
+    * full-history scan. Holistic aggregates (exact distinct, exact
+    * median) do NOT merge this way — they need sketches (see the HLL /
+    * quantile operators).
+    */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "at least one state frame required")
+    val stateCols = Seq("n_rows", "sum_v", "min_v", "max_v")
+    states.foreach(st => require(stateCols.forall(st.columns.contains),
+      s"state frames must carry ${stateCols.mkString("/")}"))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** Per-key algebraic aggregation state for [[mergeAggStates]]. */
+  def aggState(df: DataFrame, value: Column, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(value).as("sum_v"),
+        min(value).as("min_v"),
+        max(value).as("max_v"))
 }

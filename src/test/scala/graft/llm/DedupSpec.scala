@@ -341,6 +341,30 @@ class DedupSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_cluster") === 3L)
   }
 
+  test("canonicalUrl normalizes scheme/www/case/utm/fragment/slash; keeps real params") {
+    val urls = Seq(
+      (1L, "HTTP://WWW.Example.com/A/"),
+      (2L, "https://example.com/a"),
+      (3L, "https://example.com/a?utm_source=x&utm_id=2"),
+      (4L, "https://example.com/a/?utm_source=x#frag"),
+      (5L, "https://example.com/a?page=2"),       // real param survives
+      (6L, "https://example.com/a?page=2&utm_ref=z")
+    ).toDF("doc_id", "url")
+    val got = urls.withColumn("c", Dedup.canonicalUrl(col("url")))
+      .orderBy("doc_id").collect().map(_.getString(2)).toSeq
+    assert(got === Seq(
+      "https://example.com/a",
+      "https://example.com/a",
+      "https://example.com/a",
+      "https://example.com/a",
+      "https://example.com/a?page=2",
+      "https://example.com/a?page=2"))
+    val dedup = Dedup.urlDedup(urls, "url").orderBy("canonical_url").collect()
+    assert(dedup.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq === Seq(
+      ("https://example.com/a", 1L, 4L),
+      ("https://example.com/a?page=2", 5L, 2L)))
+  }
+
   test("minhash recall vs exact jaccard on the driver corpus (sf0.001)") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, topK = 1000)

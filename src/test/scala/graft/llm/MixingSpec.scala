@@ -107,6 +107,26 @@ class MixingSpec extends SparkSpec {
     assert(holes.isEmpty)
   }
 
+  test("weightedSample: inclusion tracks the per-row weight; weight 1e6+ keeps all") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // weight ∝ doc length: heavier docs must be over-represented
+    val kept = Mixing.weightedSample(docs, least(col("n_chars") * 2000L, lit(800000L)))
+    val rateAll = kept.count().toDouble / docs.count()
+    assert(rateAll > 0.2 && rateAll < 0.9, s"overall rate $rateAll out of range")
+    val heavyRate = kept.filter(col("n_chars") >= 400).count().toDouble /
+      math.max(1L, docs.filter(col("n_chars") >= 400).count())
+    val lightRate = kept.filter(col("n_chars") < 100).count().toDouble /
+      math.max(1L, docs.filter(col("n_chars") < 100).count())
+    assert(heavyRate > lightRate,
+      s"weighting inverted: heavy $heavyRate <= light $lightRate")
+    // clamp: weight >= 1e6 keeps every row; weight 0 keeps none
+    assert(Mixing.weightedSample(docs, lit(2000000L)).count() === docs.count())
+    assert(Mixing.weightedSample(docs, lit(0L)).count() === 0L)
+    // deterministic
+    assert(Mixing.weightedSample(docs, col("n_chars") * 1000L).count() ===
+      Mixing.weightedSample(docs.repartition(5), col("n_chars") * 1000L).count())
+  }
+
   test("packSequences offsets are dense within each shard on real data") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Mixing.packSequences(docs, contextLen = 64)

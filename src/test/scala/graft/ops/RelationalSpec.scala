@@ -182,6 +182,53 @@ class RelationalSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate key"))
   }
 
+  test("sequenceMatch: earliest-greedy chain, strict ordering, within bound") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = Seq(
+      // user 1: A@1, B@2, C@3 → full chain
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L),
+      // user 2: B before A only → no chain (B must be AFTER the first A)
+      (2L, "B", 1L), (2L, "A", 2L), (2L, "C", 3L),
+      // user 3: chain completes but outside the within bound
+      (3L, "A", 1L), (3L, "B", 2L), (3L, "C", 100L),
+      // user 4: greedy takes EARLIEST B after A (ts=2), then first C after it
+      (4L, "A", 1L), (4L, "B", 2L), (4L, "B", 5L), (4L, "C", 4L))
+      .toDF("user_id", "etype", "t")
+      .withColumn("ts", expr("timestamp_seconds(t)"))
+    val out = Relational.sequenceMatch(ev, "user_id", "ts",
+      steps = Seq(col("etype") === "A", col("etype") === "B", col("etype") === "C"),
+      within = Some(expr("INTERVAL 10 SECONDS")))
+      .orderBy("user_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 4L))
+    // user 2's C@3 exists but no B follows A@2 → correctly absent;
+    // user 4: B@2 chosen greedily, C@4 > B@2 completes at 4
+    val u4 = out.find(_.getLong(0) == 4L).get
+    assert(u4.getTimestamp(2).getTime === 2000L && u4.getTimestamp(3).getTime === 4000L)
+  }
+
+  test("zscoreOutliers: flags exactly the >3-sigma rows of a crafted group") {
+    import org.apache.spark.sql.functions.col
+    // 99 values of 100 plus one 200: mean≈101, s≈10 → 200 is ~9.9σ out
+    val rows = (1 to 99).map(i => (i.toLong, "g", 100L)) :+ (100L, "g", 200L)
+    val df = rows.toDF("id", "grp", "v")
+    val out = Relational.zscoreOutliers(df, "v", Seq("grp"), sigmas = 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(100L))
+    // sigma large enough → nothing flagged
+    assert(Relational.zscoreOutliers(df, "v", Seq("grp"), sigmas = 12).count() === 0)
+  }
+
+  test("mergeAggStates: merged partial states equal the full recompute") {
+    import org.apache.spark.sql.functions.col
+    val data = Seq((1L, 10L), (1L, 20L), (2L, 5L), (2L, 7L), (3L, 1L))
+      .toDF("k", "v")
+    val s1 = Relational.aggState(data.filter(col("v") < 10), col("v"), Seq("k"))
+    val s2 = Relational.aggState(data.filter(col("v") >= 10), col("v"), Seq("k"))
+    val merged = Relational.mergeAggStates(Seq(s1, s2), Seq("k"))
+    val direct = Relational.aggState(data, col("v"), Seq("k"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
   test("fuzzyJoinEd1: finds all distance<=1 pairs, rejects distance-2 collisions") {
     import org.apache.spark.sql.functions.col
     val l = Seq("cat", "dog", "bird", "x").toDF("a")
