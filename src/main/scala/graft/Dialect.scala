@@ -80,6 +80,7 @@ object Dialect {
     case "mysql" => MySqlish
     case "postgres" | "postgresql" => Postgresish
     case "sqlite" => SqliteIsh
+    case "oracle" => OracleIsh
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -290,6 +291,33 @@ object Dialect {
         rewriteDoubleQuotedIdents(_),
         rewriteSqliteStrftime,
         rewriteSqliteGlob)
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Oracle-ish surface: `DECODE` (null-safe CASE — Oracle DECODE matches
+    * NULL search values, so the rewrite uses `<=>`), `TO_DATE`/`TO_CHAR`
+    * with Oracle format templates (same table as Postgres), `MINUS` →
+    * EXCEPT, `SYSDATE` → current_timestamp, and trailing
+    * `WHERE ROWNUM <= n` → LIMIT n (any other ROWNUM use raises — its
+    * assigned-before-ORDER-BY semantics have no declarative equivalent).
+    * `NVL`/`NVL2`/`GREATEST`/`LEAST`/`INSTR`/`SUBSTR`/`TRUNC(date,'MM')`
+    * and `||` are already Spark-native and pass through. Oracle literals
+    * are ANSI ('' doubling, backslash plain), escaped for Spark like
+    * DuckDB's.
+    */
+  case object OracleIsh extends Dialect {
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        rewriteDoubleQuotedIdents(_),
+        rewriteOracleDecode,
+        rewriteOracleToDate,
+        rewritePgToChar,
+        rewriteOracleRownum,
+        s => rewriteWord(s, "MINUS", "EXCEPT"),
+        s => rewriteWord(s, "SYSDATE", "current_timestamp()"))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -1358,6 +1386,86 @@ object Dialect {
           throw new graft.UnsupportedError("TO_CHAR format must be a string literal")
       }
     }
+
+  // ---- Oracle-ish helpers --------------------------------------------------
+
+  /** `DECODE(expr, search1, result1[, search2, result2]…[, default])` →
+    * `CASE WHEN (expr) <=> (search1) THEN (result1) … ELSE (default) END`.
+    * Null-safe `<=>` because Oracle DECODE treats two NULLs as a match —
+    * plain CASE equality would silently drop those branches.
+    */
+  private[graft] def rewriteOracleDecode(sql: String): String =
+    rewriteCallOpt(sql, "decode") { (_, args) =>
+      if (args.length < 3)
+        throw new graft.UnsupportedError(
+          "DECODE needs at least (expr, search, result)")
+      val x = args.head
+      val rest = args.tail
+      val groups = rest.grouped(2).toSeq
+      val (pairs, default) =
+        if (rest.length % 2 == 0) (groups, None)
+        else (groups.init, Some(groups.last.head))
+      val whens = pairs.map(p => s"WHEN ($x) <=> (${p(0)}) THEN (${p(1)})")
+        .mkString(" ")
+      Some(s"CASE $whens${default.map(d => s" ELSE ($d)").getOrElse("")} END")
+    }
+
+  /** `TO_DATE(x, 'templates')` → `to_date(x, 'java pattern')` via the
+    * shared Oracle/Postgres template table. The 1-argument form and
+    * formats that are already Java patterns (translation is identity or
+    * fails on lowercase letters) pass through untouched — also what makes
+    * the rewrite idempotent, since the output spells `to_date` again.
+    */
+  private[graft] def rewriteOracleToDate(sql: String): String =
+    rewriteCallOpt(sql, "to_date") { (_, args) =>
+      args match {
+        case Seq(x, SingleLiteral(f)) =>
+          val t = try translatePgFormat(f)
+                  catch { case _: graft.UnsupportedError => f }
+          if (t == f) None
+          else Some(s"to_date($x, '${t.replace("'", "''")}')")
+        case _ => None
+      }
+    }
+
+  /** Trailing `WHERE ROWNUM <= n` (or `< n`) → `LIMIT n` (`n−1`). Any
+    * other ROWNUM reference raises: Oracle assigns ROWNUM BEFORE ORDER
+    * BY, which no declarative plan reproduces — fail fast rather than
+    * return differently-ordered rows.
+    */
+  private[graft] def rewriteOracleRownum(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val tail = """(?i)\bWHERE\s+ROWNUM\s*(<=|<)\s*(\d+)\s*$""".r
+    tail.findFirstMatchIn(sql).filter(m => outsideLiterals(spans, m.start)) match {
+      case Some(m) =>
+        val n = m.group(2).toLong
+        sql.substring(0, m.start) + s"LIMIT ${if (m.group(1) == "<") n - 1 else n}"
+      case None =>
+        """(?i)\bROWNUM\b""".r.findAllMatchIn(sql)
+          .find(m => outsideLiterals(spans, m.start)).foreach { _ =>
+            throw new graft.UnsupportedError(
+              "ROWNUM is only supported as a trailing 'WHERE ROWNUM <= n'; " +
+                "use ORDER BY ... LIMIT for top-k")
+          }
+        sql
+    }
+  }
+
+  /** Whole-word, literal-span-aware keyword replacement (`MINUS` →
+    * `EXCEPT`, `SYSDATE` → `current_timestamp()`).
+    */
+  private[graft] def rewriteWord(sql: String, from: String, to: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val re = ("(?i)\\b" + from + "\\b").r
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
+      out.append(sql.substring(last, m.start)).append(to)
+      last = m.end
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
 
   /** Postgres regex-match operators: ` ~ ` → ` RLIKE `, ` !~ ` →
     * ` NOT RLIKE ` (whitespace-delimited binary form only — a unary `~`

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 82 invariants
-  * across 73 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 94 invariants
+  * across 85 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -229,7 +229,16 @@ object PlanCheck {
       f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("llm_ann_pq_topk", "codebook + ADC dot tables join by broadcast; never a cross product",
-      f => f("bhj") >= 2 && f("cartesian") + f("bnlj") == 0))
+      f => f("bhj") >= 2 && f("cartesian") + f("bnlj") == 0),
+    Rule("op_timeseries_ewma", "one per-key fold shuffle: map-side partial agg, no join",
+      f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_timeseries_ohlc", "one (type, bucket) rollup shuffle: map-side partial agg, no join",
+      f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_dialect_oracle", "translated text keeps broadcast semi join, pushdown and the ROWNUM top-k",
+      f => f("bhj") >= 1 && f("cartesian") == 0 && f("pushed_filters") >= 2 &&
+        f("topk") >= 1))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -458,9 +458,60 @@ object DialectQueries {
            |  substr(o_orderpriority, 3) AS pri_tail
            |FROM orders ORDER BY okey LIMIT 100""".stripMargin))
 
+  /** Oracle surface ([[Dialect.OracleIsh]]): DECODE with a null-matching
+    * branch (NULLIF manufactures the NULL), NVL, TO_CHAR/TO_DATE with
+    * Oracle templates, MINUS inside an IN-subquery, and the classic
+    * paginate idiom `SELECT * FROM (ordered subquery) WHERE ROWNUM <= n`.
+    * The key filter keeps the row set under the ROWNUM bound so the
+    * limit is order-independent (the driver compare sorts rows). Oracle
+    * text: the DuckDB spelling of each construct.
+    */
+  val oracleDialect = OpQ("op_dialect_oracle",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT * FROM (
+          |  SELECT o_orderkey,
+          |    DECODE(o_orderstatus, 'O', 'open', 'F', 'filled', NULL, 'unknown',
+          |           'other') AS status_word,
+          |    DECODE(NULLIF(o_orderstatus, 'P'), NULL, 'was_p', 'not_p') AS nullsafe_tag,
+          |    NVL(NULLIF(o_orderstatus, 'O'), 'none') AS nvl_tag,
+          |    TO_CHAR(o_orderdate, 'YYYY-MM-DD') AS ds,
+          |    DECODE(SIGN(o_totalprice - 150000), 1, 'big', 'small') AS size_tag
+          |  FROM orders
+          |  WHERE o_orderkey <= 200
+          |    AND o_orderdate >= TO_DATE('1995-01-01', 'YYYY-MM-DD')
+          |    AND o_orderkey IN (SELECT o_orderkey FROM orders
+          |                       MINUS
+          |                       SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+          |  ORDER BY o_orderkey
+          |) WHERE ROWNUM <= 200""".stripMargin,
+        dialect = Dialect.OracleIsh)
+    },
+    Some("""SELECT * FROM (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderstatus = 'O' THEN 'open'
+           |         WHEN o_orderstatus = 'F' THEN 'filled'
+           |         WHEN o_orderstatus IS NULL THEN 'unknown'
+           |         ELSE 'other' END AS status_word,
+           |    CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 'was_p'
+           |         ELSE 'not_p' END AS nullsafe_tag,
+           |    COALESCE(NULLIF(o_orderstatus, 'O'), 'none') AS nvl_tag,
+           |    strftime(o_orderdate::DATE, '%Y-%m-%d') AS ds,
+           |    CASE WHEN SIGN(o_totalprice - 150000) = 1 THEN 'big'
+           |         ELSE 'small' END AS size_tag
+           |  FROM orders
+           |  WHERE o_orderkey <= 200
+           |    AND o_orderdate >= DATE '1995-01-01'
+           |    AND o_orderkey IN (SELECT o_orderkey FROM orders
+           |                       EXCEPT
+           |                       SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')
+           |  ORDER BY o_orderkey
+           |) t LIMIT 200""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
-    sqlite)
+    sqlite, oracleDialect)
 }

@@ -1160,6 +1160,67 @@ object ExtraQueries {
            |      FROM orders)
            |ORDER BY o_orderkey LIMIT 500""".stripMargin))
 
+  /** Per-user exponentially-weighted moving average, α = 0.5 — the
+    * classic smoothing recurrence y ← α·x + (1−α)·y folded LEFT over the
+    * (ts, event_id)-ordered value sequence. α = 0.5 is a power of two,
+    * so each step is one exact scale and one correctly-rounded add:
+    * both engines folding the same sequence produce bit-identical
+    * doubles (the oracle is DuckDB's `list_reduce` over the same
+    * ordered list — Spark emulates its first-element-as-init convention
+    * with `aggregate(slice(...), element_at(...,1), λ)`). One groupBy
+    * shuffle; per-key arrays are bounded by per-user activity — chunk
+    * the fold by (user, day) windows when a key's history outgrows a
+    * task (same contract as packSequences).
+    */
+  val timeseriesEwma = OpQ("op_timeseries_ewma",
+    (s, d) => Tables.load(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(expr("array_sort(collect_list(struct(ts, event_id, value)))").as("sq"))
+      .withColumn("vals", expr("transform(sq, r -> r.value)"))
+      .select(col("user_id"),
+        expr("""aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),
+               |(acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc)"""
+          .stripMargin.replace("\n", " ")).as("ewma"),
+        expr("size(vals)").cast("long").as("n_events"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+           |  list_reduce(list(value ORDER BY ts, event_id),
+           |    (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc) AS ewma,
+           |  COUNT(*) AS n_events
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** OHLC downsampling (resample-to-candles): 6-hour buckets per event
+    * type with open/high/low/close/volume. Open and close come from the
+    * (ts, event_id)-ordered first/last elements of ONE sorted
+    * collect_list aggregate — no self-join, no second window pass; high
+    * and low are plain min/max (no arithmetic, so raw doubles compare
+    * exactly). Bucketing is integer epoch-second arithmetic on both
+    * engines. One shuffle on (type, bucket) — the standard time-series
+    * rollup shape at any scale.
+    */
+  val timeseriesOhlc = OpQ("op_timeseries_ohlc",
+    (s, d) => Tables.load(s, d, "events")
+      .withColumn("bucket",
+        expr("timestamp_seconds(21600 * (unix_timestamp(ts) div 21600))"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("array_sort(collect_list(struct(ts, event_id, value)))").as("sq"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"), col("bucket").cast("string").as("bucket"),
+        expr("element_at(sq, 1).value").as("open"),
+        col("high"), col("low"),
+        expr("element_at(sq, -1).value").as("close"),
+        col("volume"))
+      .orderBy(col("event_type"), col("bucket")),
+    Some("""SELECT event_type,
+           |  CAST(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000)
+           |       * 21600000000) AS STRING) AS bucket,
+           |  (list(value ORDER BY ts, event_id))[1] AS open,
+           |  MAX(value) AS high, MIN(value) AS low,
+           |  (list(value ORDER BY ts, event_id))[-1] AS close,
+           |  COUNT(*) AS volume
+           |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin))
+
   /** Bucketed co-located join — bucketing is the PRE-SHUFFLE for stable
     * join keys at 100 TB: both sides are staged once as
     * `bucketBy(8, key).sortBy(key)` parquet tables (one file per bucket
@@ -1209,6 +1270,7 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange, joinBucketed,
     sequenceMatch, anomalyZscore, incrAggMerge, arrayFunctions,
+    timeseriesEwma, timeseriesOhlc,
     recursiveCte, unpivot, joinLateral,
     setUnionByName, explodeGenerator, graphComponents, mergeUpsert, mergeScd2,
     cdcApply, histogram, stringAgg,

@@ -133,6 +133,34 @@ class EngineSpec extends SparkSpec {
     assert(q("a?b") === Seq(1, 2, 3, 4, 5))
   }
 
+  test("dialect: OracleIsh constructs — textual rewrites") {
+    assert(Dialect.rewriteOracleDecode("DECODE(x, 1, 'a', 2, 'b', 'z')") ===
+      "CASE WHEN (x) <=> (1) THEN ('a') WHEN (x) <=> (2) THEN ('b') ELSE ('z') END")
+    assert(Dialect.rewriteOracleDecode("DECODE(x, NULL, 'n', 'y')") ===
+      "CASE WHEN (x) <=> (NULL) THEN ('n') ELSE ('y') END") // null-safe match
+    assert(Dialect.rewriteOracleDecode("DECODE(x, 1, 'a')") ===
+      "CASE WHEN (x) <=> (1) THEN ('a') END") // no default → NULL
+    intercept[UnsupportedError](Dialect.rewriteOracleDecode("DECODE(x, 1)"))
+    assert(Dialect.rewriteOracleToDate("TO_DATE(s, 'YYYY-MM-DD')") ===
+      "to_date(s, 'yyyy-MM-dd')")
+    // idempotent: translated output (lowercase Java pattern) passes through
+    assert(Dialect.rewriteOracleToDate("to_date(s, 'yyyy-MM-dd')") ===
+      "to_date(s, 'yyyy-MM-dd')")
+    assert(Dialect.rewriteOracleToDate("TO_DATE(s)") === "TO_DATE(s)")
+    assert(Dialect.rewriteOracleRownum("SELECT * FROM (SELECT a FROM t ORDER BY a) WHERE ROWNUM <= 10") ===
+      "SELECT * FROM (SELECT a FROM t ORDER BY a) LIMIT 10")
+    assert(Dialect.rewriteOracleRownum("SELECT a FROM t WHERE ROWNUM < 10") ===
+      "SELECT a FROM t LIMIT 9")
+    intercept[UnsupportedError](
+      Dialect.rewriteOracleRownum("SELECT ROWNUM, a FROM t"))
+    assert(Dialect.rewriteOracleRownum("SELECT 'ROWNUM <= 3' AS s FROM t") ===
+      "SELECT 'ROWNUM <= 3' AS s FROM t") // literal untouched
+    assert(Dialect.rewriteWord("SELECT a FROM t MINUS SELECT a FROM u", "MINUS", "EXCEPT") ===
+      "SELECT a FROM t EXCEPT SELECT a FROM u")
+    assert(Dialect.rewriteWord("SELECT 'minus here' || SYSDATE FROM t", "SYSDATE",
+      "current_timestamp()") === "SELECT 'minus here' || current_timestamp() FROM t")
+  }
+
   test("dialect: Snowflakeish constructs — textual rewrites") {
     assert(Dialect.rewriteSnowDateAdd("SELECT DATEADD(day, 5, d)") ===
       "SELECT date_add(d, (5))")
@@ -361,7 +389,8 @@ class EngineSpec extends SparkSpec {
     assert(Dialect.forName("spark") === Dialect.Spark)
     assert(Dialect.forName("hive") === Dialect.Spark)
     assert(Dialect.forName("mysql") === Dialect.MySqlish)
-    intercept[UnsupportedError](Dialect.forName("oracle"))
+    assert(Dialect.forName("oracle") === Dialect.OracleIsh)
+    intercept[UnsupportedError](Dialect.forName("teradata"))
   }
 
   test("tableFromRows infers typed maps from the first entry") {
