@@ -1149,7 +1149,41 @@ object LlmQueries {
     (s, d) => MlLsh.embeddingPairsMl(emb(s, d), maxL2 = 1.15),
     None)
 
+  /** Corpus-unigram-LM fluency ranking ([[TextAnalysis.unigramLmScore]]):
+    * mean token frequency in parts-per-billion, exact integer math, the
+    * no-external-model stand-in for a perplexity filter. The oracle
+    * replays the identical count/total/DIV arithmetic.
+    */
+  val textLmScore = OpQ("llm_text_lm_score",
+    (s, d) => TextAnalysis.unigramLmScore(docs(s, d))
+      .orderBy(col("mean_freq_ppb").desc, col("doc_id")),
+    Some("""WITH toks AS (
+           |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+           |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM cnt),
+           |per AS (
+           |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(c) AS BIGINT) AS sum_c
+           |  FROM toks JOIN cnt USING (tok) GROUP BY doc_id)
+           |SELECT doc_id, n_tokens,
+           |  CAST((sum_c * 1000000000) // (n_total * n_tokens) AS BIGINT)
+           |    AS mean_freq_ppb
+           |FROM per, tot
+           |ORDER BY mean_freq_ppb DESC, doc_id""".stripMargin))
+
+  /** Corpus top bigrams ([[TextAnalysis.topNgrams]]) — boilerplate
+    * census; the DuckDB oracle builds the same adjacent-token grams with
+    * `list_transform(range(...))` over 1-indexed lists.
+    */
+  val ngramFreq = OpQ("llm_ngram_freq",
+    (s, d) => TextAnalysis.topNgrams(docs(s, d), n = 2, k = 50),
+    Some("""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+           |grams AS (SELECT UNNEST(list_transform(range(1, len(w)),
+           |  i -> w[i] || ' ' || w[i + 1])) AS gram FROM toks)
+           |SELECT gram, COUNT(*) AS n FROM grams
+           |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
+    textLmScore, ngramFreq,
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,

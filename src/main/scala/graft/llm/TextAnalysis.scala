@@ -360,4 +360,55 @@ object TextAnalysis {
           lit(phoneRe), lit(0))).cast("long"))
       .withColumn("clean_text",
         regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+
+  /** Corpus-LM fluency score — the CCNet-style filter that ranks
+    * documents by how typical their tokens are of the corpus itself,
+    * without an external language model: train unigram counts over the
+    * whole corpus, then score each document by its MEAN token frequency
+    * (parts-per-billion). The arithmetic mean of per-token probabilities
+    * replaces perplexity's geometric mean so the score stays in exact
+    * integer arithmetic end-to-end (no log/exp — see the oracle-
+    * exactness rules); it ranks rare-token-heavy (noisy/junk) documents
+    * low and common-prose documents high just like a perplexity cut,
+    * though the two orderings are not formally identical.
+    *
+    * Scale: the unigram table is vocabulary-sized — millions of rows
+    * against billions of documents — so the probe join broadcasts;
+    * corpus pass = one explode + one groupBy(token) + one
+    * groupBy(doc_id), all map-side-combinable.
+    */
+  def unigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    toks.join(broadcast(counts), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_c"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(sum_c * 1000000000L) DIV (n_total * n_tokens)")
+          .as("mean_freq_ppb"))
+  }
+
+  /** Corpus-level n-gram frequency — the repetition/boilerplate census
+    * run before inter-document span dedup: the most frequent word
+    * n-grams across the whole corpus (headers, footers, license
+    * blurbs surface at the top). Adjacent-token n-grams come from
+    * zipping the token array against itself shifted (`zip_with` over
+    * two `slice`s) — per-row codegen, no self-join; the only shuffle
+    * is the count groupBy, map-side combined on the n-gram hash.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(n == 2, "topNgrams currently implements bigrams (n=2)")
+    val w = split(col(textCol), " ")
+    docs
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -1268,7 +1268,159 @@ object ExtraQueries {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Snapshot diff ([[Relational.snapshotDiff]]) — two dated snapshots of
+    * `orders` derived deterministically from the base table (A drops
+    * keys ≡3 mod 17; B drops keys ≡2 mod 19 and bumps price 5% for keys
+    * ≡0 mod 13), classified added/removed/changed in one full-outer
+    * join. The oracle spells the identical derivation and a FULL OUTER
+    * JOIN + IS DISTINCT FROM classification.
+    */
+  val tableDiff = OpQ("op_table_diff",
+    (s, d) => {
+      val base = Tables.load(s, d, "orders")
+      val snapCents = Relational.cents(col("o_totalprice"))
+      val a = base.filter(col("o_orderkey") % 17 =!= 3)
+        .select(col("o_orderkey"), snapCents.as("cents"),
+          col("o_orderstatus").as("st"))
+      val b = base.filter(col("o_orderkey") % 19 =!= 2)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 13 === 0,
+            expr("(CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 105) DIV 100"))
+            .otherwise(snapCents).as("cents"),
+          col("o_orderstatus").as("st"))
+      Relational.snapshotDiff(a, b, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH a AS (
+           |  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           |    o_orderstatus AS st
+           |  FROM orders WHERE o_orderkey % 17 <> 3),
+           |b AS (
+           |  SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 13 = 0
+           |         THEN (CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 105) // 100
+           |         ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents,
+           |    o_orderstatus AS st
+           |  FROM orders WHERE o_orderkey % 19 <> 2)
+           |SELECT * FROM (
+           |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           |    CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+           |         WHEN a.o_orderkey IS NULL THEN 'added'
+           |         WHEN a.cents IS DISTINCT FROM b.cents
+           |           OR a.st IS DISTINCT FROM b.st THEN 'changed'
+           |         ELSE 'unchanged' END AS change_type,
+           |    a.cents AS old_cents, b.cents AS new_cents,
+           |    a.st AS old_st, b.st AS new_st
+           |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+           |WHERE change_type <> 'unchanged'
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Linear interpolation ([[Relational.interpolateLinear]]) over the
+    * gap-fill spine: Q1-1995 high-value daily revenue hits 59 of 90
+    * days; interior gaps interpolate between the bracketing known days
+    * with exact integer+IEEE arithmetic, edge gaps carry the nearest
+    * value. The oracle evaluates the identical expression tree through
+    * DuckDB's IGNORE NULLS window navigation.
+    */
+  val interpLinear = OpQ("op_interp_linear",
+    (s, d) => {
+      val daily = Tables.load(s, d, "orders")
+        .filter(col("o_totalprice") > 400000 &&
+          col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1995-04-01")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(Relational.cents(col("o_totalprice"))).as("cents"))
+      val spine = s.range(1).select(explode(expr(
+        "sequence(DATE'1995-01-01', DATE'1995-03-31', interval 1 day)")).as("day"))
+      val joined = spine.join(daily, Seq("day"), "left")
+        .withColumn("x",
+          datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
+      Relational.interpolateLinear(joined, "x", "cents")
+        .select(col("day").cast("string").as("day"), col("x"),
+          col("cents"), col("cents_interp"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT o_orderdate::DATE AS day,
+           |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           |  FROM orders
+           |  WHERE o_totalprice > 400000
+           |    AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+           |  GROUP BY 1),
+           |spine AS (SELECT UNNEST(generate_series(
+           |  DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS day),
+           |j AS (SELECT s.day, CAST(s.day - DATE '1995-01-01' AS BIGINT) AS x, d.cents
+           |      FROM spine s LEFT JOIN daily d USING (day)),
+           |w AS (SELECT day, x, cents,
+           |  last_value(cents IGNORE NULLS) OVER
+           |    (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           |  last_value(CASE WHEN cents IS NOT NULL THEN x END IGNORE NULLS) OVER
+           |    (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+           |  first_value(cents IGNORE NULLS) OVER
+           |    (ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           |  first_value(CASE WHEN cents IS NOT NULL THEN x END IGNORE NULLS) OVER
+           |    (ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+           |  FROM j)
+           |SELECT CAST(day AS VARCHAR) AS day, x, cents,
+           |  CASE WHEN cents IS NOT NULL THEN cents
+           |       WHEN pv IS NULL THEN nv
+           |       WHEN nv IS NULL THEN pv
+           |       ELSE pv + CAST(FLOOR(CAST((nv - pv) * (x - px) AS DOUBLE)
+           |                            / CAST(nx - px AS DOUBLE)) AS BIGINT) END
+           |    AS cents_interp
+           |FROM w ORDER BY day""".stripMargin))
+
+  /** Map-typed columns end-to-end: build a status→count map per priority
+    * (`map_from_entries` over a sorted entry array, so map order is
+    * deterministic), then exercise the map HOF surface —
+    * `transform_values`, `map_filter`, `map_keys`, `aggregate` over
+    * `map_values`, `element_at` lookup. Maps render as sorted `k=v`
+    * strings because the driver's hash compare (and DuckDB) have no
+    * map equality; DuckDB replays the same semantics on sorted
+    * struct-lists with `list_transform`/`list_filter`/`list_sum`.
+    */
+  val mapFunctions = OpQ("op_map_functions",
+    (s, d) => {
+      val cnt = Tables.load(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("o_orderstatus").as("key"), col("n").as("value"))))).as("m"))
+        .select(
+          col("o_orderpriority"),
+          array_join(transform(map_entries(col("m")),
+            e => concat(e("key"), lit("="), e("value").cast("string"))), ",")
+            .as("entries"),
+          array_join(transform(map_entries(
+            transform_values(col("m"), (_, v) => v * 2)),
+            e => concat(e("key"), lit("="), e("value").cast("string"))), ",")
+            .as("doubled"),
+          array_join(array_sort(map_keys(
+            map_filter(col("m"), (_, v) => v > 1000))), ",").as("big_keys"),
+          aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+            .as("total"),
+          element_at(col("m"), "O").as("n_open"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH cnt AS (
+           |  SELECT o_orderpriority AS p, o_orderstatus AS st, COUNT(*) AS n
+           |  FROM orders GROUP BY 1, 2),
+           |m AS (SELECT p, list(struct_pack(k := st, v := n) ORDER BY st) AS le
+           |      FROM cnt GROUP BY p)
+           |SELECT p AS o_orderpriority,
+           |  array_to_string(list_transform(le,
+           |    e -> e.k || '=' || CAST(e.v AS VARCHAR)), ',') AS entries,
+           |  array_to_string(list_transform(le,
+           |    e -> e.k || '=' || CAST(e.v * 2 AS VARCHAR)), ',') AS doubled,
+           |  array_to_string(list_transform(list_filter(le, e -> e.v > 1000),
+           |    e -> e.k), ',') AS big_keys,
+           |  CAST(list_sum(list_transform(le, e -> e.v)) AS BIGINT) AS total,
+           |  CASE WHEN len(list_filter(le, e -> e.k = 'O')) = 0 THEN NULL
+           |       ELSE list_filter(le, e -> e.k = 'O')[1].v END AS n_open
+           |FROM m ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange, joinBucketed,
+    tableDiff, interpLinear, mapFunctions,
     sequenceMatch, anomalyZscore, incrAggMerge, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,
     recursiveCte, unpivot, joinLateral,

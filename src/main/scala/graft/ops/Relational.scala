@@ -237,10 +237,11 @@ object Relational {
     * source-only keys insert as new current rows.
     *
     * Three branches of one left/anti join pair, unioned by name — the
-    * same delta-broadcast shape as [[upsert]]: with a small change batch
-    * Catalyst broadcasts `source` to every branch and the only full pass
-    * over the (100 TB) target is the one column-append scan; no window,
-    * no full-outer coalesce. `keys` must be unique in `source`, and
+    * same delta-broadcast shape as [[upsert]]: the change batch (and
+    * every frame derived down to it) carries an explicit `broadcast()`
+    * hint into each branch, so the only full pass over the (100 TB)
+    * target is the one column-append scan — no window, no full-outer
+    * coalesce, and no stats-dependent sort-merge fallback. `keys` must be unique in `source`, and
     * `target` must hold at most one current row per key (the operator's
     * own output invariant, so it composes with itself day over day).
     * Both preconditions default to the CALLER'S responsibility —
@@ -267,18 +268,28 @@ object Relational {
     val history = target.filter(!col("is_current"))
     // current rows whose tracked attrs differ from their source row
     val diff = tracked.map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
-    val toClose = current.as("t").join(src.as("s"), changed)
+    // Every join below broadcasts a delta-derived side EXPLICITLY — the
+    // delta (and anything joined down to it) is small by construction,
+    // while `current` is table-sized; leaving the choice to size stats
+    // made the plan flip to sort-merge when staged-file estimates drifted.
+    val toClose = current.as("t").join(broadcast(src).as("s"), changed)
       .filter(diff).select(col("t.*"))
     val closed = toClose
       .withColumn("valid_to", asOf)
       .withColumn("is_current", lit(false))
     val untouchedCurrent = current.join(
-      toClose.select(keys.map(col): _*), keys, "left_anti")
-    val opened = src.as("s").join(toClose.as("t"), changed, "left_semi")
+      broadcast(toClose.select(keys.map(col): _*)), keys, "left_anti")
+    val opened = src.as("s").join(broadcast(toClose).as("t"), changed, "left_semi")
       .withColumn("valid_from", asOf)
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
-    val inserted = src.join(current, keys, "left_anti")
+    // `src ANTI current` cannot broadcast-hash (the small side is on the
+    // left), so restrict current to the delta's keys first — a broadcast
+    // semi-join — and anti-join against that |delta|-bounded key set.
+    val currentKeysHit = current
+      .join(broadcast(src.select(keys.map(col): _*)), keys, "left_semi")
+      .select(keys.map(col): _*)
+    val inserted = src.join(broadcast(currentKeysHit), keys, "left_anti")
       .withColumn("valid_from", asOf)
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
@@ -647,4 +658,92 @@ object Relational {
         sum(value).as("sum_v"),
         min(value).as("min_v"),
         max(value).as("max_v"))
+
+  /** Snapshot diff — classify every key of snapshot `b` against snapshot
+    * `a` as `added` / `removed` / `changed` (value columns compared
+    * null-safely) in ONE full-outer join. This is the table-versioning
+    * primitive: audit what a pipeline run changed, build a CDC feed from
+    * two dated snapshots (feed [[applyCdc]]), or validate a migration.
+    *
+    * Both frames must share a schema; `keys` identify a row across
+    * snapshots, every other column is compared. Unchanged keys are
+    * dropped by default — at snapshot scale they are the overwhelming
+    * majority, and filtering them before the result materializes is what
+    * keeps the diff output |changes|-sized rather than |table|-sized.
+    *
+    * Scale: one co-partitioned shuffle on `keys` (the join); with both
+    * snapshots bucketed by key on storage (the natural layout for
+    * versioned tables — see [[bucketedJoin]]) it runs shuffle-free. The
+    * per-row classification is pure column arithmetic inside the join's
+    * codegen stage.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(a.columns.sameElements(b.columns),
+      s"snapshot schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    requireNoWorkingCols(a, "snapshotDiff", "__a_present", "__b_present")
+    val valueCols = a.columns.filterNot(keys.contains).toSeq
+    val al = a.withColumn("__a_present", lit(1)).as("a")
+    val bl = b.withColumn("__b_present", lit(1)).as("b")
+    val joinCond = keys.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+    val differs = valueCols.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changeType = when(col("__b_present").isNull, lit("removed"))
+      .when(col("__a_present").isNull, lit("added"))
+      .when(differs, lit("changed"))
+      .otherwise(lit("unchanged"))
+    val out = al.join(bl, joinCond, "full_outer")
+      .select(keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+        Seq(changeType.as("change_type")) ++
+        valueCols.flatMap(c =>
+          Seq(col(s"a.$c").as(s"old_$c"), col(s"b.$c").as(s"new_$c"))): _*)
+    if (includeUnchanged) out else out.filter(col("change_type") =!= "unchanged")
+  }
+
+  /** Linear interpolation of missing values over an ordered series —
+    * the gap-fill step after [the date-spine join](op_timeseries_gapfill)
+    * when zero-fill / forward-fill are too crude (sensor feeds, price
+    * curves). `xCol` is the numeric axis (e.g. epoch days), `valueCol` an
+    * integral value (scale doubles to cents first — integer values are
+    * what makes the result reproducible across engines and partitionings).
+    *
+    * Interior gaps get `prev + floor((next-prev)·(x-px) / (nx-px))` —
+    * one correctly-rounded IEEE division then floor, the identical
+    * expression tree the DuckDB oracle evaluates, so the interpolation is
+    * bit-exact. Leading/trailing gaps (no bracket on one side) carry the
+    * nearest known value.
+    *
+    * Scale: two window passes over the same `partitionCols`/`xCol` sort —
+    * Catalyst plans ONE sort+exchange and evaluates both frames on it.
+    * Unpartitioned series degenerate to a single-task sort (correct but
+    * serial) — at corpus scale always interpolate per series key.
+    */
+  def interpolateLinear(df: DataFrame, xCol: String, valueCol: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireNoWorkingCols(df, "interpolateLinear",
+      "__pv", "__px", "__nv", "__nx")
+    val base = partitionCols match {
+      case Nil => Window.orderBy(col(xCol))
+      case ps => Window.partitionBy(ps.map(col): _*).orderBy(col(xCol))
+    }
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val known = when(v.isNotNull, col(xCol))
+    df.withColumn("__pv", last(v, ignoreNulls = true).over(wPrev))
+      .withColumn("__px", last(known, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wNext))
+      .withColumn("__nx", first(known, ignoreNulls = true).over(wNext))
+      .withColumn(s"${valueCol}_interp",
+        when(v.isNotNull, v)
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") +
+            floor(((col("__nv") - col("__pv")) * (col(xCol) - col("__px")))
+              .cast("double") / (col("__nx") - col("__px")).cast("double"))
+              .cast("long")))
+      .drop("__pv", "__px", "__nv", "__nx")
+  }
 }

@@ -302,4 +302,45 @@ class RelationalSpec extends SparkSpec {
     val retained = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(retained.size <= 1, s"leaked caches: $retained") // the result checkpoint
   }
+
+  test("snapshotDiff classifies added/removed/changed and hides unchanged") {
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L),
+      (4L, null.asInstanceOf[String], 40L)).toDF("k", "s", "v")
+    val b = Seq((2L, "y", 20L), (3L, "z", 99L), (5L, "w", 50L),
+      (4L, null.asInstanceOf[String], 40L)).toDF("k", "s", "v")
+    val got = Relational.snapshotDiff(a, b, Seq("k"))
+      .select("k", "change_type").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 2 identical and key 4 identical-with-null are both suppressed
+    assert(got === Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+    val withSame = Relational.snapshotDiff(a, b, Seq("k"), includeUnchanged = true)
+    assert(withSame.count() === 5)
+    assert(withSame.filter(col("change_type") === "unchanged").count() === 2)
+  }
+
+  test("snapshotDiff on identical snapshots is empty") {
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    assert(Relational.snapshotDiff(a, a, Seq("k")).isEmpty)
+  }
+
+  test("interpolateLinear brackets interior gaps and carries edges") {
+    // x: 0..5, known at 1 (100) and 4 (400); edges carry, interior is linear
+    val df = Seq(
+      (0L, null.asInstanceOf[java.lang.Long]), (1L, java.lang.Long.valueOf(100L)),
+      (2L, null.asInstanceOf[java.lang.Long]), (3L, null.asInstanceOf[java.lang.Long]),
+      (4L, java.lang.Long.valueOf(400L)), (5L, null.asInstanceOf[java.lang.Long])
+    ).toDF("x", "v")
+    val got = Relational.interpolateLinear(df, "x", "v")
+      .orderBy("x").select("v_interp").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(100L, 100L, 200L, 300L, 400L, 400L))
+  }
+
+  test("interpolateLinear floors non-integral interpolants deterministically") {
+    val df = Seq(
+      (0L, java.lang.Long.valueOf(0L)), (1L, null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[java.lang.Long]), (3L, java.lang.Long.valueOf(10L))
+    ).toDF("x", "v")
+    val got = Relational.interpolateLinear(df, "x", "v")
+      .orderBy("x").select("v_interp").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(0L, 3L, 6L, 10L)) // floor(10/3), floor(20/3)
+  }
 }
