@@ -238,7 +238,24 @@ object PlanCheck {
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("op_dialect_oracle", "translated text keeps broadcast semi join, pushdown and the ROWNUM top-k",
       f => f("bhj") >= 1 && f("cartesian") == 0 && f("pushed_filters") >= 2 &&
-        f("topk") >= 1))
+        f("topk") >= 1),
+    Rule("op_table_diff", "one co-partitioned diff join, never nested-loop; filters pushed",
+      f => f("cartesian") + f("bnlj") == 0 && f("pushed_filters") >= 2),
+    Rule("op_interp_linear", "generated spine joins broadcast; date+price filters pushed",
+      f => f("bhj") >= 1 && f("smj") + f("shj") == 0 && f("pushed_filters") >= 1),
+    Rule("op_map_functions", "map build+HOFs are agg work: partial agg, no join",
+      f => f("partial_agg") >= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_text_lm_score", "vocab-sized count/total frames broadcast; no shuffle join",
+      f => f("bhj") >= 1 && f("smj") + f("shj") == 0),
+    Rule("llm_ngram_freq", "per-row gram expansion, map-side partial agg, top-k not global sort",
+      f => f("partial_agg") >= 2 && f("topk") >= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    // the broadcast blob join sits inside the RDD decode lineage, invisible
+    // to this plan — pin what is visible: the signature grouping stage
+    Rule("llm_multimodal_phash", "post-decode hash grouping: no join shapes, ≤2 exchanges",
+      f => f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -1182,8 +1182,65 @@ object LlmQueries {
            |SELECT gram, COUNT(*) AS n FROM grams
            |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin))
 
+  /** Perceptual-hash image dedup ([[Multimodal.dhashPartitioned]]): 500
+    * docs share 50 distinct synthetic PNGs (blob key = doc_id mod 50), so
+    * exact-dHash grouping finds ~10-way duplicate clusters. The oracle is
+    * EXACT despite the real ImageIO decode in the loop: the synthetic
+    * PNG round-trips losslessly and its pixels are an integer function of
+    * the image key, so DuckDB replays sampler + luminance + bit-packing
+    * arithmetically (bit 63 via its literal two's-complement value —
+    * DuckDB raises on `1<<63`).
+    */
+  val multimodalPhash = OpQ("llm_multimodal_phash",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ds = docs(s, d).select(col("doc_id"), (col("doc_id") % 50).as("img_key"))
+      val blobs = stagedBlobs(s, d, "png").filter(col("doc_id") < 50)
+        .withColumnRenamed("doc_id", "img_key")
+      val withBlob = ds.join(broadcast(blobs), "img_key")
+        .select(col("doc_id"), col("blob"))
+      val w = Window.partitionBy(col("phash"))
+      Multimodal.dhashPartitioned(s, withBlob)
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("phash"), col("keep_id"),
+          (col("doc_id") =!= col("keep_id")).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dims AS (
+           |  SELECT doc_id, doc_id % 50 AS key,
+           |    CAST(8 + (doc_id % 50) % 16 AS BIGINT) AS w,
+           |    CAST(8 + (doc_id % 50) % 11 AS BIGINT) AS h
+           |  FROM documents),
+           |bits AS (
+           |  SELECT doc_id, key, w, h, b, b % 8 AS x, b // 8 AS y
+           |  FROM dims, UNNEST(range(0, 64)) t(b)),
+           |pix AS (
+           |  SELECT doc_id, w, h, b,
+           |    (key * 2654435761 + (x * w // 9) * 31 + (y * h // 8)) % 16777216 AS pl,
+           |    (key * 2654435761 + ((x + 1) * w // 9) * 31 + (y * h // 8)) % 16777216 AS pr
+           |  FROM bits),
+           |lum AS (
+           |  SELECT doc_id, w, h, b,
+           |    ((pl // 65536) * 299 + ((pl // 256) % 256) * 587 + (pl % 256) * 114) // 1000 AS ll,
+           |    ((pr // 65536) * 299 + ((pr // 256) % 256) * 587 + (pr % 256) * 114) // 1000 AS lr
+           |  FROM pix),
+           |ph AS (
+           |  SELECT doc_id, MIN(w) AS width, MIN(h) AS height,
+           |    CAST(bit_or(CASE WHEN ll < lr THEN
+           |      CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+           |           ELSE (CAST(1 AS BIGINT) << b) END
+           |      ELSE 0 END) AS BIGINT) AS phash
+           |  FROM lum GROUP BY doc_id)
+           |SELECT doc_id, width, height, phash,
+           |  MIN(doc_id) OVER (PARTITION BY phash) AS keep_id,
+           |  doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS is_dup
+           |FROM ph ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
-    textLmScore, ngramFreq,
+    textLmScore, ngramFreq, multimodalPhash,
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,

@@ -187,6 +187,75 @@ object Multimodal {
     spark.createDataFrame(rdd, resizedSchema)
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("phash", LongType)))
+
+  /** Perceptual difference-hash (dHash) — the image-dedup signature:
+    * nearest-neighbor sample each image onto a 9×8 luminance grid and
+    * emit one bit per adjacent-pixel comparison (left < right), packing
+    * 64 bits into a long. Identical pixels hash identically regardless
+    * of container bytes (PNG vs JPEG encode of the same image agree),
+    * and small visual edits flip few bits, so exact-hash grouping
+    * catches re-encodes while Hamming-banded blocking (the [[Dedup]]
+    * SimHash machinery operates on any 64-bit signature) catches
+    * near-dups. Same `mapPartitions` batch shape and degradation
+    * contract as [[resizeImagesPartitioned]]: one decoded image in
+    * memory at a time, non-image payloads flow through a deterministic
+    * stand-in sampler, corrupt image-magic payloads raise naming the
+    * doc. The output is 8 bytes of signature per blob — at 100 TB the
+    * downstream dedup joins move hashes, never pixels.
+    */
+  def dhashPartitioned(spark: SparkSession, withBlob: DataFrame): DataFrame = {
+    val rdd = withBlob.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val blob = row.getAs[Array[Byte]](1)
+        val n = blob.length.toLong
+        val (w, h, pixel) =
+          if (isPng(blob) || isJpeg(blob)) {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+              catch { case e: Exception =>
+                throw new IllegalArgumentException(
+                  s"doc_id=$id: $n-byte payload has an image magic but failed to decode (${e.getMessage})", e)
+              }
+            if (img == null)
+              throw new IllegalArgumentException(
+                s"doc_id=$id: $n-byte payload has an image magic but failed to decode (truncated or corrupt)")
+            (img.getWidth, img.getHeight, (sx: Int, sy: Int) => img.getRGB(sx, sy) & 0xFFFFFF)
+          } else {
+            // non-image payload: the decodeImageMeta stand-in dims and the
+            // resize operator's deterministic fake pixel
+            val fw = (64 + n % 64).toInt
+            val fh = (64 + (n * 7) % 64).toInt
+            (fw, fh, (sx: Int, sy: Int) => ((n + sx * 31L + sy * 17L) % 0x1000000L).toInt)
+          }
+        def lum(sx: Int, sy: Int): Int = {
+          val p = pixel(sx, sy)
+          (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114) / 1000
+        }
+        var hash = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            if (lum(x * w / 9, sy) < lum((x + 1) * w / 9, sy)) hash |= (1L << bit)
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w, h, hash)
+      }
+    }
+    spark.createDataFrame(rdd, phashSchema)
+  }
+
   /** PNG metadata WITHOUT a row-at-a-time decode: width/height live in the
     * IHDR chunk at fixed offsets (bytes 17–20 and 21–24, big-endian), so
     * the parse is pure column expressions — whole-stage-codegen'd, no UDF,

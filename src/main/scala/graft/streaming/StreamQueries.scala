@@ -220,7 +220,27 @@ object StreamQueries {
       .orderBy(col("win_start")),
     None)
 
+  /** Streaming per-hour top-3 users ([[Streams.topUsersStateful]]):
+    * Misra–Gries-bounded state, exact below capacity, so the batch
+    * replay matches the plain windowed-rank SQL bit-for-bit. The
+    * stream-mode equivalence is a StreamingSpec gate.
+    */
+  val topUsers = OpQ("stream_topk_users",
+    (s, d) => Streams.topUsersStateful(s, ev(s, d))
+      .select(col("hour_us"), col("rank"), col("user_id"), col("n"))
+      .orderBy(col("hour_us"), col("rank")),
+    Some("""WITH c AS (
+           |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+           |    user_id, COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |r AS (SELECT hour_us, user_id, n,
+           |        CAST(row_number() OVER (PARTITION BY hour_us
+           |          ORDER BY n DESC, user_id) AS BIGINT) AS rank
+           |      FROM c)
+           |SELECT hour_us, rank, user_id, n FROM r WHERE rank <= 3
+           |ORDER BY hour_us, rank""".stripMargin))
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
     attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter,
-    attributionFull, approxUsers)
+    attributionFull, approxUsers, topUsers)
 }

@@ -254,6 +254,7 @@ object Streams {
 
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long)
+  final case class HourTopUser(hour_us: Long, rank: Long, user_id: Long, n: Long)
 
   /** Custom streaming state: running per-user event count via
     * `flatMapGroupsWithState` — the mapGroupsWithState shape for state
@@ -285,6 +286,53 @@ object Streams {
             if (evictIdleState) state.setTimeoutDuration("1 hour")
             Iterator.single(UserCount(userId, n))
           }
+        })
+      .toDF()
+  }
+
+  /** Streaming heavy hitters: per-hour top-`k` most active users via a
+    * bounded Misra–Gries summary in `flatMapGroupsWithState`, keyed by
+    * the hour bucket. Each update folds the batch's events into the
+    * summary (at most `capacity` counters per hour — when full, every
+    * counter decrements instead of admitting a new key, the MG
+    * guarantee: any key with true count > N/capacity survives) and
+    * emits the CURRENT top-k with a deterministic (count desc, user
+    * asc) tie-break. State is O(capacity) per open hour regardless of
+    * stream length — the property that makes per-window top-k viable
+    * on an unbounded stream, where an exact groupBy(user) would hold
+    * every user ever seen.
+    *
+    * While no hour overflows its `capacity`, the summary holds exact
+    * counts, so the final emission per hour equals the batch
+    * `row_number() OVER (PARTITION BY hour ORDER BY n DESC, user)`
+    * top-k — the driver's oracle; StreamingSpec replays the same data
+    * through a real stream and asserts the last emission matches batch.
+    */
+  def topUsersStateful(spark: SparkSession, events: DataFrame,
+      k: Int = 3, capacity: Int = 8192): DataFrame = {
+    import spark.implicits._
+    require(k > 0 && capacity >= k, "need k > 0 and capacity >= k")
+    events
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("user_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (hourUs: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[Map[Long, Long]]) => {
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, user) =>
+            m.get(user) match {
+              case Some(c) => m += user -> (c + 1)
+              case None if m.size < capacity => m += user -> 1L
+              case None =>
+                m = m.transform((_, c) => c - 1).filter(_._2 > 0)
+            }
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (u, c) => (-c, u) }.take(k)
+            .zipWithIndex.iterator
+            .map { case ((u, c), i) => HourTopUser(hourUs, i + 1L, u, c) }
         })
       .toDF()
   }

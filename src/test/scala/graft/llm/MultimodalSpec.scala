@@ -177,4 +177,37 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("doc_id=7") || e.getCause != null &&
       e.getCause.getMessage.contains("doc_id=7"))
   }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhashPartitioned: identical pixels hash identically, edits flip few bits") {
+    import spark.implicits._
+    val base = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 32)
+      base.setRGB(x, y, ((x * 8) << 16) | ((y * 8) << 8) | ((x + y) * 4))
+    // copy with one corner pixel blown out — a small visual edit
+    val edited = new java.awt.image.BufferedImage(32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 32) edited.setRGB(x, y, base.getRGB(x, y))
+    edited.setRGB(31, 31, 0xFFFFFF)
+    val frames = Seq((1L, pngBytes(base)), (2L, pngBytes(base)), (3L, pngBytes(edited)))
+      .toDF("doc_id", "blob")
+    val got = Multimodal.dhashPartitioned(spark, frames)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(1L) === got(2L), "same pixels must give the same dHash")
+    val hamming = java.lang.Long.bitCount(got(1L) ^ got(3L))
+    assert(hamming <= 4, s"one-pixel edit flipped $hamming bits")
+  }
+
+  test("dhashPartitioned: a horizontal gradient sets every comparison bit") {
+    import spark.implicits._
+    val grad = new java.awt.image.BufferedImage(64, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 8) grad.setRGB(x, y, (x * 4) * 0x010101)
+    val got = Multimodal.dhashPartitioned(spark, Seq((1L, pngBytes(grad))).toDF("doc_id", "blob"))
+      .head().getLong(3)
+    assert(got === -1L, f"expected all 64 bits set, got $got%016x")
+  }
 }

@@ -320,4 +320,39 @@ class StreamingSpec extends SparkSpec {
       assert(ids.head == 1L && ids.toSeq == (1L to ids.length).toSeq)
     }
   }
+
+  test("topUsersStateful: stream's final emission per hour equals batch top-k") {
+    val events = graft.Tables.load(spark, dir, "events")
+    val batch = Streams.topUsersStateful(spark, events)
+    val q = Streams.topUsersStateful(spark, Streams.readEventsStream(spark, streamDir))
+      .writeStream
+      .outputMode("update")
+      .format("memory").queryName("topk_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // the LAST emission per hour (max observed count per rank slot) must
+    // equal the batch replay: AvailableNow may process the hour across
+    // several micro-batches, each emitting an interim top-k
+    val last = spark.sql(
+      """SELECT hour_us, rank, user_id, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY hour_us, rank
+        |    ORDER BY n DESC, user_id) AS rn
+        |  FROM topk_out) WHERE rn = 1""".stripMargin)
+    assert(last.count() > 0)
+    assert(last.exceptAll(batch).isEmpty && batch.exceptAll(last).isEmpty,
+      "stream top-k disagrees with batch replay")
+  }
+
+  test("topUsersStateful: Misra-Gries keeps a dominant key under overflow") {
+    import spark.implicits._
+    // 1 hour of data: user 7 appears 60x, 200 distinct one-shot users,
+    // capacity 16 forces constant decrements — the heavy hitter survives
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = (1 to 60).map(i => (base, 7L)) ++ (1L to 200L).map(u => (base, 100 + u))
+    val df = rows.toDF("ts", "user_id")
+    val got = Streams.topUsersStateful(spark, df, k = 1, capacity = 16).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("user_id") === 7L, s"heavy hitter lost: ${got.head}")
+  }
 }
