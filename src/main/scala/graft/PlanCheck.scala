@@ -255,6 +255,14 @@ object PlanCheck {
     // to this plan — pin what is visible: the signature grouping stage
     Rule("llm_multimodal_phash", "post-decode hash grouping: no join shapes, ≤2 exchanges",
       f => f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_dedup_semantic", "pairwise stage is cell-keyed: one within-cell join, drop-set broadcast, never a global cross product",
+      f => f("smj") <= 1 && f("bhj") >= 1 && f("cartesian") + f("bnlj") == 0),
+    Rule("llm_mix_temperature", "domain-count rollup map-side combined; only the 1-row Σ joins (broadcast NL), nothing corpus-sized twice",
+      f => f("partial_agg") >= 2 && f("bnlj") <= 1 &&
+        f("smj") + f("shj") + f("cartesian") == 0),
+    Rule("stream_topk_users", "stateful top-k: one keyed state exchange, no join",
+      f => f("exchange") <= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the

@@ -1239,8 +1239,53 @@ object LlmQueries {
            |  doc_id <> MIN(doc_id) OVER (PARTITION BY phash) AS is_dup
            |FROM ph ORDER BY doc_id""".stripMargin))
 
+  /** SemDeDup semantic dedup ([[Similarity.semanticDedup]]): within-cell
+    * pairwise cosine, keep-lowest-id. τ=0.4 sits inside the fixture's
+    * within-cell cosine range (max ≈0.47) so both flag branches are
+    * exercised; the oracle replays the quantized dot / √norm·√norm
+    * threshold test on the identical IEEE tree.
+    */
+  val dedupSemantic = OpQ("llm_dedup_semantic",
+    (s, d) => Similarity.semanticDedup(emb(s, d), threshold = 0.4)
+      .orderBy(col("vec_id")),
+    Some("""WITH e AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+           |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |n AS (SELECT vec_id, SUM(CAST(FLOOR(x * x * 1000000) AS BIGINT)) AS norm_m
+           |      FROM e GROUP BY vec_id),
+           |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |        SUM(CAST(FLOOR(a.x * b.x * 1000000) AS BIGINT)) AS dot_m
+           |      FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+           |                       AND a.vec_id < b.vec_id
+           |      GROUP BY 1, 2),
+           |d AS (SELECT DISTINCT p.b_id AS drop_id
+           |      FROM p JOIN n na ON na.vec_id = p.a_id
+           |             JOIN n nb ON nb.vec_id = p.b_id
+           |      WHERE CAST(dot_m AS DOUBLE) >=
+           |        CAST(0.4 AS DOUBLE) * SQRT(CAST(na.norm_m AS DOUBLE))
+           |          * SQRT(CAST(nb.norm_m AS DOUBLE)))
+           |SELECT vec_id, label AS cell,
+           |  vec_id IN (SELECT drop_id FROM d) AS is_dup
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  /** Temperature-scaled (α=1/2) domain allocation
+    * ([[Mixing.temperatureMix]]): √n weights in exact micro-int
+    * arithmetic, budget split by integer division, capped at n.
+    */
+  val mixTemperature = OpQ("llm_mix_temperature",
+    (s, d) => Mixing.temperatureMix(docs(s, d), budgetDocs = 200)
+      .orderBy(col("source")),
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+           |w AS (SELECT source, n_docs,
+           |        CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))
+           |          * CAST(1000000 AS DOUBLE)) AS BIGINT) AS w_m
+           |      FROM c),
+           |t AS (SELECT CAST(SUM(w_m) AS BIGINT) AS sumw FROM w)
+           |SELECT source, n_docs, w_m,
+           |  LEAST((200 * w_m) // sumw, n_docs) AS allocation
+           |FROM w, t ORDER BY source""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
-    textLmScore, ngramFreq, multimodalPhash,
+    textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,

@@ -129,6 +129,39 @@ object Mixing {
       .drop("__nt", "__cum", "__qsrc", "__m")
   }
 
+  /** Temperature-scaled domain sampling — the multilingual/multi-domain
+    * rebalancing rule (sample domain d with probability ∝ n_d^α, the
+    * α-temperature of mBERT/XLM-R and data-mixture work): α < 1 flattens
+    * the natural distribution so head domains stop drowning the tail.
+    * α is fixed at 1/2 (√n) so the weight is ONE correctly-rounded IEEE
+    * op per domain — `w_m = ⌊√n_d · 10⁶⌋` as BIGINT — and every
+    * downstream allocation stays in exact integer arithmetic:
+    * `alloc_d = ⌊budgetDocs · w_m / Σw_m⌋`, capped at n_d. Returns the
+    * per-domain allocation table (n_docs, weight, allocation); feed it
+    * to [[mixDomains]] as the weight frame to materialize the sample.
+    * Other temperatures drop in by swapping the weight expression for a
+    * `pow`-based one (bit-reproducibility then depends on the platform's
+    * pow, which is why √ is the default here).
+    *
+    * Scale: one map-side-combined count per domain; the allocation math
+    * runs on the |domains|-row aggregate with the Σ broadcast — nothing
+    * corpus-sized ever shuffles twice.
+    */
+  def temperatureMix(docs: DataFrame, budgetDocs: Long,
+      sourceCol: String = "source"): DataFrame = {
+    require(budgetDocs >= 0, "budgetDocs must be non-negative")
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_m",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000L).cast("double"))
+          .cast("long"))
+    val sumw = counts.agg(sum(col("w_m")).as("__sumw")) // 1 row
+    counts.crossJoin(broadcast(sumw))
+      .select(col(sourceCol), col("n_docs"), col("w_m"),
+        least(expr(s"${budgetDocs}L * w_m div __sumw"), col("n_docs"))
+          .as("allocation"))
+  }
+
   /** Deterministic global shuffle + sharding — the last step before a
     * training run reads the corpus: every document gets a pseudo-random
     * but REPRODUCIBLE (shard, position) from the integer permutation, so

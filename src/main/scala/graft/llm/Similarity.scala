@@ -106,6 +106,51 @@ object Similarity {
       .orderBy(col("a_id"), col("rn"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are partitioned into coarse cells
+    * (`cellCol` — the pluggable stand-in for the paper's k-means
+    * assignment; [[ivfTopK]] uses the same cells), pairwise cosine runs
+    * ONLY within a cell, and of any pair above `threshold` the
+    * higher-id member is flagged as a semantic duplicate (the
+    * keep-lowest-id policy — swap in keep-best by joining a quality
+    * score). Returns every row with `is_dup`; filter `!is_dup` for the
+    * deduplicated corpus.
+    *
+    * Exactness: cosine compares in the same quantized-integer dot /
+    * √norm·√norm arithmetic as [[bruteForceTopK]], with the threshold
+    * test `dot_m ≥ τ·√a·√b` evaluated on the identical IEEE tree both
+    * engines build — so the flag is bit-reproducible and DuckDB-
+    * oracleable.
+    *
+    * Scale: the pairwise stage is the paper's trick — within-cell only.
+    * Cell population is controlled by the clustering granularity (the
+    * paper uses |corpus|/k ≈ 10⁴–10⁵ per cluster); the join shuffles on
+    * cell, never forms the global cross product, and emits only
+    * above-threshold pairs. Degenerate giant cells are the caller's
+    * signal to re-cluster finer, exactly as in the paper.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.92,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val base = withNorm(
+      embeddings.select(col(idCol), col(vecCol), col(cellCol).as("cell")), vecCol)
+    val a = base.select(col("cell"), col(idCol).as("a_id"),
+      col("vd").as("a_vd"), col("norm_m").as("a_norm"))
+    val b = base.select(col("cell"), col(idCol).as("b_id"),
+      col("vd").as("b_vd"), col("norm_m").as("b_norm"))
+    val dropIds = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
+      .filter(col("dot_m").cast("double") >=
+        lit(threshold) * sqrt(col("a_norm").cast("double")) *
+          sqrt(col("b_norm").cast("double")))
+      .select(col("b_id").as("drop_id")).distinct()
+    embeddings.select(col(idCol), col(cellCol).as("cell"))
+      .join(dropIds.withColumn("__dup", lit(true)),
+        col(idCol) === col("drop_id"), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** Product-quantization (PQ) top-k — the compressed-domain ANN tier
     * beyond [[sq8TopK]]: the vector splits into `m` contiguous subspaces,
     * each subspace is quantized to one of 16 codes, and candidate ranking

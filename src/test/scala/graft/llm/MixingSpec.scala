@@ -127,6 +127,23 @@ class MixingSpec extends SparkSpec {
       Mixing.weightedSample(docs.repartition(5), col("n_chars") * 1000L).count())
   }
 
+  test("temperatureMix flattens head domains and caps at availability") {
+    import spark.implicits._
+    // 900 head docs vs 100 tail docs: proportional split of 100 would give
+    // the tail 10; √n-temperature gives it 100·10/(30+10) = 25
+    val docs = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (901 to 1000).map(i => (i.toLong, "tail"))).toDF("doc_id", "source")
+    val got = Mixing.temperatureMix(docs, budgetDocs = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("tail") === 25L, s"tail allocation ${got("tail")} != 25")
+    assert(got("head") === 75L)
+    // allocation never exceeds availability
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val capped = Mixing.temperatureMix(tiny, budgetDocs = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(capped("a") <= 2L && capped("b") <= 1L)
+  }
+
   test("packSequences offsets are dense within each shard on real data") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Mixing.packSequences(docs, contextLen = 64)

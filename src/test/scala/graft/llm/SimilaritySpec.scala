@@ -151,4 +151,19 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.size >= 50, s"expected ~60 brute-force pairs, got ${brute.size}")
     assert(overlap >= 10, s"SRP recall collapsed at sf0.1: $overlap/${brute.size}")
   }
+
+  test("semanticDedup flags within-cell near-dups, keeps lowest id, respects cells") {
+    import spark.implicits._
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val almost = Array(0.99f, 0.14f, 0.0f, 0.0f) // cos ≈ 0.99 with v
+    val far = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val emb = Seq(
+      (1L, v, 0), (2L, almost, 0),  // same cell, near-dup → 2 flagged
+      (3L, far, 0),                 // same cell, dissimilar → kept
+      (4L, v, 1)                    // IDENTICAL to 1 but a different cell → kept
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(emb, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+  }
 }
