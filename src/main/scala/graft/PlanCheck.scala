@@ -263,7 +263,10 @@ object PlanCheck {
         f("smj") + f("shj") + f("cartesian") == 0),
     Rule("stream_topk_users", "stateful top-k: one keyed state exchange, no join",
       f => f("exchange") <= 2 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_join_asof_native", "native merge operator: no SMJ/window fallback, SMJ-like exchange budget, type filters pushed",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
+        f("exchange") <= 4 && f("pushed_filters") >= 2))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

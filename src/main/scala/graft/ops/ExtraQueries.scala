@@ -922,6 +922,39 @@ object ExtraQueries {
            |  ON p.user_id = v.user_id AND p.ts >= v.view_ts
            |ORDER BY p.event_id""".stripMargin))
 
+  /** The NATIVE as-of join ([[graft.plans.AsOfJoinExec]] — custom
+    * LogicalPlan + SparkStrategy + SparkPlan, the whole-operator
+    * extension tier): same purchases⟕views shape and the same DuckDB
+    * `ASOF LEFT JOIN` oracle as `op_join_asof`, so the two
+    * implementations are pinned to identical semantics while the plan
+    * swaps the union+window for a co-partitioned streaming merge.
+    */
+  val joinAsOfNative = OpQ("op_join_asof_native",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_event_id"),
+          expr("max_by(value, event_id)").as("view_value"))
+      graft.plans.AsOfJoin.asOfJoin(purchases, views, "user_id", "ts", "view_ts")
+        .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH purchases AS (
+           |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events WHERE event_type = 'purchase'),
+           |views AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+           |    MAX(event_id) AS view_event_id, ARG_MAX(value, event_id) AS view_value
+           |  FROM events WHERE event_type = 'view'
+           |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+           |SELECT p.event_id, p.user_id, v.view_event_id, v.view_value
+           |FROM purchases p ASOF LEFT JOIN views v
+           |  ON p.user_id = v.user_id AND p.ts >= v.view_ts
+           |ORDER BY p.event_id""".stripMargin))
+
   /** Range join via bucketing: quantity bands × lineitem, planned as an
     * equi join on bucket ids + residual filter instead of a nested-loop
     * product. Oracle: the plain non-equi join over the same VALUES bands.
@@ -1419,7 +1452,7 @@ object ExtraQueries {
            |       ELSE list_filter(le, e -> e.k = 'O')[1].v END AS n_open
            |FROM m ORDER BY o_orderpriority""".stripMargin))
 
-  val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinRange, joinBucketed,
+  val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions,
     sequenceMatch, anomalyZscore, incrAggMerge, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,
