@@ -266,7 +266,16 @@ object PlanCheck {
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("op_join_asof_native", "native merge operator: no SMJ/window fallback, SMJ-like exchange budget, type filters pushed",
       f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
-        f("exchange") <= 4 && f("pushed_filters") >= 2))
+        f("exchange") <= 4 && f("pushed_filters") >= 2),
+    Rule("op_histogram_equifreq", "exact ntile path: one global-sort exchange, map-side partial agg, no join",
+      f => f("exchange") <= 1 && f("partial_agg") >= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_skew_diagnose", "key rollup map-side combined; only the 1-row global frame joins; top-5 via TakeOrdered",
+      f => f("partial_agg") >= 2 && f("topk") >= 1 && f("bnlj") <= 1 &&
+        f("smj") + f("shj") + f("cartesian") == 0),
+    Rule("stream_gap_detect", "one keyed window shuffle, no join",
+      f => f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -1452,8 +1452,64 @@ object ExtraQueries {
            |       ELSE list_filter(le, e -> e.k = 'O')[1].v END AS n_open
            |FROM m ORDER BY o_orderpriority""".stripMargin))
 
+  /** Equal-frequency binning (`ntile`) — the feature-engineering
+    * counterpart of `op_histogram`'s equal-width buckets: 8 buckets of
+    * (near-)equal population over order totals, reported with exact
+    * boundaries and counts. The total order (cents, key) makes ntile's
+    * row assignment engine-independent. At corpus scale the global sort
+    * behind an exact ntile is the cost — production pipelines take
+    * boundaries from `approx_percentile` instead (`op_approx_quantile`);
+    * this gate pins the exact semantics.
+    */
+  val histogramEquifreq = OpQ("op_histogram_equifreq",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("cents"), col("o_orderkey"))
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), Relational.cents(col("o_totalprice")).as("cents"))
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH b AS (
+           |  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           |    CAST(ntile(8) OVER (ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+           |                        o_orderkey) AS BIGINT) AS bucket
+           |  FROM orders)
+           |SELECT bucket, COUNT(*) AS n,
+           |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+           |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Skew diagnostics — the pre-flight check before keying a 100 TB
+    * shuffle: per-key population for lineitem's supplier key, the top-5
+    * heaviest keys with their corpus share, and each key's ratio to the
+    * mean (ppm, exact integer) — the number that says "salt this join"
+    * ([[Relational.saltedJoin]]) or "enable AQE skew handling". One
+    * map-side-combined count + a 1-row global frame broadcast back.
+    */
+  val skewDiagnose = OpQ("op_skew_diagnose",
+    (s, d) => {
+      val counts = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("l_suppkey"), col("cnt"),
+          expr("cnt * 1000000L div n_rows").as("share_ppm"),
+          expr("cnt * n_keys * 1000000L div n_rows").as("vs_mean_ppm"))
+        .orderBy(col("cnt").desc, col("l_suppkey")).limit(5)
+    },
+    Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |        CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c)
+           |SELECT l_suppkey, cnt,
+           |  (cnt * 1000000) // n_rows AS share_ppm,
+           |  (cnt * n_keys * 1000000) // n_rows AS vs_mean_ppm
+           |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
-    tableDiff, interpLinear, mapFunctions,
+    tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
     sequenceMatch, anomalyZscore, incrAggMerge, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,
     recursiveCte, unpivot, joinLateral,

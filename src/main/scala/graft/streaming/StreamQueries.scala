@@ -240,7 +240,27 @@ object StreamQueries {
            |SELECT hour_us, rank, user_id, n FROM r WHERE rank <= 3
            |ORDER BY hour_us, rank""".stripMargin))
 
+  /** Gap analysis ([[Streams.gapsBatch]]): in-data silences > 2h per
+    * user as lag pairs — the SQL-oracleable twin of the streaming
+    * event-time-timeout silence detector
+    * ([[Streams.silenceDetectStateful]], StreamingSpec-gated).
+    */
+  val gapDetect = OpQ("stream_gap_detect",
+    (s, d) => Streams.gapsBatch(ev(s, d))
+      .orderBy(col("user_id"), col("prev_ts")),
+    Some("""WITH g AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           |    LAG(CAST(ts AS TIMESTAMP), 1) OVER
+           |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+           |  FROM events)
+           |SELECT user_id, CAST(prev AS STRING) AS prev_ts,
+           |  CAST(ts AS STRING) AS next_ts,
+           |  (epoch_us(ts) - epoch_us(prev)) // 60000000 AS gap_minutes
+           |FROM g WHERE prev IS NOT NULL
+           |  AND epoch_us(ts) - epoch_us(prev) > CAST(7200000000 AS BIGINT)
+           |ORDER BY user_id, prev_ts""".stripMargin))
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
     attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter,
-    attributionFull, approxUsers, topUsers)
+    attributionFull, approxUsers, topUsers, gapDetect)
 }

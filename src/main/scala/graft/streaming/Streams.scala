@@ -290,6 +290,71 @@ object Streams {
       .toDF()
   }
 
+  final case class UserGap(user_id: Long, prev_ts: String, next_ts: String, gap_minutes: Long)
+  final case class SilentUser(user_id: Long, last_ts: String)
+
+  /** Batch gap analysis — every in-data silence longer than `gapMinutes`
+    * per user, as (prev, next) event pairs: the lag-window form with a
+    * direct SQL oracle. The streaming-native twin is
+    * [[silenceDetectStateful]], which also surfaces the OPEN-ENDED case
+    * (a user silent since their last event) that a lag over landed data
+    * cannot see until the next event arrives.
+    */
+  def gapsBatch(events: DataFrame, gapMinutes: Int = 120): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .filter(col("__prev").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("__prev")) >
+          lit(gapMinutes * 60L * 1000000L))
+      .select(col("user_id"),
+        col("__prev").cast("string").as("prev_ts"),
+        col("ts").cast("string").as("next_ts"),
+        expr("(unix_micros(ts) - unix_micros(__prev)) div 60000000L")
+          .as("gap_minutes"))
+  }
+
+  /** Streaming silence detection — the missed-heartbeat monitor:
+    * `flatMapGroupsWithState` with an EVENT-TIME timeout per user. Each
+    * user's state holds only their latest event time; the timeout is
+    * re-armed `gapMinutes` past it, and when the WATERMARK (not wall
+    * clock — replays behave identically) passes that deadline with no
+    * new event, one `(user, last_ts)` row is emitted and the state is
+    * dropped. This is the stateful-timeout pattern none of the windowed
+    * operators can express: the trigger is the ABSENCE of data. State is
+    * one timestamp per active user and every timed-out key is evicted,
+    * so it is bounded by concurrently-active users, not stream history.
+    * (Batch runs never time out by definition — batch gap analysis is
+    * [[gapsBatch]].)
+    */
+  def silenceDetectStateful(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 120): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(SilentUser(userId,
+              new java.sql.Timestamp(last).toString))
+          } else {
+            val latest = (rows.map(_._2.getTime) ++ state.getOption.iterator).max
+            state.update(latest)
+            state.setTimeoutTimestamp(latest + gapMs)
+            Iterator.empty
+          }
+        })
+      .toDF()
+  }
+
   /** Streaming heavy hitters: per-hour top-`k` most active users via a
     * bounded Misra–Gries summary in `flatMapGroupsWithState`, keyed by
     * the hour bucket. Each update folds the batch's events into the

@@ -344,6 +344,39 @@ class StreamingSpec extends SparkSpec {
       "stream top-k disagrees with batch replay")
   }
 
+  test("silenceDetectStateful: event-time timeout fires when the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = Streams.silenceDetectStateful(spark, events, gapMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("silence_out")
+      .start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      // batch 1: users 1 and 2 both alive at t0
+      in.addData((1L, t0), (2L, t0))
+      q.processAllAvailable()
+      assert(spark.table("silence_out").isEmpty, "nothing may time out yet")
+      // batch 2: only user 2 speaks again, 5h later — the watermark
+      // (max event time − 10 min) passes user 1's t0+60min deadline
+      in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      // one more batch so the timeout (evaluated against the advanced
+      // watermark) gets a micro-batch to fire in
+      in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 15:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("silence_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(got.toSeq.map(_._1) === Seq(1L),
+        s"expected exactly user 1 silent, got ${got.toSeq}")
+      assert(got.head._2.startsWith("2024-01-01 10:00:00"),
+        s"silence anchored at the last seen event, got ${got.head._2}")
+    } finally q.stop()
+  }
+
   test("topUsersStateful: Misra-Gries keeps a dominant key under overflow") {
     import spark.implicits._
     // 1 hour of data: user 7 appears 60x, 200 distinct one-shot users,
