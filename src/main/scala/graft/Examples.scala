@@ -135,6 +135,25 @@ object Examples {
       exactPlan.contains("approx_count_distinct") + " flagged_plan_hll=" +
       approxPlan.contains("approx_count_distinct") + s" approx_n=$approxN")
 
+    // example11: the builder-registered PLANNER STRATEGY — the native
+    // as-of join node plans through this session's withExtensions
+    // registration alone (no live-session install call), proving the
+    // spark.sql.extensions deployment path end-to-end
+    locally {
+      import spark.implicits._
+      val trades = Seq((1L, 10L), (1L, 30L)).toDF("k", "t")
+      val quotes = Seq((1L, 5L, "q5"), (1L, 15L, "q15")).toDF("qk", "qt", "v")
+      val lp = trades.queryExecution.analyzed
+      val rp = quotes.queryExecution.analyzed
+      def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val joined = org.apache.spark.sql.GraftPlanBuilder.ofRows(spark,
+        graft.plans.AsOfJoinNode(lp, rp,
+          Seq(a(lp, "k")), Seq(a(rp, "qk")), a(lp, "t"), a(rp, "qt")))
+      val vs = joined.orderBy("t").collect().map(_.getAs[String]("v"))
+      println(s"example11(native asof via builder extensions): ${vs.mkString(",")}")
+    }
+
     spark.stop()
   }
 }
