@@ -275,7 +275,10 @@ object PlanCheck {
         f("smj") + f("shj") + f("cartesian") == 0),
     Rule("stream_gap_detect", "one keyed window shuffle, no join",
       f => f("exchange") <= 2 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_dedup_winnow", "fingerprint inverted-index join (equi, never nested-loop); length filter pushed; pair ranking via TakeOrdered",
+      f => f("cartesian") + f("bnlj") == 0 && f("pushed_filters") >= 1 &&
+        f("partial_agg") >= 2 && f("topk") >= 1))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -524,6 +524,50 @@ object Dedup {
     * the same one-pass shape as [[exactDedup]], applied to the address
     * instead of the content.
     */
+  /** Char-level substring-overlap detection via WINNOWING (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003) — the distributable answer to
+    * suffix-array substring dedup (Lee et al. 2022 use a global suffix
+    * array; winnowing gets the same "shared span of length ≥ t" signal
+    * with per-document work + one inverted-index join). Per document:
+    * Horner-polynomial hashes of every `k`-char gram (exact BIGINT —
+    * max code 65535 · 31⁷ · 8 < 2⁶³), then the minimum hash of each
+    * window of `w` consecutive gram hashes. GUARANTEE: any shared
+    * substring of length ≥ w+k−1 contains a full hash window on both
+    * sides, whose minimum is selected identically — the pair WILL share
+    * a fingerprint (DedupSpec pins this). Pairs ranked by shared
+    * fingerprint count.
+    *
+    * Scale: fingerprint density is ~2/(w+1) per char (the winnowing
+    * paper's bound), so the exploded index is a fraction of corpus
+    * chars; the self-join shuffles on 8-byte fingerprints with
+    * Σ bucket² cost like every inverted-index dedup here — df-cap hot
+    * fingerprints (boilerplate) exactly as [[ngramJaccardPairs]] does.
+    * Documents shorter than w+k−1 chars produce no fingerprints and
+    * drop out before the join.
+    */
+  def winnowedOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      topK: Int = 50, textCol: String = "text"): DataFrame = {
+    require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
+    val grams =
+      s"""transform(sequence(1, length($textCol) - ${k - 1}),
+         |  i -> aggregate(sequence(0, ${k - 1}), 0L,
+         |    (acc, j) -> acc * 31L + ascii(substring($textCol, CAST(i + j AS INT), 1))))"""
+        .stripMargin
+    val winnowed =
+      s"""array_distinct(transform(sequence(1, size(__hs) - ${w - 1}),
+         |  j -> array_min(slice(__hs, j, $w))))""".stripMargin
+    val fps = docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col("doc_id"), expr(grams).as("__hs"))
+      .select(col("doc_id"), explode(expr(winnowed)).as("fp"))
+    val a = fps.select(col("doc_id").as("a_id"), col("fp"))
+    val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+    a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+      .limit(topK)
+  }
+
   def urlDedup(df: DataFrame, urlCol: String, idCol: String = "doc_id"): DataFrame =
     df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
       .groupBy(col("canonical_url"))

@@ -1284,8 +1284,33 @@ object LlmQueries {
            |  LEAST((200 * w_m) // sumw, n_docs) AS allocation
            |FROM w, t ORDER BY source""".stripMargin))
 
+  /** Winnowing substring-overlap pairs ([[Dedup.winnowedOverlapPairs]],
+    * SIGMOD'03): char-level k=8 Horner-hash grams, w=4 window minima,
+    * pairs ranked by shared fingerprints. The oracle replays the
+    * identical integer pipeline with DuckDB list lambdas (list_reduce
+    * Horner starts at the first element — equal to the 0-seeded fold).
+    */
+  val dedupWinnow = OpQ("llm_dedup_winnow",
+    (s, d) => Dedup.winnowedOverlapPairs(docs(s, d)),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+           |h AS (SELECT doc_id,
+           |        list_transform(range(1, length(text) - 6),
+           |          i -> list_reduce(list_transform(range(0, 8),
+           |                 j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+           |               (acc, x) -> acc * 31 + x)) AS hs
+           |      FROM d),
+           |wnd AS (SELECT doc_id,
+           |          list_distinct(list_transform(range(1, len(hs) - 2),
+           |            j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+           |        FROM h),
+           |f AS (SELECT doc_id, UNNEST(fps) AS fp FROM wnd)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+           |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 ORDER BY n_shared DESC, a_id, b_id LIMIT 50""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
     textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
+    dedupWinnow,
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,

@@ -377,4 +377,29 @@ class DedupSpec extends SparkSpec {
     assert(recalled.toDouble / exact.size >= 0.9,
       s"minhash recall $recalled/${exact.size} below 0.9")
   }
+
+  test("winnowing guarantee: any shared substring of length >= w+k-1 is detected") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"zeta eta $shared theta iota kappa"),
+      (3L, "completely unrelated content with different words entirely"),
+      (4L, "ABCDEFGHIJKLMNOPQRSTUVWXYZ 0123456789 XYZZY PLUGH")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedOverlapPairs(docs, k = 8, w = 4, topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the 44-char shared span is far above the w+k-1 = 11 guarantee bound
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missed: $pairs")
+    assert(pairs((1L, 2L)) >= 5, s"expected many shared fingerprints: ${pairs((1L, 2L))}")
+    // disjoint-alphabet docs share nothing
+    assert(!pairs.contains((3L, 4L)), s"false overlap: $pairs")
+  }
+
+  test("winnowedOverlapPairs is deterministic under repartitioning") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Dedup.winnowedOverlapPairs(docs).collect().map(_.toSeq).toSeq
+    val b = Dedup.winnowedOverlapPairs(docs.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
