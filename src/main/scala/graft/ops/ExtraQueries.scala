@@ -65,6 +65,49 @@ object ExtraQueries {
            |SELECT node, MIN(lbl) AS component FROM walk
            |GROUP BY node ORDER BY node""".stripMargin))
 
+  /** Fixed-iteration PageRank ([[Relational.pageRank]]) on the
+    * customer→order residue graph — 3 damped iterations in exact ppb
+    * integer arithmetic, so the DuckDB oracle literally unrolls the
+    * same fold (base + two joins + left-join damping per step) and
+    * hash-matches bit-for-bit: the iterative-algorithm twin of
+    * `op_graph_components`' recursive-CTE gate.
+    */
+  val graphPageRank = OpQ("op_graph_pagerank",
+    (s, d) => {
+      val e = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") < 20000)
+        .select((col("o_custkey") % 100).as("src"), (col("o_orderkey") % 100).as("dst"))
+      Relational.pageRank(e, iterations = 3).orderBy(col("node"))
+    },
+    Some("""WITH e AS (
+           |  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+           |  FROM orders WHERE o_orderkey < 20000),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+           |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+           |r0 AS (SELECT node, 1000000000 // (SELECT COUNT(*) FROM nodes) AS r FROM nodes),
+           |i1 AS (
+           |  SELECT n.node, (15 * (1000000000 // (SELECT COUNT(*) FROM nodes))
+           |                  + 85 * COALESCE(s.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(r0.r // deg.d) AS BIGINT) AS s
+           |    FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.node = e.src
+           |    GROUP BY e.dst) s ON s.dst = n.node),
+           |i2 AS (
+           |  SELECT n.node, (15 * (1000000000 // (SELECT COUNT(*) FROM nodes))
+           |                  + 85 * COALESCE(s.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(i1.r // deg.d) AS BIGINT) AS s
+           |    FROM e JOIN deg ON deg.src = e.src JOIN i1 ON i1.node = e.src
+           |    GROUP BY e.dst) s ON s.dst = n.node),
+           |i3 AS (
+           |  SELECT n.node, (15 * (1000000000 // (SELECT COUNT(*) FROM nodes))
+           |                  + 85 * COALESCE(s.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(i2.r // deg.d) AS BIGINT) AS s
+           |    FROM e JOIN deg ON deg.src = e.src JOIN i2 ON i2.node = e.src
+           |    GROUP BY e.dst) s ON s.dst = n.node)
+           |SELECT node, r AS rank_ppb FROM i3 ORDER BY node""".stripMargin))
+
   /** Exact bivariate stats ([[Relational.exactCorr]]): covariance and
     * Pearson correlation from six exact integer sums with one deterministic
     * closed form, spelled identically in the oracle — bit-reproducible
@@ -1157,6 +1200,52 @@ object ExtraQueries {
            |  MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS max_cents
            |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
 
+  /** Incremental DISTINCT maintenance ([[Relational.distinctSketchState]]
+    * / [[mergeDistinctSketches]]): per-priority customer sketches built
+    * on two date halves merge to the full-data sketch without a rescan.
+    * No DuckDB oracle (DataSketches binary/estimator differs); the
+    * merged≡single-pass identity and the accuracy bound are
+    * RelationalSpec gates.
+    */
+  val incrDistinctSketch = OpQ("op_incr_distinct_sketch",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
+      val history = Relational.distinctSketchState(
+        orders.filter(col("o_orderdate") < "1997-01-01"),
+        col("o_custkey"), Seq("o_orderpriority"))
+      val delta = Relational.distinctSketchState(
+        orders.filter(col("o_orderdate") >= "1997-01-01"),
+        col("o_custkey"), Seq("o_orderpriority"))
+      Relational.mergeDistinctSketches(Seq(history, delta), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_distinct_approx"))
+        .orderBy(col("o_orderpriority"))
+    },
+    None)
+
+  /** EXACT incremental DISTINCT maintenance
+    * ([[Relational.distinctBitmapState]] / [[mergeDistinctBitmaps]]):
+    * same two-half merge as `op_incr_distinct_sketch`, but over bucketed
+    * bitmaps whose OR-combine loses nothing — so this one IS
+    * oracle-gated, bit-exact against DuckDB's full-data
+    * COUNT(DISTINCT).
+    */
+  val incrDistinctExact = OpQ("op_incr_distinct_exact",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
+      val history = Relational.distinctBitmapState(
+        orders.filter(col("o_orderdate") < "1997-01-01"),
+        col("o_custkey"), Seq("o_orderpriority"))
+      val delta = Relational.distinctBitmapState(
+        orders.filter(col("o_orderdate") >= "1997-01-01"),
+        col("o_custkey"), Seq("o_orderpriority"))
+      Relational.mergeDistinctBitmaps(Seq(history, delta), Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** Higher-order array function surface — transform / filter / aggregate
     * (fold) / sort / distinct / slice / position / contains / flatten,
     * the lambda-expression layer both engines ship natively. Every
@@ -1510,10 +1599,12 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
-    sequenceMatch, anomalyZscore, incrAggMerge, arrayFunctions,
+    sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch,
+    incrDistinctExact, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,
     recursiveCte, unpivot, joinLateral,
-    setUnionByName, explodeGenerator, graphComponents, mergeUpsert, mergeScd2,
+    setUnionByName, explodeGenerator, graphComponents, graphPageRank,
+    mergeUpsert, mergeScd2,
     cdcApply, histogram, stringAgg,
     joinBloomPrefilter, statsCorr,
     approxCountDistinct, approxQuantile, percentileExact, jsonFunctions,

@@ -520,6 +520,74 @@ object Relational {
     }
   }
 
+  /** Fixed-iteration PageRank over a directed edge list, in EXACT
+    * integer arithmetic: ranks live on a `scale`-denominator grid
+    * (default ppb), every contribution is `rank div out-degree` and the
+    * damping fold is `((100−d)·base + d·Σin) div 100` — all BIGINT ops
+    * whose partial sums are order-independent, so the result is
+    * bit-reproducible under any partitioning AND bit-equal to a DuckDB
+    * oracle spelling the same unrolled fold (`op_graph_pagerank`).
+    * Floating-point PageRank can't be cross-engine-gated at all (sum
+    * order changes the bits); the integer grid trades ≤1 ulp-of-grid
+    * truncation per step for exactness of the gate.
+    *
+    * Dangling-node mass (nodes with no out-edges) is dropped rather
+    * than redistributed — the common sparse-web simplification; ranks
+    * then sum to < `scale` but the ORDERING, the gate, and the
+    * fixed-point shape are unaffected, and both engines drop it
+    * identically.
+    *
+    * At 100 TB: each iteration is one edges⋈ranks shuffle on `src` plus
+    * one `dst` aggregation — the same two-shuffle round GraphX's
+    * Pregel-style PageRank pays, with Catalyst free to broadcast the
+    * (nodes-sized, usually small) rank table. Iteration plans are
+    * flattened per round so the lineage doesn't grow with iteration
+    * count.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      dampingPct: Long = 85L, scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .distinct().persist()
+    try {
+      val nodes = e.select(col("__src").as("node"))
+        .union(e.select(col("__dst").as("node"))).distinct().persist()
+      try {
+        val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+        // One scalar action: the node count fixes the uniform start mass.
+        val base = scale / nodes.count()
+        // `cached` is the persisted handle (the one that can unpersist);
+        // `ranks` is its plan-flattened view — see GraftBridge.flattenPlan
+        // on why both are needed.
+        var cached = nodes.select(col("node"), lit(base).as("rank_ppb")).persist()
+        try {
+          cached.count()
+          var ranks = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
+          for (_ <- 1 to iterations) {
+            val contrib = e.join(deg, "__src")
+              .join(ranks, col("__src") === col("node"))
+              .groupBy(col("__dst"))
+              .agg(sum(expr("rank_ppb div __deg")).as("__s"))
+            val next = nodes
+              .join(contrib, col("node") === col("__dst"), "left")
+              .select(col("node"),
+                expr(s"((${100L - dampingPct}L * ${base}L) + " +
+                  s"(${dampingPct}L * coalesce(__s, 0L))) div 100L")
+                  .as("rank_ppb"))
+              .persist()
+            next.count() // materialize before dropping the previous round
+            cached.unpersist()
+            cached = next
+            ranks = org.apache.spark.sql.GraftBridge.flattenPlan(next)
+          }
+          ranks.localCheckpoint(true)
+        } finally cached.unpersist()
+      } finally nodes.unpersist()
+    } finally e.unpersist()
+  }
+
   /** Exact bivariate statistics (covariance, Pearson correlation) from six
     * integer sums — the same cross-engine bit-exactness recipe as
     * [[exactMoments]]: inputs are floored to integers, the per-group sums
@@ -658,6 +726,78 @@ object Relational {
         sum(value).as("sum_v"),
         min(value).as("min_v"),
         max(value).as("max_v"))
+
+  /** Per-key DISTINCT-count state for [[mergeDistinctSketches]] — the
+    * holistic-aggregate counterpart of [[aggState]]: exact distincts
+    * don't merge (yesterday's count + today's count double-counts
+    * returning keys), but DataSketches HLL sketches DO — union is their
+    * combine. State per key is a fixed-size sketch (`lgConfigK`
+    * buckets), so the incremental pipeline stores KBs per key
+    * regardless of value cardinality.
+    */
+  def distinctSketchState(df: DataFrame, value: Column,
+      keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(value).as("sketch"))
+
+  /** Merge per-key HLL distinct states and estimate — incremental
+    * distinct-count maintenance: yesterday's stored sketches + today's
+    * batch sketches union into a state with the SAME accuracy guarantee
+    * as a full-data sketch (union loses nothing of the HLL error bound;
+    * the register encoding — and so the point estimate — may differ
+    * slightly from a single-pass build due to sparse/dense mode
+    * promotion), one groupBy over |keys| sketch rows instead of a
+    * full-history rescan. Completes the [[mergeAggStates]] story for
+    * the aggregate class it documents as non-mergeable.
+    */
+  def mergeDistinctSketches(states: Seq[DataFrame],
+      keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "at least one state frame required")
+    states.foreach(st => require(st.columns.contains("sketch"),
+      "state frames must carry a 'sketch' column"))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+      .withColumn("n_distinct_approx", hll_sketch_estimate(col("sketch")))
+  }
+
+  /** Per-key EXACT mergeable DISTINCT state — the exact tier above
+    * [[distinctSketchState]] for integral values: each (key, bucket)
+    * row stores a fixed 4 KB bitmap of which of the bucket's 32768 bit
+    * positions occur (`bitmap_construct_agg`). Bitmap OR is the
+    * combine, so unlike a materialized COUNT(DISTINCT) this state
+    * merges across batches with NO error at all; the trade is state
+    * size proportional to the VALUE RANGE (one bucket row per occupied
+    * 32768-value span) where the HLL sketch is constant-size. Pick by
+    * domain: dense integral ids → bitmap (exact), open-ended / non-
+    * integral values → sketch.
+    */
+  def distinctBitmapState(df: DataFrame, value: Column,
+      keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col) :+ bitmap_bucket_number(value).as("bucket"): _*)
+      .agg(bitmap_construct_agg(bitmap_bit_position(value)).as("bitmap"))
+
+  /** Merge per-key bitmap distinct states and count — exact incremental
+    * distinct maintenance: OR the bitmaps per (key, bucket)
+    * (`bitmap_or_agg`), then sum the per-bucket population counts. A
+    * value present in any batch sets the same bit in the same bucket,
+    * so the merged count IS the full-data COUNT(DISTINCT) — gated
+    * bit-exact against DuckDB's COUNT(DISTINCT) by
+    * `op_incr_distinct_exact`, where the HLL twin can only be
+    * rows+spec-gated.
+    */
+  def mergeDistinctBitmaps(states: Seq[DataFrame],
+      keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "at least one state frame required")
+    states.foreach(st => require(
+      Seq("bucket", "bitmap").forall(st.columns.contains),
+      "state frames must carry 'bucket' and 'bitmap' columns"))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(bitmap_or_agg(col("bitmap")).as("bitmap"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(bitmap_count(col("bitmap"))).as("n_distinct"))
+  }
 
   /** Snapshot diff — classify every key of snapshot `b` against snapshot
     * `a` as `added` / `removed` / `changed` (value columns compared

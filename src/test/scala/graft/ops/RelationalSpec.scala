@@ -334,6 +334,82 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq === Seq(100L, 100L, 200L, 300L, 400L, 400L))
   }
 
+  test("merged distinct sketches track exact and the single-pass estimate") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
+    val halves = Seq(
+      orders.filter(col("o_orderdate") < "1997-01-01"),
+      orders.filter(col("o_orderdate") >= "1997-01-01"))
+      .map(h => Relational.distinctSketchState(h, col("o_custkey"), Seq("o_orderpriority")))
+    val merged = Relational.mergeDistinctSketches(halves, Seq("o_orderpriority"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct_approx")).toMap
+    val onePass = Relational.mergeDistinctSketches(
+      Seq(Relational.distinctSketchState(orders, col("o_custkey"), Seq("o_orderpriority"))),
+      Seq("o_orderpriority"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct_approx")).toMap
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the merged state keeps the sketch's accuracy bound: within 5% of
+    // exact AND of the single-pass build (register encodings may differ
+    // after sparse/dense promotion, so bit-identity is NOT the contract)
+    exact.foreach { case (p, e) =>
+      assert(math.abs(merged(p) - e).toDouble / e < 0.05,
+        s"$p: merged ${merged(p)} vs exact $e")
+      assert(math.abs(merged(p) - onePass(p)).toDouble / onePass(p) < 0.05,
+        s"$p: merged ${merged(p)} vs single-pass ${onePass(p)}")
+    }
+  }
+
+  test("pageRank matches a single-machine integer reference on a known graph") {
+    import spark.implicits._
+    // star-ish graph with a cycle and a dangling node (4 has no out-edges)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 4L))
+    val got = Relational.pageRank(edges.toDF("src", "dst"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: same fold, plain Scala longs
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val base = 1000000000L / nodes.size
+    var r = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 4) {
+      val in = nodes.map { v =>
+        v -> out.collect { case (u, ds) if ds(v) => r(u) / ds.size }.sum
+      }.toMap
+      r = nodes.map(v => v -> (15L * base + 85L * in(v)) / 100L).toMap
+    }
+    assert(got === r)
+    // mass is conserved up to truncation + the dropped dangling share
+    assert(got.values.sum <= 1000000000L && got.values.sum > 0L)
+  }
+
+  test("pageRank is deterministic under repartitioning") {
+    import spark.implicits._
+    val e = (1 to 400).map(i => ((i * 7 % 53).toLong, (i * 11 % 53).toLong))
+    val a = Relational.pageRank(e.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = Relational.pageRank(e.toDF("src", "dst").repartition(13), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(a === b)
+  }
+
+  test("merged distinct bitmaps equal exact COUNT(DISTINCT)") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
+    val thirds = Seq(
+      orders.filter(col("o_orderdate") < "1995-01-01"),
+      orders.filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1997-01-01"),
+      orders.filter(col("o_orderdate") >= "1997-01-01"))
+      .map(h => Relational.distinctBitmapState(h, col("o_custkey"), Seq("o_orderpriority")))
+    val merged = Relational.mergeDistinctBitmaps(thirds, Seq("o_orderpriority"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === exact) // bitmap OR loses nothing — equality, not a bound
+  }
+
   test("interpolateLinear floors non-integral interpolants deterministically") {
     val df = Seq(
       (0L, java.lang.Long.valueOf(0L)), (1L, null.asInstanceOf[java.lang.Long]),
