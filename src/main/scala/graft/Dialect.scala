@@ -81,6 +81,7 @@ object Dialect {
     case "postgres" | "postgresql" => Postgresish
     case "sqlite" => SqliteIsh
     case "oracle" => OracleIsh
+    case "tsql" | "mssql" | "sqlserver" => TsqlIsh
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -318,6 +319,41 @@ object Dialect {
         rewriteOracleRownum,
         s => rewriteWord(s, "MINUS", "EXCEPT"),
         s => rewriteWord(s, "SYSDATE", "current_timestamp()"))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** T-SQL-ish (SQL Server) surface: `SELECT TOP n` → LIMIT (subquery-
+    * and UNION-aware placement), `[bracket]` identifiers → backticks,
+    * `CONVERT(type, expr)` → CAST with SQL Server type names mapped,
+    * `DATEADD`/`DATEDIFF`/`DATEPART` with T-SQL part abbreviations
+    * (DATEDIFF counts boundary crossings; weeks roll at Sunday per
+    * `@@DATEFIRST = 7`), and renames `ISNULL`→coalesce, `IIF`→if,
+    * `CHARINDEX`→locate (same argument order), `LEN`→length,
+    * `GETDATE`/`SYSDATETIME`→current_timestamp, `REPLICATE`→repeat.
+    * `SUBSTRING`, `UPPER`/`LOWER`, `COALESCE`, `NULLIF`, CASE are
+    * Spark-native pass-throughs. `+` as string concatenation is NOT
+    * translated (it is type-dependent in T-SQL and indistinguishable
+    * from addition without schema inference) — use CONCAT. T-SQL string
+    * literals escape by quote doubling only, so backslashes are escaped
+    * for Spark's parser like DuckDB's.
+    */
+  case object TsqlIsh extends Dialect {
+    private val renames = Map(
+      "isnull" -> "coalesce", "iif" -> "if", "charindex" -> "locate",
+      "len" -> "length", "getdate" -> "current_timestamp",
+      "sysdatetime" -> "current_timestamp", "replicate" -> "repeat")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        rewriteBracketIdents,
+        rewriteTsqlTop,
+        rewriteTsqlConvert,
+        rewriteTsqlDateAdd,
+        rewriteTsqlDateDiff,
+        rewriteTsqlDatePart,
+        s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -948,20 +984,25 @@ object Dialect {
     * DATE inputs DATE (date_add/add_months), sub-day parts go through
     * `timestampadd`.
     */
+  /** Spark spelling of part-wise date addition — shared by the Snowflake
+    * and T-SQL DATEADD rewrites (identical (part, n, expr) signature and
+    * calendar semantics in both dialects).
+    */
+  private def dateAddExpr(part: String, n: String, x: String): String =
+    part match {
+      case "day" => s"date_add($x, ($n))"
+      case "week" => s"date_add($x, 7 * ($n))"
+      case "month" => s"add_months($x, ($n))"
+      case "quarter" => s"add_months($x, 3 * ($n))"
+      case "year" => s"add_months($x, 12 * ($n))"
+      case sub => s"timestampadd(${sub.toUpperCase}, ($n), $x)"
+    }
+
   private[graft] def rewriteSnowDateAdd(sql: String): String =
     rewriteCall(sql, "dateadd", esc = true) { (fn, args) =>
       if (args.length != 3)
         throw new graft.UnsupportedError(s"$fn expects (part, n, expr)")
-      val n = args(1)
-      val x = args(2)
-      snowPart(args(0), fn) match {
-        case "day" => s"date_add($x, ($n))"
-        case "week" => s"date_add($x, 7 * ($n))"
-        case "month" => s"add_months($x, ($n))"
-        case "quarter" => s"add_months($x, 3 * ($n))"
-        case "year" => s"add_months($x, 12 * ($n))"
-        case sub => s"timestampadd(${sub.toUpperCase}, ($n), $x)"
-      }
+      dateAddExpr(snowPart(args(0), fn), args(1), args(2))
     }
 
   /** Count of `part` boundaries crossed from `start` to `end` — Snowflake's
@@ -1466,6 +1507,169 @@ object Dialect {
     out.append(sql.substring(last))
     out.toString
   }
+
+  // ---- T-SQL-ish helpers --------------------------------------------------
+
+  /** Normalize a T-SQL date-part argument (SQL Server's abbreviation set:
+    * `yy`/`yyyy`, `qq`/`q`, `mm`/`m`, `wk`/`ww`, `dd`/`d`, `hh`,
+    * `mi`/`n`, `ss`/`s`). Unknown parts raise.
+    */
+  private def tsqlPart(arg: String, fn: String): String = {
+    val p = arg.stripPrefix("'").stripSuffix("'").toLowerCase
+    val canon = Map(
+      "year" -> "year", "yy" -> "year", "yyyy" -> "year",
+      "quarter" -> "quarter", "qq" -> "quarter", "q" -> "quarter",
+      "month" -> "month", "mm" -> "month", "m" -> "month",
+      "week" -> "week", "wk" -> "week", "ww" -> "week",
+      "day" -> "day", "dd" -> "day", "d" -> "day",
+      "hour" -> "hour", "hh" -> "hour",
+      "minute" -> "minute", "mi" -> "minute", "n" -> "minute",
+      "second" -> "second", "ss" -> "second", "s" -> "second")
+    canon.getOrElse(p,
+      throw new graft.UnsupportedError(s"$fn date part '$p' is not supported"))
+  }
+
+  /** `[bracket]` identifiers → backtick identifiers (T-SQL's quoting;
+    * brackets cannot nest and `]` cannot appear inside, so a flat scan is
+    * exact). Literal spans untouched.
+    */
+  private[graft] def rewriteBracketIdents(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val re = """\[([^\[\]]+)\]""".r
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
+      out.append(sql.substring(last, m.start))
+        .append('`').append(m.group(1)).append('`')
+      last = m.end
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
+
+  /** `SELECT TOP n …` / `SELECT TOP (n) …` → `SELECT … LIMIT n`, with the
+    * LIMIT inserted at the END of that SELECT's scope: the first `)` that
+    * closes an enclosing paren, a same-depth set-operation keyword, or
+    * end-of-string — so TOP works inside subqueries and on either side of
+    * a UNION. `TOP n PERCENT` and `WITH TIES` have no LIMIT equivalent and
+    * raise.
+    */
+  private[graft] def rewriteTsqlTop(sql: String): String = {
+    val re = """(?i)\bSELECT\s+TOP\s+\(?\s*(\d+)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
+    val setOps = Seq("UNION", "INTERSECT", "EXCEPT")
+    var cur = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val spans = literalSpans(cur, backslashEscapes = true)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
+        if (m.group(2) != null)
+          throw new graft.UnsupportedError("TOP n PERCENT is not supported")
+        if (m.group(3) != null)
+          throw new graft.UnsupportedError("TOP … WITH TIES is not supported")
+        val n = m.group(1)
+        var i = m.end
+        var depth = 0
+        var insertAt = cur.length
+        var found = false
+        while (i < cur.length && !found) {
+          if (!outsideLiterals(spans, i)) i += 1
+          else {
+            val c = cur.charAt(i)
+            if (c == '(') { depth += 1; i += 1 }
+            else if (c == ')') {
+              if (depth == 0) { insertAt = i; found = true }
+              else { depth -= 1; i += 1 }
+            } else if (depth == 0 && c.isLetter &&
+                (i == 0 || { val p = cur.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
+                setOps.exists(k => cur.regionMatches(true, i, k, 0, k.length) &&
+                  (i + k.length == cur.length || {
+                    val q = cur.charAt(i + k.length); !q.isLetterOrDigit && q != '_'
+                  }))) {
+              insertAt = i; found = true
+            } else i += 1
+          }
+        }
+        cur = cur.substring(0, m.start) + "SELECT " + cur.substring(m.end, insertAt) +
+          s" LIMIT $n " + cur.substring(insertAt)
+        changed = true
+      }
+    }
+    cur
+  }
+
+  /** `CONVERT(type, expr)` → `CAST(expr AS type)` with SQL Server type
+    * names mapped to Spark's (`NVARCHAR`→STRING, `DATETIME`→TIMESTAMP,
+    * `BIT`→BOOLEAN, `FLOAT`→DOUBLE, `MONEY`→DECIMAL(19,4)). The optional
+    * third style argument controls T-SQL's locale-dependent date
+    * FORMATTING — there is no Spark cast equivalent, so it raises.
+    */
+  private[graft] def rewriteTsqlConvert(sql: String): String =
+    rewriteCall(sql, "convert", esc = true) { (fn, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError(
+          s"$fn expects (type, expr); style arguments are not supported")
+      s"CAST(${args(1)} AS ${tsqlType(args(0), fn)})"
+    }
+
+  private def tsqlType(raw: String, fn: String): String = {
+    val m = """(?i)^([A-Za-z]+)\s*(\(\s*\d+(?:\s*,\s*\d+)?\s*\))?$""".r
+      .findFirstMatchIn(raw.trim)
+      .getOrElse(throw new graft.UnsupportedError(
+        s"$fn type '$raw' is not supported"))
+    val parens = Option(m.group(2)).map(_.replaceAll("\\s", "")).getOrElse("")
+    m.group(1).toUpperCase match {
+      case "NVARCHAR" | "VARCHAR" | "NCHAR" | "CHAR" | "TEXT" => "STRING"
+      case "DATETIME" | "DATETIME2" | "SMALLDATETIME" => "TIMESTAMP"
+      case "BIT" => "BOOLEAN"
+      case "FLOAT" => "DOUBLE" // T-SQL FLOAT defaults to float(53) = binary64
+      case "REAL" => "FLOAT"
+      case "MONEY" => "DECIMAL(19,4)"
+      case "NUMERIC" | "DECIMAL" => "DECIMAL" + parens
+      case t @ ("INT" | "INTEGER" | "BIGINT" | "SMALLINT" | "TINYINT" | "DATE") => t
+      case other => throw new graft.UnsupportedError(
+        s"$fn type '$other' is not supported")
+    }
+  }
+
+  /** T-SQL `DATEADD(part, n, expr)` — same signature and calendar
+    * behavior as Snowflake's, different part-abbreviation set.
+    */
+  private[graft] def rewriteTsqlDateAdd(sql: String): String =
+    rewriteCall(sql, "dateadd", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects (part, n, expr)")
+      dateAddExpr(tsqlPart(args(0), fn), args(1), args(2))
+    }
+
+  /** T-SQL `DATEDIFF(part, start, end)` — boundary crossings like
+    * Snowflake/BigQuery, but weeks roll at SUNDAY (SQL Server's default
+    * `@@DATEFIRST = 7`): the week anchor is a Sunday (proleptic
+    * 0001-01-07) where Snowflake's is a Monday.
+    */
+  private[graft] def rewriteTsqlDateDiff(sql: String): String =
+    rewriteCall(sql, "datediff", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects (part, start, end)")
+      boundaryDateDiff(tsqlPart(args(0), fn), args(1), args(2), "0001-01-07", "date_diff")
+    }
+
+  /** T-SQL `DATEPART(part, expr)` → the matching Spark extraction
+    * function. `week` raises: T-SQL numbers weeks from January 1st
+    * (DATEFIRST-dependent), which matches neither `weekofyear` (ISO) nor
+    * any other Spark builtin — fail fast rather than be subtly off by
+    * one for half the year.
+    */
+  private[graft] def rewriteTsqlDatePart(sql: String): String =
+    rewriteCall(sql, "datepart", esc = true) { (fn, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError(s"$fn expects (part, expr)")
+      tsqlPart(args(0), fn) match {
+        case "week" => throw new graft.UnsupportedError(
+          "DATEPART(week, …) has DATEFIRST-dependent numbering with no Spark equivalent")
+        case p => s"$p(${args(1)})"
+      }
+    }
 
   /** Postgres regex-match operators: ` ~ ` → ` RLIKE `, ` !~ ` →
     * ` NOT RLIKE ` (whitespace-delimited binary form only — a unary `~`

@@ -509,9 +509,50 @@ object DialectQueries {
            |  ORDER BY o_orderkey
            |) t LIMIT 200""".stripMargin))
 
+  /** T-SQL surface ([[Dialect.TsqlIsh]]): `SELECT TOP n` with ORDER BY
+    * (LIMIT lands after the ORDER BY), `[bracket]` identifiers, ISNULL,
+    * IIF, CONVERT with SQL Server type names, CHARINDEX (same arg order
+    * as locate), LEN, DATEADD/DATEDIFF/DATEPART with T-SQL
+    * abbreviations (`yy`, `dd`). Oracle is the DuckDB spelling of the
+    * same semantics.
+    */
+  val tsql = OpQ("op_dialect_tsql",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT TOP 150 [o_orderkey] AS okey,
+          |  ISNULL(NULLIF(o_orderstatus, 'O'), 'open') AS status_tag,
+          |  IIF(o_totalprice > 150000, 'big', 'small') AS size_tag,
+          |  CONVERT(VARCHAR(10), CONVERT(DATE, o_orderdate)) AS ds,
+          |  CONVERT(BIGINT, CHARINDEX('URGENT', [o_orderpriority])) AS urg_pos,
+          |  CONVERT(BIGINT, LEN(o_orderpriority)) AS prio_len,
+          |  CONVERT(VARCHAR(10), DATEADD(mm, 2, CONVERT(DATE, o_orderdate))) AS due_month,
+          |  CONVERT(BIGINT, DATEDIFF(dd, o_orderdate, CONVERT(DATE, '1998-12-31'))) AS days_left,
+          |  CONVERT(BIGINT, DATEDIFF(yy, o_orderdate, CONVERT(DATE, '1998-12-31'))) AS years_left,
+          |  CONVERT(BIGINT, DATEPART(yyyy, o_orderdate)) AS oyear
+          |FROM orders
+          |WHERE o_orderpriority = '1-URGENT'
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""SELECT o_orderkey AS okey,
+           |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_tag,
+           |  CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_tag,
+           |  strftime(o_orderdate::DATE, '%Y-%m-%d') AS ds,
+           |  CAST(instr(o_orderpriority, 'URGENT') AS BIGINT) AS urg_pos,
+           |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           |  strftime(o_orderdate::DATE + INTERVAL 2 MONTH, '%Y-%m-%d') AS due_month,
+           |  CAST(date_diff('day', o_orderdate::DATE, DATE '1998-12-31') AS BIGINT) AS days_left,
+           |  CAST(year(DATE '1998-12-31') - year(o_orderdate::DATE) AS BIGINT) AS years_left,
+           |  CAST(year(o_orderdate::DATE) AS BIGINT) AS oyear
+           |FROM orders
+           |WHERE o_orderpriority = '1-URGENT'
+           |ORDER BY o_orderkey
+           |LIMIT 150""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
-    sqlite, oracleDialect)
+    sqlite, oracleDialect, tsql)
 }
