@@ -1246,6 +1246,50 @@ object ExtraQueries {
     Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Data-quality constraint suite ([[Relational.checkConstraints]]):
+    * seven constraints over orders — two designed to FAIL (o_custkey is
+    * not a key; 'P' status excluded from the allowed set) so the
+    * violation counting itself is what the oracle gates, not just a
+    * column of zeros. One conditional-aggregation pass + one FK probe.
+    */
+  val dataQuality = OpQ("op_data_quality",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val customer = Tables.load(s, d, "customer")
+      Relational.checkConstraints(orders, Seq(
+        Relational.NotNull("o_custkey"),
+        Relational.UniqueKey(Seq("o_orderkey")),
+        Relational.UniqueKey(Seq("o_custkey")),
+        Relational.InRange("o_totalprice", lit(0), lit(300000)),
+        Relational.InSet("o_orderstatus", Seq("O", "F")),
+        Relational.MatchesRegex("o_orderpriority", "^[1-5]-"),
+        Relational.RefIntegrity("o_custkey", customer, "c_custkey", "customer.c_custkey")))
+        .orderBy(col("constraint_name"))
+    },
+    Some("""WITH base AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+           |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+           |    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uk,
+           |    CAST(COUNT(o_custkey) - COUNT(DISTINCT o_custkey) AS BIGINT) AS v_uc,
+           |    CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+           |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+           |    CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+           |  FROM orders),
+           |refv AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+           |  WHERE o_custkey IS NOT NULL
+           |    AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+           |SELECT constraint_name, violations, total, violations = 0 AS pass FROM (
+           |  SELECT 'not_null(o_custkey)' AS constraint_name, v_nn AS violations, total FROM base
+           |  UNION ALL SELECT 'unique(o_orderkey)', v_uk, total FROM base
+           |  UNION ALL SELECT 'unique(o_custkey)', v_uc, total FROM base
+           |  UNION ALL SELECT 'in_range(o_totalprice)', v_rng, total FROM base
+           |  UNION ALL SELECT 'in_set(o_orderstatus)', v_set, total FROM base
+           |  UNION ALL SELECT 'matches(o_orderpriority)', v_re, total FROM base
+           |  UNION ALL SELECT 'ref(o_custkey->customer.c_custkey)', v,
+           |    (SELECT total FROM base) FROM refv)
+           |ORDER BY constraint_name""".stripMargin))
+
   /** Higher-order array function surface — transform / filter / aggregate
     * (fold) / sort / distinct / slice / position / contains / flatten,
     * the lambda-expression layer both engines ship natively. Every
@@ -1600,7 +1644,7 @@ object ExtraQueries {
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
     sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch,
-    incrDistinctExact, arrayFunctions,
+    incrDistinctExact, dataQuality, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,
     recursiveCte, unpivot, joinLateral,
     setUnionByName, explodeGenerator, graphComponents, graphPageRank,

@@ -799,6 +799,105 @@ object Relational {
       .agg(sum(bitmap_count(col("bitmap"))).as("n_distinct"))
   }
 
+  /** Declarative data-quality constraints for [[checkConstraints]] — the
+    * validation layer a training-data pipeline runs before a corpus
+    * ships. Row-level constraints (everything but [[RefIntegrity]])
+    * follow SQL three-valued logic: a NULL value does not violate a
+    * range/set/regex constraint — pair with [[NotNull]] to forbid NULLs
+    * explicitly.
+    */
+  sealed trait Constraint { private[graft] def label: String }
+  /** Column must not contain NULL. */
+  case class NotNull(column: String) extends Constraint {
+    private[graft] def label = s"not_null($column)"
+  }
+  /** Column set must be a candidate key; violations = excess rows among
+    * rows whose key components are all non-null (COUNT(key present) −
+    * COUNT(DISTINCT cols)) — NULL keys are [[NotNull]]'s concern, not a
+    * duplicate.
+    */
+  case class UniqueKey(columns: Seq[String]) extends Constraint {
+    private[graft] def label = s"unique(${columns.mkString(",")})"
+  }
+  /** Non-null values must fall in [lo, hi]. */
+  case class InRange(column: String, lo: Column, hi: Column) extends Constraint {
+    private[graft] def label = s"in_range($column)"
+  }
+  /** Non-null values must be members of `values`. */
+  case class InSet(column: String, values: Seq[Any]) extends Constraint {
+    private[graft] def label = s"in_set($column)"
+  }
+  /** Non-null values must match `regex` (partial match, RLIKE). */
+  case class MatchesRegex(column: String, regex: String) extends Constraint {
+    private[graft] def label = s"matches($column)"
+  }
+  /** Non-null values must exist in `ref.refColumn` (foreign-key check;
+    * `refName` labels the target in the report).
+    */
+  case class RefIntegrity(column: String, ref: DataFrame, refColumn: String,
+      refName: String) extends Constraint {
+    private[graft] def label = s"ref($column->$refName)"
+  }
+
+  /** Evaluate a constraint suite over `df` in as few passes as the
+    * constraints allow — the pre-ship validation gate (Deequ's model,
+    * re-expressed as plain conditional aggregation). ALL row-level
+    * constraints — not-null, unique-key, range, set, regex — fold into
+    * ONE aggregation pass over one scan (each is a conditional SUM;
+    * unique-key is COUNT(*) − COUNT(DISTINCT key), computed in the same
+    * pass); each [[RefIntegrity]] adds one left-anti probe whose
+    * (deduplicated) reference side Catalyst broadcasts when small.
+    * Output: one row per constraint — `(constraint_name, violations,
+    * total, pass)` — so the report is itself a DataFrame a pipeline can
+    * gate on (`filter(!pass)` + fail).
+    *
+    * At 100 TB: the row-level pass is a partial-aggregated full scan
+    * (no shuffle beyond the 1-row final agg) regardless of how many
+    * constraints are declared; only COUNT(DISTINCT) adds a key
+    * shuffle, and each FK check is one semi-join-shaped probe.
+    */
+  def checkConstraints(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "at least one constraint required")
+    val rowLevel = constraints.filter(!_.isInstanceOf[RefIntegrity])
+    val refs = constraints.collect { case r: RefIntegrity => r }
+    val violationExprs = rowLevel.zipWithIndex.map { case (c, i) =>
+      val v = c match {
+        case NotNull(cn) => sum(when(col(cn).isNull, 1L).otherwise(0L))
+        case UniqueKey(cols) =>
+          val allPresent = cols.map(col(_).isNotNull).reduce(_ && _)
+          sum(when(allPresent, 1L).otherwise(0L)) -
+            countDistinct(cols.head, cols.tail: _*)
+        case InRange(cn, lo, hi) =>
+          sum(when(col(cn) < lo || col(cn) > hi, 1L).otherwise(0L))
+        case InSet(cn, vs) =>
+          sum(when(!col(cn).isin(vs: _*), 1L).otherwise(0L))
+        case MatchesRegex(cn, re) =>
+          sum(when(!col(cn).rlike(re), 1L).otherwise(0L))
+        case _: RefIntegrity => throw new IllegalStateException("unreachable")
+      }
+      coalesce(v, lit(0L)).as(s"__c$i") // empty input: zero violations
+    }
+    val agg = df.agg(count(lit(1)).as("__total"), violationExprs: _*)
+    val longForm = agg.select(
+      explode(array(rowLevel.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.label).as("constraint_name"), col(s"__c$i").as("violations"))
+      }: _*)).as("__c"), col("__total"))
+      .select(col("__c.constraint_name"), col("__c.violations"),
+        col("__total").as("total"))
+    val total = agg.select(col("__total"))
+    val refForms = refs.map { r =>
+      df.select(col(r.column)).filter(col(r.column).isNotNull)
+        .join(r.ref.select(col(r.refColumn).as(r.column)).distinct(),
+          Seq(r.column), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(r.label).as("constraint_name"), col("violations"))
+        .crossJoin(total)
+        .select(col("constraint_name"), col("violations"), col("__total").as("total"))
+    }
+    (longForm +: refForms).reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+  }
+
   /** Snapshot diff — classify every key of snapshot `b` against snapshot
     * `a` as `added` / `removed` / `changed` (value columns compared
     * null-safely) in ONE full-outer join. This is the table-versioning

@@ -410,6 +410,45 @@ class RelationalSpec extends SparkSpec {
     assert(merged === exact) // bitmap OR loses nothing — equality, not a bound
   }
 
+  test("checkConstraints counts violations with SQL null semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Some(10.0)),
+      (Some(2L), Some("b"), Some(500.0)), // out of range
+      (Some(2L), Some("zz"), None), // dup key; bad set value; null value ok
+      (None, Some("a"), Some(20.0)) // null key
+    ).toDF("k", "s", "v")
+    val ref = Seq(1L, 3L).toDF("rk")
+    val got = Relational.checkConstraints(df, Seq(
+      Relational.NotNull("k"),
+      Relational.UniqueKey(Seq("k")),
+      Relational.InRange("v", lit(0.0), lit(100.0)),
+      Relational.InSet("s", Seq("a", "b")),
+      Relational.RefIntegrity("k", ref, "rk", "ref.rk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("not_null(k)") === ((1L, 4L, false)))
+    // 3 non-null-key rows, 2 distinct → 1 excess
+    assert(got("unique(k)") === ((1L, 4L, false)))
+    // NULL v does NOT violate the range; 500.0 does
+    assert(got("in_range(v)") === ((1L, 4L, false)))
+    assert(got("in_set(s)") === ((1L, 4L, false)))
+    // non-null keys {1,2,2}; 2 ∉ ref → 2 violating rows
+    assert(got("ref(k->ref.rk)") === ((2L, 4L, false)))
+  }
+
+  test("checkConstraints on clean and empty input") {
+    import spark.implicits._
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val ok = Relational.checkConstraints(clean, Seq(
+      Relational.NotNull("k"), Relational.UniqueKey(Seq("k"))))
+      .collect()
+    assert(ok.forall(_.getBoolean(3)))
+    val empty = Relational.checkConstraints(clean.filter(col("k") < 0L), Seq(
+      Relational.NotNull("k"))).collect()
+    assert(empty.head.getLong(1) === 0L && empty.head.getLong(2) === 0L &&
+      empty.head.getBoolean(3))
+  }
+
   test("interpolateLinear floors non-integral interpolants deterministically") {
     val df = Seq(
       (0L, java.lang.Long.valueOf(0L)), (1L, null.asInstanceOf[java.lang.Long]),
