@@ -260,7 +260,33 @@ object StreamQueries {
            |  AND epoch_us(ts) - epoch_us(prev) > CAST(7200000000 AS BIGINT)
            |ORDER BY user_id, prev_ts""".stripMargin))
 
+  /** Streaming CDC materialization ([[Streams.cdcLatestStateful]]) run in
+    * batch mode: the events feed becomes an I/U/D change stream (signup →
+    * insert, error → delete-tombstone, else update; seq = event_id), and
+    * the operator folds it to the latest change per user — tombstones
+    * included. Oracle is the window-function spelling of the same
+    * latest-by-seq.
+    */
+  val cdcLatest = OpQ("stream_cdc_apply",
+    (s, d) => Streams.cdcLatestStateful(s, ev(s, d).select(
+        col("user_id").as("key"), col("event_id").as("seq"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        floor(col("value") * 100).cast("long").as("val_cents")))
+      .orderBy(col("key")),
+    Some("""WITH chg AS (
+           |  SELECT user_id AS key, event_id AS seq,
+           |    CASE WHEN event_type = 'signup' THEN 'I'
+           |         WHEN event_type = 'error' THEN 'D'
+           |         ELSE 'U' END AS op,
+           |    CAST(FLOOR(value * 100) AS BIGINT) AS val_cents
+           |  FROM events)
+           |SELECT key, seq, op, val_cents FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+           |  FROM chg) WHERE rn = 1 ORDER BY key""".stripMargin))
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
     attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter,
-    attributionFull, approxUsers, topUsers, gapDetect)
+    attributionFull, approxUsers, topUsers, gapDetect, cdcLatest)
 }

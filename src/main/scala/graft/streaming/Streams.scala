@@ -292,6 +292,7 @@ object Streams {
 
   final case class UserGap(user_id: Long, prev_ts: String, next_ts: String, gap_minutes: Long)
   final case class SilentUser(user_id: Long, last_ts: String)
+  final case class CdcChange(key: Long, seq: Long, op: String, val_cents: Long)
 
   /** Batch gap analysis — every in-data silence longer than `gapMinutes`
     * per user, as (prev, next) event pairs: the lag-window form with a
@@ -351,6 +352,39 @@ object Streams {
             state.setTimeoutTimestamp(latest + gapMs)
             Iterator.empty
           }
+        })
+      .toDF()
+  }
+
+  /** Streaming CDC materialization — the stream twin of
+    * [[graft.ops.Relational.applyCdc]]: fold an I/U/D change stream into
+    * the CURRENT row per key. State is the single latest change per key
+    * (by `seq`; ties broken deterministically by (op, val_cents), though
+    * the contract is a unique `seq` per key); each trigger emits the
+    * key's current row in Update mode — INCLUDING 'D' tombstones, so a
+    * downstream sink can delete rather than silently keep stale rows.
+    * Because the fold is a pure max-by-seq, processing order across
+    * micro-batches cannot change the fixed point: the stream's final
+    * emission per key equals the batch run over the same changes
+    * (StreamingSpec), which in turn is oracle-gated (`stream_cdc_apply`).
+    *
+    * At 100 TB: state is ONE row per live key (not per change), the
+    * per-trigger work is a key-partitioned fold, and tombstoned keys
+    * can be evicted by the sink — the standard table-materialization
+    * topology for a CDC firehose.
+    */
+  def cdcLatestStateful(spark: SparkSession, changes: DataFrame): DataFrame = {
+    import spark.implicits._
+    changes
+      .select(col("key"), col("seq"), col("op"), col("val_cents"))
+      .as[CdcChange]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[CdcChange], state: GroupState[CdcChange]) => {
+          val latest = (rows ++ state.getOption.iterator)
+            .maxBy(c => (c.seq, c.op, c.val_cents))
+          state.update(latest)
+          Iterator.single(latest)
         })
       .toDF()
   }

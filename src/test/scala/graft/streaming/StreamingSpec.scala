@@ -377,6 +377,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcLatestStateful: stream's final emission per key equals batch, tombstones emitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val changes = Seq(
+      (1L, 1L, "I", 100L), (1L, 3L, "U", 150L), // key 1 ends updated
+      (2L, 2L, "I", 200L), (2L, 5L, "D", 0L), // key 2 ends tombstoned
+      (3L, 4L, "I", 300L)) // key 3 untouched after insert
+    val batch = Streams.cdcLatestStateful(spark,
+      changes.toDF("key", "seq", "op", "val_cents")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val q = Streams.cdcLatestStateful(spark,
+        in.toDF().toDF("key", "seq", "op", "val_cents"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_out")
+      .start()
+    try {
+      // out-of-key-order across micro-batches: the late batch carries an
+      // EARLIER seq for key 1 — the fold must keep seq 3
+      in.addData((1L, 1L, "I", 100L), (2L, 2L, "I", 200L))
+      q.processAllAvailable()
+      in.addData((1L, 3L, "U", 150L), (2L, 5L, "D", 0L), (3L, 4L, "I", 300L))
+      q.processAllAvailable()
+      in.addData((1L, 2L, "U", 999L)) // stale change: must NOT win
+      q.processAllAvailable()
+      val last = spark.sql(
+        """SELECT key, seq, op, val_cents FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+          |  FROM cdc_out) WHERE rn = 1""".stripMargin).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+      assert(last === batch)
+      assert(last(2L) === ((5L, "D", 0L)), "tombstone must be the key's final state")
+      assert(last(1L) === ((3L, "U", 150L)), "stale late change must not override")
+    } finally q.stop()
+  }
+
   test("topUsersStateful: Misra-Gries keeps a dominant key under overflow") {
     import spark.implicits._
     // 1 hour of data: user 7 appears 60x, 200 distinct one-shot users,
