@@ -60,6 +60,24 @@ object Sources {
   def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 
+  /** XML reader (Spark 4's built-in XML source) — `rowTag` names the
+    * repeated element that becomes a row. Prefer a declared schema:
+    * inference reads everything as the widest type that fits and costs
+    * an extra pass.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema match {
+      case Some(s) => r.schema(s).load(path)
+      case None => r.load(path)
+    }
+  }
+
+  /** XML sink (one `rowTag` element per row). */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").format("xml").option("rowTag", rowTag).save(path)
+
   /** Parquet sink; `partitionBy` columns become directory partitions —
     * the layout that makes downstream partition pruning free at scale.
     */

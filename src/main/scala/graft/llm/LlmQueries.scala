@@ -442,6 +442,37 @@ object LlmQueries {
            |  CAST(100 + doc_id % 50 AS BIGINT) AS n_frames
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal: REAL audio resample — decode the synthetic PCM WAVs,
+    * decimate 2:1, checksum the kept channel-0 samples. Every output
+    * column is integer arithmetic on doc_id (the fixture's PCM byte
+    * formula), so DuckDB replays decode+decimation exactly: the
+    * strongest gate available for a codec-path transform.
+    */
+  val multimodalAudioResample = OpQ("llm_multimodal_audio_resample",
+    (s, d) => Multimodal.resampleAudioPartitioned(s, stagedBlobs(s, d, "wav"), factor = 2)
+      .orderBy(col("doc_id")),
+    Some("""WITH meta AS (
+           |  SELECT doc_id,
+           |    8000 + (doc_id % 4) * 4000 AS rate,
+           |    1 + doc_id % 2 AS ch,
+           |    100 + doc_id % 50 AS f
+           |  FROM documents),
+           |samp AS (
+           |  SELECT m.doc_id,
+           |    (m.doc_id * 31 + (2 * (2 * j) * m.ch) * 7) % 256
+           |      + 256 * ((m.doc_id * 31 + (2 * (2 * j) * m.ch + 1) * 7) % 256) AS u
+           |  FROM meta m, UNNEST(range(0, (m.f + 1) // 2)) t(j)),
+           |agg AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(u - CASE WHEN u >= 32768 THEN 65536 ELSE 0 END) AS BIGINT)
+           |      AS checksum0
+           |  FROM samp GROUP BY doc_id)
+           |SELECT m.doc_id,
+           |  CAST(m.rate // 2 AS BIGINT) AS sample_rate_out,
+           |  CAST((m.f + 1) // 2 AS BIGINT) AS n_frames_out,
+           |  a.checksum0
+           |FROM meta m JOIN agg a USING (doc_id) ORDER BY m.doc_id""".stripMargin))
+
   /** Multimodal: frame-sampling explode shape (frame_idx, byte_offset). */
   val multimodalFrames = OpQ("llm_multimodal_frames",
     (s, d) => Multimodal.sampleFrames(Multimodal.attachBlob(docs(s, d)))
@@ -1322,6 +1353,7 @@ object LlmQueries {
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,
     dedupIncremental, vocabOovQ, dedupKeepBest,
     chunkDocs, decontaminate, textRepetition, textNovelty,
-    multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav, multimodalFrames,
+    multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav,
+    multimodalAudioResample, multimodalFrames,
     multimodalResize, multimodalBinaryFiles)
 }

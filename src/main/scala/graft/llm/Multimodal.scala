@@ -315,6 +315,63 @@ object Multimodal {
     spark.createDataFrame(rdd, audioSchema)
   }
 
+  private val resampleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate_out", LongType),
+    StructField("n_frames_out", LongType),
+    StructField("checksum0", LongType)))
+
+  /** REAL audio resample (decimation): decode 16-bit PCM WAV with
+    * `javax.sound`, keep every `factor`-th frame, report the decimated
+    * rate/frame count plus a channel-0 signed-sample checksum of the
+    * KEPT frames — the integer witness that the right samples survived
+    * (the driver oracle replays the synthetic fixture's PCM arithmetic
+    * per `llm_multimodal_audio_resample`). Decimation without a low-pass
+    * is the nearest-neighbor tier, matching [[resizeImagesPartitioned]];
+    * non-WAV payloads degrade to a deterministic stand-in (lenient, like
+    * the decode operators — one bad blob must not abort a corpus job),
+    * corrupt bytes behind a RIFF magic raise naming the doc_id.
+    */
+  def resampleAudioPartitioned(spark: SparkSession, withBlob: DataFrame,
+      factor: Int = 2): DataFrame = {
+    require(factor >= 1, "decimation factor must be >= 1")
+    val rdd = withBlob.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val blob = row.getAs[Array[Byte]](1)
+        if (isWav(blob)) {
+          val in =
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(blob))
+            catch { case e: Exception =>
+              throw new IllegalArgumentException(
+                s"doc_id=$id: RIFF/WAVE payload failed to decode (${e.getMessage})", e)
+            }
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16,
+            s"doc_id=$id: only 16-bit PCM supported, got ${fmt.getSampleSizeInBits}")
+          val ch = fmt.getChannels
+          val frames = in.getFrameLength.toInt
+          val pcm = in.readAllBytes()
+          var f = 0
+          var kept = 0L
+          var sum = 0L
+          while (f < frames) {
+            val i0 = 2 * (f * ch) // channel-0 sample, little-endian
+            val s = ((pcm(i0) & 0xff) | (pcm(i0 + 1) << 8)).toShort.toLong
+            sum += s
+            kept += 1
+            f += factor
+          }
+          Row(id, fmt.getSampleRate.toLong / factor, kept, sum)
+        } else {
+          Row(id, 8000L / factor, (blob.length.toLong / 2 + factor - 1) / factor, 0L)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resampleSchema)
+  }
+
   /** WAV metadata WITHOUT decoding: the canonical 44-byte RIFF header has
     * channels/rate/bits/data-size at fixed little-endian offsets, so the
     * parse is pure column expressions — whole-stage-codegen'd, 44 bytes

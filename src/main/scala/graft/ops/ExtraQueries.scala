@@ -1246,6 +1246,96 @@ object ExtraQueries {
     Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Multi-touch attribution: every purchase splits its value EQUALLY
+    * across the user's views in the preceding 24 hours — the linear
+    * attribution model, in exact integer microcents (floor split +
+    * explicit remainder, so credit conservation is checkable:
+    * n_touches·credit_each + remainder == value exactly). One
+    * user-keyed interval left join + one per-purchase count; zero-touch
+    * purchases survive with zero credit. Per-user fan-out is bounded by
+    * views-per-24h, not corpus size.
+    */
+  val attributionMultitouch = OpQ("op_attribution_multitouch",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("pu"), col("ts").as("pts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("ts").as("vts"))
+      p.join(v, col("vu") === col("pu") && col("vts") < col("pts") &&
+          col("vts") >= col("pts") - expr("INTERVAL 24 HOURS"), "left")
+        .groupBy(col("event_id"), col("cents"))
+        .agg(count(col("vts")).as("n_touches"))
+        .select(col("event_id"), col("n_touches"),
+          when(col("n_touches") > 0,
+            expr("(cents * 1000000L) div n_touches")).otherwise(0L)
+            .as("credit_each_microcents"),
+          when(col("n_touches") > 0,
+            expr("cents * 1000000L - n_touches * ((cents * 1000000L) div n_touches)"))
+            .otherwise(0L).as("remainder_microcents"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH p AS (
+           |  SELECT event_id, user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase'),
+           |v AS (
+           |  SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+           |j AS (
+           |  SELECT p.event_id, p.cents, CAST(COUNT(v.vts) AS BIGINT) AS k
+           |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+           |    AND v.vts < p.ts AND v.vts >= p.ts - INTERVAL 24 HOUR
+           |  GROUP BY 1, 2)
+           |SELECT event_id, k AS n_touches,
+           |  CASE WHEN k > 0 THEN (cents * 1000000) // k ELSE 0 END
+           |    AS credit_each_microcents,
+           |  CASE WHEN k > 0 THEN cents * 1000000 - k * ((cents * 1000000) // k)
+           |       ELSE 0 END AS remainder_microcents
+           |FROM j ORDER BY event_id""".stripMargin))
+
+  /** Volume-weighted average price per ship month — the classic
+    * time-series rollup, exact: Σ(price_cents · qty) div Σ(qty) is all
+    * BIGINT arithmetic (order-independent partial sums, floor division
+    * spelled identically in DuckDB), no running double accumulation.
+    */
+  val timeseriesVwap = OpQ("op_timeseries_vwap",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          floor(col("l_extendedprice") * 100).cast("long").as("pc"),
+          col("l_quantity").cast("long").as("q"))
+      li.groupBy(col("ship_month"))
+        .agg(sum(col("q")).as("sum_qty"),
+          expr("sum(pc * q) div sum(q)").as("vwap_cents"))
+        .orderBy(col("ship_month"))
+    },
+    Some("""SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+           |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+           |           * CAST(l_quantity AS BIGINT)) AS BIGINT)
+           |    // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_cents
+           |FROM lineitem GROUP BY ship_month ORDER BY ship_month""".stripMargin))
+
+  /** XML source/sink roundtrip ([[Sources.xml]]/[[writeXml]]) — Spark 4's
+    * native XML format with a declared read schema (inference would
+    * widen everything; the declared schema keeps parquet types). Oracle
+    * is the original parquet content.
+    */
+  val sourceXmlRoundtrip = OpQ("op_source_xml_roundtrip",
+    (s, d) => {
+      val path = s"$stageDir/supplier_xml"
+      val src = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      Sources.writeXml(src, path, rowTag = "supplier")
+      Sources.xml(s, path, rowTag = "supplier", schema = Some(src.schema))
+        .filter(col("s_acctbal") > 0.0)
+        .orderBy(col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    },
+    Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+           |FROM supplier WHERE s_acctbal > 0.0
+           |ORDER BY s_suppkey""".stripMargin))
+
   /** Data-quality constraint suite ([[Relational.checkConstraints]]):
     * seven constraints over orders — two designed to FAIL (o_custkey is
     * not a key; 'P' status excluded from the allowed set) so the
@@ -1656,5 +1746,6 @@ object ExtraQueries {
     tableChecksum, profileTable, funnel, cohortRetention, graphTriangles,
     joinNullSafe, notInNulls, relDivision, joinFuzzy,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
-    sourceOrcRoundtrip, sourceTextRoundtrip)
+    sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
+    attributionMultitouch, timeseriesVwap)
 }

@@ -113,6 +113,35 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("resampleAudioPartitioned: factor 1 is identity, factor 2 halves, checksum matches scalar reference") {
+    val blobs = Multimodal.syntheticWavBlobs(docs)
+    val id1 = Multimodal.resampleAudioPartitioned(spark, blobs, factor = 1)
+      .orderBy("doc_id").collect()
+    id1.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 8000 + (id % 4) * 4000) // rate unchanged
+      assert(r.getLong(2) === 100 + id % 50) // every frame kept
+    }
+    val half = Multimodal.resampleAudioPartitioned(spark, blobs, factor = 2)
+      .orderBy("doc_id").collect()
+    half.foreach { r =>
+      val id = r.getLong(0)
+      val frames = (100 + id % 50).toInt
+      val ch = (1 + id % 2).toInt
+      assert(r.getLong(1) === (8000 + (id % 4) * 4000) / 2)
+      assert(r.getLong(2) === (frames + 1) / 2)
+      // scalar replay of the fixture PCM: signed LE16 channel-0 samples
+      val expect = (0 until frames by 2).map { f =>
+        val i0 = 2 * (f * ch)
+        val lo = (id * 31 + i0 * 7) & 0xff
+        val hi = (id * 31 + (i0 + 1) * 7) & 0xff
+        val u = lo + 256 * hi
+        if (u >= 32768) u - 65536 else u
+      }.sum
+      assert(r.getLong(3) === expect, s"doc_id=$id checksum")
+    }
+  }
+
   test("resizeImagesPartitioned: dims fixed, checksum matches a single-machine reference") {
     val blobs = Multimodal.syntheticPngBlobs(docs)
     val out = Multimodal.resizeImagesPartitioned(spark, blobs, 16, 16)
