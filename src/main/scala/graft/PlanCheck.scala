@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 94 invariants
-  * across 85 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 116 invariants
+  * across 106 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -278,7 +278,24 @@ object PlanCheck {
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("llm_dedup_winnow", "fingerprint inverted-index join (equi, never nested-loop); length filter pushed; pair ranking via TakeOrdered",
       f => f("cartesian") + f("bnlj") == 0 && f("pushed_filters") >= 1 &&
-        f("partial_agg") >= 2 && f("topk") >= 1))
+        f("partial_agg") >= 2 && f("topk") >= 1),
+    Rule("op_dialect_tsql", "TOP n rewrite yields TakeOrderedAndProject; WHERE pushed to the scan",
+      f => f("topk") >= 1 && f("pushed_filters") >= 1),
+    Rule("op_timeseries_vwap", "scan→agg only: partial+final combine, no joins",
+      f => f("partial_agg") >= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_attribution_multitouch", "event-type filters pushed; interval join is a real equi-keyed join, never cartesian",
+      f => f("pushed_filters") >= 2 && f("cartesian") == 0 &&
+        f("bhj") + f("smj") + f("shj") >= 1),
+    Rule("op_data_quality", "all row-level constraints fold into partial aggregation; FK probe broadcasts",
+      f => f("partial_agg") >= 2 && f("bhj") >= 1),
+    Rule("op_incr_distinct_exact", "bitmap distinct state builds with map-side combine; date filters pushed",
+      f => f("partial_agg") >= 2 && f("pushed_filters") >= 2),
+    Rule("op_incr_distinct_sketch", "HLL distinct state builds with map-side combine; date filters pushed",
+      f => f("partial_agg") >= 2 && f("pushed_filters") >= 2),
+    Rule("stream_cdc_apply", "stateful fold shuffles once on key (+ output sort), no join",
+      f => f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

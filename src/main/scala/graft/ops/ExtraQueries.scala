@@ -1223,6 +1223,28 @@ object ExtraQueries {
     },
     None)
 
+  /** Sketch set algebra ([[Relational.sketchIntersectionEstimate]]):
+    * per-priority customer-audience OVERLAP between two order-date
+    * periods, estimated from the periods' stored HLL states alone
+    * (inclusion–exclusion) — no rescan of either period. No DuckDB
+    * oracle (sketch estimator); accuracy is RelationalSpec-bounded vs
+    * the exact intersection.
+    */
+  val sketchIntersect = OpQ("op_sketch_intersect",
+    (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
+      val a = Relational.distinctSketchState(
+        orders.filter(col("o_orderdate") < "1996-01-01"),
+        col("o_custkey"), Seq("o_orderpriority"))
+      val b = Relational.distinctSketchState(
+        orders.filter(col("o_orderdate") >= "1996-01-01"),
+        col("o_custkey"), Seq("o_orderpriority"))
+      Relational.sketchIntersectionEstimate(a, b, Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"))
+    },
+    None)
+
   /** EXACT incremental DISTINCT maintenance
     * ([[Relational.distinctBitmapState]] / [[mergeDistinctBitmaps]]):
     * same two-half merge as `op_incr_distinct_sketch`, but over bucketed
@@ -1335,6 +1357,50 @@ object ExtraQueries {
     Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
            |FROM supplier WHERE s_acctbal > 0.0
            |ORDER BY s_suppkey""".stripMargin))
+
+  /** Per-group feature standardization (z-score scaling, the ML-pipeline
+    * normalizer) — BIT-EXACT cross-engine doubles via the single-tree
+    * trick: algebra folds (x−μ)/σ_pop into (n·x − S1) / sqrt(n·S2 − S1²)
+    * where n, S1=Σx, S2=Σx² are exact BIGINTs over whole-dollar values
+    * (partial sums order-independent; magnitudes stay under BIGINT), and
+    * the double stage is ONE cast, ONE sqrt, ONE division — each
+    * correctly rounded by IEEE in both engines, so the hash matches.
+    * The naive μ/σ spelling would accumulate rounding differences.
+    * Stats come from a window over the group — one shuffle, stats
+    * broadcast to every row by the window itself.
+    */
+  val featureStandardize = OpQ("op_feature_standardize",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ship_month"))
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1995-07-01")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          floor(col("l_extendedprice")).cast("long").as("x"))
+      li.select(col("ship_month"), col("l_orderkey"), col("l_linenumber"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("x")).over(w).as("s1"),
+          sum(col("x") * col("x")).over(w).as("s2"), col("x"))
+        .select(col("ship_month"), col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(n * x - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))")
+            .as("z"))
+        .orderBy(col("ship_month"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""WITH v AS (
+           |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |    strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+           |    CAST(FLOOR(l_extendedprice) AS BIGINT) AS x
+           |  FROM lineitem
+           |  WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+           |    AND CAST(l_shipdate AS DATE) < DATE '1995-07-01'),
+           |st AS (
+           |  SELECT *, CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           |    CAST(SUM(x) OVER w AS BIGINT) AS s1,
+           |    CAST(SUM(x * x) OVER w AS BIGINT) AS s2
+           |  FROM v WINDOW w AS (PARTITION BY ship_month))
+           |SELECT ship_month, l_orderkey, l_linenumber,
+           |  CAST(n * x - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) AS z
+           |FROM st ORDER BY ship_month, l_orderkey, l_linenumber""".stripMargin))
 
   /** Data-quality constraint suite ([[Relational.checkConstraints]]):
     * seven constraints over orders — two designed to FAIL (o_custkey is
@@ -1733,8 +1799,8 @@ object ExtraQueries {
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
-    sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch,
-    incrDistinctExact, dataQuality, arrayFunctions,
+    sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch, sketchIntersect,
+    incrDistinctExact, dataQuality, featureStandardize, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,
     recursiveCte, unpivot, joinLateral,
     setUnionByName, explodeGenerator, graphComponents, graphPageRank,

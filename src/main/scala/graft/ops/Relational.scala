@@ -761,6 +761,30 @@ object Relational {
       .withColumn("n_distinct_approx", hll_sketch_estimate(col("sketch")))
   }
 
+  /** Estimated per-key INTERSECTION cardinality of two
+    * [[distinctSketchState]] frames via inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), clamped at zero. This is the
+    * sketch-algebra completion of [[mergeDistinctSketches]] (union):
+    * audience overlap, returning-users, cross-period retention — all
+    * without rescanning either side's raw data. Standard HLL caveat:
+    * relative error is on the UNION's scale, so small intersections of
+    * large sets are noisy (RelationalSpec bounds the well-conditioned
+    * case; the exact-bitmap tier is the fallback when that matters).
+    */
+  def sketchIntersectionEstimate(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    Seq(a, b).foreach(st => require(st.columns.contains("sketch"),
+      "state frames must carry a 'sketch' column"))
+    val la = a.select((keys.map(col) :+ col("sketch").as("__sa")): _*)
+    val lb = b.select((keys.map(col) :+ col("sketch").as("__sb")): _*)
+    la.join(lb, keys)
+      .select((keys.map(col) :+
+        greatest(lit(0L),
+          hll_sketch_estimate(col("__sa")) + hll_sketch_estimate(col("__sb")) -
+            hll_sketch_estimate(hll_union(col("__sa"), col("__sb"))))
+          .as("n_intersect_approx")): _*)
+  }
+
   /** Per-key EXACT mergeable DISTINCT state — the exact tier above
     * [[distinctSketchState]] for integral values: each (key, bucket)
     * row stores a fixed 4 KB bitmap of which of the bucket's 32768 bit

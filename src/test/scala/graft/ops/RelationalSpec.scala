@@ -394,6 +394,28 @@ class RelationalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("sketchIntersectionEstimate tracks the exact period overlap") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
+    val early = orders.filter(col("o_orderdate") < "1996-01-01")
+    val late = orders.filter(col("o_orderdate") >= "1996-01-01")
+    val got = Relational.sketchIntersectionEstimate(
+      Relational.distinctSketchState(early, col("o_custkey"), Seq("o_orderpriority")),
+      Relational.distinctSketchState(late, col("o_custkey"), Seq("o_orderpriority")),
+      Seq("o_orderpriority"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_intersect_approx")).toMap
+    val exact = early.select(col("o_orderpriority"), col("o_custkey")).distinct()
+      .intersect(late.select(col("o_orderpriority"), col("o_custkey")).distinct())
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // well-conditioned case (overlap is a large share of the union):
+    // inclusion-exclusion stacks three estimates, so allow 10%
+    exact.foreach { case (p, e) =>
+      assert(math.abs(got(p) - e).toDouble / e < 0.10,
+        s"$p: estimated ${got(p)} vs exact $e")
+    }
+  }
+
   test("merged distinct bitmaps equal exact COUNT(DISTINCT)") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.01", "orders")
       .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
