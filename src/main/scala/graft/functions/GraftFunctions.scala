@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * is a codegen'd native expression, not a UDF. After
   * `GraftFunctions.registerAll(spark)`, SQL text (including text routed
   * through [[graft.Engine.execute]]) can call `rolling_hash64`,
-  * `scaled_dot_micros`, `simhash64`, `minhash_sig`, `srp_bucket`.
+  * `scaled_dot_micros`, `simhash64`, `minhash_sig`, `srp_bucket`,
+  * `nfc_normalize`, `jaro_winkler_ppm`.
   */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -17,5 +18,6 @@ object GraftFunctions {
     MinHashSig.registerSql(spark)
     SrpBucket.registerSql(spark)
     NfcNormalize.registerSql(spark)
+    JaroWinklerPpm.registerSql(spark)
   }
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler similarity scaled to exact ppm (floor(jw · 10⁶) as
+  * BIGINT) — the name/title matcher for entity resolution, a similarity
+  * tier levenshtein can't express (it rewards shared prefixes and
+  * tolerates transpositions instead of charging every edit equally;
+  * reference has no string-similarity functions at all, SURVEY.md §2.7).
+  *
+  * A native Catalyst `Expression` with `doGenCode` rather than a UDF so
+  * a corpus-wide pairwise pass stays inside whole-stage codegen. The
+  * output is an INTEGER (ppm) rather than the raw double so downstream
+  * thresholds, ordering and dedup keys are exact and engine-portable;
+  * the double arithmetic inside follows the textbook formulation
+  * (Winkler boost p=0.1 over a common prefix capped at 4) and is gated
+  * against hand-computed textbook pairs in FunctionsSpec. Comparison is
+  * over UTF-16 code units (like Spark's own levenshtein).
+  */
+case class JaroWinklerPpm(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jaro_winkler_ppm"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerPpm.ppm(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = graft.functions.JaroWinklerPpm.ppm($a.toString(), $b.toString());"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerPpm {
+
+  /** floor(jaroWinkler(s1, s2) · 10⁶): 1000000 = identical, 0 = disjoint. */
+  def ppm(s1: String, s2: String): Long =
+    math.floor(jaroWinkler(s1, s2) * 1e6).toLong
+
+  /** Textbook Jaro–Winkler: match window ⌊max(|a|,|b|)/2⌋−1,
+    * transpositions counted as half the out-of-order matched pairs,
+    * Winkler prefix boost p=0.1 over at most 4 leading code units.
+    * Both strings empty → 1.0 (vacuously identical); one empty → 0.0.
+    */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: walk matched chars in order on both sides
+    var transpositions = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val t = transpositions / 2.0
+    val jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    var prefix = 0
+    while (prefix < math.min(4, math.min(l1, l2)) &&
+        s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1
+    jaro + 0.1 * prefix * (1.0 - jaro)
+  }
+
+  /** Column API: `jaro_winkler_ppm($"a", $"b")`. */
+  def jaro_winkler_ppm(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      JaroWinklerPpm(org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Make `jaro_winkler_ppm(...)` callable from SQL text in this session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "jaro_winkler_ppm", exprs => JaroWinklerPpm(exprs(0), exprs(1)))
+}

@@ -1223,6 +1223,37 @@ object ExtraQueries {
     },
     None)
 
+  /** Entity-resolution scoring with the codegen Jaro–Winkler expression
+    * ([[graft.functions.JaroWinklerPpm]]): each probe customer name is
+    * matched to its most similar supplier name by exact ppm score with a
+    * deterministic (score desc, key asc) tie-break. The probe side is
+    * filtered small, so the pair space is bounded — the blocking step a
+    * full-corpus run would add is [[Relational.fuzzyJoinEd1]]'s
+    * deletion-neighborhood or an initial-prefix block. No DuckDB oracle:
+    * DuckDB's jaro_winkler_similarity computes the same textbook formula
+    * but through a different double-op order, so floor(·10⁶) can differ
+    * by 1 at rounding boundaries; the gate is FunctionsSpec's scalar
+    * reference + textbook pairs instead.
+    */
+  val joinJaroWinkler = OpQ("op_join_jarowinkler",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.load(s, d, "customer").filter(col("c_custkey") <= 30)
+        .select(col("c_custkey"), col("c_name"))
+      val sup = Tables.load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("sim_ppm").desc, col("s_suppkey"))
+      c.crossJoin(sup)
+        .withColumn("sim_ppm",
+          graft.functions.JaroWinklerPpm.jaro_winkler_ppm(col("c_name"), col("s_name")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("s_suppkey"), col("sim_ppm"))
+        .orderBy(col("c_custkey"))
+    },
+    None)
+
   /** Sketch set algebra ([[Relational.sketchIntersectionEstimate]]):
     * per-priority customer-audience OVERLAP between two order-date
     * periods, estimated from the periods' stored HLL states alone
@@ -1802,7 +1833,7 @@ object ExtraQueries {
     sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch, sketchIntersect,
     incrDistinctExact, dataQuality, featureStandardize, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,
-    recursiveCte, unpivot, joinLateral,
+    recursiveCte, unpivot, joinLateral, joinJaroWinkler,
     setUnionByName, explodeGenerator, graphComponents, graphPageRank,
     mergeUpsert, mergeScd2,
     cdcApply, histogram, stringAgg,

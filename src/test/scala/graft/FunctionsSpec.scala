@@ -104,6 +104,57 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getLong(4) >= 0L && r.getLong(4) < 16L) // 4 planes → 4-bit bucket
   }
 
+  test("jaro_winkler_ppm matches textbook pairs, edge cases, symmetry") {
+    import graft.functions.JaroWinklerPpm
+    // textbook values (Winkler 1990 examples, ±1 ppm for double rounding)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 961111L),
+      ("DIXON", "DICKSONX", 813333L),
+      ("DWAYNE", "DUANE", 840000L),
+      ("abc", "abc", 1000000L),
+      ("", "", 1000000L),
+      ("abc", "", 0L),
+      ("abc", "xyz", 0L))
+    cases.foreach { case (a, b, want) =>
+      val got = JaroWinklerPpm.ppm(a, b)
+      assert(math.abs(got - want) <= 1, s"jw($a,$b)=$got want≈$want")
+      assert(got === JaroWinklerPpm.ppm(b, a), s"symmetry broken on ($a,$b)")
+    }
+    // engine (codegen) path equals the scalar reference on a DataFrame
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("a", "b"))
+      .toDF("a", "b")
+      .select(JaroWinklerPpm.jaro_winkler_ppm(col("a"), col("b")).as("ppm"))
+      .as[Long].collect()
+    assert(df.toSeq === Seq(
+      JaroWinklerPpm.ppm("MARTHA", "MARHTA"),
+      JaroWinklerPpm.ppm("DIXON", "DICKSONX"),
+      JaroWinklerPpm.ppm("a", "b")))
+    // SQL registration + null safety
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler_ppm('MARTHA', 'MARHTA') AS p, jaro_winkler_ppm('x', NULL) AS n").head()
+    assert(r.getLong(0) === JaroWinklerPpm.ppm("MARTHA", "MARHTA"))
+    assert(r.isNullAt(1))
+  }
+
+  test("op_join_jarowinkler picks the brute-force best supplier per customer") {
+    import graft.functions.JaroWinklerPpm
+    val d = "/root/testdata/sf0.001"
+    val got = graft.ops.ExtraQueries.joinJaroWinkler.fn(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cs = graft.Tables.load(spark, d, "customer")
+      .filter(col("c_custkey") <= 30).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val sups = graft.Tables.load(spark, d, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    cs.foreach { case (ck, cn) =>
+      val best = sups.map { case (sk, sn) => (JaroWinklerPpm.ppm(cn, sn), sk) }
+        .sortBy { case (p, sk) => (-p, sk) }.head
+      assert(got(ck) === ((best._2, best._1)), s"customer $ck")
+    }
+  }
+
   test("cents sums are independent of partitioning (exactness invariant)") {
     val df = (1 to 10000).map(i => i * 0.07).toDF("x")
     val one = df.repartition(1).agg(sum(ops.Relational.cents(col("x")))).as[Long].head()
