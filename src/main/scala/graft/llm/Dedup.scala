@@ -534,34 +534,45 @@ object Dedup {
     * window of `w` consecutive gram hashes. GUARANTEE: any shared
     * substring of length ≥ w+k−1 contains a full hash window on both
     * sides, whose minimum is selected identically — the pair WILL share
-    * a fingerprint (DedupSpec pins this). Pairs ranked by shared
-    * fingerprint count.
+    * a fingerprint (DedupSpec pins this), PROVIDED that fingerprint
+    * stays under the `maxDf` cap (a span shared corpus-wide is
+    * boilerplate by definition). Pairs ranked by shared fingerprint
+    * count.
     *
     * Scale: fingerprint density is ~2/(w+1) per char (the winnowing
     * paper's bound), so the exploded index is a fraction of corpus
     * chars; the self-join shuffles on 8-byte fingerprints with
-    * Σ bucket² cost like every inverted-index dedup here — df-cap hot
-    * fingerprints (boilerplate) exactly as [[ngramJaccardPairs]] does.
-    * Documents shorter than w+k−1 chars produce no fingerprints and
-    * drop out before the join.
+    * Σ bucket² cost like every inverted-index dedup here. The `maxDf`
+    * cap bounds that to df·maxDf per fingerprint — without it, ONE
+    * common English 8-gram surviving winnowing in n docs contributes
+    * n²/2 join rows, which is exactly what made the uncapped version
+    * dominate the whole sf0.1 bench (62 of 131 seconds). Documents
+    * shorter than w+k−1 chars produce no fingerprints and drop out
+    * before the join.
     */
   def winnowedOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
-      topK: Int = 50, textCol: String = "text"): DataFrame = {
+      topK: Int = 50, textCol: String = "text", maxDf: Int = 64): DataFrame = {
     require(k >= 2 && w >= 2, "need k >= 2 and w >= 2")
-    val grams =
-      s"""transform(sequence(1, length($textCol) - ${k - 1}),
-         |  i -> aggregate(sequence(0, ${k - 1}), 0L,
-         |    (acc, j) -> acc * 31L + ascii(substring($textCol, CAST(i + j AS INT), 1))))"""
-        .stripMargin
-    val winnowed =
-      s"""array_distinct(transform(sequence(1, size(__hs) - ${w - 1}),
-         |  j -> array_min(slice(__hs, j, $w))))""".stripMargin
+    require(maxDf >= 2, "maxDf < 2 would drop every shareable fingerprint")
+    // one O(len) codegen pass per document (rolling Horner + deque minima)
+    // — bit-equal to the HOF transform/aggregate/array_min formulation the
+    // DuckDB oracle replays (FunctionsSpec pins the equivalence)
     val fps = docs
       .filter(length(col(textCol)) >= k + w - 1)
-      .select(col("doc_id"), expr(grams).as("__hs"))
-      .select(col("doc_id"), explode(expr(winnowed)).as("fp"))
-    val a = fps.select(col("doc_id").as("a_id"), col("fp"))
-    val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints.winnow_fps(col(textCol), k, w)).as("fp"))
+    // df cap — the Σdf² relief valve, same role as [[ngramJaccardPairs]]'s:
+    // a fingerprint present in more than maxDf docs is boilerplate (common
+    // English 8-grams, headers), not overlap signal, and exactly those
+    // fingerprints make the pair join quadratic (one fp in n docs → n²/2
+    // pairs). The window count shares its fp-shuffle with the pair join.
+    val pruned = fps
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val a = pruned.select(col("doc_id").as("a_id"), col("fp"))
+    val b = pruned.select(col("doc_id").as("b_id"), col("fp"))
     a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_shared"))
       .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))

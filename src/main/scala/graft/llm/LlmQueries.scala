@@ -1317,9 +1317,11 @@ object LlmQueries {
 
   /** Winnowing substring-overlap pairs ([[Dedup.winnowedOverlapPairs]],
     * SIGMOD'03): char-level k=8 Horner-hash grams, w=4 window minima,
-    * pairs ranked by shared fingerprints. The oracle replays the
-    * identical integer pipeline with DuckDB list lambdas (list_reduce
-    * Horner starts at the first element — equal to the 0-seeded fold).
+    * df-capped fingerprints (≤64 docs — boilerplate spans carry no
+    * overlap signal and are the Σdf² blowup), pairs ranked by shared
+    * fingerprints. The oracle replays the identical integer pipeline
+    * with DuckDB list lambdas (list_reduce Horner starts at the first
+    * element — equal to the 0-seeded fold) including the df cap.
     */
   val dedupWinnow = OpQ("llm_dedup_winnow",
     (s, d) => Dedup.winnowedOverlapPairs(docs(s, d)),
@@ -1334,7 +1336,9 @@ object LlmQueries {
            |          list_distinct(list_transform(range(1, len(hs) - 2),
            |            j -> list_min(list_slice(hs, j, j + 3)))) AS fps
            |        FROM h),
-           |f AS (SELECT doc_id, UNNEST(fps) AS fp FROM wnd)
+           |f0 AS (SELECT doc_id, UNNEST(fps) AS fp FROM wnd),
+           |rare AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= 64),
+           |f AS (SELECT f0.doc_id, f0.fp FROM f0 JOIN rare USING (fp))
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
            |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY n_shared DESC, a_id, b_id LIMIT 50""".stripMargin))

@@ -155,6 +155,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("winnow_fps equals the HOF transform/aggregate/array_min formulation") {
+    import graft.functions.WinnowFingerprints
+    val (k, w) = (8, 4)
+    val hofGrams =
+      s"""transform(sequence(1, length(text) - ${k - 1}),
+         |  i -> aggregate(sequence(0, ${k - 1}), 0L,
+         |    (acc, j) -> acc * 31L + ascii(substring(text, CAST(i + j AS INT), 1))))""".stripMargin
+    val hofWinnow =
+      s"""array_distinct(transform(sequence(1, size(__hs) - ${w - 1}),
+         |  j -> array_min(slice(__hs, j, $w))))""".stripMargin
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(length(col("text")) >= k + w - 1).limit(200)
+    val hof = docs.select(col("doc_id"), expr(hofGrams).as("__hs"))
+      .select(col("doc_id"), expr(hofWinnow).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val fast = docs.select(col("doc_id"),
+        WinnowFingerprints.winnow_fps(col("text"), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fast === hof)
+    // short strings: no full window → empty, matching the length guard
+    val short = Seq((1L, "tiny")).toDF("doc_id", "text")
+      .select(WinnowFingerprints.winnow_fps(col("text"), k, w).as("fps"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("cents sums are independent of partitioning (exactness invariant)") {
     val df = (1 to 10000).map(i => i * 0.07).toDF("x")
     val one = df.repartition(1).agg(sum(ops.Relational.cents(col("x")))).as[Long].head()

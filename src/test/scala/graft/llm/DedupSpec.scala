@@ -396,6 +396,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)), s"false overlap: $pairs")
   }
 
+  test("winnowedOverlapPairs df cap drops corpus-wide boilerplate spans") {
+    import spark.implicits._
+    val boiler = "standard corporate header present in every single document"
+    val docs = ((1 to 40).map(i => (i.toLong, s"$boiler tail $i")) ++ Seq(
+      (1001L, "prefix one with a genuinely rare shared span of text here"),
+      (1002L, "a genuinely rare shared span of text here with other suffix")))
+      .toDF("doc_id", "text")
+    val top = Dedup.winnowedOverlapPairs(docs, maxDf = 16).collect().head
+    // the boilerplate span sits in 40 docs > maxDf=16, so its 780 pairs are
+    // suppressed; the genuine rare overlap must rank first
+    assert((top.getLong(0), top.getLong(1)) === ((1001L, 1002L)),
+      s"expected the rare pair on top, got $top")
+  }
+
   test("winnowedOverlapPairs is deterministic under repartitioning") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val a = Dedup.winnowedOverlapPairs(docs).collect().map(_.toSeq).toSeq
