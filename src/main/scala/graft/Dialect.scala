@@ -328,11 +328,13 @@ object Dialect {
     * `CONVERT(type, expr)` → CAST with SQL Server type names mapped,
     * `DATEADD`/`DATEDIFF`/`DATEPART` with T-SQL part abbreviations
     * (DATEDIFF counts boundary crossings; weeks roll at Sunday per
-    * `@@DATEFIRST = 7`), and renames `ISNULL`→coalesce, `IIF`→if,
+    * `@@DATEFIRST = 7`), `OFFSET n ROWS FETCH NEXT m ROWS ONLY` →
+    * LIMIT/OFFSET, and renames `ISNULL`→coalesce, `IIF`→if,
     * `CHARINDEX`→locate (same argument order), `LEN`→length,
     * `GETDATE`/`SYSDATETIME`→current_timestamp, `REPLICATE`→repeat.
-    * `SUBSTRING`, `UPPER`/`LOWER`, `COALESCE`, `NULLIF`, CASE are
-    * Spark-native pass-throughs. `+` as string concatenation is NOT
+    * `SUBSTRING`, `UPPER`/`LOWER`, `COALESCE`, `NULLIF`, CASE, and
+    * `STRING_AGG(x, sep) WITHIN GROUP (ORDER BY …)` (Spark 4 ships
+    * string_agg natively) are Spark-native pass-throughs. `+` as string concatenation is NOT
     * translated (it is type-dependent in T-SQL and indistinguishable
     * from addition without schema inference) — use CONCAT. T-SQL string
     * literals escape by quote doubling only, so backslashes are escaped
@@ -349,6 +351,7 @@ object Dialect {
         escapeBackslashLiterals,
         rewriteBracketIdents,
         rewriteTsqlTop,
+        rewriteTsqlOffsetFetch,
         rewriteTsqlConvert,
         rewriteTsqlDateAdd,
         rewriteTsqlDateDiff,
@@ -1653,6 +1656,28 @@ object Dialect {
         throw new graft.UnsupportedError(s"$fn expects (part, start, end)")
       boundaryDateDiff(tsqlPart(args(0), fn), args(1), args(2), "0001-01-07", "date_diff")
     }
+
+  /** T-SQL/ANSI paging: `OFFSET n ROWS [FETCH NEXT|FIRST m ROWS ONLY]` →
+    * `LIMIT m OFFSET n` (or bare `OFFSET n`, which Spark parses
+    * natively). The clause is trailing-positional in both dialects, so a
+    * textual swap is exact.
+    */
+  private[graft] def rewriteTsqlOffsetFetch(sql: String): String = {
+    val re = ("""(?i)\bOFFSET\s+(\d+)\s+ROWS?""" +
+      """(?:\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY)?""").r
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
+      val repl =
+        if (m.group(2) != null) s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"
+        else s"OFFSET ${m.group(1)}"
+      out.append(sql.substring(last, m.start)).append(repl)
+      last = m.end
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
 
   /** T-SQL `DATEPART(part, expr)` → the matching Spark extraction
     * function. `week` raises: T-SQL numbers weeks from January 1st

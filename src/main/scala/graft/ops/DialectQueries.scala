@@ -550,9 +550,38 @@ object DialectQueries {
            |ORDER BY o_orderkey
            |LIMIT 150""".stripMargin))
 
+  /** T-SQL paging + ordered string aggregation ([[Dialect.TsqlIsh]]):
+    * `OFFSET … ROWS FETCH NEXT … ROWS ONLY` → LIMIT/OFFSET, and
+    * `STRING_AGG … WITHIN GROUP` passing through to Spark 4's native
+    * string_agg. Oracle is DuckDB's ordered string_agg + LIMIT/OFFSET.
+    */
+  val tsqlPaging = OpQ("op_dialect_tsql_paging",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority,
+          |  STRING_AGG(CONVERT(VARCHAR(12), o_orderkey), ',')
+          |    WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+          |  CONVERT(BIGINT, COUNT(*)) AS n
+          |FROM orders
+          |WHERE o_orderkey <= 600
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority
+          |OFFSET 1 ROWS FETCH NEXT 3 ROWS ONLY""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""SELECT o_orderpriority,
+           |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS keys_csv,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM orders
+           |WHERE o_orderkey <= 600
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority
+           |LIMIT 3 OFFSET 1""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
-    sqlite, oracleDialect, tsql)
+    sqlite, oracleDialect, tsql, tsqlPaging)
 }
