@@ -1828,6 +1828,80 @@ object ExtraQueries {
            |  (cnt * n_keys * 1000000) // n_rows AS vs_mean_ppm
            |FROM c, t ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin))
 
+  /** Largest-remainder proration ([[Relational.prorate]]): each order's
+    * exact-cents total split across its lineitems proportionally to
+    * quantity, leftovers to the largest remainders — Σ alloc = total per
+    * order, bit-exact. The oracle re-derives the same floor-share +
+    * remainder-rank allocation in DuckDB integer arithmetic.
+    */
+  val prorate = OpQ("op_prorate",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        // the synthetic data repeats l_linenumber within an order, so
+        // pre-aggregate to make the prorate order key unique per group
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          Relational.cents(col("o_totalprice")).as("total_cents"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+      Relational.prorate(joined, Seq("l_orderkey"), "qty", "total_cents",
+        "l_linenumber", validate = true)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
+           |    SUM(CAST(l_quantity AS BIGINT)) AS qty
+           |  FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1, 2),
+           |o AS (SELECT o_orderkey,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+           |  FROM orders),
+           |j AS (SELECT l_orderkey, l_linenumber, qty, total_cents
+           |  FROM li JOIN o ON l_orderkey = o_orderkey),
+           |w AS (SELECT *, SUM(qty) OVER (PARTITION BY l_orderkey) AS wsum
+           |  FROM j),
+           |b AS (SELECT *, (total_cents * qty) // wsum AS base,
+           |    (total_cents * qty) % wsum AS rem FROM w),
+           |r AS (SELECT *,
+           |    CAST(row_number() OVER (PARTITION BY l_orderkey
+           |      ORDER BY rem DESC, l_linenumber) AS BIGINT) AS rn,
+           |    SUM(base) OVER (PARTITION BY l_orderkey) AS sbase FROM b)
+           |SELECT l_orderkey, l_linenumber, qty, total_cents,
+           |  CAST(base + CASE WHEN rn <= total_cents - sbase THEN 1 ELSE 0
+           |    END AS BIGINT) AS alloc
+           |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** MAD robust outliers ([[Relational.madOutliers]]): event values whose
+    * deviation from their type's median exceeds 3× the median absolute
+    * deviation — both medians as PERCENTILE_DISC(0.5) on exact cents, so
+    * the flagged set is integer-exact on both engines. ~12% of rows per
+    * type flag on this right-skewed synthetic distribution — a set a
+    * mean/σ z-score would largely mask (the heavy tail inflates σ).
+    */
+  val statsMad = OpQ("op_stats_mad",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          Relational.cents(col("value")).as("v"))
+      Relational.madOutliers(ev, "v", Seq("event_type"), k = 3)
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH v AS (SELECT event_id, event_type,
+           |    CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+           |m AS (SELECT event_type,
+           |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
+           |      AS BIGINT) AS med
+           |  FROM v GROUP BY event_type),
+           |d AS (SELECT v.*, med FROM v JOIN m USING (event_type)),
+           |md AS (SELECT event_type,
+           |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(v - med))
+           |      AS BIGINT) AS mad
+           |  FROM d GROUP BY event_type)
+           |SELECT event_type, event_id, v, med, mad
+           |FROM d JOIN md USING (event_type)
+           |WHERE abs(v - med) > 3 * mad ORDER BY event_id""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
     sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch, sketchIntersect,
@@ -1844,5 +1918,5 @@ object ExtraQueries {
     joinNullSafe, notInNulls, relDivision, joinFuzzy,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
-    attributionMultitouch, timeseriesVwap)
+    attributionMultitouch, timeseriesVwap, prorate, statsMad)
 }

@@ -982,6 +982,100 @@ object Relational {
     * Unpartitioned series degenerate to a single-task sort (correct but
     * serial) — at corpus scale always interpolate per series key.
     */
+  /** Largest-remainder proration: split each group's integer `total`
+    * across its rows proportionally to integer `weight`, with the
+    * leftover units (total − Σ floor shares) handed one-by-one to the
+    * rows with the largest fractional remainders — the classic exact
+    * allocation (invoice-line tax split, budget spread, seat
+    * apportionment). Per group: Σ alloc = total, exactly, in integer
+    * units — no penny ever lost to rounding. All arithmetic is BIGINT
+    * (`div`/`%` on non-negative operands, so truncation = floor on any
+    * engine); ties on remainder break by `orderCol` ascending, making
+    * the allocation bit-deterministic under any partitioning.
+    *
+    * Preconditions (caller's responsibility, mirroring [[applyCdc]]):
+    * `total` is constant within a group, weights are non-negative, and
+    * `orderCol` is unique within a group; `validate = true` makes
+    * violations fail loudly instead of corrupting the allocation.
+    *
+    * Scale: ONE shuffle on the group key serves both window passes
+    * (weight sum + remainder rank) — Catalyst plans a single exchange
+    * and sort. Groups are typically tiny (rows-per-order), so no skew;
+    * a pathological mega-group degrades to a single-task sort of that
+    * group only.
+    */
+  def prorate(df: DataFrame, keys: Seq[String], weightCol: String,
+      totalCol: String, orderCol: String,
+      validate: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireNoWorkingCols(df, "prorate", "__w", "__base", "__rem", "__rn")
+    if (validate) {
+      val bad = df.groupBy(keys.map(col): _*)
+        .agg(countDistinct(col(totalCol)).as("__nt"),
+          count(lit(1)).as("__n"),
+          countDistinct(col(orderCol)).as("__no"),
+          min(col(weightCol)).as("__minw"))
+        .filter(col("__nt") > 1 || col("__no") < col("__n") ||
+          col("__minw") < 0)
+      require(bad.isEmpty,
+        "prorate: total not constant per group, duplicate order keys, " +
+          "or negative weights")
+    }
+    val part = Window.partitionBy(keys.map(col): _*)
+    val byRem = part.orderBy(col("__rem").desc, col(orderCol))
+    val w = col(weightCol).cast("long")
+    val t = col(totalCol).cast("long")
+    df.withColumn("__w", sum(w).over(part))
+      .withColumn("__base",
+        when(col("__w") > 0, expr(s"($totalCol * $weightCol) div __w")
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__w") > 0, (t * w) % col("__w")).otherwise(lit(0L)))
+      .withColumn("__rn", row_number().over(byRem))
+      .withColumn("alloc",
+        col("__base") + when(col("__w") > 0 &&
+          col("__rn") <= t - sum(col("__base")).over(part), 1L)
+          .otherwise(0L))
+      .drop("__w", "__base", "__rem", "__rn")
+  }
+
+  /** Robust outlier flagging via median absolute deviation: a row is an
+    * outlier when |x − median| > k·MAD, with both the median and the MAD
+    * taken as PERCENTILE_DISC(0.5) (the smallest value whose cumulative
+    * distribution reaches ½ — always an actual data value, so for
+    * integer inputs the whole test stays in exact integer arithmetic;
+    * no mean, no variance, no doubles). Unlike [[zscoreOutliers]], a
+    * single extreme value cannot inflate the scale estimate and mask
+    * itself — MAD has a 50% breakdown point.
+    *
+    * Scale: two aggregation passes over the grouped data (median, then
+    * MAD of deviations) and a broadcast of the per-key stats back onto
+    * the scan — the corpus itself never shuffles. PERCENTILE_DISC is a
+    * holistic aggregate (needs the sorted group), so each pass shuffles
+    * only (key, value) pairs, not whole rows.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, keys: Seq[String],
+      k: Int = 3): DataFrame = {
+    requireNoWorkingCols(df, "madOutliers", "__med", "__mad", "__dev")
+    val keyCols = keys.map(col)
+    val med = df.groupBy(keyCols: _*)
+      .agg(expr(
+        s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast("long").as("__med"))
+    val mad = df.join(broadcast(med), keys)
+      .withColumn("__dev", abs(col(valueCol).cast("long") - col("__med")))
+      .groupBy(keyCols: _*)
+      .agg(first(col("__med")).as("__med"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)")
+          .cast("long").as("__mad"))
+    df.join(broadcast(mad), keys)
+      .filter(abs(col(valueCol).cast("long") - col("__med")) >
+        lit(k.toLong) * col("__mad"))
+      .withColumn("med", col("__med"))
+      .withColumn("mad", col("__mad"))
+      .drop("__med", "__mad")
+  }
+
   def interpolateLinear(df: DataFrame, xCol: String, valueCol: String,
       partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window

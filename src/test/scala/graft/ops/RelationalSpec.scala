@@ -480,4 +480,45 @@ class RelationalSpec extends SparkSpec {
       .orderBy("x").select("v_interp").collect().map(_.getLong(0))
     assert(got.toSeq === Seq(0L, 3L, 6L, 10L)) // floor(10/3), floor(20/3)
   }
+
+  test("prorate: allocations sum to the exact total, largest remainders win") {
+    // total 100 over weights 1,1,1: floors 33 each, leftover 1; equal
+    // remainders tie-break by order asc → row 1 gets it → 34/33/33
+    val df = Seq((1L, 1, 1L, 100L), (1L, 2, 1L, 100L), (1L, 3, 1L, 100L),
+      // uneven weights: total 101 over 2,3,5 → floors 20,30,50, leftover 1
+      // remainders 2,3,5 → row 3 wins → 20,30,51
+      (2L, 1, 2L, 101L), (2L, 2, 3L, 101L), (2L, 3, 5L, 101L),
+      // zero weight sum → degenerate: all allocations 0, no phantom units
+      (3L, 1, 0L, 7L))
+      .toDF("grp", "ord", "w", "total")
+    val out = Relational.prorate(df, Seq("grp"), "w", "total", "ord",
+      validate = true)
+      .orderBy("grp", "ord").select("alloc").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(34L, 33L, 33L, 20L, 30L, 51L, 0L))
+    // per-group conservation for the positive-weight groups
+    val sums = Relational.prorate(df, Seq("grp"), "w", "total", "ord")
+      .groupBy("grp").agg(sum("alloc").as("s"), first("total").as("t"))
+      .filter(col("grp") < 3L).collect()
+    assert(sums.forall(r => r.getLong(1) === r.getLong(2)))
+    // validation trips on non-constant total
+    val bad = Seq((1L, 1, 1L, 100L), (1L, 2, 1L, 99L)).toDF("grp", "ord", "w", "total")
+    intercept[IllegalArgumentException] {
+      Relational.prorate(bad, Seq("grp"), "w", "total", "ord", validate = true)
+    }
+  }
+
+  test("madOutliers: single extreme value cannot mask itself") {
+    // 9 values at 100 ± small noise plus one at 10000. Mean/σ would be
+    // dragged; median=100, MAD is tiny, so the extreme row flags.
+    val rows = Seq(98L, 99L, 100L, 100L, 100L, 100L, 101L, 101L, 102L, 10000L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+    val df = rows.toDF("id", "grp", "v")
+    val out = Relational.madOutliers(df, "v", Seq("grp"), k = 3)
+      .select("id", "med", "mad").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(9L))
+    assert(out.head.getLong(1) === 100L && out.head.getLong(2) === 1L)
+    // constant-valued group: MAD 0 → any deviation flags, none exists
+    val const = (1 to 5).map(i => (i.toLong, "c", 42L)).toDF("id", "grp", "v")
+    assert(Relational.madOutliers(const, "v", Seq("grp")).count() === 0)
+  }
 }
