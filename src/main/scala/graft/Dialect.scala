@@ -50,6 +50,10 @@ import org.apache.spark.sql.types.StructType
   * renames. Backtick identifiers, `REGEXP`, IFNULL, IF, SUBSTRING_INDEX,
   * DATEDIFF(d1, d2) are already Spark-native and pass through.
   *
+  * [[Dialect.ClickHouseIsh]]: `-If` aggregate combinators, uniqExact,
+  * multiIf, the camel-case `to*` conversion family, lambda-first array
+  * HOFs, arrayJoin, splitByChar, position argument order, empty/notEmpty.
+  *
   * Everything the rewriter does is textual and literal-span-aware: content
   * of single-quoted SQL string literals is never touched. DuckDB/Trino
   * literals are ANSI ('' doubling, backslash plain — backslashes are doubled
@@ -82,6 +86,7 @@ object Dialect {
     case "sqlite" => SqliteIsh
     case "oracle" => OracleIsh
     case "tsql" | "mssql" | "sqlserver" => TsqlIsh
+    case "clickhouse" => ClickHouseIsh
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -356,6 +361,49 @@ object Dialect {
         rewriteTsqlDateAdd,
         rewriteTsqlDateDiff,
         rewriteTsqlDatePart,
+        s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** ClickHouse-ish surface: the `-If` aggregate combinators
+    * (`countIf`/`sumIf`/`avgIf`/`minIf`/`maxIf` → conditional-CASE
+    * aggregates; `sumIf` keeps ClickHouse's 0-on-empty default, the
+    * others return NULL where ClickHouse would return a type default),
+    * `uniqExact` → COUNT(DISTINCT) and `uniq` → approx_count_distinct,
+    * `multiIf` → CASE, the camel-case `to*` conversion family
+    * (`toYear`/`toMonth`/`toDayOfMonth`/`toDate`/`toString`/`toInt32`/
+    * `toInt64`/`toFloat64`/`toYYYYMM`/`toYYYYMMDD`/`toStartOfYear`/
+    * `toStartOfMonth`/`toStartOfDay`/`toUnixTimestamp`), lambda-FIRST
+    * array HOFs (`arrayMap`/`arrayFilter`/`arrayExists`/`arrayAll`/
+    * `arrayCount` → transform/filter/exists/forall with the array first),
+    * `arrayJoin` → explode (one per SELECT — Spark's generator rule),
+    * `has` → array_contains, `splitByChar`/`splitByString` (separator
+    * FIRST, split literally not as a regex), `position(haystack, needle)`
+    * → locate (argument swap), and `empty`/`notEmpty` string tests.
+    * `if(c,a,b)`, `concat`, `lower`/`upper`, `coalesce`, `length`,
+    * backtick identifiers, and `%` modulo are Spark-native
+    * pass-throughs. ClickHouse string literals use backslash escapes
+    * exactly as Spark's default parser does, so literals are scanned
+    * with `backslashEscapes = true` and not doubled.
+    */
+  case object ClickHouseIsh extends Dialect {
+    private val renames = Map(
+      "arrayjoin" -> "explode",
+      "has" -> "array_contains",
+      "arraysort" -> "sort_array",
+      "arraydistinct" -> "array_distinct")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        rewriteChAggIf,
+        rewriteChMultiIf,
+        rewriteChTo,
+        rewriteChArrayHof,
+        rewriteChSplit,
+        rewriteChUniq,
+        rewriteChEmpty,
+        rewriteChPosition,
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -1724,6 +1772,154 @@ object Dialect {
         case Seq(one) =>
           val m = """(?is)^\s*EPOCH\s+FROM\s+(.+)$""".r.findFirstMatchIn(one)
           m.map(g => s"unix_timestamp(${g.group(1)})")
+        case _ => None
+      }
+    }
+
+  // ---- ClickHouse-ish helpers --------------------------------------------
+
+  /** `-If` aggregate combinators. `countIf(c)` → Spark's native
+    * `count_if`; the value-carrying forms become CASE aggregates.
+    * `sumIf` wraps in COALESCE(…, 0) — ClickHouse sums return 0, not
+    * NULL, when no row matches; avg/min/max translate to NULL-on-empty
+    * (ClickHouse would return a type default like 0 — NULL is the
+    * fail-soft choice and matches what SQL users expect of the CASE form).
+    */
+  private[graft] def rewriteChAggIf(sql: String): String =
+    rewriteCallOpt(sql, "countIf|sumIf|avgIf|minIf|maxIf", esc = true) { (fn, args) =>
+      (fn.toLowerCase, args) match {
+        case ("countif", Seq(c)) => Some(s"count_if($c)")
+        case ("countif", Seq(x, c)) => Some(s"count(CASE WHEN $c THEN $x END)")
+        case ("sumif", Seq(x, c)) =>
+          Some(s"coalesce(sum(CASE WHEN $c THEN $x END), 0)")
+        case ("avgif", Seq(x, c)) => Some(s"avg(CASE WHEN $c THEN $x END)")
+        case ("minif", Seq(x, c)) => Some(s"min(CASE WHEN $c THEN $x END)")
+        case ("maxif", Seq(x, c)) => Some(s"max(CASE WHEN $c THEN $x END)")
+        case _ => throw new graft.UnsupportedError(
+          s"ClickHouse $fn expects ${if (fn.equalsIgnoreCase("countif")) "(cond) or (expr, cond)" else "(expr, cond)"}")
+      }
+    }
+
+  /** `multiIf(c1, v1, …, cN, vN, else)` → searched CASE. */
+  private[graft] def rewriteChMultiIf(sql: String): String =
+    rewriteCallOpt(sql, "multiIf", esc = true) { (_, args) =>
+      if (args.length < 3 || args.length % 2 == 0)
+        throw new graft.UnsupportedError(
+          "multiIf expects cond,value pairs plus a final else")
+      val whens = args.dropRight(1).grouped(2)
+        .map { p => s"WHEN ${p(0)} THEN ${p(1)}" }.mkString(" ")
+      Some(s"(CASE $whens ELSE ${args.last} END)")
+    }
+
+  /** ClickHouse camel-case `to*` conversions → Spark casts/extracts.
+    * `toString(date)` prints ISO yyyy-MM-dd on both engines;
+    * `toYYYYMM`/`toYYYYMMDD` return integers (BIGINT here, UInt32
+    * there); `toStartOf{Year,Month}` return DATE, `toStartOfDay` a
+    * TIMESTAMP — all per ClickHouse result typing.
+    */
+  private[graft] def rewriteChTo(sql: String): String =
+    rewriteCallOpt(sql,
+      "toYYYYMMDD|toYYYYMM|toYear|toMonth|toDayOfMonth|toDate|toString|" +
+        "toInt32|toInt64|toFloat64|toStartOfYear|toStartOfMonth|" +
+        "toStartOfDay|toUnixTimestamp", esc = true) { (fn, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError(s"ClickHouse $fn expects one argument")
+      val x = args.head
+      Some(fn.toLowerCase match {
+        case "toyear" => s"year($x)"
+        case "tomonth" => s"month($x)"
+        case "todayofmonth" => s"day($x)"
+        case "todate" => s"CAST($x AS DATE)"
+        case "tostring" => s"CAST($x AS STRING)"
+        case "toint32" => s"CAST($x AS INT)"
+        case "toint64" => s"CAST($x AS BIGINT)"
+        case "tofloat64" => s"CAST($x AS DOUBLE)"
+        case "toyyyymm" => s"CAST(date_format($x, 'yyyyMM') AS BIGINT)"
+        case "toyyyymmdd" => s"CAST(date_format($x, 'yyyyMMdd') AS BIGINT)"
+        case "tostartofyear" => s"CAST(date_trunc('YEAR', $x) AS DATE)"
+        case "tostartofmonth" => s"CAST(date_trunc('MONTH', $x) AS DATE)"
+        case "tostartofday" => s"date_trunc('DAY', $x)"
+        case "tounixtimestamp" => s"unix_timestamp($x)"
+      })
+    }
+
+  /** Lambda-first array higher-order functions → Spark's array-first
+    * forms: `arrayMap(x -> e, arr)` → `transform(arr, x -> e)`, same for
+    * filter/exists/forall; `arrayCount(λ, arr)` → `size(filter(…))`.
+    * Only the two-argument form translates (ClickHouse multi-array zips
+    * have no direct Spark spelling).
+    */
+  private[graft] def rewriteChArrayHof(sql: String): String =
+    rewriteCallOpt(sql, "arrayMap|arrayFilter|arrayExists|arrayAll|arrayCount",
+      esc = true) { (fn, args) =>
+      args match {
+        case Seq(lam, arr) => Some(fn.toLowerCase match {
+          case "arraymap" => s"transform($arr, $lam)"
+          case "arrayfilter" => s"filter($arr, $lam)"
+          case "arrayexists" => s"exists($arr, $lam)"
+          case "arrayall" => s"forall($arr, $lam)"
+          case "arraycount" => s"size(filter($arr, $lam))"
+        })
+        case _ => throw new graft.UnsupportedError(
+          s"ClickHouse $fn expects (lambda, array)")
+      }
+    }
+
+  /** `splitByChar('s', str)` / `splitByString('sep', str)` → `split` with
+    * the separator \Q…\E-quoted (ClickHouse splits literally; Spark's
+    * split takes a regex). Separator must be a literal or expression —
+    * dynamic separators are quoted at runtime via concat, mirroring
+    * [[rewriteStringSplit]].
+    */
+  private[graft] def rewriteChSplit(sql: String): String =
+    rewriteCallOpt(sql, "splitByChar|splitByString", esc = true) { (_, args) =>
+      args match {
+        case Seq(sepArg, s) =>
+          val sep = sepArg match {
+            case SingleLiteral(lit) =>
+              if (lit.contains("\\E")) throw new graft.UnsupportedError(
+                "splitBy separator containing \\E is not supported")
+              "'\\\\Q" + lit + "\\\\E'"
+            case dyn => s"concat('\\\\Q', ${dyn.trim}, '\\\\E')"
+          }
+          Some(s"split($s, $sep)")
+        case _ => throw new graft.UnsupportedError(
+          "splitByChar/splitByString expect (separator, string)")
+      }
+    }
+
+  /** `uniqExact` → exact COUNT(DISTINCT …); `uniq` → HLL
+    * approx_count_distinct (ClickHouse's uniq is itself approximate).
+    */
+  private[graft] def rewriteChUniq(sql: String): String =
+    rewriteCallOpt(sql, "uniqExact|uniq", esc = true) { (fn, args) =>
+      if (args.isEmpty)
+        throw new graft.UnsupportedError(s"ClickHouse $fn expects arguments")
+      Some(if (fn.equalsIgnoreCase("uniqexact"))
+        s"count(DISTINCT ${args.mkString(", ")})"
+      else s"approx_count_distinct(${args.mkString(", ")})")
+    }
+
+  /** `empty(s)` / `notEmpty(s)` string emptiness tests. */
+  private[graft] def rewriteChEmpty(sql: String): String =
+    rewriteCallOpt(sql, "notEmpty|empty", esc = true) { (fn, args) =>
+      args match {
+        case Seq(x) => Some(
+          if (fn.equalsIgnoreCase("empty")) s"(length($x) = 0)"
+          else s"(length($x) > 0)")
+        case _ => throw new graft.UnsupportedError(s"$fn expects one argument")
+      }
+    }
+
+  /** ClickHouse `position(haystack, needle)` → `locate(needle, haystack)`
+    * (argument swap; both are 1-based with 0 for absent). The ANSI
+    * `position(x IN y)` form arrives as a single argument and passes
+    * through untouched.
+    */
+  private[graft] def rewriteChPosition(sql: String): String =
+    rewriteCallOpt(sql, "position", esc = true) { (_, args) =>
+      args match {
+        case Seq(h, n) => Some(s"locate($n, $h)")
         case _ => None
       }
     }

@@ -579,9 +579,68 @@ object DialectQueries {
            |ORDER BY o_orderpriority
            |LIMIT 3 OFFSET 1""".stripMargin))
 
+  /** ClickHouse surface ([[Dialect.ClickHouseIsh]]): the `-If` aggregate
+    * combinators (countIf/sumIf with ClickHouse's 0-on-empty sum),
+    * uniqExact, multiIf, the camel-case `to*` conversion family
+    * (toYYYYMM, toStartOfMonth, toString, toInt64), lambda-FIRST array
+    * HOFs (arrayMap), arrayJoin as the row-expanding generator,
+    * splitByChar (separator first, literal split), position with
+    * ClickHouse's (haystack, needle) order, and notEmpty. Oracle is the
+    * DuckDB spelling: FILTER clauses, list_transform + unnest, CASE.
+    */
+  val clickhouse = OpQ("op_dialect_clickhouse",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT ym, month_start, status_word,
+          |  countIf(urg_pos > 0) AS n_urgent,
+          |  countIf(non_open) AS n_non_open,
+          |  sumIf(price_i, price_i > 100000) AS big_price,
+          |  uniqExact(pri_part) AS n_parts,
+          |  toInt64(count(*)) AS n
+          |FROM (
+          |  SELECT
+          |    toYYYYMM(o_orderdate) AS ym,
+          |    toString(toStartOfMonth(o_orderdate)) AS month_start,
+          |    multiIf(o_orderstatus = 'O', 'open',
+          |            o_orderstatus = 'F', 'filled', 'other') AS status_word,
+          |    toInt64(position(o_orderpriority, 'URGENT')) AS urg_pos,
+          |    notEmpty(nullif(o_orderstatus, 'O')) AS non_open,
+          |    arrayJoin(arrayMap(x -> upper(x),
+          |              splitByChar('-', o_orderpriority))) AS pri_part,
+          |    toInt64(floor(o_totalprice)) AS price_i
+          |  FROM orders WHERE o_orderkey <= 1000
+          |)
+          |GROUP BY ym, month_start, status_word
+          |ORDER BY ym, status_word""".stripMargin,
+        dialect = Dialect.ClickHouseIsh)
+    },
+    Some("""WITH i AS (
+           |  SELECT
+           |    CAST(strftime(o_orderdate::DATE, '%Y%m') AS BIGINT) AS ym,
+           |    date_trunc('month', o_orderdate::DATE)::DATE::VARCHAR AS month_start,
+           |    CASE WHEN o_orderstatus = 'O' THEN 'open'
+           |         WHEN o_orderstatus = 'F' THEN 'filled'
+           |         ELSE 'other' END AS status_word,
+           |    CAST(instr(o_orderpriority, 'URGENT') AS BIGINT) AS urg_pos,
+           |    (length(nullif(o_orderstatus, 'O')) > 0) AS non_open,
+           |    unnest(list_transform(string_split(o_orderpriority, '-'),
+           |                          x -> upper(x))) AS pri_part,
+           |    CAST(floor(o_totalprice) AS BIGINT) AS price_i
+           |  FROM orders WHERE o_orderkey <= 1000)
+           |SELECT ym, month_start, status_word,
+           |  CAST(count(*) FILTER (WHERE urg_pos > 0) AS BIGINT) AS n_urgent,
+           |  CAST(count(*) FILTER (WHERE non_open) AS BIGINT) AS n_non_open,
+           |  CAST(COALESCE(SUM(CASE WHEN price_i > 100000 THEN price_i END), 0)
+           |    AS BIGINT) AS big_price,
+           |  CAST(count(DISTINCT pri_part) AS BIGINT) AS n_parts,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM i GROUP BY ym, month_start, status_word
+           |ORDER BY ym, status_word""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
-    sqlite, oracleDialect, tsql, tsqlPaging)
+    sqlite, oracleDialect, tsql, tsqlPaging, clickhouse)
 }
