@@ -295,7 +295,18 @@ object PlanCheck {
       f => f("partial_agg") >= 2 && f("pushed_filters") >= 2),
     Rule("stream_cdc_apply", "stateful fold shuffles once on key (+ output sort), no join",
       f => f("exchange") <= 2 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0))
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_stats_mad", "per-key median/MAD stats broadcast back onto the scan, never shuffled",
+      f => f("bhj") >= 2 && f("smj") + f("shj") == 0),
+    Rule("op_stats_winsorize", "percentile bounds broadcast back onto the scan, never shuffled",
+      f => f("bhj") >= 1 && f("smj") + f("shj") == 0),
+    Rule("op_snapshot_asof", "as-of cutoff pushed to the parquet scan; one key shuffle + output sort",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 2),
+    Rule("llm_split_train_val", "pure per-row split assignment: no join, no aggregation",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
+        f("partial_agg") == 0),
+    Rule("llm_bpe_pairs", "word collapse and pair count both map-side combined; top-k not a global sort",
+      f => f("partial_agg") >= 4 && f("topk") >= 1))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

@@ -668,6 +668,44 @@ object LlmQueries {
            |WHERE (doc_id * 2654435761) % 4294967311 % 1000000 < 120000
            |ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic train/val/test split ([[Mixing.splitTrainValTest]]):
+    * 90/5/5 assignment from the exact integer permutation — a pure
+    * per-row predicate (no shuffle), stable under ingest so held-out
+    * docs stay held out. The oracle replays the permutation arithmetic.
+    */
+  val splitTrainVal = OpQ("llm_split_train_val",
+    (s, d) => Mixing.splitTrainValTest(docs(s, d),
+      trainPpm = 900000L, valPpm = 50000L)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+           |  CASE WHEN (doc_id * 2654435761) % 4294967311 % 1000000 < 900000
+           |         THEN 'train'
+           |       WHEN (doc_id * 2654435761) % 4294967311 % 1000000 < 950000
+           |         THEN 'validation'
+           |       ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** BPE merge-candidate counting ([[TextAnalysis.bpePairCounts]]): the
+    * top-50 adjacent character pairs weighted by word frequency — the
+    * statistic one iteration of byte-pair-encoding vocabulary induction
+    * maximizes. The oracle replays the word-frequency collapse and the
+    * pair explode in DuckDB list arithmetic.
+    */
+  val bpePairs = OpQ("llm_bpe_pairs",
+    (s, d) => TextAnalysis.bpePairCounts(docs(s, d), k = 50),
+    Some("""WITH w AS (
+           |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+           |  FROM documents),
+           |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
+           |  FROM w WHERE length(word) >= 2 GROUP BY word),
+           |p AS (SELECT wc,
+           |    unnest(list_transform(range(1, length(word)),
+           |                          i -> substr(word, CAST(i AS INT), 2))) AS pair
+           |  FROM wc)
+           |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+           |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin))
+
   /** Weight-proportional sampling ([[Mixing.weightedSample]]): longer
     * documents keep with higher probability (w = min(n_chars·2000,
     * 800000) ppm) — the quality/length-weighted corpus thinning step,
@@ -1352,6 +1390,7 @@ object LlmQueries {
     annBruteForce, annIvf, annLsh, annSq8, annPq,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
+    splitTrainVal, bpePairs,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

@@ -39,6 +39,26 @@ object Mixing {
     df.filter(permute(col(idCol)) % lit(1000000L) < lit(keepPpm))
   }
 
+  /** Deterministic train/validation/test split: each row's permuted id
+    * lands in [0, 1e6) ppm space — `[0, trainPpm)` → train,
+    * `[trainPpm, trainPpm+valPpm)` → validation, the rest → test. The
+    * assignment is a pure per-row codegen'd expression (no shuffle, no
+    * state, runs inside the scan at any corpus size), stable under
+    * re-partitioning and across runs/engines, and adding documents never
+    * moves an existing document between splits — the property that keeps
+    * yesterday's held-out set held out after an ingest.
+    */
+  def splitTrainValTest(df: DataFrame, trainPpm: Long, valPpm: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L,
+      "splitTrainValTest: ppm shares must be non-negative and sum <= 1e6")
+    val slot = permute(col(idCol)) % lit(1000000L)
+    df.withColumn("split",
+      when(slot < lit(trainPpm), lit("train"))
+        .when(slot < lit(trainPpm + valPpm), lit("validation"))
+        .otherwise(lit("test")))
+  }
+
   /** Weight-PROPORTIONAL deterministic sampling: each row keeps with its
     * own probability `weightPpm/1e6` (clamped to 1), decided by the same
     * exact integer permutation as [[hashSample]] — quality-weighted and

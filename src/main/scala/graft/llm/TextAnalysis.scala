@@ -411,4 +411,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
   }
+
+  /** BPE merge-candidate counting — the inner statistic of byte-pair-
+    * encoding vocabulary induction (Sennrich et al., ACL 2016): over the
+    * corpus word-frequency table, count every ADJACENT CHARACTER PAIR
+    * weighted by its word's corpus frequency. The top pair is the next
+    * BPE merge; re-running after applying a merge (outside this
+    * operator) iterates the induction.
+    *
+    * Scale: the corpus collapses to its word-frequency table FIRST (one
+    * map-side-combined shuffle on the word — the table is |vocab|-sized,
+    * not corpus-sized), then pairs explode off the deduplicated words,
+    * so the pair stage costs |vocab|·avg_len regardless of corpus row
+    * count, and the corpus text itself never moves twice.
+    */
+  def bpePairCounts(docs: DataFrame, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

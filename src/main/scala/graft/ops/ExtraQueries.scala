@@ -1902,6 +1902,52 @@ object ExtraQueries {
            |FROM d JOIN md USING (event_type)
            |WHERE abs(v - med) > 3 * mad ORDER BY event_id""".stripMargin))
 
+  /** Winsorization ([[Relational.winsorize]]): event values clamped into
+    * their type's [p05, p95] PERCENTILE_DISC band — tail-taming on exact
+    * cents, so the clamped column hash-matches DuckDB's discrete
+    * percentiles + greatest/least replay.
+    */
+  val statsWinsorize = OpQ("op_stats_winsorize",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          Relational.cents(col("value")).as("v"))
+      Relational.winsorize(ev, "v", Seq("event_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH v AS (SELECT event_id, event_type,
+           |    CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+           |b AS (SELECT event_type,
+           |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS BIGINT) AS lo,
+           |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS BIGINT) AS hi
+           |  FROM v GROUP BY event_type)
+           |SELECT event_id, event_type, v,
+           |  greatest(lo, least(hi, v)) AS v_w
+           |FROM v JOIN b USING (event_type) ORDER BY event_id""".stripMargin))
+
+  /** Point-in-time snapshot ([[Relational.asOfSnapshot]]): each
+    * customer's latest order state as of 1996-06-30 — time travel over
+    * an append-only history, the read side of [[Relational.scd2Merge]].
+    * The as-of filter pushes into the scan; one key shuffle.
+    */
+  val snapshotAsOf = OpQ("op_snapshot_asof",
+    (s, d) => {
+      val ord = Tables.load(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"), Relational.cents(col("o_totalprice")).as("price_cents"))
+      Relational.asOfSnapshot(ord, Seq("o_custkey"), "o_orderdate",
+        lit("1996-06-30").cast("date"), "o_orderkey")
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, price_cents
+           |FROM (
+           |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           |  FROM orders WHERE o_orderdate <= DATE '1996-06-30')
+           |WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
     sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch, sketchIntersect,
@@ -1918,5 +1964,6 @@ object ExtraQueries {
     joinNullSafe, notInNulls, relDivision, joinFuzzy,
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
-    attributionMultitouch, timeseriesVwap, prorate, statsMad)
+    attributionMultitouch, timeseriesVwap, prorate, statsMad,
+    statsWinsorize, snapshotAsOf)
 }

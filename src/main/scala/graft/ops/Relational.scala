@@ -1076,6 +1076,57 @@ object Relational {
       .drop("__med", "__mad")
   }
 
+  /** Winsorization: clamp each value into its group's [loPct, hiPct]
+    * PERCENTILE_DISC band — the standard tail-taming transform applied
+    * before mean-based statistics (a trimmed alternative to dropping
+    * outliers). Discrete percentiles are actual data values, so for
+    * integer inputs the clamped column stays integer-exact; the original
+    * value is kept alongside `<valueCol>_w`.
+    *
+    * Scale: one (key, value) aggregation pass computes the two bounds
+    * per group, then the tiny bounds table broadcasts back onto the
+    * scan — the data itself never shuffles.
+    */
+  def winsorize(df: DataFrame, valueCol: String, keys: Seq[String],
+      loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+    require(loPct >= 0 && hiPct <= 1 && loPct <= hiPct,
+      s"winsorize: need 0 <= loPct <= hiPct <= 1, got ($loPct, $hiPct)")
+    requireNoWorkingCols(df, "winsorize", "__lo", "__hi")
+    val keyCols = keys.map(col)
+    val bounds = df.groupBy(keyCols: _*)
+      .agg(
+        expr(s"percentile_disc(CAST($loPct AS DOUBLE)) WITHIN GROUP (ORDER BY $valueCol)")
+          .cast("long").as("__lo"),
+        expr(s"percentile_disc(CAST($hiPct AS DOUBLE)) WITHIN GROUP (ORDER BY $valueCol)")
+          .cast("long").as("__hi"))
+    df.join(broadcast(bounds), keys)
+      .withColumn(valueCol + "_w",
+        greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("long"))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Point-in-time snapshot (time travel over an event/history table):
+    * for each key, the latest record with `timeCol <= asOf` — the state
+    * the table had at `asOf`. Ties on `timeCol` break by `tieCol`
+    * descending (a sequence/version column), making the snapshot
+    * deterministic.
+    *
+    * Scale: the `timeCol <= asOf` filter pushes into the scan (partition
+    * pruning on date-partitioned history), then ONE shuffle on the key
+    * for the per-key latest — the same shape as [[applyCdc]]'s windowing.
+    */
+  def asOfSnapshot(df: DataFrame, keys: Seq[String], timeCol: String,
+      asOf: Column, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireNoWorkingCols(df, "asOfSnapshot", "__rn")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).desc, col(tieCol).desc)
+    df.filter(col(timeCol) <= asOf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def interpolateLinear(df: DataFrame, xCol: String, valueCol: String,
       partitionCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -144,6 +144,26 @@ class MixingSpec extends SparkSpec {
     assert(capped("a") <= 2L && capped("b") <= 1L)
   }
 
+  test("splitTrainValTest: partition is total, deterministic, and ingest-stable") {
+    val docs = (1L to 2000L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = Mixing.splitTrainValTest(docs, trainPpm = 900000L, valPpm = 50000L)
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row lands in exactly one split
+    assert(byS.values.sum === 2000L)
+    assert(byS.keySet === Set("train", "validation", "test"))
+    // train dominates at a 90% share (loose band — permutation is uniform)
+    assert(byS("train") > 1600L && byS("train") < 2000L)
+    // ingest stability: the assignment of doc 1..2000 is unchanged when
+    // the table doubles — membership depends only on the id
+    val grown = (1L to 4000L).map(i => Tuple1(i)).toDF("doc_id")
+    val before = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = Mixing.splitTrainValTest(grown, 900000L, 50000L)
+      .filter(col("doc_id") <= 2000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before === after)
+  }
+
   test("packSequences offsets are dense within each shard on real data") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Mixing.packSequences(docs, contextLen = 64)

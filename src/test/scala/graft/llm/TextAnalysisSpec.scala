@@ -77,4 +77,19 @@ class TextAnalysisSpec extends SparkSpec {
     NfcNormalize.registerSql(spark)
     assert(spark.sql("SELECT nfc_normalize('o\u0308') AS x").head().getString(0) === "\u00f6")
   }
+
+  test("bpePairCounts: pair counts weighted by word frequency, hand-checked") {
+    initLog()
+    // corpus: "low low lower" \u2192 words: low\u00d72, lower\u00d71
+    // pairs: lo (2+1), ow (2+1), we (1), er (1)
+    val docs = Seq((1L, "low low"), (2L, "lower")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("lo" -> 3L, "ow" -> 3L, "we" -> 1L, "er" -> 1L))
+    // single-char words contribute nothing; case folds
+    val edge = Seq((1L, "A a AB")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.bpePairCounts(edge, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 === Map("ab" -> 1L))
+  }
 }

@@ -507,6 +507,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clamps to discrete percentile bounds, interior untouched") {
+    // values 1..100 in one group: p05 = 5, p95 = 95 (discrete percentiles
+    // are actual data values)
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toLong)).toDF("id", "grp", "v")
+    val out = Relational.winsorize(df, "v", Seq("grp"))
+      .orderBy("id").select("v_w").collect().map(_.getLong(0))
+    assert(out.take(5).toSeq === Seq(5L, 5L, 5L, 5L, 5L))
+    assert(out.drop(95).toSeq === Seq(95L, 95L, 95L, 95L, 95L))
+    assert(out(49) === 50L) // interior values pass through
+    intercept[IllegalArgumentException] {
+      Relational.winsorize(df, "v", Seq("grp"), loPct = 0.9, hiPct = 0.1)
+    }
+  }
+
+  test("asOfSnapshot returns each key's latest pre-cutoff row with tie-break") {
+    val hist = Seq(
+      (1L, 10L, 101L, "a"), (1L, 20L, 102L, "b"), (1L, 30L, 103L, "c"),
+      // key 2: tie on time 20 → higher seq wins
+      (2L, 20L, 201L, "x"), (2L, 20L, 202L, "y"),
+      // key 3: nothing at or before the cutoff
+      (3L, 99L, 301L, "z"))
+      .toDF("k", "t", "seq", "payload")
+    val out = Relational.asOfSnapshot(hist, Seq("k"), "t", lit(25L), "seq")
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getAs[String]("payload") === "b") // t=20 beats t=10, t=30 excluded
+    assert(out(1).getAs[String]("payload") === "y") // seq 202 wins the tie
+  }
+
   test("madOutliers: single extreme value cannot mask itself") {
     // 9 values at 100 ± small noise plus one at 10000. Mean/σ would be
     // dragged; median=100, MAD is tiny, so the extreme row flags.
