@@ -306,7 +306,13 @@ object PlanCheck {
       f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
         f("partial_agg") == 0),
     Rule("llm_bpe_pairs", "word collapse and pair count both map-side combined; top-k not a global sort",
-      f => f("partial_agg") >= 4 && f("topk") >= 1))
+      f => f("partial_agg") >= 4 && f("topk") >= 1),
+    Rule("llm_dedup_jaccard_prefix", "prefix-token self-join equi-keyed, verify joins broadcast, never cartesian",
+      f => f("cartesian") + f("bnlj") == 0 && f("bhj") >= 1),
+    Rule("op_cooccurrence", "pair top-k via TakeOrderedAndProject; only the 1-row total is nested-loop-broadcast",
+      f => f("topk") >= 1 && f("cartesian") == 0 && f("bnlj") <= 1),
+    Rule("op_drift_check", "both snapshot aggregations map-side combined; ts filters pushed to the scan",
+      f => f("partial_agg") >= 4 && f("pushed_filters") >= 2))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —

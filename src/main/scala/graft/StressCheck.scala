@@ -96,6 +96,15 @@ object StressCheck {
       val uncapped = graft.llm.Dedup.ngramJaccardPairs(skewed, topK = 50).count()
       val tUncap = (System.nanoTime() - t1) / 1e9
       println(f"STRESS ngram_df_cap capped_rows=$capped%d ${tCap}%.2fs uncapped_rows=$uncapped%d ${tUncap}%.2fs")
+      // prefix-filtered join on the SAME stop-shingle corpus: the
+      // stop-shingles have maximal df, sort to the end of every document's
+      // rarest-first order, and never enter the join — lossless pruning
+      // (exact threshold-pair set) where the df cap changes the metric
+      val t2 = System.nanoTime()
+      val prefixed = graft.llm.Dedup
+        .prefixFilteredJaccardPairs(skewed, thresholdPpm = 500000L).count()
+      val tPref = (System.nanoTime() - t2) / 1e9
+      println(f"STRESS ngram_prefix_filter pairs=$prefixed%d ${tPref}%.2fs (exact, vs uncapped ${tUncap}%.2fs)")
     }
     // paragraph dedup at 1x vs factor-x: the amplified corpus repeats every
     // text factor× under fresh ids, so each distinct paragraph occurs

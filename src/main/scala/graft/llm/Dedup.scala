@@ -497,6 +497,75 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Prefix-filtered set-similarity join (AllPairs/PPJoin family —
+    * Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): ALL document pairs
+    * with shingle Jaccard ≥ t, without the full inverted-index self-join.
+    * Tokens get a global total order (ascending document frequency,
+    * rarest first, ties by shingle text — engine-independent); a pair
+    * with |A∩B| ≥ α must share a token within each side's
+    * (n − α + 1)-prefix under that order (the first common token has ≥
+    * α−1 common successors, pinning its position), and J ≥ t implies
+    * |∩| ≥ ⌈t·n⌉ for BOTH sides, so joining only the per-side prefixes
+    * p = n − ⌈t·n⌉ + 1 loses no qualifying pair. Candidates are then
+    * verified with an exact array-intersection count; the threshold test
+    * is pure integer arithmetic (common·10⁶ ≥ t_ppm·(|A|+|B|−common)).
+    *
+    * Scale: at t = 0.5 the prefix is ~half of each document's shingles,
+    * and because prefixes hold each document's RAREST tokens, the join's
+    * Σdf² collapses — stop-shingles (the df² blowup in
+    * [[ngramJaccardPairs]], see SCALE.md) land at the END of the order
+    * and never enter the join. Unlike the `maxDf` relief valve this
+    * prunes with NO approximation: the output is exactly the brute-force
+    * pair set, which is what the driver oracle checks. Shuffles: df
+    * count, one doc-key window for prefix positions, the prefix-token
+    * join, and a broadcastable candidate verify.
+    */
+  def prefixFilteredJaccardPairs(docs: DataFrame,
+      thresholdPpm: Long = 500000L, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in (0, 1e6]")
+    // the shingle-set table feeds THREE consumers (prefix tokens + both
+    // verify sides); an eager localCheckpoint computes the O(len)-per-row
+    // shingling once instead of three times, and shingles carry as 8-byte
+    // xxhash64 keys everywhere (df count, prefix join, verify intersect) —
+    // the same key compression as [[ngramJaccardPairs]], same negligible
+    // collision odds. Together measured 48 s → 11 s on the StressCheck
+    // stop-shingle corpus (vs 22 s for the uncapped inverted index there).
+    // Checkpoint storage is released when the result reference is dropped
+    // (same contract as [[minHashDedup]]).
+    val sets = withShingles(
+        docs.filter(size(split(col(textCol), " ")) >= 3), textCol)
+      .select(col("doc_id"),
+        expr("transform(shingles, x -> xxhash64(x))").as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"), col("hs"))
+      .localCheckpoint(true)
+    val tok = sets.select(col("doc_id"), col("n"), explode(col("hs")).as("s"))
+    val dfreq = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("pos") <=
+        col("n") - expr(s"(n * ${thresholdPpm}L + 999999L) div 1000000L") + 1L)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("n").as("na"),
+        col("hs").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("n").as("nb"),
+        col("hs").as("sb")), "b_id")
+      .withColumn("common",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("common") * 1000000L >=
+        lit(thresholdPpm) * (col("na") + col("nb") - col("common")))
+      .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+  }
+
   /** URL canonicalization — the CommonCrawl-style dedup key. Normalizes,
     * in order: case, `http://` → `https://`, leading `www.`, fragment,
     * TRAILING `utm_*` tracking parameters, a slash directly before the

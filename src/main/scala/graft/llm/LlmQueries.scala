@@ -80,6 +80,36 @@ object LlmQueries {
            |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
            |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin))
 
+  /** Prefix-filtered similarity join ([[Dedup.prefixFilteredJaccardPairs]]):
+    * every pair with trigram Jaccard ≥ 0.5, found by joining only each
+    * document's rarest-token prefix. The oracle is the BRUTE-FORCE
+    * inverted-index pair set at the same threshold — a hash mismatch
+    * means prefix filtering dropped a qualifying pair, so the gate IS
+    * the completeness guarantee.
+    */
+  val dedupJaccardPrefix = OpQ("llm_dedup_jaccard_prefix",
+    // doc_id < 1000 keeps the per-round bench lean (this synthetic corpus
+    // has a uniform 30-word vocabulary — near-worst-case for prefix
+    // filtering); the stop-shingle corpus where the filter pays off is
+    // StressCheck's ngram_prefix_filter entry
+    (s, d) => Dedup.prefixFilteredJaccardPairs(
+        docs(s, d).filter(col("doc_id") < 1000), thresholdPpm = 500000L)
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           |               FROM documents WHERE doc_id < 1000),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |            CAST(COUNT(*) AS BIGINT) AS common
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY a.doc_id, b.doc_id)
+           |SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb,
+           |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+           |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+           |WHERE common * 1000000 >= 500000 * (ca.n + cb.n - common)
+           |ORDER BY a_id, b_id""".stripMargin))
+
   /** Brute-force cosine top-5 for query vectors (exact scaled-integer dot
     * products — bit-exact across engines and reduction orders).
     */
@@ -1385,6 +1415,7 @@ object LlmQueries {
     textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
     dedupWinnow,
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
+    dedupJaccardPrefix,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,
     annBruteForce, annIvf, annLsh, annSq8, annPq,

@@ -1948,6 +1948,66 @@ object ExtraQueries {
            |  FROM orders WHERE o_orderdate <= DATE '1996-06-30')
            |WHERE rn = 1 ORDER BY o_custkey""".stripMargin))
 
+  /** Market-basket co-occurrence ([[Relational.coOccurrencePairs]]):
+    * top supplier pairs appearing in the same order, with exact-ppm lift
+    * vs independence — the association-rule screen. Pair blowup is
+    * bounded by basket size (Σ m²), never corpus².
+    */
+  val cooccurrence = OpQ("op_cooccurrence",
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      Relational.coOccurrencePairs(li, "l_orderkey", "l_suppkey")
+        .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
+        .limit(50)
+    },
+    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS item
+           |  FROM lineitem),
+           |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY item),
+           |t AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS ntotal FROM it),
+           |p AS (SELECT a.item AS item_a, b.item AS item_b,
+           |        CAST(count(*) AS BIGINT) AS n_pair
+           |      FROM it a JOIN it b ON a.g = b.g AND a.item < b.item
+           |      GROUP BY 1, 2)
+           |SELECT item_a, item_b, n_pair, ca.n AS n_a, cb.n AS n_b,
+           |  ntotal AS n_groups,
+           |  n_pair * ntotal * 1000000 // (ca.n * cb.n) AS lift_ppm
+           |FROM p JOIN ic ca ON ca.item = item_a
+           |       JOIN ic cb ON cb.item = item_b CROSS JOIN t
+           |ORDER BY n_pair DESC, item_a, item_b LIMIT 50""".stripMargin))
+
+  /** Distribution drift ([[Relational.distributionDrift]]): event-type
+    * mix of the first half of January vs the second — exact ppm shares,
+    * signed deltas, and integer χ² contributions; the snapshot-comparison
+    * gate a training-data pipeline runs before accepting an ingest.
+    */
+  val driftCheck = OpQ("op_drift_check",
+    (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val cut = lit("2024-01-16").cast("timestamp")
+      Relational.distributionDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut), "event_type")
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+           |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+           |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+           |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+           |sa AS (SELECT event_type, c * 1000000 // (SELECT SUM(c) FROM a)
+           |    AS share_a_ppm FROM a),
+           |sb AS (SELECT event_type, c * 1000000 // (SELECT SUM(c) FROM b)
+           |    AS share_b_ppm FROM b)
+           |SELECT event_type,
+           |  COALESCE(share_a_ppm, 0) AS share_a_ppm,
+           |  COALESCE(share_b_ppm, 0) AS share_b_ppm,
+           |  COALESCE(share_a_ppm, 0) - COALESCE(share_b_ppm, 0) AS delta_ppm,
+           |  CASE WHEN COALESCE(share_b_ppm, 0) > 0 THEN
+           |    (COALESCE(share_a_ppm, 0) - share_b_ppm)
+           |      * (COALESCE(share_a_ppm, 0) - share_b_ppm)
+           |      * 1000000 // share_b_ppm
+           |  END AS chi2_contrib
+           |FROM sa FULL OUTER JOIN sb USING (event_type)
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
     sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch, sketchIntersect,
@@ -1965,5 +2025,5 @@ object ExtraQueries {
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
     attributionMultitouch, timeseriesVwap, prorate, statsMad,
-    statsWinsorize, snapshotAsOf)
+    statsWinsorize, snapshotAsOf, cooccurrence, driftCheck)
 }

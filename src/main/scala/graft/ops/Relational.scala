@@ -1076,6 +1076,68 @@ object Relational {
       .drop("__med", "__mad")
   }
 
+  /** Market-basket co-occurrence: for every unordered item pair appearing
+    * together in at least one group (order, session, basket), the pair
+    * count plus each item's own group count and the lift×10⁶ —
+    * lift = P(a,b) / (P(a)·P(b)) = n_pair·N / (n_a·n_b), computed in
+    * exact BIGINT ppm so rankings are engine-independent. Lift > 1e6
+    * means the items co-occur more than independence predicts — the
+    * association-rule screening statistic.
+    *
+    * Scale: pairs come from a per-group self-join of the DISTINCT
+    * (group, item) table — cost Σ m_g², bounded by basket size, never
+    * corpus²; the shuffle key is the group. Item counts and the group
+    * total broadcast back onto the pair table. A pathological mega-basket
+    * (m² blowup) should be capped upstream — flag with [[skewDiagnose]].
+    */
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val items = df.select(col(groupCol).as("__g"), col(itemCol).as("__item"))
+      .distinct()
+    val itemCnt = items.groupBy(col("__item")).agg(count(lit(1)).as("__n"))
+    val total = items.select(countDistinct(col("__g")).as("__ntotal"))
+    items.as("a").join(items.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__item") < col("b.__item"))
+      .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .join(broadcast(itemCnt.select(col("__item").as("item_a"),
+        col("__n").as("n_a"))), "item_a")
+      .join(broadcast(itemCnt.select(col("__item").as("item_b"),
+        col("__n").as("n_b"))), "item_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("n_pair * __ntotal * 1000000L div (n_a * n_b)"))
+      .select(col("item_a"), col("item_b"), col("n_pair"), col("n_a"),
+        col("n_b"), col("__ntotal").as("n_groups"), col("lift_ppm"))
+  }
+
+  /** Distribution drift between two snapshots of the same categorical
+    * column: per key, each side's exact ppm share, the signed delta, and
+    * the χ²-style contribution (a−e)²·10⁶ div e over ppm shares (b as
+    * the expected distribution) — all BIGINT, so the drift report is
+    * bit-identical on any engine. Σ|delta_ppm| / 2 is total variation
+    * distance in ppm; keys present on only one side surface with a zero
+    * share rather than vanishing (full outer join).
+    *
+    * Scale: two map-side-combined aggregations (one per snapshot,
+    * key-cardinality-sized results) and a broadcastable outer join —
+    * the snapshots themselves never co-shuffle.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    def shares(df: DataFrame, n: String) = {
+      val cnt = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      cnt.crossJoin(broadcast(cnt.select(sum(col("__c")).as("__t"))))
+        .select(col(keyCol), expr(s"__c * 1000000L div __t").as(n))
+    }
+    shares(a, "share_a_ppm")
+      .join(shares(b, "share_b_ppm"), Seq(keyCol), "full_outer")
+      .na.fill(0L, Seq("share_a_ppm", "share_b_ppm"))
+      .withColumn("delta_ppm", col("share_a_ppm") - col("share_b_ppm"))
+      .withColumn("chi2_contrib",
+        when(col("share_b_ppm") > 0,
+          expr("(share_a_ppm - share_b_ppm) * (share_a_ppm - share_b_ppm) " +
+            "* 1000000L div share_b_ppm")).otherwise(lit(null)))
+  }
+
   /** Winsorization: clamp each value into its group's [loPct, hiPct]
     * PERCENTILE_DISC band — the standard tail-taming transform applied
     * before mean-based statistics (a trimmed alternative to dropping

@@ -48,6 +48,41 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("jaccard") - 15.0 / 21.0) < 1e-12)
   }
 
+  test("prefixFilteredJaccardPairs equals brute force on a randomized corpus") {
+    // 40 docs over a small token universe (forced overlaps: shared prefixes,
+    // common stop-tokens, exact dups) — seeds chosen so every similarity
+    // band is populated
+    val rng = new scala.util.Random(42)
+    val vocab = (1 to 30).map(i => s"t$i")
+    val texts = (0 until 40).map { i =>
+      if (i % 7 == 0 && i > 0) null // replaced below with a copy of doc i-1
+      else (0 until 10 + rng.nextInt(10))
+        .map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val fixed = texts.zipWithIndex.map { case (t, i) =>
+      if (t == null) texts(i - 1) else t }
+    val docs = mkDocs(fixed)
+    for (tPpm <- Seq(300000L, 500000L, 800000L)) {
+      val got = Dedup.prefixFilteredJaccardPairs(docs, tPpm)
+        .select("a_id", "b_id", "common").orderBy("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // brute force: full inverted-index pairs, thresholded with the same
+      // integer test
+      val sh = Dedup.withShingles(docs.filter(size(split(col("text"), " ")) >= 3))
+        .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+          explode(col("shingles")).as("s"))
+      val brute = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("common"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+        .filter(col("common") * 1000000L >= lit(tPpm) * (col("na") + col("nb") - col("common")))
+        .select("a_id", "b_id", "common").orderBy("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === brute, s"threshold $tPpm: prefix-filtered != brute force")
+      assert(brute.nonEmpty, s"threshold $tPpm: degenerate test corpus")
+    }
+  }
+
   test("decontaminate flags exactly the docs sharing a shingle with the blocklist") {
     // corpus: base, its near-dup, and two unrelated docs; blocklist: base
     val corpus = mkDocs(Seq(base, nearDup, unrelated, unrelated2))

@@ -507,6 +507,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("coOccurrencePairs: counts, lift, and duplicate-row immunity") {
+    // baskets: {A,B}, {A,B}, {A,C}, {B} over 4 groups; row duplication in
+    // group 1 must not inflate counts (distinct first)
+    val rows = Seq((1L, "A"), (1L, "B"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"), (4L, "B"))
+    val df = rows.toDF("g", "item")
+    val out = Relational.coOccurrencePairs(df, "g", "item")
+      .orderBy("item_a", "item_b").collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    // A∧B in 2 of 4 groups; n_A=3, n_B=3 → lift = 2·4·1e6/9 = 888888
+    assert(byPair(("A", "B")) === (2L, 4L, 888888L))
+    // A∧C in 1; n_C=1 → lift = 1·4·1e6/3 = 1333333 (> 1e6: associated)
+    assert(byPair(("A", "C")) === (1L, 4L, 1333333L))
+    assert(!byPair.contains(("B", "C")))
+  }
+
+  test("distributionDrift: ppm shares, signed delta, one-sided keys survive") {
+    val a = (Seq.fill(3)("x") ++ Seq.fill(1)("y")).toDF("k") // x 75%, y 25%
+    val b = (Seq.fill(1)("x") ++ Seq.fill(3)("z")).toDF("k") // x 25%, z 75%
+    val out = Relational.distributionDrift(a, b, "k")
+      .orderBy("k").collect()
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m("x") === (750000L, 250000L, 500000L))
+    assert(m("y") === (250000L, 0L, 250000L)) // only in a: b share 0
+    assert(m("z") === (0L, 750000L, -750000L)) // only in b
+    // chi2 contribution for x: (5e5)²·1e6 div 25e4 = 1e12 div 25e4·1e6
+    val chiX = out.find(_.getString(0) == "x").get.getLong(4)
+    assert(chiX === 500000L * 500000L * 1000000L / 250000L)
+    // z has share_b > 0 → defined; y expected-zero → null
+    assert(out.find(_.getString(0) == "y").get.isNullAt(4))
+  }
+
   test("winsorize clamps to discrete percentile bounds, interior untouched") {
     // values 1..100 in one group: p05 = 5, p95 = 95 (discrete percentiles
     // are actual data values)
