@@ -54,6 +54,10 @@ import org.apache.spark.sql.types.StructType
   * multiIf, the camel-case `to*` conversion family, lambda-first array
   * HOFs, arrayJoin, splitByChar, position argument order, empty/notEmpty.
   *
+  * [[Dialect.RedshiftIsh]]: the Postgres rewrites plus null-matching
+  * DECODE, DATEADD/DATEDIFF with Redshift part abbreviations, bare
+  * VARCHAR/TEXT casts, GETDATE/LEN renames, LISTAGG pass-through.
+  *
   * Everything the rewriter does is textual and literal-span-aware: content
   * of single-quoted SQL string literals is never touched. DuckDB/Trino
   * literals are ANSI ('' doubling, backslash plain — backslashes are doubled
@@ -87,6 +91,7 @@ object Dialect {
     case "oracle" => OracleIsh
     case "tsql" | "mssql" | "sqlserver" => TsqlIsh
     case "clickhouse" => ClickHouseIsh
+    case "redshift" => RedshiftIsh
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -361,6 +366,41 @@ object Dialect {
         rewriteTsqlDateAdd,
         rewriteTsqlDateDiff,
         rewriteTsqlDatePart,
+        s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Redshift-ish surface — Postgres 8 ancestry plus warehouse extras, so
+    * it composes the existing rewrites: `"ident"` quoting, `::` casts,
+    * `~`/`!~` regex matches, TO_CHAR/TO_DATE templates (the shared
+    * Postgres/Oracle table), Oracle-style null-matching DECODE,
+    * `DATEADD`/`DATEDIFF` with Redshift part names and abbreviations
+    * (boundary-crossing counts; weeks roll at SUNDAY per Redshift's
+    * DATEDIFF(week) boundary), GETDATE/SYSDATE → current_timestamp, and
+    * LEN → length. `LISTAGG(x, sep) WITHIN GROUP (ORDER BY …)`, NVL,
+    * NVL2, POSITION, SPLIT_PART are Spark-4-native pass-throughs.
+    * Redshift string literals process backslash escapes (Postgres
+    * `standard_conforming_strings = off` ancestry) exactly as Spark's
+    * parser does, so literals are scanned with esc and not doubled.
+    */
+  case object RedshiftIsh extends Dialect {
+    private val renames = Map(
+      "getdate" -> "current_timestamp", "sysdate" -> "current_timestamp",
+      "len" -> "length", "strpos" -> "instr", "charindex" -> "locate")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        s => rewriteDoubleQuotedIdents(s, esc = true),
+        rewriteColonCast,
+        rewriteOracleDecode,
+        rewriteOracleToDate,
+        rewritePgToChar,
+        rewritePgRegexMatch,
+        rewriteRsDateAdd,
+        rewriteRsDateDiff,
+        rewriteRsBareTypes,
+        s => rewriteQualify(s, esc = true),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -1775,6 +1815,68 @@ object Dialect {
         case _ => None
       }
     }
+
+  // ---- Redshift-ish helpers ----------------------------------------------
+
+  /** Normalize a Redshift date-part argument (long names, plurals, and
+    * abbreviations per the Redshift datetime-parts table; `m` means
+    * MINUTE there, not month).
+    */
+  private def rsPart(arg: String, fn: String): String = {
+    val p = arg.stripPrefix("'").stripSuffix("'").toLowerCase
+    val canon = Map(
+      "day" -> "day", "days" -> "day", "d" -> "day",
+      "week" -> "week", "weeks" -> "week", "w" -> "week",
+      "month" -> "month", "months" -> "month", "mon" -> "month", "mons" -> "month",
+      "quarter" -> "quarter", "quarters" -> "quarter", "qtr" -> "quarter", "qtrs" -> "quarter",
+      "year" -> "year", "years" -> "year", "y" -> "year", "yr" -> "year", "yrs" -> "year",
+      "hour" -> "hour", "hours" -> "hour", "h" -> "hour", "hr" -> "hour", "hrs" -> "hour",
+      "minute" -> "minute", "minutes" -> "minute", "m" -> "minute", "min" -> "minute", "mins" -> "minute",
+      "second" -> "second", "seconds" -> "second", "s" -> "second", "sec" -> "second", "secs" -> "second")
+    canon.getOrElse(p,
+      throw new graft.UnsupportedError(s"$fn date part '$p' is not supported"))
+  }
+
+  /** Redshift `DATEADD(part, n, expr)` — same calendar semantics as the
+    * Snowflake/T-SQL spelling, Redshift part vocabulary.
+    */
+  private[graft] def rewriteRsDateAdd(sql: String): String =
+    rewriteCall(sql, "dateadd", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects (part, n, expr)")
+      dateAddExpr(rsPart(args(0), fn), args(1), args(2))
+    }
+
+  /** Redshift `DATEDIFF(part, start, end)` — boundary crossings with the
+    * week rolling at SUNDAY (proleptic 0001-01-07), Redshift's
+    * DATEDIFF(week) boundary.
+    */
+  private[graft] def rewriteRsDateDiff(sql: String): String =
+    rewriteCall(sql, "datediff", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects (part, start, end)")
+      boundaryDateDiff(rsPart(args(0), fn), args(1), args(2), "0001-01-07", "date_diff")
+    }
+
+  /** Bare `VARCHAR`/`TEXT`/`BPCHAR` (no length) → STRING — Redshift casts
+    * to unsized VARCHAR freely, Spark's parser demands a length. Sized
+    * `VARCHAR(n)` is Spark-native and passes through (negative
+    * lookahead), as do occurrences inside string literals.
+    */
+  private[graft] def rewriteRsBareTypes(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val re = """(?i)\b(VARCHAR|TEXT|BPCHAR)\b(?!\s*\()""".r
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).foreach { m =>
+      if (outsideLiterals(spans, m.start)) {
+        out.append(sql.substring(last, m.start)).append("STRING")
+        last = m.end
+      }
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
 
   // ---- ClickHouse-ish helpers --------------------------------------------
 

@@ -638,9 +638,53 @@ object DialectQueries {
            |FROM i GROUP BY ym, month_start, status_word
            |ORDER BY ym, status_word""".stripMargin))
 
+  /** Redshift surface ([[Dialect.RedshiftIsh]]): `"ident"` + `::` casts,
+    * null-matching DECODE, TO_CHAR templates, DATEADD/DATEDIFF with
+    * Redshift part abbreviations (`mons`, `d`, `yrs`; Sunday week
+    * boundary), LEN, `~` regex, LISTAGG WITHIN GROUP passing through to
+    * Spark 4's native listagg, and QUALIFY. Oracle is the DuckDB
+    * spelling of each construct.
+    */
+  val redshift = OpQ("op_dialect_redshift",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT "o_orderpriority" AS prio,
+          |  DECODE(NULLIF(o_orderstatus, 'P'), NULL, 'was_p', 'not_p') AS p_tag,
+          |  LISTAGG(o_orderkey::VARCHAR, ',')
+          |    WITHIN GROUP (ORDER BY o_orderkey) AS keys_csv,
+          |  COUNT(*)::BIGINT AS n,
+          |  MIN(TO_CHAR(o_orderdate, 'YYYY-MM-DD')) AS first_ds,
+          |  MIN(TO_CHAR(DATEADD(mons, 2, o_orderdate), 'YYYY-MM-DD')) AS due_ds,
+          |  MIN(DATEDIFF(d, o_orderdate, DATE '1998-12-31'))::BIGINT AS min_days_left,
+          |  MIN(DATEDIFF(yrs, o_orderdate, DATE '1998-12-31'))::BIGINT AS min_years_left,
+          |  MIN(LEN(o_orderpriority))::BIGINT AS prio_len
+          |FROM orders
+          |WHERE o_orderkey <= 600 AND o_orderpriority ~ 'URGENT|HIGH'
+          |GROUP BY o_orderpriority, o_orderstatus
+          |ORDER BY prio, p_tag""".stripMargin,
+        dialect = Dialect.RedshiftIsh)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 'was_p'
+           |       ELSE 'not_p' END AS p_tag,
+           |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS keys_csv,
+           |  COUNT(*)::BIGINT AS n,
+           |  MIN(strftime(o_orderdate::DATE, '%Y-%m-%d')) AS first_ds,
+           |  MIN(strftime(o_orderdate::DATE + INTERVAL 2 MONTH, '%Y-%m-%d')) AS due_ds,
+           |  MIN(date_diff('day', o_orderdate::DATE, DATE '1998-12-31'))::BIGINT
+           |    AS min_days_left,
+           |  MIN(year(DATE '1998-12-31') - year(o_orderdate::DATE))::BIGINT
+           |    AS min_years_left,
+           |  MIN(length(o_orderpriority))::BIGINT AS prio_len
+           |FROM orders
+           |WHERE o_orderkey <= 600 AND regexp_matches(o_orderpriority, 'URGENT|HIGH')
+           |GROUP BY o_orderpriority, o_orderstatus
+           |ORDER BY prio, p_tag""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
-    sqlite, oracleDialect, tsql, tsqlPaging, clickhouse)
+    sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift)
 }
