@@ -17,16 +17,31 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // parquet reader rejects; read nanos as long and truncate to micros
-    // (DuckDB's CAST(ts_ns AS TIMESTAMP) truncates identically).
+    // events.parquet has shipped `ts` as TIMESTAMP(NANOS) (which Spark's
+    // vectorized reader only accepts as long via nanosAsLong) and as
+    // TIMESTAMP(MICROS) depending on the generator version — dispatch on
+    // the type the footer actually declares rather than assuming either.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") {
-      import org.apache.spark.sql.functions._
-      // integer division — double division would lose precision at ~1e18 ns
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize the `ts` column to session-zoned TimestampType regardless of
+    * how the parquet file declared it. With the session timezone pinned to
+    * UTC (every entrypoint does), NTZ→LTZ is value-preserving, and the
+    * nanos path truncates to micros exactly like DuckDB's
+    * CAST(ts_ns AS TIMESTAMP).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // nanos-as-long: integer division — double division would lose
+      // precision at ~1e18 ns
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already TimestampType
+    }
   }
 
   // Keyed by session identity via WeakHashMap: identityHashCode is not
@@ -43,8 +58,23 @@ object Tables {
     */
   def register(spark: SparkSession, dir: String): Unit = {
     if (registered.get(spark) != dir) {
-      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registered.put(spark, dir) // only cache after every view registered
+      // Invalidate BEFORE mutating views: if this registration fails
+      // partway, the cache must not claim the previous dir is still live.
+      registered.remove(spark)
+      // Per-table isolation: one table failing analysis (e.g. a testdata
+      // schema drift) must not take down queries over the other nine. The
+      // failure resurfaces only when a query actually references the table.
+      val failures = all.flatMap { n =>
+        try { load(spark, dir, n).createOrReplaceTempView(n); None }
+        catch { case scala.util.control.NonFatal(e) => Some(n -> e) }
+      }
+      if (failures.isEmpty) registered.put(spark, dir) // cache only when all ten registered
+      else {
+        failures.foreach { case (n, e) =>
+          System.err.println(s"graft.Tables: failed to register '$n' from $dir: ${e.getMessage}")
+          spark.catalog.dropTempView(n) // stale view from a previous dir would be wrong
+        }
+      }
     }
   }
 

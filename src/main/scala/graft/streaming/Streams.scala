@@ -17,13 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** events.parquet physical schema: the driver writes TIMESTAMP(NANOS),
-    * which Spark's reader only accepts as long (nanosAsLong). `load` in
-    * [[graft.Tables]] converts for batch; this schema is for readStream.
+  /** events.parquet physical schema with `ts` declared as `tsType` — the
+    * driver has shipped both TIMESTAMP(NANOS) (readable only as long via
+    * nanosAsLong) and TIMESTAMP(MICROS); a file stream needs the schema
+    * declared up front, so [[readEventsStream]] probes the footer first.
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (spark.sql.legacy.parquet.nanosAsLong)
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -31,13 +32,17 @@ object Streams {
 
   /** Open an events directory as an unbounded stream (file source — each
     * parquet file dropped into `eventsDir` becomes micro-batch input; the
-    * source requires a DIRECTORY, not a single file).
+    * source requires a DIRECTORY, not a single file). A one-time batch
+    * footer probe (metadata-only) discovers the physical `ts` type; the
+    * stream then normalizes it exactly like the batch path
+    * ([[graft.Tables.normalizeEventTs]]), so stream≡batch comparisons hold
+    * across generator versions.
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema(tsType)).parquet(eventsDir))
   }
 
   /** Tumbling-window counts/sums per event type. Exact cents for the value
