@@ -805,7 +805,8 @@ object ExtraQueries {
         |      CAST(event_id % 9 AS STRING), ']}}')), '$.nest.v[0]', 'bigint') AS nv0,
         |  variant_get(parse_json(concat('{"tag": "', event_type, '", "nest": {"v": [',
         |      CAST(event_id % 9 AS STRING), ']}}')), '$.tag', 'string') AS tag,
-        |  try_variant_get(parse_json(props), '$.k', 'date') AS k_as_date
+        |  CAST(try_variant_get(parse_json(props), '$.k', 'date') AS STRING)
+        |    AS k_as_date
         |FROM events ORDER BY event_id""".stripMargin),
     Some("""SELECT event_id,
            |  json_extract(props, '$.k')::BIGINT AS k,
@@ -813,7 +814,7 @@ object ExtraQueries {
            |    || (event_id % 9)::VARCHAR || ']}}', '$.nest.v[0]')::BIGINT AS nv0,
            |  json_extract_string('{"tag": "' || event_type || '", "nest": {"v": ['
            |    || (event_id % 9)::VARCHAR || ']}}', '$.tag') AS tag,
-           |  CAST(NULL AS DATE) AS k_as_date
+           |  CAST(NULL AS VARCHAR) AS k_as_date
            |FROM events ORDER BY event_id""".stripMargin))
 
   /** Exact ordered-set aggregates, same text on both engines:
@@ -1852,7 +1853,7 @@ object ExtraQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
     Some("""WITH li AS (SELECT l_orderkey, l_linenumber,
-           |    SUM(CAST(l_quantity AS BIGINT)) AS qty
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
            |  FROM lineitem WHERE l_orderkey < 1000 GROUP BY 1, 2),
            |o AS (SELECT o_orderkey,
            |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
@@ -1992,19 +1993,21 @@ object ExtraQueries {
            |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
            |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
            |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
-           |sa AS (SELECT event_type, c * 1000000 // (SELECT SUM(c) FROM a)
+           |sa AS (SELECT event_type,
+           |    CAST(c * 1000000 // (SELECT SUM(c) FROM a) AS BIGINT)
            |    AS share_a_ppm FROM a),
-           |sb AS (SELECT event_type, c * 1000000 // (SELECT SUM(c) FROM b)
+           |sb AS (SELECT event_type,
+           |    CAST(c * 1000000 // (SELECT SUM(c) FROM b) AS BIGINT)
            |    AS share_b_ppm FROM b)
            |SELECT event_type,
            |  COALESCE(share_a_ppm, 0) AS share_a_ppm,
            |  COALESCE(share_b_ppm, 0) AS share_b_ppm,
            |  COALESCE(share_a_ppm, 0) - COALESCE(share_b_ppm, 0) AS delta_ppm,
-           |  CASE WHEN COALESCE(share_b_ppm, 0) > 0 THEN
+           |  CAST(CASE WHEN COALESCE(share_b_ppm, 0) > 0 THEN
            |    (COALESCE(share_a_ppm, 0) - share_b_ppm)
            |      * (COALESCE(share_a_ppm, 0) - share_b_ppm)
            |      * 1000000 // share_b_ppm
-           |  END AS chi2_contrib
+           |  END AS BIGINT) AS chi2_contrib
            |FROM sa FULL OUTER JOIN sb USING (event_type)
            |ORDER BY event_type""".stripMargin))
 

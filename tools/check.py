@@ -64,6 +64,18 @@ def main():
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                               check_exact=True)
+                # the driver hashes value REPRS, so int64 17 vs float64 17.0
+                # (e.g. an uncast DuckDB HUGEINT sum) mismatches there even
+                # though the values compare equal above — fail locally on any
+                # cross-kind dtype pair (int width differences are tolerated)
+                kinds = {"i": "i", "u": "i", "f": "f", "M": "M", "O": "O", "b": "b"}
+                bad_kind = [c for c in got.columns
+                            if kinds.get(got[c].dtype.kind) != kinds.get(want[c].dtype.kind)]
+                if bad_kind:
+                    raise AssertionError(
+                        "dtype-kind mismatch (driver repr hash would differ): "
+                        + ", ".join(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+                                    for c in bad_kind))
                 print(f"PASS {name} ({len(got)} rows)")
                 n_pass += 1
             except AssertionError as e:
