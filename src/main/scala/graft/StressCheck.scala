@@ -191,6 +191,30 @@ object StressCheck {
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
       comp.unpersist()
     }
+    // token-budget mixing at 1x vs factor-x: the two-phase plan keeps the
+    // serial exact-window region bucket-sized (~corpus/permBuckets per
+    // source) regardless of domain count, so wall time must track the
+    // corpus scan. Invariant at both scales: Σ kept tokens per source
+    // never exceeds its quota (greedy inclusive-prefix contract).
+    Seq("1x" -> docs, s"${factor}x" -> docsAmp).foreach { case (label, d) =>
+      val withSrc = d.withColumn("source",
+        format_string("src%d", pmod(col("doc_id"), lit(5L))))
+      val weights = withSrc.select(col("source")).distinct()
+        .select(col("source"),
+          (substring(col("source"), 4, 10).cast("long") % 4 + 1).as("w"))
+      val sumw = weights.agg(sum(col("w"))).head().getLong(0) // |sources| rows
+      val t0 = System.nanoTime()
+      val kept = graft.llm.Mixing.mixDomainsByTokens(
+        withSrc, weights, budgetTokens = 2000000L)
+      val overQuota = kept
+        .withColumn("__nt", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source")).agg(sum(col("__nt")).as("toks"))
+        .join(weights, "source")
+        .filter(col("toks") > expr(s"w * 2000000L div ${sumw}L"))
+        .count()
+      println(f"STRESS mix_token_budget_$label kept=${kept.count()}%d " +
+        f"over_quota_sources=$overQuota%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString

@@ -122,31 +122,78 @@ object Mixing {
     * kept prefix never exceeds the quota (the first document longer than
     * the whole quota is dropped along with everything after it).
     *
-    * Scale shape: the weight/quota side is a broadcast-sized plan like
-    * [[mixDomains]]; the corpus pays one window shuffle on the source key
-    * (per-source permutation order + running sum — the same single window
-    * [[mixDomains]] pays for row ranks). Tokens are whitespace counts
-    * ([[TextAnalysis]] convention); swap `tokenCount` for a BPE-aware
-    * column when real tokenizer counts are available.
+    * Scale shape — two-phase exact prefix, NO corpus-sized per-source
+    * window (a naive `sum().over(partitionBy(source))` is one serial task
+    * per domain; with few domains that is the 100 TB bottleneck):
+    *  1. each row lands in one of `permBuckets` ranges of the permutation
+    *     value (a per-row codegen'd expression), and a map-side-combined
+    *     aggregate yields per-(source, bucket) token sums — a table of at
+    *     most |sources|·permBuckets rows;
+    *  2. a window over THAT tiny aggregate finds, per source, which
+    *     buckets fit wholly inside the quota (cumulative end ≤ m_s),
+    *     which single bucket STRADDLES it, and the token offset carried
+    *     into the straddling bucket;
+    *  3. whole-bucket keeps/drops are a broadcast-join + filter
+    *     (embarrassingly parallel); only the straddling bucket's rows —
+    *     ~1/permBuckets of each source — pay the exact running-sum
+    *     window, seeded with the carried offset.
+    * Bucketing by permutation range preserves the greedy order exactly
+    * (the bucket index is monotone in the permutation value), so the kept
+    * set is bit-identical to the single-window formulation at any
+    * partitioning. Tokens are whitespace counts ([[TextAnalysis]]
+    * convention); swap the token expression for a BPE-aware column when
+    * real tokenizer counts are available.
     */
   def mixDomainsByTokens(docs: DataFrame, weights: DataFrame, budgetTokens: Long,
       sourceCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", permBuckets: Int = 4096): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    require(permBuckets > 0, "permBuckets must be positive")
     val wdf = weights.toDF("__src", "__w").filter(col("__w") > 0)
     val sumw = wdf.agg(sum(col("__w")).as("__sumw")) // 1 row
     val quota = wdf.crossJoin(broadcast(sumw))
       .select(col("__src").as("__qsrc"),
         expr(s"__w * ${budgetTokens}L div __sumw").as("__m"))
-    val w = Window.partitionBy(col(sourceCol))
+    // permutation values lie in [0, 4294967311): bucket = value div width.
+    // Doubles are exact below 2^53, so floor(p / width) is the true div.
+    val bucketWidth = 4294967311L / permBuckets + 1
+    def bucketOf(id: Column): Column =
+      floor(permute(id) / lit(bucketWidth.toDouble)).cast("long")
+    val withTok = docs
+      .withColumn("__nt", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__bk", bucketOf(col(idCol)))
+    // phase 1: per-(source, bucket) token totals — map-side combined
+    val perBucket = withTok.groupBy(col(sourceCol).as("__psrc"), col("__bk").as("__pb"))
+      .agg(sum(col("__nt")).as("__bt"))
+    // phase 2: tiny per-source running sum over bucket totals → bucket plan
+    val wb = Window.partitionBy(col("__psrc")).orderBy(col("__pb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketPlan = perBucket
+      .join(broadcast(quota), col("__psrc") === col("__qsrc"))
+      .withColumn("__cumEnd", sum(col("__bt")).over(wb))
+      .withColumn("__off", col("__cumEnd") - col("__bt"))
+      // 0 = bucket fits wholly (every row's inclusive sum ≤ m);
+      // 1 = straddles (needs the exact window); dropped otherwise
+      .withColumn("__st",
+        when(col("__cumEnd") <= col("__m"), lit(0))
+          .when(col("__off") <= col("__m"), lit(1)))
+      .filter(col("__st").isNotNull)
+      .select(col("__psrc"), col("__pb"), col("__m"), col("__off"), col("__st"))
+    // phase 3: whole buckets by broadcast filter; exact window on the
+    // straddling bucket only (partitionBy(source) there touches exactly
+    // one bucket per source, so the serial region is bucket-sized)
+    val tagged = withTok.join(broadcast(bucketPlan),
+      col(sourceCol) === col("__psrc") && col("__bk") === col("__pb"))
+    val wexact = Window.partitionBy(col(sourceCol))
       .orderBy(permute(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("__nt", size(split(col(textCol), " ")).cast("long"))
-      .withColumn("__cum", sum(col("__nt")).over(w))
-      .join(broadcast(quota), col(sourceCol) === col("__qsrc"))
+    val working = Seq("__nt", "__bk", "__psrc", "__pb", "__m", "__off", "__st")
+    val full = tagged.filter(col("__st") === 0).drop(working: _*)
+    val boundary = tagged.filter(col("__st") === 1)
+      .withColumn("__cum", col("__off") + sum(col("__nt")).over(wexact))
       .filter(col("__cum") <= col("__m"))
-      .drop("__nt", "__cum", "__qsrc", "__m")
+      .drop(working :+ "__cum": _*)
+    full.unionByName(boundary)
   }
 
   /** Temperature-scaled domain sampling — the multilingual/multi-domain

@@ -180,16 +180,23 @@ object Similarity {
     require(dsub >= 4, "each subspace needs >= 4 dims for the 4 sign bits")
     val base = withNorm(embeddings.select(col(idCol), col(vecCol)), vecCol)
       .withColumn("vm", expr("transform(vd, x -> CAST(FLOOR(x * 1000000) AS BIGINT))"))
-    def sub(mi: Int) = expr(s"slice(vm, ${mi * dsub + 1}, $dsub)")
-    def code(mi: Int) = (0 until 4).map { j =>
-      when(expr(s"element_at(vm, ${mi * dsub + 1 + j})") > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _).cast("int")
-    // one (id, subspace, code, subvector) row per vector per subspace
-    val parts = (0 until m).map { mi =>
-      base.select(col(idCol).as("b_id"), lit(mi).as("m_idx"),
-        code(mi).as("code"), sub(mi).as("sub"))
-    }.reduce(_ unionAll _)
-    // codebook: exact integer floor-mean per (subspace, code, dim)
+    // ONE generator pass builds every (subspace, code, subvector) row —
+    // the m-way unionAll alternative re-scans the corpus m times per use.
+    // Recompute (2 scans: codebook + ADC) beats persisting here: at
+    // 100 TB the exploded base is m× the corpus and caching it is the
+    // memory bottleneck, while the scan is embarrassingly parallel.
+    val subspaceGen = expr(
+      s"""inline(transform(sequence(0, ${m - 1}), mi -> named_struct(
+         |  'm_idx', CAST(mi AS INT),
+         |  'code', CAST(
+         |    IF(element_at(vm, CAST(mi * $dsub + 1 AS INT)) > 0, 1, 0) +
+         |    IF(element_at(vm, CAST(mi * $dsub + 2 AS INT)) > 0, 2, 0) +
+         |    IF(element_at(vm, CAST(mi * $dsub + 3 AS INT)) > 0, 4, 0) +
+         |    IF(element_at(vm, CAST(mi * $dsub + 4 AS INT)) > 0, 8, 0) AS INT),
+         |  'sub', slice(vm, CAST(mi * $dsub + 1 AS INT), $dsub))))""".stripMargin)
+    val parts = base.select(col(idCol).as("b_id"), subspaceGen)
+    // codebook: exact integer floor-mean per (subspace, code, dim) —
+    // m·16·dsub rows, broadcast everywhere it is joined
     val codebook = parts
       .select(col("m_idx"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy(col("m_idx"), col("code"), col("pos"))
@@ -198,11 +205,10 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
         .as("centroid"))
     // asymmetric dot tables: exact query subvector x every centroid
-    val qsubs = (0 until m).map { mi =>
-      base.filter(col(idCol) < queryMaxId)
-        .select(col(idCol).as("a_id"), lit(mi).as("m_idx"), sub(mi).as("qsub"))
-    }.reduce(_ unionAll _)
-    val dotTable = qsubs.join(codebook, Seq("m_idx"))
+    val qsubs = base.filter(col(idCol) < queryMaxId)
+      .select(col(idCol).as("a_id"), subspaceGen)
+      .select(col("a_id"), col("m_idx"), col("sub").as("qsub"))
+    val dotTable = qsubs.join(broadcast(codebook), Seq("m_idx"))
       .withColumn("dot",
         expr("aggregate(zip_with(qsub, centroid, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
       .select(col("a_id"), col("m_idx"), col("code"), col("dot"))
