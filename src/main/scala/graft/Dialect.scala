@@ -67,9 +67,25 @@ import org.apache.spark.sql.types.StructType
 sealed trait Dialect {
   def rewrite(spark: SparkSession, sql: String,
       schemas: Map[String, StructType] = Map.empty): String
+
+  /** How the dialect folds the case of unquoted identifiers — the
+    * reference normalizes registered table names per input dialect
+    * (table.py:77,85 `normalize_name`, sqlglot NormalizationStrategy):
+    * most dialects fold to lowercase, Snowflake/Oracle/TSQL-family fold
+    * to UPPERCASE, ClickHouse/BigQuery treat names case-sensitively.
+    */
+  def nameFold: Dialect.NameFold = Dialect.NameFold.Lower
 }
 
 object Dialect {
+
+  /** Unquoted-identifier case folding strategy (see [[Dialect.nameFold]]). */
+  sealed trait NameFold
+  object NameFold {
+    case object Lower extends NameFold
+    case object Upper extends NameFold
+    case object Sensitive extends NameFold
+  }
 
   /** Dialect by sqlglot-style name — the reference's string `dialect`
     * argument (core.py:66 `read=dialect`, README.md:31-32 lists spark /
@@ -183,6 +199,7 @@ object Dialect {
     * so literals are scanned with `backslashEscapes = true` and NOT doubled.
     */
   case object Snowflakeish extends Dialect {
+    override val nameFold: NameFold = NameFold.Upper
     private val renames = Map("iff" -> "if", "to_char" -> "to_varchar")
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
@@ -318,6 +335,7 @@ object Dialect {
     * DuckDB's.
     */
   case object OracleIsh extends Dialect {
+    override val nameFold: NameFold = NameFold.Upper
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
@@ -428,6 +446,7 @@ object Dialect {
     * with `backslashEscapes = true` and not doubled.
     */
   case object ClickHouseIsh extends Dialect {
+    override val nameFold: NameFold = NameFold.Sensitive
     private val renames = Map(
       "arrayjoin" -> "explode",
       "has" -> "array_contains",

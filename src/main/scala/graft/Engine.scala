@@ -40,17 +40,22 @@ object Engine {
       dialect: Dialect = Dialect.Spark,
       schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): DataFrame = {
     // Distinct registered names that mangle to the same flat view ("db.t",
-    // "db__t") would silently clobber each other — refuse up front.
-    tables.keys.groupBy(flatName).collect { case (flat, ns) if ns.size > 1 =>
-      throw new ExecuteError(
-        s"table names ${ns.mkString(", ")} collide on view name '$flat'; rename one")
-    }
+    // "db__t") or fold to the same identifier per the dialect's case rules
+    // ("Foo", "foo" under a lowercasing dialect) would silently clobber
+    // each other — Spark's temp-view catalog is case-insensitive, so even
+    // a case-SENSITIVE dialect cannot faithfully host both; refuse up
+    // front in every case.
+    tables.keys.groupBy(n => flatName(normalizeName(n, dialect)).toLowerCase)
+      .collect { case (flat, ns) if ns.size > 1 =>
+        throw new ExecuteError(
+          s"table names ${ns.mkString(", ")} collide on view name '$flat'; rename one")
+      }
     tables.foreach { case (name, df) =>
       val typed = schemas.get(name) match {
         case Some(st) => applySchema(df, st)
         case None => df
       }
-      registerTable(spark, name, typed)
+      registerTable(spark, normalizeName(name, dialect), typed)
     }
     // schemas also reach the dialect: READ_CSV applies a declared schema for
     // its alias instead of an inference scan (reference executor.py:303-305)
@@ -109,6 +114,19 @@ object Engine {
   /** Register one table; "db.t" / "cat.db.t" become flat views "db__t". */
   private[graft] def registerTable(spark: SparkSession, name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(flatName(name))
+
+  /** Fold a registered table name per the input dialect's unquoted-
+    * identifier case rules — the reference's `normalize_name` applied to
+    * the table registry (table.py:77,85). Spark's temp-view catalog then
+    * resolves case-insensitively, so a query referencing any casing of
+    * the folded name finds the view.
+    */
+  private[graft] def normalizeName(name: String, dialect: Dialect): String =
+    dialect.nameFold match {
+      case Dialect.NameFold.Lower => name.toLowerCase(java.util.Locale.ROOT)
+      case Dialect.NameFold.Upper => name.toUpperCase(java.util.Locale.ROOT)
+      case Dialect.NameFold.Sensitive => name
+    }
 
   /** "db.t" → "db__t"; characters Spark's view-name validator rejects
     * (anything non-word) are mapped to '_'.

@@ -711,29 +711,57 @@ object ExtraQueries {
            |FROM customer WHERE c_custkey < 100
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
-  /** HyperLogLog++ distinct-count sketch next to the exact count (no
-    * oracle — sketch estimates are engine-specific; ApproxSpec bounds the
-    * error instead). The sketch is THE 100 TB distinct-count: mergeable,
-    * constant memory, one pass.
+  /** HyperLogLog++ distinct-count sketch gated by a TOLERANCE oracle:
+    * sketch estimates are engine-specific (raw values cannot hash-match),
+    * so each engine emits the bit-exact distinct count plus a boolean
+    * asserting ITS OWN sketch lands within the 5% band (the ApproxSpec
+    * bound). Both engines in-band → identical rows → the driver hashes a
+    * real assertion instead of recording `no_oracle`. The sketch is THE
+    * 100 TB distinct-count: mergeable, constant memory, one pass.
     */
   val approxCountDistinct = OpQ("op_approx_count_distinct",
     (s, d) => Tables.load(s, d, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_custs"),
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("__a"),
         countDistinct(col("o_custkey")).as("exact_custs"))
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("__a") - col("exact_custs")).cast("double") <=
+          lit(0.05) * col("exact_custs").cast("double")).as("within_tol"))
       .orderBy(col("o_orderpriority")),
-    None)
+    Some("""SELECT o_orderpriority,
+           |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           |  CAST(abs(approx_count_distinct(o_custkey)
+           |    - COUNT(DISTINCT o_custkey)) AS DOUBLE)
+           |    <= 0.05 * COUNT(DISTINCT o_custkey) AS within_tol
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
 
-  /** t-digest style quantile sketch (percentile_approx) next to exact
-    * percentiles (no oracle; ApproxSpec bounds the error).
+  /** Quantile sketch (percentile_approx) gated by a tolerance oracle:
+    * the DISCRETE exact percentiles (always actual data values — bit-
+    * comparable across engines, unlike interpolated percentile_cont on
+    * raw doubles) hash-match exactly, and each engine asserts its own
+    * sketch within 5% of them.
     */
   val approxQuantile = OpQ("op_approx_quantile",
     (s, d) => Tables.load(s, d, "orders")
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_p50"),
-        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("approx_p90"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_p50")),
-    None)
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__a50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("__a90"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("exact_p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("exact_p90"))
+      .select(col("exact_p50"), col("exact_p90"),
+        (abs(col("__a50") - col("exact_p50")) <= lit(0.05) * col("exact_p50")).as("p50_within_tol"),
+        (abs(col("__a90") - col("exact_p90")) <= lit(0.05) * col("exact_p90")).as("p90_within_tol")),
+    Some("""SELECT
+           |  quantile_disc(o_totalprice, 0.5) AS exact_p50,
+           |  quantile_disc(o_totalprice, 0.9) AS exact_p90,
+           |  abs(approx_quantile(o_totalprice, 0.5)
+           |    - quantile_disc(o_totalprice, 0.5))
+           |    <= 0.05 * quantile_disc(o_totalprice, 0.5) AS p50_within_tol,
+           |  abs(approx_quantile(o_totalprice, 0.9)
+           |    - quantile_disc(o_totalprice, 0.9))
+           |    <= 0.05 * quantile_disc(o_totalprice, 0.9) AS p90_within_tol
+           |FROM orders""".stripMargin))
 
   /** JSON scalar functions over the events `props` payload plus a
     * constructed nested document (array index + nested-object paths):
@@ -1204,9 +1232,13 @@ object ExtraQueries {
   /** Incremental DISTINCT maintenance ([[Relational.distinctSketchState]]
     * / [[mergeDistinctSketches]]): per-priority customer sketches built
     * on two date halves merge to the full-data sketch without a rescan.
-    * No DuckDB oracle (DataSketches binary/estimator differs); the
-    * merged≡single-pass identity and the accuracy bound are
-    * RelationalSpec gates.
+    * The merged estimate itself is engine-specific (DataSketches binary /
+    * estimator differs from anything DuckDB could build), so the hashed
+    * output is the bit-exact full-data distinct count plus the 5%-band
+    * assertion on the merged sketch; the oracle recomputes the exact
+    * count and expects the assertion to hold (`TRUE`) — a sketch that
+    * drifts out of band flips the boolean and fails the hash compare.
+    * The merged≡single-pass identity stays a RelationalSpec gate.
     */
   val incrDistinctSketch = OpQ("op_incr_distinct_sketch",
     (s, d) => {
@@ -1218,11 +1250,20 @@ object ExtraQueries {
       val delta = Relational.distinctSketchState(
         orders.filter(col("o_orderdate") >= "1997-01-01"),
         col("o_custkey"), Seq("o_orderpriority"))
+      val exact = orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
       Relational.mergeDistinctSketches(Seq(history, delta), Seq("o_orderpriority"))
-        .select(col("o_orderpriority"), col("n_distinct_approx"))
+        .join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_custs"),
+          (abs(col("n_distinct_approx") - col("exact_custs")).cast("double") <=
+            lit(0.05) * col("exact_custs").cast("double")).as("within_tol"))
         .orderBy(col("o_orderpriority"))
     },
-    None)
+    Some("""SELECT o_orderpriority,
+           |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           |  TRUE AS within_tol
+           |FROM orders GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
 
   /** Entity-resolution scoring with the codegen Jaro–Winkler expression
     * ([[graft.functions.JaroWinklerPpm]]): each probe customer name is
@@ -1258,24 +1299,39 @@ object ExtraQueries {
   /** Sketch set algebra ([[Relational.sketchIntersectionEstimate]]):
     * per-priority customer-audience OVERLAP between two order-date
     * periods, estimated from the periods' stored HLL states alone
-    * (inclusion–exclusion) — no rescan of either period. No DuckDB
-    * oracle (sketch estimator); accuracy is RelationalSpec-bounded vs
-    * the exact intersection.
+    * (inclusion–exclusion) — no rescan of either period. Tolerance
+    * oracle: the bit-exact intersection hash-matches, the estimate is
+    * asserted within the 10% band (inclusion–exclusion stacks three
+    * sketch estimates — the RelationalSpec bound) with the oracle
+    * expecting `TRUE`.
     */
   val sketchIntersect = OpQ("op_sketch_intersect",
     (s, d) => {
       val orders = Tables.load(s, d, "orders")
         .select(col("o_orderpriority"), col("o_custkey"), col("o_orderdate"))
-      val a = Relational.distinctSketchState(
-        orders.filter(col("o_orderdate") < "1996-01-01"),
-        col("o_custkey"), Seq("o_orderpriority"))
-      val b = Relational.distinctSketchState(
-        orders.filter(col("o_orderdate") >= "1996-01-01"),
-        col("o_custkey"), Seq("o_orderpriority"))
+      val early = orders.filter(col("o_orderdate") < "1996-01-01")
+      val late = orders.filter(col("o_orderdate") >= "1996-01-01")
+      val a = Relational.distinctSketchState(early, col("o_custkey"), Seq("o_orderpriority"))
+      val b = Relational.distinctSketchState(late, col("o_custkey"), Seq("o_orderpriority"))
+      val exact = early.select(col("o_orderpriority"), col("o_custkey")).distinct()
+        .intersect(late.select(col("o_orderpriority"), col("o_custkey")).distinct())
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("exact_intersect"))
       Relational.sketchIntersectionEstimate(a, b, Seq("o_orderpriority"))
+        .join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("exact_intersect"),
+          (abs(col("n_intersect_approx") - col("exact_intersect")).cast("double") <=
+            lit(0.10) * col("exact_intersect").cast("double")).as("within_tol"))
         .orderBy(col("o_orderpriority"))
     },
-    None)
+    Some("""WITH e AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+           |  WHERE o_orderdate < DATE '1996-01-01'),
+           |l AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+           |  WHERE o_orderdate >= DATE '1996-01-01')
+           |SELECT o_orderpriority,
+           |  CAST(COUNT(*) AS BIGINT) AS exact_intersect,
+           |  TRUE AS within_tol
+           |FROM (SELECT * FROM e INTERSECT SELECT * FROM l)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
   /** EXACT incremental DISTINCT maintenance
     * ([[Relational.distinctBitmapState]] / [[mergeDistinctBitmaps]]):

@@ -398,4 +398,30 @@ class EngineSpec extends SparkSpec {
     assert(df.schema("m").dataType.simpleString === "map<string,int>")
     assert(df.collect().head.getMap[String, Int](0)("a") === 1)
   }
+
+  test("identifier case normalization per dialect (reference table.py:77,85)") {
+    // case-insensitive (lowercasing) dialect: a mixed-case registration
+    // resolves under any query casing
+    val r = Engine.execute(spark, "SELECT COUNT(*) AS n FROM mytab",
+      Map("MyTab" -> t1), Dialect.DuckDbish)
+    assert(r.collect().head.getLong(0) === 100)
+    assert(spark.catalog.tableExists("mytab"))
+    // uppercasing dialect (Snowflake): registered name folds to upper,
+    // still resolvable at any casing through Spark's catalog
+    val up = Engine.execute(spark, "SELECT COUNT(*) AS n FROM LoTab",
+      Map("lotab" -> t1), Dialect.Snowflakeish)
+    assert(up.collect().head.getLong(0) === 100)
+    assert(Engine.normalizeName("lotab", Dialect.Snowflakeish) === "LOTAB")
+    assert(Engine.normalizeName("LoTab", Dialect.ClickHouseIsh) === "LoTab")
+  }
+
+  test("case-colliding registrations are refused, not silently clobbered") {
+    // under a lowercasing dialect "Foo" and "foo" fold to one identifier;
+    // Spark's temp-view catalog is case-insensitive, so even the
+    // case-SENSITIVE dialect cannot host both — refuse in every case
+    intercept[ExecuteError](Engine.execute(spark, "SELECT 1",
+      Map("Foo" -> t1, "foo" -> t1), Dialect.DuckDbish))
+    intercept[ExecuteError](Engine.execute(spark, "SELECT 1",
+      Map("Foo" -> t1, "foo" -> t1), Dialect.ClickHouseIsh))
+  }
 }
