@@ -96,13 +96,17 @@ object Dialect {
     // Hive: Spark SQL is the Hive dialect's direct descendant — LATERAL
     // VIEW, backtick identifiers, RLIKE, SORT/DISTRIBUTE BY all parse
     // natively (gated by op_dialect_hive), so "hive" maps to pass-through.
-    case "spark" | "hive" | "" => Spark
+    // Databricks SQL and legacy "spark2" are Spark SQL surfaces outright.
+    case "spark" | "hive" | "databricks" | "spark2" | "" => Spark
     case "duckdb" => DuckDbish
-    case "presto" | "trino" => Trinoish
+    // Athena's engine IS Presto/Trino; same SQL surface.
+    case "presto" | "trino" | "athena" => Trinoish
     case "snowflake" => Snowflakeish
     case "bigquery" => BigQueryish
-    case "mysql" => MySqlish
-    case "postgres" | "postgresql" => Postgresish
+    // Doris and StarRocks speak the MySQL protocol and SQL surface.
+    case "mysql" | "doris" | "starrocks" => MySqlish
+    // Materialize and RisingWave are Postgres-wire/SQL compatible.
+    case "postgres" | "postgresql" | "materialize" | "risingwave" => Postgresish
     case "sqlite" => SqliteIsh
     case "oracle" => OracleIsh
     case "tsql" | "mssql" | "sqlserver" => TsqlIsh

@@ -139,6 +139,70 @@ object DialectQueries {
            |  CAST(ascii(substr(o_orderpriority, 1, 1)) AS BIGINT) AS first_cp
            |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin))
 
+  /** Athena names the Presto/Trino engine (sqlglot's `athena` dialect) —
+    * the alias must reach [[Dialect.Trinoish]] through `forName` and
+    * transpile the same function surface. Distinct query from
+    * `op_dialect_trino` so both gates carry weight.
+    */
+  val athena = OpQ("op_dialect_athena",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT c_custkey,
+          |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+          |  CAST(codepoint(substr(c_mktsegment, 1, 1)) AS BIGINT) AS seg_cp,
+          |  (c_mktsegment ILIKE 'build%') AS is_building
+          |FROM customer ORDER BY c_custkey LIMIT 150""".stripMargin,
+        dialect = Dialect.forName("athena"))
+    },
+    Some("""SELECT c_custkey,
+           |  strpos(c_name, '#')::BIGINT AS hash_pos,
+           |  ascii(substr(c_mktsegment, 1, 1))::BIGINT AS seg_cp,
+           |  (c_mktsegment ILIKE 'build%') AS is_building
+           |FROM customer ORDER BY c_custkey LIMIT 150""".stripMargin))
+
+  /** StarRocks/Doris speak the MySQL SQL surface — the alias must reach
+    * [[Dialect.MySqlish]] through `forName`: backtick identifiers,
+    * DATE_FORMAT %-codes, LOCATE, IFNULL, comma-LIMIT.
+    */
+  val starrocks = OpQ("op_dialect_starrocks",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT `o_orderkey` AS okey,
+          |  DATE_FORMAT(o_orderdate, '%Y/%m/%d') AS ymd,
+          |  CAST(LOCATE('U', o_orderpriority) AS BIGINT) AS u_pos,
+          |  IFNULL(NULLIF(o_orderstatus, 'F'), 'live') AS status_tag
+          |FROM orders ORDER BY okey LIMIT 40, 60""".stripMargin,
+        dialect = Dialect.forName("starrocks"))
+    },
+    Some("""SELECT o_orderkey AS okey,
+           |  strftime(o_orderdate, '%Y/%m/%d') AS ymd,
+           |  strpos(o_orderpriority, 'U')::BIGINT AS u_pos,
+           |  coalesce(NULLIF(o_orderstatus, 'F'), 'live') AS status_tag
+           |FROM orders ORDER BY okey LIMIT 60 OFFSET 40""".stripMargin))
+
+  /** Materialize/RisingWave are Postgres-compatible — the alias must reach
+    * [[Dialect.Postgresish]] through `forName`: `::` casts, `~` regex
+    * match, SPLIT_PART, EXTRACT(EPOCH FROM …).
+    */
+  val materialize = OpQ("op_dialect_materialize",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey::BIGINT AS okey,
+          |  SPLIT_PART(o_orderpriority, '-', 1) AS pri_rank,
+          |  (o_orderpriority ~ 'LOW|MEDIUM') AS is_cool,
+          |  EXTRACT(EPOCH FROM o_orderdate)::BIGINT AS epoch_s
+          |FROM orders ORDER BY okey LIMIT 150""".stripMargin,
+        dialect = Dialect.forName("materialize"))
+    },
+    Some("""SELECT o_orderkey::BIGINT AS okey,
+           |  split_part(o_orderpriority, '-', 1) AS pri_rank,
+           |  regexp_matches(o_orderpriority, 'LOW|MEDIUM') AS is_cool,
+           |  epoch(o_orderdate)::BIGINT AS epoch_s
+           |FROM orders ORDER BY okey LIMIT 150""".stripMargin))
+
   private val stageDir = "/tmp/graft_stage"
 
   /** READ_CSV with a *declared schema* for its alias (reference
@@ -686,5 +750,6 @@ object DialectQueries {
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
-    sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift)
+    sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
+    athena, starrocks, materialize)
 }

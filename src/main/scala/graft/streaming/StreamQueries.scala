@@ -210,15 +210,34 @@ object StreamQueries {
            | AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
            |GROUP BY 1 ORDER BY user_id""".stripMargin))
 
-  /** Windowed approximate distinct users ([[Streams.approxUserCounts]]).
-    * Rows-only at the driver (DuckDB's HLL family differs); the
-    * stream≡batch identity and the accuracy bound are StreamingSpec
-    * gates.
+  /** Windowed approximate distinct users ([[Streams.approxUserCounts]]),
+    * tolerance-oracled: the HLL estimate itself is engine-specific, so
+    * the hashed row is the exact per-window event count + exact distinct
+    * users (both bit-comparable) and a boolean asserting the sketch is
+    * within max(5% of exact, 2) — hourly windows here hold only ~15
+    * distinct users, where a ±1 HLL wobble exceeds any pure relative
+    * band; the oracle recomputes the exacts and expects TRUE. The
+    * stream≡batch identity stays a StreamingSpec gate.
     */
   val approxUsers = OpQ("stream_approx_users",
-    (s, d) => Streams.approxUserCounts(ev(s, d))
-      .orderBy(col("win_start")),
-    None)
+    (s, d) => {
+      val exact = ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("window.start").cast("string").as("win_start"), col("exact_users"))
+      Streams.approxUserCounts(ev(s, d))
+        .join(exact, "win_start")
+        .select(col("win_start"), col("n_events"), col("exact_users"),
+          (abs(col("n_users_approx") - col("exact_users")).cast("double") <=
+            greatest(lit(0.05) * col("exact_users").cast("double"), lit(2.0)))
+            .as("within_tol"))
+        .orderBy(col("win_start"))
+    },
+    Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS win_start,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           |  TRUE AS within_tol
+           |FROM events GROUP BY 1 ORDER BY win_start""".stripMargin))
 
   /** Streaming per-hour top-3 users ([[Streams.topUsersStateful]]):
     * Misra–Gries-bounded state, exact below capacity, so the batch

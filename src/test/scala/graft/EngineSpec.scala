@@ -390,6 +390,14 @@ class EngineSpec extends SparkSpec {
     assert(Dialect.forName("hive") === Dialect.Spark)
     assert(Dialect.forName("mysql") === Dialect.MySqlish)
     assert(Dialect.forName("oracle") === Dialect.OracleIsh)
+    // engine-compatible aliases (same SQL surface as their base dialect)
+    assert(Dialect.forName("databricks") === Dialect.Spark)
+    assert(Dialect.forName("spark2") === Dialect.Spark)
+    assert(Dialect.forName("athena") === Dialect.Trinoish)
+    assert(Dialect.forName("doris") === Dialect.MySqlish)
+    assert(Dialect.forName("starrocks") === Dialect.MySqlish)
+    assert(Dialect.forName("materialize") === Dialect.Postgresish)
+    assert(Dialect.forName("risingwave") === Dialect.Postgresish)
     intercept[UnsupportedError](Dialect.forName("teradata"))
   }
 

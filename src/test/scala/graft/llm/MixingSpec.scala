@@ -78,6 +78,34 @@ class MixingSpec extends SparkSpec {
     assert(!kept.contains(1L))
   }
 
+  test("mixDomainsByTokens two-phase plan ≡ naive single-window greedy prefix") {
+    // the bucketed plan must keep the BIT-IDENTICAL set the straightforward
+    // one-window-per-source formulation keeps, at any bucket granularity
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val weights = docs.select(col("source")).distinct()
+      .select(col("source"), (length(col("source")) % 3 + 1).cast("long").as("w"))
+    def naive(budget: Long): Set[Long] = {
+      val wdf = weights.toDF("__src", "__w").filter(col("__w") > 0)
+      val sumw = wdf.agg(sum(col("__w")).as("__sumw"))
+      val quota = wdf.crossJoin(broadcast(sumw))
+        .select(col("__src"), expr(s"__w * ${budget}L div __sumw").as("__m"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(Mixing.permute(col("doc_id")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("__nt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("__cum", sum(col("__nt")).over(w))
+        .join(broadcast(quota), col("source") === col("__src"))
+        .filter(col("__cum") <= col("__m"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    for (budget <- Seq(3000L, 20000L); buckets <- Seq(1, 7, 4096)) {
+      val got = Mixing.mixDomainsByTokens(docs, weights, budget,
+        permBuckets = buckets).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === naive(budget), s"budget=$budget buckets=$buckets")
+    }
+  }
+
   test("mixDomainsByTokens never exceeds quota on real data") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val weights = docs.select(col("source")).distinct()
