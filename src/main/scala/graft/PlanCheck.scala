@@ -109,6 +109,11 @@ object PlanCheck {
       f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0),
     Rule("llm_decontaminate_neardup", "inverted-index equi-join on the shingle hash, never pairwise",
       f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") + f("bnlj") == 0),
+    Rule("llm_dedup_cluster_stats", "pair graph + components, nothing pairwise; " +
+      "converged labels read from the checkpoint",
+      f => f("cartesian") + f("bnlj") == 0),
+    Rule("llm_contamination_report", "bipartite shingle equi-join + one aggregate, never pairwise",
+      f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") + f("bnlj") == 0),
     Rule("llm_text_keywords", "partial map-side tf aggregation; df join is an equi-join",
       f => f("partial_agg") >= 2 && f("cartesian") + f("bnlj") == 0),
     Rule("llm_text_bm25", "top-k via TakeOrderedAndProject; df/dl joins broadcast " +

@@ -566,6 +566,51 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Near-duplicate CLUSTER analysis — the observability step a dedup
+    * pipeline runs before committing a purge: exact threshold pairs
+    * ([[prefixFilteredJaccardPairs]], lossless pruning) become an
+    * undirected graph, [[graft.ops.Relational.connectedComponents]]
+    * labels each duplicate cluster, and the result is the cluster-size
+    * histogram with document/drop accounting (keep-one-per-cluster ⇒
+    * `n_dropped = n_docs − n_clusters` per size). Singleton documents
+    * (no qualifying pair) carry no dedup decision and are excluded by
+    * construction.
+    *
+    * Scale: pair volume is the prefix-filtered join's (Σdf² over rare
+    * prefix tokens only); components run pointer-jumping O(log chain)
+    * rounds on the PAIR graph — corpus-sized input never enters the
+    * iteration. The histogram is |clusters| rows aggregated twice.
+    */
+  def dedupClusterStats(docs: DataFrame,
+      thresholdPpm: Long = 500000L): DataFrame = {
+    val pairs = prefixFilteredJaccardPairs(docs, thresholdPpm)
+    val comp = graft.ops.Relational.connectedComponents(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - lit(1L)) * col("n_clusters")).as("n_dropped"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** Per-benchmark contamination report — the summary a training run
+    * reviews before trusting an eval: for each benchmark document, how
+    * many train documents near-duplicate it
+    * ([[decontaminateNearDupPairs]] threshold pairs) and the worst
+    * (maximum) Jaccard among them. Benchmark documents with no
+    * qualifying pair are absent — an empty report means a clean eval.
+    * Same scale shape as the pair step (one shingle-hash shuffle +
+    * a |pairs|-row aggregate).
+    */
+  def contaminationReport(train: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.5, textCol: String = "text"): DataFrame =
+    decontaminateNearDupPairs(train, benchmark, threshold, textCol)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminating"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("bench_id"))
+
   /** URL canonicalization — the CommonCrawl-style dedup key. Normalizes,
     * in order: case, `http://` → `https://`, leading `www.`, fragment,
     * TRAILING `utm_*` tracking parameters, a slash directly before the

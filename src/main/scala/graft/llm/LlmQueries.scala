@@ -110,6 +110,80 @@ object LlmQueries {
            |WHERE common * 1000000 >= 500000 * (ca.n + cb.n - common)
            |ORDER BY a_id, b_id""".stripMargin))
 
+  /** Near-dup cluster histogram ([[Dedup.dedupClusterStats]]): exact
+    * threshold pairs → connected components → cluster-size accounting.
+    * Oracle: the brute-force pair set at the same threshold, a recursive
+    * min-label walk (the `op_graph_components` gate pattern), and the
+    * same double aggregation — all in DuckDB.
+    */
+  val dedupClusterStatsQ = OpQ("llm_dedup_cluster_stats",
+    (s, d) => Dedup.dedupClusterStats(
+      docs(s, d).filter(col("doc_id") < 1000), thresholdPpm = 500000L),
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           |               FROM documents WHERE doc_id < 1000),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |        CAST(COUNT(*) AS BIGINT) AS common
+           |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |tp AS (SELECT a_id, b_id FROM p
+           |       JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+           |       WHERE common * 1000000 >= 500000 * (ca.n + cb.n - common)),
+           |nodes AS (SELECT a_id AS node FROM tp UNION SELECT b_id FROM tp),
+           |und AS (SELECT a_id AS a, b_id AS b FROM tp
+           |        UNION SELECT b_id, a_id FROM tp),
+           |walk(node, lbl) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT u.a, w.lbl FROM walk w JOIN und u ON u.b = w.node),
+           |comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),
+           |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           |       FROM comp GROUP BY component)
+           |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_dropped
+           |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin))
+
+  /** Per-benchmark contamination report ([[Dedup.contaminationReport]]):
+    * contaminating-train-doc count + worst Jaccard per benchmark doc,
+    * over the same bench slice as `llm_decontaminate_neardup`.
+    */
+  val contaminationReportQ = OpQ("llm_contamination_report",
+    (s, d) => {
+      val all = docs(s, d)
+      val bench = all.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      Dedup.contaminationReport(
+        all.select(col("doc_id"), col("text")), bench, threshold = 0.3)
+    },
+    Some("""WITH bench AS (
+           |  SELECT doc_id,
+           |    array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
+           |  FROM documents WHERE doc_id % 97 = 0),
+           |train AS (SELECT doc_id, text FROM documents),
+           |ts AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |bs AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t,
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |tc AS (SELECT doc_id, COUNT(*) AS n FROM ts GROUP BY doc_id),
+           |bc AS (SELECT doc_id, COUNT(*) AS n FROM bs GROUP BY doc_id),
+           |pairs AS (SELECT ts.doc_id AS train_id, bs.doc_id AS bench_id,
+           |            COUNT(*) AS common
+           |          FROM ts JOIN bs ON ts.s = bs.s GROUP BY 1, 2),
+           |hits AS (SELECT train_id, bench_id,
+           |           CAST(common AS DOUBLE) / (tc.n + bc.n - common) AS jaccard
+           |         FROM pairs JOIN tc ON tc.doc_id = train_id
+           |                    JOIN bc ON bc.doc_id = bench_id
+           |         WHERE CAST(common AS DOUBLE) / (tc.n + bc.n - common) >= 0.3)
+           |SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+           |  MAX(jaccard) AS max_jaccard
+           |FROM hits GROUP BY bench_id ORDER BY bench_id""".stripMargin))
+
   /** Brute-force cosine top-5 for query vectors (exact scaled-integer dot
     * products — bit-exact across engines and reduction orders).
     */
@@ -1415,7 +1489,7 @@ object LlmQueries {
     textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
     dedupWinnow,
     dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
-    dedupJaccardPrefix,
+    dedupJaccardPrefix, dedupClusterStatsQ, contaminationReportQ,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,
     annBruteForce, annIvf, annLsh, annSq8, annPq,

@@ -451,4 +451,35 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.winnowedOverlapPairs(docs.repartition(7)).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("dedupClusterStats: transitive clusters, singletons excluded, drop accounting") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared), (3L, shared),          // one 3-cluster
+      (4L, shared + " extra tail tokens here now"),      // joins via overlap ≥ 0.5
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"),      // one 2-cluster
+      (99L, "totally unrelated lonely document text")    // singleton: no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupClusterStats(docs, thresholdPpm = 500000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(2L -> ((1L, 2L, 1L)), 4L -> ((1L, 4L, 3L))))
+  }
+
+  test("contaminationReport: per-bench counts and worst jaccard") {
+    import spark.implicits._
+    val benchText = (1 to 12).map(i => s"b$i").mkString(" ")
+    val train = Seq(
+      (1L, benchText),                                   // exact: jaccard 1.0
+      (2L, benchText + " extra trailing words"),         // partial overlap
+      (3L, "none of these shingles appear there at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val rows = Dedup.contaminationReport(train, bench, threshold = 0.3).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 100L)
+    assert(rows.head.getLong(1) === 2L)          // docs 1 and 2 contaminate
+    assert(rows.head.getDouble(2) === 1.0)       // doc 1 is an exact copy
+  }
 }
