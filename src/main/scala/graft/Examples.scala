@@ -154,6 +154,23 @@ object Examples {
       println(s"example11(native asof via builder extensions): ${vs.mkString(",")}")
     }
 
+    // example12: sqlglot-style dialect strings (reference core.py:66) —
+    // engine-compatible aliases resolve through forName, and registered
+    // names fold per the dialect's identifier case rules (reference
+    // table.py:77,85), so a mixed-case registration resolves at any
+    // query casing
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      val aliased = Engine.execute(spark,
+        "SELECT CAST(strpos(tag, 'b') AS BIGINT) AS p FROM MyTable WHERE id = 2",
+        tables = Map("MyTable" -> t),
+        dialect = Dialect.forName("athena")) // Trino surface, lower-folds names
+        .head().getLong(0)
+      println(s"example12(dialect alias + case folding): athena strpos=$aliased " +
+        s"folded=${spark.catalog.tableExists("mytable")}")
+    }
+
     spark.stop()
   }
 }
