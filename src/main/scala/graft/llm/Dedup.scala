@@ -584,8 +584,14 @@ object Dedup {
   def dedupClusterStats(docs: DataFrame,
       thresholdPpm: Long = 500000L): DataFrame = {
     val pairs = prefixFilteredJaccardPairs(docs, thresholdPpm)
-    val comp = graft.ops.Relational.connectedComponents(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    // The components loop materializes its edge input several times
+    // (undirected closure, node universe, then per-round joins); an eager
+    // checkpoint of the TINY pair list computes the expensive similarity
+    // join exactly once and feeds the iteration a flat scan.
+    val edges = org.apache.spark.sql.GraftBridge.flattenPlan(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .localCheckpoint())
+    val comp = graft.ops.Relational.connectedComponents(edges)
     comp.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),
