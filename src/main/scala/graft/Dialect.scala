@@ -71,8 +71,9 @@ sealed trait Dialect {
   /** How the dialect folds the case of unquoted identifiers — the
     * reference normalizes registered table names per input dialect
     * (table.py:77,85 `normalize_name`, sqlglot NormalizationStrategy):
-    * most dialects fold to lowercase, Snowflake/Oracle/TSQL-family fold
-    * to UPPERCASE, ClickHouse/BigQuery treat names case-sensitively.
+    * most dialects (incl. TSQL and BigQuery, CASE_INSENSITIVE in
+    * sqlglot) fold to lowercase, Snowflake/Oracle-family fold to
+    * UPPERCASE, and only ClickHouse treats names case-sensitively.
     */
   def nameFold: Dialect.NameFold = Dialect.NameFold.Lower
 }

@@ -167,8 +167,11 @@ object Examples {
         tables = Map("MyTable" -> t),
         dialect = Dialect.forName("athena")) // Trino surface, lower-folds names
         .head().getLong(0)
+      // tableExists would be vacuous here (temp-view lookup is case-
+      // insensitive); listTables shows the identifier actually registered
+      val registered = spark.catalog.listTables().collect().map(_.name)
       println(s"example12(dialect alias + case folding): athena strpos=$aliased " +
-        s"folded=${spark.catalog.tableExists("mytable")}")
+        s"folded=${registered.contains("mytable") && !registered.contains("MyTable")}")
     }
 
     spark.stop()

@@ -33,8 +33,76 @@ object PlanCheck {
       "wscg" -> count("WholeStageCodegen"),
       "exchange" -> count("Exchange "),
       "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length,
-      "bloom" -> count("(?i)might_contain"))
+      "bloom" -> count("(?i)might_contain"),
+      "global_window" -> globalWindows(plan))
   }
+
+  /** Count of UNPARTITIONED Window nodes in an executed-plan string — the
+    * shape that collapses to a single-partition sort at scale. Bracket-
+    * group counting is ambiguous (partitioned-unordered and global-ordered
+    * windows both print two groups), so this inspects each
+    * `windowspecdefinition(part..., order..., frame)` instead: partition
+    * columns print bare, order columns carry an `ASC/DESC NULLS` marker,
+    * and the frame spec is last — a spec whose FIRST top-level argument is
+    * already an order column or the frame itself has no partition columns.
+    * `WindowGroupLimit` lines never contain the literal `"Window ["`.
+    */
+  private[graft] def globalWindows(plan: String): Int =
+    plan.linesIterator.count { line =>
+      line.contains("Window [") && {
+        "windowspecdefinition\\(".r.findAllMatchIn(line).map(_.end).exists { start =>
+          var depth = 1
+          var j = start
+          val first = new StringBuilder
+          while (j < line.length && depth > 0 &&
+              !(depth == 1 && line.charAt(j) == ',')) {
+            line.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            if (depth > 0) first.append(line.charAt(j))
+            j += 1
+          }
+          val arg = first.toString
+          arg.startsWith("specifiedwindowframe") ||
+            arg.contains(" ASC NULLS") || arg.contains(" DESC NULLS")
+        }
+      }
+    }
+
+  /** Queries deliberately keeping a global (unpartitioned) window — each
+    * must justify why the shape survives scale. Anything else that grows
+    * one fails [[windowLint]].
+    */
+  private[graft] val globalWindowAllowlist: Map[String, String] = Map(
+    "op_timeseries_gapfill" ->
+      "forward-fill over the generated date spine (~90 broadcast-sized rows), never the corpus",
+    "op_histogram_equifreq" ->
+      "documented exact-ntile semantics gate; the scale path is op_histogram_equifreq_approx",
+    "op_interp_linear" ->
+      ("interpolation over the generated Q1-1995 day spine (90 rows, broadcast-sized); " +
+        "per-series corpora use interpolateLinear's partitionCols path"))
+
+  /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
+    * over non-broadcast input unless allowlisted above — turns the bench
+    * tail's `WindowExec: No Partition Defined` warnings into a regression
+    * gate (every new query is covered automatically). Returns violations.
+    */
+  def windowLint(spark: SparkSession, sfDir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (globalWindowAllowlist.contains(name)) Nil
+      else try {
+        val n = planFeatures(
+          fn(spark, sfDir).queryExecution.executedPlan.toString)("global_window")
+        if (n > 0)
+          Seq(s"$name: VIOLATION $n unpartitioned Window node(s) — " +
+            "single-partition sort at scale; partition it or allowlist with a justification")
+        else Nil
+      } catch {
+        case e: Throwable => Seq(s"$name: ERROR ${e.getMessage.take(120)}")
+      }
+    }
 
   /** One pinned invariant on one audited query's physical plan. */
   final case class Rule(query: String, desc: String, check: Map[String, Int] => Boolean)
@@ -366,7 +434,7 @@ object PlanCheck {
         case e: Throwable => println(s"PLAN $name :: ERROR ${e.getMessage.take(80)}")
       }
     }
-    val violations = audit(spark, sfDir)
+    val violations = audit(spark, sfDir) ++ windowLint(spark, sfDir)
     violations.foreach(v => println(s"PLANGATE $v"))
     println(s"PLANGATE ${if (violations.isEmpty) "OK" else s"${violations.size} violation(s)"}")
     spark.stop()

@@ -16,10 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * a corpus-wide pairwise pass stays inside whole-stage codegen. The
   * output is an INTEGER (ppm) rather than the raw double so downstream
   * thresholds, ordering and dedup keys are exact and engine-portable;
-  * the double arithmetic inside follows the textbook formulation
-  * (Winkler boost p=0.1 over a common prefix capped at 4) and is gated
-  * against hand-computed textbook pairs in FunctionsSpec. Comparison is
-  * over UTF-16 code units (like Spark's own levenshtein).
+  * the double arithmetic inside follows Winkler's original strcmp95
+  * convention (integer-halved transpositions, 0.7 boost threshold,
+  * prefix boost p=0.1 capped at 4 — see [[jaroWinkler]]) so the value
+  * is bit-identical to DuckDB/RapidFuzz/Postgres, and is gated against
+  * hand-computed textbook pairs in FunctionsSpec plus the exact DuckDB
+  * oracle on `op_join_jarowinkler`. Comparison is over UTF-16 code
+  * units (like Spark's own levenshtein).
   */
 case class JaroWinklerPpm(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,10 +48,18 @@ object JaroWinklerPpm {
   def ppm(s1: String, s2: String): Long =
     math.floor(jaroWinkler(s1, s2) * 1e6).toLong
 
-  /** Textbook Jaro–Winkler: match window ⌊max(|a|,|b|)/2⌋−1,
-    * transpositions counted as half the out-of-order matched pairs,
-    * Winkler prefix boost p=0.1 over at most 4 leading code units.
-    * Both strings empty → 1.0 (vacuously identical); one empty → 0.0.
+  /** Jaro–Winkler in the original strcmp95 convention (Winkler's own C
+    * reference, followed by RapidFuzz/DuckDB/Postgres): match window
+    * ⌊max(|a|,|b|)/2⌋−1; transpositions counted as ⌊out-of-order matched
+    * pairs / 2⌋ (INTEGER division, as strcmp95 does — the "textbook"
+    * t = pairs/2.0 variant differs on odd counts); Winkler prefix boost
+    * p=0.1 over at most 4 leading code units, applied ONLY when the base
+    * Jaro similarity exceeds 0.7 (strcmp95's boost threshold). These two
+    * choices make the value bit-identical to DuckDB's
+    * `jaro_winkler_similarity` on every pair in the test corpora, so
+    * `op_join_jarowinkler` carries an exact DuckDB oracle. One deliberate
+    * divergence: both strings empty → 1.0 here (vacuously identical,
+    * the useful dedup semantic; DuckDB returns 0.0); one empty → 0.0.
     */
   def jaroWinkler(s1: String, s2: String): Double = {
     val l1 = s1.length
@@ -87,8 +98,9 @@ object JaroWinklerPpm {
       i += 1
     }
     val m = matches.toDouble
-    val t = transpositions / 2.0
+    val t = (transpositions / 2).toDouble
     val jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if (jaro <= 0.7) return jaro
     var prefix = 0
     while (prefix < math.min(4, math.min(l1, l2)) &&
         s1.charAt(prefix) == s2.charAt(prefix)) prefix += 1

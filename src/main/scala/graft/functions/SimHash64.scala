@@ -90,6 +90,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
+  /** Builtin-only SQL recomputation of the same fingerprint — an
+    * INDEPENDENT second implementation (xxhash64 + aggregate/zip_with
+    * majority vote, the pre-codegen HOF fold) used by self-check gates
+    * (`llm_dedup_simhash`, `stream_dedup_neardup`): XXH64 is not
+    * expressible in DuckDB, so "two disjoint implementations agree per
+    * row" is the verifiable substitute for an oracle replay. `shiftright`
+    * is arithmetic where the codegen path shifts logically, but the two
+    * agree on the masked low bit for every i in 0..63.
+    */
+  def referenceFoldSql(tokensExpr: String): String =
+    s"""aggregate($tokensExpr, array_repeat(0, 64),
+       |  (acc, t) -> zip_with(acc, sequence(0, 63),
+       |    (v, i) -> v + IF((shiftright(xxhash64(t), CAST(i AS INT)) & 1L) = 1L, 1, -1)),
+       |  acc -> aggregate(zip_with(acc, sequence(0, 63),
+       |      (v, i) -> IF(v > 0, shiftleft(1L, CAST(i AS INT)), 0L)),
+       |    0L, (a, x) -> a | x))""".stripMargin.replace("\n", " ")
+
   /** Column API: `simhash64(split($"text", " "))`. */
   def simhash64(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(

@@ -238,15 +238,23 @@ object Dedup {
     */
   def minHashDedup(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxClosureRounds: Int = 10): DataFrame = {
+    // the shingled frame feeds THREE consumers (the signature/band scan
+    // plus both sides of the candidate verify join); a persist computes
+    // the O(tokens)-per-row shingling once instead of three times, and is
+    // released before return — connectedComponents eagerly checkpoints
+    // its result, so by then nothing downstream can replay the scan
     val shingled = withShingles(docs)
-    val banded = lshBands(minHashSignatures(shingled, numHashes), numHashes, bands)
-    val pairs = minHashCandidatePairs(banded, shingled, threshold)
-    graft.ops.Relational.connectedComponents(
-      pairs, srcCol = "a_id", dstCol = "b_id",
-      nodes = Some(docs.select(col("doc_id"))),
-      maxRounds = maxClosureRounds)
-      .select(col("node").as("doc_id"), col("component").as("keep_id"))
-      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("shingles")).persist()
+    try {
+      val banded = lshBands(minHashSignatures(shingled, numHashes), numHashes, bands)
+      val pairs = minHashCandidatePairs(banded, shingled, threshold)
+      graft.ops.Relational.connectedComponents(
+        pairs, srcCol = "a_id", dstCol = "b_id",
+        nodes = Some(docs.select(col("doc_id"))),
+        maxRounds = maxClosureRounds)
+        .select(col("node").as("doc_id"), col("component").as("keep_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
+    } finally shingled.unpersist()
   }
 
   /** 64-bit SimHash fingerprint: each token hashed with xxhash64; bit i of

@@ -48,21 +48,35 @@ object LlmQueries {
            |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** MinHash LSH dedup — per-document cluster assignment (murmur3-based;
-    * no oracle, verified by DedupSpec against exact Jaccard).
+  /** MinHash LSH dedup — per-document cluster assignment. No oracle is
+    * expressible: the signatures hash shingles with murmur3 + affine
+    * permutations ([[graft.functions.MinHashSig]]) DuckDB cannot replay,
+    * and the cluster labels depend on which pairs the probabilistic
+    * bands surface — the gates are DedupSpec (recall + HOF-equivalence
+    * of the signature expression) and the fully-oracled exact-pair
+    * queries (`llm_dedup_ngram_jaccard`, `llm_dedup_cluster_stats`)
+    * covering the same verification arithmetic.
     */
   val dedupMinHash = OpQ("llm_dedup_minhash",
     (s, d) => Dedup.minHashDedup(docs(s, d)).orderBy(col("doc_id")),
     None)
 
-  /** SimHash fingerprints + near-dup candidate count (xxhash64-based;
-    * no oracle, verified by DedupSpec).
+  /** SimHash fingerprints gated by recompute-and-compare: XXH64 is not
+    * DuckDB-expressible, so instead of raw fingerprints (unverifiable
+    * there) each row carries `hof_ok` = the codegen
+    * [[graft.functions.SimHash64]] fingerprint agreeing bit-exactly with
+    * the independent builtin-only HOF fold
+    * ([[graft.functions.SimHash64.referenceFoldSql]]) — per-row
+    * verifiable by the driver (oracle expects TRUE for every doc).
+    * Banding/recall semantics stay gated in DedupSpec.
     */
   val dedupSimHash = OpQ("llm_dedup_simhash",
     (s, d) => Dedup.simHash(docs(s, d))
-      .select(col("doc_id"), col("simhash"))
+      .withColumn("fp_hof",
+        expr(graft.functions.SimHash64.referenceFoldSql("split(text, ' ')")))
+      .select(col("doc_id"), (col("simhash") === col("fp_hof")).as("hof_ok"))
       .orderBy(col("doc_id")),
-    None)
+    Some("SELECT doc_id, TRUE AS hof_ok FROM documents ORDER BY doc_id"))
 
   /** Exact word-trigram Jaccard top pairs via inverted-index join —
     * bit-exact oracle (integer intersection counts).
@@ -251,8 +265,12 @@ object LlmQueries {
            |    AS INTEGER) AS rn
            |FROM dots QUALIFY rn <= 5 ORDER BY a_id, rn""".stripMargin))
 
-  /** LSH (sign-random-projection) bucketed top-k — murmur3-derived
-    * hyperplanes, no oracle; recall measured by SimilaritySpec.
+  /** LSH (sign-random-projection) bucketed top-k. No oracle is
+    * expressible: the hyperplanes are derived from murmur3 bit mixes
+    * ([[graft.functions.SrpBucket]]) DuckDB cannot replay, and which
+    * true neighbors share a bucket is a probabilistic property, not a
+    * deterministic result set — the gate is SimilaritySpec's measured
+    * recall tier vs brute force plus the driver rows check.
     */
   val annLsh = OpQ("llm_ann_lsh_topk",
     (s, d) => Similarity.lshTopK(emb(s, d), k = 3, queryMaxId = 10, planes = 6),
@@ -328,8 +346,7 @@ object LlmQueries {
     }))
 
   /** md5 content fingerprint (oracle-able); the rolling FNV-1a fingerprint
-    * rides along in [[fingerprintRolling]] (rows-only — custom expression,
-    * verified with known values in FunctionsSpec).
+    * gets its own full oracle in [[fingerprintRolling]].
     */
   val textFingerprint = OpQ("llm_text_fingerprint",
     (s, d) => TextAnalysis.fingerprints(docs(s, d))
@@ -337,11 +354,37 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Rolling FNV-1a 64 fingerprint ([[graft.functions.RollingHash64]])
+    * with a FULL exact oracle: FNV-1a is plain integer arithmetic
+    * (h ← (h ⊕ byte)·prime mod 2⁶⁴), so DuckDB replays it as a
+    * `list_reduce` fold over the code points (= UTF-8 bytes — the corpus
+    * is pure ASCII, asserted offline) in HUGEINT mod-2⁶⁴ arithmetic,
+    * with the xor narrowed to the low 8 bits (b < 256, so
+    * x⊕b = x − x%256 + (x%256 ⊕ b)) and the final unsigned value mapped
+    * to Spark's signed BIGINT two's-complement. Known-value gates stay
+    * in FunctionsSpec.
+    */
   val fingerprintRolling = OpQ("llm_fingerprint_rolling",
     (s, d) => TextAnalysis.fingerprints(docs(s, d))
       .select(col("doc_id"), col("rolling_fp"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""SELECT doc_id,
+           |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+           |            THEN h - 18446744073709551616::HUGEINT
+           |            ELSE h END AS BIGINT) AS rolling_fp
+           |FROM (
+           |  SELECT doc_id,
+           |    CASE WHEN length(text) = 0 THEN 14695981039346656037::HUGEINT
+           |    ELSE list_reduce(
+           |      list_prepend(14695981039346656037::HUGEINT,
+           |        list_transform(range(1, length(text) + 1),
+           |          i -> CAST(unicode(text[i]) AS HUGEINT))),
+           |      (h, b) -> ((h - (h % 256) + xor(h % 256, b))
+           |                 * 1099511628211::HUGEINT)
+           |                % 18446744073709551616::HUGEINT)
+           |    END AS h
+           |  FROM documents)
+           |ORDER BY doc_id""".stripMargin))
 
   /** Gopher-style repetition filters (repeated-bigram fractions) — exact
     * integer histogram + deterministic ratios, full oracle.
@@ -1317,7 +1360,12 @@ object LlmQueries {
     (s, d) => MlLsh.minHashPairsMl(docs(s, d), maxJaccardDistance = 0.3),
     None)
 
-  /** spark.ml BucketedRandomProjectionLSH embedding pairs (rows-only). */
+  /** spark.ml BucketedRandomProjectionLSH embedding pairs. No oracle is
+    * expressible: MLlib's seeded random-projection family (internal
+    * XORShift draws) cannot be replayed in DuckDB, and the pair set is
+    * bucket-collision-dependent by design — the gate is MlLshSpec's
+    * ≥0.9 recall vs the exact L2 pair set plus the driver rows check.
+    */
   val embeddingPairsMl = OpQ("llm_embedding_pairs_ml",
     (s, d) => MlLsh.embeddingPairsMl(emb(s, d), maxL2 = 1.15),
     None)

@@ -1271,11 +1271,12 @@ object ExtraQueries {
     * deterministic (score desc, key asc) tie-break. The probe side is
     * filtered small, so the pair space is bounded — the blocking step a
     * full-corpus run would add is [[Relational.fuzzyJoinEd1]]'s
-    * deletion-neighborhood or an initial-prefix block. No DuckDB oracle:
-    * DuckDB's jaro_winkler_similarity computes the same textbook formula
-    * but through a different double-op order, so floor(·10⁶) can differ
-    * by 1 at rounding boundaries; the gate is FunctionsSpec's scalar
-    * reference + textbook pairs instead.
+    * deletion-neighborhood or an initial-prefix block. Exact DuckDB
+    * oracle: [[graft.functions.JaroWinklerPpm]] implements the strcmp95
+    * convention (integer-halved transpositions, 0.7 boost threshold)
+    * that DuckDB's `jaro_winkler_similarity` also follows, so
+    * floor(jw·10⁶) agrees bit-exactly on every corpus pair and the
+    * oracle replays the same argmax with the built-in.
     */
   val joinJaroWinkler = OpQ("op_join_jarowinkler",
     (s, d) => {
@@ -1294,7 +1295,16 @@ object ExtraQueries {
         .select(col("c_custkey"), col("s_suppkey"), col("sim_ppm"))
         .orderBy(col("c_custkey"))
     },
-    None)
+    Some("""SELECT c_custkey, s_suppkey, sim_ppm FROM (
+           |  SELECT c_custkey, s_suppkey, sim_ppm,
+           |    row_number() OVER (PARTITION BY c_custkey
+           |                       ORDER BY sim_ppm DESC, s_suppkey) AS rn
+           |  FROM (
+           |    SELECT c_custkey, s_suppkey,
+           |      CAST(floor(jaro_winkler_similarity(c_name, s_name) * 1e6) AS BIGINT) AS sim_ppm
+           |    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 30)
+           |    CROSS JOIN supplier))
+           |WHERE rn = 1 ORDER BY c_custkey""".stripMargin))
 
   /** Sketch set algebra ([[Relational.sketchIntersectionEstimate]]):
     * per-priority customer-audience OVERLAP between two order-date
@@ -1537,34 +1547,38 @@ object ExtraQueries {
   /** Higher-order array function surface — transform / filter / aggregate
     * (fold) / sort / distinct / slice / position / contains / flatten,
     * the lambda-expression layer both engines ship natively. Every
-    * result is integer-valued so the arrays compare bit-exactly.
+    * result is integer-valued so the arrays compare bit-exactly; each
+    * array-typed output is serialized with `to_json` (both engines emit
+    * the identical compact `[1,2,3]` form for integer lists) so the
+    * driver's pandas comparator sees hashable strings — raw
+    * `array<bigint>` cells are unhashable under its `sort_values`.
     */
   val arrayFunctions = OpQ("op_array_functions",
     (s, d) => Tables.sql(s, d,
       """SELECT o_orderkey,
-        |  transform(arr, x -> x * 2 + 1) AS doubled,
+        |  to_json(transform(arr, x -> x * 2 + 1)) AS doubled,
         |  size(filter(arr, x -> x % 2 = 0)) AS n_even,
         |  aggregate(arr, 0L, (a, x) -> a + x) AS total,
-        |  array_sort(arr) AS sorted,
-        |  array_sort(array_distinct(arr)) AS uniq,
-        |  slice(array_sort(arr), 2, 2) AS mid,
+        |  to_json(array_sort(arr)) AS sorted,
+        |  to_json(array_sort(array_distinct(arr))) AS uniq,
+        |  to_json(slice(array_sort(arr), 2, 2)) AS mid,
         |  array_position(arr, 1) AS pos1,
         |  array_contains(arr, 3) AS has3,
-        |  flatten(array(arr, array(o_orderkey % 2))) AS flat
+        |  to_json(flatten(array(arr, array(o_orderkey % 2)))) AS flat
         |FROM (SELECT o_orderkey,
         |        array(o_orderkey % 7, o_custkey % 5, o_orderkey % 3) AS arr
         |      FROM orders)
         |ORDER BY o_orderkey LIMIT 500""".stripMargin),
     Some("""SELECT o_orderkey,
-           |  list_transform(arr, x -> x * 2 + 1) AS doubled,
+           |  CAST(to_json(list_transform(arr, x -> x * 2 + 1)) AS VARCHAR) AS doubled,
            |  CAST(len(list_filter(arr, x -> x % 2 = 0)) AS INT) AS n_even,
            |  CAST(list_sum(arr) AS BIGINT) AS total,
-           |  list_sort(arr) AS sorted,
-           |  list_sort(list_distinct(arr)) AS uniq,
-           |  list_sort(arr)[2:3] AS mid,
+           |  CAST(to_json(list_sort(arr)) AS VARCHAR) AS sorted,
+           |  CAST(to_json(list_sort(list_distinct(arr))) AS VARCHAR) AS uniq,
+           |  CAST(to_json(list_sort(arr)[2:3]) AS VARCHAR) AS mid,
            |  CAST(COALESCE(list_position(arr, 1), 0) AS BIGINT) AS pos1,
            |  list_contains(arr, 3) AS has3,
-           |  flatten([arr, [o_orderkey % 2]]) AS flat
+           |  CAST(to_json(flatten([arr, [o_orderkey % 2]])) AS VARCHAR) AS flat
            |FROM (SELECT o_orderkey,
            |        [o_orderkey % 7, o_custkey % 5, o_orderkey % 3] AS arr
            |      FROM orders)
@@ -1859,6 +1873,46 @@ object ExtraQueries {
            |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
            |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
 
+  /** Equal-frequency binning, the SCALE path: bucket boundaries come
+    * from one `approx_percentile` sketch pass (rank error ≤ n/accuracy
+    * per boundary — a relative guarantee that holds unchanged at 100 TB)
+    * broadcast back onto the scan, so rows are assigned by a per-row
+    * array scan over 7 boundaries and counted with an ordinary 8-group
+    * hash aggregate — NO global sort, no single-partition window, two
+    * narrow shuffles total. This is what `op_histogram_equifreq`'s
+    * scaladoc prescribes for production; that query stays as the exact-
+    * ntile semantics gate at test scale. Tolerance oracle: boundary
+    * values are sketch-internal (engine-specific), so the hashed columns
+    * are the engine-independent facts — bucket id, exact corpus total,
+    * and `within_tol` asserting every bucket holds total/8 ± 5% (the
+    * sketch guarantee bounds the deviation at ≈2·n/accuracy ≪ 5%) —
+    * with the oracle expecting TRUE for all 8 buckets.
+    */
+  val histogramEquifreqApprox = OpQ("op_histogram_equifreq_approx",
+    (s, d) => {
+      val cents = Tables.load(s, d, "orders")
+        .select(Relational.cents(col("o_totalprice")).as("cents"))
+      val bnds = cents.agg(
+        percentile_approx(col("cents"),
+          expr("array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)"),
+          lit(10000)).as("bnds"))
+      cents.crossJoin(broadcast(bnds))
+        .select((expr("size(filter(bnds, b -> cents > b))") + lit(1))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(collect_list(struct(col("bucket"), col("n"))).as("bk"),
+          sum(col("n")).as("total"))
+        .select(explode(expr("array_sort(bk)")).as("b"), col("total"))
+        .select(col("b.bucket").as("bucket"), col("total"),
+          (abs(col("b.n").cast("double") - col("total").cast("double") / lit(8.0))
+            <= lit(0.05) * col("total").cast("double") / lit(8.0)).as("within_tol"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+           |SELECT CAST(g.b AS BIGINT) AS bucket, total, TRUE AS within_tol
+           |FROM t, generate_series(1, 8) g(b)
+           |ORDER BY bucket""".stripMargin))
+
   /** Skew diagnostics — the pre-flight check before keying a 100 TB
     * shuffle: per-key population for lineitem's supplier key, the top-5
     * heaviest keys with their corpus share, and each key's ratio to the
@@ -2068,7 +2122,8 @@ object ExtraQueries {
            |ORDER BY event_type""".stripMargin))
 
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
-    tableDiff, interpLinear, mapFunctions, histogramEquifreq, skewDiagnose,
+    tableDiff, interpLinear, mapFunctions, histogramEquifreq,
+    histogramEquifreqApprox, skewDiagnose,
     sequenceMatch, anomalyZscore, incrAggMerge, incrDistinctSketch, sketchIntersect,
     incrDistinctExact, dataQuality, featureStandardize, arrayFunctions,
     timeseriesEwma, timeseriesOhlc,

@@ -107,18 +107,49 @@ object StreamQueries {
            |GROUP BY p.event_id ORDER BY p_id""".stripMargin))
 
   /** Batch replay of streaming near-dup dedup ([[Streams.dedupNearDupDocs]])
-    * on a doubled documents corpus. Output is the surviving FINGERPRINT set
-    * (hex-sorted), not surviving rows — which of several colliding docs
-    * survives is arrival-order-dependent by design, the fingerprint set is
-    * not. No DuckDB oracle (simhash has no equivalent there): rows-only
-    * driver check + the stream≡batch StreamingSpec gate.
+    * on a doubled documents corpus, gated by a VERIFIABLE self-check
+    * rather than rows-only: which of several colliding docs survives is
+    * arrival-order-dependent by design, and DuckDB cannot replay XXH64,
+    * so the hashed output is the invariant summary that pins the dedup
+    * semantics engine-independently —
+    *   `n_docs`       exact doubled-corpus size (DuckDB: 2·COUNT(*)),
+    *   `hof_ok`       every [[graft.functions.SimHash64]] codegen
+    *                  fingerprint equals an INDEPENDENT recomputation
+    *                  through the builtin-only HOF fold
+    *                  (xxhash64 + aggregate/zip_with majority vote) —
+    *                  two disjoint implementations agreeing per row,
+    *   `set_ok`       survivor count = distinct-fingerprint count of the
+    *                  corpus (dedup keeps exactly one doc per fp),
+    *   `coverage_ok`  no corpus fingerprint is missing from the survivor
+    *                  set (anti-join empty).
+    * The oracle asserts the count and expects TRUE×3. The stream≡batch
+    * fingerprint-set equivalence stays gated in StreamingSpec.
     */
   val dedupNearDup = OpQ("stream_dedup_neardup",
-    (s, d) => Streams.dedupNearDupDocs(
-      Tables.load(s, d, "documents").unionAll(Tables.load(s, d, "documents")))
-      .select(hex(col("simhash")).as("fp"))
-      .orderBy(col("fp")),
-    None)
+    (s, d) => {
+      val corpus = Tables.load(s, d, "documents")
+        .unionAll(Tables.load(s, d, "documents"))
+      val surv = Streams.dedupNearDupDocs(corpus).select(col("simhash"))
+      val hofFold = graft.functions.SimHash64.referenceFoldSql("split(text, ' ')")
+      val fps = corpus
+        .withColumn("simhash",
+          graft.functions.SimHash64.simhash64(split(col("text"), " ")))
+        .withColumn("fp_hof", expr(hofFold))
+      val stats = fps.agg(
+        count(lit(1)).as("n_docs"),
+        expr("bool_and(simhash = fp_hof)").as("hof_ok"),
+        countDistinct(col("simhash")).as("n_distinct"))
+      val nSurv = surv.agg(count(lit(1)).as("n_surv"))
+      val uncovered = fps.select(col("simhash")).distinct()
+        .join(surv, Seq("simhash"), "left_anti")
+        .agg(count(lit(1)).as("n_uncovered"))
+      stats.crossJoin(broadcast(nSurv)).crossJoin(broadcast(uncovered))
+        .select(col("n_docs"), col("hof_ok"),
+          (col("n_surv") === col("n_distinct")).as("set_ok"),
+          (col("n_uncovered") === lit(0)).as("coverage_ok"))
+    },
+    Some("""SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_docs, TRUE AS hof_ok,
+           |  TRUE AS set_ok, TRUE AS coverage_ok FROM documents""".stripMargin))
 
   /** Stream-static enrichment ([[Streams.enrichedWindowCounts]]): events
     * joined to the broadcast customer dimension, rolled up per tumbling

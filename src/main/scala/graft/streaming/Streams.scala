@@ -40,7 +40,12 @@ object Streams {
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    // the probe needs at least one footer; an empty directory at stream
+    // start (the canonical file-source pattern: open first, drop files
+    // later) defaults to the generator's long/nanos layout and the
+    // normalizer handles either physical type from there
+    val tsType = scala.util.Try(spark.read.parquet(eventsDir).schema("ts").dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(rawSchema(tsType)).parquet(eventsDir))
   }

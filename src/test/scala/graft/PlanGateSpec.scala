@@ -19,4 +19,10 @@ class PlanGateSpec extends SparkSpec {
     val unknown = PlanCheck.rules.map(_.query).filterNot(known)
     assert(unknown.isEmpty, s"rules for unknown queries: $unknown")
   }
+
+  test("no query grows an unpartitioned Window over non-broadcast input") {
+    initLog()
+    val violations = PlanCheck.windowLint(spark, "/root/testdata/sf0.001")
+    assert(violations.isEmpty, "\n" + violations.mkString("\n"))
+  }
 }

@@ -25,7 +25,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: str(v) if v is not None and not isinstance(v, (str, bytes)) else v)
+            # array/list cells (numpy.ndarray from Spark parquet, python
+            # list from DuckDB) are unhashable under sort_values — render
+            # both as the same compact JSON string so they sort & compare
+            def _canon(v):
+                if v is None or isinstance(v, (str, bytes)):
+                    return v
+                if hasattr(v, "tolist"):
+                    v = v.tolist()
+                if isinstance(v, (list, tuple)):
+                    return json.dumps(v, separators=(",", ":"))
+                return str(v)
+            df[c] = df[c].apply(_canon)
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
