@@ -133,7 +133,9 @@ object PlanCheck {
     Rule("op_join_semi", "native broadcast semi join", _("bhj") >= 1),
     Rule("op_join_anti", "native broadcast anti join", _("bhj") >= 1),
     Rule("llm_text_top_tokens", "global top-k via TakeOrderedAndProject", _("topk") >= 1),
-    Rule("llm_dedup_minhash", "post-checkpoint stage stays lean", _("exchange") <= 2),
+    Rule("llm_dedup_minhash", "gate joins are equi-joins over checkpointed cluster rows — " +
+      "never a cartesian, and the per-row signature replay adds no exchange",
+      f => f("exchange") <= 8 && f("cartesian") + f("bnlj") == 0),
     Rule("llm_dedup_ngram_jaccard", "pair ranking via TakeOrderedAndProject", _("topk") >= 1),
     Rule("llm_text_redact", "pure per-row scan: no join, one output exchange",
       f => f("exchange") <= 1 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0),
@@ -301,8 +303,9 @@ object PlanCheck {
     Rule("llm_dedup_url", "canonical-key dedup is one hash aggregation: no join, map-side partial agg",
       f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
-    Rule("llm_ann_pq_topk", "codebook + ADC dot tables join by broadcast; never a cross product",
-      f => f("bhj") >= 2 && f("cartesian") + f("bnlj") == 0),
+    Rule("llm_ann_pq_topk", "codebook + ADC dot tables join by broadcast; never a cross product " +
+      "(the verification gate's exact brute force broadcasts its tiny query side as one bnlj)",
+      f => f("bhj") >= 2 && f("cartesian") == 0 && f("bnlj") <= 1),
     Rule("op_timeseries_ewma", "one per-key fold shuffle: map-side partial agg, no join",
       f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions.udaf
   * oracle-gated).
   */
 class TopKFreq(k: Int, capacity: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
-  require(capacity > k, "capacity must exceed k")
+  require(capacity >= k, "capacity must be at least k")
 
   override def zero: Map[String, Long] = Map.empty
 

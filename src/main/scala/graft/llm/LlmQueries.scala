@@ -48,18 +48,52 @@ object LlmQueries {
            |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** MinHash LSH dedup — per-document cluster assignment. No oracle is
-    * expressible: the signatures hash shingles with murmur3 + affine
-    * permutations ([[graft.functions.MinHashSig]]) DuckDB cannot replay,
-    * and the cluster labels depend on which pairs the probabilistic
-    * bands surface — the gates are DedupSpec (recall + HOF-equivalence
-    * of the signature expression) and the fully-oracled exact-pair
-    * queries (`llm_dedup_ngram_jaccard`, `llm_dedup_cluster_stats`)
-    * covering the same verification arithmetic.
+  /** MinHash LSH dedup — per-document cluster assignment, driver-gated
+    * by per-row self-checks (the raw signatures hash shingles with
+    * murmur3 + affine permutations DuckDB cannot replay, and the cluster
+    * labels depend on which pairs the probabilistic bands surface, so
+    * the label VALUES stay DedupSpec-gated; what the driver hashes is
+    * one row per document with four booleans the oracle expects TRUE):
+    *
+    *  - `sig_ok` — the codegen [[graft.functions.MinHashSig]] signature
+    *    is bit-identical to an independent builtin-only HOF replay
+    *    (`hash()` is the same seed-42 murmur3, the affine permutation is
+    *    plain SQL arithmetic mod the same prime);
+    *  - `root_le_ok` — every cluster representative is the minimum id
+    *    (keep_id ≤ doc_id);
+    *  - `root_closed_ok` — representatives are fixed points
+    *    (keep(keep_id) = keep_id, checked by self-join);
+    *  - `dup_flag_ok` — is_dup ⇔ doc_id ≠ keep_id.
+    *
+    * Cluster-content arithmetic is separately hash-gated end-to-end by
+    * `llm_dedup_cluster_stats` / `llm_dedup_ngram_jaccard`.
     */
   val dedupMinHash = OpQ("llm_dedup_minhash",
-    (s, d) => Dedup.minHashDedup(docs(s, d)).orderBy(col("doc_id")),
-    None)
+    (s, d) => {
+      val res = Dedup.minHashDedup(docs(s, d))
+      val roots = res.select(col("doc_id").as("keep_id"),
+        col("keep_id").as("root_keep"))
+      val structural = res.join(roots, Seq("keep_id"))
+        .select(col("doc_id"),
+          (col("keep_id") <= col("doc_id")).as("root_le_ok"),
+          (col("root_keep") === col("keep_id")).as("root_closed_ok"),
+          (col("is_dup") === (col("doc_id") =!= col("keep_id"))).as("dup_flag_ok"))
+      val sigCheck = Dedup.minHashSignatures(
+          Dedup.withShingles(docs(s, d)).select(col("doc_id"), col("shingles")), 32)
+        .withColumn("sig_hof", expr(
+          """transform(sequence(0, 31), j -> array_min(transform(shingles, t ->
+            |  ((2 * j + 1) * abs(cast(hash(t) as bigint)) + j * 2654435761L)
+            |    % 4294967311L)))""".stripMargin.replace("\n", " ")))
+        .select(col("doc_id").as("sig_doc_id"),
+          (col("sig") === col("sig_hof")).as("sig_ok"))
+      structural.join(sigCheck, col("doc_id") === col("sig_doc_id"))
+        .select(col("doc_id"), col("sig_ok"), col("root_le_ok"),
+          col("root_closed_ok"), col("dup_flag_ok"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, TRUE AS sig_ok, TRUE AS root_le_ok,
+           |  TRUE AS root_closed_ok, TRUE AS dup_flag_ok
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** SimHash fingerprints gated by recompute-and-compare: XXH64 is not
     * DuckDB-expressible, so instead of raw fingerprints (unverifiable
@@ -265,25 +299,94 @@ object LlmQueries {
            |    AS INTEGER) AS rn
            |FROM dots QUALIFY rn <= 5 ORDER BY a_id, rn""".stripMargin))
 
-  /** LSH (sign-random-projection) bucketed top-k. No oracle is
-    * expressible: the hyperplanes are derived from murmur3 bit mixes
-    * ([[graft.functions.SrpBucket]]) DuckDB cannot replay, and which
-    * true neighbors share a bucket is a probabilistic property, not a
-    * deterministic result set — the gate is SimilaritySpec's measured
-    * recall tier vs brute force plus the driver rows check.
+  /** Per-query verifiable summary of an approximate-ANN result: the
+    * exact brute-force top-k neighbor list (fully DuckDB-replayable — the
+    * same quantized-cosine arithmetic as `llm_ann_bruteforce_topk`)
+    * joined with two self-check booleans over the approximate rows:
+    * `cos_dual_path_ok` — every cosine the approximate path reported is
+    * bit-identical to an INDEPENDENT builtin-only recomputation
+    * (`aggregate(zip_with(...))` replaying the codegen
+    * [[graft.functions.ScaledDotMicros]] tree), and `rank_ok` — the
+    * reported ranks are a contiguous 1..n. Which true neighbors the
+    * approximate index SURFACES stays a measured-recall property
+    * (SimilaritySpec); what the driver gates here is that the exact
+    * ranking is right and the approximate path's arithmetic never
+    * drifts from spec. Queries the approximate index returned nothing
+    * for pass vacuously (that is the recall dimension, spec-gated).
+    */
+  private def annGateSummary(s: SparkSession, d: String, approx: DataFrame,
+      k: Int, queryMaxId: Long): DataFrame = {
+    val e = emb(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("vd"))
+    def hofDot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> cast(floor(x * y * 1e6) as bigint)), " +
+        "0L, (acc, v) -> acc + v)")
+    val checked = approx
+      .join(e.select(col("vec_id").as("a_id"), col("vd").as("a_vd")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("vd").as("b_vd")), "b_id")
+      .withColumn("cos_hof",
+        hofDot("a_vd", "b_vd").cast("double") /
+          (sqrt(hofDot("a_vd", "a_vd").cast("double")) *
+            sqrt(hofDot("b_vd", "b_vd").cast("double"))))
+      .groupBy(col("a_id"))
+      .agg(bool_and(col("cosine") === col("cos_hof")).as("cos_dual_path_ok"),
+        (max(col("rn")) === count(lit(1)) && min(col("rn")) === 1).as("rank_ok"))
+    Similarity.bruteForceTopK(emb(s, d), k = k, queryMaxId = queryMaxId)
+      .groupBy(col("a_id"))
+      .agg(to_json(expr(
+          "transform(array_sort(collect_list(struct(rn, b_id))), r -> r.b_id)"))
+          .as("exact_topk"),
+        count(lit(1)).cast("long").as("n_exact"))
+      .join(checked, Seq("a_id"), "left")
+      .select(col("a_id"), col("exact_topk"), col("n_exact"),
+        coalesce(col("cos_dual_path_ok"), lit(true)).as("cos_dual_path_ok"),
+        coalesce(col("rank_ok"), lit(true)).as("rank_ok"))
+      .orderBy(col("a_id"))
+  }
+
+  private def annGateOracle(k: Int, queryMaxId: Long): String =
+    s"""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       |q AS (SELECT * FROM e WHERE vec_id < $queryMaxId),
+       |dots AS (SELECT q.vec_id AS a_id, c.vec_id AS b_id,
+       |           SUM(CAST(FLOOR(q.x * c.x * 1000000) AS BIGINT)) AS dot_m,
+       |           SUM(CAST(FLOOR(q.x * q.x * 1000000) AS BIGINT)) AS qq_m,
+       |           SUM(CAST(FLOOR(c.x * c.x * 1000000) AS BIGINT)) AS cc_m
+       |         FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+       |         GROUP BY q.vec_id, c.vec_id),
+       |ranked AS (SELECT a_id, b_id,
+       |  row_number() OVER (PARTITION BY a_id ORDER BY
+       |    CAST(dot_m AS DOUBLE) / (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+       |    DESC, b_id) AS rn
+       |  FROM dots)
+       |SELECT a_id, to_json(list(b_id ORDER BY rn)) AS exact_topk,
+       |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  TRUE AS cos_dual_path_ok, TRUE AS rank_ok
+       |FROM ranked WHERE rn <= $k GROUP BY a_id ORDER BY a_id""".stripMargin
+
+  /** LSH (sign-random-projection) bucketed top-k, gated via
+    * [[annGateSummary]]: the exact top-3 list per query is
+    * hash-verified; the LSH rows are dual-path arithmetic-checked. The
+    * raw hyperplane buckets (murmur3 bit mixes DuckDB cannot replay)
+    * and the recall tier stay SimilaritySpec gates.
     */
   val annLsh = OpQ("llm_ann_lsh_topk",
-    (s, d) => Similarity.lshTopK(emb(s, d), k = 3, queryMaxId = 10, planes = 6),
-    None)
+    (s, d) => annGateSummary(s, d,
+      Similarity.lshTopK(emb(s, d), k = 3, queryMaxId = 10, planes = 6),
+      k = 3, queryMaxId = 10),
+    Some(annGateOracle(k = 3, queryMaxId = 10)))
 
   /** Product-quantization ADC top-k ([[Similarity.pqTopK]]): learned
     * integer codebooks, code-lookup candidate ranking, exact shortlist
-    * re-rank. No DuckDB oracle (the learned codebook has no SQL
-    * counterpart); recall vs brute force is a SimilaritySpec gate.
+    * re-rank — gated via [[annGateSummary]] (the learned codebook has
+    * no SQL counterpart; the exact ranking and the reported-cosine
+    * arithmetic do, and those are what the driver hashes).
     */
   val annPq = OpQ("llm_ann_pq_topk",
-    (s, d) => Similarity.pqTopK(emb(s, d), k = 5, queryMaxId = 5),
-    None)
+    (s, d) => annGateSummary(s, d,
+      Similarity.pqTopK(emb(s, d), k = 5, queryMaxId = 5),
+      k = 5, queryMaxId = 5),
+    Some(annGateOracle(k = 5, queryMaxId = 5)))
 
   /** Token statistics (exact-integer oracle). */
   val textStats = OpQ("llm_text_stats",
@@ -692,16 +795,39 @@ object LlmQueries {
            |FROM documents, UNNEST(string_split(text, ' ')) t(token)
            |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin))
 
-  /** Misra–Gries heavy-hitters sketch over the token stream (bounded
-    * memory, merge-order-dependent within the n/capacity bound → spec-
-    * gated in FunctionsSpec, rows-only here).
+  /** Misra–Gries heavy-hitters sketch over the token stream, gated by
+    * the sketch's own THEOREM rather than its (merge-order-dependent)
+    * estimates: with C = 64 counters the merged summary undercounts any
+    * token by at most n/(C+1), so every token whose true frequency
+    * exceeds n/C MUST survive in the buffer (Misra–Gries '82; merge
+    * bound per Agarwal et al., "Mergeable Summaries", PODS'12). The
+    * query computes the exact heavy-hitter set (token, n — both
+    * DuckDB-verifiable) and `in_sketch` = membership of that token in
+    * the whole sketch buffer (k = capacity returns all counters); the
+    * oracle expects TRUE per row, so a dropped guaranteed heavy hitter
+    * hash-mismatches. Estimate-quality gates stay in FunctionsSpec.
     */
   val textTopTokensSketch = OpQ("llm_text_top_tokens_sketch",
-    (s, d) => docs(s, d)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .agg(graft.functions.TopKFreq.top_k_freq(col("token"), 10).as("top_tokens"))
-      .select(posexplode(col("top_tokens")).as(Seq("rank", "token"))),
-    None)
+    (s, d) => {
+      val toks = docs(s, d).select(explode(split(col("text"), " ")).as("token"))
+      val sk = toks.agg(
+        graft.functions.TopKFreq.top_k_freq(col("token"), 64, 64).as("hh"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val tot = exact.agg(sum(col("n")).as("n_total"))
+      exact.crossJoin(broadcast(tot))
+        .filter(col("n") * 64 > col("n_total"))
+        .crossJoin(broadcast(sk))
+        .select(col("token"), col("n"),
+          array_contains(col("hh"), col("token")).as("in_sketch"))
+        .orderBy(col("token"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+           |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM toks GROUP BY token),
+           |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnt)
+           |SELECT token, n, TRUE AS in_sketch
+           |FROM cnt, tot WHERE n * 64 > n_total ORDER BY token""".stripMargin))
 
   /** End-to-end corpus curation pipeline — the composition a training-data
     * job actually runs: exact-dedup (keep first), quality-filter, attach
@@ -1190,14 +1316,30 @@ object LlmQueries {
 
   /** Image resize ([[Multimodal.resizeImagesPartitioned]]): 16×16
     * nearest-neighbor thumbnails of the staged PNG store, reported as
-    * deterministic position-weighted pixel checksums. Rows-only at the
-    * driver (PNG pixel decode has no DuckDB equivalent); exact-value and
-    * single-machine-reference gates live in MultimodalSpec.
+    * deterministic position-weighted pixel checksums. The oracle is
+    * EXACT despite the real ImageIO decode in the loop — the same
+    * trick as `llm_multimodal_phash`: the synthetic PNG round-trips
+    * losslessly and pixel (x, y) of doc `id` is the integer
+    * `(id·2654435761 + x·31 + y) mod 2²⁴`, so DuckDB replays the
+    * nearest-neighbor sampler (src = dst·srcDim // 16) and the
+    * position-weighted sum arithmetically over `range(0, 256)`
+    * (i = y·16 + x, weight = i + 1). A hash mismatch would mean the
+    * decode, the sampler, or the checksum fold diverged from spec.
+    * Single-machine-reference gates additionally live in MultimodalSpec.
     */
   val multimodalResize = OpQ("llm_multimodal_resize",
     (s, d) => Multimodal.resizeImagesPartitioned(s, stagedBlobs(s, d, "png"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""SELECT doc_id,
+           |  CAST(8 + doc_id % 16 AS INTEGER) AS src_width,
+           |  CAST(8 + doc_id % 11 AS INTEGER) AS src_height,
+           |  CAST(16 AS INTEGER) AS out_width,
+           |  CAST(16 AS INTEGER) AS out_height,
+           |  CAST(list_sum(list_transform(range(0, 256), i ->
+           |    ((doc_id * 2654435761 + ((i % 16) * (8 + doc_id % 16) // 16) * 31
+           |      + ((i // 16) * (8 + doc_id % 11) // 16)) % 16777216) * (i + 1)
+           |  )) AS BIGINT) AS pixel_checksum
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Keep-best dedup ([[Dedup.keepBestDedup]]): the batch is each document
     * plus a 20-token truncation of it under a new id; clustering on the
@@ -1352,23 +1494,122 @@ object LlmQueries {
            |    AS norm_tokens
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** spark.ml MinHashLSH near-dup pairs (seeded; rows-only — MLlib hash
-    * families aren't DuckDB-expressible; recall vs exact jaccard in
-    * MlLshSpec).
+  /** spark.ml MinHashLSH near-dup pairs, driver-gated through the EXACT
+    * side of the problem: the output rows are the exact trigram-Jaccard
+    * ≥ 0.7 pair set ([[Dedup.prefixFilteredJaccardPairs]] — lossless
+    * prefix filtering, DuckDB replays the full intersection arithmetic),
+    * each row carrying two booleans about the MLlib run the oracle
+    * expects TRUE: `recall_ok` — MinHashLSH surfaced ≥ 90% of the exact
+    * pairs (the MlLshSpec tier, now hash-gated), and `precision_ok` —
+    * every pair MLlib reported has raw trigram Jaccard ≥ 0.65 (0.05
+    * slack absorbs HashingTF feature-collision quantization; MLlib's
+    * `approxSimilarityJoin` verifies candidates on the hashed sets, so
+    * a real false positive would mean the hashed and raw set Jaccards
+    * diverged). The seeded hash family itself isn't DuckDB-expressible;
+    * everything the driver hashes here is. `doc_id < 1000` bounds the
+    * bench-scale cost on this uniform-vocabulary corpus for the same
+    * reason as `llm_dedup_jaccard_prefix` (at sf0.01 the corpus has 500
+    * docs, so the correctness gate sees the full table).
     */
   val dedupMinHashMl = OpQ("llm_dedup_minhash_ml",
-    (s, d) => MlLsh.minHashPairsMl(docs(s, d), maxJaccardDistance = 0.3),
-    None)
+    (s, d) => {
+      val corpus = docs(s, d).filter(col("doc_id") < 1000)
+      val found = MlLsh.minHashPairsMl(corpus, maxJaccardDistance = 0.3)
+        .select(col("a_id"), col("b_id"))
+      val truePairs = Dedup.prefixFilteredJaccardPairs(corpus, thresholdPpm = 700000L)
+      val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+      val nHit = truePairs.join(found, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val sets = Dedup.withShingles(corpus)
+        .select(col("doc_id"), expr("array_distinct(transform(shingles, x -> xxhash64(x)))").as("hs"))
+      val prec = found
+        .join(sets.select(col("doc_id").as("a_id"), col("hs").as("sa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("hs").as("sb")), "b_id")
+        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .agg(coalesce(bool_and(
+          col("common") * 1000000L >=
+            lit(650000L) * (size(col("sa")) + size(col("sb")) - col("common"))),
+          lit(true)).as("precision_ok"))
+      truePairs
+        .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nHit))
+        .crossJoin(broadcast(prec))
+        .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"),
+          col("jaccard"),
+          (col("n_hit") * 10L >= col("n_true") * 9L).as("recall_ok"),
+          col("precision_ok"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           |               FROM documents WHERE doc_id < 1000),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |            CAST(COUNT(*) AS BIGINT) AS common
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY a.doc_id, b.doc_id)
+           |SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb,
+           |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard,
+           |  TRUE AS recall_ok, TRUE AS precision_ok
+           |FROM pairs JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+           |WHERE common * 1000000 >= 700000 * (ca.n + cb.n - common)
+           |ORDER BY a_id, b_id""".stripMargin))
 
-  /** spark.ml BucketedRandomProjectionLSH embedding pairs. No oracle is
-    * expressible: MLlib's seeded random-projection family (internal
-    * XORShift draws) cannot be replayed in DuckDB, and the pair set is
-    * bucket-collision-dependent by design — the gate is MlLshSpec's
-    * ≥0.9 recall vs the exact L2 pair set plus the driver rows check.
+  /** spark.ml BucketedRandomProjectionLSH embedding pairs, driver-gated
+    * the same way as `llm_dedup_minhash_ml`: the rows are the exact
+    * near-pair set under the quantized squared distance
+    * `sq_m = ‖a‖²ₘ + ‖b‖²ₘ − 2·(a·b)ₘ` (each term a floor-scaled integer
+    * sum — [[graft.functions.ScaledDotMicros]], order-invariant, DuckDB
+    * replays it exactly) at the 1.15² · 10⁶ threshold, plus two
+    * oracle-expects-TRUE booleans about the MLlib run: `recall_ok`
+    * (≥ 90% of exact pairs surfaced — the MlLshSpec tier) and
+    * `precision_ok` (every reported pair within the threshold + 2·dims
+    * floor-error envelope; MLlib filters on the un-quantized double
+    * distance, so 128 µunits of slack is the exact worst-case gap).
+    * The seeded projection family stays non-expressible; the hashed
+    * content the driver sees is fully exact.
     */
   val embeddingPairsMl = OpQ("llm_embedding_pairs_ml",
-    (s, d) => MlLsh.embeddingPairsMl(emb(s, d), maxL2 = 1.15),
-    None)
+    (s, d) => {
+      val thrM = 1322500L // floor(1.15^2 * 1e6)
+      val found = MlLsh.embeddingPairsMl(emb(s, d), maxL2 = 1.15)
+        .select(col("a_id"), col("b_id"))
+      val e = emb(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("vd"))
+      val withSq = e.select(col("vec_id").as("a_id"), col("vd").as("a_vd"))
+        .join(e.select(col("vec_id").as("b_id"), col("vd").as("b_vd")),
+          col("a_id") < col("b_id"))
+        .withColumn("sq_m",
+          graft.functions.ScaledDotMicros.scaled_dot_micros(col("a_vd"), col("a_vd")) +
+            graft.functions.ScaledDotMicros.scaled_dot_micros(col("b_vd"), col("b_vd")) -
+            lit(2L) * graft.functions.ScaledDotMicros.scaled_dot_micros(col("a_vd"), col("b_vd")))
+        .select(col("a_id"), col("b_id"), col("sq_m"))
+      val truePairs = withSq.filter(col("sq_m") <= thrM)
+      val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+      val nHit = truePairs.join(found, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val prec = found.join(withSq, Seq("a_id", "b_id"))
+        .agg(coalesce(bool_and(col("sq_m") <= thrM + 128L), lit(true))
+          .as("precision_ok"))
+      truePairs
+        .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nHit))
+        .crossJoin(broadcast(prec))
+        .select(col("a_id"), col("b_id"), col("sq_m"),
+          (col("n_hit") * 10L >= col("n_true") * 9L).as("recall_ok"),
+          col("precision_ok"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |           CAST(SUM(CAST(FLOOR(a.x * a.x * 1000000) AS BIGINT)) +
+           |             SUM(CAST(FLOOR(b.x * b.x * 1000000) AS BIGINT)) -
+           |             2 * SUM(CAST(FLOOR(a.x * b.x * 1000000) AS BIGINT)) AS BIGINT) AS sq_m
+           |         FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+           |         GROUP BY a.vec_id, b.vec_id)
+           |SELECT a_id, b_id, sq_m, TRUE AS recall_ok, TRUE AS precision_ok
+           |FROM dots WHERE sq_m <= 1322500
+           |ORDER BY a_id, b_id""".stripMargin))
 
   /** Corpus-unigram-LM fluency ranking ([[TextAnalysis.unigramLmScore]]):
     * mean token frequency in parts-per-billion, exact integer math, the

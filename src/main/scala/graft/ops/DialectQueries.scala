@@ -208,11 +208,15 @@ object DialectQueries {
   /** READ_CSV with a *declared schema* for its alias (reference
     * executor.py:303-305): the schema reaches the reader via
     * `Engine.execute(schemas = ...)` — typed read, no inference scan. The
-    * oracle reads the very same staged files.
+    * oracle reads the ORIGINAL customer table, so the gate is the full
+    * CSV round-trip (write + typed read must reproduce the base data,
+    * doubles included — Spark's shortest-repr double text parses back
+    * exactly) and stays independent of staging state; the stage path is
+    * keyed by SF so an interleaved run at another scale never clobbers it.
     */
   val readCsvTyped = OpQ("op_dialect_read_csv_typed",
     (s, d) => {
-      val path = s"$stageDir/customer_typed_csv"
+      val path = s"$stageDir/customer_typed_csv_${new java.io.File(d).getName}"
       Sources.writeCsv(
         Tables.load(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -230,10 +234,9 @@ object DialectQueries {
         dialect = Dialect.DuckDbish,
         schemas = Map("cust" -> st))
     },
-    Some(s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, c_acctbal
-            |FROM read_csv_auto('$stageDir/customer_typed_csv/*.csv', header=true, delim='|')
-            |WHERE c_acctbal > 5000.0
-            |ORDER BY c_custkey LIMIT 100""".stripMargin))
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal
+           |FROM customer WHERE c_acctbal > 5000.0
+           |ORDER BY c_custkey LIMIT 100""".stripMargin))
 
   /** `//` with NEGATIVE operands — proves the DIV mapping is exact there
     * too: this DuckDB's integer `//` truncates toward zero just like Spark's

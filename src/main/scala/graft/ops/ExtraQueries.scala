@@ -908,12 +908,17 @@ object ExtraQueries {
 
   /** Partitioned parquet sink → source with partition pruning: write
     * orders partitioned by priority, read back one partition. The pruning
-    * (only one directory scanned) is the at-scale point; the oracle reads
-    * the same partition directory.
+    * (only one directory scanned) is the at-scale point. The oracle reads
+    * the ORIGINAL orders table — the check is that partitioned write +
+    * pruned read (including partition-column directory reconstruction)
+    * reproduces the base data exactly; it also keeps the oracle
+    * independent of staging state, so an interleaved run at another SF
+    * can never make the compare read a mismatched stage. The stage path
+    * is keyed by SF for the same reason (same contract as stagedBlobs).
     */
   val sourcePartitionedParquet = OpQ("op_source_partitioned_parquet",
     (s, d) => {
-      val path = s"$stageDir/orders_part"
+      val path = s"$stageDir/orders_part_${new java.io.File(d).getName}"
       Sources.writeParquet(
         Tables.load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_orderpriority")),
@@ -924,7 +929,7 @@ object ExtraQueries {
         .orderBy(col("o_orderkey"))
     },
     Some("""SELECT o_orderkey, o_custkey
-           |FROM read_parquet('/tmp/graft_stage/orders_part/o_orderpriority=1-URGENT/*.parquet')
+           |FROM orders WHERE o_orderpriority = '1-URGENT'
            |ORDER BY o_orderkey""".stripMargin))
 
   /** ORC sink → source round-trip (second Spark-native columnar format,
