@@ -113,6 +113,13 @@ object Dialect {
     case "tsql" | "mssql" | "sqlserver" => TsqlIsh
     case "clickhouse" => ClickHouseIsh
     case "redshift" => RedshiftIsh
+    case "teradata" => TeradataIsh
+    // Apache Drill's SQL core (backtick identifiers, ANSI functions) is
+    // Spark-parseable as-is; Drill-specific constructs fail fast at the
+    // parser rather than silently misparse.
+    case "drill" => Spark
+    // Dune SQL is Trino underneath.
+    case "dune" => Trinoish
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -423,6 +430,39 @@ object Dialect {
         rewriteRsDateAdd,
         rewriteRsDateDiff,
         rewriteRsBareTypes,
+        s => rewriteQualify(s, esc = true),
+        s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Teradata-ish surface: the `SEL` statement abbreviation, keyword
+    * comparison operators (`EQ NE LT LE GT GE`), infix `MOD`,
+    * `ZEROIFNULL`/`NULLIFZERO`, `OREPLACE`/`OTRANSLATE` (Teradata's
+    * replace/translate — the empty-vs-NULL replacement-string quirk is
+    * outside the shimmed scope), `INDEX(string, substring)` → instr,
+    * `TOP n` (reusing the T-SQL scope-end LIMIT placement — `SEL` must
+    * expand first so the TOP pattern sees `SELECT TOP`), and `QUALIFY`.
+    * `**` exponent and `CAST(x AS t FORMAT '…')` are outside the shimmed
+    * surface and fail fast at Spark's parser. `ADD_MONTHS`, `NVL`,
+    * `POSITION`, `TRIM(BOTH …)`, `SUBSTR`, and `||` concat are
+    * Spark-native pass-throughs. Unquoted identifiers resolve
+    * case-insensitively (sqlglot's default CASE_INSENSITIVE strategy
+    * for Teradata) → default Lower fold. Standard ''-doubled literals;
+    * a literal backslash is escaped first, as in the T-SQL shim.
+    */
+  case object TeradataIsh extends Dialect {
+    private val renames = Map("index" -> "instr", "oreplace" -> "replace",
+      "otranslate" -> "translate")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        rewriteTeradataSel,
+        rewriteTeradataComparators,
+        rewriteTeradataInfixMod,
+        rewriteTeradataZeroNull,
+        rewriteTsqlTop,
         s => rewriteQualify(s, esc = true),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -856,6 +896,54 @@ object Dialect {
       out.toString
     }
   }
+
+  // ---- Teradata -----------------------------------------------------------
+
+  /** `SEL` → `SELECT` — Teradata's statement-keyword abbreviation. Word
+    * boundary + literal-span filtered; an identifier actually named `sel`
+    * is outside the shimmed scope (quote it to keep it literal).
+    */
+  private[graft] def rewriteTeradataSel(sql: String): String =
+    renameWords(sql, Map("sel" -> "SELECT"), esc = true)
+
+  /** Teradata keyword comparison operators — `EQ NE LT LE GT GE` → the
+    * symbol forms. Word-boundary + literal-filtered; an identifier named
+    * like an operator keyword is outside the shimmed scope (quote it).
+    */
+  private[graft] def rewriteTeradataComparators(sql: String): String =
+    renameWords(sql, Map("eq" -> "=", "ne" -> "<>", "lt" -> "<",
+      "le" -> "<=", "gt" -> ">", "ge" -> ">="), esc = true)
+
+  /** Infix `MOD` → `%` — only the operator form; a `MOD(a, b)` CALL is
+    * already Spark-native and must not be touched (the negative
+    * lookahead excludes a following open paren). Teradata's MOD result
+    * sign follows the dividend, exactly like Spark's `%`.
+    */
+  private[graft] def rewriteTeradataInfixMod(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val re = "(?i)\\bMOD\\b(?!\\s*\\()".r
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).foreach { m =>
+      if (outsideLiterals(spans, m.start)) {
+        out.append(sql.substring(last, m.start)).append("%")
+        last = m.end
+      }
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
+
+  /** `ZEROIFNULL(x)` → `coalesce(x, 0)`; `NULLIFZERO(x)` → `nullif(x, 0)`
+    * (argument-count checked — both are strictly unary in Teradata).
+    */
+  private[graft] def rewriteTeradataZeroNull(sql: String): String =
+    rewriteCall(sql, "zeroifnull|nullifzero", esc = true) { (name, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError(s"$name expects a single argument")
+      if (name.equalsIgnoreCase("zeroifnull")) s"coalesce(${args(0)}, 0)"
+      else s"nullif(${args(0)}, 0)"
+    }
 
   // ---- generic call rewriter ----------------------------------------------
 

@@ -749,10 +749,68 @@ object DialectQueries {
            |GROUP BY o_orderpriority, o_orderstatus
            |ORDER BY prio, p_tag""".stripMargin))
 
+  /** Teradata surface ([[Dialect.TeradataIsh]]): `SEL`, `TOP n`, infix
+    * `MOD`, keyword comparators (`LT`/`EQ`/`GE`/`NE`), the
+    * `ZEROIFNULL(NULLIFZERO(…))` round trip, `INDEX` → instr,
+    * `OREPLACE`/`OTRANSLATE`. Every rewritten construct appears in the
+    * oracle in its ANSI form, so a silent mis-rewrite hash-mismatches.
+    */
+  val teradata = OpQ("op_dialect_teradata",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SEL TOP 50 o_orderkey,
+          |  o_orderkey MOD 7 AS bucket,
+          |  ZEROIFNULL(NULLIFZERO(o_custkey MOD 3)) AS zn,
+          |  CAST(INDEX(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+          |  OREPLACE(o_orderpriority, '-', '_') AS prio_u,
+          |  OTRANSLATE(o_orderstatus, 'OF', 'of') AS status_t
+          |FROM orders
+          |WHERE o_orderkey LT 1000 AND o_orderstatus EQ 'F'
+          |  AND o_orderkey GE 10 AND o_orderkey NE 32
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.forName("teradata"))
+    },
+    Some("""SELECT o_orderkey,
+           |  o_orderkey % 7 AS bucket,
+           |  COALESCE(NULLIF(o_custkey % 3, 0), 0) AS zn,
+           |  CAST(instr(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+           |  replace(o_orderpriority, '-', '_') AS prio_u,
+           |  translate(o_orderstatus, 'OF', 'of') AS status_t
+           |FROM orders
+           |WHERE o_orderkey < 1000 AND o_orderstatus = 'F'
+           |  AND o_orderkey >= 10 AND o_orderkey <> 32
+           |ORDER BY o_orderkey LIMIT 50""".stripMargin))
+
+  /** Teradata QUALIFY — the window-filter construct Teradata originated —
+    * over a `SEL` with keyword comparators; DuckDB runs QUALIFY natively,
+    * so the oracle keeps the construct rather than a rewritten form.
+    */
+  val teradataQualify = OpQ("op_dialect_teradata_qualify",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SEL o_custkey, o_orderkey, o_totalprice,
+          |  CAST(ROW_NUMBER() OVER (
+          |    PARTITION BY o_custkey
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          |FROM orders WHERE o_custkey LE 100
+          |QUALIFY rn LE 2
+          |ORDER BY o_custkey, rn""".stripMargin,
+        dialect = Dialect.forName("teradata"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+           |  CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY o_custkey
+           |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+           |FROM orders WHERE o_custkey <= 100
+           |QUALIFY rn <= 2
+           |ORDER BY o_custkey, rn""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
-    athena, starrocks, materialize)
+    athena, starrocks, materialize, teradata, teradataQualify)
 }

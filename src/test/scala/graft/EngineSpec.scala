@@ -398,7 +398,10 @@ class EngineSpec extends SparkSpec {
     assert(Dialect.forName("starrocks") === Dialect.MySqlish)
     assert(Dialect.forName("materialize") === Dialect.Postgresish)
     assert(Dialect.forName("risingwave") === Dialect.Postgresish)
-    intercept[UnsupportedError](Dialect.forName("teradata"))
+    assert(Dialect.forName("teradata") === Dialect.TeradataIsh)
+    assert(Dialect.forName("drill") === Dialect.Spark)
+    assert(Dialect.forName("dune") === Dialect.Trinoish)
+    intercept[UnsupportedError](Dialect.forName("tableau"))
   }
 
   test("tableFromRows infers typed maps from the first entry") {
