@@ -1567,21 +1567,29 @@ object LlmQueries {
     * floor-error envelope; MLlib filters on the un-quantized double
     * distance, so 128 µunits of slack is the exact worst-case gap).
     * The seeded projection family stays non-expressible; the hashed
-    * content the driver sees is fully exact.
+    * content the driver sees is fully exact. Scale note: the N²/2 exact
+    * pair join is the correctness GATE (corpus-bounded, like
+    * `llm_ann_bruteforce_topk`), not the product path — at 100 TB the
+    * operator under test (BRP LSH bucketed join) runs alone and the
+    * exact tier runs on samples.
     */
   val embeddingPairsMl = OpQ("llm_embedding_pairs_ml",
     (s, d) => {
       val thrM = 1322500L // floor(1.15^2 * 1e6)
       val found = MlLsh.embeddingPairsMl(emb(s, d), maxL2 = 1.15)
         .select(col("a_id"), col("b_id"))
+      // norms once per VECTOR (N scaled dots), only the cross-dot per PAIR
+      // (N²/2) — same integer tree either way, 3× fewer hot-loop dots
       val e = emb(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("vd"))
-      val withSq = e.select(col("vec_id").as("a_id"), col("vd").as("a_vd"))
-        .join(e.select(col("vec_id").as("b_id"), col("vd").as("b_vd")),
-          col("a_id") < col("b_id"))
+          expr("transform(embedding, x -> cast(x as double))").as("vd"))
+        .withColumn("norm_m",
+          graft.functions.ScaledDotMicros.scaled_dot_micros(col("vd"), col("vd")))
+      val withSq = e.select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+          col("norm_m").as("a_norm"))
+        .join(e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
+          col("norm_m").as("b_norm")), col("a_id") < col("b_id"))
         .withColumn("sq_m",
-          graft.functions.ScaledDotMicros.scaled_dot_micros(col("a_vd"), col("a_vd")) +
-            graft.functions.ScaledDotMicros.scaled_dot_micros(col("b_vd"), col("b_vd")) -
+          col("a_norm") + col("b_norm") -
             lit(2L) * graft.functions.ScaledDotMicros.scaled_dot_micros(col("a_vd"), col("b_vd")))
         .select(col("a_id"), col("b_id"), col("sq_m"))
       val truePairs = withSq.filter(col("sq_m") <= thrM)
