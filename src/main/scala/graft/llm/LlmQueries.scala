@@ -1514,9 +1514,12 @@ object LlmQueries {
   val dedupMinHashMl = OpQ("llm_dedup_minhash_ml",
     (s, d) => {
       val corpus = docs(s, d).filter(col("doc_id") < 1000)
+      // both pair frames feed multiple gate branches — eager checkpoint
+      // computes the MLlib join and the prefix-filtered verify once
       val found = MlLsh.minHashPairsMl(corpus, maxJaccardDistance = 0.3)
-        .select(col("a_id"), col("b_id"))
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val truePairs = Dedup.prefixFilteredJaccardPairs(corpus, thresholdPpm = 700000L)
+        .localCheckpoint(true)
       val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
       val nHit = truePairs.join(found, Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
@@ -1576,27 +1579,36 @@ object LlmQueries {
   val embeddingPairsMl = OpQ("llm_embedding_pairs_ml",
     (s, d) => {
       val thrM = 1322500L // floor(1.15^2 * 1e6)
+      // both small frames feed three gate branches each — an eager
+      // localCheckpoint computes the MLlib LSH join and the N²/2 exact
+      // join ONCE instead of per-branch (the same contract as
+      // minHashDedup's shingle persist)
       val found = MlLsh.embeddingPairsMl(emb(s, d), maxL2 = 1.15)
-        .select(col("a_id"), col("b_id"))
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
       // norms once per VECTOR (N scaled dots), only the cross-dot per PAIR
       // (N²/2) — same integer tree either way, 3× fewer hot-loop dots
       val e = emb(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("vd"))
         .withColumn("norm_m",
           graft.functions.ScaledDotMicros.scaled_dot_micros(col("vd"), col("vd")))
-      val withSq = e.select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
-          col("norm_m").as("a_norm"))
+      def sqJoin(pairs: DataFrame): DataFrame = pairs
+        .join(e.select(col("vec_id").as("a_id"), col("vd").as("a_vd"),
+          col("norm_m").as("a_norm")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("vd").as("b_vd"),
-          col("norm_m").as("b_norm")), col("a_id") < col("b_id"))
+          col("norm_m").as("b_norm")), "b_id")
         .withColumn("sq_m",
           col("a_norm") + col("b_norm") -
             lit(2L) * graft.functions.ScaledDotMicros.scaled_dot_micros(col("a_vd"), col("b_vd")))
-        .select(col("a_id"), col("b_id"), col("sq_m"))
-      val truePairs = withSq.filter(col("sq_m") <= thrM)
+        .select(pairs.columns.toIndexedSeq.map(col) :+ col("sq_m"): _*)
+      val truePairs = sqJoin(
+          e.select(col("vec_id").as("a_id"))
+            .join(e.select(col("vec_id").as("b_id")), col("a_id") < col("b_id")))
+        .filter(col("sq_m") <= thrM).localCheckpoint(true)
       val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
       val nHit = truePairs.join(found, Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
-      val prec = found.join(withSq, Seq("a_id", "b_id"))
+      // precision pays |found| dots, never a second N² pass
+      val prec = sqJoin(found)
         .agg(coalesce(bool_and(col("sq_m") <= thrM + 128L), lit(true))
           .as("precision_ok"))
       truePairs
