@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 116 invariants
-  * across 106 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 131 invariants
+  * across 122 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -388,7 +388,28 @@ object PlanCheck {
     Rule("op_cooccurrence", "pair top-k via TakeOrderedAndProject; only the 1-row total is nested-loop-broadcast",
       f => f("topk") >= 1 && f("cartesian") == 0 && f("bnlj") <= 1),
     Rule("op_drift_check", "both snapshot aggregations map-side combined; ts filters pushed to the scan",
-      f => f("partial_agg") >= 4 && f("pushed_filters") >= 2))
+      f => f("partial_agg") >= 4 && f("pushed_filters") >= 2),
+    Rule("llm_text_top_tokens_sketch", "exact heavy-hitter set map-side combined; only 1-row " +
+      "sketch/total frames broadcast (bnlj), never a shuffle join",
+      f => f("partial_agg") >= 4 && f("bnlj") <= 2 &&
+        f("cartesian") + f("smj") + f("shj") == 0),
+    Rule("llm_embedding_pairs_ml", "gate branches read checkpointed pair frames; the bounded " +
+      "N²/2 id-pair join and 1-row gate frames are the only nested-loop broadcasts",
+      f => f("cartesian") == 0 && f("bnlj") <= 3 && f("bhj") >= 1),
+    Rule("llm_dedup_minhash_ml", "prefix-filtered verify joins equi-keyed; only 1-row gate " +
+      "frames nested-loop-broadcast, never a cartesian",
+      f => f("cartesian") == 0 && f("bnlj") <= 3 && f("bhj") >= 1),
+    Rule("llm_ann_lsh_topk", "bucket join equi-keyed + exact gate's tiny query side broadcast; " +
+      "id filters pushed on both paths",
+      f => f("cartesian") == 0 && f("bnlj") <= 1 && f("bhj") >= 2 &&
+        f("pushed_filters") >= 4),
+    Rule("op_dialect_teradata", "SEL TOP rewrite yields TakeOrderedAndProject; keyword-comparator " +
+      "WHERE pushed to the scan",
+      f => f("topk") >= 1 && f("pushed_filters") >= 1),
+    Rule("op_dialect_teradata_qualify", "QUALIFY rewrite keeps the window partitioned (one keyed " +
+      "shuffle + output sort), no join shapes",
+      f => f("exchange") <= 2 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Run every rule against its query's static physical plan; returns the
     * violations (empty = gate passes). Only audited queries are planned —
