@@ -174,6 +174,24 @@ object Examples {
         s"folded=${registered.contains("mytable") && !registered.contains("MyTable")}")
     }
 
+    // example13: the Teradata surface — SEL abbreviation, keyword
+    // comparators, infix MOD, ZEROIFNULL/NULLIFZERO, QUALIFY — through
+    // the same sqlglot-style dialect string
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L)).toDF("id", "v")
+      val rows = Engine.execute(spark,
+        """SEL id, v MOD 2 AS parity, ZEROIFNULL(NULLIFZERO(v MOD 3)) AS zn,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY v MOD 2 ORDER BY v DESC)
+          |    AS BIGINT) AS rn
+          |FROM t WHERE id GE 2 AND id NE 3
+          |QUALIFY rn LE 1 ORDER BY id""".stripMargin,
+        tables = Map("t" -> t),
+        dialect = Dialect.forName("teradata"))
+        .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}:${r.getLong(2)}")
+      println(s"example13(teradata SEL/MOD/QUALIFY): ${rows.mkString(",")}")
+    }
+
     spark.stop()
   }
 }
