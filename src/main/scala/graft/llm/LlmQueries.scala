@@ -1478,21 +1478,25 @@ object LlmQueries {
     * (JDK Normalizer vs DuckDB utf8proc) for the hash to match, so the
     * non-trivial normalization path is what's actually gated.
     */
-  val textNormalize = OpQ("llm_text_normalize",
-    (s, d) => TextAnalysis.normalizeText(
-        docs(s, d).withColumn("text",
-          concat(col("text"), lit(" CAFE\u0301!!  ,,Mix-Case??"))))
-      .select(col("doc_id"), col("norm_text"), col("norm_tokens"))
-      .orderBy(col("doc_id")),
-    Some("""SELECT doc_id,
-           |  trim(regexp_replace(regexp_replace(
-           |    lower(nfc_normalize(text || ' CAFE\u0301!!  ,,Mix-Case??')),
-           |    '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
-           |  CAST(len(string_split(trim(regexp_replace(regexp_replace(
-           |    lower(nfc_normalize(text || ' CAFE\u0301!!  ,,Mix-Case??')),
-           |    '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT)
-           |    AS norm_tokens
-           |FROM documents ORDER BY doc_id""".stripMargin))
+  val textNormalize: OpQ = {
+    // combining acute in a single-quoted string (the \uXXXX lexer escape
+    // is deprecated inside triple quotes); interpolated into both texts
+    val dec = " CAFE\u0301!!  ,,Mix-Case??"
+    OpQ("llm_text_normalize",
+      (s, d) => TextAnalysis.normalizeText(
+          docs(s, d).withColumn("text", concat(col("text"), lit(dec))))
+        .select(col("doc_id"), col("norm_text"), col("norm_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  trim(regexp_replace(regexp_replace(
+              |    lower(nfc_normalize(text || '$dec')),
+              |    '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+              |  CAST(len(string_split(trim(regexp_replace(regexp_replace(
+              |    lower(nfc_normalize(text || '$dec')),
+              |    '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+              |    AS norm_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin))
+  }
 
   /** spark.ml MinHashLSH near-dup pairs, driver-gated through the EXACT
     * side of the problem: the output rows are the exact trigram-Jaccard

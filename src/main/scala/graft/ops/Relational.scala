@@ -314,7 +314,7 @@ object Relational {
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val stacked = df.columns.map { c =>
       s"struct('$c' AS column_name, `__n_$c` AS n_nulls, `__d_$c` AS n_distinct, " +
         s"`__min_$c` AS min_value, `__max_$c` AS max_value)"
