@@ -442,9 +442,11 @@ object Dialect {
     * replace/translate — the empty-vs-NULL replacement-string quirk is
     * outside the shimmed scope), `INDEX(string, substring)` → instr,
     * `TOP n` (reusing the T-SQL scope-end LIMIT placement — `SEL` must
-    * expand first so the TOP pattern sees `SELECT TOP`), and `QUALIFY`.
-    * `**` exponent and `CAST(x AS t FORMAT '…')` are outside the shimmed
-    * surface and fail fast at Spark's parser. `ADD_MONTHS`, `NVL`,
+    * expand first so the TOP pattern sees `SELECT TOP`), `**` exponent
+    * (bounded operand forms → `power`, left-associative; unboundable
+    * operands raise), and `QUALIFY`.
+    * `CAST(x AS t FORMAT '…')` is outside the shimmed
+    * surface and fails fast at Spark's parser. `ADD_MONTHS`, `NVL`,
     * `POSITION`, `TRIM(BOTH …)`, `SUBSTR`, and `||` concat are
     * Spark-native pass-throughs. Unquoted identifiers resolve
     * case-insensitively (sqlglot's default CASE_INSENSITIVE strategy
@@ -461,6 +463,7 @@ object Dialect {
         rewriteTeradataSel,
         rewriteTeradataComparators,
         rewriteTeradataInfixMod,
+        rewriteTeradataPower,
         rewriteTeradataZeroNull,
         rewriteTsqlTop,
         s => rewriteQualify(s, esc = true),
@@ -932,6 +935,79 @@ object Dialect {
     }
     out.append(sql.substring(last))
     out.toString
+  }
+
+  /** Teradata `**` exponent → `power(l, r)` for BOUNDED operand forms:
+    * a number (optional sign on the right), an identifier chain
+    * (`a.b.c`, possibly a call `f(…)`), or a parenthesized group.
+    * Leftmost-first repetition makes `a ** b ** c` left-associative
+    * (`power(power(a, b), c)`), matching Teradata's left-to-right
+    * evaluation. An operand this scanner cannot bound raises rather
+    * than silently mis-grouping.
+    */
+  private[graft] def rewriteTeradataPower(sql: String): String = {
+    var cur = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val spans = literalSpans(cur, backslashEscapes = true)
+      val idx = "\\*\\*".r.findAllMatchIn(cur)
+        .find(m => outsideLiterals(spans, m.start)).map(_.start)
+      idx.foreach { at =>
+        def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
+        // left operand: [start, at)
+        var e = at
+        while (e > 0 && cur.charAt(e - 1) == ' ') e -= 1
+        var s = e
+        if (s > 0 && cur.charAt(s - 1) == ')') {
+          var depth = 0
+          do {
+            s -= 1
+            if (cur.charAt(s) == ')') depth += 1
+            else if (cur.charAt(s) == '(') depth -= 1
+          } while (s > 0 && depth > 0)
+          // include a preceding function name, if any
+          while (s > 0 && isIdent(cur.charAt(s - 1))) s -= 1
+        } else {
+          while (s > 0 && isIdent(cur.charAt(s - 1))) s -= 1
+        }
+        if (s == e)
+          throw new graft.UnsupportedError(
+            s"cannot bound the left operand of ** in: $cur")
+        // right operand: (at+2, re)
+        var rs = at + 2
+        while (rs < cur.length && cur.charAt(rs) == ' ') rs += 1
+        var re = rs
+        if (re < cur.length && (cur.charAt(re) == '-' || cur.charAt(re) == '+')) re += 1
+        if (re < cur.length && cur.charAt(re) == '(') {
+          var depth = 0
+          do {
+            if (cur.charAt(re) == '(') depth += 1
+            else if (cur.charAt(re) == ')') depth -= 1
+            re += 1
+          } while (re < cur.length && depth > 0)
+        } else {
+          while (re < cur.length && isIdent(cur.charAt(re))) re += 1
+          // a call on the right: identifier directly followed by a group
+          if (re < cur.length && cur.charAt(re) == '(') {
+            var depth = 0
+            do {
+              if (cur.charAt(re) == '(') depth += 1
+              else if (cur.charAt(re) == ')') depth -= 1
+              re += 1
+            } while (re < cur.length && depth > 0)
+          }
+        }
+        if (re == rs)
+          throw new graft.UnsupportedError(
+            s"cannot bound the right operand of ** in: $cur")
+        cur = cur.substring(0, s) +
+          s"power(${cur.substring(s, e)}, ${cur.substring(rs, re)})" +
+          cur.substring(re)
+        changed = true
+      }
+    }
+    cur
   }
 
   /** `ZEROIFNULL(x)` → `coalesce(x, 0)`; `NULLIFZERO(x)` → `nullif(x, 0)`

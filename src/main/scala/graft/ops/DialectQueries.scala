@@ -750,10 +750,11 @@ object DialectQueries {
            |ORDER BY prio, p_tag""".stripMargin))
 
   /** Teradata surface ([[Dialect.TeradataIsh]]): `SEL`, `TOP n`, infix
-    * `MOD`, keyword comparators (`LT`/`EQ`/`GE`/`NE`), the
-    * `ZEROIFNULL(NULLIFZERO(…))` round trip, `INDEX` → instr,
+    * `MOD`, `**` exponent, keyword comparators (`LT`/`EQ`/`GE`/`NE`),
+    * the `ZEROIFNULL(NULLIFZERO(…))` round trip, `INDEX` → instr,
     * `OREPLACE`/`OTRANSLATE`. Every rewritten construct appears in the
-    * oracle in its ANSI form, so a silent mis-rewrite hash-mismatches.
+    * oracle in its ANSI (or DuckDB-native `**`) form, so a silent
+    * mis-rewrite hash-mismatches.
     */
   val teradata = OpQ("op_dialect_teradata",
     (s, d) => {
@@ -761,6 +762,7 @@ object DialectQueries {
       Engine.execute(s,
         """SEL TOP 50 o_orderkey,
           |  o_orderkey MOD 7 AS bucket,
+          |  CAST((o_orderkey MOD 5) ** 2 AS BIGINT) AS sq,
           |  ZEROIFNULL(NULLIFZERO(o_custkey MOD 3)) AS zn,
           |  CAST(INDEX(o_orderpriority, '-') AS BIGINT) AS dash_pos,
           |  OREPLACE(o_orderpriority, '-', '_') AS prio_u,
@@ -773,6 +775,7 @@ object DialectQueries {
     },
     Some("""SELECT o_orderkey,
            |  o_orderkey % 7 AS bucket,
+           |  CAST((o_orderkey % 5) ** 2 AS BIGINT) AS sq,
            |  COALESCE(NULLIF(o_custkey % 3, 0), 0) AS zn,
            |  CAST(instr(o_orderpriority, '-') AS BIGINT) AS dash_pos,
            |  replace(o_orderpriority, '-', '_') AS prio_u,
