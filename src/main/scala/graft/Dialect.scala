@@ -445,7 +445,9 @@ object Dialect {
     * expand first so the TOP pattern sees `SELECT TOP`), `**` exponent
     * (bounded operand forms → `power`, left-associative; unboundable
     * operands raise), and `QUALIFY`.
-    * `CAST(x AS t FORMAT '…')` is outside the shimmed
+    * `"ident"` double-quoted identifiers map to backticks, and the
+    * keyword rewriters skip quoted identifiers (a column named `"lt"`
+    * stays a column). `CAST(x AS t FORMAT '…')` is outside the shimmed
     * surface and fails fast at Spark's parser. `ADD_MONTHS`, `NVL`,
     * `POSITION`, `TRIM(BOTH …)`, `SUBSTR`, and `||` concat are
     * Spark-native pass-throughs. Unquoted identifiers resolve
@@ -460,6 +462,10 @@ object Dialect {
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
         escapeBackslashLiterals,
+        // "ident" → `ident` FIRST: Teradata quotes identifiers with
+        // double quotes, and the keyword rewriters below must see them
+        // as identifiers (their span filter covers both quote styles)
+        s => rewriteDoubleQuotedIdents(s, esc = true),
         rewriteTeradataSel,
         rewriteTeradataComparators,
         rewriteTeradataInfixMod,
@@ -902,35 +908,104 @@ object Dialect {
 
   // ---- Teradata -----------------------------------------------------------
 
+  /** Spans of single-quoted string literals PLUS double-quoted and
+    * backtick-quoted identifiers — the regions a KEYWORD rewriter must
+    * never touch (a column named `lt` quoted as `"lt"` is an identifier,
+    * not the LT comparator). Quote-doubling escapes both quote styles.
+    */
+  private[graft] def literalAndIdentSpans(sql: String,
+      backslashEscapes: Boolean = false): Vector[(Int, Int)] = {
+    val spans = Vector.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          val ch = sql.charAt(i)
+          if (backslashEscapes && ch == '\\' && i + 1 < sql.length) i += 2
+          else if (ch == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+          else if (ch == '\'') { done = true; i += 1 }
+          else i += 1
+        }
+        spans += ((start, i))
+      } else if (c == '"' || c == '`') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < sql.length && !done) {
+          if (sql.charAt(i) == c && i + 1 < sql.length && sql.charAt(i + 1) == c) i += 2
+          else if (sql.charAt(i) == c) { done = true; i += 1 }
+          else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
+    }
+    spans.result()
+  }
+
+  /** [[renameWords]] over [[literalAndIdentSpans]] — keyword rewriting
+    * that leaves quoted identifiers untouched.
+    */
+  private def renameWordsOutsideIdents(sql: String,
+      renames: Map[String, String]): String =
+    renames.foldLeft(sql) { case (cur, (from, to)) =>
+      val spans = literalAndIdentSpans(cur, backslashEscapes = true)
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+      val out = new StringBuilder
+      var last = 0
+      re.findAllMatchIn(cur).foreach { m =>
+        if (outsideLiterals(spans, m.start)) {
+          out.append(cur.substring(last, m.start)).append(to)
+          last = m.end
+        }
+      }
+      out.append(cur.substring(last))
+      out.toString
+    }
+
   /** `SEL` → `SELECT` — Teradata's statement-keyword abbreviation. Word
-    * boundary + literal-span filtered; an identifier actually named `sel`
-    * is outside the shimmed scope (quote it to keep it literal).
+    * boundary, literal- and quoted-identifier-filtered (quote a column
+    * actually named `sel` to keep it an identifier).
     */
   private[graft] def rewriteTeradataSel(sql: String): String =
-    renameWords(sql, Map("sel" -> "SELECT"), esc = true)
+    renameWordsOutsideIdents(sql, Map("sel" -> "SELECT"))
 
   /** Teradata keyword comparison operators — `EQ NE LT LE GT GE` → the
-    * symbol forms. Word-boundary + literal-filtered; an identifier named
-    * like an operator keyword is outside the shimmed scope (quote it).
+    * symbol forms. Word-boundary, literal- and quoted-identifier-filtered
+    * (quote a column named like an operator keyword to keep it).
     */
   private[graft] def rewriteTeradataComparators(sql: String): String =
-    renameWords(sql, Map("eq" -> "=", "ne" -> "<>", "lt" -> "<",
-      "le" -> "<=", "gt" -> ">", "ge" -> ">="), esc = true)
+    renameWordsOutsideIdents(sql, Map("eq" -> "=", "ne" -> "<>", "lt" -> "<",
+      "le" -> "<=", "gt" -> ">", "ge" -> ">="))
 
-  /** Infix `MOD` → `%` — only the operator form; a `MOD(a, b)` CALL is
-    * already Spark-native and must not be touched (the negative
-    * lookahead excludes a following open paren). Teradata's MOD result
-    * sign follows the dividend, exactly like Spark's `%`.
+  /** Infix `MOD` → `%`. Infix vs the Spark-native `MOD(a, b)` CALL is
+    * decided by what PRECEDES the keyword — an infix MOD always follows a
+    * finished left operand (identifier char, `)`, or a quoted
+    * identifier), while the call form sits at expression position (after
+    * `(`/`,`/an operator/statement start). A lookahead on `(` would
+    * misclassify the perfectly-valid `a MOD (b + 1)`. Teradata's MOD
+    * result sign follows the dividend, exactly like Spark's `%`.
     */
   private[graft] def rewriteTeradataInfixMod(sql: String): String = {
-    val spans = literalSpans(sql, backslashEscapes = true)
-    val re = "(?i)\\bMOD\\b(?!\\s*\\()".r
+    val spans = literalAndIdentSpans(sql, backslashEscapes = true)
+    val re = "(?i)\\bMOD\\b".r
     val out = new StringBuilder
     var last = 0
     re.findAllMatchIn(sql).foreach { m =>
       if (outsideLiterals(spans, m.start)) {
-        out.append(sql.substring(last, m.start)).append("%")
-        last = m.end
+        var p = m.start - 1
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        val infix = p >= 0 && {
+          val c = sql.charAt(p)
+          c.isLetterOrDigit || c == '_' || c == ')' || c == '`' || c == '"'
+        }
+        if (infix) {
+          out.append(sql.substring(last, m.start)).append("%")
+          last = m.end
+        }
       }
     }
     out.append(sql.substring(last))
@@ -938,69 +1013,106 @@ object Dialect {
   }
 
   /** Teradata `**` exponent → `power(l, r)` for BOUNDED operand forms:
-    * a number (optional sign on the right), an identifier chain
-    * (`a.b.c`, possibly a call `f(…)`), or a parenthesized group.
+    * a number (optionally signed on the right, scientific notation
+    * accepted), an identifier chain (`a.b.c`, possibly a call `f(…)`),
+    * a quoted identifier, or a parenthesized group. Paren matching skips
+    * string-literal spans, so a `'('` inside an argument never
+    * mis-groups; any whitespace (newline/tab) separates operands.
     * Leftmost-first repetition makes `a ** b ** c` left-associative
     * (`power(power(a, b), c)`), matching Teradata's left-to-right
-    * evaluation. An operand this scanner cannot bound raises rather
-    * than silently mis-grouping.
+    * evaluation. An operand this scanner cannot bound — including a
+    * left operand that is the tail of a scientific-notation number —
+    * raises rather than silently mis-grouping.
     */
   private[graft] def rewriteTeradataPower(sql: String): String = {
     var cur = sql
     var changed = true
     while (changed) {
       changed = false
-      val spans = literalSpans(cur, backslashEscapes = true)
+      val spans = literalAndIdentSpans(cur, backslashEscapes = true)
+      def spanAt(i: Int): Option[(Int, Int)] =
+        spans.find(sp => i >= sp._1 && i < sp._2)
       val idx = "\\*\\*".r.findAllMatchIn(cur)
-        .find(m => outsideLiterals(spans, m.start)).map(_.start)
+        .find(m => spanAt(m.start).isEmpty).map(_.start)
       idx.foreach { at =>
         def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '.'
-        // left operand: [start, at)
-        var e = at
-        while (e > 0 && cur.charAt(e - 1) == ' ') e -= 1
-        var s = e
-        if (s > 0 && cur.charAt(s - 1) == ')') {
+        def raise(side: String): Nothing = throw new graft.UnsupportedError(
+          s"cannot bound the $side operand of ** in: $cur")
+        // index just after the ')' matching the '(' group ENDING at
+        // `close` (exclusive end given); literal spans skipped wholesale
+        def groupStart(closeExclusive: Int): Int = {
+          var i = closeExclusive - 1
           var depth = 0
-          do {
-            s -= 1
-            if (cur.charAt(s) == ')') depth += 1
-            else if (cur.charAt(s) == '(') depth -= 1
-          } while (s > 0 && depth > 0)
-          // include a preceding function name, if any
-          while (s > 0 && isIdent(cur.charAt(s - 1))) s -= 1
-        } else {
-          while (s > 0 && isIdent(cur.charAt(s - 1))) s -= 1
+          while (i >= 0) {
+            spanAt(i) match {
+              case Some(sp) => i = sp._1 - 1
+              case None =>
+                val c = cur.charAt(i)
+                if (c == ')') depth += 1
+                else if (c == '(') { depth -= 1; if (depth == 0) return i }
+                i -= 1
+            }
+          }
+          raise("left")
         }
-        if (s == e)
-          throw new graft.UnsupportedError(
-            s"cannot bound the left operand of ** in: $cur")
-        // right operand: (at+2, re)
-        var rs = at + 2
-        while (rs < cur.length && cur.charAt(rs) == ' ') rs += 1
-        var re = rs
-        if (re < cur.length && (cur.charAt(re) == '-' || cur.charAt(re) == '+')) re += 1
-        if (re < cur.length && cur.charAt(re) == '(') {
+        // index just after the ')' matching the '(' AT `open`
+        def groupEnd(open: Int): Int = {
+          var i = open
           var depth = 0
-          do {
-            if (cur.charAt(re) == '(') depth += 1
-            else if (cur.charAt(re) == ')') depth -= 1
-            re += 1
-          } while (re < cur.length && depth > 0)
+          while (i < cur.length) {
+            spanAt(i) match {
+              case Some(sp) => i = sp._2
+              case None =>
+                val c = cur.charAt(i)
+                if (c == '(') depth += 1
+                else if (c == ')') { depth -= 1; if (depth == 0) return i + 1 }
+                i += 1
+            }
+          }
+          raise("right")
+        }
+        // ---- left operand: [s, e) ----
+        var e = at
+        while (e > 0 && cur.charAt(e - 1).isWhitespace) e -= 1
+        var s = e
+        if (s > 0 && spanAt(s - 1).isDefined) {
+          s = spanAt(s - 1).get._1 // quoted identifier operand
+        } else if (s > 0 && cur.charAt(s - 1) == ')') {
+          s = groupStart(s)
+          while (s > 0 && isIdent(cur.charAt(s - 1))) s -= 1 // call name
         } else {
-          while (re < cur.length && isIdent(cur.charAt(re))) re += 1
-          // a call on the right: identifier directly followed by a group
-          if (re < cur.length && cur.charAt(re) == '(') {
-            var depth = 0
-            do {
-              if (cur.charAt(re) == '(') depth += 1
-              else if (cur.charAt(re) == ')') depth -= 1
-              re += 1
-            } while (re < cur.length && depth > 0)
+          while (s > 0 && isIdent(cur.charAt(s - 1))) s -= 1
+          // `1e-3 ** 2` would otherwise bound the left operand at `3`
+          if (s >= 3 && (cur.charAt(s - 1) == '-' || cur.charAt(s - 1) == '+') &&
+              (cur.charAt(s - 2) | 0x20) == 'e' && cur.charAt(s - 3).isDigit)
+            raise("left")
+        }
+        if (s == e) raise("left")
+        // ---- right operand: [rs, re) ----
+        var rs = at + 2
+        while (rs < cur.length && cur.charAt(rs).isWhitespace) rs += 1
+        val numM = "^[-+]?\\s*\\d+(\\.\\d+)?([eE][-+]?\\d+)?"
+          .r.findFirstMatchIn(cur.substring(rs)).filter(_.end > 0)
+        var re = rs
+        if (numM.isDefined) {
+          re = rs + numM.get.end
+        } else {
+          if (re < cur.length && (cur.charAt(re) == '-' || cur.charAt(re) == '+')) {
+            re += 1
+            while (re < cur.length && cur.charAt(re).isWhitespace) re += 1
+          }
+          if (re < cur.length && spanAt(re).isDefined) {
+            re = spanAt(re).get._2 // quoted identifier operand
+          } else if (re < cur.length && cur.charAt(re) == '(') {
+            re = groupEnd(re)
+          } else {
+            val r0 = re
+            while (re < cur.length && isIdent(cur.charAt(re))) re += 1
+            if (re == r0) raise("right")
+            if (re < cur.length && cur.charAt(re) == '(') re = groupEnd(re)
           }
         }
-        if (re == rs)
-          throw new graft.UnsupportedError(
-            s"cannot bound the right operand of ** in: $cur")
+        if (re == rs) raise("right")
         cur = cur.substring(0, s) +
           s"power(${cur.substring(s, e)}, ${cur.substring(rs, re)})" +
           cur.substring(re)

@@ -167,11 +167,14 @@ object Examples {
         tables = Map("MyTable" -> t),
         dialect = Dialect.forName("athena")) // Trino surface, lower-folds names
         .head().getLong(0)
-      // tableExists would be vacuous here (temp-view lookup is case-
-      // insensitive); listTables shows the identifier actually registered
-      val registered = spark.catalog.listTables().collect().map(_.name)
+      // catalog probes are vacuous here (Spark's temp-view layer is
+      // case-insensitive and lowercases names itself, whatever we
+      // register) — demonstrate the per-dialect fold on the function the
+      // registration path actually applies
+      val folds = Seq("athena", "snowflake", "clickhouse")
+        .map(d => Engine.normalizeName("MyTable", Dialect.forName(d)))
       println(s"example12(dialect alias + case folding): athena strpos=$aliased " +
-        s"folded=${registered.contains("mytable") && !registered.contains("MyTable")}")
+        s"folds=${folds.mkString("/")}")
     }
 
     // example13: the Teradata surface — SEL abbreviation, keyword

@@ -89,20 +89,22 @@ object PlanCheck {
     * tail's `WindowExec: No Partition Defined` warnings into a regression
     * gate (every new query is covered automatically). Returns violations.
     */
-  def windowLint(spark: SparkSession, sfDir: String): Seq[String] =
-    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+  def windowLint(plans: Seq[(String, Either[String, String])]): Seq[String] =
+    plans.flatMap { case (name, p) =>
       if (globalWindowAllowlist.contains(name)) Nil
-      else try {
-        val n = planFeatures(
-          fn(spark, sfDir).queryExecution.executedPlan.toString)("global_window")
-        if (n > 0)
-          Seq(s"$name: VIOLATION $n unpartitioned Window node(s) — " +
-            "single-partition sort at scale; partition it or allowlist with a justification")
-        else Nil
-      } catch {
-        case e: Throwable => Seq(s"$name: ERROR ${e.getMessage.take(120)}")
+      else p match {
+        case Left(err) => Seq(s"$name: ERROR $err")
+        case Right(plan) =>
+          val n = planFeatures(plan)("global_window")
+          if (n > 0)
+            Seq(s"$name: VIOLATION $n unpartitioned Window node(s) — " +
+              "single-partition sort at scale; partition it or allowlist with a justification")
+          else Nil
       }
     }
+
+  def windowLint(spark: SparkSession, sfDir: String): Seq[String] =
+    windowLint(planStrings(spark, sfDir))
 
   /** One pinned invariant on one audited query's physical plan. */
   final case class Rule(query: String, desc: String, check: Map[String, Int] => Boolean)
@@ -411,30 +413,42 @@ object PlanCheck {
       f => f("exchange") <= 2 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
-  /** Run every rule against its query's static physical plan; returns the
-    * violations (empty = gate passes). Only audited queries are planned —
-    * nothing is executed.
+  /** Build every driver query's executed-plan string ONCE. Planning is
+    * cheap for most queries, but the gate queries that eagerly
+    * localCheckpoint (MLlib fits, N² pair joins) or stage files run real
+    * work just to construct their DataFrame — so the report, the rule
+    * audit, and the window lint must all share one planning pass instead
+    * of each re-invoking the query builders.
     */
-  def audit(spark: SparkSession, sfDir: String): Seq[String] = {
-    val qs = SparkEntry.queries
+  private[graft] def planStrings(spark: SparkSession,
+      sfDir: String): Seq[(String, Either[String, String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try Right(fn(spark, sfDir).queryExecution.executedPlan.toString)
+        catch { case e: Throwable => Left(e.getMessage.take(120)) })
+    }
+
+  /** Run every rule against its query's pre-built physical plan; returns
+    * the violations (empty = gate passes).
+    */
+  def audit(plans: Seq[(String, Either[String, String])]): Seq[String] = {
+    val byName = plans.toMap
     rules.groupBy(_.query).toSeq.sortBy(_._1).flatMap { case (name, rs) =>
-      qs.get(name) match {
+      byName.get(name) match {
         case None => Seq(s"$name: audit rule references an unknown query")
-        case Some(fn) =>
-          try {
-            val f = planFeatures(fn(spark, sfDir).queryExecution.executedPlan.toString)
-              .withDefaultValue(0)
-            val shown = f.filter(_._2 > 0).toSeq.sortBy(_._1)
-              .map { case (k, v) => s"$k=$v" }.mkString(" ")
-            rs.collect { case r if !r.check(f) =>
-              s"$name: VIOLATION '${r.desc}' (plan: $shown)"
-            }
-          } catch {
-            case e: Throwable => Seq(s"$name: ERROR ${e.getMessage.take(120)}")
+        case Some(Left(err)) => Seq(s"$name: ERROR $err")
+        case Some(Right(plan)) =>
+          val f = planFeatures(plan).withDefaultValue(0)
+          val shown = f.filter(_._2 > 0).toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(" ")
+          rs.collect { case r if !r.check(f) =>
+            s"$name: VIOLATION '${r.desc}' (plan: $shown)"
           }
       }
     }
   }
+
+  def audit(spark: SparkSession, sfDir: String): Seq[String] =
+    audit(planStrings(spark, sfDir))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -447,18 +461,16 @@ object PlanCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+    val plans = planStrings(spark, sfDir)
+    plans.foreach {
+      case (name, Left(err)) => println(s"PLAN $name :: ERROR ${err.take(80)}")
+      case (name, Right(plan)) =>
         val features = planFeatures(plan)
           .filter(_._2 > 0).toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(" ")
         println(s"PLAN $name :: $features")
-      } catch {
-        case e: Throwable => println(s"PLAN $name :: ERROR ${e.getMessage.take(80)}")
-      }
     }
-    val violations = audit(spark, sfDir) ++ windowLint(spark, sfDir)
+    val violations = audit(plans) ++ windowLint(plans)
     violations.foreach(v => println(s"PLANGATE $v"))
     println(s"PLANGATE ${if (violations.isEmpty) "OK" else s"${violations.size} violation(s)"}")
     spark.stop()

@@ -43,9 +43,16 @@ object Streams {
     // the probe needs at least one footer; an empty directory at stream
     // start (the canonical file-source pattern: open first, drop files
     // later) defaults to the generator's long/nanos layout and the
-    // normalizer handles either physical type from there
-    val tsType = scala.util.Try(spark.read.parquet(eventsDir).schema("ts").dataType)
-      .getOrElse(org.apache.spark.sql.types.LongType)
+    // normalizer handles either physical type from there. ONLY the
+    // schema-inference/missing-path failure (AnalysisException) takes
+    // that default — a transient I/O or corrupt-footer error on a real
+    // store must surface at open time, not silently mis-type the stream
+    val tsType =
+      try spark.read.parquet(eventsDir).schema("ts").dataType
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.LongType
+      }
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(rawSchema(tsType)).parquet(eventsDir))
   }

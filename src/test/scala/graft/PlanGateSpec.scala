@@ -8,9 +8,15 @@ package graft
   * PlanCheck report.
   */
 class PlanGateSpec extends SparkSpec {
-  test("audited physical plans keep their scale invariants at sf0.001") {
+  // ONE planning pass shared by both gate tests — some gate queries run
+  // real work (eager checkpoints, staging) just to build their DataFrame
+  private lazy val plans = {
     initLog()
-    val violations = PlanCheck.audit(spark, "/root/testdata/sf0.001")
+    PlanCheck.planStrings(spark, "/root/testdata/sf0.001")
+  }
+
+  test("audited physical plans keep their scale invariants at sf0.001") {
+    val violations = PlanCheck.audit(plans)
     assert(violations.isEmpty, "\n" + violations.mkString("\n"))
   }
 
@@ -21,8 +27,7 @@ class PlanGateSpec extends SparkSpec {
   }
 
   test("no query grows an unpartitioned Window over non-broadcast input") {
-    initLog()
-    val violations = PlanCheck.windowLint(spark, "/root/testdata/sf0.001")
+    val violations = PlanCheck.windowLint(plans)
     assert(violations.isEmpty, "\n" + violations.mkString("\n"))
   }
 }
