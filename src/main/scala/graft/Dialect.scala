@@ -120,6 +120,7 @@ object Dialect {
     case "drill" => Spark
     // Dune SQL is Trino underneath.
     case "dune" => Trinoish
+    case "tableau" => TableauIsh
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -517,6 +518,55 @@ object Dialect {
         rewriteChUniq,
         rewriteChEmpty,
         rewriteChPosition,
+        s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Tableau-ish surface — the calculation-language constructs sqlglot's
+    * `tableau` dialect reads (tableau.py: IFNULL → coalesce, COUNTD →
+    * distinct count, the `IF … THEN … [ELSEIF …] [ELSE …] END` block)
+    * plus the Tableau functions whose first argument is a quoted
+    * date-part name. `[Bracket Idents]` (Tableau field references) map
+    * to backticks, reusing the T-SQL rewriter. The IF block maps
+    * keyword-for-keyword onto CASE (`IF` → `CASE WHEN`, `ELSEIF` →
+    * `WHEN` — THEN/ELSE/END are CASE's own keywords), which is exact
+    * because Tableau has no bare `IF(...)` function (that form is IIF).
+    * `IIF(test, then, else[, unknown])` is null-AWARE in Tableau — an
+    * UNKNOWN test yields the 4th argument (or NULL), never `else` — so
+    * it maps to an explicit two-branch CASE rather than Spark's `if`
+    * (which sends NULL tests down the else branch). `COUNTD(x)` →
+    * COUNT(DISTINCT x). DATEADD/DATEDIFF/DATEPART/DATETRUNC/DATENAME
+    * take Tableau's quoted part names; DATEDIFF counts boundary
+    * crossings with weeks rolling at SUNDAY (Tableau's default week
+    * start); `'week'` DATEPART/DATETRUNC raise (week-start-configurable
+    * numbering with no fixed Spark equivalent — the same fail-fast as
+    * the T-SQL shim). `SPLIT(s, delim, n)` (literal delimiter, 1-based
+    * token, negative counts from the end) → `element_at` over a
+    * \Q…\E-quoted `split`. `MID` → substring. IFNULL / ISNULL / STR /
+    * INT / FLOAT / LEFT / RIGHT / CONTAINS / STARTSWITH / ENDSWITH /
+    * TRIM / ABS / POWER / ROUND are Spark-native pass-throughs.
+    * Tableau string literals treat backslash as a plain character →
+    * escaped for Spark's parser; Tableau's double-quoted STRINGS parse
+    * as Spark double-quoted literals natively. Unquoted identifiers
+    * fold case-insensitively (sqlglot default) → Lower.
+    */
+  case object TableauIsh extends Dialect {
+    private val renames = Map("mid" -> "substring")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        rewriteBracketIdents,
+        rewriteTableauIfBlock,
+        rewriteTableauIif,
+        rewriteTableauCountd,
+        rewriteTableauDateAdd,
+        rewriteTableauDateDiff,
+        rewriteTableauDatePart,
+        rewriteTableauDateTrunc,
+        rewriteTableauDateName,
+        rewriteTableauSplit,
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -2322,6 +2372,163 @@ object Dialect {
     rewriteCallOpt(sql, "position", esc = true) { (_, args) =>
       args match {
         case Seq(h, n) => Some(s"locate($n, $h)")
+        case _ => None
+      }
+    }
+
+  // ---- Tableau-ish helpers ------------------------------------------------
+
+  /** Tableau IF-block → CASE: `IF` → `CASE WHEN`, `ELSEIF` → `WHEN`, at
+    * word boundaries outside literals and quoted identifiers. THEN /
+    * ELSE / END are CASE's own keywords and pass through, so the block
+    * maps keyword-for-keyword with no structural parse. Exact because
+    * Tableau's functional conditional is IIF, never a bare `IF(...)`.
+    */
+  private[graft] def rewriteTableauIfBlock(sql: String): String =
+    renameWordsOutsideIdents(sql, Map("if" -> "CASE WHEN", "elseif" -> "WHEN"))
+
+  /** `IIF(test, then, else[, unknown])` → null-aware CASE. Tableau sends
+    * an UNKNOWN (NULL) test to the optional 4th argument — or NULL —
+    * never to `else`; Spark's `if()` sends NULL tests down the else
+    * branch, so both branches are spelled out and the NULL case falls
+    * through to the CASE default.
+    */
+  private[graft] def rewriteTableauIif(sql: String): String =
+    rewriteCall(sql, "iif", esc = true) { (fn, args) =>
+      args match {
+        case Seq(c, t, f) =>
+          s"CASE WHEN ($c) THEN $t WHEN NOT ($c) THEN $f END"
+        case Seq(c, t, f, u) =>
+          s"CASE WHEN ($c) THEN $t WHEN NOT ($c) THEN $f ELSE $u END"
+        case _ => throw new graft.UnsupportedError(
+          s"$fn expects (test, then, else[, unknown])")
+      }
+    }
+
+  /** `COUNTD(x)` → `COUNT(DISTINCT x)` (sqlglot tableau.py reads COUNTD
+    * as the distinct count).
+    */
+  private[graft] def rewriteTableauCountd(sql: String): String =
+    rewriteCall(sql, "countd", esc = true) { (fn, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError(s"$fn expects a single argument")
+      s"count(DISTINCT ${args(0)})"
+    }
+
+  /** Tableau date-part argument — REQUIRED single-quoted literal (the
+    * Tableau functions take `'month'`-style strings, not bare
+    * keywords). Unknown parts raise.
+    */
+  private def tableauPart(arg: String, fn: String): String = {
+    val m = """(?s)^'(.*)'$""".r.findFirstMatchIn(arg.trim).getOrElse(
+      throw new graft.UnsupportedError(
+        s"$fn expects a quoted date-part literal, got: $arg"))
+    val p = m.group(1).toLowerCase
+    val known = Set("year", "quarter", "month", "week", "day",
+      "dayofyear", "weekday", "hour", "minute", "second")
+    if (!known.contains(p))
+      throw new graft.UnsupportedError(s"$fn date part '$p' is not supported")
+    p
+  }
+
+  /** Tableau `DATEADD('part', n, expr)` — calendar addition, the same
+    * Spark spelling as the Snowflake/T-SQL/Redshift shims share.
+    * `'weekday'`/`'dayofyear'` are extraction-only parts and raise.
+    */
+  private[graft] def rewriteTableauDateAdd(sql: String): String =
+    rewriteCall(sql, "dateadd", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects ('part', n, expr)")
+      tableauPart(args(0), fn) match {
+        case p @ ("weekday" | "dayofyear") => throw new graft.UnsupportedError(
+          s"DATEADD date part '$p' is not supported")
+        case p => dateAddExpr(p, args(1), args(2))
+      }
+    }
+
+  /** Tableau `DATEDIFF('part', start, end)` — boundary crossings (2
+    * months minus a day is still 2 month boundaries) with weeks rolling
+    * at SUNDAY, Tableau's default week start (the proleptic Sunday
+    * anchor the T-SQL/Redshift shims use).
+    */
+  private[graft] def rewriteTableauDateDiff(sql: String): String =
+    rewriteCall(sql, "datediff", esc = true) { (fn, args) =>
+      if (args.length != 3)
+        throw new graft.UnsupportedError(s"$fn expects ('part', start, end)")
+      boundaryDateDiff(tableauPart(args(0), fn), args(1), args(2),
+        "0001-01-07", "date_diff")
+    }
+
+  /** Tableau `DATEPART('part', expr)` → the matching Spark extraction.
+    * `'weekday'` → `dayofweek` (both number 1 = Sunday under Tableau's
+    * default week start); `'week'` raises — Tableau's week numbering
+    * follows the data source's configurable week start, which matches
+    * neither `weekofyear` (ISO) nor any other Spark builtin.
+    */
+  private[graft] def rewriteTableauDatePart(sql: String): String =
+    rewriteCall(sql, "datepart", esc = true) { (fn, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError(s"$fn expects ('part', expr)")
+      tableauPart(args(0), fn) match {
+        case "week" => throw new graft.UnsupportedError(
+          "DATEPART('week', …) numbering depends on the data source's week start — no Spark equivalent")
+        case "weekday" => s"dayofweek(${args(1)})"
+        case p => s"$p(${args(1)})"
+      }
+    }
+
+  /** Tableau `DATETRUNC('part', expr)` → `date_trunc` (TIMESTAMP-typed,
+    * as Spark defines it — cast at the use site for DATE semantics).
+    * `'week'` raises (week-start dependence, as in DATEPART);
+    * `'weekday'`/`'dayofyear'` are not truncation units.
+    */
+  private[graft] def rewriteTableauDateTrunc(sql: String): String =
+    rewriteCall(sql, "datetrunc", esc = true) { (fn, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError(s"$fn expects ('part', expr)")
+      tableauPart(args(0), fn) match {
+        case "week" => throw new graft.UnsupportedError(
+          "DATETRUNC('week', …) depends on the data source's week start — no Spark equivalent")
+        case p @ ("weekday" | "dayofyear") => throw new graft.UnsupportedError(
+          s"DATETRUNC date part '$p' is not supported")
+        case p => s"date_trunc('${p.toUpperCase}', ${args(1)})"
+      }
+    }
+
+  /** Tableau `DATENAME('part', expr)` — the string spelling of a date
+    * part: month and weekday give the English names (Spark
+    * `date_format` MMMM/EEEE patterns), numeric parts stringify their
+    * DATEPART value. `'week'` raises as in DATEPART.
+    */
+  private[graft] def rewriteTableauDateName(sql: String): String =
+    rewriteCall(sql, "datename", esc = true) { (fn, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError(s"$fn expects ('part', expr)")
+      tableauPart(args(0), fn) match {
+        case "week" => throw new graft.UnsupportedError(
+          "DATENAME('week', …) numbering depends on the data source's week start — no Spark equivalent")
+        case "month" => s"date_format(${args(1)}, 'MMMM')"
+        case "weekday" => s"date_format(${args(1)}, 'EEEE')"
+        case p => s"CAST($p(${args(1)}) AS STRING)"
+      }
+    }
+
+  /** Tableau `SPLIT(string, delimiter, token_number)` — literal
+    * delimiter, 1-based token number, negative counting from the end.
+    * Spark's `split` is regex-based, so the literal delimiter is
+    * wrapped in \Q…\E regex quoting. `try_element_at` shares Tableau's
+    * 1-based/negative-from-end indexing AND its NULL-for-missing-token
+    * behavior (plain `element_at` would raise past the end under ANSI
+    * mode). Two-argument `split` is Spark-native and passes through.
+    */
+  private[graft] def rewriteTableauSplit(sql: String): String =
+    rewriteCallOpt(sql, "split", esc = true) { (fn, args) =>
+      args match {
+        case Seq(s, d, n) =>
+          if (!d.matches("(?s)^'.*'$"))
+            throw new graft.UnsupportedError(
+              s"$fn expects a string-literal delimiter, got: $d")
+          Some(s"try_element_at(split($s, concat('\\\\Q', $d, '\\\\E')), $n)")
         case _ => None
       }
     }

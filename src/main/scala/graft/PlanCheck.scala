@@ -411,6 +411,12 @@ object PlanCheck {
     Rule("op_dialect_teradata_qualify", "QUALIFY rewrite keeps the window partitioned (one keyed " +
       "shuffle + output sort), no join shapes",
       f => f("exchange") <= 2 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tableau", "IF-block/IIF/date rewrites stay scalar: pushed orderkey filter, " +
+      "the canonical 3-exchange COUNTD shape (partial/distinct/output), no join shapes, no window " +
+      "(date/string min-max buffers plan as SortAggregate, so partial_agg is not counted here)",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 3 &&
+        f("global_window") == 0 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

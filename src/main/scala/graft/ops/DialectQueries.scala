@@ -810,10 +810,75 @@ object DialectQueries {
            |QUALIFY rn <= 2
            |ORDER BY o_custkey, rn""".stripMargin))
 
+  /** Tableau surface ([[Dialect.TableauIsh]]): the `IF … THEN … ELSEIF
+    * … ELSE … END` block, null-aware `IIF`, `COUNTD`, `[bracket]` field
+    * references, `MID`, 3-arg `SPLIT`, and the five quoted-date-part
+    * functions (DATEADD / boundary-crossing DATEDIFF with Sunday weeks
+    * / DATEPART / DATETRUNC / DATENAME). Every rewritten construct
+    * appears in the oracle in its DuckDB spelling (dayofweek is 0-based
+    * Sunday there, hence the `+ 1`), so a silent mis-rewrite
+    * hash-mismatches.
+    */
+  val tableau = OpQ("op_dialect_tableau",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT status_word, size_tag, prio_word, prio_digit,
+          |  COUNTD([o_custkey]) AS n_cust,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(MIN(DATEPART('year', o_orderdate)) AS BIGINT) AS y_min,
+          |  CAST(MAX(DATEPART('weekday', o_orderdate)) AS BIGINT) AS dow_max,
+          |  CAST(MAX(DATEPART('dayofyear', o_orderdate)) AS BIGINT) AS doy_max,
+          |  CAST(MIN(DATEADD('month', 2, o_orderdate)) AS STRING) AS first_due,
+          |  CAST(MAX(DATEDIFF('day', o_orderdate, DATE '1998-12-31')) AS BIGINT)
+          |    AS max_days_left,
+          |  CAST(MAX(DATEDIFF('month', o_orderdate, DATE '1998-12-31')) AS BIGINT)
+          |    AS max_months_left,
+          |  CAST(MIN(CAST(DATETRUNC('quarter', o_orderdate) AS DATE)) AS STRING)
+          |    AS first_q,
+          |  MIN(DATENAME('month', o_orderdate)) AS first_month_name
+          |FROM (
+          |  SELECT IF o_orderstatus = 'O' THEN 'open'
+          |         ELSEIF o_orderstatus = 'F' THEN 'filled'
+          |         ELSE 'other' END AS status_word,
+          |    IIF(o_totalprice > 150000, 'big', 'small') AS size_tag,
+          |    SPLIT(o_orderpriority, '-', 2) AS prio_word,
+          |    MID(o_orderpriority, 1, 1) AS prio_digit,
+          |    o_orderdate, o_custkey
+          |  FROM orders WHERE o_orderkey <= 800
+          |)
+          |GROUP BY status_word, size_tag, prio_word, prio_digit
+          |ORDER BY status_word, size_tag, prio_word, prio_digit""".stripMargin,
+        dialect = Dialect.forName("tableau"))
+    },
+    Some("""WITH i AS (
+           |  SELECT CASE WHEN o_orderstatus = 'O' THEN 'open'
+           |              WHEN o_orderstatus = 'F' THEN 'filled'
+           |              ELSE 'other' END AS status_word,
+           |    CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS size_tag,
+           |    string_split(o_orderpriority, '-')[2] AS prio_word,
+           |    substring(o_orderpriority, 1, 1) AS prio_digit,
+           |    o_orderdate::DATE AS d, o_custkey
+           |  FROM orders WHERE o_orderkey <= 800)
+           |SELECT status_word, size_tag, prio_word, prio_digit,
+           |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(MIN(year(d)) AS BIGINT) AS y_min,
+           |  CAST(MAX(dayofweek(d) + 1) AS BIGINT) AS dow_max,
+           |  CAST(MAX(dayofyear(d)) AS BIGINT) AS doy_max,
+           |  CAST(MIN(d + INTERVAL 2 MONTH)::DATE AS VARCHAR) AS first_due,
+           |  CAST(MAX(date_diff('day', d, DATE '1998-12-31')) AS BIGINT)
+           |    AS max_days_left,
+           |  CAST(MAX(date_diff('month', d, DATE '1998-12-31')) AS BIGINT)
+           |    AS max_months_left,
+           |  CAST(MIN(date_trunc('quarter', d))::DATE AS VARCHAR) AS first_q,
+           |  MIN(monthname(d)) AS first_month_name
+           |FROM i GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
-    athena, starrocks, materialize, teradata, teradataQualify)
+    athena, starrocks, materialize, teradata, teradataQualify, tableau)
 }

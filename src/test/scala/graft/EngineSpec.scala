@@ -401,7 +401,8 @@ class EngineSpec extends SparkSpec {
     assert(Dialect.forName("teradata") === Dialect.TeradataIsh)
     assert(Dialect.forName("drill") === Dialect.Spark)
     assert(Dialect.forName("dune") === Dialect.Trinoish)
-    intercept[UnsupportedError](Dialect.forName("tableau"))
+    assert(Dialect.forName("tableau") === Dialect.TableauIsh)
+    intercept[UnsupportedError](Dialect.forName("prql"))
   }
 
   test("tableFromRows infers typed maps from the first entry") {
