@@ -197,6 +197,7 @@ object Dialect {
         escapeBackslashLiterals,
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
+        rewriteTrinoDateFns,
         s => renameFunctions(s, renames))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -213,7 +214,13 @@ object Dialect {
     */
   case object Snowflakeish extends Dialect {
     override val nameFold: NameFold = NameFold.Upper
-    private val renames = Map("iff" -> "if", "to_char" -> "to_varchar")
+    private val renames = Map("iff" -> "if", "to_char" -> "to_varchar",
+      // LEN is Snowflake's LENGTH alias; CHARINDEX(substr, str) shares
+      // locate's argument order; OBJECT_CONSTRUCT/ARRAY_CONSTRUCT are
+      // name-for-name Spark named_struct/array (VARIANT-free subset —
+      // the constructed value feeds TO_JSON or typed access)
+      "len" -> "length", "charindex" -> "locate",
+      "object_construct" -> "named_struct", "array_construct" -> "array")
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
@@ -222,6 +229,8 @@ object Dialect {
         s => rewriteQualify(s, esc = true),
         rewriteSnowDateAdd,
         rewriteSnowDateDiff,
+        rewriteSnowDayMonthName,
+        rewriteTeradataZeroNull, // ZEROIFNULL/NULLIFZERO are Snowflake builtins too
         rewriteToVarchar)
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -239,7 +248,15 @@ object Dialect {
   case object BigQueryish extends Dialect {
     private val renames = Map(
       "safe_cast" -> "try_cast",
-      "regexp_contains" -> "regexp_like")
+      "regexp_contains" -> "regexp_like",
+      // the SAFE_ arithmetic family is Spark's try_ family (NULL instead
+      // of error — overflow/div-zero under ANSI semantics on both)
+      "safe_divide" -> "try_divide", "safe_add" -> "try_add",
+      "safe_subtract" -> "try_subtract", "safe_multiply" -> "try_multiply",
+      "generate_array" -> "sequence", "array_length" -> "size",
+      "starts_with" -> "startswith", "ends_with" -> "endswith",
+      // BigQuery FORMAT is printf-style — Spark's format_string
+      "format" -> "format_string")
     private val typeRenames = Map(
       "INT64" -> "BIGINT", "FLOAT64" -> "DOUBLE", "BOOL" -> "BOOLEAN",
       "BYTES" -> "BINARY")
@@ -249,6 +266,8 @@ object Dialect {
         s => rewriteQualify(s, esc = true),
         rewriteFormatDate,
         rewriteBqDateDiff,
+        rewriteBqDateAddSub,
+        rewriteBqSplit,
         s => renameWords(s, typeRenames, esc = true),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -308,9 +327,11 @@ object Dialect {
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
         rewriteColonCast,
+        rewriteRsBareTypes, // unsized VARCHAR/TEXT casts are Postgres-legal too
         rewritePgToChar,
         rewritePgRegexMatch,
         rewritePgExtractEpoch,
+        rewritePgStringAgg,
         s => renameFunctions(s, renames))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -2152,16 +2173,50 @@ object Dialect {
     out.toString
   }
 
-  /** `EXTRACT(EPOCH FROM x)` → `unix_timestamp(x)` (second precision —
-    * the integral part of Postgres' fractional epoch). Other EXTRACT
-    * fields are Spark-native and left alone.
+  /** Postgres EXTRACT fields that differ from Spark's same-named ones:
+    * `EPOCH` → `unix_timestamp(x)` (second precision — the integral
+    * part of Postgres' fractional epoch); `DOW` numbers Sunday = 0
+    * where Spark's extract DOW alias is Sunday = 1 (a silent off-by-one
+    * without this rewrite) → `(dayofweek(x) - 1)`; `ISODOW` (Monday = 1
+    * … Sunday = 7) → Spark's `DAYOFWEEK_ISO`. Other EXTRACT fields are
+    * Spark-native and left alone.
     */
   private[graft] def rewritePgExtractEpoch(sql: String): String =
     rewriteCallOpt(sql, "extract") { (_, args) =>
       args match {
         case Seq(one) =>
-          val m = """(?is)^\s*EPOCH\s+FROM\s+(.+)$""".r.findFirstMatchIn(one)
-          m.map(g => s"unix_timestamp(${g.group(1)})")
+          val m = """(?is)^\s*(EPOCH|ISODOW|DOW)\s+FROM\s+(.+)$""".r.findFirstMatchIn(one)
+          m.map { g =>
+            val x = g.group(2)
+            g.group(1).toUpperCase match {
+              case "EPOCH" => s"unix_timestamp($x)"
+              case "DOW" => s"(dayofweek($x) - 1)"
+              case _ => s"extract(DAYOFWEEK_ISO FROM $x)"
+            }
+          }
+        case _ => None
+      }
+    }
+
+  /** Postgres `string_agg(x, sep ORDER BY …)` — the inline ORDER BY
+    * form Spark's parser rejects — → `listagg(x, sep) WITHIN GROUP
+    * (ORDER BY …)` (Spark 4 native). The ORDER BY is located outside
+    * string literals, so a separator literal containing the words stays
+    * a separator. The plain 2-argument form is Spark-native `string_agg`
+    * and passes through.
+    */
+  private[graft] def rewritePgStringAgg(sql: String): String =
+    rewriteCallOpt(sql, "string_agg", esc = true) { (_, args) =>
+      args match {
+        case Seq(x, rest) =>
+          val spans = literalSpans(rest, backslashEscapes = true)
+          """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(rest)
+            .find(m => outsideLiterals(spans, m.start))
+            .map { m =>
+              val sep = rest.substring(0, m.start).trim
+              val ord = rest.substring(m.end).trim
+              s"listagg($x, $sep) WITHIN GROUP (ORDER BY $ord)"
+            }
         case _ => None
       }
     }
@@ -2372,6 +2427,105 @@ object Dialect {
     rewriteCallOpt(sql, "position", esc = true) { (_, args) =>
       args match {
         case Seq(h, n) => Some(s"locate($n, $h)")
+        case _ => None
+      }
+    }
+
+  /** Trino datetime surface — Trino inherits MySQL's %-code date
+    * functions (its docs file them under "MySQL date functions"):
+    * `date_format(x, '%Y-%m')` translates through the shared MySQL
+    * format table — WITHOUT this rewrite the call would reach Spark's
+    * same-named Java-pattern function and silently emit the literal
+    * `%Y-%m` — and `date_parse(s, fmt)` → `to_timestamp` (always
+    * timestamp-typed in Trino). `day_of_week`/`dow` are ISO-numbered
+    * (Monday = 1 … Sunday = 7) where Spark's `dayofweek` is Sunday = 1,
+    * so the rewrite re-bases; `day_of_year`/`doy` → dayofyear;
+    * `week`/`week_of_year` → weekofyear (ISO on both);
+    * `year_of_week`/`yow` → EXTRACT(YEAROFWEEK) (the ISO week-year).
+    */
+  private[graft] def rewriteTrinoDateFns(sql: String): String = {
+    val formats = rewriteCallOpt(sql, "date_format|date_parse") { (fn, args) =>
+      args match {
+        case Seq(x, SingleLiteral(f)) if MysqlCodeRe.findFirstIn(f).isDefined =>
+          val java = translateMysqlFormat(f).replace("'", "''")
+          if (fn.equalsIgnoreCase("date_parse")) Some(s"to_timestamp($x, '$java')")
+          else Some(s"date_format($x, '$java')")
+        case _ if fn.equalsIgnoreCase("date_parse") =>
+          throw new graft.UnsupportedError(
+            "date_parse format must be a '%'-code string literal")
+        case _ => None // a %-free format emits its literal text in both engines
+      }
+    }
+    rewriteCall(formats,
+        "day_of_week|dow|day_of_year|doy|week_of_year|week|year_of_week|yow") { (fn, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError(s"$fn expects one argument")
+      val x = args(0)
+      fn.toLowerCase match {
+        case "day_of_week" | "dow" => s"(((dayofweek($x) + 5) % 7) + 1)"
+        case "day_of_year" | "doy" => s"dayofyear($x)"
+        case "week_of_year" | "week" => s"weekofyear($x)"
+        case _ => s"EXTRACT(YEAROFWEEK FROM $x)"
+      }
+    }
+  }
+
+  /** Snowflake `DAYNAME`/`MONTHNAME` — 3-letter English abbreviations
+    * ('Mon', 'Jan'), i.e. Spark `date_format` EEE/MMM (NOT the full
+    * names some engines return for the same function names).
+    */
+  private[graft] def rewriteSnowDayMonthName(sql: String): String =
+    rewriteCall(sql, "dayname|monthname", esc = true) { (fn, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError(s"$fn expects one argument")
+      val pat = if (fn.equalsIgnoreCase("dayname")) "EEE" else "MMM"
+      s"date_format(${args(0)}, '$pat')"
+    }
+
+  /** BigQuery `DATE_ADD/DATE_SUB/TIMESTAMP_ADD/TIMESTAMP_SUB(expr,
+    * INTERVAL n part)` → the shared calendar-add spelling ([[dateAddExpr]]
+    * — `_SUB` negates n). A 2-argument `date_add(date, days)` without
+    * INTERVAL is Spark's own signature and passes through untouched.
+    */
+  private[graft] def rewriteBqDateAddSub(sql: String): String =
+    rewriteCallOpt(sql, "date_add|date_sub|timestamp_add|timestamp_sub",
+        esc = true) { (fn, args) =>
+      args match {
+        case Seq(x, iv) =>
+          """(?is)^INTERVAL\s+(.*\S)\s+([a-zA-Z]+)$""".r
+            .findFirstMatchIn(iv.trim).map { g =>
+              val part = g.group(2).toLowerCase match {
+                case p @ ("year" | "quarter" | "month" | "week" | "day" |
+                          "hour" | "minute" | "second") => p
+                case other => throw new graft.UnsupportedError(
+                  s"$fn INTERVAL part '$other' is not supported")
+              }
+              val n = if (fn.toLowerCase.endsWith("_sub")) s"-(${g.group(1)})"
+                      else g.group(1)
+              dateAddExpr(part, n, x)
+            }
+        case _ => None
+      }
+    }
+
+  /** BigQuery `SPLIT(value[, delimiter])` — LITERAL delimiter (comma
+    * when omitted), where Spark's `split` is regex-based: the literal
+    * content is embedded in \Q…\E regex quoting. Idempotent on rescan
+    * (an already-\Q-quoted delimiter is left alone — rewriteCallOpt
+    * revisits its own replacement); a non-literal delimiter raises
+    * rather than silently regex-interpreting.
+    */
+  private[graft] def rewriteBqSplit(sql: String): String =
+    rewriteCallOpt(sql, "split", esc = true) { (fn, args) =>
+      args match {
+        case Seq(s) => Some(s"split($s, ',')")
+        case Seq(s, d) =>
+          if (!d.matches("(?s)^'.*'$"))
+            throw new graft.UnsupportedError(
+              s"$fn expects a string-literal delimiter, got: $d")
+          val inner = d.substring(1, d.length - 1)
+          if (inner.startsWith("\\\\Q") && inner.endsWith("\\\\E")) None
+          else Some(s"split($s, '\\\\Q" + inner + "\\\\E')")
         case _ => None
       }
     }

@@ -195,6 +195,24 @@ object Examples {
       println(s"example13(teradata SEL/MOD/QUALIFY): ${rows.mkString(",")}")
     }
 
+    // example14: the Tableau surface — IF…THEN…ELSEIF block, null-aware
+    // IIF, COUNTD, [bracket] field refs — through the same dialect string
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+        .toDF("id", "grp")
+      val rows = Engine.execute(spark,
+        """SELECT IF [grp] = 'a' THEN 'alpha' ELSEIF [grp] = 'b' THEN 'beta'
+          |  ELSE 'other' END AS tag,
+          |  COUNTD([id]) AS n,
+          |  MIN(IIF(id > 2, 'hi', 'lo')) AS band
+          |FROM t GROUP BY 1 ORDER BY tag""".stripMargin,
+        tables = Map("t" -> t),
+        dialect = Dialect.forName("tableau"))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}/${r.getString(2)}")
+      println(s"example14(tableau IF/IIF/COUNTD): ${rows.mkString(",")}")
+    }
+
     spark.stop()
   }
 }

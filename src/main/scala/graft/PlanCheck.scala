@@ -417,6 +417,22 @@ object PlanCheck {
       "(date/string min-max buffers plan as SortAggregate, so partial_agg is not counted here)",
       f => f("pushed_filters") >= 1 && f("exchange") <= 3 &&
         f("global_window") == 0 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_snowflake_obj", "per-row name/JSON rewrites: pushed filter, one output-sort " +
+      "exchange, no aggregates beyond the scan, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_bigquery_fns", "SAFE_/INTERVAL/sequence rewrites stay per-row: pushed filter, " +
+      "one output-sort exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_trino_datetime", "%-code translation stays per-row: pushed filter, one " +
+      "output-sort exchange, no joins, no window",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 && f("global_window") == 0 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_postgres_agg", "listagg WITHIN GROUP keeps partial aggregation + pushed filter, " +
+      "no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 2 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

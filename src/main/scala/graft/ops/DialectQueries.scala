@@ -350,6 +350,145 @@ object DialectQueries {
            |FROM orders WHERE o_orderpriority = '1-URGENT'
            |ORDER BY o_orderkey LIMIT 200""".stripMargin))
 
+  /** Trino datetime surface ([[Dialect.Trinoish]], second gate): the
+    * MySQL-%-code `date_format`/`date_parse` pair (a silent wrong-output
+    * trap if passed through to Spark's Java-pattern function of the same
+    * name), ISO `day_of_week` (re-based from Spark's Sunday=1),
+    * `doy`/`week`/`year_of_week` ISO extractions, and the `to_unixtime`
+    * rename over a deterministic parsed constant. DuckDB oracle uses
+    * strftime/isodow/weekofyear/isoyear.
+    */
+  val trinoDatetime = OpQ("op_dialect_trino_datetime",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  date_format(o_orderdate, '%Y-%m-%d') AS ds,
+          |  CAST(to_unixtime(date_parse('1998-06-15 12:30:00',
+          |    '%Y-%m-%d %H:%i:%s')) AS BIGINT) AS parsed_ts,
+          |  CAST(day_of_week(o_orderdate) AS BIGINT) AS dow_iso,
+          |  CAST(doy(o_orderdate) AS BIGINT) AS doy_n,
+          |  CAST(week(o_orderdate) AS BIGINT) AS wk,
+          |  CAST(year_of_week(o_orderdate) AS BIGINT) AS yow_n
+          |FROM orders WHERE o_orderkey <= 400
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.forName("trino"))
+    },
+    Some("""SELECT o_orderkey,
+           |  strftime(o_orderdate::DATE, '%Y-%m-%d') AS ds,
+           |  epoch('1998-06-15 12:30:00'::TIMESTAMP)::BIGINT AS parsed_ts,
+           |  CAST(isodow(o_orderdate::DATE) AS BIGINT) AS dow_iso,
+           |  CAST(dayofyear(o_orderdate::DATE) AS BIGINT) AS doy_n,
+           |  CAST(weekofyear(o_orderdate::DATE) AS BIGINT) AS wk,
+           |  CAST(isoyear(o_orderdate::DATE) AS BIGINT) AS yow_n
+           |FROM orders WHERE o_orderkey <= 400
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Postgres aggregate/extract quirks ([[Dialect.Postgresish]], second
+    * gate): `string_agg(x, sep ORDER BY …)` (inline ORDER BY → listagg
+    * WITHIN GROUP), `EXTRACT(DOW …)` (Sunday = 0, one less than Spark's
+    * same-named field — the off-by-one this shim exists for), and
+    * `EXTRACT(ISODOW …)` (Monday = 1). DuckDB shares Postgres' dow/isodow
+    * numbering, so the oracle uses the same EXTRACT text.
+    */
+  val postgresAgg = OpQ("op_dialect_postgres_agg",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio,
+          |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS keys_csv,
+          |  CAST(MIN(EXTRACT(DOW FROM o_orderdate)) AS BIGINT) AS dow_min,
+          |  CAST(MAX(EXTRACT(ISODOW FROM o_orderdate)) AS BIGINT) AS isodow_max,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM orders WHERE o_orderkey <= 300
+          |GROUP BY o_orderpriority
+          |ORDER BY prio""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS keys_csv,
+           |  CAST(MIN(EXTRACT(DOW FROM o_orderdate::DATE)) AS BIGINT) AS dow_min,
+           |  CAST(MAX(EXTRACT(ISODOW FROM o_orderdate::DATE)) AS BIGINT) AS isodow_max,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM orders WHERE o_orderkey <= 300
+           |GROUP BY o_orderpriority
+           |ORDER BY prio""".stripMargin))
+
+  /** Snowflake semi-structured + name-alias surface ([[Dialect.Snowflakeish]],
+    * second gate): `OBJECT_CONSTRUCT`/`ARRAY_CONSTRUCT` (the VARIANT-free
+    * subset — name-for-name Spark named_struct/array, JSON-serialized for
+    * comparison), `DAYNAME`/`MONTHNAME` (3-letter abbreviations, NOT the
+    * full names DuckDB's same-named builtins return — the oracle uses
+    * strftime %a/%b), `ZEROIFNULL`/`NULLIFZERO`, `LEN`, and
+    * `CHARINDEX(substr, str)` (locate's argument order; DuckDB's instr
+    * is swapped). Integer-and-string-only object values so the JSON
+    * rendering is byte-identical on both engines.
+    */
+  val snowflakeObj = OpQ("op_dialect_snowflake_obj",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  TO_JSON(OBJECT_CONSTRUCT('k', o_orderkey, 's', o_orderstatus)) AS obj_js,
+          |  TO_JSON(ARRAY_CONSTRUCT(o_orderkey % 3, o_orderkey % 5)) AS arr_js,
+          |  DAYNAME(o_orderdate) AS dn,
+          |  MONTHNAME(o_orderdate) AS mn,
+          |  ZEROIFNULL(NULLIFZERO(o_orderkey % 3)) AS zn,
+          |  CAST(LEN(o_orderpriority) AS BIGINT) AS plen,
+          |  CAST(CHARINDEX('-', o_orderpriority) AS BIGINT) AS dash_pos
+          |FROM orders WHERE o_orderkey <= 400
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT o_orderkey,
+           |  json_object('k', o_orderkey, 's', o_orderstatus)::VARCHAR AS obj_js,
+           |  to_json([o_orderkey % 3, o_orderkey % 5])::VARCHAR AS arr_js,
+           |  strftime(o_orderdate::DATE, '%a') AS dn,
+           |  strftime(o_orderdate::DATE, '%b') AS mn,
+           |  COALESCE(NULLIF(o_orderkey % 3, 0), 0) AS zn,
+           |  CAST(length(o_orderpriority) AS BIGINT) AS plen,
+           |  CAST(instr(o_orderpriority, '-') AS BIGINT) AS dash_pos
+           |FROM orders WHERE o_orderkey <= 400
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** BigQuery arithmetic/array/printf surface ([[Dialect.BigQueryish]],
+    * second gate): the `SAFE_` arithmetic family → Spark `try_`
+    * (NULL-on-div-zero, gated by a modulus that actually hits zero),
+    * `GENERATE_ARRAY` → sequence (list compared via check.py's JSON
+    * canonicalization), `ARRAY_LENGTH`, `STARTS_WITH`/`ENDS_WITH`,
+    * printf-style `FORMAT` → format_string (DuckDB printf), and
+    * `DATE_ADD`/`DATE_SUB` with INTERVAL n part (calendar semantics —
+    * month-end clamping matches DuckDB's `+ INTERVAL`).
+    */
+  val bigqueryFns = OpQ("op_dialect_bigquery_fns",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  SAFE_DIVIDE(CAST(o_totalprice AS FLOAT64), o_orderkey % 3) AS ratio,
+          |  GENERATE_ARRAY(1, o_orderkey % 4 + 1) AS garr,
+          |  CAST(ARRAY_LENGTH(GENERATE_ARRAY(1, o_orderkey % 4 + 1)) AS INT64) AS alen,
+          |  STARTS_WITH(o_orderpriority, '1') AS sw,
+          |  ENDS_WITH(o_orderpriority, 'T') AS ew,
+          |  FORMAT('%05d|%s', o_orderkey, o_orderstatus) AS tag,
+          |  CAST(DATE_ADD(o_orderdate, INTERVAL 2 MONTH) AS STRING) AS due,
+          |  CAST(DATE_SUB(o_orderdate, INTERVAL 1 WEEK) AS STRING) AS wk_before
+          |FROM orders WHERE o_orderkey <= 400
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.BigQueryish)
+    },
+    Some("""SELECT o_orderkey,
+           |  o_totalprice::DOUBLE / NULLIF(o_orderkey % 3, 0) AS ratio,
+           |  generate_series(1, o_orderkey % 4 + 1) AS garr,
+           |  CAST(len(generate_series(1, o_orderkey % 4 + 1)) AS BIGINT) AS alen,
+           |  starts_with(o_orderpriority, '1') AS sw,
+           |  o_orderpriority LIKE '%T' AS ew,
+           |  printf('%05d|%s', o_orderkey, o_orderstatus) AS tag,
+           |  (o_orderdate::DATE + INTERVAL 2 MONTH)::DATE::VARCHAR AS due,
+           |  (o_orderdate::DATE - INTERVAL 1 WEEK)::DATE::VARCHAR AS wk_before
+           |FROM orders WHERE o_orderkey <= 400
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** BigQuery surface ([[Dialect.BigQueryish]]): backtick identifiers
     * (pass-through), SAFE_CAST with INT64/FLOAT64/STRING type names,
     * FORMAT_DATE (strftime codes, format-first), DATE_DIFF (end-first,
@@ -880,5 +1019,6 @@ object DialectQueries {
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
-    athena, starrocks, materialize, teradata, teradataQualify, tableau)
+    athena, starrocks, materialize, teradata, teradataQualify, tableau,
+    snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg)
 }
