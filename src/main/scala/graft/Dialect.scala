@@ -301,6 +301,7 @@ object Dialect {
         rewriteMysqlLimit,
         rewriteGroupConcat,
         rewriteMysqlDateFns,
+        rewriteMysqlDayNames,
         rewriteMysqlLocate,
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -332,6 +333,8 @@ object Dialect {
         rewritePgRegexMatch,
         rewritePgExtractEpoch,
         rewritePgStringAgg,
+        rewriteTsqlOffsetFetch, // ANSI OFFSET…FETCH paging (Postgres-legal)
+        rewriteFetchFirst,      // …and the standalone FETCH FIRST n
         s => renameFunctions(s, renames))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -379,6 +382,8 @@ object Dialect {
         rewriteOracleToDate,
         rewritePgToChar,
         rewriteOracleRownum,
+        rewriteTsqlOffsetFetch, // Oracle 12c OFFSET…FETCH paging
+        rewriteFetchFirst,      // …and the standalone FETCH FIRST n
         s => rewriteWord(s, "MINUS", "EXCEPT"),
         s => rewriteWord(s, "SYSDATE", "current_timestamp()"))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -2468,6 +2473,41 @@ object Dialect {
         case _ => s"EXTRACT(YEAROFWEEK FROM $x)"
       }
     }
+  }
+
+  /** MySQL `DAYNAME`/`MONTHNAME` — FULL English names ('Monday',
+    * 'January'; Snowflake's same-named functions abbreviate — the two
+    * dialects get distinct rewrites), and `WEEKDAY` (0 = Monday;
+    * MySQL's `DAYOFWEEK` is 1 = Sunday which matches Spark's and passes
+    * through).
+    */
+  private[graft] def rewriteMysqlDayNames(sql: String): String =
+    rewriteCall(sql, "dayname|monthname|weekday", esc = true) { (fn, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError(s"$fn expects one argument")
+      fn.toLowerCase match {
+        case "dayname" => s"date_format(${args(0)}, 'EEEE')"
+        case "monthname" => s"date_format(${args(0)}, 'MMMM')"
+        case _ => s"((dayofweek(${args(0)}) + 5) % 7)"
+      }
+    }
+
+  /** Standalone ANSI/Oracle-12c `FETCH FIRST|NEXT n ROWS ONLY` (no
+    * OFFSET clause) → `LIMIT n`. The OFFSET-prefixed combined form is
+    * [[rewriteTsqlOffsetFetch]]'s job and runs first where both are
+    * installed, so this only sees the bare trailing spelling.
+    */
+  private[graft] def rewriteFetchFirst(sql: String): String = {
+    val re = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY""".r
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
+      out.append(sql.substring(last, m.start)).append(s"LIMIT ${m.group(1)}")
+      last = m.end
+    }
+    out.append(sql.substring(last))
+    out.toString
   }
 
   /** Snowflake `DAYNAME`/`MONTHNAME` — 3-letter English abbreviations

@@ -433,6 +433,14 @@ object PlanCheck {
     Rule("op_dialect_postgres_agg", "listagg WITHIN GROUP keeps partial aggregation + pushed filter, " +
       "no joins",
       f => f("pushed_filters") >= 1 && f("exchange") <= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_mysql_daynames", "name extractions stay per-row: pushed filter, one output-sort " +
+      "exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_oracle_fetch", "OFFSET…FETCH rewrite keeps the limited-sort shape (no full " +
+      "global sort materialization beyond the paging), pushed status filter, no joins",
+      f => f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

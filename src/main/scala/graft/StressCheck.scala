@@ -140,6 +140,19 @@ object StressCheck {
       println(f"STRESS span_dedup_$label flagged=$flagged%d " +
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // MinHash LSH dedup at 1x vs factor-x: the amplified corpus repeats
+    // every text factor× under fresh larger ids — identical texts produce
+    // identical signatures, so every copy is a guaranteed band collision
+    // and joins the 1x doc's cluster; keepers (is_dup = false, min-id
+    // keep — the 1x ids are the smallest) must stay EXACTLY the 1x keeper
+    // count while the banded-join volume grows ~factor×. This is the
+    // scale proof for the persisted-shingle single-scan pipeline.
+    Seq("1x" -> docs, s"${factor}x" -> docsAmp).foreach { case (label, d) =>
+      val t0 = System.nanoTime()
+      val n = graft.llm.Dedup.minHashDedup(d).filter(!col("is_dup")).count()
+      println(f"STRESS minhash_dedup_$label keepers=$n%d " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // fuzzy join at scale: 100k synthetic entity names vs a one-deletion
     // perturbation of each — deletion-variant blocking explodes each side
     // ~|name| ways and equi-joins, so candidate volume tracks rows·len,

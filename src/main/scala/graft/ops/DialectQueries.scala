@@ -350,6 +350,59 @@ object DialectQueries {
            |FROM orders WHERE o_orderpriority = '1-URGENT'
            |ORDER BY o_orderkey LIMIT 200""".stripMargin))
 
+  /** MySQL day/month-name surface ([[Dialect.MySqlish]], third gate):
+    * `DAYNAME`/`MONTHNAME` give FULL English names (Snowflake's
+    * same-named functions abbreviate — each dialect's rewrite is
+    * distinct and both are gated), `WEEKDAY` is 0 = Monday, and
+    * `DAYOFWEEK` (1 = Sunday) is the Spark-native pass-through. DuckDB
+    * numbers dayofweek 0 = Sunday and isodow 1 = Monday, so the oracle
+    * re-bases both — a swapped or off-by-one rewrite hash-mismatches.
+    */
+  val mysqlDayNames = OpQ("op_dialect_mysql_daynames",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  DAYNAME(o_orderdate) AS dn,
+          |  MONTHNAME(o_orderdate) AS mn,
+          |  CAST(WEEKDAY(o_orderdate) AS BIGINT) AS wd,
+          |  CAST(DAYOFWEEK(o_orderdate) AS BIGINT) AS dw
+          |FROM orders WHERE o_orderkey <= 400
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.MySqlish)
+    },
+    Some("""SELECT o_orderkey,
+           |  dayname(o_orderdate::DATE) AS dn,
+           |  monthname(o_orderdate::DATE) AS mn,
+           |  CAST(isodow(o_orderdate::DATE) - 1 AS BIGINT) AS wd,
+           |  CAST(dayofweek(o_orderdate::DATE) + 1 AS BIGINT) AS dw
+           |FROM orders WHERE o_orderkey <= 400
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Oracle 12c paging + date functions ([[Dialect.OracleIsh]], second
+    * gate): `OFFSET n ROWS FETCH NEXT m ROWS ONLY` → LIMIT/OFFSET,
+    * `LAST_DAY`, `TRUNC(date, 'MM')` through TO_CHAR templates. The
+    * standalone `FETCH FIRST n ROWS ONLY` spelling is unit-gated in
+    * DialectPropertySpec.
+    */
+  val oracleFetch = OpQ("op_dialect_oracle_fetch",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  TO_CHAR(LAST_DAY(o_orderdate), 'YYYY-MM-DD') AS eom,
+          |  TO_CHAR(TRUNC(o_orderdate, 'MM'), 'YYYY-MM-DD') AS month_start
+          |FROM orders WHERE o_orderstatus = 'F'
+          |ORDER BY o_orderkey
+          |OFFSET 10 ROWS FETCH NEXT 50 ROWS ONLY""".stripMargin,
+        dialect = Dialect.OracleIsh)
+    },
+    Some("""SELECT o_orderkey,
+           |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS eom,
+           |  strftime(date_trunc('month', o_orderdate::DATE), '%Y-%m-%d') AS month_start
+           |FROM orders WHERE o_orderstatus = 'F'
+           |ORDER BY o_orderkey LIMIT 50 OFFSET 10""".stripMargin))
+
   /** Trino datetime surface ([[Dialect.Trinoish]], second gate): the
     * MySQL-%-code `date_format`/`date_parse` pair (a silent wrong-output
     * trap if passed through to Spark's Java-pattern function of the same
@@ -1020,5 +1073,6 @@ object DialectQueries {
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
     athena, starrocks, materialize, teradata, teradataQualify, tableau,
-    snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg)
+    snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg,
+    mysqlDayNames, oracleFetch)
 }
