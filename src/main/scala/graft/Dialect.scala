@@ -355,6 +355,7 @@ object Dialect {
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
         rewriteSqliteStrftime,
+        rewriteSqliteDateFn,
         rewriteSqliteGlob)
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -539,6 +540,7 @@ object Dialect {
         rewriteChAggIf,
         rewriteChMultiIf,
         rewriteChTo,
+        rewriteChFormatDateTime,
         rewriteChArrayHof,
         rewriteChSplit,
         rewriteChUniq,
@@ -2353,6 +2355,67 @@ object Dialect {
         case "tostartofday" => s"date_trunc('DAY', $x)"
         case "tounixtimestamp" => s"unix_timestamp($x)"
       })
+    }
+
+  /** ClickHouse `formatDateTime(x, 'fmt')` — C-strftime-style codes (%M
+    * is MINUTE as in C; ClickHouse departs from MySQL here) → the shared
+    * C translation table; `fromUnixTimestamp(x)` → `timestamp_seconds`
+    * (TIMESTAMP-typed like ClickHouse's DateTime — Spark's same-purpose
+    * `from_unixtime` is STRING-typed and would silently change the
+    * result type).
+    */
+  private[graft] def rewriteChFormatDateTime(sql: String): String =
+    rewriteCallOpt(sql, "formatDateTime|fromUnixTimestamp", esc = true) { (fn, args) =>
+      if (fn.equalsIgnoreCase("formatdatetime")) args match {
+        case Seq(x, SingleLiteral(f)) =>
+          Some(s"date_format($x, '${translateStrftimeFormat(f).replace("'", "''")}')")
+        case _ => throw new graft.UnsupportedError(
+          "formatDateTime expects (expr, 'format') with a literal format")
+      } else args match {
+        case Seq(x) => Some(s"timestamp_seconds($x)")
+        case _ => throw new graft.UnsupportedError(
+          "fromUnixTimestamp expects one argument")
+      }
+    }
+
+  /** SQLite `date(x, 'modifier', …)` — the `±N days/months/years` and
+    * `start of month/year` modifier subset, folded left over the base
+    * (SQLite applies modifiers in order). Month/year offsets use
+    * SQLite's documented NORMALIZATION semantics — `2024-01-31, +1
+    * month` is 2024-03-02, not a clamped Feb 29 — spelled as
+    * month-start + add_months + day-offset so the overflow rolls
+    * forward exactly as SQLite does (Spark's bare `add_months` clamps
+    * and would silently differ for day-29+ dates). Bare `date(x)` is
+    * the ISO-date conversion → CAST AS DATE. Unsupported modifiers
+    * ('weekday N', 'unixepoch', fractional offsets) raise.
+    */
+  private[graft] def rewriteSqliteDateFn(sql: String): String =
+    rewriteCallOpt(sql, "date", esc = true) { (_, args) =>
+      args match {
+        case Seq(x) => Some(s"CAST($x AS DATE)")
+        case base +: mods =>
+          val NumMod = """^([+-]?\d+)\s+(day|days|month|months|year|years)$""".r
+          val folded = mods.foldLeft(s"CAST($base AS DATE)") { (acc, m) =>
+            m.trim match {
+              case SingleLiteral(lit) => lit.trim.toLowerCase match {
+                case NumMod(n, unit) =>
+                  if (unit.startsWith("day")) s"date_add($acc, ($n))"
+                  else {
+                    val months = if (unit.startsWith("month")) s"($n)" else s"12 * ($n)"
+                    s"date_add(add_months(trunc($acc, 'MM'), $months), day($acc) - 1)"
+                  }
+                case "start of month" => s"trunc($acc, 'MM')"
+                case "start of year" => s"trunc($acc, 'YEAR')"
+                case other => throw new graft.UnsupportedError(
+                  s"SQLite date modifier '$other' is not supported")
+              }
+              case other => throw new graft.UnsupportedError(
+                s"SQLite date modifier must be a string literal, got: $other")
+            }
+          }
+          Some(folded)
+        case _ => None
+      }
     }
 
   /** Lambda-first array higher-order functions → Spark's array-first

@@ -441,6 +441,14 @@ object PlanCheck {
     Rule("op_dialect_oracle_fetch", "OFFSET…FETCH rewrite keeps the limited-sort shape (no full " +
       "global sort materialization beyond the paging), pushed status filter, no joins",
       f => f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_clickhouse_fmt", "datetime formats stay per-row: pushed filter, one " +
+      "output-sort exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_sqlite_date", "modifier folds stay per-row: pushed filter, one output-sort " +
+      "exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

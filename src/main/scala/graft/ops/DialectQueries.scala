@@ -350,6 +350,62 @@ object DialectQueries {
            |FROM orders WHERE o_orderpriority = '1-URGENT'
            |ORDER BY o_orderkey LIMIT 200""".stripMargin))
 
+  /** ClickHouse datetime-format surface ([[Dialect.ClickHouseIsh]],
+    * second gate): `formatDateTime` with C-strftime codes (%M = MINUTE,
+    * as in C — not MySQL's month-name), and the
+    * `fromUnixTimestamp(toUnixTimestamp(x))` round trip, which must
+    * come back TIMESTAMP-typed (timestamp_seconds — Spark's
+    * from_unixtime would silently yield a string).
+    */
+  val clickhouseFmt = OpQ("op_dialect_clickhouse_fmt",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  formatDateTime(o_orderdate, '%Y/%m/%d %H:%M') AS ds,
+          |  toString(fromUnixTimestamp(toUnixTimestamp(o_orderdate))) AS rt
+          |FROM orders WHERE o_orderkey <= 300
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.ClickHouseIsh)
+    },
+    Some("""SELECT o_orderkey,
+           |  strftime(o_orderdate, '%Y/%m/%d %H:%M') AS ds,
+           |  to_timestamp(epoch(o_orderdate))::TIMESTAMP::VARCHAR AS rt
+           |FROM orders WHERE o_orderkey <= 300
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** SQLite date-modifier surface ([[Dialect.SqliteIsh]], second gate):
+    * `date(x, '±N months/days/years', 'start of month', …)` modifier
+    * chains with SQLite's NORMALIZING month arithmetic — the oracle
+    * spells the same month-start + offset + day-roll arithmetic in
+    * DuckDB, so a clamping (add_months-style) mis-rewrite would
+    * hash-mismatch on every month-end order date.
+    */
+  val sqliteDate = OpQ("op_dialect_sqlite_date",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  strftime('%Y-%m-%d', date(o_orderdate, '+2 months')) AS due,
+          |  strftime('%Y-%m-%d', date(o_orderdate, 'start of month')) AS month_start,
+          |  strftime('%Y-%m-%d', date(o_orderdate, '-7 days', 'start of month'))
+          |    AS prev_wk_month,
+          |  strftime('%Y-%m-%d', date(o_orderdate, '+1 years')) AS next_yr
+          |FROM orders WHERE o_orderkey <= 300
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.SqliteIsh)
+    },
+    Some("""SELECT o_orderkey,
+           |  strftime((date_trunc('month', o_orderdate::DATE) + INTERVAL 2 MONTH
+           |    + to_days((dayofmonth(o_orderdate::DATE) - 1)::INTEGER))::DATE, '%Y-%m-%d') AS due,
+           |  strftime(date_trunc('month', o_orderdate::DATE), '%Y-%m-%d') AS month_start,
+           |  strftime(date_trunc('month', o_orderdate::DATE - INTERVAL 7 DAY), '%Y-%m-%d')
+           |    AS prev_wk_month,
+           |  strftime((date_trunc('month', o_orderdate::DATE) + INTERVAL 12 MONTH
+           |    + to_days((dayofmonth(o_orderdate::DATE) - 1)::INTEGER))::DATE, '%Y-%m-%d') AS next_yr
+           |FROM orders WHERE o_orderkey <= 300
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** MySQL day/month-name surface ([[Dialect.MySqlish]], third gate):
     * `DAYNAME`/`MONTHNAME` give FULL English names (Snowflake's
     * same-named functions abbreviate — each dialect's rewrite is
@@ -1074,5 +1130,5 @@ object DialectQueries {
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
     athena, starrocks, materialize, teradata, teradataQualify, tableau,
     snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg,
-    mysqlDayNames, oracleFetch)
+    mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate)
 }
