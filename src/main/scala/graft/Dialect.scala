@@ -253,7 +253,7 @@ object Dialect {
       // of error — overflow/div-zero under ANSI semantics on both)
       "safe_divide" -> "try_divide", "safe_add" -> "try_add",
       "safe_subtract" -> "try_subtract", "safe_multiply" -> "try_multiply",
-      "generate_array" -> "sequence", "array_length" -> "size",
+      "array_length" -> "size",
       "starts_with" -> "startswith", "ends_with" -> "endswith",
       // BigQuery FORMAT is printf-style — Spark's format_string
       "format" -> "format_string")
@@ -268,6 +268,7 @@ object Dialect {
         rewriteBqDateDiff,
         rewriteBqDateAddSub,
         rewriteBqSplit,
+        rewriteBqGenerateArray,
         s => renameWords(s, typeRenames, esc = true),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -571,16 +572,24 @@ object Dialect {
     * numbering with no fixed Spark equivalent — the same fail-fast as
     * the T-SQL shim). `SPLIT(s, delim, n)` (literal delimiter, 1-based
     * token, negative counts from the end) → `element_at` over a
-    * \Q…\E-quoted `split`. `MID` → substring. IFNULL / ISNULL / STR /
-    * INT / FLOAT / LEFT / RIGHT / CONTAINS / STARTSWITH / ENDSWITH /
-    * TRIM / ABS / POWER / ROUND are Spark-native pass-throughs.
+    * \Q…\E-quoted `split`. `MID` → substring, `STR` → string (Spark's
+    * to-string cast alias), `FLOAT` → double (Tableau FLOAT is
+    * double-precision — Spark's 32-bit `float` would silently lose
+    * precision). IFNULL / ISNULL / INT / LEFT / RIGHT / CONTAINS /
+    * STARTSWITH / ENDSWITH / TRIM / ABS / POWER / ROUND are
+    * Spark-native pass-throughs.
     * Tableau string literals treat backslash as a plain character →
     * escaped for Spark's parser; Tableau's double-quoted STRINGS parse
     * as Spark double-quoted literals natively. Unquoted identifiers
     * fold case-insensitively (sqlglot default) → Lower.
     */
   case object TableauIsh extends Dialect {
-    private val renames = Map("mid" -> "substring")
+    // STR is Tableau's to-string cast (Spark has no `str` — its cast
+    // alias is `string`); Tableau FLOAT is double-precision, so it maps
+    // to `double`, not Spark's 32-bit `float` (which would silently
+    // lose precision); INT is Spark-native truncation
+    private val renames = Map("mid" -> "substring",
+      "str" -> "string", "float" -> "double")
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
@@ -1658,26 +1667,62 @@ object Dialect {
 
   private val MysqlCodeRe = """%[A-Za-z]""".r
 
-  /** `DATE_FORMAT(x, '%Y-%m')` → `date_format(x, 'yyyy-MM')`;
-    * `STR_TO_DATE(s, '%d/%m/%Y')` → `to_date(s, 'dd/MM/yyyy')`, or
-    * `to_timestamp` when the format carries time codes. The format must be a
-    * string literal. DATE_FORMAT re-emits the same function name, so matches
-    * whose format has no `%`-codes are declined rather than re-rewritten.
+  /** One left-to-right rewrite pass over `names(...)` call sites:
+    * arguments are recursively processed FIRST, each call is replaced
+    * exactly once, and replacements are never re-scanned — the
+    * machinery for rewrites whose OUTPUT could textually re-match their
+    * own trigger (date_format emitting date_format with a now-%-free
+    * translated pattern, which a rescanning rewriter would translate
+    * again and corrupt).
+    */
+  private def rewriteCallOnePass(sql: String, names: String, esc: Boolean = false)(
+      transform: (String, Seq[String]) => String): String = {
+    val re = ("(?i)\\b(" + names + ")\\s*\\(").r
+    val spans = literalSpans(sql, esc)
+    re.findAllMatchIn(sql).find(m => outsideLiterals(spans, m.start)) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchParen(sql, spans, open)
+        if (close < 0)
+          throw new graft.UnsupportedError(s"unbalanced ${m.group(1)}( in: $sql")
+        val args = splitArgs(sql, spans, open + 1, close)
+          .map(a => rewriteCallOnePass(a, names, esc)(transform)).map(_.trim)
+        sql.substring(0, m.start) + transform(m.group(1), args) +
+          rewriteCallOnePass(sql.substring(close + 1), names, esc)(transform)
+    }
+  }
+
+  /** `DATE_FORMAT(x, 'fmt')` → `date_format` through the MySQL %-code
+    * table — INCLUDING %-free literal formats, whose characters are
+    * ALL literal in MySQL ("any other characters are copied without
+    * interpretation"): the translator quotes them for Spark's pattern
+    * language, where a pass-through would read them as pattern letters
+    * and silently emit the year for 'yyyy'. `STR_TO_DATE(s, 'fmt')` →
+    * `to_date`, or `to_timestamp` when the format carries time codes
+    * (MySQL's DATE-vs-DATETIME result typing); a %-free parse format
+    * has no fields to extract and raises, as does any non-literal
+    * format (untranslatable at rewrite time — silently wrong either
+    * way). One-pass scanning: the emitted date_format is never
+    * re-scanned, so the translated pattern cannot be re-translated.
     */
   private[graft] def rewriteMysqlDateFns(sql: String): String =
-    rewriteCallOpt(sql, "date_format|str_to_date", esc = true) { (fn, args) =>
+    rewriteCallOnePass(sql, "date_format|str_to_date", esc = true) { (fn, args) =>
       args match {
-        case Seq(x, SingleLiteral(f)) if MysqlCodeRe.findFirstIn(f).isDefined =>
+        case Seq(x, SingleLiteral(f)) =>
           val java = translateMysqlFormat(f).replace("'", "''")
           if (fn.equalsIgnoreCase("str_to_date")) {
+            if (MysqlCodeRe.findFirstIn(f).isEmpty)
+              throw new graft.UnsupportedError(
+                s"STR_TO_DATE format '$f' has no %-codes — nothing to parse")
             val hasTime =
               MysqlCodeRe.findAllIn(f).exists(m => "HkhIisSTrf".contains(m.charAt(1)))
             val target = if (hasTime) "to_timestamp" else "to_date"
-            Some(s"$target($x, '$java')")
-          } else Some(s"date_format($x, '$java')")
-        case _ if fn.equalsIgnoreCase("str_to_date") =>
-          throw new graft.UnsupportedError("STR_TO_DATE format must be a '%'-code string literal")
-        case _ => None // Spark-pattern date_format — leave untouched
+            s"$target($x, '$java')"
+          } else s"date_format($x, '$java')"
+        case Seq(_, other) => throw new graft.UnsupportedError(
+          s"$fn format must be a string literal, got: $other")
+        case _ => throw new graft.UnsupportedError(s"$fn expects (expr, 'format')")
       }
     }
 
@@ -2215,7 +2260,10 @@ object Dialect {
   private[graft] def rewritePgStringAgg(sql: String): String =
     rewriteCallOpt(sql, "string_agg", esc = true) { (_, args) =>
       args match {
-        case Seq(x, rest) =>
+        // a multi-key ORDER BY splits at its top-level commas, so rejoin
+        // everything after the expression before locating the clause
+        case x +: restParts if restParts.nonEmpty =>
+          val rest = restParts.mkString(", ")
           val spans = literalSpans(rest, backslashEscapes = true)
           """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(rest)
             .find(m => outsideLiterals(spans, m.start))
@@ -2270,25 +2318,25 @@ object Dialect {
       boundaryDateDiff(rsPart(args(0), fn), args(1), args(2), "0001-01-07", "date_diff")
     }
 
-  /** Bare `VARCHAR`/`TEXT`/`BPCHAR` (no length) → STRING — Redshift casts
-    * to unsized VARCHAR freely, Spark's parser demands a length. Sized
-    * `VARCHAR(n)` is Spark-native and passes through (negative
-    * lookahead), as do occurrences inside string literals.
+  /** Bare `VARCHAR`/`TEXT`/`BPCHAR` (no length) in the type position of
+    * a `CAST`/`TRY_CAST` → STRING — Redshift and Postgres cast to
+    * unsized VARCHAR freely (`x::TEXT` arrives here already
+    * CAST-spelled by the colon rewrite), Spark's parser demands a
+    * length. ONLY the cast-argument position is rewritten: a column or
+    * alias legitimately NAMED text/varchar (`SELECT body AS text`) is
+    * code, not a type — an earlier whole-text word rewrite corrupted
+    * exactly that. Sized `VARCHAR(n)` doesn't match the trailing
+    * pattern and passes through Spark-native.
     */
-  private[graft] def rewriteRsBareTypes(sql: String): String = {
-    val spans = literalSpans(sql, backslashEscapes = true)
-    val re = """(?i)\b(VARCHAR|TEXT|BPCHAR)\b(?!\s*\()""".r
-    val out = new StringBuilder
-    var last = 0
-    re.findAllMatchIn(sql).foreach { m =>
-      if (outsideLiterals(spans, m.start)) {
-        out.append(sql.substring(last, m.start)).append("STRING")
-        last = m.end
+  private[graft] def rewriteRsBareTypes(sql: String): String =
+    rewriteCallOpt(sql, "cast|try_cast", esc = true) { (fn, args) =>
+      args match {
+        case Seq(one) =>
+          """(?is)^(.*\sAS\s+)(VARCHAR|TEXT|BPCHAR)\s*$""".r.findFirstMatchIn(one)
+            .map(g => s"$fn(${g.group(1)}STRING)")
+        case _ => None
       }
     }
-    out.append(sql.substring(last))
-    out.toString
-  }
 
   // ---- ClickHouse-ish helpers --------------------------------------------
 
@@ -2357,18 +2405,22 @@ object Dialect {
       })
     }
 
-  /** ClickHouse `formatDateTime(x, 'fmt')` — C-strftime-style codes (%M
-    * is MINUTE as in C; ClickHouse departs from MySQL here) → the shared
-    * C translation table; `fromUnixTimestamp(x)` → `timestamp_seconds`
-    * (TIMESTAMP-typed like ClickHouse's DateTime — Spark's same-purpose
-    * `from_unixtime` is STRING-typed and would silently change the
-    * result type).
+  /** ClickHouse `formatDateTime(x, 'fmt')` — MODERN (≥ 23.4 default,
+    * `formatdatetime_parsedatetime_m_is_month_name = 1`) code
+    * semantics, which match MySQL's table: %M is the month NAME, %i is
+    * minutes, %m the month number (pre-23.4 ClickHouse read %M as
+    * minutes — users on that vintage should write %i, which means
+    * minutes in every version). Translated through the shared MySQL
+    * table, %-free literal characters quoted. `fromUnixTimestamp(x)` →
+    * `timestamp_seconds` (TIMESTAMP-typed like ClickHouse's DateTime —
+    * Spark's same-purpose `from_unixtime` is STRING-typed and would
+    * silently change the result type).
     */
   private[graft] def rewriteChFormatDateTime(sql: String): String =
     rewriteCallOpt(sql, "formatDateTime|fromUnixTimestamp", esc = true) { (fn, args) =>
       if (fn.equalsIgnoreCase("formatdatetime")) args match {
         case Seq(x, SingleLiteral(f)) =>
-          Some(s"date_format($x, '${translateStrftimeFormat(f).replace("'", "''")}')")
+          Some(s"date_format($x, '${translateMysqlFormat(f).replace("'", "''")}')")
         case _ => throw new graft.UnsupportedError(
           "formatDateTime expects (expr, 'format') with a literal format")
       } else args match {
@@ -2413,6 +2465,12 @@ object Dialect {
                 s"SQLite date modifier must be a string literal, got: $other")
             }
           }
+          // each month/year modifier embeds the accumulator twice (trunc +
+          // day), so deep chains grow the emitted text geometrically —
+          // bound it rather than hand Spark a pathological expression
+          if (folded.length > 8192)
+            throw new graft.UnsupportedError(
+              "chained SQLite date modifiers expand beyond the supported size — combine the offsets")
           Some(folded)
         case _ => None
       }
@@ -2512,16 +2570,22 @@ object Dialect {
     * `year_of_week`/`yow` → EXTRACT(YEAROFWEEK) (the ISO week-year).
     */
   private[graft] def rewriteTrinoDateFns(sql: String): String = {
-    val formats = rewriteCallOpt(sql, "date_format|date_parse") { (fn, args) =>
+    val formats = rewriteCallOnePass(sql, "date_format|date_parse") { (fn, args) =>
       args match {
-        case Seq(x, SingleLiteral(f)) if MysqlCodeRe.findFirstIn(f).isDefined =>
+        case Seq(x, SingleLiteral(f)) =>
+          // %-free formats included: every non-% character is LITERAL in
+          // Trino (the translator quotes it) — passing 'yyyy' through to
+          // Spark's pattern language would silently emit the year
           val java = translateMysqlFormat(f).replace("'", "''")
-          if (fn.equalsIgnoreCase("date_parse")) Some(s"to_timestamp($x, '$java')")
-          else Some(s"date_format($x, '$java')")
-        case _ if fn.equalsIgnoreCase("date_parse") =>
-          throw new graft.UnsupportedError(
-            "date_parse format must be a '%'-code string literal")
-        case _ => None // a %-free format emits its literal text in both engines
+          if (fn.equalsIgnoreCase("date_parse")) {
+            if (MysqlCodeRe.findFirstIn(f).isEmpty)
+              throw new graft.UnsupportedError(
+                s"date_parse format '$f' has no %-codes — nothing to parse")
+            s"to_timestamp($x, '$java')"
+          } else s"date_format($x, '$java')"
+        case Seq(_, other) => throw new graft.UnsupportedError(
+          s"$fn format must be a string literal, got: $other")
+        case _ => throw new graft.UnsupportedError(s"$fn expects (expr, 'format')")
       }
     }
     rewriteCall(formats,
@@ -2611,6 +2675,27 @@ object Dialect {
       }
     }
 
+  /** BigQuery `GENERATE_ARRAY(a, b[, step])` — EMPTY when the step
+    * direction never reaches b, where Spark's `sequence` silently flips
+    * its default step and generates a DESCENDING array
+    * (`GENERATE_ARRAY(1, 0)` is `[]` in BigQuery but `sequence(1, 0)`
+    * is `[1, 0]`). A guarded CASE preserves the empty-array contract;
+    * the typed empty array is a zero-width slice so its element type
+    * matches sequence's.
+    */
+  private[graft] def rewriteBqGenerateArray(sql: String): String =
+    rewriteCall(sql, "generate_array", esc = true) { (fn, args) =>
+      args match {
+        case Seq(a, b) =>
+          s"(CASE WHEN ($a) <= ($b) THEN sequence(($a), ($b)) " +
+            s"ELSE slice(sequence(($a), ($a)), 1, 0) END)"
+        case Seq(a, b, st) =>
+          s"(CASE WHEN (($st) > 0 AND ($a) <= ($b)) OR (($st) < 0 AND ($a) >= ($b)) " +
+            s"THEN sequence(($a), ($b), ($st)) ELSE slice(sequence(($a), ($a)), 1, 0) END)"
+        case _ => throw new graft.UnsupportedError(s"$fn expects (start, stop[, step])")
+      }
+    }
+
   /** BigQuery `SPLIT(value[, delimiter])` — LITERAL delimiter (comma
     * when omitted), where Spark's `split` is regex-based: the literal
     * content is embedded in \Q…\E regex quoting. Idempotent on rescan
@@ -2644,19 +2729,22 @@ object Dialect {
   private[graft] def rewriteTableauIfBlock(sql: String): String =
     renameWordsOutsideIdents(sql, Map("if" -> "CASE WHEN", "elseif" -> "WHEN"))
 
-  /** `IIF(test, then, else[, unknown])` → null-aware CASE. Tableau sends
-    * an UNKNOWN (NULL) test to the optional 4th argument — or NULL —
-    * never to `else`; Spark's `if()` sends NULL tests down the else
-    * branch, so both branches are spelled out and the NULL case falls
-    * through to the CASE default.
+  /** `IIF(test, then, else[, unknown])` → null-aware simple CASE.
+    * Tableau sends an UNKNOWN (NULL) test to the optional 4th argument
+    * — or NULL — never to `else`; Spark's `if()` sends NULL tests down
+    * the else branch. The value-match form `CASE (test) WHEN TRUE …
+    * WHEN FALSE …` evaluates the test ONCE (a searched two-branch CASE
+    * would evaluate it twice — wrong for non-deterministic or expensive
+    * tests) and a NULL test matches neither branch, falling to the
+    * CASE default exactly as Tableau specifies.
     */
   private[graft] def rewriteTableauIif(sql: String): String =
     rewriteCall(sql, "iif", esc = true) { (fn, args) =>
       args match {
         case Seq(c, t, f) =>
-          s"CASE WHEN ($c) THEN $t WHEN NOT ($c) THEN $f END"
+          s"(CASE ($c) WHEN TRUE THEN $t WHEN FALSE THEN $f END)"
         case Seq(c, t, f, u) =>
-          s"CASE WHEN ($c) THEN $t WHEN NOT ($c) THEN $f ELSE $u END"
+          s"(CASE ($c) WHEN TRUE THEN $t WHEN FALSE THEN $f ELSE $u END)"
         case _ => throw new graft.UnsupportedError(
           s"$fn expects (test, then, else[, unknown])")
       }

@@ -351,18 +351,21 @@ object DialectQueries {
            |ORDER BY o_orderkey LIMIT 200""".stripMargin))
 
   /** ClickHouse datetime-format surface ([[Dialect.ClickHouseIsh]],
-    * second gate): `formatDateTime` with C-strftime codes (%M = MINUTE,
-    * as in C — not MySQL's month-name), and the
-    * `fromUnixTimestamp(toUnixTimestamp(x))` round trip, which must
-    * come back TIMESTAMP-typed (timestamp_seconds — Spark's
-    * from_unixtime would silently yield a string).
+    * second gate): `formatDateTime` with MODERN (≥ 23.4) code semantics
+    * — %i is minutes and %M is the month NAME (DuckDB's C-strftime
+    * oracle spells those %M and %B respectively, so a table mix-up
+    * hash-mismatches) — and the `fromUnixTimestamp(toUnixTimestamp(x))`
+    * round trip, which must come back TIMESTAMP-typed
+    * (timestamp_seconds — Spark's from_unixtime would silently yield a
+    * string).
     */
   val clickhouseFmt = OpQ("op_dialect_clickhouse_fmt",
     (s, d) => {
       Tables.register(s, d)
       Engine.execute(s,
         """SELECT o_orderkey,
-          |  formatDateTime(o_orderdate, '%Y/%m/%d %H:%M') AS ds,
+          |  formatDateTime(o_orderdate, '%Y/%m/%d %H:%i') AS ds,
+          |  formatDateTime(o_orderdate, '%M') AS month_name,
           |  toString(fromUnixTimestamp(toUnixTimestamp(o_orderdate))) AS rt
           |FROM orders WHERE o_orderkey <= 300
           |ORDER BY o_orderkey""".stripMargin,
@@ -370,6 +373,7 @@ object DialectQueries {
     },
     Some("""SELECT o_orderkey,
            |  strftime(o_orderdate, '%Y/%m/%d %H:%M') AS ds,
+           |  strftime(o_orderdate, '%B') AS month_name,
            |  to_timestamp(epoch(o_orderdate))::TIMESTAMP::VARCHAR AS rt
            |FROM orders WHERE o_orderkey <= 300
            |ORDER BY o_orderkey""".stripMargin))
@@ -563,8 +567,10 @@ object DialectQueries {
   /** BigQuery arithmetic/array/printf surface ([[Dialect.BigQueryish]],
     * second gate): the `SAFE_` arithmetic family → Spark `try_`
     * (NULL-on-div-zero, gated by a modulus that actually hits zero),
-    * `GENERATE_ARRAY` → sequence (list compared via check.py's JSON
-    * canonicalization), `ARRAY_LENGTH`, `STARTS_WITH`/`ENDS_WITH`,
+    * `GENERATE_ARRAY` → guarded sequence — the `gempty` column's
+    * start > stop rows must come back `[]` per BigQuery, where bare
+    * sequence would generate DESCENDING arrays (lists compared via
+    * check.py's JSON canonicalization) — `ARRAY_LENGTH`, `STARTS_WITH`/`ENDS_WITH`,
     * printf-style `FORMAT` → format_string (DuckDB printf), and
     * `DATE_ADD`/`DATE_SUB` with INTERVAL n part (calendar semantics —
     * month-end clamping matches DuckDB's `+ INTERVAL`).
@@ -576,6 +582,7 @@ object DialectQueries {
         """SELECT o_orderkey,
           |  SAFE_DIVIDE(CAST(o_totalprice AS FLOAT64), o_orderkey % 3) AS ratio,
           |  GENERATE_ARRAY(1, o_orderkey % 4 + 1) AS garr,
+          |  GENERATE_ARRAY(2, o_orderkey % 4) AS gempty,
           |  CAST(ARRAY_LENGTH(GENERATE_ARRAY(1, o_orderkey % 4 + 1)) AS INT64) AS alen,
           |  STARTS_WITH(o_orderpriority, '1') AS sw,
           |  ENDS_WITH(o_orderpriority, 'T') AS ew,
@@ -589,6 +596,7 @@ object DialectQueries {
     Some("""SELECT o_orderkey,
            |  o_totalprice::DOUBLE / NULLIF(o_orderkey % 3, 0) AS ratio,
            |  generate_series(1, o_orderkey % 4 + 1) AS garr,
+           |  generate_series(2, o_orderkey % 4) AS gempty,
            |  CAST(len(generate_series(1, o_orderkey % 4 + 1)) AS BIGINT) AS alen,
            |  starts_with(o_orderpriority, '1') AS sw,
            |  o_orderpriority LIKE '%T' AS ew,

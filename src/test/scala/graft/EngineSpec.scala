@@ -212,9 +212,13 @@ class EngineSpec extends SparkSpec {
     intercept[UnsupportedError](Dialect.translateMysqlFormat("%Q"))
     assert(Dialect.rewriteMysqlDateFns("SELECT DATE_FORMAT(d, '%Y-%m') AS ym") ===
       "SELECT date_format(d, 'yyyy-MM') AS ym")
-    // second pass sees no % codes and declines — the rewrite is idempotent
-    assert(Dialect.rewriteMysqlDateFns("SELECT date_format(d, 'yyyy-MM') AS ym") ===
-      "SELECT date_format(d, 'yyyy-MM') AS ym")
+    // %-free literals are LITERAL TEXT in MySQL ("characters are copied
+    // without interpretation") — quoted for Spark's pattern language,
+    // never passed through as pattern letters; one-pass scanning keeps
+    // the translated emission from being re-translated
+    assert(Dialect.rewriteMysqlDateFns("SELECT date_format(d, 'ym') AS ym") ===
+      "SELECT date_format(d, '''ym''') AS ym")
+    intercept[UnsupportedError](Dialect.rewriteMysqlDateFns("SELECT DATE_FORMAT(d, f)"))
     assert(Dialect.rewriteMysqlDateFns("SELECT STR_TO_DATE(s, '%d/%m/%Y')") ===
       "SELECT to_date(s, 'dd/MM/yyyy')")
     assert(Dialect.rewriteMysqlDateFns("SELECT STR_TO_DATE(s, '%Y-%m-%d %H:%i')") ===
