@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   */
 case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // NULL input OR any NULL element
   override def prettyName: String = "srp_bucket"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -38,16 +39,25 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // a NULL element null-propagates to a NULL bucket — the behavior of
+    // the HOF aggregate(zip_with(...)) formulation this expression must
+    // stay bit-identical to (getDouble on a null slot would otherwise
+    // read garbage and emit a WRONG non-null bucket)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
     var bucket = 0L
     var p = 0
     while (p < planes) {
       var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val w = Murmur3_x86_32.hashInt(p * 7919 + i, 42)
-        val x = arr.getDouble(i)
+      var j = 0
+      while (j < n) {
+        val w = Murmur3_x86_32.hashInt(p * 7919 + j, 42)
+        val x = arr.getDouble(j)
         acc += (if ((w & 1) == 0) x else -x)
-        i += 1
+        j += 1
       }
       if (acc > 0) bucket |= (1L << p)
       p += 1
@@ -63,16 +73,22 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
       val acc = ctx.freshName("acc")
       val w = ctx.freshName("w")
       val bucket = ctx.freshName("bucket")
+      val k = ctx.freshName("k")
       s"""
          |int $n = $c.numElements();
          |long $bucket = 0L;
-         |for (int $p = 0; $p < $planes; $p++) {
-         |  double $acc = 0.0D;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    int $w = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt($p * 7919 + $i, 42);
-         |    $acc += (($w & 1) == 0) ? $c.getDouble($i) : -$c.getDouble($i);
+         |for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
+         |  if ($c.isNullAt($k)) { ${ev.isNull} = true; }
+         |}
+         |if (!${ev.isNull}) {
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    double $acc = 0.0D;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      int $w = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt($p * 7919 + $i, 42);
+         |      $acc += (($w & 1) == 0) ? $c.getDouble($i) : -$c.getDouble($i);
+         |    }
+         |    if ($acc > 0) $bucket |= (1L << $p);
          |  }
-         |  if ($acc > 0) $bucket |= (1L << $p);
          |}
          |${ev.value} = $bucket;
        """.stripMargin

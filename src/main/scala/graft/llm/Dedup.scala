@@ -355,12 +355,22 @@ object Dedup {
     * side is tiny by assumption. The df-cap relief valve of
     * [[ngramJaccardPairs]] applies unchanged if a stop-shingle corpus
     * ever makes Σ df_train·df_bench blow up.
+    *
+    * Granularity contract (same as [[decontaminate]]): similarity is
+    * over TRIGRAM shingle sets, with [[withShingles]]' whole-text
+    * fallback for texts shorter than one trigram — so a short benchmark
+    * doc copied verbatim as a short train doc IS caught (identical
+    * fallback shingles), but a sub-trigram benchmark string embedded
+    * INSIDE a longer document is invisible to any shingle-set method by
+    * construction; use [[spanDedup]]/winnowing or a substring scan for
+    * that threat model. (No length filter here: an earlier `>= 3` token
+    * filter silently dropped short docs from BOTH sides, hiding even
+    * the short-vs-short verbatim copies.)
     */
   def decontaminateNearDupPairs(train: DataFrame, benchmark: DataFrame,
       threshold: Double = 0.5, textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    def side(df: DataFrame) = withShingles(
-        df.filter(size(split(col(textCol), " ")) >= 3), textCol)
+    def side(df: DataFrame) = withShingles(df, textCol)
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
         explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))

@@ -214,10 +214,16 @@ object LlmQueries {
            |train AS (SELECT doc_id, text FROM documents),
            |ts AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
-           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
+           |       UNION
+           |       SELECT doc_id, text AS s FROM train
+           |       WHERE len(string_split(text, ' ')) < 3),
            |bs AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t,
-           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
+           |       UNION
+           |       SELECT doc_id, text AS s FROM bench
+           |       WHERE len(string_split(text, ' ')) < 3),
            |tc AS (SELECT doc_id, COUNT(*) AS n FROM ts GROUP BY doc_id),
            |bc AS (SELECT doc_id, COUNT(*) AS n FROM bs GROUP BY doc_id),
            |pairs AS (SELECT ts.doc_id AS train_id, bs.doc_id AS bench_id,
@@ -1186,10 +1192,16 @@ object LlmQueries {
            |train AS (SELECT doc_id, text FROM documents),
            |ts AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
-           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
+           |       UNION
+           |       SELECT doc_id, text AS s FROM train
+           |       WHERE len(string_split(text, ' ')) < 3),
            |bs AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bench) t,
-           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+           |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
+           |       UNION
+           |       SELECT doc_id, text AS s FROM bench
+           |       WHERE len(string_split(text, ' ')) < 3),
            |tc AS (SELECT doc_id, COUNT(*) AS n FROM ts GROUP BY doc_id),
            |bc AS (SELECT doc_id, COUNT(*) AS n FROM bs GROUP BY doc_id),
            |pairs AS (SELECT ts.doc_id AS train_id, bs.doc_id AS bench_id,

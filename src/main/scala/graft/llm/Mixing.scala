@@ -22,8 +22,24 @@ object Mixing {
   /** The exact integer pseudo-random permutation used for all sampling
     * decisions: Knuth multiplicative hashing mod the first prime above
     * 2^32. BIGINT-exact, order-free, engine-free.
+    *
+    * Spelled as a modular decomposition, NOT the naive `id * C`: the raw
+    * product overflows Long for ids ≥ ~3.5e9 — under Spark 4's default
+    * ANSI mode that ABORTS the query, and with ANSI off it silently
+    * wraps — exactly the corpus scale this module advertises. With
+    * r = id mod M split into 16-bit halves, every intermediate stays
+    * below 2^49 ((r div 2^16)·(C·2^16 mod M) + (r mod 2^16)·C), and the
+    * modular identity makes the result bit-identical to the
+    * mathematical (id·C) mod M at EVERY id — small-id oracles that
+    * replay the naive product are unaffected.
     */
-  def permute(id: Column): Column = pmod(id * lit(2654435761L), lit(4294967311L))
+  def permute(id: Column): Column = {
+    val M = 4294967311L // first prime above 2^32
+    val C = 2654435761L // Knuth multiplicative constant
+    val C16 = 2041035463L // (C * 2^16) mod M
+    val r = pmod(id, lit(M)) // in [0, M) < 2^33, so arithmetic shift is exact
+    pmod(shiftright(r, 16) * lit(C16) + r.bitwiseAND(lit(65535L)) * lit(C), lit(M))
+  }
 
   /** Deterministic rate sampling WITHOUT a shuffle: keep a row iff its
     * permuted id falls below `keepPpm` parts-per-million of the permutation

@@ -83,30 +83,45 @@ object Multimodal {
     * stand-in of [[decodeImageMeta]] so the two paths cross-check each
     * other in tests and text-blob pipelines stay exactly reproducible.
     */
+  /** Shared magic-sniff + decode-or-stand-in for every pixel operator —
+    * ONE definition of the degradation contract (image-magic payloads
+    * that fail to decode raise naming the doc_id; non-image payloads get
+    * the deterministic stand-in dims and fake-pixel sampler), so the
+    * decode/resize/dhash trio cannot silently diverge. Returns
+    * (width, height, numComponents, pixel accessor).
+    */
+  private def decodePixels(id: Long, blob: Array[Byte]): (Int, Int, Int, (Int, Int) => Int) = {
+    val n = blob.length.toLong
+    if (isPng(blob) || isJpeg(blob)) {
+      // ImageIO.read returns null OR throws on truncated/corrupt bytes;
+      // both must surface as a descriptive error naming the doc, not an
+      // opaque executor NPE/IIOException.
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"doc_id=$id: $n-byte payload has an image magic but failed to decode (${e.getMessage})", e)
+        }
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"doc_id=$id: $n-byte payload has an image magic but failed to decode (truncated or corrupt)")
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+        (sx: Int, sy: Int) => img.getRGB(sx, sy) & 0xFFFFFF)
+    } else {
+      // non-image payload: deterministic stand-in (see decodeImageMeta)
+      ((64 + n % 64).toInt, (64 + (n * 7) % 64).toInt, 3,
+        (sx: Int, sy: Int) => ((n + sx * 31L + sy * 17L) % 0x1000000L).toInt)
+    }
+  }
+
   def decodeImagePartitioned(spark: SparkSession, withBlob: DataFrame): DataFrame = {
     val rdd = withBlob.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
       it.map { row =>
         val id = row.getLong(0)
         val blob = row.getAs[Array[Byte]](1)
         val n = blob.length.toLong
-        if (isPng(blob) || isJpeg(blob)) {
-          // ImageIO.read returns null OR throws on truncated/corrupt bytes;
-          // both must surface as a descriptive error naming the doc, not an
-          // opaque executor NPE/IIOException.
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-            catch { case e: Exception =>
-              throw new IllegalArgumentException(
-                s"doc_id=$id: $n-byte payload has an image magic but failed to decode (${e.getMessage})", e)
-            }
-          if (img == null)
-            throw new IllegalArgumentException(
-              s"doc_id=$id: $n-byte payload has an image magic but failed to decode (truncated or corrupt)")
-          Row(id, img.getWidth, img.getHeight, img.getColorModel.getNumComponents, n)
-        } else {
-          // non-image payload: deterministic stand-in (see decodeImageMeta)
-          Row(id, (64 + n % 64).toInt, (64 + (n * 7) % 64).toInt, 3, n)
-        }
+        val (w, h, comps, _) = decodePixels(id, blob)
+        Row(id, w, h, comps, n)
       }
     }
     spark.createDataFrame(rdd, decodedSchema)
@@ -149,26 +164,7 @@ object Multimodal {
       it.map { row =>
         val id = row.getLong(0)
         val blob = row.getAs[Array[Byte]](1)
-        val n = blob.length.toLong
-        val (w, h, pixel) =
-          if (isPng(blob) || isJpeg(blob)) {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-              catch { case e: Exception =>
-                throw new IllegalArgumentException(
-                  s"doc_id=$id: $n-byte payload has an image magic but failed to decode (${e.getMessage})", e)
-              }
-            if (img == null)
-              throw new IllegalArgumentException(
-                s"doc_id=$id: $n-byte payload has an image magic but failed to decode (truncated or corrupt)")
-            (img.getWidth, img.getHeight, (sx: Int, sy: Int) => img.getRGB(sx, sy) & 0xFFFFFF)
-          } else {
-            // non-image payload: the decodeImageMeta stand-in dims plus a
-            // deterministic fake pixel — same sampler, reproducible anywhere
-            val fw = (64 + n % 64).toInt
-            val fh = (64 + (n * 7) % 64).toInt
-            (fw, fh, (sx: Int, sy: Int) => ((n + sx * 31L + sy * 17L) % 0x1000000L).toInt)
-          }
+        val (w, h, _, pixel) = decodePixels(id, blob)
         var sum = 0L
         var y = 0
         while (y < targetH) {
@@ -213,26 +209,7 @@ object Multimodal {
       it.map { row =>
         val id = row.getLong(0)
         val blob = row.getAs[Array[Byte]](1)
-        val n = blob.length.toLong
-        val (w, h, pixel) =
-          if (isPng(blob) || isJpeg(blob)) {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-              catch { case e: Exception =>
-                throw new IllegalArgumentException(
-                  s"doc_id=$id: $n-byte payload has an image magic but failed to decode (${e.getMessage})", e)
-              }
-            if (img == null)
-              throw new IllegalArgumentException(
-                s"doc_id=$id: $n-byte payload has an image magic but failed to decode (truncated or corrupt)")
-            (img.getWidth, img.getHeight, (sx: Int, sy: Int) => img.getRGB(sx, sy) & 0xFFFFFF)
-          } else {
-            // non-image payload: the decodeImageMeta stand-in dims and the
-            // resize operator's deterministic fake pixel
-            val fw = (64 + n % 64).toInt
-            val fh = (64 + (n * 7) % 64).toInt
-            (fw, fh, (sx: Int, sy: Int) => ((n + sx * 31L + sy * 17L) % 0x1000000L).toInt)
-          }
+        val (w, h, _, pixel) = decodePixels(id, blob)
         def lum(sx: Int, sy: Int): Int = {
           val p = pixel(sx, sy)
           (((p >> 16) & 0xFF) * 299 + ((p >> 8) & 0xFF) * 587 + (p & 0xFF) * 114) / 1000

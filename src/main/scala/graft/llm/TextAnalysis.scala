@@ -185,9 +185,11 @@ object TextAnalysis {
     */
   def stratifiedSample(docs: DataFrame, strataCol: String, perKey: Int,
       idCol: String = "doc_id"): DataFrame = {
+    // overflow-free modular spelling shared with the Mixing samplers —
+    // the naive id * 2654435761 product aborts under ANSI at id ≥ ~3.5e9
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
-      .orderBy(pmod(col(idCol) * lit(2654435761L), lit(4294967311L)), col(idCol))
+      .orderBy(Mixing.permute(col(idCol)), col(idCol))
     docs
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perKey)
@@ -279,7 +281,7 @@ object TextAnalysis {
     val withQt = docs.withColumn("qt", termArray)
     val tfQ = withQt
       .select(col("doc_id"),
-        explode(expr(s"filter(split($textCol, ' '), t -> array_contains(qt, t))"))
+        explode(expr(s"filter(split(`$textCol`, ' '), t -> array_contains(qt, t))"))
           .as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -97,10 +97,13 @@ object Streams {
   /** NATIVE session windows — `session_window(ts, gap)` with a watermark:
     * Spark's built-in dynamic-gap session operator (state evicts when the
     * watermark passes a session's close), vs [[sessionize]]'s
-    * gaps-and-islands window formulation. Both compute the same
-    * 30-minute-gap sessions; gating them against each other (and the
-    * DuckDB oracle) proves the native operator's semantics match the
-    * portable SQL formulation.
+    * gaps-and-islands window formulation. The two disagree ONLY at an
+    * exact-boundary gap: `session_window`'s interval `[t, t+gap)` does
+    * not contain `t+gap`, so a pair of events exactly `gap` apart SPLITS
+    * here (diff >= gap) but stays one session under [[sessionize]]
+    * (diff > gap) — each operator is gated against its own
+    * same-semantics DuckDB oracle (`>=` vs `>`), never against the
+    * other on boundary-landing data.
     */
   def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
@@ -208,28 +211,15 @@ object Streams {
     * unbounded input. In batch the watermarks are no-ops and this is a
     * plain range join; the same code runs in both modes.
     */
-  def purchaseAttribution(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val views = events.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    purchases.join(views,
-      col("p_user") === col("v_user") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") <= col("p_ts"))
-  }
+  def purchaseAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
 
-  /** LEFT OUTER stream-stream interval join — [[purchaseAttribution]]'s
-    * inner form misses the rows marketing actually asks about: purchases
-    * with NO preceding view. In streaming, an unmatched left row can only
-    * emit once BOTH watermarks have passed its join window (the engine
-    * must prove no matching view can still arrive), so null-matched
-    * output trails by the watermark delay — the StreamingSpec gate
-    * asserts exactly that contract against the batch replay.
+  /** The shared purchases/views construction and interval predicate for
+    * the three attribution join types — ONE definition of the watermark
+    * delays and the hour bound, so the inner/left/full trio cannot
+    * silently diverge.
     */
-  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
@@ -240,8 +230,19 @@ object Streams {
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("v_ts") <= col("p_ts"),
-      "left_outer")
+      joinType)
   }
+
+  /** LEFT OUTER stream-stream interval join — [[purchaseAttribution]]'s
+    * inner form misses the rows marketing actually asks about: purchases
+    * with NO preceding view. In streaming, an unmatched left row can only
+    * emit once BOTH watermarks have passed its join window (the engine
+    * must prove no matching view can still arrive), so null-matched
+    * output trails by the watermark delay — the StreamingSpec gate
+    * asserts exactly that contract against the batch replay.
+    */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
 
   /** FULL OUTER stream-stream interval join — completes the join matrix
     * beyond [[purchaseAttributionOuter]]: matched (purchase, view) pairs,
@@ -255,19 +256,8 @@ object Streams {
     * stays watermark-bounded exactly as in the inner/left forms: one
     * eviction horizon of both inputs, sharded by user.
     */
-  def purchaseAttributionFull(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val views = events.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_user"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    purchases.join(views,
-      col("p_user") === col("v_user") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") <= col("p_ts"),
-      "full_outer")
-  }
+  def purchaseAttributionFull(events: DataFrame): DataFrame =
+    attributionJoin(events, "full_outer")
 
   final case class EventRow(event_id: Long, user_id: Long, event_type: String, value: Double)
   final case class UserCount(user_id: Long, n: Long)
@@ -346,6 +336,20 @@ object Streams {
     * (Batch runs never time out by definition — batch gap analysis is
     * [[gapsBatch]].)
     */
+  /** Epoch millis → `yyyy-MM-dd HH:mm:ss[.SSS]` at UTC — the session
+    * timezone every entrypoint pins, so the emitted string matches
+    * Spark's own timestamp casts (`gapsBatch` prev/next_ts) on ANY
+    * machine. `java.sql.Timestamp.toString` would render in the JVM
+    * default zone and diverge on non-UTC hosts.
+    */
+  private def utcTsString(ms: Long): String = {
+    val base = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    val frac = ms % 1000
+    if (frac == 0) base else f"$base.${frac}%03d"
+  }
+
   def silenceDetectStateful(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 120): DataFrame = {
     import spark.implicits._
@@ -361,13 +365,23 @@ object Streams {
           if (state.hasTimedOut) {
             val last = state.get
             state.remove()
-            Iterator.single(SilentUser(userId,
-              new java.sql.Timestamp(last).toString))
+            Iterator.single(SilentUser(userId, utcTsString(last)))
           } else {
             val latest = (rows.map(_._2.getTime) ++ state.getOption.iterator).max
-            state.update(latest)
-            state.setTimeoutTimestamp(latest + gapMs)
-            Iterator.empty
+            val deadline = latest + gapMs
+            // flatMapGroupsWithState does NOT pre-filter late rows: a
+            // late event can land the deadline at or before the current
+            // watermark, where setTimeoutTimestamp THROWS and kills the
+            // whole query. The user is then already silent past the gap
+            // — emit the silence row now and drop the state instead.
+            if (deadline <= state.getCurrentWatermarkMs()) {
+              state.remove()
+              Iterator.single(SilentUser(userId, utcTsString(latest)))
+            } else {
+              state.update(latest)
+              state.setTimeoutTimestamp(deadline)
+              Iterator.empty
+            }
           }
         })
       .toDF()
@@ -413,10 +427,14 @@ object Streams {
     * counter decrements instead of admitting a new key, the MG
     * guarantee: any key with true count > N/capacity survives) and
     * emits the CURRENT top-k with a deterministic (count desc, user
-    * asc) tie-break. State is O(capacity) per open hour regardless of
-    * stream length — the property that makes per-window top-k viable
-    * on an unbounded stream, where an exact groupBy(user) would hold
-    * every user ever seen.
+    * asc) tie-break. State is O(capacity) per open hour AND hours
+    * CLOSE: an event-time timeout armed at hour-end + 10 min grace
+    * evicts each hour's summary once the watermark passes it, so total
+    * state is bounded by concurrently-open hours, not stream lifetime
+    * (with NoTimeout every hour ever seen would accumulate forever) —
+    * the property that makes per-window top-k viable on an unbounded
+    * stream, where an exact groupBy(user) would hold every user ever
+    * seen.
     *
     * While no hour overflows its `capacity`, the summary holds exact
     * counts, so the final emission per hour equals the batch
@@ -429,26 +447,47 @@ object Streams {
     import spark.implicits._
     require(k > 0 && capacity >= k, "need k > 0 and capacity >= k")
     events
-      .select(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+      .withWatermark("ts", "10 minutes")
+      // the watermarked ts attribute must SURVIVE into the FMGWS input —
+      // Spark's streaming checker rejects EventTimeTimeout when only
+      // derived columns (hour_us) remain downstream of the watermark
+      .select(col("ts"), unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
         col("user_id"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (hourUs: Long, rows: Iterator[(Long, Long)],
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (hourUs: Long, rows: Iterator[(java.sql.Timestamp, Long, Long)],
          state: GroupState[Map[Long, Long]]) => {
-          var m = state.getOption.getOrElse(Map.empty[Long, Long])
-          rows.foreach { case (_, user) =>
-            m.get(user) match {
-              case Some(c) => m += user -> (c + 1)
-              case None if m.size < capacity => m += user -> 1L
-              case None =>
-                m = m.transform((_, c) => c - 1).filter(_._2 > 0)
+          if (state.hasTimedOut) {
+            // hour closed behind the watermark — its last Update-mode
+            // emission already carried the final top-k; just evict
+            state.remove()
+            Iterator.empty
+          } else {
+            var m = state.getOption.getOrElse(Map.empty[Long, Long])
+            rows.foreach { case (_, _, user) =>
+              m.get(user) match {
+                case Some(c) => m += user -> (c + 1)
+                case None if m.size < capacity => m += user -> 1L
+                case None =>
+                  m = m.transform((_, c) => c - 1).filter(_._2 > 0)
+              }
             }
+            // hour-end + grace; batch runs have no watermark (Try → arm
+            // unconditionally — timeouts never fire in batch anyway),
+            // and a LATE hour whose deadline is already behind the
+            // watermark must not arm (setTimeoutTimestamp would throw):
+            // this emission is its final one, so evict now
+            val deadline = hourUs / 1000L + 3600000L + 600000L
+            val wm = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(Long.MinValue)
+            if (deadline > wm) {
+              state.update(m)
+              state.setTimeoutTimestamp(deadline)
+            } else state.remove()
+            m.toSeq.sortBy { case (u, c) => (-c, u) }.take(k)
+              .zipWithIndex.iterator
+              .map { case ((u, c), i) => HourTopUser(hourUs, i + 1L, u, c) }
           }
-          state.update(m)
-          m.toSeq.sortBy { case (u, c) => (-c, u) }.take(k)
-            .zipWithIndex.iterator
-            .map { case ((u, c), i) => HourTopUser(hourUs, i + 1L, u, c) }
         })
       .toDF()
   }

@@ -21,6 +21,23 @@ class MixingSpec extends SparkSpec {
     assert(a.exceptAll(wider).isEmpty)
   }
 
+  test("permute matches the mathematical (id*C) mod M at overflow-scale ids") {
+    // the naive id * 2654435761L product overflows Long at id >= ~3.5e9 —
+    // ANSI mode (Spark 4 default) would ABORT there; the decomposed
+    // spelling must agree with BigInteger arithmetic at every magnitude
+    val ids = Seq(0L, 1L, 12345L, 3_500_000_000L, 4_294_967_311L,
+      4_000_000_000_000L, Long.MaxValue - 1, Long.MaxValue)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"), Mixing.permute(col("doc_id")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val M = java.math.BigInteger.valueOf(4294967311L)
+    val C = java.math.BigInteger.valueOf(2654435761L)
+    ids.foreach { id =>
+      val expect = java.math.BigInteger.valueOf(id).multiply(C).mod(M).longValueExact()
+      assert(got(id) === expect, s"permute($id)")
+    }
+  }
+
   test("mixDomains hits exact integer quotas and drops zero-weight sources") {
     // a: 100 rows, b: 50, c: 30, z: 10 — weights 3/1/1/0
     val docs = (

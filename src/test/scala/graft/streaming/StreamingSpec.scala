@@ -355,18 +355,21 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("silence_out")
       .start()
     try {
-      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      // UTC-instant construction (valueOf parses in the JVM default zone,
+      // which would shift the emitted UTC strings on non-UTC hosts)
+      def utc(iso: String) = java.sql.Timestamp.from(java.time.Instant.parse(iso))
+      val t0 = utc("2024-01-01T10:00:00Z")
       // batch 1: users 1 and 2 both alive at t0
       in.addData((1L, t0), (2L, t0))
       q.processAllAvailable()
       assert(spark.table("silence_out").isEmpty, "nothing may time out yet")
       // batch 2: only user 2 speaks again, 5h later — the watermark
       // (max event time − 10 min) passes user 1's t0+60min deadline
-      in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 15:00:00")))
+      in.addData((2L, utc("2024-01-01T15:00:00Z")))
       q.processAllAvailable()
       // one more batch so the timeout (evaluated against the advanced
       // watermark) gets a micro-batch to fire in
-      in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 15:01:00")))
+      in.addData((2L, utc("2024-01-01T15:01:00Z")))
       q.processAllAvailable()
       val got = spark.table("silence_out").collect()
         .map(r => r.getLong(0) -> r.getString(1))
