@@ -76,6 +76,14 @@ sealed trait Dialect {
     * UPPERCASE, and only ClickHouse treats names case-sensitively.
     */
   def nameFold: Dialect.NameFold = Dialect.NameFold.Lower
+
+  /** Whether this dialect reads `"…"` as a STRING literal (Spark's
+    * default parser, MySQL family, Tableau) rather than an ANSI quoted
+    * IDENTIFIER. Drives [[Engine]]'s name flattening: a string literal
+    * `"db.t"` must survive untouched, while a quoted identifier
+    * referencing a registered nested table must flatten to resolve.
+    */
+  def doubleQuotedIsString: Boolean = false
 }
 
 object Dialect {
@@ -126,6 +134,7 @@ object Dialect {
 
   /** Native Spark SQL — no rewriting. */
   case object Spark extends Dialect {
+    override val doubleQuotedIsString: Boolean = true
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = sql
   }
@@ -293,6 +302,7 @@ object Dialect {
     * d1−d2 day count), `CONCAT_WS`, `NOW()` are Spark-native pass-throughs.
     */
   case object MySqlish extends Dialect {
+    override val doubleQuotedIsString: Boolean = true // MySQL "…" is a string
     private val renames = Map(
       "ucase" -> "upper", "lcase" -> "lower", "mid" -> "substring",
       "curdate" -> "current_date")
@@ -584,6 +594,7 @@ object Dialect {
     * fold case-insensitively (sqlglot default) → Lower.
     */
   case object TableauIsh extends Dialect {
+    override val doubleQuotedIsString: Boolean = true // Tableau "…" is a string
     // STR is Tableau's to-string cast (Spark has no `str` — its cast
     // alias is `string`); Tableau FLOAT is double-precision, so it maps
     // to `double`, not Spark's 32-bit `float` (which would silently

@@ -59,7 +59,9 @@ object Engine {
     }
     // schemas also reach the dialect: READ_CSV applies a declared schema for
     // its alias instead of an inference scan (reference executor.py:303-305)
-    val rewritten = dialect.rewrite(spark, flattenQualifiedNames(sql, tables.keys), schemas)
+    val rewritten = dialect.rewrite(spark,
+      flattenQualifiedNames(sql, tables.keys,
+        doubleQuotedIsString = dialect.doubleQuotedIsString), schemas)
     try spark.sql(rewritten)
     catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
@@ -139,7 +141,8 @@ object Engine {
     * only OUTSIDE string literals (a literal `'db.t'` must survive); the
     * replacement is literal (no regex group semantics for `$` in names).
     */
-  private def flattenQualifiedNames(sql: String, names: Iterable[String]): String = {
+  private def flattenQualifiedNames(sql: String, names: Iterable[String],
+      doubleQuotedIsString: Boolean = true): String = {
     val nested = names.filter(_.contains(".")).toSeq.sortBy(-_.length)
     if (nested.isEmpty) return sql
     val res = nested.foldLeft((sql: CharSequence)) { (cur, n) =>
@@ -148,7 +151,7 @@ object Engine {
       val out = new StringBuilder
       var last = 0
       re.findAllMatchIn(s).foreach { m =>
-        if (!insideStringLiteral(s, m.start)) {
+        if (!insideStringLiteral(s, m.start, doubleQuotedIsString)) {
           out.append(s.substring(last, m.start)).append(flatName(n))
           last = m.end
         }
@@ -159,18 +162,27 @@ object Engine {
     res.toString
   }
 
-  /** Is position `pos` inside a single-quoted SQL string literal
-    * (honoring backslash escapes, as Spark's default parser does)?
+  /** Is position `pos` inside a string literal? Single-quoted always;
+    * double-quoted only when the dialect reads `"…"` as a STRING
+    * (Spark's default parser does — `"db.t"` must survive the name
+    * flattening — but ANSI dialects read it as an IDENTIFIER that must
+    * flatten to resolve against the flat view, so there the scanner
+    * treats `"…"` as code). Backtick-quoted identifiers are never
+    * skipped for the same reason. Backslash escapes honored, as Spark's
+    * parser does.
     */
-  private[graft] def insideStringLiteral(s: String, pos: Int): Boolean = {
-    var inStr = false
+  private[graft] def insideStringLiteral(s: String, pos: Int,
+      doubleQuotedIsString: Boolean = true): Boolean = {
+    var quote: Char = 0
     var i = 0
     while (i < pos) {
       val c = s.charAt(i)
-      if (inStr && c == '\\') i += 1 // skip escaped char
-      else if (c == '\'') inStr = !inStr
+      if (quote != 0 && c == '\\') i += 1 // skip escaped char
+      else if (quote == 0 &&
+          (c == '\'' || (c == '"' && doubleQuotedIsString))) quote = c
+      else if (c == quote) quote = 0
       i += 1
     }
-    inStr
+    quote != 0
   }
 }

@@ -323,7 +323,7 @@ object ExtraQueries {
            |      coalesce(o_orderpriority, chr(0) || 'NULL'))), 1, 15))::BIGINT AS h
            |  FROM orders)
            |SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_checksum,
-           |  CAST(SUM(h % 1000000007) AS BIGINT) AS modsum_checksum
+           |  CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS modsum_checksum
            |FROM rh""".stripMargin))
 
   /** Table profile ([[Relational.profile]]): per-column nulls / exact
@@ -945,7 +945,10 @@ object ExtraQueries {
     */
   val sourceTextRoundtrip = OpQ("op_source_text_roundtrip",
     (s, d) => {
-      val path = s"$stageDir/documents_txt"
+      // keyed by SF: documents is SF-dependent, and an interleaved run at
+      // another SF overwriting the stage between this run's write and read
+      // would flake the gate (same contract as orders_part above)
+      val path = s"$stageDir/documents_txt_${new java.io.File(d).getName}"
       Sources.writeText(
         Tables.load(s, d, "documents").select(col("text")), path)
       Sources.text(s, path).orderBy(col("value"))
@@ -954,7 +957,8 @@ object ExtraQueries {
 
   val sourceOrcRoundtrip = OpQ("op_source_orc_roundtrip",
     (s, d) => {
-      val path = s"$stageDir/supplier_orc"
+      // keyed by SF — supplier row count varies with scale factor
+      val path = s"$stageDir/supplier_orc_${new java.io.File(d).getName}"
       Sources.writeOrc(
         Tables.load(s, d, "supplier")
           .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")),
@@ -1448,7 +1452,8 @@ object ExtraQueries {
     */
   val sourceXmlRoundtrip = OpQ("op_source_xml_roundtrip",
     (s, d) => {
-      val path = s"$stageDir/supplier_xml"
+      // keyed by SF — supplier row count varies with scale factor
+      val path = s"$stageDir/supplier_xml_${new java.io.File(d).getName}"
       val src = Tables.load(s, d, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
       Sources.writeXml(src, path, rowTag = "supplier")

@@ -36,16 +36,30 @@ object Layout {
   def zorder2(x: Column, y: Column): Column =
     spread32(x).bitwiseOR(shiftleft(spread32(y), 1))
 
+  /** Flip the 32-bit sign bit so SIGNED dimension values order correctly
+    * in the unsigned Morton space: raw low-32 masking would sort every
+    * negative value (-1 → 0xFFFFFFFF) ABOVE all positives, shredding the
+    * min/max locality near zero that z-ordering exists for. The flip is
+    * order-preserving over the whole signed 32-bit range (-2^31 → 0,
+    * -1 → 2^31-1, 0 → 2^31) — the same normalization Delta's OPTIMIZE
+    * ZORDER applies before interleaving.
+    */
+  private def signFlip32(c: Column): Column =
+    c.cast("long").bitwiseXOR(lit(0x80000000L))
+
   /** Cluster a frame for writing: range-partition on the Morton code of
-    * (xCol, yCol), sort within partitions, so each output file covers a
-    * compact box in (x, y) space. `keepKey` retains the `zvalue` column
-    * for inspection. At scale this is the one full shuffle you pay at
-    * write time to make every later selective scan cheap.
+    * (xCol, yCol) — each dimension sign-flipped into unsigned space via
+    * [[signFlip32]] so negative coordinates cluster correctly — then
+    * sort within partitions, so each output file covers a compact box in
+    * (x, y) space. `keepKey` retains the `zvalue` column for inspection.
+    * At scale this is the one full shuffle you pay at write time to make
+    * every later selective scan cheap.
     */
   def clusterByZOrder(df: DataFrame, xCol: String, yCol: String,
       numPartitions: Int, keepKey: Boolean = false): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
-    val keyed = df.withColumn("zvalue", zorder2(col(xCol), col(yCol)))
+    val keyed = df.withColumn("zvalue",
+      zorder2(signFlip32(col(xCol)), signFlip32(col(yCol))))
     val parted = keyed
       .repartitionByRange(numPartitions, col("zvalue"))
       .sortWithinPartitions(col("zvalue"))

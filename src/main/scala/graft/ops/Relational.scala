@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator library — the Spark-first re-expression of the
   * reference's dataflow operators (SURVEY.md §2.1) and expression surface
@@ -119,6 +120,14 @@ object Relational {
     requireNoWorkingCols(left, "asOfJoin", "__ts", "__side", "__r")
     requireNoWorkingCols(right, "asOfJoin", "__ts", "__side", "__r")
     val rightPayload = right.columns.filterNot(c => c == key || c == rightTs).toSeq
+    // the unpack step writes each right payload column by NAME — a left
+    // column with the same name would be silently overwritten (and the
+    // native plans.AsOfJoin twin keeps both, so the two implementations
+    // would diverge). Refuse up front; rename the collision on either side.
+    val collisions = rightPayload.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"asOfJoin: right payload column(s) ${collisions.mkString(", ")} collide with " +
+        "left columns and would overwrite them — rename one side")
     // payloads travel as ONE struct so the fill always takes the complete
     // latest right row — per-column fills could mix values from different
     // rows and would skip a genuinely-NULL field in the as-of row
@@ -225,7 +234,14 @@ object Relational {
               else changes
     val touched = chg.select(keys.map(col): _*)
     val survivors = target.join(touched, keys, "left_anti")
-    val applied = chg.filter(col(opCol).isin("I", "U")).drop(opCol)
+    // an op OUTSIDE {I,U,D} must fail loudly: its key is anti-joined out
+    // of the target but the row doesn't survive the I/U filter — i.e. an
+    // op typo (lowercase 'u', 'UPDATE', …) would silently DELETE the row
+    val applied = chg
+      .filter(when(col(opCol).isin("I", "U", "D"), col(opCol).isin("I", "U"))
+        .otherwise(raise_error(concat(
+          lit(s"applyCdc: unknown op '"), col(opCol), lit("' — expected I, U or D")))))
+      .drop(opCol)
     survivors.unionByName(applied)
   }
 
@@ -298,13 +314,17 @@ object Relational {
   }
 
   /** Table profile — the data-ops report every ingestion job runs: per
-    * column, null count, exact distinct count, and min/max rendered as
-    * strings. ONE pass over the data (all per-column aggregates in a
-    * single `agg`, map-side combined), then a local explode of the 1-row
-    * result into the long (column, metric) layout — the profile never
-    * shuffles more than one row per partition. Doubles render via the
-    * caller's projection rules if cross-engine comparison matters (see
-    * [[tableChecksum]]'s contract).
+    * column, null count, EXACT distinct count, and min/max rendered as
+    * strings, from one `agg` call. Honest cost note: N exact
+    * countDistinct aggregates in one agg make Catalyst plan an Expand
+    * that multiplies every scanned row ~(N+1)× and shuffles each
+    * column's distinct values — the EXACT tier's price, fine for
+    * ingestion-sized tables and the oracle gate. At corpus scale swap
+    * `countDistinct` for `approx_count_distinct` (same shape, constant
+    * sketch per column, no per-value shuffle) — the same exact-gate /
+    * sketch-scale-path split as [[tableChecksum]]'s sibling operators.
+    * Doubles render via the caller's projection rules if cross-engine
+    * comparison matters (see [[tableChecksum]]'s contract).
     */
   def profile(df: DataFrame): DataFrame = {
     val aggs = df.columns.flatMap { c =>
@@ -372,10 +392,15 @@ object Relational {
         df.columns.map(c => s"coalesce(cast(`$c` as string), '\u0000NULL')")
           .mkString(", ") +
         ")), 1, 15), 16, 10)")).cast("long"))
+    // the modular sum accumulates in DECIMAL(38,0) and reduces mod p at
+    // the end: a raw BIGINT sum of ~1e9-magnitude residues overflows at
+    // ~9.2e9 rows — far below the scale this fingerprint targets (the
+    // DuckDB oracle's HUGEINT sum takes the same final % p)
     keyed.agg(
       count(lit(1)).as("n_rows"),
       expr("bit_xor(__rh)").as("xor_checksum"),
-      sum(col("__rh") % 1000000007L).as("modsum_checksum"))
+      pmod(sum((col("__rh") % 1000000007L).cast(DecimalType(38, 0))),
+        lit(1000000007L)).cast("long").as("modsum_checksum"))
   }
 
   /** Bloom-prefiltered semi join — the big-⋈-big reduction for when the
@@ -417,7 +442,12 @@ object Relational {
     val mightContain = GraftBridge.column(new BloomFilterMightContain(
       GraftBridge.expression(GraftBridge.scalarSubquery(bloomDf)),
       GraftBridge.expression(xxhash64(col(bigKey).cast(keyT)))))
-    big.filter(mightContain).join(small, col(bigKey) === col(smallKey), "left_semi")
+    // alias both sides: with bigKey == smallKey (the common case) bare
+    // col(...) references resolve to BOTH inputs and analysis fails with
+    // AMBIGUOUS_REFERENCE
+    big.filter(mightContain).as("__bsj_b")
+      .join(small.as("__bsj_s"),
+        col(s"__bsj_b.`$bigKey`") === col(s"__bsj_s.`$smallKey`"), "left_semi")
   }
 
   /** Distributed connected components over an edge list: `(node, component)`
@@ -1027,8 +1057,12 @@ object Relational {
     val t = col(totalCol).cast("long")
     df.withColumn("__w", sum(w).over(part))
       .withColumn("__base",
-        when(col("__w") > 0, expr(s"($totalCol * $weightCol) div __w")
-          .cast("long")).otherwise(lit(0L)))
+        // multiply on LONG-cast operands: int-typed total/weight would
+        // overflow the 32-bit product before the div (abort under ANSI,
+        // silently negative without), exactly as __rem below already casts
+        when(col("__w") > 0,
+          expr(s"(CAST(`$totalCol` AS BIGINT) * CAST(`$weightCol` AS BIGINT)) div __w"))
+          .otherwise(lit(0L)))
       .withColumn("__rem",
         when(col("__w") > 0, (t * w) % col("__w")).otherwise(lit(0L)))
       .withColumn("__rn", row_number().over(byRem))

@@ -30,7 +30,15 @@ object ApproxCountDistinctRule extends Rule[LogicalPlan] {
       catch { case _: IllegalArgumentException => false }
     if (!enabled) plan
     else {
-      val rsd = conf.getConfString(RsdKey, "0.05").toDouble
+      // validate HERE with the conf key in the message: a malformed or
+      // out-of-range value would otherwise surface as a bare
+      // NumberFormatException (or a deep HLL++ error) on EVERY query of
+      // the opted-in session
+      val raw = conf.getConfString(RsdKey, "0.05")
+      val rsd = scala.util.Try(raw.toDouble).toOption
+        .filter(v => v > 0.0 && v < 1.0)
+        .getOrElse(throw new graft.UnsupportedError(
+          s"$RsdKey must be a double in (0, 1), got '$raw'"))
       plan.transformAllExpressions {
         case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _) =>
           AggregateExpression(

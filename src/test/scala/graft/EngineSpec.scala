@@ -57,6 +57,26 @@ class EngineSpec extends SparkSpec {
     assert(r3.collect().head.getLong(0) === 100)
   }
 
+  test("name flattening: double-quoted spans are dialect-dependent") {
+    // Spark's default parser reads "db.tbl" as a STRING LITERAL — the
+    // flattening must leave the literal's content untouched
+    val lit = Engine.execute(spark,
+      "SELECT \"db.tbl\" AS tag, COUNT(*) AS n FROM db.tbl GROUP BY 1",
+      Map("db.tbl" -> t1)).collect().head
+    assert(lit.getString(0) === "db.tbl")
+    assert(lit.getLong(1) === 100)
+    // single-quoted literal likewise
+    val lit1 = Engine.execute(spark,
+      "SELECT 'db.tbl' AS tag FROM db.tbl LIMIT 1",
+      Map("db.tbl" -> t1)).collect().head.getString(0)
+    assert(lit1 === "db.tbl")
+    // an ANSI dialect reads "db.tbl" as an IDENTIFIER — it must flatten
+    // and resolve against the registered nested table
+    val n = Engine.execute(spark, "SELECT COUNT(*) AS n FROM \"db.tbl\"",
+      Map("db.tbl" -> t1), Dialect.DuckDbish).collect().head.getLong(0)
+    assert(n === 100)
+  }
+
   test("tableFromRows infers types from first row (reference core.py:85-91)") {
     val df = Engine.tableFromRows(spark, Seq(
       Map("i" -> 1, "l" -> 5L, "d" -> 1.5, "s" -> "x", "b" -> true)))

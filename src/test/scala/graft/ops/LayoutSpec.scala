@@ -55,4 +55,26 @@ class LayoutSpec extends SparkSpec {
     assert(z.count() === 4096L)
     assert(!z.columns.contains("zvalue"))
   }
+
+  test("clusterByZOrder keeps locality across the sign boundary") {
+    initLog()
+    // signed grid centered on 0: raw low-32 masking would sort every
+    // negative x ABOVE all positives (-1 → 0xFFFFFFFF) and a partition
+    // near the boundary would span almost the whole x domain; the
+    // sign-flip keeps boxes compact
+    val grid = spark.range(4096).select(
+      ((col("id") / 64).cast("long") - 32).as("x"), (col("id") % 64 - 32).as("y"))
+    val z = Layout.clusterByZOrder(grid, "x", "y", numPartitions = 16, keepKey = true)
+    val ext = z.withColumn("p", spark_partition_id())
+      .groupBy("p").agg((max("x") - min("x")).as("ex"))
+      .agg(avg("ex")).head().getDouble(0)
+    assert(ext < 32,
+      s"mean per-partition x-extent $ext must stay a compact box on signed data")
+    // the clustering key itself orders negatives below positives
+    val rows = Seq(-2L, -1L, 0L, 1L).toDF("x").withColumn("y", lit(0L))
+    val keys = Layout.clusterByZOrder(rows, "x", "y", 1, keepKey = true)
+      .orderBy("x").select("zvalue").collect().map(_.getLong(0))
+    assert(keys.sameElements(keys.sorted),
+      s"zvalue must be monotone over the sign boundary, got ${keys.mkString(",")}")
+  }
 }
