@@ -19,6 +19,12 @@ object Prof {
     val banded = t("bands"){ val d = llm.Dedup.lshBands(sig); d.count(); d }
     val pairs = t("candidate_pairs"){ val d = llm.Dedup.minHashCandidatePairs(banded, sh); println("pairs=" + d.count()); d }
     t("full_dedup"){ llm.Dedup.minHashDedup(docs).count() }
+    // the driver gate = full dedup + structural checks + independent
+    // HOF signature recomputation; its delta over full_dedup is the
+    // price of the dual-path verification
+    t("gate_query"){
+      llm.LlmQueries.dedupMinHash.fn(spark, "/root/testdata/sf0.1").count()
+    }
     spark.stop()
   }
 }

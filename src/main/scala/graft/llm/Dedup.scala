@@ -245,16 +245,32 @@ object Dedup {
     // its result, so by then nothing downstream can replay the scan
     val shingled = withShingles(docs)
       .select(col("doc_id"), col("shingles")).persist()
-    try {
-      val banded = lshBands(minHashSignatures(shingled, numHashes), numHashes, bands)
-      val pairs = minHashCandidatePairs(banded, shingled, threshold)
-      graft.ops.Relational.connectedComponents(
-        pairs, srcCol = "a_id", dstCol = "b_id",
-        nodes = Some(docs.select(col("doc_id"))),
-        maxRounds = maxClosureRounds)
-        .select(col("node").as("doc_id"), col("component").as("keep_id"))
-        .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
-    } finally shingled.unpersist()
+    try minHashDedupFromShingles(shingled, docs.select(col("doc_id")),
+      numHashes, bands, threshold, maxClosureRounds)
+    finally shingled.unpersist()
+  }
+
+  /** [[minHashDedup]] over a PRE-SHINGLED frame (`doc_id`, `shingles`) —
+    * the caller owns the shingle computation (and its persist lifecycle),
+    * so a pipeline that needs the shingles for other purposes too (e.g.
+    * `llm_dedup_minhash`'s independent dual-path signature recheck) pays
+    * the O(tokens)-per-row shingling ONCE for all consumers instead of
+    * once per consumer. `nodes` is the full document-id universe (every
+    * id gets a row, duplicate or not). Result is a projection over
+    * connectedComponents' eager checkpoint — safe to consume after the
+    * caller unpersists `shingled`.
+    */
+  def minHashDedupFromShingles(shingled: DataFrame, nodes: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.7,
+      maxClosureRounds: Int = 10): DataFrame = {
+    val banded = lshBands(minHashSignatures(shingled, numHashes), numHashes, bands)
+    val pairs = minHashCandidatePairs(banded, shingled, threshold)
+    graft.ops.Relational.connectedComponents(
+      pairs, srcCol = "a_id", dstCol = "b_id",
+      nodes = Some(nodes),
+      maxRounds = maxClosureRounds)
+      .select(col("node").as("doc_id"), col("component").as("keep_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("keep_id"))
   }
 
   /** 64-bit SimHash fingerprint: each token hashed with xxhash64; bit i of

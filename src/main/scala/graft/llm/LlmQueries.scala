@@ -67,6 +67,14 @@ object LlmQueries {
     *
     * Cluster-content arithmetic is separately hash-gated end-to-end by
     * `llm_dedup_cluster_stats` / `llm_dedup_ngram_jaccard`.
+    *
+    * The HOF replay binds the murmur3 shingle hashes ONCE per row via a
+    * lambda variable (`flatten(transform(array(hashes), hs -> …))`) before
+    * the 32-permutation fold — the naive nesting recomputes `hash(t)`
+    * 32× per shingle, and projection collapse would re-inline a plain
+    * `withColumn` hoist right back (same trap as [[Dedup.lshBands]]).
+    * Identical bits: the permutation arithmetic is unchanged, only the
+    * common subexpression is shared.
     */
   val dedupMinHash = OpQ("llm_dedup_minhash",
     (s, d) => {
@@ -81,9 +89,11 @@ object LlmQueries {
       val sigCheck = Dedup.minHashSignatures(
           Dedup.withShingles(docs(s, d)).select(col("doc_id"), col("shingles")), 32)
         .withColumn("sig_hof", expr(
-          """transform(sequence(0, 31), j -> array_min(transform(shingles, t ->
-            |  ((2 * j + 1) * abs(cast(hash(t) as bigint)) + j * 2654435761L)
-            |    % 4294967311L)))""".stripMargin.replace("\n", " ")))
+          """flatten(transform(
+            |  array(transform(shingles, t -> abs(cast(hash(t) as bigint)))),
+            |  hs -> transform(sequence(0, 31), j -> array_min(transform(hs, h ->
+            |    ((2 * j + 1) * h + j * 2654435761L) % 4294967311L)))))""".stripMargin
+            .replace("\n", " ")))
         .select(col("doc_id").as("sig_doc_id"),
           (col("sig") === col("sig_hof")).as("sig_ok"))
       structural.join(sigCheck, col("doc_id") === col("sig_doc_id"))

@@ -482,6 +482,14 @@ object Relational {
     * At 100 TB: every step is a key shuffle or a self-join on the label
     * table — no per-component state ever lands on one executor, and round
     * count is logarithmic in the longest chain, not the corpus size.
+    *
+    * The iteration runs over the EDGE-INDUCED subgraph only: a node with
+    * no (non-self-loop) edge can never change its label, so the full node
+    * universe — corpus-sized when `nodes` is the document table, vs a
+    * pair-graph of surviving duplicate candidates — is left-joined back
+    * exactly once after convergence (`coalesce(lbl, node)` labels the
+    * untouched singletons). Every per-round shuffle is then sized by the
+    * candidate-pair graph, not the corpus.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", nodes: Option[DataFrame] = None,
@@ -500,7 +508,11 @@ object Relational {
       .map(n => n.select(col(n.columns.head).as("node")).union(endpoints))
       .getOrElse(endpoints)
       .distinct()
-    var cached = nodeIds.select(col("node"), col("node").as("lbl")).persist()
+    // Only nodes on a real (non-self-loop) edge can ever change label —
+    // the loop iterates over THEM alone; everyone else (incl. self-loop-
+    // only nodes) is a singleton restored by the final left join.
+    val active = und.select(col("__a").as("node")).distinct()
+    var cached = active.select(col("node"), col("node").as("lbl")).persist()
     // In-flight per-round caches, tracked so an exception anywhere in the
     // loop (including the non-convergence require below) releases them.
     var relaxedLive: DataFrame = null
@@ -540,7 +552,9 @@ object Relational {
       // Non-convergence therefore means maxRounds was lowered deliberately —
       // fail hard rather than return a partially-merged labeling.
       require(converged, s"connectedComponents did not converge in $maxRounds rounds")
-      labels.select(col("node"), col("lbl").as("component"))
+      // restore the full universe: nodes the loop never saw keep themselves
+      nodeIds.join(labels.select(col("node"), col("lbl")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("component"))
         .localCheckpoint(true)
     } finally {
       if (relaxedLive != null) relaxedLive.unpersist()
