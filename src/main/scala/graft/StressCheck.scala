@@ -204,6 +204,25 @@ object StressCheck {
         f"${(System.nanoTime() - t0) / 1e9}%.2fs")
       comp.unpersist()
     }
+    // sparse closure: corpus-sized node universe, tiny edge set — the
+    // dedup shape (LSH banding leaves only near-duplicate candidate
+    // pairs; virtually the whole corpus is singleton). The loop iterates
+    // the edge-induced subgraph only, so per-round shuffles are sized by
+    // the ~300-edge pair graph while the 150k-key universe is priced
+    // exactly once by the post-convergence left join — wall time must be
+    // a small constant, not scale with the universe like the dense-chain
+    // entry above.
+    locally {
+      val keys = ord.select(col("o_orderkey")).distinct()
+      val edges = keys.filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("src"), (col("o_orderkey") + 1).as("dst"))
+      val nEdges = edges.count()
+      val t0 = System.nanoTime()
+      val comp = graft.ops.Relational.connectedComponents(edges, nodes = Some(keys))
+      val nComp = comp.select(col("component")).distinct().count()
+      println(f"STRESS sparse_closure nodes=${comp.count()}%d edges=$nEdges%d " +
+        f"components=$nComp%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // token-budget mixing at 1x vs factor-x: the two-phase plan keeps the
     // serial exact-window region bucket-sized (~corpus/permBuckets per
     // source) regardless of domain count, so wall time must track the
