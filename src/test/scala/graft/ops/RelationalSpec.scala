@@ -277,6 +277,30 @@ class RelationalSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 40L -> 40L))
   }
 
+  test("connectedComponents matches union-find on random graphs (universe ⊃ endpoints)") {
+    // Randomized equivalence vs a local union-find, exercising the
+    // edge-induced-subgraph iteration: most of the node universe never
+    // touches an edge and must come back as singletons from the restore
+    // join, while the labeled subgraph must agree with the brute answer.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val universe = (1L to (n * 3).toLong)
+      val edges = Seq.fill(n / 2)(
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+      val parent = scala.collection.mutable.Map(universe.map(x => x -> x): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = universe.map(x => x -> find(x)).toMap
+      val got = ccMap(edges, nodes = universe)
+      assert(got === want, s"trial $trial: edges=$edges")
+    }
+  }
+
   test("connectedComponents: self-loop-only node survives without an explicit node list") {
     // 30's only edge is the self-loop — it must appear as its own singleton
     // component even when the universe is derived from the edges alone
