@@ -504,10 +504,15 @@ object Relational {
     // component, not absent.
     val endpoints = e.select(col("__a").as("node"))
       .union(e.select(col("__b").as("node")))
+    // Persisted: the universe's lineage may be an expensive generator,
+    // and the restore join after convergence re-reads it — before the
+    // subgraph iteration it seeded the (persisted) label table, so the
+    // input plan evaluated once; the persist keeps that property.
     val nodeIds = nodes
       .map(n => n.select(col(n.columns.head).as("node")).union(endpoints))
       .getOrElse(endpoints)
       .distinct()
+      .persist()
     // Only nodes on a real (non-self-loop) edge can ever change label —
     // the loop iterates over THEM alone; everyone else (incl. self-loop-
     // only nodes) is a singleton restored by the final left join.
@@ -560,6 +565,7 @@ object Relational {
       if (relaxedLive != null) relaxedLive.unpersist()
       if (jumpedLive != null) jumpedLive.unpersist()
       cached.unpersist()
+      nodeIds.unpersist()
       und.unpersist()
     }
   }
