@@ -975,6 +975,45 @@ object LlmQueries {
            |       ELSE 'test' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Cross-split exact-duplicate leakage ([[Mixing.splitLeakage]]): for
+    * each ordered split pair, how many distinct duplicated contents and
+    * how many document pairs straddle the boundary — the post-split eval
+    * hygiene check. Single md5-keyed aggregation (multiplicity products,
+    * no pairwise join); the oracle replays the permutation split and the
+    * same per-hash arithmetic.
+    */
+  val splitLeakageQ = OpQ("llm_split_leakage",
+    (s, d) => Mixing.splitLeakage(docs(s, d), trainPpm = 900000L, valPpm = 50000L)
+      .orderBy(col("split_a"), col("split_b")),
+    Some("""WITH sp AS (
+           |  SELECT md5(text) AS h,
+           |    CASE WHEN (doc_id * 2654435761) % 4294967311 % 1000000 < 900000
+           |           THEN 'train'
+           |         WHEN (doc_id * 2654435761) % 4294967311 % 1000000 < 950000
+           |           THEN 'validation'
+           |         ELSE 'test' END AS split
+           |  FROM documents),
+           |ph AS (
+           |  SELECT h,
+           |    SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+           |    SUM(CASE WHEN split = 'validation' THEN 1 ELSE 0 END) AS n_val,
+           |    SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+           |  FROM sp GROUP BY h)
+           |SELECT split_a, split_b,
+           |  CAST(leaked_texts AS BIGINT) AS leaked_texts,
+           |  CAST(leaked_pairs AS BIGINT) AS leaked_pairs
+           |FROM (
+           |  SELECT 'train' AS split_a, 'validation' AS split_b,
+           |    COALESCE(SUM(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END), 0) AS leaked_texts,
+           |    COALESCE(SUM(n_train * n_val), 0) AS leaked_pairs FROM ph
+           |  UNION ALL SELECT 'train', 'test',
+           |    COALESCE(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END), 0),
+           |    COALESCE(SUM(n_train * n_test), 0) FROM ph
+           |  UNION ALL SELECT 'validation', 'test',
+           |    COALESCE(SUM(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 ELSE 0 END), 0),
+           |    COALESCE(SUM(n_val * n_test), 0) FROM ph)
+           |ORDER BY split_a, split_b""".stripMargin))
+
   /** BPE merge-candidate counting ([[TextAnalysis.bpePairCounts]]): the
     * top-50 adjacent character pairs weighted by word frequency — the
     * statistic one iteration of byte-pair-encoding vocabulary induction
@@ -1830,7 +1869,7 @@ object LlmQueries {
     annBruteForce, annIvf, annLsh, annSq8, annPq,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
-    splitTrainVal, bpePairs,
+    splitTrainVal, splitLeakageQ, bpePairs,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

@@ -75,6 +75,50 @@ object Mixing {
         .otherwise(lit("test")))
   }
 
+  /** Cross-split leakage report: exact-duplicate documents that straddle
+    * the [[splitTrainValTest]] boundary — the check a pipeline runs right
+    * after splitting, because a validation document whose byte-identical
+    * twin sits in train silently inflates every eval.
+    *
+    * One row per ordered split pair with `leaked_texts` (distinct
+    * duplicated contents present in both splits) and `leaked_pairs`
+    * (cross-split document pairs, Σ n_a·n_b over those contents). One
+    * md5-keyed shuffle with map-side partial counts; the pair counts are
+    * products of per-split multiplicities, so nothing pairwise is ever
+    * materialized — at 100 TB this is the same single-aggregation shape
+    * as exact dedup, not a join.
+    */
+  def splitLeakage(df: DataFrame, trainPpm: Long, valPpm: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val perHash = splitTrainValTest(df, trainPpm, valPpm, idCol)
+      .select(md5(col(textCol)).as("h"), col("split"))
+      .groupBy(col("h")).agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "validation", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    // all six statistics in ONE aggregation pass, then stacked to rows
+    // (the same inline-struct pivot as Relational.profile) — three
+    // separate .agg calls would rescan the corpus three times
+    def texts(na: Column, nb: Column) =
+      coalesce(sum(when(na > 0 && nb > 0, 1L).otherwise(0L)), lit(0L))
+    def prs(na: Column, nb: Column) = coalesce(sum(na * nb), lit(0L))
+    perHash.agg(
+      texts(col("n_train"), col("n_val")).as("tv_texts"),
+      prs(col("n_train"), col("n_val")).as("tv_pairs"),
+      texts(col("n_train"), col("n_test")).as("tt_texts"),
+      prs(col("n_train"), col("n_test")).as("tt_pairs"),
+      texts(col("n_val"), col("n_test")).as("vt_texts"),
+      prs(col("n_val"), col("n_test")).as("vt_pairs"))
+      .select(expr(
+        """inline(array(
+          |  struct('train' AS split_a, 'validation' AS split_b,
+          |         tv_texts AS leaked_texts, tv_pairs AS leaked_pairs),
+          |  struct('train' AS split_a, 'test' AS split_b,
+          |         tt_texts AS leaked_texts, tt_pairs AS leaked_pairs),
+          |  struct('validation' AS split_a, 'test' AS split_b,
+          |         vt_texts AS leaked_texts, vt_pairs AS leaked_pairs)))""".stripMargin))
+  }
+
   /** Weight-PROPORTIONAL deterministic sampling: each row keeps with its
     * own probability `weightPpm/1e6` (clamped to 1), decided by the same
     * exact integer permutation as [[hashSample]] — quality-weighted and

@@ -21,6 +21,33 @@ class MixingSpec extends SparkSpec {
     assert(a.exceptAll(wider).isEmpty)
   }
 
+  test("splitLeakage counts cross-split duplicate texts and pairs exactly") {
+    // 70/15/15 split (recomputed locally) so every split holds enough
+    // mass that the duplicate texts provably straddle all three pairs;
+    // texts built so "dup" has copies in several splits and "solo" doesn't
+    val ids = (1L to 400L)
+    def slot(id: Long) = (BigInt(id) * 2654435761L % 4294967311L % 1000000L).toLong
+    def split(id: Long) =
+      if (slot(id) < 700000L) "train"
+      else if (slot(id) < 850000L) "validation" else "test"
+    // every 4th doc shares text "dup<id%8>" — guaranteed cross-split copies
+    def text(id: Long) = if (id % 4 == 0) s"dup${id % 8}" else s"solo$id"
+    val df = ids.map(id => (id, text(id))).toDF("doc_id", "text")
+    val got = Mixing.splitLeakage(df, trainPpm = 700000L, valPpm = 150000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val byText = ids.groupBy(text).map { case (t, g) =>
+      t -> g.groupBy(split).map { case (s, xs) => s -> xs.size.toLong }
+    }
+    def want(a: String, b: String) = (
+      byText.values.count(m => m.getOrElse(a, 0L) > 0 && m.getOrElse(b, 0L) > 0).toLong,
+      byText.values.map(m => m.getOrElse(a, 0L) * m.getOrElse(b, 0L)).sum)
+    for ((a, b) <- Seq(("train", "validation"), ("train", "test"), ("validation", "test"))) {
+      assert(got((a, b)) === want(a, b), s"pair $a/$b")
+      assert(got((a, b))._1 > 0, s"test corpus must actually leak on $a/$b")
+    }
+  }
+
   test("permute matches the mathematical (id*C) mod M at overflow-scale ids") {
     // the naive id * 2654435761L product overflows Long at id >= ~3.5e9 —
     // ANSI mode (Spark 4 default) would ABORT there; the decomposed
