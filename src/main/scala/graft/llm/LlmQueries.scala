@@ -1014,6 +1014,54 @@ object LlmQueries {
            |    COALESCE(SUM(n_val * n_test), 0) FROM ph)
            |ORDER BY split_a, split_b""".stripMargin))
 
+  /** Near-duplicate cross-split leakage ([[Mixing.splitLeakageNearDup]]):
+    * trigram-Jaccard pairs above threshold whose endpoints straddle the
+    * split boundary — the eval-inflating leakage exact-dup checks miss.
+    * Pair discovery is the lossless prefix-filtered join, so the DuckDB
+    * oracle replays the brute-force pair set + the permutation split and
+    * must agree bit-exactly (doubles included — both engines divide the
+    * same exact integers). doc_id < 1000 keeps the bench lean, matching
+    * `llm_dedup_jaccard_prefix`.
+    */
+  val splitLeakageNearDupQ = OpQ("llm_split_leakage_neardup",
+    (s, d) => Mixing.splitLeakageNearDup(
+        docs(s, d).filter(col("doc_id") < 1000),
+        trainPpm = 700000L, valPpm = 150000L, thresholdPpm = 500000L)
+      .orderBy(col("split_a"), col("split_b")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           |               FROM documents WHERE doc_id < 1000),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |            CAST(COUNT(*) AS BIGINT) AS common
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY a.doc_id, b.doc_id),
+           |qual AS (SELECT a_id, b_id,
+           |           CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+           |         FROM pairs JOIN cnt ca ON ca.doc_id = a_id
+           |                    JOIN cnt cb ON cb.doc_id = b_id
+           |         WHERE common * 1000000 >= 500000 * (ca.n + cb.n - common)),
+           |sp AS (SELECT doc_id,
+           |         CASE WHEN (doc_id * 2654435761) % 4294967311 % 1000000 < 700000
+           |                THEN 'train'
+           |              WHEN (doc_id * 2654435761) % 4294967311 % 1000000 < 850000
+           |                THEN 'validation'
+           |              ELSE 'test' END AS split
+           |       FROM documents WHERE doc_id < 1000),
+           |rk AS (SELECT doc_id, split,
+           |         CASE split WHEN 'train' THEN 0 WHEN 'validation' THEN 1
+           |              ELSE 2 END AS r FROM sp),
+           |x AS (SELECT CASE WHEN pa.r < pb.r THEN pa.split ELSE pb.split END AS split_a,
+           |             CASE WHEN pa.r < pb.r THEN pb.split ELSE pa.split END AS split_b,
+           |             jaccard
+           |      FROM qual JOIN rk pa ON pa.doc_id = a_id
+           |                JOIN rk pb ON pb.doc_id = b_id
+           |      WHERE pa.split <> pb.split)
+           |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS leaked_pairs,
+           |  MAX(jaccard) AS max_jaccard
+           |FROM x GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin))
+
   /** BPE merge-candidate counting ([[TextAnalysis.bpePairCounts]]): the
     * top-50 adjacent character pairs weighted by word frequency — the
     * statistic one iteration of byte-pair-encoding vocabulary induction
@@ -1869,7 +1917,7 @@ object LlmQueries {
     annBruteForce, annIvf, annLsh, annSq8, annPq,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
-    splitTrainVal, splitLeakageQ, bpePairs,
+    splitTrainVal, splitLeakageQ, splitLeakageNearDupQ, bpePairs,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

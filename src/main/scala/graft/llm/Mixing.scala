@@ -119,6 +119,36 @@ object Mixing {
           |         vt_texts AS leaked_texts, vt_pairs AS leaked_pairs)))""".stripMargin))
   }
 
+  /** NEAR-duplicate cross-split leakage: [[splitLeakage]] catches only
+    * byte-identical twins; this reports the document pairs above a
+    * trigram-Jaccard threshold whose endpoints landed in different
+    * splits — the leakage that actually inflates evals (a lightly edited
+    * validation doc with a train near-twin). Pair discovery is the
+    * LOSSLESS [[Dedup.prefixFilteredJaccardPairs]] (exact threshold-pair
+    * set, no LSH recall gap), so the report is deterministic and
+    * oracle-checkable; splits are the same shuffle-free permutation
+    * assignment. One row per ordered split pair that leaks, with the
+    * pair count and the worst (max) Jaccard.
+    */
+  def splitLeakageNearDup(df: DataFrame, trainPpm: Long, valPpm: Long,
+      thresholdPpm: Long = 500000L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sp = splitTrainValTest(df.select(col(idCol)), trainPpm, valPpm, idCol)
+      .select(col(idCol).as("__id"), col("split"))
+    def rank(c: Column) =
+      when(c === "train", 0).when(c === "validation", 1).otherwise(2)
+    Dedup.prefixFilteredJaccardPairs(df, thresholdPpm, textCol)
+      .join(sp.select(col("__id").as("a_id"), col("split").as("sa")), "a_id")
+      .join(sp.select(col("__id").as("b_id"), col("split").as("sb")), "b_id")
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        when(rank(col("sa")) < rank(col("sb")), col("sa")).otherwise(col("sb")).as("split_a"),
+        when(rank(col("sa")) < rank(col("sb")), col("sb")).otherwise(col("sa")).as("split_b"),
+        col("jaccard"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("leaked_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Weight-PROPORTIONAL deterministic sampling: each row keeps with its
     * own probability `weightPpm/1e6` (clamped to 1), decided by the same
     * exact integer permutation as [[hashSample]] — quality-weighted and

@@ -48,6 +48,50 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakageNearDup matches a local brute force on a crafted corpus") {
+    // five text families; members differ by one trailing word, so within
+    // a family every pair is a near-dup (high trigram Jaccard, never
+    // exact) and across families Jaccard is 0 — the report must equal
+    // the locally computed pairwise answer at the same threshold
+    val ids = (1L to 60L)
+    def text(id: Long) = {
+      val f = id % 5
+      s"fam$f a$f b$f c$f d$f e$f f$f g$f h$f tail$id"
+    }
+    def slot(id: Long) = (BigInt(id) * 2654435761L % 4294967311L % 1000000L).toLong
+    def split(id: Long) =
+      if (slot(id) < 700000L) "train"
+      else if (slot(id) < 850000L) "validation" else "test"
+    def shingles(id: Long) =
+      text(id).split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: Long, b: Long) = {
+      val (sa, sb) = (shingles(a), shingles(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val rank = Map("train" -> 0, "validation" -> 1, "test" -> 2)
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      j = jac(a, b) if j >= 0.5 && split(a) != split(b)
+    } yield {
+      val (x, y) = if (rank(split(a)) < rank(split(b))) (split(a), split(b))
+                   else (split(b), split(a))
+      ((x, y), j)
+    }).groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong, vs.map(_._2).max))
+    }
+    assert(brute.nonEmpty, "crafted corpus must leak")
+    val got = Mixing.splitLeakageNearDup(
+        ids.map(id => (id, text(id))).toDF("doc_id", "text"),
+        trainPpm = 700000L, valPpm = 150000L, thresholdPpm = 500000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === brute.keySet)
+    brute.foreach { case (k, (n, mx)) =>
+      assert(got(k)._1 === n, s"pair count $k")
+      assert(math.abs(got(k)._2 - mx) < 1e-12, s"max jaccard $k")
+    }
+  }
+
   test("permute matches the mathematical (id*C) mod M at overflow-scale ids") {
     // the naive id * 2654435761L product overflows Long at id >= ~3.5e9 —
     // ANSI mode (Spark 4 default) would ABORT there; the decomposed
