@@ -33,6 +33,40 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("keep_id"))
   }
 
+  /** Cross-source duplication report: for each source pair, how many
+    * distinct contents appear in BOTH sources and how many cross-source
+    * document pairs that makes — the observability query that tells a
+    * corpus owner which feeds copy each other (mirrors, scrapes,
+    * syndication) before dedup quotas are set.
+    *
+    * `contentKey` is the canonicalization that defines "same content":
+    * `md5(text)` for byte-exact copies, a leading-words digest for
+    * boilerplate/syndication (near-identical articles differing in a
+    * tail), a normalized-text digest, or a winnowing fingerprint — the
+    * default overload uses exact md5.
+    *
+    * Shape at 100 TB: one key-hashed aggregation to per-(content, source)
+    * counts, then a self-equi-join ON THE CONTENT KEY of that already
+    * collapsed table — fan-out per key is the number of sources carrying
+    * it (bounded by the source count, not the corpus), and pair counts
+    * are multiplicity products, so no document pair is ever materialized.
+    */
+  def crossSourceDupStats(docs: DataFrame, contentKey: Column,
+      sourceCol: String): DataFrame = {
+    val cnt = docs
+      .select(contentKey.as("h"), col(sourceCol).as("src"))
+      .groupBy(col("h"), col("src")).agg(count(lit(1)).as("n"))
+    cnt.as("a").join(cnt.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("shared_texts"),
+        sum(col("a.n") * col("b.n")).as("cross_pairs"))
+  }
+
+  /** [[crossSourceDupStats]] with the exact-content default key. */
+  def crossSourceDupStats(docs: DataFrame): DataFrame =
+    crossSourceDupStats(docs, md5(col("text")), "source")
+
   /** KEEP-BEST dedup over an arbitrary cluster key — the selection policy
     * real pipelines pair with near-dup clustering: within each cluster
     * keep the highest-quality member (longest text, smallest id as the

@@ -105,6 +105,29 @@ object LlmQueries {
            |  TRUE AS root_closed_ok, TRUE AS dup_flag_ok
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Cross-source duplication report ([[Dedup.crossSourceDupStats]]):
+    * which sources carry the same contents, as shared-content and
+    * cross-pair counts per source pair — key-hashed collapse first, join
+    * on the collapsed table, multiplicity-product pair math. The gate
+    * keys on the md5 of the first 8 words (the boilerplate/syndication
+    * canonicalization — this corpus has no byte-exact cross-source
+    * copies, but 22 leading-content collisions); exact DuckDB oracle
+    * replays the same digest.
+    */
+  val dedupCrossSource = OpQ("llm_dedup_cross_source",
+    (s, d) => Dedup.crossSourceDupStats(docs(s, d),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))), "source")
+      .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH cnt AS (
+           |  SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+           |    source AS src, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM documents GROUP BY 1, 2)
+           |SELECT a.src AS source_a, b.src AS source_b,
+           |  CAST(COUNT(*) AS BIGINT) AS shared_texts,
+           |  CAST(SUM(a.n * b.n) AS BIGINT) AS cross_pairs
+           |FROM cnt a JOIN cnt b ON a.h = b.h AND a.src < b.src
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** SimHash fingerprints gated by recompute-and-compare: XXH64 is not
     * DuckDB-expressible, so instead of raw fingerprints (unverifiable
     * there) each row carries `hof_ok` = the codegen
@@ -1910,7 +1933,7 @@ object LlmQueries {
   val all: Seq[OpQ] = Seq(
     textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
     dedupWinnow,
-    dedupExact, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
+    dedupExact, dedupCrossSource, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupJaccardPrefix, dedupClusterStatsQ, contaminationReportQ,
     dedupMinHashMl, embeddingPairsMl,
     textTopTokens, textTopTokensSketch, pipelineCurate, pipelineCurate2,

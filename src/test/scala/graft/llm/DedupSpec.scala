@@ -29,6 +29,23 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_.getAs[Long]("doc_id") == 0L).head.getAs[Long]("n_copies") === 3L)
   }
 
+  test("crossSourceDupStats counts shared contents and multiplicity-product pairs") {
+    // text A: web×2, wiki×1, code×1 → (code,web):(1,2) (code,wiki):(1,1)
+    //   (web,wiki):(1,2); text B: web×1, wiki×2 → (web,wiki) gains (1,2);
+    // text C only in code → contributes nothing
+    val docs = Seq(
+      (1L, "A", "web"), (2L, "A", "web"), (3L, "A", "wiki"), (4L, "A", "code"),
+      (5L, "B", "web"), (6L, "B", "wiki"), (7L, "B", "wiki"),
+      (8L, "C", "code")).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupStats(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      ("code", "web") -> ((1L, 2L)),   // A: 1·2
+      ("code", "wiki") -> ((1L, 1L)),  // A: 1·1
+      ("web", "wiki") -> ((2L, 4L))))  // A: 2·1 + B: 1·2
+  }
+
   test("minHashDedup clusters a near-duplicate pair and leaves unrelated docs alone") {
     val docs = mkDocs(Seq(base, nearDup, unrelated, unrelated2))
     val out = Dedup.minHashDedup(docs, threshold = 0.5).orderBy("doc_id").collect()
