@@ -1037,6 +1037,27 @@ object LlmQueries {
            |    COALESCE(SUM(n_val * n_test), 0) FROM ph)
            |ORDER BY split_a, split_b""".stripMargin))
 
+  /** Packing-efficiency forecast ([[Mixing.packingEfficiency]]): per
+    * source × candidate context length, sequence count and padding waste
+    * under head-to-tail packing — one corpus scan, candidate lengths
+    * expanded from the aggregated row. Exact integer oracle.
+    */
+  val packingEfficiencyQ = OpQ("llm_packing_efficiency",
+    (s, d) => Mixing.packingEfficiency(docs(s, d), Seq(512L, 1024L, 2048L))
+      .orderBy(col("source"), col("context_len")),
+    Some("""WITH t AS (
+           |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           |    AS total_tokens
+           |  FROM documents GROUP BY source),
+           |l AS (SELECT UNNEST([512, 1024, 2048]) AS context_len)
+           |SELECT source, total_tokens, CAST(context_len AS BIGINT) AS context_len,
+           |  CAST((total_tokens + context_len - 1) // context_len AS BIGINT)
+           |    AS n_sequences,
+           |  CAST(((total_tokens + context_len - 1) // context_len) * context_len
+           |    - total_tokens AS BIGINT) AS padding_tokens
+           |FROM t CROSS JOIN l
+           |ORDER BY source, context_len""".stripMargin))
+
   /** Near-duplicate cross-split leakage ([[Mixing.splitLeakageNearDup]]):
     * trigram-Jaccard pairs above threshold whose endpoints straddle the
     * split boundary — the eval-inflating leakage exact-dup checks miss.
@@ -1940,7 +1961,7 @@ object LlmQueries {
     annBruteForce, annIvf, annLsh, annSq8, annPq,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
-    splitTrainVal, splitLeakageQ, splitLeakageNearDupQ, bpePairs,
+    splitTrainVal, splitLeakageQ, splitLeakageNearDupQ, packingEfficiencyQ, bpePairs,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

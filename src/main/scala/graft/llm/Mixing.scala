@@ -119,6 +119,30 @@ object Mixing {
           |         vt_texts AS leaked_texts, vt_pairs AS leaked_pairs)))""".stripMargin))
   }
 
+  /** Packing-efficiency forecast: for each source and each candidate
+    * context length, the sequence count and padding waste head-to-tail
+    * packing ([[packSequences]]) would produce — the capacity-planning
+    * query run before committing to a context window. Pure integer
+    * arithmetic over ONE per-source token aggregation (the per-doc token
+    * count folds map-side); candidate lengths expand from the aggregated
+    * row, so the corpus is scanned once regardless of how many lengths
+    * are evaluated.
+    */
+  def packingEfficiency(df: DataFrame, contextLens: Seq[Long],
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(contextLens.nonEmpty && contextLens.forall(_ > 0),
+      "contextLens must be non-empty and positive")
+    val totals = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("total_tokens"))
+    val structs = contextLens.map(l =>
+      s"""struct(${l}L AS context_len,
+         |  (total_tokens + ${l - 1}L) div ${l}L AS n_sequences,
+         |  ((total_tokens + ${l - 1}L) div ${l}L) * ${l}L - total_tokens
+         |    AS padding_tokens)""".stripMargin.replace("\n", " ")).mkString(", ")
+    totals.select(col("source"), col("total_tokens"),
+      expr(s"inline(array($structs))"))
+  }
+
   /** NEAR-duplicate cross-split leakage: [[splitLeakage]] catches only
     * byte-identical twins; this reports the document pairs above a
     * trigram-Jaccard threshold whose endpoints landed in different

@@ -48,6 +48,21 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("packingEfficiency: exact ceil-division sequence and padding math") {
+    // source s: 5 + 3 = 8 tokens; source t: 2 tokens
+    val docs = Seq(
+      (1L, "s", "a b c d e"), (2L, "s", "f g h"), (3L, "t", "x y")
+    ).toDF("doc_id", "source", "text")
+    val got = Mixing.packingEfficiency(docs, Seq(3L, 8L))
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("s", 3L) -> ((8L, 3L, 1L)),  // ceil(8/3)=3 seqs, 9-8=1 pad
+      ("s", 8L) -> ((8L, 1L, 0L)),  // exact fit
+      ("t", 3L) -> ((2L, 1L, 1L)),
+      ("t", 8L) -> ((2L, 1L, 6L))))
+  }
+
   test("splitLeakageNearDup matches a local brute force on a crafted corpus") {
     // five text families; members differ by one trailing word, so within
     // a family every pair is a near-dup (high trigram Jaccard, never
