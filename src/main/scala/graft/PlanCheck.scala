@@ -305,6 +305,17 @@ object PlanCheck {
     Rule("llm_dedup_url", "canonical-key dedup is one hash aggregation: no join, map-side partial agg",
       f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_split_leakage", "md5-keyed collapse then global rollup: pure aggregation, no join shapes",
+      f => f("partial_agg") >= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("llm_split_leakage_neardup", "prefix-filtered pairs × split: equi-joins only, doc filter pushed",
+      f => f("cartesian") + f("bnlj") == 0 && f("pushed_filters") >= 1 &&
+        f("partial_agg") >= 2),
+    Rule("llm_dedup_cross_source", "join runs on the COLLAPSED (key, source) table: equi only, map-side partials",
+      f => f("cartesian") + f("bnlj") == 0 && f("partial_agg") >= 2),
+    Rule("llm_packing_efficiency", "one token rollup, candidate lengths expand post-agg: no join, ≤2 exchanges",
+      f => f("partial_agg") >= 2 && f("exchange") <= 2 &&
+        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
     Rule("llm_ann_pq_topk", "codebook + ADC dot tables join by broadcast; never a cross product " +
       "(the verification gate's exact brute force broadcasts its tiny query side as one bnlj)",
       f => f("bhj") >= 2 && f("cartesian") == 0 && f("bnlj") <= 1),
