@@ -1037,6 +1037,28 @@ object LlmQueries {
            |    COALESCE(SUM(n_val * n_test), 0) FROM ph)
            |ORDER BY split_a, split_b""".stripMargin))
 
+  /** Leakage-free content-keyed split ([[Mixing.splitByContent]]): the
+    * ppm band comes from the md5-digest key, so byte-identical docs land
+    * in the same split by construction. The whole assignment is
+    * engine-replayable — the oracle parses the same 15 hex digits and
+    * runs the same permutation (HUGEINT product, exact) — so the gate is
+    * the plain per-document assignment, hash-compared bit-exactly.
+    */
+  val splitByContentQ = OpQ("llm_split_by_content",
+    (s, d) => Mixing.splitByContent(docs(s, d),
+        trainPpm = 900000L, valPpm = 50000L)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, source,
+           |  CASE WHEN slot < 900000 THEN 'train'
+           |       WHEN slot < 950000 THEN 'validation'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, source,
+           |        (CAST(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+           |           AS HUGEINT) * 2654435761) % 4294967311 % 1000000 AS slot
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Packing-efficiency forecast ([[Mixing.packingEfficiency]]): per
     * source × candidate context length, sequence count and padding waste
     * under head-to-tail packing — one corpus scan, candidate lengths
@@ -1961,7 +1983,8 @@ object LlmQueries {
     annBruteForce, annIvf, annLsh, annSq8, annPq,
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
-    splitTrainVal, splitLeakageQ, splitLeakageNearDupQ, packingEfficiencyQ, bpePairs,
+    splitTrainVal, splitByContentQ, splitLeakageQ, splitLeakageNearDupQ,
+    packingEfficiencyQ, bpePairs,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

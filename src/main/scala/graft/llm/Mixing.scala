@@ -68,11 +68,38 @@ object Mixing {
       idCol: String = "doc_id"): DataFrame = {
     require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L,
       "splitTrainValTest: ppm shares must be non-negative and sum <= 1e6")
-    val slot = permute(col(idCol)) % lit(1000000L)
     df.withColumn("split",
-      when(slot < lit(trainPpm), lit("train"))
-        .when(slot < lit(trainPpm + valPpm), lit("validation"))
-        .otherwise(lit("test")))
+      ppmBands(permute(col(idCol)) % lit(1000000L), trainPpm, valPpm))
+  }
+
+  /** train/validation/test name from a slot in [0, 1e6) ppm space. */
+  private def ppmBands(slot: Column, trainPpm: Long, valPpm: Long): Column =
+    when(slot < lit(trainPpm), lit("train"))
+      .when(slot < lit(trainPpm + valPpm), lit("validation"))
+      .otherwise(lit("test"))
+
+  /** LEAKAGE-FREE split: the ppm band is keyed on the CONTENT digest, not
+    * the document id, so byte-identical documents land in the same split
+    * by construction — [[splitLeakage]] on the result is zero by
+    * definition, with no dedup pass and no shuffle (the key, the
+    * permutation and the band are one per-row codegen expression inside
+    * the scan). Near-duplicates still straddle (their digests differ);
+    * pair them with [[splitLeakageNearDup]] or split on a cluster key.
+    *
+    * The content key is the first 15 hex digits of md5 parsed as BIGINT
+    * (< 2^60, exact in a Long) — chosen over Spark's murmur3 `hash()`
+    * because any engine can replay it (`conv(hex,16,10)` here,
+    * `CAST('0x'||substr(md5,1,15) AS BIGINT)` in DuckDB), keeping the
+    * assignment verifiable end-to-end.
+    */
+  def splitByContent(df: DataFrame, trainPpm: Long, valPpm: Long,
+      textCol: String = "text"): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L,
+      "splitByContent: ppm shares must be non-negative and sum <= 1e6")
+    val key = expr(
+      s"cast(conv(substring(md5(`$textCol`), 1, 15), 16, 10) as bigint)")
+    df.withColumn("split",
+      ppmBands(permute(key) % lit(1000000L), trainPpm, valPpm))
   }
 
   /** Cross-split leakage report: exact-duplicate documents that straddle

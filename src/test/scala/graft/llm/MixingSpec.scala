@@ -48,6 +48,31 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("splitByContent co-locates exact duplicates; splitLeakage on it is zero") {
+    // 300 distinct texts, each duplicated under a SECOND unrelated id —
+    // the id-keyed split would scatter many twins across splits; the
+    // content-keyed split must place every twin pair together
+    val docs = ((1L to 300L).map(i => (i, s"content number $i")) ++
+      (1L to 300L).map(i => (i + 100000L, s"content number $i")))
+      .toDF("doc_id", "text")
+    val sp = Mixing.splitByContent(docs, trainPpm = 700000L, valPpm = 150000L)
+    val splitsPerText = sp.groupBy("text")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(splitsPerText === 0L, "twins must share a split")
+    // the leakage report on the content-keyed assignment is all-zero:
+    // recompute splitLeakage's per-hash math against THIS assignment
+    val leak = sp.select(md5(col("text")).as("h"), col("split"))
+      .groupBy("h").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(leak === 0L)
+    // all three bands are populated at this 70/15/15 setting
+    val dist = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist.keySet === Set("train", "validation", "test"), dist.toString)
+    assert(dist("train") > dist("validation") && dist("train") > dist("test"))
+  }
+
   test("packingEfficiency: exact ceil-division sequence and padding math") {
     // source s: 5 + 3 = 8 tokens; source t: 2 tokens
     val docs = Seq(
