@@ -1059,6 +1059,34 @@ object LlmQueries {
            |      FROM documents)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Epoch/upsampling plan ([[Mixing.epochPlan]]): per-source pass
+    * counts to hit a 10M-token budget at length-derived weights — exact
+    * BIGINT plan arithmetic, replayed by the oracle.
+    */
+  val epochPlanQ = OpQ("llm_mix_epoch_plan",
+    (s, d) => {
+      val base = docs(s, d)
+      val weights = base.select(col("source")).distinct()
+        .select(col("source"), (length(col("source")) % 3 + 1).cast("long").as("w"))
+      Mixing.epochPlan(base, weights, budgetTokens = 10000000L)
+        .orderBy(col("source"))
+    },
+    Some("""WITH w AS (SELECT source AS src,
+           |             CAST(length(source) % 3 + 1 AS BIGINT) AS w
+           |           FROM (SELECT DISTINCT source FROM documents)),
+           |sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sumw FROM w),
+           |t AS (SELECT source,
+           |        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS corpus_tokens
+           |      FROM documents GROUP BY source),
+           |p AS (SELECT source, corpus_tokens,
+           |        CAST(w.w * 10000000 // sw.sumw AS BIGINT) AS target_tokens
+           |      FROM t JOIN w ON t.source = w.src CROSS JOIN sw)
+           |SELECT source, corpus_tokens, target_tokens,
+           |  CAST(target_tokens * 1000000 // corpus_tokens AS BIGINT) AS epochs_ppm,
+           |  CAST((target_tokens + corpus_tokens - 1) // corpus_tokens AS BIGINT)
+           |    AS whole_epochs
+           |FROM p ORDER BY source""".stripMargin))
+
   /** Packing-efficiency forecast ([[Mixing.packingEfficiency]]): per
     * source × candidate context length, sequence count and padding waste
     * under head-to-tail packing — one corpus scan, candidate lengths
@@ -1984,7 +2012,7 @@ object LlmQueries {
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
     splitTrainVal, splitByContentQ, splitLeakageQ, splitLeakageNearDupQ,
-    packingEfficiencyQ, bpePairs,
+    packingEfficiencyQ, epochPlanQ, bpePairs,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

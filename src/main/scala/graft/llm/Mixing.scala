@@ -146,6 +146,33 @@ object Mixing {
           |         vt_texts AS leaked_texts, vt_pairs AS leaked_pairs)))""".stripMargin))
   }
 
+  /** Epoch/upsampling plan: given a TOTAL token budget and integer
+    * mixture weights, how many passes (epochs) over each source the
+    * training run needs — the planning step when the budget EXCEEDS the
+    * corpus and sources must repeat ([[mixDomains]] handles the opposite,
+    * downsampling, direction). All BIGINT: per-source target
+    * `w_s·B div W`, epochs in ppm `target·10⁶ div tokens_s` (ceil'd
+    * whole epochs alongside), so the plan is bit-identical on any engine
+    * and any partitioning. One token rollup + a broadcast of the
+    * weight table; sources with no weight are omitted.
+    */
+  def epochPlan(df: DataFrame, weights: DataFrame, budgetTokens: Long,
+      textCol: String = "text", sourceCol: String = "source"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = weights.toDF("__src", "__w").filter(col("__w") > 0)
+    val sumw = w.agg(sum(col("__w")).as("__sumw"))
+    val toks = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("corpus_tokens"))
+    toks.join(broadcast(w), col("source") === col("__src"))
+      .crossJoin(broadcast(sumw))
+      .select(col("source"), col("corpus_tokens"),
+        expr(s"__w * ${budgetTokens}L div __sumw").as("target_tokens"))
+      .withColumn("epochs_ppm",
+        expr("target_tokens * 1000000L div corpus_tokens"))
+      .withColumn("whole_epochs",
+        expr("(target_tokens + corpus_tokens - 1) div corpus_tokens"))
+  }
+
   /** Packing-efficiency forecast: for each source and each candidate
     * context length, the sequence count and padding waste head-to-tail
     * packing ([[packSequences]]) would produce — the capacity-planning

@@ -48,6 +48,23 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("epochPlan: exact integer targets, ppm epochs and ceil'd whole passes") {
+    // a: 10 tokens, b: 5 tokens; weights a=3, b=1, budget 100
+    // → targets a=75, b=25; epochs a=7.5 (7500000 ppm, 8 whole),
+    //   b=5.0 (5000000 ppm, 5 whole)
+    val docs = Seq(
+      (1L, "a", (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "b", (1 to 5).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val weights = Seq(("a", 3L), ("b", 1L), ("c", 0L)).toDF("source", "w")
+    val got = Mixing.epochPlan(docs, weights, budgetTokens = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "a" -> ((10L, 75L, 7500000L, 8L)),
+      "b" -> ((5L, 25L, 5000000L, 5L))))
+  }
+
   test("splitByContent co-locates exact duplicates; splitLeakage on it is zero") {
     // 300 distinct texts, each duplicated under a SECOND unrelated id —
     // the id-keyed split would scatter many twins across splits; the
