@@ -129,6 +129,10 @@ object Dialect {
     // Dune SQL is Trino underneath.
     case "dune" => Trinoish
     case "tableau" => TableauIsh
+    case "exasol" => ExasolIsh
+    case "druid" => DruidIsh
+    // SingleStore (formerly MemSQL) speaks the MySQL protocol and surface.
+    case "singlestore" | "memsql" => MySqlish
     case other => throw new graft.UnsupportedError(s"unknown SQL dialect '$other'")
   }
 
@@ -615,6 +619,79 @@ object Dialect {
         rewriteTableauDateTrunc,
         rewriteTableauDateName,
         rewriteTableauSplit,
+        s => renameFunctions(s, renames, esc = true))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Exasol-ish surface — Oracle-family SQL with Exasol's date-arithmetic
+    * function set: `ADD_DAYS`/`ADD_WEEKS`/`ADD_MONTHS`/`ADD_YEARS`/
+    * `ADD_HOURS`/`ADD_MINUTES`/`ADD_SECONDS` (type-preserving on DATE for
+    * the day-granular forms, timestamp for the sub-day ones),
+    * `DAYS_BETWEEN`/`HOURS_BETWEEN`/`MINUTES_BETWEEN`/`SECONDS_BETWEEN`
+    * (first-minus-second ordering; the sub-day forms return fractional
+    * values like Exasol's DECIMAL results), `ZEROIFNULL`/`NULLIFZERO`
+    * (shared with the Teradata shim), Oracle-style null-matching `DECODE`,
+    * `TO_CHAR`/`TO_DATE` templates (the shared Postgres/Oracle table), and
+    * `TRUNC[ATE](date, 'fmt')` → date_trunc. `INSTR`, `LOCATE`, `NVL`,
+    * `NULLIF`, `SUBSTR`, `LPAD`/`RPAD`, `||` concat, and `MOD(a, b)` are
+    * Spark-native pass-throughs. `YEARS_BETWEEN`/`MONTHS_BETWEEN` are NOT
+    * shimmed (Exasol's fractional-month convention differs from Spark's
+    * `months_between` in end-of-month handling — fail fast rather than
+    * silently drift). Exasol string literals escape by quote doubling only
+    * (backslash is a plain character) and unquoted identifiers fold to
+    * UPPERCASE, both as in Oracle.
+    */
+  case object ExasolIsh extends Dialect {
+    override val nameFold: NameFold = NameFold.Upper
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        s => rewriteDoubleQuotedIdents(s, esc = true),
+        s => rewriteExasolAddUnits(s),
+        s => rewriteExasolBetweenUnits(s),
+        s => rewriteExasolTrunc(s),
+        rewriteOracleDecode,
+        rewriteOracleToDate,
+        rewritePgToChar,
+        s => rewriteTeradataZeroNull(s))
+      steps.foldLeft(sql)((s, f) => f(s))
+    }
+  }
+
+  /** Druid-ish surface — Druid SQL's (Calcite) time-function family over
+    * ISO-8601 period strings: `TIME_FLOOR(ts, 'PT1H')` → date_trunc (unit
+    * periods only — PT1S/PT1M/PT1H/P1D/P1W/P1M/P3M/P1Y; arbitrary periods
+    * have no date_trunc equivalent and fail fast), `TIME_CEIL` (floor
+    * unless already on the boundary, else floor + one unit),
+    * `TIME_SHIFT(ts, 'P2D', n)` → timestampadd with the period count
+    * multiplied through, `TIME_EXTRACT(ts, 'UNIT')` with Druid's unit
+    * names (DOY → dayofyear; DOW is ISO Monday=1 where Spark's dayofweek
+    * is Sunday=1, so the rewrite re-bases; EPOCH → whole epoch seconds),
+    * `TIME_FORMAT(ts, 'pattern')` → date_format (Druid patterns are Joda,
+    * whose year/month/day/hour/minute/second letters match Spark's Java
+    * patterns; exotic Joda-only letters fail at Spark's formatter rather
+    * than silently misformat), `TIME_PARSE` → to_timestamp,
+    * `MILLIS_TO_TIMESTAMP`/`TIMESTAMP_TO_MILLIS`, and integer `DIV(x, y)`
+    * → the `DIV` operator on BIGINT operands. `APPROX_COUNT_DISTINCT` is
+    * the Spark-native name already (Druid's `_DS_HLL`/`_BUILTIN` variants
+    * rename to it). Double-quoted identifiers map to backticks; Druid
+    * table/column names are case-sensitive → Sensitive fold; literals
+    * escape by quote doubling only.
+    */
+  case object DruidIsh extends Dialect {
+    override val nameFold: NameFold = NameFold.Sensitive
+    private val renames = Map(
+      "approx_count_distinct_ds_hll" -> "approx_count_distinct",
+      "approx_count_distinct_builtin" -> "approx_count_distinct")
+    def rewrite(spark: SparkSession, sql: String,
+        schemas: Map[String, StructType]): String = {
+      val steps: Seq[String => String] = Seq(
+        escapeBackslashLiterals,
+        s => rewriteDoubleQuotedIdents(s, esc = true),
+        s => rewriteDruidTime(s),
+        s => rewriteDruidDiv(s),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -2887,5 +2964,159 @@ object Dialect {
           Some(s"try_element_at(split($s, concat('\\\\Q', $d, '\\\\E')), $n)")
         case _ => None
       }
+    }
+
+  /** Exasol ADD_unit date arithmetic. Day-or-coarser forms return DATE
+    * (Spark's `date_add`/`add_months` contract — Exasol's
+    * timestamp-preserving overload of the same names is outside the
+    * shimmed surface); sub-day forms return TIMESTAMP via timestampadd.
+    * One-pass rewrite because ADD_MONTHS maps onto Spark's same-named
+    * function (a re-scanning rewriter would loop on its own output).
+    */
+  private[graft] def rewriteExasolAddUnits(sql: String): String =
+    rewriteCallOnePass(sql,
+      "add_days|add_weeks|add_months|add_years|add_hours|add_minutes|add_seconds",
+      esc = true) { (fn, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError(s"$fn expects (datetime, count)")
+      val (x, n) = (args(0), args(1))
+      fn.toLowerCase match {
+        case "add_days"    => s"date_add($x, CAST($n AS INT))"
+        case "add_weeks"   => s"date_add($x, (7 * CAST($n AS INT)))"
+        case "add_months"  => s"add_months($x, CAST($n AS INT))"
+        case "add_years"   => s"add_months($x, (12 * CAST($n AS INT)))"
+        case "add_hours"   => s"timestampadd(HOUR, CAST($n AS INT), CAST($x AS TIMESTAMP))"
+        case "add_minutes" => s"timestampadd(MINUTE, CAST($n AS INT), CAST($x AS TIMESTAMP))"
+        case _             => s"timestampadd(SECOND, CAST($n AS INT), CAST($x AS TIMESTAMP))"
+      }
+    }
+
+  /** Exasol `*_BETWEEN(a, b)` = a − b (first minus second). DAYS_BETWEEN
+    * on DATEs is integral → datediff; the sub-day forms return fractional
+    * values (Exasol DECIMAL → double here) from the exact epoch-seconds
+    * difference. YEARS/MONTHS_BETWEEN are deliberately absent (fractional-
+    * month conventions differ — fail fast at Spark's resolver).
+    */
+  private[graft] def rewriteExasolBetweenUnits(sql: String): String =
+    rewriteCall(sql, "days_between|hours_between|minutes_between|seconds_between",
+      esc = true) { (fn, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError(s"$fn expects (datetime, datetime)")
+      val (a, b) = (args(0), args(1))
+      val secs = s"(CAST(CAST($a AS TIMESTAMP) AS DOUBLE) - CAST(CAST($b AS TIMESTAMP) AS DOUBLE))"
+      fn.toLowerCase match {
+        case "days_between"    => s"datediff(CAST($a AS DATE), CAST($b AS DATE))"
+        case "hours_between"   => s"($secs / CAST(3600 AS DOUBLE))"
+        case "minutes_between" => s"($secs / CAST(60 AS DOUBLE))"
+        case _                 => secs
+      }
+    }
+
+  /** Exasol 2-arg `TRUNC[ATE](date, 'fmt')` with Oracle format names.
+    * Spark's own `trunc(date, fmt)` covers the DATE-returning year/
+    * quarter/month grains; 'DD' is a plain DATE cast; sub-day grains go
+    * through date_trunc (TIMESTAMP result, as in Exasol). 1-arg TRUNC
+    * (numeric truncation) and non-literal formats pass through untouched.
+    * 'DAY'/'DY' (Oracle-family week start) are NOT mapped — Spark's
+    * trunc('WEEK') is ISO-Monday where Exasol inherits the session-NLS
+    * week start, so the safe move is to fail fast.
+    */
+  private[graft] def rewriteExasolTrunc(sql: String): String =
+    // one-pass: the output is itself a trunc(...) call for the
+    // DATE-grain formats — a re-scanning rewriter would loop on it
+    rewriteCallOnePass(sql, "trunc|truncate", esc = true) { (fn, args) =>
+      args match {
+        case Seq(x, SingleLiteral(f)) =>
+          f.toUpperCase match {
+            case "YYYY" | "YEAR" => s"trunc($x, 'YEAR')"
+            case "Q"             => s"trunc($x, 'QUARTER')"
+            case "MM" | "MONTH"  => s"trunc($x, 'MONTH')"
+            case "DD"            => s"CAST($x AS DATE)"
+            case "HH"            => s"date_trunc('HOUR', CAST($x AS TIMESTAMP))"
+            case "MI"            => s"date_trunc('MINUTE', CAST($x AS TIMESTAMP))"
+            case other => throw new graft.UnsupportedError(
+              s"$fn format '$other' is outside the shimmed surface")
+          }
+        // 1-arg TRUNC is numeric truncation — Spark-native, pass through
+        case _ => s"$fn(${args.mkString(", ")})"
+      }
+    }
+
+  /** Druid ISO-8601 unit period → the (date_trunc / timestampadd) unit
+    * name. Only unit periods have a truncation equivalent. */
+  private def druidUnit(p: String, fn: String): String = p.toUpperCase match {
+    case "PT1S" => "SECOND"
+    case "PT1M" => "MINUTE"
+    case "PT1H" => "HOUR"
+    case "P1D"  => "DAY"
+    case "P1W"  => "WEEK"
+    case "P1M"  => "MONTH"
+    case "P3M"  => "QUARTER"
+    case "P1Y"  => "YEAR"
+    case other => throw new graft.UnsupportedError(
+      s"$fn period '$other' has no unit equivalent in the shimmed surface")
+  }
+
+  private val DruidPeriod = """(?i)^P(\d+)([YMWD])$""".r
+  private val DruidTimePeriod = """(?i)^PT(\d+)([HMS])$""".r
+
+  /** Druid SQL time-function family (see [[DruidIsh]] for semantics). */
+  private[graft] def rewriteDruidTime(sql: String): String =
+    rewriteCallOnePass(sql,
+      "time_floor|time_ceil|time_shift|time_extract|time_format|time_parse|" +
+        "millis_to_timestamp|timestamp_to_millis",
+      esc = true) { (fn, args) =>
+      def ts(x: String) = s"CAST($x AS TIMESTAMP)"
+      (fn.toLowerCase, args) match {
+        case ("time_floor", Seq(x, SingleLiteral(p))) =>
+          s"date_trunc('${druidUnit(p, fn)}', ${ts(x)})"
+        case ("time_ceil", Seq(x, SingleLiteral(p))) =>
+          val u = druidUnit(p, fn)
+          s"(CASE WHEN date_trunc('$u', ${ts(x)}) = ${ts(x)} THEN ${ts(x)} " +
+            s"ELSE timestampadd($u, 1, date_trunc('$u', ${ts(x)})) END)"
+        case ("time_shift", Seq(x, SingleLiteral(p), n)) =>
+          val (count, unit) = p.toUpperCase match {
+            case DruidPeriod(c, "Y") => (c, "YEAR")
+            case DruidPeriod(c, "M") => (c, "MONTH")
+            case DruidPeriod(c, "W") => (c, "WEEK")
+            case DruidPeriod(c, "D") => (c, "DAY")
+            case DruidTimePeriod(c, "H") => (c, "HOUR")
+            case DruidTimePeriod(c, "M") => (c, "MINUTE")
+            case DruidTimePeriod(c, "S") => (c, "SECOND")
+            case other => throw new graft.UnsupportedError(
+              s"$fn period '$other' is outside the shimmed surface")
+          }
+          s"timestampadd($unit, ($count * CAST($n AS INT)), ${ts(x)})"
+        case ("time_extract", Seq(x, SingleLiteral(u))) =>
+          u.toUpperCase match {
+            case "SECOND" | "MINUTE" | "HOUR" | "DAY" | "WEEK" | "MONTH" |
+                 "QUARTER" | "YEAR" =>
+              s"extract(${u.toUpperCase} FROM ${ts(x)})"
+            case "DOY" => s"dayofyear(${ts(x)})"
+            // Druid DOW is ISO (Monday = 1); Spark dayofweek is Sunday = 1
+            case "DOW" => s"(((dayofweek(${ts(x)}) + 5) % 7) + 1)"
+            case "EPOCH" => s"CAST(${ts(x)} AS BIGINT)"
+            case other => throw new graft.UnsupportedError(
+              s"$fn unit '$other' is outside the shimmed surface")
+          }
+        case ("time_format", Seq(x, f)) => s"date_format(${ts(x)}, $f)"
+        case ("time_parse", Seq(x))     => s"to_timestamp($x)"
+        case ("time_parse", Seq(x, f))  => s"to_timestamp($x, $f)"
+        case ("millis_to_timestamp", Seq(x)) => s"timestamp_millis(CAST($x AS BIGINT))"
+        case ("timestamp_to_millis", Seq(x)) => s"unix_millis(${ts(x)})"
+        case (_, got) => throw new graft.UnsupportedError(
+          s"$fn: unsupported argument shape (${got.length} args)")
+      }
+    }
+
+  /** Druid integer `DIV(x, y)` → the DIV operator on BIGINT operands
+    * (Druid DIV is 64-bit integer division, truncating toward zero —
+    * exactly Spark's `DIV`).
+    */
+  private[graft] def rewriteDruidDiv(sql: String): String =
+    rewriteCall(sql, "div", esc = true) { (_, args) =>
+      if (args.length != 2)
+        throw new graft.UnsupportedError("DIV expects (x, y)")
+      s"(CAST(${args(0)} AS BIGINT) DIV CAST(${args(1)} AS BIGINT))"
     }
 }

@@ -1131,6 +1131,130 @@ object DialectQueries {
            |  MIN(monthname(d)) AS first_month_name
            |FROM i GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin))
 
+  /** Exasol surface ([[Dialect.ExasolIsh]]): the ADD_unit /
+    * unit_BETWEEN date-arithmetic family, ZEROIFNULL/NULLIFZERO,
+    * Oracle-style DECODE / TO_CHAR / TO_DATE, 2-arg TRUNC with Oracle
+    * format names, and NVL/NULLIF/MOD pass-throughs. o_orderdate is
+    * midnight-timestamped, so HOURS_BETWEEN's double result is exact
+    * (integral hour counts; the epoch-seconds numerator is an exact
+    * integer below 2^53 on both engines).
+    */
+  val exasol = OpQ("op_dialect_exasol",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  CAST(ADD_DAYS(o_orderdate, 30) AS VARCHAR(10)) AS due30,
+          |  CAST(ADD_WEEKS(o_orderdate, 2) AS VARCHAR(10)) AS due2w,
+          |  CAST(ADD_MONTHS(o_orderdate, 3) AS VARCHAR(10)) AS due3m,
+          |  CAST(ADD_YEARS(o_orderdate, 1) AS VARCHAR(10)) AS due1y,
+          |  ADD_HOURS(o_orderdate, 6) AS t6h,
+          |  CAST(DAYS_BETWEEN(DATE '1998-12-31', o_orderdate) AS BIGINT) AS age_days,
+          |  HOURS_BETWEEN(TIMESTAMP '1999-01-01 00:00:00', o_orderdate) AS age_hours,
+          |  CAST(NULLIFZERO(MOD(o_orderkey, 3)) AS BIGINT) AS nz,
+          |  CAST(ZEROIFNULL(NULLIFZERO(MOD(o_orderkey, 3))) AS BIGINT) AS zn,
+          |  DECODE(o_orderstatus, 'O', 1, 'F', 2, 0) AS st,
+          |  NVL(NULLIF(o_orderstatus, 'P'), 'was_p') AS stat,
+          |  TO_CHAR(o_orderdate, 'YYYY-MM') AS ym,
+          |  CAST(TRUNC(o_orderdate, 'MM') AS VARCHAR(10)) AS mstart,
+          |  CAST(TRUNC(o_orderdate, 'Q') AS VARCHAR(10)) AS qstart
+          |FROM orders
+          |WHERE o_orderdate >= TO_DATE('1997-01-01', 'YYYY-MM-DD')
+          |  AND "o_orderkey" <= 2000
+          |ORDER BY o_orderkey LIMIT 150""".stripMargin,
+        dialect = Dialect.ExasolIsh)
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(o_orderdate::DATE + 30 AS VARCHAR) AS due30,
+           |  CAST(o_orderdate::DATE + 14 AS VARCHAR) AS due2w,
+           |  CAST(CAST(o_orderdate::DATE + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS due3m,
+           |  CAST(CAST(o_orderdate::DATE + INTERVAL 12 MONTH AS DATE) AS VARCHAR) AS due1y,
+           |  o_orderdate + INTERVAL 6 HOUR AS t6h,
+           |  CAST(date_diff('day', o_orderdate::DATE, DATE '1998-12-31') AS BIGINT) AS age_days,
+           |  (epoch(TIMESTAMP '1999-01-01 00:00:00')::DOUBLE
+           |    - epoch(o_orderdate)::DOUBLE) / 3600 AS age_hours,
+           |  CAST(NULLIF(o_orderkey % 3, 0) AS BIGINT) AS nz,
+           |  CAST(COALESCE(NULLIF(o_orderkey % 3, 0), 0) AS BIGINT) AS zn,
+           |  CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END AS st,
+           |  COALESCE(NULLIF(o_orderstatus, 'P'), 'was_p') AS stat,
+           |  strftime(o_orderdate, '%Y-%m') AS ym,
+           |  CAST(date_trunc('month', o_orderdate)::DATE AS VARCHAR) AS mstart,
+           |  CAST(date_trunc('quarter', o_orderdate)::DATE AS VARCHAR) AS qstart
+           |FROM orders
+           |WHERE o_orderdate >= DATE '1997-01-01' AND o_orderkey <= 2000
+           |ORDER BY o_orderkey LIMIT 150""".stripMargin))
+
+  /** Druid surface ([[Dialect.DruidIsh]]): TIME_FLOOR/TIME_CEIL over
+    * unit ISO periods, TIME_SHIFT with a multi-unit period,
+    * TIME_EXTRACT incl. the ISO DOW re-basing, TIME_FORMAT,
+    * MILLIS_TO_TIMESTAMP ∘ TIMESTAMP_TO_MILLIS round-trip, and integer
+    * DIV. Events timestamps are microsecond-precision, so the millis
+    * round-trip truncates identically on both engines (event ts values
+    * are whole seconds in the generator).
+    */
+  val druid = OpQ("op_dialect_druid",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT event_id,
+          |  TIME_FLOOR(ts, 'PT1H') AS hr,
+          |  TIME_FLOOR(ts, 'P1M') AS mo,
+          |  TIME_CEIL(ts, 'P1D') AS next_day,
+          |  TIME_SHIFT(ts, 'P1D', 7) AS plus_week,
+          |  TIME_SHIFT(ts, 'PT1H', -3) AS minus_3h,
+          |  CAST(TIME_EXTRACT(ts, 'HOUR') AS BIGINT) AS h,
+          |  CAST(TIME_EXTRACT(ts, 'DOW') AS BIGINT) AS dow,
+          |  CAST(TIME_EXTRACT(ts, 'DOY') AS BIGINT) AS doy,
+          |  TIME_FORMAT(ts, 'yyyy-MM-dd HH') AS fmt,
+          |  TIMESTAMP_TO_MILLIS(ts) AS ms,
+          |  MILLIS_TO_TIMESTAMP(TIMESTAMP_TO_MILLIS(ts)) AS rt,
+          |  DIV(event_id, 7) AS d7
+          |FROM events WHERE event_id <= 200
+          |ORDER BY event_id""".stripMargin,
+        dialect = Dialect.DruidIsh)
+    },
+    Some("""SELECT event_id,
+           |  date_trunc('hour', ts) AS hr,
+           |  date_trunc('month', ts) AS mo,
+           |  CASE WHEN date_trunc('day', ts) = ts THEN ts
+           |       ELSE date_trunc('day', ts) + INTERVAL 1 DAY END AS next_day,
+           |  ts + INTERVAL 7 DAY AS plus_week,
+           |  ts - INTERVAL 3 HOUR AS minus_3h,
+           |  CAST(extract(hour FROM ts) AS BIGINT) AS h,
+           |  CAST(isodow(ts) AS BIGINT) AS dow,
+           |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+           |  strftime(ts, '%Y-%m-%d %H') AS fmt,
+           |  epoch_ms(ts) AS ms,
+           |  make_timestamp(epoch_ms(ts) * 1000) AS rt,
+           |  (event_id // 7) AS d7
+           |FROM events WHERE event_id <= 200
+           |ORDER BY event_id""".stripMargin))
+
+  /** SingleStore (MemSQL) resolves to the MySQL surface through
+    * `forName("singlestore")` — gated end-to-end with MySQL-flavored
+    * text: GROUP_CONCAT with DISTINCT/ORDER BY/SEPARATOR, %-code
+    * DATE_FORMAT, LOCATE.
+    */
+  val singlestore = OpQ("op_dialect_singlestore",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT user_id, COUNT(*) AS n,
+          |  GROUP_CONCAT(DISTINCT event_type ORDER BY event_type SEPARATOR ',') AS types,
+          |  DATE_FORMAT(MIN(ts), '%Y-%m-%d') AS first_day,
+          |  CAST(MAX(LOCATE('i', event_type)) AS BIGINT) AS max_i_pos
+          |FROM events WHERE user_id <= 30
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+        dialect = Dialect.forName("singlestore"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS n,
+           |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+           |  strftime(MIN(ts), '%Y-%m-%d') AS first_day,
+           |  CAST(MAX(CASE WHEN strpos(event_type, 'i') IS NULL THEN 0
+           |               ELSE strpos(event_type, 'i') END) AS BIGINT) AS max_i_pos
+           |FROM events WHERE user_id <= 30
+           |GROUP BY user_id ORDER BY user_id""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1138,5 +1262,6 @@ object DialectQueries {
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
     athena, starrocks, materialize, teradata, teradataQualify, tableau,
     snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg,
-    mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate)
+    mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
+    exasol, druid, singlestore)
 }
