@@ -82,7 +82,11 @@ object PlanCheck {
       "documented exact-ntile semantics gate; the scale path is op_histogram_equifreq_approx",
     "op_interp_linear" ->
       ("interpolation over the generated Q1-1995 day spine (90 rows, broadcast-sized); " +
-        "per-series corpora use interpolateLinear's partitionCols path"))
+        "per-series corpora use interpolateLinear's partitionCols path"),
+    "llm_retrieval_rrf" ->
+      ("rrfFuse windows partition by query_id; the single-query gate passes a literal " +
+        "query id that constant-folds away — inputs are top-k legs (≤50 rows/query, " +
+        "broadcast-sized), and multi-query fusion keeps the keyed partition"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -460,6 +464,55 @@ object PlanCheck {
     Rule("op_dialect_sqlite_date", "modifier folds stay per-row: pushed filter, one output-sort " +
       "exchange, no joins",
       f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_exasol", "date-arithmetic rewrites stay per-row: pushed filter, one " +
+      "output-sort exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_druid", "TIME_* rewrites stay per-row: pushed filter, one output-sort " +
+      "exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_singlestore", "GROUP_CONCAT path keeps partial aggregation and the pushed " +
+      "user filter; no joins",
+      f => f("pushed_filters") >= 1 && f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_bitmap_distinct", "both bitmap stages map-side combined; the shuffle carries " +
+      "(group, bucket) bitmap rows, no expand, no join",
+      f => f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_url_functions", "parse_url stays per-row inside the scan stage: one output-sort " +
+      "exchange, no joins",
+      f => f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("llm_dsir_weights", "token counts map-side combined; totals broadcast (1-row NL); the " +
+      "ratio join is equi-keyed, never cartesian",
+      f => f("partial_agg") >= 2 && f("bnlj") <= 1 && f("cartesian") == 0 &&
+        f("bhj") + f("smj") + f("shj") >= 1),
+    Rule("llm_retrieval_rrf", "fusion joins are equi-keyed (query, doc) — never cartesian; " +
+      "legs keep map-side combine",
+      f => f("partial_agg") >= 2 && f("cartesian") == 0),
+    Rule("llm_dedup_threshold_sweep", "one pair list feeds the sweep: threshold explode is " +
+      "per-row, aggregates map-side combined, no cartesian",
+      f => f("partial_agg") >= 2 && f("cartesian") == 0),
+    Rule("op_regex_functions", "regex family stays per-row inside the scan stage: one " +
+      "output-sort exchange, no joins",
+      f => f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_agg_argminmax", "arg-extrema/conditional aggregates map-side combined " +
+      "(constant-size partial state), no joins",
+      f => f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_bitwise_functions", "bit aggregates map-side combined over per-row codegen " +
+      "scalars, no joins",
+      f => f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_decimal_exact", "decimal sums map-side combined, no joins",
+      f => f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("llm_corpus_datacard", "both data-card aggregations map-side combined; the " +
+      "(source, md5) pre-group bounds distinct state — no joins, no windows",
+      f => f("partial_agg") >= 2 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

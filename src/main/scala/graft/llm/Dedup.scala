@@ -771,4 +771,39 @@ object Dedup {
     df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_urls"))
+
+  /** Dedup threshold sensitivity sweep — the tuning report a pipeline
+    * runs BEFORE picking its near-dup threshold: for each candidate
+    * threshold, how many pairs qualify, how many documents are touched,
+    * and how many a pairwise keep-min-id purge would remove. One exact
+    * pair list at the LOOSEST threshold ([[prefixFilteredJaccardPairs]],
+    * lossless pruning) is computed once; every tighter threshold is a
+    * pure integer predicate over it (`common·1e6 ≥ τ·union`), so the
+    * sweep costs |pairs|·|thresholds| counted rows, never another corpus
+    * pass. `n_removed_greedy` counts distinct larger-ids in qualifying
+    * pairs (transitivity-free lower bound on the purge;
+    * [[dedupClusterStats]] is the component-exact sibling).
+    */
+  def thresholdSweep(docs: DataFrame, thresholdsPpm: Seq[Long],
+      textCol: String = "text"): DataFrame = {
+    require(thresholdsPpm.nonEmpty, "thresholdsPpm must be non-empty")
+    val base = prefixFilteredJaccardPairs(docs, thresholdsPpm.min, textCol)
+      .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"))
+    val ts = explode(array(thresholdsPpm.sorted.map(lit): _*)).as("threshold_ppm")
+    val q = base.select(ts, col("a_id"), col("b_id"), col("common"),
+        col("na"), col("nb"))
+      .filter(col("common") * 1000000L >=
+        col("threshold_ppm") * (col("na") + col("nb") - col("common")))
+    val pairAgg = q.groupBy(col("threshold_ppm")).agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("b_id")).as("n_removed_greedy"))
+    val docAgg = q.select(col("threshold_ppm"), col("a_id").as("d"))
+      .union(q.select(col("threshold_ppm"), col("b_id").as("d")))
+      .groupBy(col("threshold_ppm"))
+      .agg(countDistinct(col("d")).as("n_docs_touched"))
+    pairAgg.join(docAgg, "threshold_ppm")
+      .select(col("threshold_ppm"), col("n_pairs"), col("n_docs_touched"),
+        col("n_removed_greedy"))
+      .orderBy(col("threshold_ppm"))
+  }
 }

@@ -2001,7 +2001,163 @@ object LlmQueries {
            |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 ORDER BY n_shared DESC, a_id, b_id LIMIT 50""".stripMargin))
 
+  /** DSIR importance weights ([[Mixing.dsirWeights]]): every document
+    * scored by target-vs-raw unigram distribution ratio in exact fixed
+    * point; target slice = English documents. Bit-exact oracle (pure
+    * integer arithmetic end to end).
+    */
+  val dsirWeightsQ = OpQ("llm_dsir_weights",
+    (s, d) => Mixing.dsirWeights(docs(s, d), col("lang") === "en"),
+    Some("""WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+           |              UNNEST(string_split(text, ' ')) AS t FROM documents),
+           |cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS raw_c,
+           |          CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tgt_c
+           |        FROM tok GROUP BY t),
+           |tot AS (SELECT CAST(SUM(raw_c) AS BIGINT) AS raw_total,
+           |               CAST(SUM(tgt_c) AS BIGINT) AS tgt_total FROM cnt),
+           |ppm AS (SELECT t,
+           |          (CAST(1000000 AS BIGINT) * (tgt_c + 1) * raw_total)
+           |            // ((raw_c + 1) * tgt_total) AS p
+           |        FROM cnt, tot)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(p) AS BIGINT) AS score_ppm
+           |FROM tok JOIN ppm USING (t)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Hybrid retrieval via reciprocal-rank fusion ([[TextAnalysis.rrfFuse]]):
+    * BM25 lexical top-50 fused with embedding-cosine top-50 (query =
+    * vector 0; `vec_id` is positionally aligned with `doc_id` in the
+    * generated corpus). Both legs and the fusion are exact fixed-point —
+    * hash-exact oracle including fused ranks.
+    */
+  val retrievalRrf = OpQ("llm_retrieval_rrf",
+    (s, d) => {
+      val bm = TextAnalysis.bm25Rank(docs(s, d),
+          Seq("spark", "vector", "stream"), k = 50)
+        .select(lit(0L).as("query_id"), col("doc_id"), col("score"))
+      val cos = Similarity.bruteForceTopK(emb(s, d), k = 50, queryMaxId = 1)
+        .select(col("a_id").cast("long").as("query_id"),
+          col("b_id").as("doc_id"), col("cosine").as("score"))
+      TextAnalysis.rrfFuse(bm, cos, k = 20)
+    },
+    Some("""WITH lens AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           |  FROM documents),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |               CAST(SUM(dl) AS BIGINT) AS a_tokens FROM lens),
+           |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+           |             FROM documents) t
+           |       WHERE term IN ('spark', 'vector', 'stream')
+           |       GROUP BY doc_id, term),
+           |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |sc AS (SELECT tf.doc_id,
+           |         CAST(FLOOR(CAST(1000000 AS DOUBLE) *
+           |           ((CAST(2*(n_docs - df) + 1 AS DOUBLE) / CAST(2*df + 1 AS DOUBLE)) *
+           |            ((CAST(22 AS DOUBLE)*tf*a_tokens) /
+           |             (CAST(10 AS DOUBLE)*tf*a_tokens + CAST(3 AS DOUBLE)*a_tokens +
+           |              CAST(9 AS DOUBLE)*dl*n_docs)))) AS BIGINT) AS score_term
+           |       FROM tf JOIN dfx USING (term) JOIN lens USING (doc_id), tot),
+           |bm AS (SELECT doc_id, CAST(SUM(score_term) AS BIGINT) AS score
+           |       FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+           |bmr AS (SELECT doc_id,
+           |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           |            AS rank_a FROM bm),
+           |e AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+           |q AS (SELECT * FROM e WHERE vec_id < 1),
+           |dots AS (SELECT c.vec_id AS doc_id,
+           |           SUM(CAST(FLOOR(q.x * c.x * 1000000) AS BIGINT)) AS dot_m,
+           |           SUM(CAST(FLOOR(q.x * q.x * 1000000) AS BIGINT)) AS qq_m,
+           |           SUM(CAST(FLOOR(c.x * c.x * 1000000) AS BIGINT)) AS cc_m
+           |         FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+           |         GROUP BY c.vec_id),
+           |cr AS (SELECT doc_id,
+           |         CAST(row_number() OVER (ORDER BY
+           |           CAST(dot_m AS DOUBLE) /
+           |             (SQRT(CAST(qq_m AS DOUBLE)) * SQRT(CAST(cc_m AS DOUBLE)))
+           |           DESC, doc_id) AS BIGINT) AS rank_b
+           |       FROM dots QUALIFY rank_b <= 50),
+           |f AS (SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id,
+           |        bmr.rank_a, cr.rank_b,
+           |        COALESCE(1000000 // (60 + bmr.rank_a), 0)
+           |          + COALESCE(1000000 // (60 + cr.rank_b), 0) AS rrf_ppm
+           |      FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id)
+           |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, rank_a, rank_b,
+           |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           |  CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+           |    AS fused_rank
+           |FROM f QUALIFY fused_rank <= 20 ORDER BY fused_rank""".stripMargin))
+
+  /** Dedup threshold sensitivity sweep ([[Dedup.thresholdSweep]]): one
+    * exact pair list at 0.5, five thresholds replayed as integer
+    * predicates over it. Same doc_id < 1000 scope as the other exact
+    * pair gates.
+    */
+  val dedupThresholdSweepQ = OpQ("llm_dedup_threshold_sweep",
+    (s, d) => Dedup.thresholdSweep(docs(s, d).filter(col("doc_id") < 1000),
+      Seq(500000L, 600000L, 700000L, 800000L, 900000L)),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+           |               FROM documents WHERE doc_id < 1000),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |        CAST(COUNT(*) AS BIGINT) AS common
+           |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2),
+           |pr AS (SELECT a_id, b_id, common, ca.n AS na, cb.n AS nb
+           |       FROM p JOIN cnt ca ON ca.doc_id = a_id
+           |              JOIN cnt cb ON cb.doc_id = b_id),
+           |ts AS (SELECT UNNEST([500000, 600000, 700000, 800000, 900000])
+           |         AS threshold_ppm),
+           |q AS (SELECT t.threshold_ppm, pr.a_id, pr.b_id FROM pr, ts t
+           |      WHERE pr.common * 1000000 >= t.threshold_ppm * (pr.na + pr.nb - pr.common)),
+           |pa AS (SELECT threshold_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |         CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_removed_greedy
+           |       FROM q GROUP BY 1),
+           |da AS (SELECT threshold_ppm,
+           |         CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_touched
+           |       FROM (SELECT threshold_ppm, a_id AS d FROM q
+           |             UNION ALL SELECT threshold_ppm, b_id FROM q)
+           |       GROUP BY 1)
+           |SELECT CAST(pa.threshold_ppm AS BIGINT) AS threshold_ppm, n_pairs,
+           |  n_docs_touched, n_removed_greedy
+           |FROM pa JOIN da USING (threshold_ppm)
+           |ORDER BY threshold_ppm""".stripMargin))
+
+  /** Per-source corpus data card ([[TextAnalysis.corpusDataCard]]):
+    * volume, language mix, and exact duplicate rate in integer ppm —
+    * the report published with every crawl snapshot. The gate corpus
+    * appends a deterministic duplicated slice (every 10th doc) so the
+    * dup-rate path is non-vacuous. Bit-exact oracle (md5 and integer
+    * division agree across engines).
+    */
+  val corpusDataCardQ = OpQ("llm_corpus_datacard",
+    (s, d) => TextAnalysis.corpusDataCard(
+      docs(s, d).unionAll(docs(s, d).filter(col("doc_id") % 10 === 0))),
+    Some("""WITH d AS (
+           |  SELECT * FROM documents
+           |  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0),
+           |pt AS (
+           |  SELECT source, md5(text) AS fp,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs_fp,
+           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_fp,
+           |    CAST(SUM(length(text)) AS BIGINT) AS ch_fp,
+           |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_fp
+           |  FROM d GROUP BY source, md5(text))
+           |SELECT source,
+           |  CAST(SUM(n_docs_fp) AS BIGINT) AS n_docs,
+           |  CAST(SUM(tok_fp) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(ch_fp) AS BIGINT) AS n_chars,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct_texts,
+           |  CAST(1000000 * SUM(en_fp) // SUM(n_docs_fp) AS BIGINT) AS en_ppm,
+           |  CAST(1000000 * (SUM(n_docs_fp) - COUNT(*)) // SUM(n_docs_fp) AS BIGINT)
+           |    AS dup_ppm
+           |FROM pt GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
+    dsirWeightsQ, retrievalRrf, dedupThresholdSweepQ, corpusDataCardQ,
     textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
     dedupWinnow,
     dedupExact, dedupCrossSource, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,

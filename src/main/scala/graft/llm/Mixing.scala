@@ -453,4 +453,49 @@ object Mixing {
       .select(col(shardCol), col(idCol), col("n_tokens"), col("start_offset"),
         col("seq_id"), col("seq_pos"), col("end_seq_id"))
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw
+    * document by how much its token distribution resembles a TARGET
+    * slice, so the mixture can up-sample target-like data. The paper
+    * weights documents by Π p_target(f)/p_raw(f) over hashed n-gram
+    * features; this gate uses the exact unigram vocabulary and a
+    * fixed-point per-token ratio so the score is integer arithmetic,
+    * bit-reproducible on any engine and partitioning:
+    *
+    *   ppm(t)   = floor(1e6 · (target_count(t)+1) · raw_total
+    *                        / ((raw_count(t)+1) · target_total))
+    *   score(d) = Σ_occurrences ppm(t)   (add-one smoothing both sides)
+    *
+    * The 1e6·(tc+1)·raw_total product stays far below 2^63 for corpora
+    * to ~10¹² tokens of vocab-bounded counts; production at larger
+    * scales moves the ratio to log-space doubles (order-independent
+    * per-token, summed in one pass) — the selection RANKING is what
+    * matters, not the absolute weight. Scale shape: one explode feeding
+    * a map-side-combined token count (raw and target counted in the SAME
+    * aggregation — one shuffle, not two corpus passes), a broadcast
+    * 1-row totals frame, a vocab-sized ratio table joined back on the
+    * token (bucketed equi-join, co-occurrence bounded), and one final
+    * per-doc aggregate.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), isTarget.as("is_target"),
+      explode(split(col(textCol), " ")).as("t"))
+    val counts = tok.groupBy(col("t")).agg(
+      count(lit(1)).as("raw_c"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_c"))
+    val totals = counts.agg(
+      sum(col("raw_c")).as("raw_total"), sum(col("tgt_c")).as("tgt_total"))
+    val ppm = counts.crossJoin(broadcast(totals))
+      .withColumn("ppm", expr(
+        """(CAST(1000000 AS BIGINT) * (tgt_c + 1L) * raw_total)
+          | DIV ((raw_c + 1L) * tgt_total)""".stripMargin.replace("\n", "")))
+      .select(col("t"), col("ppm"))
+    tok.join(ppm, "t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("ppm")).as("score_ppm"))
+      .orderBy(col(idCol))
+  }
 }

@@ -441,4 +441,79 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  /** Per-source corpus data card — the one-page report a pipeline
+    * publishes with every crawl snapshot: volume (docs, tokens, chars),
+    * language mix, and exact duplicate rate, all integer-exact so any two
+    * engines (or two runs on different partitionings) agree bit-for-bit.
+    * `dup_ppm = floor(1e6·(n_docs − distinct md5)/n_docs)` counts docs
+    * beyond the first of each identical text. Scale shape: one explode-free
+    * pass of per-row expressions, then TWO map-side-combined aggregations —
+    * the (source, md5) pre-group bounds the distinct-count shuffle to one
+    * row per distinct text (never a global distinct-state set), and the
+    * final per-source rollup is |sources| rows. No windows, no joins.
+    */
+  def corpusDataCard(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val perRow = docs.select(col(srcCol), col("lang"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      length(col(textCol)).cast("long").as("n_ch"),
+      md5(col(textCol)).as("fp"))
+    val perText = perRow.groupBy(col(srcCol), col("fp")).agg(
+      count(lit(1)).as("n_docs_fp"),
+      sum(col("n_tok")).as("tok_fp"),
+      sum(col("n_ch")).as("ch_fp"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_fp"))
+    perText.groupBy(col(srcCol)).agg(
+        sum(col("n_docs_fp")).as("n_docs"),
+        sum(col("tok_fp")).as("n_tokens"),
+        sum(col("ch_fp")).as("n_chars"),
+        count(lit(1)).as("n_distinct_texts"),
+        sum(col("en_fp")).as("n_en"))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_distinct_texts"),
+        expr("1000000L * n_en div n_docs").as("en_ppm"),
+        expr("1000000L * (n_docs - n_distinct_texts) div n_docs").as("dup_ppm"))
+      .orderBy(col(srcCol))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) — the
+    * standard hybrid-retrieval combiner: each ranking contributes
+    * 1/(k₀ + rank) per document and the fused order is the contribution
+    * sum. Here in exact fixed point (`floor(1e6/(k₀+rank))`), so fused
+    * scores and ties are integer arithmetic — bit-identical on any
+    * engine. Inputs are (query_id, doc_id, score) frames from any two
+    * retrieval legs (lexical BM25 + embedding cosine is the canonical
+    * pair); ranks are dense per query (score desc, doc_id tiebreak), a
+    * document absent from one leg contributes 0 from it, and the output
+    * keeps each leg's rank for observability. Scale shape: two
+    * per-query-partitioned window ranks (top-k legs are k-row per query
+    * — the window never sees the corpus), one full-outer equi-join on
+    * (query_id, doc_id), one more per-query window for the fused top-k.
+    */
+  def rrfFuse(legA: DataFrame, legB: DataFrame, k: Int,
+      k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && k0 > 0, "k and k0 must be positive")
+    def ranked(df: DataFrame, rankName: String) = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      df.select(col("query_id"), col("doc_id"), col("score"))
+        .withColumn(rankName, row_number().over(w).cast("long"))
+        .drop("score")
+    }
+    val a = ranked(legA, "rank_a")
+    val b = ranked(legB, "rank_b")
+    val joined = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"CAST(1000000 AS BIGINT) DIV (${k0}L + rank_a)"), lit(0L)) +
+          coalesce(expr(s"CAST(1000000 AS BIGINT) DIV (${k0}L + rank_b)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    joined.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank_a"), col("rank_b"),
+        col("rrf_ppm"), col("fused_rank"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
 }

@@ -499,4 +499,29 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.getLong(1) === 2L)          // docs 1 and 2 contaminate
     assert(rows.head.getDouble(2) === 1.0)       // doc 1 is an exact copy
   }
+
+  test("thresholdSweep: monotone counts, each row ≡ an independent pair query") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 300)
+    val thresholds = Seq(500000L, 700000L, 900000L)
+    val rows = Dedup.thresholdSweep(docs, thresholds)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // tightening the threshold never adds pairs/docs/removals
+    thresholds.sliding(2).foreach { case Seq(lo, hi) =>
+      val (pl, dl, rl) = rows.getOrElse(lo, (0L, 0L, 0L))
+      val (ph, dh, rh) = rows.getOrElse(hi, (0L, 0L, 0L))
+      assert(ph <= pl && dh <= dl && rh <= rl, s"sweep not monotone at $hi")
+    }
+    // each sweep row matches a from-scratch pair query at that threshold
+    thresholds.foreach { t =>
+      val pairs = Dedup.prefixFilteredJaccardPairs(docs, thresholdPpm = t)
+      val nPairs = pairs.count()
+      if (nPairs == 0L) assert(!rows.contains(t))
+      else {
+        val nRemoved = pairs.select("b_id").distinct().count()
+        assert(rows(t)._1 === nPairs && rows(t)._3 === nRemoved)
+      }
+    }
+  }
 }

@@ -347,4 +347,24 @@ class MixingSpec extends SparkSpec {
       .filter(col("total") =!= col("laid"))
     assert(check.isEmpty)
   }
+
+  test("dsirWeights: exact fixed-point ratio on a hand-computable corpus") {
+    // raw = 6 tokens total, target = 3 ('a a b' doc); per-token ppm:
+    //   a: raw_c=3, tgt_c=2 → 1e6·3·6 / (4·3) = 1_500_000
+    //   b: raw_c=2, tgt_c=1 → 1e6·2·6 / (3·3) = 1_333_333 (floor)
+    //   c: raw_c=1, tgt_c=0 → 1e6·1·6 / (2·3) = 1_000_000
+    val docs = Seq(
+      (1L, "a a b", "en"), (2L, "a b c", "fr")).toDF("doc_id", "text", "lang")
+    val got = Mixing.dsirWeights(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L * 1500000L + 1333333L),
+      (2L, 3L, 1500000L + 1333333L + 1000000L)))
+    // target-like doc outranks the raw-only doc, as DSIR intends
+    assert(got(0)._3 > got(1)._3)
+    // partition-invariant: same scores under a different layout
+    val re = Mixing.dsirWeights(docs.repartition(7), col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq === got.toSeq)
+  }
 }

@@ -92,4 +92,42 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2 === Map("ab" -> 1L))
   }
+
+  test("rrfFuse: exact 1e6/(60+rank) contributions, one-leg docs, ties") {
+    import spark.implicits._
+    // leg A ranks: d10=1, d20=2; leg B ranks: d20=1, d30=2
+    val a = Seq((0L, 10L, 9.0), (0L, 20L, 5.0)).toDF("query_id", "doc_id", "score")
+    val b = Seq((0L, 20L, 2.0), (0L, 30L, 1.0)).toDF("query_id", "doc_id", "score")
+    val got = TextAnalysis.rrfFuse(a, b, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
+    // d20: floor(1e6/62) + floor(1e6/61) = 16129 + 16393 = 32522 → rank 1
+    // d10: floor(1e6/61) = 16393 → rank 2 (absent from B contributes 0)
+    // d30: floor(1e6/62) = 16129 → rank 3
+    assert(got.toSeq === Seq((20L, 32522L, 1L), (10L, 16393L, 2L), (30L, 16129L, 3L)))
+    // equal scores tie-break by doc_id in the leg rank AND the fused rank
+    val t1 = Seq((0L, 2L, 1.0), (0L, 1L, 1.0)).toDF("query_id", "doc_id", "score")
+    val t2 = Seq((0L, 2L, 1.0), (0L, 1L, 1.0)).toDF("query_id", "doc_id", "score")
+    val tied = TextAnalysis.rrfFuse(t1, t2, k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(5)))
+    assert(tied.toSeq === Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("corpusDataCard: exact volume, language mix, and dup rate per source") {
+    // srcA: 3 docs, one exact dup pair, 2 en → en_ppm=666666, dup_ppm=333333
+    // srcB: 1 doc, fr → en_ppm=0, dup_ppm=0
+    val docs = Seq(
+      (1L, "a b c", "en", "srcA"), (2L, "a b c", "en", "srcA"),
+      (3L, "d e", "de", "srcA"), (4L, "x y z w", "fr", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.corpusDataCard(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      ("srcA", 3L, 8L, 13L, 2L, 666666L, 333333L),
+      ("srcB", 1L, 4L, 7L, 1L, 0L, 0L)))
+    // partition-invariant: integer arithmetic end to end
+    val re = TextAnalysis.corpusDataCard(docs.repartition(5)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(6)))
+    assert(re.toSeq === Seq(("srcA", 3L, 333333L), ("srcB", 1L, 0L)))
+  }
 }
