@@ -21,6 +21,7 @@ object SparkEntry {
     }.toMap ++
       ops.OpQueries.all.map(q => q.name -> q.fn).toMap ++
       ops.ExtraQueries.all.map(q => q.name -> q.fn).toMap ++
+      ops.SurfaceQueries.all.map(q => q.name -> q.fn).toMap ++
       ops.DialectQueries.all.map(q => q.name -> q.fn).toMap ++
       llm.LlmQueries.all.map(q => q.name -> q.fn).toMap ++
       streaming.StreamQueries.all.map(q => q.name -> q.fn).toMap
@@ -31,6 +32,7 @@ object SparkEntry {
     TpchQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       ops.OpQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       ops.ExtraQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
+      ops.SurfaceQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       ops.DialectQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       llm.LlmQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
       streaming.StreamQueries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -2131,6 +2131,67 @@ object ExtraQueries {
            |FROM sa FULL OUTER JOIN sb USING (event_type)
            |ORDER BY event_type""".stripMargin))
 
+  /** Exact distinct counting through mergeable fixed-width bitmaps —
+    * the scalable exact-distinct rollup pattern (Spark 3.5+ bitmap
+    * functions). Keys are bucketed by `bitmap_bucket_number` (32768 bits
+    * per bucket) and each (group, bucket) aggregates one 4 KB bitmap via
+    * `bitmap_construct_agg`; `sum(bitmap_count(...))` over buckets is the
+    * exact distinct count. Unlike COUNT(DISTINCT) — whose partial state
+    * is the key SET, so the shuffle carries one row per distinct key —
+    * the bitmap shuffle carries one fixed-size row per (group, bucket):
+    * at 100 TB a billion-key group moves ~30k bitmap rows, not 10⁹ key
+    * rows, and bitmaps OR-merge associatively so AQE re-partitioning
+    * cannot change results. Both aggregations are map-side combined.
+    * Oracle: plain COUNT(DISTINCT) — the semantics being matched.
+    */
+  val bitmapDistinct = OpQ("op_bitmap_distinct",
+    (s, d) => Tables.load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), expr("bitmap_bucket_number(l_suppkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey))").as("bm"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_supp"),
+        count(lit(1)).cast("long").as("n_buckets"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           |  CAST(COUNT(DISTINCT CAST(ceil(l_suppkey / 32768.0) AS BIGINT)) AS BIGINT) AS n_buckets
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin))
+
+  /** URL decomposition — `parse_url` (protocol/host/path/query/fragment
+    * plus single-parameter extraction) over deterministically constructed
+    * URLs, cross-checked against DuckDB regexp extraction of the same
+    * components. Pure per-row expressions inside whole-stage codegen:
+    * zero shuffle, linear at any corpus size.
+    */
+  val urlFunctions = OpQ("op_url_functions",
+    (s, d) => Tables.load(s, d, "documents")
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+        lit("/doc/"), col("doc_id"), lit("?q="), col("lang"),
+        lit("&id="), col("doc_id"), lit("#s1")))
+      .select(col("doc_id"), col("url"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'id')").as("id_param"),
+        expr("parse_url(url, 'REF')").as("fragment"))
+      .orderBy(col("doc_id")),
+    Some("""WITH u AS (
+           |  SELECT doc_id,
+           |    'https://' || source || '.example.com/' || lang || '/doc/' ||
+           |      doc_id || '?q=' || lang || '&id=' || doc_id || '#s1' AS url
+           |  FROM documents)
+           |SELECT doc_id, url,
+           |  regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           |  regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+           |  regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param,
+           |  regexp_extract(url, '#(.*)$', 1) AS fragment
+           |FROM u ORDER BY doc_id""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq,
     histogramEquifreqApprox, skewDiagnose,
@@ -2149,5 +2210,6 @@ object ExtraQueries {
     sourceCsvRoundtrip, sourceJsonRoundtrip, sourcePartitionedParquet,
     sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
     attributionMultitouch, timeseriesVwap, prorate, statsMad,
-    statsWinsorize, snapshotAsOf, cooccurrence, driftCheck)
+    statsWinsorize, snapshotAsOf, cooccurrence, driftCheck,
+    bitmapDistinct, urlFunctions)
 }
