@@ -513,6 +513,18 @@ object PlanCheck {
     Rule("llm_corpus_datacard", "both data-card aggregations map-side combined; the " +
       "(source, md5) pre-group bounds distinct state — no joins, no windows",
       f => f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("llm_filter_funnel", "one conditional-aggregation pass (map-side combined), " +
+      "4-row explode off the aggregate — no joins, no per-doc shuffle",
+      f => f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_string_functions2", "string family stays per-row inside the scan stage: one " +
+      "output-sort exchange, no joins",
+      f => f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_date_functions2", "date family per-row; ORDER BY+LIMIT plans as top-k " +
+      "(no global sort exchange), no joins",
+      f => f("exchange") <= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

@@ -247,6 +247,45 @@ object StressCheck {
       println(f"STRESS mix_token_budget_$label kept=${kept.count()}%d " +
         f"over_quota_sources=$overQuota%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // corpus data card at 1x vs factor-x: the amplified corpus repeats
+    // every text factor× under fresh ids — per source, n_docs scales
+    // EXACTLY factor×, distinct texts stay the 1x count, and dup_ppm
+    // lands at 1e6·(factor−1)/factor (integer div). The (source, md5)
+    // pre-group keeps the distinct-state shuffle at one row per distinct
+    // text at both scales — wall time must track the scan.
+    locally {
+      val srcd = (d: DataFrame) => d
+        .withColumn("source", format_string("src%d", pmod(col("doc_id") % 1000000L, lit(5L))))
+        .withColumn("lang", lit("en"))
+      val card1 = graft.llm.TextAnalysis.corpusDataCard(srcd(docs)).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+      val t0 = System.nanoTime()
+      val cardF = graft.llm.TextAnalysis.corpusDataCard(srcd(docsAmp)).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getLong(6)))
+      val bad = cardF.count { case (s, (nd, dis, dup)) =>
+        val (nd1, dis1) = card1(s)
+        nd != factor * nd1 || dis != dis1 ||
+          dup != 1000000L * (factor * nd1 - dis1) / (factor * nd1)
+      }
+      println(f"STRESS corpus_datacard_${factor}x sources=${cardF.length}%d " +
+        f"invariant_violations=$bad%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    // filter funnel at factor-x: one conditional-agg pass whose counts
+    // must scale EXACTLY factor× (per-row predicates are amplification-
+    // invariant) — and whose output stays 4 rows at any corpus size.
+    locally {
+      val f1 = graft.llm.TextAnalysis.filterFunnel(docs).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      val t0 = System.nanoTime()
+      val fF = graft.llm.TextAnalysis.filterFunnel(docsAmp).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      val bad = fF.count { case (ord, nf, ns) =>
+        val (nf1, ns1) = f1(ord)
+        nf != factor * nf1 || ns != factor * ns1
+      }
+      println(f"STRESS filter_funnel_${factor}x rules=${fF.length}%d " +
+        f"invariant_violations=$bad%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString

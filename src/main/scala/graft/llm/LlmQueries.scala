@@ -78,7 +78,17 @@ object LlmQueries {
     */
   val dedupMinHash = OpQ("llm_dedup_minhash",
     (s, d) => {
-      val res = Dedup.minHashDedup(docs(s, d))
+      // the shingled frame feeds the dedup (signatures + both verify
+      // sides) AND the independent dual-path recheck below — an eager
+      // localCheckpoint computes the O(tokens)-per-row shingling ONCE
+      // for all five consumers (persist+unpersist can't span the lazy
+      // result this gate returns). Gate-scale choice: at corpus scale
+      // the library entry point [[Dedup.minHashDedup]] keeps the
+      // persist-scoped variant instead of materializing shingles.
+      val shingled = Dedup.withShingles(docs(s, d))
+        .select(col("doc_id"), col("shingles")).localCheckpoint(true)
+      val res = Dedup.minHashDedupFromShingles(shingled,
+        docs(s, d).select(col("doc_id")))
       val roots = res.select(col("doc_id").as("keep_id"),
         col("keep_id").as("root_keep"))
       val structural = res.join(roots, Seq("keep_id"))
@@ -86,8 +96,7 @@ object LlmQueries {
           (col("keep_id") <= col("doc_id")).as("root_le_ok"),
           (col("root_keep") === col("keep_id")).as("root_closed_ok"),
           (col("is_dup") === (col("doc_id") =!= col("keep_id"))).as("dup_flag_ok"))
-      val sigCheck = Dedup.minHashSignatures(
-          Dedup.withShingles(docs(s, d)).select(col("doc_id"), col("shingles")), 32)
+      val sigCheck = Dedup.minHashSignatures(shingled, 32)
         .withColumn("sig_hof", expr(
           """flatten(transform(
             |  array(transform(shingles, t -> abs(cast(hash(t) as bigint)))),
@@ -2156,8 +2165,44 @@ object LlmQueries {
            |    AS dup_ppm
            |FROM pt GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Quality-filter funnel ([[TextAnalysis.filterFunnel]]): per-rule
+    * independent fail counts + cumulative stack survivors from one
+    * conditional-aggregation pass. Bit-exact oracle (integer predicates,
+    * cross-multiplied ratios).
+    */
+  val filterFunnelQ = OpQ("llm_filter_funnel",
+    (s, d) => TextAnalysis.filterFunnel(docs(s, d)),
+    Some("""WITH pr AS (
+           |  SELECT n_tok, length(text) - n_tok + 1 AS n_ch,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis
+           |  FROM (SELECT text,
+           |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |        FROM documents)),
+           |r AS (SELECT n_tok BETWEEN 45 AND 500 AS r1,
+           |        n_ch BETWEEN 4 * n_tok AND 6 * n_tok AS r2,
+           |        n_stop >= 2 AS r3, 10 * n_dis >= 3 * n_tok AS r4 FROM pr),
+           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |        CAST(count_if(NOT r1) AS BIGINT) AS f1,
+           |        CAST(count_if(NOT r2) AS BIGINT) AS f2,
+           |        CAST(count_if(NOT r3) AS BIGINT) AS f3,
+           |        CAST(count_if(NOT r4) AS BIGINT) AS f4,
+           |        CAST(count_if(r1) AS BIGINT) AS s1,
+           |        CAST(count_if(r1 AND r2) AS BIGINT) AS s2,
+           |        CAST(count_if(r1 AND r2 AND r3) AS BIGINT) AS s3,
+           |        CAST(count_if(r1 AND r2 AND r3 AND r4) AS BIGINT) AS s4
+           |      FROM r)
+           |SELECT CAST(1 AS BIGINT) AS rule_ord, 'token_count_45_500' AS rule,
+           |  f1 AS n_fail, s1 AS n_survive_cum, n_docs FROM a
+           |UNION ALL SELECT 2, 'chars_per_token_4_6', f2, s2, n_docs FROM a
+           |UNION ALL SELECT 3, 'min_stopword_hits_2', f3, s3, n_docs FROM a
+           |UNION ALL SELECT 4, 'distinct_ratio_30pct', f4, s4, n_docs FROM a
+           |ORDER BY rule_ord""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
     dsirWeightsQ, retrievalRrf, dedupThresholdSweepQ, corpusDataCardQ,
+    filterFunnelQ,
     textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
     dedupWinnow,
     dedupExact, dedupCrossSource, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,

@@ -477,6 +477,58 @@ object TextAnalysis {
       .orderBy(col(srcCol))
   }
 
+  /** Quality-filter funnel — the curation dashboard a pipeline publishes
+    * before committing to a filter stack: for each rule, how many
+    * documents fail it INDEPENDENTLY and how many survive the stack UP
+    * TO that rule (the funnel), so rule order and marginal cost are
+    * visible at a glance. Rules are Gopher-style per-row predicates in
+    * exact integer arithmetic (ratio thresholds cross-multiplied, never
+    * divided): token-count band, chars-per-token band, minimum stopword
+    * hits, minimum distinct-token ratio. Scale shape: ONE conditional
+    * aggregation pass over per-row expressions (no explode, no join —
+    * within-row token work stays in the row), then a 4-row explode off
+    * the single aggregate row. Corpus-size-independent output.
+    */
+  def filterFunnel(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val en = stopwords("en").map(w => s"'$w'").mkString(", ")
+    val perRow = docs.select(
+      expr(s"size(split(`$textCol`, ' '))").cast("long").as("n_tok"),
+      (length(col(textCol)) - expr(s"size(split(`$textCol`, ' '))") + 1)
+        .cast("long").as("n_ch"),
+      expr(s"size(filter(split(`$textCol`, ' '), t -> t IN ($en)))")
+        .cast("long").as("n_stop"),
+      expr(s"size(array_distinct(split(`$textCol`, ' ')))")
+        .cast("long").as("n_dis"))
+      .select(
+        (col("n_tok") >= 45 && col("n_tok") <= 500).as("r1"),
+        (col("n_ch") >= lit(4L) * col("n_tok") &&
+          col("n_ch") <= lit(6L) * col("n_tok")).as("r2"),
+        (col("n_stop") >= 2L).as("r3"),
+        (lit(10L) * col("n_dis") >= lit(3L) * col("n_tok")).as("r4"))
+    val agg = perRow.agg(
+      count(lit(1)).as("n_docs"),
+      expr("count_if(NOT r1)").as("f1"), expr("count_if(NOT r2)").as("f2"),
+      expr("count_if(NOT r3)").as("f3"), expr("count_if(NOT r4)").as("f4"),
+      expr("count_if(r1)").as("s1"),
+      expr("count_if(r1 AND r2)").as("s2"),
+      expr("count_if(r1 AND r2 AND r3)").as("s3"),
+      expr("count_if(r1 AND r2 AND r3 AND r4)").as("s4"))
+    agg.select(explode(expr(
+        """array(
+          |  named_struct('rule_ord', 1L, 'rule', 'token_count_45_500',
+          |    'n_fail', f1, 'n_survive_cum', s1, 'n_docs', n_docs),
+          |  named_struct('rule_ord', 2L, 'rule', 'chars_per_token_4_6',
+          |    'n_fail', f2, 'n_survive_cum', s2, 'n_docs', n_docs),
+          |  named_struct('rule_ord', 3L, 'rule', 'min_stopword_hits_2',
+          |    'n_fail', f3, 'n_survive_cum', s3, 'n_docs', n_docs),
+          |  named_struct('rule_ord', 4L, 'rule', 'distinct_ratio_30pct',
+          |    'n_fail', f4, 'n_survive_cum', s4, 'n_docs', n_docs))""".stripMargin))
+        .as("r"))
+      .select(col("r.rule_ord"), col("r.rule"), col("r.n_fail"),
+        col("r.n_survive_cum"), col("r.n_docs"))
+      .orderBy(col("rule_ord"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) — the
     * standard hybrid-retrieval combiner: each ranking contributes
     * 1/(k₀ + rank) per document and the fused order is the contribution

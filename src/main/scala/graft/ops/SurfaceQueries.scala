@@ -173,6 +173,83 @@ object SurfaceQueries {
            |      FROM lineitem)
            |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Second string-function batch — levenshtein / translate / repeat /
+    * lpad / rpad / reverse / split_part / left / right, the manipulation
+    * layer both engines ship under the same names and semantics
+    * (levenshtein is the classic unit-cost DP on both; split_part is
+    * 1-based on both). Subjects are real corpus words (first/second token
+    * of each document), so edit distances vary per row. Pure per-row
+    * codegen; the only exchange is the output sort.
+    */
+  val stringFunctions2 = OpQ("op_string_functions2",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        expr("split_part(text, ' ', 1)").as("w1"),
+        expr("split_part(text, ' ', 2)").as("w2"))
+      .select(col("doc_id"), col("w1"), col("w2"),
+        levenshtein(col("w1"), col("w2")).cast("long").as("edit_dist"),
+        translate(col("w1"), "aeiou", "AEIOU").as("cap_vowels"),
+        expr("repeat(w2, 2)").as("doubled"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("padded_id"),
+        rpad(col("w1"), 12, ".").as("padded_w"),
+        reverse(col("w1")).as("rev"),
+        expr("left(text, 10)").as("head10"),
+        expr("right(text, 10)").as("tail10"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, w1, w2,
+           |  CAST(levenshtein(w1, w2) AS BIGINT) AS edit_dist,
+           |  translate(w1, 'aeiou', 'AEIOU') AS cap_vowels,
+           |  repeat(w2, 2) AS doubled,
+           |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           |  rpad(w1, 12, '.') AS padded_w,
+           |  reverse(w1) AS rev,
+           |  left(text, 10) AS head10,
+           |  right(text, 10) AS tail10
+           |FROM (SELECT doc_id, text,
+           |        split_part(text, ' ', 1) AS w1,
+           |        split_part(text, ' ', 2) AS w2
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Second date-function batch — end-of-month (`last_day`), month
+    * arithmetic with end-of-month clamping (`add_months` ≡ DuckDB
+    * `+ INTERVAL 1 MONTH`, both clamp Jan 31 + 1 mo → Feb 29), quarter
+    * truncation, day-of-year, ISO week, `make_date`, and day diffs —
+    * all on the DATE-cast order date so the TIMESTAMP physical type
+    * never leaks into the comparison. Dates serialize as strings (the
+    * cross-engine comparator convention). Per-row codegen.
+    */
+  val dateFunctions2 = OpQ("op_date_functions2",
+    (s, d) => t(s, d, "orders")
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .select(col("o_orderkey"),
+        last_day(col("od")).cast("string").as("eom"),
+        add_months(col("od"), 1).cast("string").as("next_month"),
+        date_trunc("quarter", col("od")).cast("date").cast("string")
+          .as("quarter_start"),
+        quarter(col("od")).cast("long").as("q"),
+        dayofyear(col("od")).cast("long").as("doy"),
+        weekofyear(col("od")).cast("long").as("iso_week"),
+        make_date(year(col("od")), month(col("od")), lit(1)).cast("string")
+          .as("month_start"),
+        datediff(col("od"), lit("1992-01-01").cast("date")).cast("long")
+          .as("days_since_epoch_start"))
+      .orderBy(col("o_orderkey")).limit(1000),
+    Some("""SELECT o_orderkey,
+           |  CAST(last_day(od) AS VARCHAR) AS eom,
+           |  CAST(CAST(od + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+           |  CAST(CAST(date_trunc('quarter', od) AS DATE) AS VARCHAR)
+           |    AS quarter_start,
+           |  CAST(quarter(od) AS BIGINT) AS q,
+           |  CAST(dayofyear(od) AS BIGINT) AS doy,
+           |  CAST(weekofyear(od) AS BIGINT) AS iso_week,
+           |  CAST(make_date(CAST(year(od) AS INT), CAST(month(od) AS INT), 1)
+           |    AS VARCHAR) AS month_start,
+           |  CAST(datediff('day', DATE '1992-01-01', od) AS BIGINT)
+           |    AS days_since_epoch_start
+           |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+           |ORDER BY o_orderkey LIMIT 1000""".stripMargin))
+
   val all: Seq[OpQ] = Seq(regexFunctions, aggArgExtrema, bitwiseFunctions,
-    decimalExact)
+    decimalExact, stringFunctions2, dateFunctions2)
 }

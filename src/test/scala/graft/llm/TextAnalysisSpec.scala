@@ -130,4 +130,26 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(6)))
     assert(re.toSeq === Seq(("srcA", 3L, 333333L), ("srcB", 1L, 0L)))
   }
+
+  test("filterFunnel: independent fails and cumulative survivors on a hand corpus") {
+    // doc1: 50 'the of' pairs -> 100 tok, passes r1/r3; FAILS r2 (250
+    //       non-space chars < 4·100) and r4 (2 distinct of 100)
+    // doc2: 'the of' + 48 distinct 5-char words -> 50 tok, 245 chars in
+    //       [200, 300], 2 stopword hits, 50 distinct -> passes ALL
+    // doc3: 10 words incl 'the of' -> FAILS r1 only (45 chars in [40,60])
+    val w2 = ("the of" +: (1 to 48).map(i => f"w${i}%04d")).mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(50)("the of").mkString(" ")),
+      (2L, w2),
+      (3L, "the of aaaaa bbbbb ccccc ddddd eeeee fffff ggggg hhhhh"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.filterFunnel(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "token_count_45_500", 1L, 2L, 3L),   // doc3 too short
+      (2L, "chars_per_token_4_6", 1L, 1L, 3L),  // doc1 avg 2.5
+      (3L, "min_stopword_hits_2", 0L, 1L, 3L),  // every doc has the+of
+      (4L, "distinct_ratio_30pct", 1L, 1L, 3L)))
+  }
 }
