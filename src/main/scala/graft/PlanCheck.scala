@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 131 invariants
-  * across 122 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 160 invariants
+  * across 151 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -510,6 +510,10 @@ object PlanCheck {
     Rule("op_decimal_exact", "decimal sums map-side combined, no joins",
       f => f("partial_agg") >= 2 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_profile_table_approx", "the band join is a broadcast equi-join on " +
+      "column_name over two 4-row frames — never cartesian (the approx tier's HLL " +
+      "aggregate plans as ObjectHashAggregate, so no HashAggregate floor here)",
+      f => f("bhj") >= 1 && f("cartesian") + f("bnlj") == 0),
     Rule("llm_corpus_datacard", "both data-card aggregations map-side combined; the " +
       "(source, md5) pre-group bounds distinct state — no joins, no windows",
       f => f("partial_agg") >= 2 &&
@@ -524,7 +528,7 @@ object PlanCheck {
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_date_functions2", "date family per-row; ORDER BY+LIMIT plans as top-k " +
       "(no global sort exchange), no joins",
-      f => f("exchange") <= 1 &&
+      f => f("topk") >= 1 && f("exchange") <= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

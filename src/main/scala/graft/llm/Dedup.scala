@@ -787,8 +787,14 @@ object Dedup {
   def thresholdSweep(docs: DataFrame, thresholdsPpm: Seq[Long],
       textCol: String = "text"): DataFrame = {
     require(thresholdsPpm.nonEmpty, "thresholdsPpm must be non-empty")
+    // the pair list feeds THREE consumers (pairAgg + both union legs of
+    // docAgg); an eager localCheckpoint prices the prefix-filtered join
+    // pipeline ONCE — without it each consumer replays the Σdf² join and
+    // the 'computed once' contract in the scaladoc is a lie (same rule as
+    // dedupClusterStats' checkpointed pair list)
     val base = prefixFilteredJaccardPairs(docs, thresholdsPpm.min, textCol)
       .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"))
+      .localCheckpoint(true)
     val ts = explode(array(thresholdsPpm.sorted.map(lit): _*)).as("threshold_ppm")
     val q = base.select(ts, col("a_id"), col("b_id"), col("common"),
         col("na"), col("nb"))
@@ -801,9 +807,21 @@ object Dedup {
       .union(q.select(col("threshold_ppm"), col("b_id").as("d")))
       .groupBy(col("threshold_ppm"))
       .agg(countDistinct(col("d")).as("n_docs_touched"))
-    pairAgg.join(docAgg, "threshold_ppm")
-      .select(col("threshold_ppm"), col("n_pairs"), col("n_docs_touched"),
-        col("n_removed_greedy"))
+    // every requested threshold gets a row — a threshold with NO
+    // qualifying pairs reports zeros instead of silently vanishing
+    // (callers index the sweep by threshold)
+    val allTs = docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext
+        .parallelize(thresholdsPpm.sorted.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("threshold_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    allTs.join(pairAgg, Seq("threshold_ppm"), "left")
+      .join(docAgg, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_touched"), lit(0L)).as("n_docs_touched"),
+        coalesce(col("n_removed_greedy"), lit(0L)).as("n_removed_greedy"))
       .orderBy(col("threshold_ppm"))
   }
 }

@@ -2130,9 +2130,12 @@ object LlmQueries {
            |       FROM (SELECT threshold_ppm, a_id AS d FROM q
            |             UNION ALL SELECT threshold_ppm, b_id FROM q)
            |       GROUP BY 1)
-           |SELECT CAST(pa.threshold_ppm AS BIGINT) AS threshold_ppm, n_pairs,
-           |  n_docs_touched, n_removed_greedy
-           |FROM pa JOIN da USING (threshold_ppm)
+           |SELECT CAST(ts.threshold_ppm AS BIGINT) AS threshold_ppm,
+           |  COALESCE(n_pairs, 0) AS n_pairs,
+           |  COALESCE(n_docs_touched, 0) AS n_docs_touched,
+           |  COALESCE(n_removed_greedy, 0) AS n_removed_greedy
+           |FROM ts LEFT JOIN pa USING (threshold_ppm)
+           |        LEFT JOIN da USING (threshold_ppm)
            |ORDER BY threshold_ppm""".stripMargin))
 
   /** Per-source corpus data card ([[TextAnalysis.corpusDataCard]]):

@@ -485,8 +485,13 @@ object Mixing {
     val counts = tok.groupBy(col("t")).agg(
       count(lit(1)).as("raw_c"),
       sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_c"))
+    // fail fast (with a NAMED error, not a DIV-by-zero or silent NULLs)
+    // when the target slice matches nothing — the ratio is undefined then.
+    // assert_true rides the broadcast 1-row totals frame: zero extra pass.
     val totals = counts.agg(
-      sum(col("raw_c")).as("raw_total"), sum(col("tgt_c")).as("tgt_total"))
+        sum(col("raw_c")).as("raw_total"), sum(col("tgt_c")).as("tgt_total"))
+      .filter(expr(
+        "assert_true(tgt_total > 0, 'dsirWeights: target slice is empty')").isNull)
     val ppm = counts.crossJoin(broadcast(totals))
       .withColumn("ppm", expr(
         """(CAST(1000000 AS BIGINT) * (tgt_c + 1L) * raw_total)

@@ -447,15 +447,19 @@ object TextAnalysis {
     * language mix, and exact duplicate rate, all integer-exact so any two
     * engines (or two runs on different partitionings) agree bit-for-bit.
     * `dup_ppm = floor(1e6·(n_docs − distinct md5)/n_docs)` counts docs
-    * beyond the first of each identical text. Scale shape: one explode-free
+    * beyond the first of each identical text; `en_ppm` is the share of
+    * `targetLang` rows in `langCol` (the column name stays `en_ppm` for
+    * gate stability whatever language is targeted). Scale shape: one
+    * explode-free
     * pass of per-row expressions, then TWO map-side-combined aggregations —
     * the (source, md5) pre-group bounds the distinct-count shuffle to one
     * row per distinct text (never a global distinct-state set), and the
     * final per-source rollup is |sources| rows. No windows, no joins.
     */
   def corpusDataCard(docs: DataFrame, srcCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    val perRow = docs.select(col(srcCol), col("lang"),
+      textCol: String = "text", langCol: String = "lang",
+      targetLang: String = "en"): DataFrame = {
+    val perRow = docs.select(col(srcCol), col(langCol).as("lang"),
       size(split(col(textCol), " ")).cast("long").as("n_tok"),
       length(col(textCol)).cast("long").as("n_ch"),
       md5(col(textCol)).as("fp"))
@@ -463,7 +467,7 @@ object TextAnalysis {
       count(lit(1)).as("n_docs_fp"),
       sum(col("n_tok")).as("tok_fp"),
       sum(col("n_ch")).as("ch_fp"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_fp"))
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("en_fp"))
     perText.groupBy(col(srcCol)).agg(
         sum(col("n_docs_fp")).as("n_docs"),
         sum(col("tok_fp")).as("n_tokens"),

@@ -361,6 +361,56 @@ object ExtraQueries {
            |  COUNT(DISTINCT o_orderdate), MIN(o_orderdate), MAX(o_orderdate) FROM t
            |ORDER BY column_name""".stripMargin))
 
+  /** [[Relational.profileApprox]] — the corpus-scale profile tier: one
+    * aggregation pass, HLL sketch per column, NO Expand multiplication
+    * (the exact tier's plan multiplies every scanned row ~(N+1)× for N
+    * countDistinct columns). Gate: exact per-column facts hash-exact
+    * (nulls/min/max + the exact distinct recomputed for the band) and a
+    * 5%-tolerance boolean on the estimate, which the oracle expects TRUE.
+    */
+  val profileTableApprox = OpQ("op_profile_table_approx",
+    (s, d) => {
+      val t = Tables.load(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        col("o_orderdate").cast("string").as("o_orderdate"))
+      val approx = Relational.profileApprox(t)
+      val exact = Relational.profile(t)
+        .select(col("column_name"), col("n_distinct").as("n_distinct_exact"))
+      approx.join(exact, "column_name")
+        .select(col("column_name"), col("n_nulls"), col("min_value"),
+          col("max_value"), col("n_distinct_exact"),
+          (abs(col("n_distinct_approx") - col("n_distinct_exact")).cast("double")
+            <= lit(0.05) * col("n_distinct_exact").cast("double")).as("within_tol"))
+        .orderBy(col("column_name"))
+    },
+    Some("""WITH t AS (SELECT o_orderkey, o_orderstatus,
+           |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
+           |    CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS o_orderdate
+           |  FROM orders)
+           |SELECT 'o_orderkey' AS column_name,
+           |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_value,
+           |  COUNT(DISTINCT o_orderkey) AS n_distinct_exact,
+           |  TRUE AS within_tol FROM t
+           |UNION ALL
+           |SELECT 'o_orderstatus',
+           |  CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  MIN(o_orderstatus), MAX(o_orderstatus),
+           |  COUNT(DISTINCT o_orderstatus), TRUE FROM t
+           |UNION ALL
+           |SELECT 'price_cents',
+           |  CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(MIN(price_cents) AS VARCHAR), CAST(MAX(price_cents) AS VARCHAR),
+           |  COUNT(DISTINCT price_cents), TRUE FROM t
+           |UNION ALL
+           |SELECT 'o_orderdate',
+           |  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  MIN(o_orderdate), MAX(o_orderdate),
+           |  COUNT(DISTINCT o_orderdate), TRUE FROM t
+           |ORDER BY column_name""".stripMargin))
+
   /** Funnel analysis — staged conversion (view → click within the session
     * horizon → purchase) with strictly ordered timestamps, the standard
     * product-analytics rollup. Three conditional aggregates chained by
@@ -2211,5 +2261,5 @@ object ExtraQueries {
     sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
     attributionMultitouch, timeseriesVwap, prorate, statsMad,
     statsWinsorize, snapshotAsOf, cooccurrence, driftCheck,
-    bitmapDistinct, urlFunctions)
+    bitmapDistinct, urlFunctions, profileTableApprox)
 }

@@ -342,6 +342,31 @@ object Relational {
     one.select(expr(s"inline(array($stacked))"))
   }
 
+  /** [[profile]]'s corpus-scale sibling: same per-column report with
+    * `approx_count_distinct(rsd)` in place of exact `countDistinct` —
+    * ONE aggregation pass with a constant-size HLL sketch per column,
+    * no Expand multiplication and no per-value shuffle, so a 100 TB
+    * table pays a single scan. The gate (`op_profile_table_approx`)
+    * cross-checks every estimate against the exact count with a
+    * tolerance boolean; production uses this tier and falls back to
+    * [[profile]] only where exactness is contractual.
+    */
+  def profileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame = {
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val stacked = df.columns.map { c =>
+      s"struct('$c' AS column_name, `__n_$c` AS n_nulls, `__d_$c` AS n_distinct_approx, " +
+        s"`__min_$c` AS min_value, `__max_$c` AS max_value)"
+    }.mkString(", ")
+    one.select(expr(s"inline(array($stacked))"))
+  }
+
   /** Fuzzy string join, edit distance ≤ 1 — deletion-neighborhood
     * blocking (the SymSpell/SymmetricDelete idea): every string expands
     * to itself plus its |s| one-character-deletion variants; two strings

@@ -513,15 +513,15 @@ class DedupSpec extends SparkSpec {
       val (ph, dh, rh) = rows.getOrElse(hi, (0L, 0L, 0L))
       assert(ph <= pl && dh <= dl && rh <= rl, s"sweep not monotone at $hi")
     }
-    // each sweep row matches a from-scratch pair query at that threshold
+    // EVERY requested threshold reports a row (zeros when no pair
+    // qualifies), and each row matches a from-scratch pair query
+    assert(rows.keySet === thresholds.toSet)
     thresholds.foreach { t =>
       val pairs = Dedup.prefixFilteredJaccardPairs(docs, thresholdPpm = t)
       val nPairs = pairs.count()
-      if (nPairs == 0L) assert(!rows.contains(t))
-      else {
-        val nRemoved = pairs.select("b_id").distinct().count()
-        assert(rows(t)._1 === nPairs && rows(t)._3 === nRemoved)
-      }
+      val nRemoved =
+        if (nPairs == 0L) 0L else pairs.select("b_id").distinct().count()
+      assert(rows(t)._1 === nPairs && rows(t)._3 === nRemoved)
     }
   }
 }

@@ -366,5 +366,12 @@ class MixingSpec extends SparkSpec {
     val re = Mixing.dsirWeights(docs.repartition(7), col("lang") === "en")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(re.toSeq === got.toSeq)
+    // empty target slice fails fast with a NAMED error, not DIV-by-zero
+    val err = intercept[Exception] {
+      Mixing.dsirWeights(docs, col("lang") === "xx").collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("target slice is empty") ||
+        Option(err.getCause).exists(_.getMessage.contains("target slice is empty"))))
   }
 }

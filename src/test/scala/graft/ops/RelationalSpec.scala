@@ -608,4 +608,19 @@ class RelationalSpec extends SparkSpec {
     val const = (1 to 5).map(i => (i.toLong, "c", 42L)).toDF("id", "grp", "v")
     assert(Relational.madOutliers(const, "v", Seq("grp")).count() === 0)
   }
+
+  test("profileApprox: no Expand in the plan (the exact tier's multiplier), sane estimates") {
+    val df = (1 to 2000).map(i => (i.toLong, s"s${i % 7}")).toDF("id", "tag")
+    // the EXACT tier's multi-countDistinct plans an Expand; the approx
+    // tier must not — that is the entire point of the sketch path
+    val exactPlan = Relational.profile(df).queryExecution.executedPlan.toString
+    val approxPlan = Relational.profileApprox(df).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+    assert(!approxPlan.contains("Expand"))
+    val rows = Relational.profileApprox(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("id")._1 === 0L && rows("tag")._1 === 0L)
+    assert(rows("tag")._2 === 7L)                       // tiny card: exact
+    assert(math.abs(rows("id")._2 - 2000L) <= 100L)     // rsd 2% on 2000
+  }
 }
