@@ -213,6 +213,28 @@ object Examples {
       println(s"example14(tableau IF/IIF/COUNTD): ${rows.mkString(",")}")
     }
 
+    // example15: the corpus-curation reporting surface end to end on an
+    // inline corpus — data card (volume/lang/dup ppm), quality-filter
+    // funnel (independent fails + stack survivors), dedup threshold
+    // sweep (one pair list, many thresholds)
+    locally {
+      import spark.implicits._
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "web"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "web"),
+        (3L, "der schnelle braune fuchs springt", "de", "web"),
+        (4L, "a completely different document about spark and data", "en", "books"))
+        .toDF("doc_id", "text", "lang", "source")
+      val card = llm.TextAnalysis.corpusDataCard(docs).collect()
+        .map(r => s"${r.getString(0)}:docs=${r.getLong(1)},dup_ppm=${r.getLong(6)}")
+      val funnel = llm.TextAnalysis.filterFunnel(docs).collect()
+        .map(r => s"${r.getString(1)}:${r.getLong(2)}fail/${r.getLong(3)}live")
+      val sweep = llm.Dedup.thresholdSweep(docs, Seq(500000L, 990000L)).collect()
+        .map(r => s"${r.getLong(0)}:${r.getLong(1)}pairs")
+      println(s"example15(curation reports): card=${card.mkString(",")} " +
+        s"funnel=${funnel.mkString(",")} sweep=${sweep.mkString(",")}")
+    }
+
     spark.stop()
   }
 }
