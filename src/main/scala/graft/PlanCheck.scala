@@ -34,6 +34,7 @@ object PlanCheck {
       "exchange" -> count("Exchange "),
       "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length,
       "bloom" -> count("(?i)might_contain"),
+      "dpp" -> count("(?i)dynamicpruning"),
       "global_window" -> globalWindows(plan))
   }
 
@@ -510,6 +511,9 @@ object PlanCheck {
     Rule("op_decimal_exact", "decimal sums map-side combined, no joins",
       f => f("partial_agg") >= 2 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_join_dpp", "the fact scan carries a dynamicpruningexpression partition " +
+      "filter (runtime dim-driven pruning), the dim broadcasts, never cartesian",
+      f => f("dpp") >= 1 && f("bhj") >= 1 && f("cartesian") + f("bnlj") == 0),
     Rule("op_profile_table_approx", "the band join is a broadcast equi-join on " +
       "column_name over two 4-row frames — never cartesian (the approx tier's HLL " +
       "aggregate plans as ObjectHashAggregate, so no HashAggregate floor here)",

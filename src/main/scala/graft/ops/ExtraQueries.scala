@@ -1752,6 +1752,49 @@ object ExtraQueries {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Dynamic partition pruning — the scan-scale feature that makes
+    * dim-filtered fact queries cheap on partitioned storage: the fact
+    * side is a parquet table PARTITIONED BY the join key's column, the
+    * dim side carries a selective non-partition-column filter, and
+    * Catalyst injects `dynamicpruningexpression(...)` into the fact
+    * scan's PartitionFilters so only the dim-surviving partitions are
+    * read — at 100 TB that is the difference between scanning 2/5 of the
+    * table and all of it, decided AT RUNTIME from the broadcast dim rows
+    * (a static filter can't do it: the pruning predicate is on `tier`,
+    * not the partition column). Staged once per SF (write-if-missing,
+    * same contract as the bucketed-join stage); the oracle replays the
+    * join over the ORIGINAL table — pruning must be invisible to
+    * results. The PlanCheck rule pins `dpp >= 1`.
+    */
+  val joinDpp = OpQ("op_join_dpp",
+    (s, d) => {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val factPath = s"$stageDir/dpp_orders_$tag"
+      if (!new java.io.File(factPath).exists())
+        Sources.writeParquet(
+          Tables.load(s, d, "orders").select(col("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority")),
+          factPath, partitionBy = Seq("o_orderpriority"))
+      val dimPath = s"$stageDir/dpp_pri_$tag"
+      if (!new java.io.File(dimPath).exists())
+        Sources.writeParquet(
+          Tables.load(s, d, "orders").select(col("o_orderpriority")).distinct()
+            .withColumn("tier", substring(col("o_orderpriority"), 1, 1)),
+          dimPath)
+      val fact = Sources.parquet(s, factPath)
+      val dim = Sources.parquet(s, dimPath).filter(col("tier").isin("1", "2"))
+      fact.join(broadcast(dim), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(Relational.cents(col("o_totalprice"))).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM orders
+           |WHERE substring(o_orderpriority, 1, 1) IN ('1', '2')
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   /** Snapshot diff ([[Relational.snapshotDiff]]) — two dated snapshots of
     * `orders` derived deterministically from the base table (A drops
     * keys ≡3 mod 17; B drops keys ≡2 mod 19 and bumps price 5% for keys
@@ -2261,5 +2304,5 @@ object ExtraQueries {
     sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
     attributionMultitouch, timeseriesVwap, prorate, statsMad,
     statsWinsorize, snapshotAsOf, cooccurrence, driftCheck,
-    bitmapDistinct, urlFunctions, profileTableApprox)
+    bitmapDistinct, urlFunctions, profileTableApprox, joinDpp)
 }
