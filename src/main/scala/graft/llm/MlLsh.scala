@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, BucketedRandomProjectionLSH}
-import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -50,8 +49,11 @@ object MlLsh {
     */
   def embeddingPairsMl(embeddings: DataFrame, maxL2: Double,
       bucketLength: Double = 0.5, numHashTables: Int = 4): DataFrame = {
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val vec = embeddings.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    // spark.ml ships this conversion (array_to_vector) — null-safe, no
+    // hand-rolled closure UDF that would NPE on a NULL embedding row
+    val vec = embeddings.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(
+        expr("transform(embedding, x -> cast(x as double))")).as("features"))
     val model = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42)

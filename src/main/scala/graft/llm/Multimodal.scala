@@ -71,18 +71,6 @@ object Multimodal {
     blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
       (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff
 
-  /** Image decode, `mapPartitions` form — the shape a native codec
-    * (JNI/JavaCPP) integration takes: per-partition batched iteration over
-    * binary payloads, one decoded-metadata row out per blob. PNG and JPEG
-    * payloads (magic-sniffed) get a REAL decode: `javax.imageio.ImageIO`
-    * pixels + color model (headless-safe, no native deps). Bytes that pass
-    * the sniff but fail to decode (truncated/corrupt file) raise a
-    * descriptive error naming the doc_id — ImageIO.read returns null there,
-    * and an opaque executor NPE would be the worst possible surface for
-    * real-world corrupt data. Other payloads keep the deterministic
-    * stand-in of [[decodeImageMeta]] so the two paths cross-check each
-    * other in tests and text-blob pipelines stay exactly reproducible.
-    */
   /** Shared magic-sniff + decode-or-stand-in for every pixel operator —
     * ONE definition of the degradation contract (image-magic payloads
     * that fail to decode raise naming the doc_id; non-image payloads get
@@ -114,6 +102,13 @@ object Multimodal {
     }
   }
 
+  /** Image decode, `mapPartitions` form — the shape a native codec
+    * (JNI/JavaCPP) integration takes: per-partition batched iteration over
+    * binary payloads, one decoded-metadata row out per blob, with
+    * [[decodePixels]]'s degradation contract (real ImageIO decode for
+    * magic-sniffed PNG/JPEG, descriptive doc_id-naming error on corrupt
+    * bytes, deterministic stand-in otherwise).
+    */
   def decodeImagePartitioned(spark: SparkSession, withBlob: DataFrame): DataFrame = {
     val rdd = withBlob.select(col("doc_id"), col("blob")).rdd.mapPartitions { it =>
       it.map { row =>
@@ -330,6 +325,14 @@ object Multimodal {
           val ch = fmt.getChannels
           val frames = in.getFrameLength.toInt
           val pcm = in.readAllBytes()
+          // a truncated data chunk (header claims more frames than the
+          // bytes deliver) must raise naming the doc_id, not fall through
+          // to an opaque executor ArrayIndexOutOfBoundsException below
+          if (pcm.length < frames.toLong * ch * 2)
+            throw new IllegalArgumentException(
+              s"doc_id=$id: WAV header declares $frames frames x $ch ch " +
+                s"(${frames.toLong * ch * 2} bytes) but data chunk has only " +
+                s"${pcm.length} bytes — truncated payload")
           var f = 0
           var kept = 0L
           var sum = 0L

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.ScaledDotMicros.scaled_dot_micros
@@ -29,11 +29,26 @@ object Similarity {
     * columns of `e`.
     */
   private def withNorm(e: DataFrame, vecCol: String): DataFrame =
-    e.withColumn("vd", expr(s"transform($vecCol, x -> cast(x as double))"))
+    e.withColumn("vd", expr(s"transform(`$vecCol`, x -> cast(x as double))"))
       .withColumn("norm_m", scaled_dot_micros(col("vd"), col("vd")))
 
-  /** Exact brute-force cosine top-k for the query set `queryPred` (e.g.
-    * `col("vec_id") < 5`). Cosine = Σ⌊xᵢyᵢ·10⁶⌋ / (√Σ⌊xᵢ²·10⁶⌋·√Σ⌊yᵢ²·10⁶⌋)
+  /** Quantized cosine over the standard (dot_m, a_norm, b_norm) columns,
+    * with a zero-norm guard: a vector whose components are all |x| < 1e-3
+    * quantizes to norm 0, and the raw IEEE division would emit NaN/∞ —
+    * which desc-sort ABOVE every real cosine and would crown a garbage
+    * candidate rank 1. Degenerate rows rank LAST instead (cosine −2.0,
+    * below the [−1, 1] range). The guard only changes undefined-input
+    * behavior; on any vector with a nonzero quantized norm the expression
+    * tree is the identical one the DuckDB oracles replay.
+    */
+  private def guardedCosine: Column =
+    when(col("a_norm") > 0L && col("b_norm") > 0L,
+      col("dot_m").cast("double") /
+        (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+      .otherwise(lit(-2.0))
+
+  /** Exact brute-force cosine top-k for the query rows (`id < queryMaxId`).
+    * Cosine = Σ⌊xᵢyᵢ·10⁶⌋ / (√Σ⌊xᵢ²·10⁶⌋·√Σ⌊yᵢ²·10⁶⌋)
     * — quantized at 1e-6 but exactly reproducible across engines and
     * reduction orders.
     */
@@ -45,9 +60,7 @@ object Similarity {
     val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"), col("norm_m").as("b_norm"))
     val dots = q.join(c, col("a_id") =!= col("b_id"))
       .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
-      .withColumn("cosine",
-        col("dot_m").cast("double") /
-          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+      .withColumn("cosine", guardedCosine)
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("cosine"), col("rn"))
@@ -67,7 +80,7 @@ object Similarity {
   def sq8TopK(embeddings: DataFrame, k: Int = 5, queryMaxId: Long = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val base = embeddings.select(col(idCol), expr(
-      s"transform($vecCol, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT))")
+      s"transform(`$vecCol`, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127) AS BIGINT))")
       .as("qd"))
     val q = base.select(col(idCol).as("a_id"), col("qd").as("a_qd"))
       .filter(col("a_id") < queryMaxId)
@@ -97,9 +110,7 @@ object Similarity {
       col("norm_m").as("b_norm"), col("cell"))
     val dots = q.join(c, Seq("cell")).filter(col("a_id") =!= col("b_id"))
       .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
-      .withColumn("cosine",
-        col("dot_m").cast("double") /
-          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+      .withColumn("cosine", guardedCosine)
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("a_id"), col("cell"), col("b_id"), col("cosine"), col("rn"))
@@ -140,7 +151,11 @@ object Similarity {
       col("vd").as("b_vd"), col("norm_m").as("b_norm"))
     val dropIds = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
       .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
-      .filter(col("dot_m").cast("double") >=
+      // zero-norm guard: a degenerate vector (all |x| < 1e-3 quantizes to
+      // norm 0) must never flag a NEIGHBOR as its duplicate — without it
+      // the test collapses to dot_m ≥ 0 and unrelated rows get dropped
+      .filter(col("a_norm") > 0L && col("b_norm") > 0L &&
+        col("dot_m").cast("double") >=
         lit(threshold) * sqrt(col("a_norm").cast("double")) *
           sqrt(col("b_norm").cast("double")))
       .select(col("b_id").as("drop_id")).distinct()
@@ -179,6 +194,13 @@ object Similarity {
     val dsub = dims / m
     require(dsub >= 4, "each subspace needs >= 4 dims for the 4 sign bits")
     val base = withNorm(embeddings.select(col(idCol), col(vecCol)), vecCol)
+      // fail fast with a NAMED per-row error on a dims mismatch — without
+      // it element_at past the end is an opaque ANSI abort (or, non-ANSI,
+      // silent NULL codes and a corrupted shortlist), and longer vectors
+      // would silently quantize only a prefix
+      .filter(expr(s"""assert_true(size(vd) = $dims,
+           concat('pqTopK: expected $dims-dim vectors, got ', size(vd),
+                  ' at id ', `$idCol`))""").isNull)
       .withColumn("vm", expr("transform(vd, x -> CAST(FLOOR(x * 1000000) AS BIGINT))"))
     // ONE generator pass builds every (subspace, code, subvector) row —
     // the m-way unionAll alternative re-scans the corpus m times per use.
@@ -227,9 +249,7 @@ object Similarity {
     val c = base.select(col(idCol).as("b_id"), col("vd").as("b_vd"), col("norm_m").as("b_norm"))
     val refined = cands.join(q, "a_id").join(c, "b_id")
       .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
-      .withColumn("cosine",
-        col("dot_m").cast("double") /
-          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+      .withColumn("cosine", guardedCosine)
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     refined.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("cosine"), col("rn"))
@@ -260,9 +280,7 @@ object Similarity {
       col("norm_m").as("b_norm"), col("bucket"))
     val dots = q.join(c, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
       .withColumn("dot_m", scaled_dot_micros(col("a_vd"), col("b_vd")))
-      .withColumn("cosine",
-        col("dot_m").cast("double") /
-          (sqrt(col("a_norm").cast("double")) * sqrt(col("b_norm").cast("double"))))
+      .withColumn("cosine", guardedCosine)
     val w = Window.partitionBy(col("a_id")).orderBy(col("cosine").desc, col("b_id"))
     dots.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("a_id"), col("bucket"), col("b_id"), col("cosine"), col("rn"))

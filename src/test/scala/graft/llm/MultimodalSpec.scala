@@ -113,6 +113,22 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"))
   }
 
+  test("truncated WAV (header claims more frames than the data has) raises naming the doc_id") {
+    import spark.implicits._
+    val whole = Multimodal.syntheticWavBlobs(docs.limit(1)).collect().head
+    val blob = whole.getAs[Array[Byte]]("blob")
+    // cut the data chunk in half but keep the 44-byte header intact: the
+    // declared frame count now exceeds the delivered bytes
+    val truncated = java.util.Arrays.copyOf(blob, 44 + (blob.length - 44) / 2)
+    val frame = Seq((whole.getLong(0), truncated)).toDF("doc_id", "blob")
+    val err = intercept[Exception] {
+      Multimodal.resampleAudioPartitioned(spark, frame).collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("truncated payload") && msgs.contains("doc_id="))
+  }
+
   test("resampleAudioPartitioned: factor 1 is identity, factor 2 halves, checksum matches scalar reference") {
     val blobs = Multimodal.syntheticWavBlobs(docs)
     val id1 = Multimodal.resampleAudioPartitioned(spark, blobs, factor = 1)

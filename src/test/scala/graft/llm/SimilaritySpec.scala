@@ -166,4 +166,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got === Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
   }
+
+  test("zero-norm vectors rank LAST in top-k and never flag neighbors as dups") {
+    // id 6 quantizes to norm 0 (all |x| < 1e-3): raw IEEE cosine would be
+    // NaN (sorts FIRST under desc) — the guard must rank it last instead
+    val withZero = vecs.unionAll(Seq(
+      (6L, Array(1e-4f, 1e-4f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val top = Similarity.bruteForceTopK(withZero, k = 2, queryMaxId = 1).collect()
+    assert(top.map(_.getAs[Long]("b_id")).toSeq === Seq(1L, 2L)) // not 6
+    // semanticDedup: the zero vector shares cell 0 with ids 0-2; without
+    // the norm guard every higher-id cellmate would satisfy dot >= t*0
+    val dup = Similarity.semanticDedup(withZero, threshold = 0.92,
+        cellCol = "label")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(dup(6L) === false)             // degenerate row is not a "dup"
+    assert(dup(5L) === false)             // lone cell-2 vector untouched
+  }
+
+  test("pqTopK raises a doc-naming error on a dims mismatch") {
+    val err = intercept[Exception] {
+      Similarity.pqTopK(vecs, k = 1, queryMaxId = 1, m = 2, dims = 8).collect()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("expected 8-dim vectors"))
+  }
 }
