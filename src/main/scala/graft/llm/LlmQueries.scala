@@ -2025,16 +2025,19 @@ object LlmQueries {
            |tot AS (SELECT CAST(SUM(raw_c) AS BIGINT) AS raw_total,
            |               CAST(SUM(tgt_c) AS BIGINT) AS tgt_total FROM cnt),
            |ppm AS (SELECT t,
-           |          (CAST(1000000 AS BIGINT) * (tgt_c + 1) * raw_total)
-           |            // ((raw_c + 1) * tgt_total) AS p
-           |        FROM cnt, tot)
-           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           |  CAST(SUM(p) AS BIGINT) AS score_ppm
-           |FROM tok JOIN ppm USING (t)
-           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+           |          CAST((CAST(1000000 AS HUGEINT) * (tgt_c + 1) * raw_total)
+           |            // (CAST(raw_c + 1 AS HUGEINT) * tgt_total) AS BIGINT) AS p
+           |        FROM cnt, tot),
+           |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |         CAST(SUM(p) AS BIGINT) AS score_ppm
+           |       FROM tok JOIN ppm USING (t) GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+           |  COALESCE(score_ppm, 0) AS score_ppm
+           |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
 
   /** Hybrid retrieval via reciprocal-rank fusion ([[TextAnalysis.rrfFuse]]):
-    * BM25 lexical top-50 fused with embedding-cosine top-50 (query =
+    * BM25 lexical top-50 fused with embedding-cosine top-50 (ppb fixed point) (query =
     * vector 0; `vec_id` is positionally aligned with `doc_id` in the
     * generated corpus). Both legs and the fusion are exact fixed-point —
     * hash-exact oracle including fused ranks.
@@ -2089,12 +2092,12 @@ object LlmQueries {
            |       FROM dots QUALIFY rank_b <= 50),
            |f AS (SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id,
            |        bmr.rank_a, cr.rank_b,
-           |        COALESCE(1000000 // (60 + bmr.rank_a), 0)
-           |          + COALESCE(1000000 // (60 + cr.rank_b), 0) AS rrf_ppm
+           |        COALESCE(1000000000 // (60 + bmr.rank_a), 0)
+           |          + COALESCE(1000000000 // (60 + cr.rank_b), 0) AS rrf_ppb
            |      FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id)
            |SELECT CAST(0 AS BIGINT) AS query_id, doc_id, rank_a, rank_b,
-           |  CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
-           |  CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+           |  CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
+           |  CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS BIGINT)
            |    AS fused_rank
            |FROM f QUALIFY fused_rank <= 20 ORDER BY fused_rank""".stripMargin))
 

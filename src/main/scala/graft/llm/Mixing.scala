@@ -467,16 +467,23 @@ object Mixing {
     *                        / ((raw_count(t)+1) · target_total))
     *   score(d) = Σ_occurrences ppm(t)   (add-one smoothing both sides)
     *
-    * The 1e6·(tc+1)·raw_total product stays far below 2^63 for corpora
-    * to ~10¹² tokens of vocab-bounded counts; production at larger
-    * scales moves the ratio to log-space doubles (order-independent
-    * per-token, summed in one pass) — the selection RANKING is what
-    * matters, not the absolute weight. Scale shape: one explode feeding
-    * a map-side-combined token count (raw and target counted in the SAME
-    * aggregation — one shuffle, not two corpus passes), a broadcast
-    * 1-row totals frame, a vocab-sized ratio table joined back on the
-    * token (bucketed equi-join, co-occurrence bounded), and one final
-    * per-doc aggregate.
+    * The 1e6·(tc+1)·raw_total product is computed in DECIMAL(38,0) —
+    * BIGINT would overflow once (tgt_c+1)·raw_total > ~9.2·10¹⁸, which a
+    * billion-token corpus with a realistic target slice already crosses;
+    * decimal holds exactly to ~10¹⁵ raw tokens (product ≤ 1e6·raw²
+    * < 10³⁸), and the final per-token ppm fits BIGINT comfortably.
+    * Production beyond that moves the ratio to log-space doubles
+    * (order-independent per-token, summed in one pass) — the selection
+    * RANKING is what matters, not the absolute weight. Scale shape: one
+    * explode feeding a map-side-combined token count (raw and target
+    * counted in the SAME aggregation — one counted shuffle; the probe
+    * side re-scans the corpus rather than caching the exploded frame,
+    * the cheaper trade at corpus scale), a broadcast 1-row totals frame,
+    * a vocab-sized ratio table BROADCAST back onto the token stream (a
+    * shuffled join would funnel every stopword occurrence to one
+    * partition), and one final per-doc aggregate. Documents with NULL
+    * text score 0 over 0 tokens — present in the output, never silently
+    * dropped.
     */
   def dsirWeights(docs: DataFrame, isTarget: Column,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -494,13 +501,19 @@ object Mixing {
         "assert_true(tgt_total > 0, 'dsirWeights: target slice is empty')").isNull)
     val ppm = counts.crossJoin(broadcast(totals))
       .withColumn("ppm", expr(
-        """(CAST(1000000 AS BIGINT) * (tgt_c + 1L) * raw_total)
-          | DIV ((raw_c + 1L) * tgt_total)""".stripMargin.replace("\n", "")))
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (tgt_c + 1L) * raw_total)
+          | DIV (CAST(raw_c + 1L AS DECIMAL(38,0)) * tgt_total) AS BIGINT)"""
+          .stripMargin.replace("\n", "")))
       .select(col("t"), col("ppm"))
-    tok.join(ppm, "t")
+    val scored = tok.join(broadcast(ppm), "t")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum(col("ppm")).as("score_ppm"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
       .orderBy(col(idCol))
   }
 }

@@ -459,10 +459,17 @@ object TextAnalysis {
   def corpusDataCard(docs: DataFrame, srcCol: String = "source",
       textCol: String = "text", langCol: String = "lang",
       targetLang: String = "en"): DataFrame = {
+    // NULL text is normalized to explicit empty content: 0 tokens /
+    // 0 chars and one shared "no content" fingerprint — so n_docs stays
+    // consistent with the token/char sums (sum() would silently skip
+    // NULLs) and null-text rows group as duplicates OF EACH OTHER (they
+    // carry identical content: none), never vanish from the card
     val perRow = docs.select(col(srcCol), col(langCol).as("lang"),
-      size(split(col(textCol), " ")).cast("long").as("n_tok"),
-      length(col(textCol)).cast("long").as("n_ch"),
-      md5(col(textCol)).as("fp"))
+      when(col(textCol).isNull, 0L)
+        .otherwise(size(split(col(textCol), " "))).cast("long").as("n_tok"),
+      when(col(textCol).isNull, 0L)
+        .otherwise(length(col(textCol))).cast("long").as("n_ch"),
+      coalesce(md5(col(textCol)), lit("<null-text>")).as("fp"))
     val perText = perRow.groupBy(col(srcCol), col("fp")).agg(
       count(lit(1)).as("n_docs_fp"),
       sum(col("n_tok")).as("tok_fp"),
@@ -495,14 +502,18 @@ object TextAnalysis {
     */
   def filterFunnel(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val en = stopwords("en").map(w => s"'$w'").mkString(", ")
-    val perRow = docs.select(
-      expr(s"size(split(`$textCol`, ' '))").cast("long").as("n_tok"),
-      (length(col(textCol)) - expr(s"size(split(`$textCol`, ' '))") + 1)
-        .cast("long").as("n_ch"),
-      expr(s"size(filter(split(`$textCol`, ' '), t -> t IN ($en)))")
-        .cast("long").as("n_stop"),
-      expr(s"size(array_distinct(split(`$textCol`, ' ')))")
-        .cast("long").as("n_dis"))
+    // token array bound ONCE per row (the file convention — see
+    // repetitionStats); four independent split() calls would quadruple
+    // the dominant per-row cost wherever subexpression elimination
+    // doesn't fire across the mixed expr()/Column trees
+    val perRow = docs
+      .select(split(col(textCol), " ").as("w"),
+        length(col(textCol)).cast("long").as("len"))
+      .select(
+        size(col("w")).cast("long").as("n_tok"),
+        (col("len") - size(col("w")) + 1).cast("long").as("n_ch"),
+        expr(s"size(filter(w, t -> t IN ($en)))").cast("long").as("n_stop"),
+        size(array_distinct(col("w"))).cast("long").as("n_dis"))
       .select(
         (col("n_tok") >= 45 && col("n_tok") <= 500).as("r1"),
         (col("n_ch") >= lit(4L) * col("n_tok") &&
@@ -536,13 +547,19 @@ object TextAnalysis {
   /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) — the
     * standard hybrid-retrieval combiner: each ranking contributes
     * 1/(k₀ + rank) per document and the fused order is the contribution
-    * sum. Here in exact fixed point (`floor(1e6/(k₀+rank))`), so fused
-    * scores and ties are integer arithmetic — bit-identical on any
-    * engine. Inputs are (query_id, doc_id, score) frames from any two
-    * retrieval legs (lexical BM25 + embedding cosine is the canonical
-    * pair); ranks are dense per query (score desc, doc_id tiebreak), a
-    * document absent from one leg contributes 0 from it, and the output
-    * keeps each leg's rank for observability. Scale shape: two
+    * sum. Here in exact fixed point (`floor(1e9/(k₀+rank))`, ppb), so
+    * fused scores and ties are integer arithmetic — bit-identical on any
+    * engine. The 1e9 scale keeps the contribution injective in the rank
+    * to (k₀+rank)² ≤ 1e9, i.e. rank ≲ 31 000 — far past any top-k leg —
+    * where 1e6 would start flooring distinct ranks to equal values
+    * around rank ~940. Inputs are (query_id, doc_id, score) frames from
+    * any two retrieval legs (lexical BM25 + embedding cosine is the
+    * canonical pair); a leg carrying the same (query_id, doc_id) more
+    * than once (e.g. a shard union) is collapsed to its BEST score
+    * before ranking, so duplicates can never fan out through the join;
+    * ranks are dense per query (score desc, doc_id tiebreak), a document
+    * absent from one leg contributes 0 from it, and the output keeps
+    * each leg's rank for observability. Scale shape: two
     * per-query-partitioned window ranks (top-k legs are k-row per query
     * — the window never sees the corpus), one full-outer equi-join on
     * (query_id, doc_id), one more per-query window for the fused top-k.
@@ -555,21 +572,23 @@ object TextAnalysis {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("doc_id"))
       df.select(col("query_id"), col("doc_id"), col("score"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(max(col("score")).as("score"))
         .withColumn(rankName, row_number().over(w).cast("long"))
         .drop("score")
     }
     val a = ranked(legA, "rank_a")
     val b = ranked(legB, "rank_b")
     val joined = a.join(b, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf_ppm",
-        coalesce(expr(s"CAST(1000000 AS BIGINT) DIV (${k0}L + rank_a)"), lit(0L)) +
-          coalesce(expr(s"CAST(1000000 AS BIGINT) DIV (${k0}L + rank_b)"), lit(0L)))
+      .withColumn("rrf_ppb",
+        coalesce(expr(s"CAST(1000000000 AS BIGINT) DIV (${k0}L + rank_a)"), lit(0L)) +
+          coalesce(expr(s"CAST(1000000000 AS BIGINT) DIV (${k0}L + rank_b)"), lit(0L)))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id"))
     joined.withColumn("fused_rank", row_number().over(w).cast("long"))
       .filter(col("fused_rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rank_a"), col("rank_b"),
-        col("rrf_ppm"), col("fused_rank"))
+        col("rrf_ppb"), col("fused_rank"))
       .orderBy(col("query_id"), col("fused_rank"))
   }
 }

@@ -93,17 +93,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got2 === Map("ab" -> 1L))
   }
 
-  test("rrfFuse: exact 1e6/(60+rank) contributions, one-leg docs, ties") {
+  test("rrfFuse: exact 1e9/(60+rank) contributions, one-leg docs, ties") {
     import spark.implicits._
-    // leg A ranks: d10=1, d20=2; leg B ranks: d20=1, d30=2
-    val a = Seq((0L, 10L, 9.0), (0L, 20L, 5.0)).toDF("query_id", "doc_id", "score")
+    // leg A ranks: d10=1, d20=2; leg B ranks: d20=1, d30=2. Leg A also
+    // carries a duplicate (query, doc) row for d10 — must collapse to the
+    // best score before ranking, not fan out through the join
+    val a = Seq((0L, 10L, 9.0), (0L, 10L, 3.5), (0L, 20L, 5.0))
+      .toDF("query_id", "doc_id", "score")
     val b = Seq((0L, 20L, 2.0), (0L, 30L, 1.0)).toDF("query_id", "doc_id", "score")
     val got = TextAnalysis.rrfFuse(a, b, k = 3)
       .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
-    // d20: floor(1e6/62) + floor(1e6/61) = 16129 + 16393 = 32522 → rank 1
-    // d10: floor(1e6/61) = 16393 → rank 2 (absent from B contributes 0)
-    // d30: floor(1e6/62) = 16129 → rank 3
-    assert(got.toSeq === Seq((20L, 32522L, 1L), (10L, 16393L, 2L), (30L, 16129L, 3L)))
+    // d20: floor(1e9/62) + floor(1e9/61) = 16129032 + 16393442 = 32522474
+    // d10: floor(1e9/61) = 16393442 (absent from B contributes 0)
+    // d30: floor(1e9/62) = 16129032
+    assert(got.toSeq === Seq((20L, 32522474L, 1L), (10L, 16393442L, 2L),
+      (30L, 16129032L, 3L)))
     // equal scores tie-break by doc_id in the leg rank AND the fused rank
     val t1 = Seq((0L, 2L, 1.0), (0L, 1L, 1.0)).toDF("query_id", "doc_id", "score")
     val t2 = Seq((0L, 2L, 1.0), (0L, 1L, 1.0)).toDF("query_id", "doc_id", "score")
