@@ -84,6 +84,18 @@ sealed trait Dialect {
     * referencing a registered nested table must flatten to resolve.
     */
   def doubleQuotedIsString: Boolean = false
+
+  /** Whether this dialect's single-quoted string literals honor backslash
+    * escapes (Spark/Hive, MySQL family, Snowflake, BigQuery, ClickHouse)
+    * or treat backslash as a PLAIN character with ''-doubling the only
+    * escape (the ANSI family: DuckDB, Trino, Postgres, SQLite, Oracle,
+    * TSQL, Redshift, Teradata, Tableau, Exasol, Druid). Drives
+    * [[Engine]]'s name-flattening literal scan, which runs on the raw
+    * input text BEFORE this dialect's rewrite — scanning an ANSI literal
+    * like `'C:\'` with backslash escapes would swallow its closing quote
+    * and corrupt everything after it.
+    */
+  def literalBackslashEscapes: Boolean = true
 }
 
 object Dialect {
@@ -149,6 +161,7 @@ object Dialect {
     * UnsupportedError analogue, executor.py:192-195).
     */
   case object DuckDbish extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     // word-boundary + optional space before '(' + literal-span filtered: a
     // READ_JSON mention inside a string literal must NOT raise, and
     // `READ_JSON ('x')` with a space must still be caught.
@@ -194,6 +207,7 @@ object Dialect {
     * aside) is already Spark-native; this maps the common function renames.
     */
   case object Trinoish extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     private val renames = Map(
       "approx_distinct" -> "approx_count_distinct",
       "strpos" -> "instr",
@@ -335,6 +349,7 @@ object Dialect {
     * DuckDB/Trino's.
     */
   case object Postgresish extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     private val renames = Map("string_to_array" -> "split")
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
@@ -363,6 +378,7 @@ object Dialect {
     * … OFFSET. SQLite literals escape by doubling quotes only.
     */
   case object SqliteIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
@@ -388,6 +404,7 @@ object Dialect {
     * DuckDB's.
     */
   case object OracleIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     override val nameFold: NameFold = NameFold.Upper
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
@@ -424,6 +441,7 @@ object Dialect {
     * for Spark's parser like DuckDB's.
     */
   case object TsqlIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     private val renames = Map(
       "isnull" -> "coalesce", "iif" -> "if", "charindex" -> "locate",
       "len" -> "length", "getdate" -> "current_timestamp",
@@ -458,6 +476,7 @@ object Dialect {
     * parser does, so literals are scanned with esc and not doubled.
     */
   case object RedshiftIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     private val renames = Map(
       "getdate" -> "current_timestamp", "sysdate" -> "current_timestamp",
       "len" -> "length", "strpos" -> "instr", "charindex" -> "locate")
@@ -499,6 +518,7 @@ object Dialect {
     * a literal backslash is escaped first, as in the T-SQL shim.
     */
   case object TeradataIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     private val renames = Map("index" -> "instr", "oreplace" -> "replace",
       "otranslate" -> "translate")
     def rewrite(spark: SparkSession, sql: String,
@@ -598,6 +618,7 @@ object Dialect {
     * fold case-insensitively (sqlglot default) → Lower.
     */
   case object TableauIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     override val doubleQuotedIsString: Boolean = true // Tableau "…" is a string
     // STR is Tableau's to-string cast (Spark has no `str` — its cast
     // alias is `string`); Tableau FLOAT is double-precision, so it maps
@@ -643,6 +664,7 @@ object Dialect {
     * UPPERCASE, both as in Oracle.
     */
   case object ExasolIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     override val nameFold: NameFold = NameFold.Upper
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
@@ -681,6 +703,7 @@ object Dialect {
     * escape by quote doubling only.
     */
   case object DruidIsh extends Dialect {
+    override val literalBackslashEscapes: Boolean = false
     override val nameFold: NameFold = NameFold.Sensitive
     private val renames = Map(
       "approx_count_distinct_ds_hll" -> "approx_count_distinct",

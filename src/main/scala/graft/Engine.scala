@@ -45,7 +45,8 @@ object Engine {
     // each other — Spark's temp-view catalog is case-insensitive, so even
     // a case-SENSITIVE dialect cannot faithfully host both; refuse up
     // front in every case.
-    tables.keys.groupBy(n => flatName(normalizeName(n, dialect)).toLowerCase)
+    tables.keys.groupBy(n =>
+      flatName(normalizeName(n, dialect)).toLowerCase(java.util.Locale.ROOT))
       .collect { case (flat, ns) if ns.size > 1 =>
         throw new ExecuteError(
           s"table names ${ns.mkString(", ")} collide on view name '$flat'; rename one")
@@ -61,7 +62,8 @@ object Engine {
     // its alias instead of an inference scan (reference executor.py:303-305)
     val rewritten = dialect.rewrite(spark,
       flattenQualifiedNames(sql, tables.keys,
-        doubleQuotedIsString = dialect.doubleQuotedIsString), schemas)
+        doubleQuotedIsString = dialect.doubleQuotedIsString,
+        backslashEscapes = dialect.literalBackslashEscapes), schemas)
     try spark.sql(rewritten)
     catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
@@ -88,8 +90,10 @@ object Engine {
   }
 
   /** Rows-as-maps table constructor (reference: list-of-dict tables,
-    * xorbits_sql/table.py:92-103). Schema inferred from the first row —
-    * the reference's row-0 sampling (core.py:85-91) made explicit.
+    * xorbits_sql/table.py:92-103). Schema inferred per column from its
+    * FIRST NON-NULL value — a deliberate strengthening of the
+    * reference's row-0 sampling (core.py:85-91), which would infer
+    * string for a leading null and then fail on every later value.
     */
   def tableFromRows(spark: SparkSession, rows: Seq[Map[String, Any]]): DataFrame = {
     require(rows.nonEmpty, "tableFromRows requires at least one row")
@@ -100,15 +104,26 @@ object Engine {
       case _: Int | _: java.lang.Integer => IntegerType
       case _: Long | _: java.lang.Long => LongType
       case _: Double | _: java.lang.Double => DoubleType
+      case _: Float | _: java.lang.Float => FloatType
       case _: Boolean | _: java.lang.Boolean => BooleanType
       case _: java.sql.Date => DateType
       case _: java.sql.Timestamp => TimestampType
       case m: Map[_, _] if m.nonEmpty => // key/value types from the first entry
         MapType(inferType(m.head._1), inferType(m.head._2))
       case _: Map[_, _] => MapType(StringType, StringType)
+      case s: Seq[_] if s.nonEmpty => ArrayType(inferType(s.head))
+      case _: Seq[_] => ArrayType(StringType)
       case _ => StringType
     }
-    val schema = StructType(cols.map(c => StructField(c, inferType(rows.head(c)), nullable = true)))
+    // infer from the FIRST NON-NULL value per column, not blindly row 0
+    // (a null there matches no pattern, infers StringType, and every
+    // later non-string value crashes at encoding time); an all-null
+    // column stays StringType — the only consistent choice.
+    def columnType(c: String): DataType =
+      rows.iterator.map(_.getOrElse(c, null)).collectFirst {
+        case v if v != null => inferType(v)
+      }.getOrElse(StringType)
+    val schema = StructType(cols.map(c => StructField(c, columnType(c), nullable = true)))
     val data = rows.map(r => Row.fromSeq(cols.map(c => r.getOrElse(c, null))))
     spark.createDataFrame(spark.sparkContext.parallelize(data.toList), schema)
   }
@@ -142,7 +157,8 @@ object Engine {
     * replacement is literal (no regex group semantics for `$` in names).
     */
   private def flattenQualifiedNames(sql: String, names: Iterable[String],
-      doubleQuotedIsString: Boolean = true): String = {
+      doubleQuotedIsString: Boolean = true,
+      backslashEscapes: Boolean = true): String = {
     val nested = names.filter(_.contains(".")).toSeq.sortBy(-_.length)
     if (nested.isEmpty) return sql
     val res = nested.foldLeft((sql: CharSequence)) { (cur, n) =>
@@ -151,7 +167,7 @@ object Engine {
       val out = new StringBuilder
       var last = 0
       re.findAllMatchIn(s).foreach { m =>
-        if (!insideStringLiteral(s, m.start, doubleQuotedIsString)) {
+        if (!insideStringLiteral(s, m.start, doubleQuotedIsString, backslashEscapes)) {
           out.append(s.substring(last, m.start)).append(flatName(n))
           last = m.end
         }
@@ -168,16 +184,21 @@ object Engine {
     * flattening — but ANSI dialects read it as an IDENTIFIER that must
     * flatten to resolve against the flat view, so there the scanner
     * treats `"…"` as code). Backtick-quoted identifiers are never
-    * skipped for the same reason. Backslash escapes honored, as Spark's
-    * parser does.
+    * skipped for the same reason. Backslash escapes are honored only for
+    * dialects whose literals use them ([[Dialect.literalBackslashEscapes]]
+    * — Spark/MySQL/Snowflake/BigQuery family); ANSI-literal dialects
+    * (DuckDB/Trino/Postgres/...) treat backslash as a plain character, so
+    * `'C:\'` closes at its quote there — honoring the escape would
+    * swallow the closing quote and corrupt every span after it.
     */
   private[graft] def insideStringLiteral(s: String, pos: Int,
-      doubleQuotedIsString: Boolean = true): Boolean = {
+      doubleQuotedIsString: Boolean = true,
+      backslashEscapes: Boolean = true): Boolean = {
     var quote: Char = 0
     var i = 0
     while (i < pos) {
       val c = s.charAt(i)
-      if (quote != 0 && c == '\\') i += 1 // skip escaped char
+      if (quote != 0 && backslashEscapes && c == '\\') i += 1 // skip escaped char
       else if (quote == 0 &&
           (c == '\'' || (c == '"' && doubleQuotedIsString))) quote = c
       else if (c == quote) quote = 0

@@ -21,7 +21,13 @@ object Tables {
     // vectorized reader only accepts as long via nanosAsLong) and as
     // TIMESTAMP(MICROS) depending on the generator version — dispatch on
     // the type the footer actually declares rather than assuming either.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy flag is scoped to the events table: setting it for every
+    // load would silently change TIMESTAMP(NANOS) read semantics for the
+    // user's OWN spark.read calls in the same session. It must stay set
+    // while events plans/executes (the reader consults it lazily), so it
+    // is not restored — but only the one table that needs it flips it.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventTs(df) else df
   }
@@ -36,9 +42,12 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      // nanos-as-long: integer division — double division would lose
-      // precision at ~1e18 ns
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // nanos-as-long: FLOOR division in exact integer arithmetic —
+      // double division would lose precision at ~1e18 ns, and a plain
+      // `div` truncates toward zero, shifting pre-1970 timestamps with
+      // sub-microsecond nanos 1 µs late vs DuckDB's CAST (which floors)
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000")))
       case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df // already TimestampType
     }
@@ -56,7 +65,11 @@ object Tables {
     * re-reads per query matters when the driver runs the whole query map
     * back-to-back.
     */
-  def register(spark: SparkSession, dir: String): Unit = {
+  def register(spark: SparkSession, dir: String): Unit = registered.synchronized {
+    // the whole check-then-register sequence is one critical section:
+    // two threads registering different dirs would otherwise interleave
+    // their per-table loops and leave the views a MIX of both dirs while
+    // the cache claims one dir is fully live
     if (registered.get(spark) != dir) {
       // Invalidate BEFORE mutating views: if this registration fails
       // partway, the cache must not claim the previous dir is still live.

@@ -58,8 +58,19 @@ object Layout {
   def clusterByZOrder(df: DataFrame, xCol: String, yCol: String,
       numPartitions: Int, keepKey: Boolean = false): DataFrame = {
     require(numPartitions > 0, "numPartitions must be positive")
+    require(!df.columns.contains("zvalue"),
+      "clusterByZOrder uses a working column 'zvalue'; the input already " +
+        "has one — rename it first (it would be clobbered" +
+        (if (keepKey) ")" else " and then dropped)"))
+    // The raw Morton code puts y's sign-flipped bit 31 at LONG BIT 63 —
+    // the sign bit of the key that repartitionByRange/sortWithinPartitions
+    // compare as a SIGNED long, which would order every y ≥ 0 row before
+    // every y < 0 row (the exact cross-zero inversion signFlip32 exists
+    // to prevent, reintroduced one level up). XOR with Long.MinValue
+    // flips bit 63 so signed comparison equals unsigned Morton order.
     val keyed = df.withColumn("zvalue",
-      zorder2(signFlip32(col(xCol)), signFlip32(col(yCol))))
+      zorder2(signFlip32(col(xCol)), signFlip32(col(yCol)))
+        .bitwiseXOR(lit(Long.MinValue)))
     val parted = keyed
       .repartitionByRange(numPartitions, col("zvalue"))
       .sortWithinPartitions(col("zvalue"))

@@ -460,4 +460,28 @@ class EngineSpec extends SparkSpec {
     intercept[ExecuteError](Engine.execute(spark, "SELECT 1",
       Map("Foo" -> t1, "foo" -> t1), Dialect.ClickHouseIsh))
   }
+
+  test("ANSI-literal backslash does not derail name flattening or the literal") {
+    // DuckDB literals treat backslash as a PLAIN character: 'C:\' closes
+    // at its quote. Scanning it with Spark's backslash-escape rule would
+    // swallow the closing quote, treat the following code as in-string,
+    // and corrupt both the literal and the db.t reference after it.
+    import spark.implicits._
+    val rows = Engine.execute(spark,
+      raw"SELECT 'C:\' AS p, x FROM db.t WHERE note = 'db.t'",
+      tables = Map("db.t" -> Seq((1L, "db.t")).toDF("x", "note")),
+      dialect = Dialect.DuckDbish).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "C:" + "\\")
+    assert(rows.head.getLong(1) === 1L)
+  }
+
+  test("tableFromRows infers per column from the first NON-NULL value") {
+    val df = Engine.tableFromRows(spark, Seq(
+      Map("a" -> null, "b" -> "x"),
+      Map("a" -> 7, "b" -> null)))
+    assert(df.schema("a").dataType === org.apache.spark.sql.types.IntegerType)
+    val got = df.orderBy("b").collect()
+    assert(got.map(r => Option(r.get(0))).toSeq === Seq(Some(7), None))
+  }
 }

@@ -76,4 +76,15 @@ class RegistrationSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0,
       "recovery register must restore the previously-broken view")
   }
+
+  test("nanos->micros normalization FLOORS pre-epoch timestamps (DuckDB cast parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // -1500 ns: truncation toward zero gives -1 us; DuckDB's CAST floors
+    // to -2 us. 2500 ns floors to 2 us on both.
+    val df = Seq(-1500L, -1000L, 2500L).toDF("ts")
+    val got = Tables.normalizeEventTs(df)
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(-2L, -1L, 2L))
+  }
 }

@@ -76,5 +76,20 @@ class LayoutSpec extends SparkSpec {
       .orderBy("x").select("zvalue").collect().map(_.getLong(0))
     assert(keys.sameElements(keys.sorted),
       s"zvalue must be monotone over the sign boundary, got ${keys.mkString(",")}")
+    // ... on the Y axis too: y's sign-flipped top bit lands at LONG BIT
+    // 63, so without the final bit-63 flip the SIGNED key would order
+    // every y >= 0 row before every y < 0 row (the regression this pins)
+    val yrows = Seq(-2L, -1L, 0L, 1L).toDF("y").withColumn("x", lit(0L))
+    val ykeys = Layout.clusterByZOrder(yrows, "x", "y", 1, keepKey = true)
+      .orderBy("y").select("zvalue").collect().map(_.getLong(0))
+    assert(ykeys.sameElements(ykeys.sorted),
+      s"zvalue must be monotone over the Y sign boundary, got ${ykeys.mkString(",")}")
+  }
+
+  test("clusterByZOrder refuses an input that already has a zvalue column") {
+    val df = Seq((1L, 2L, 99L)).toDF("x", "y", "zvalue")
+    val err = intercept[IllegalArgumentException](
+      Layout.clusterByZOrder(df, "x", "y", 2))
+    assert(err.getMessage.contains("zvalue"))
   }
 }
