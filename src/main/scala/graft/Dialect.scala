@@ -86,10 +86,11 @@ sealed trait Dialect {
   def doubleQuotedIsString: Boolean = false
 
   /** Whether this dialect's single-quoted string literals honor backslash
-    * escapes (Spark/Hive, MySQL family, Snowflake, BigQuery, ClickHouse)
-    * or treat backslash as a PLAIN character with ''-doubling the only
-    * escape (the ANSI family: DuckDB, Trino, Postgres, SQLite, Oracle,
-    * TSQL, Redshift, Teradata, Tableau, Exasol, Druid). Drives
+    * escapes (Spark/Hive, MySQL family, Snowflake, BigQuery, ClickHouse,
+    * Redshift — `standard_conforming_strings = off` ancestry) or treat
+    * backslash as a PLAIN character with ''-doubling the only escape
+    * (the ANSI family: DuckDB, Trino, Postgres, SQLite, Oracle,
+    * TSQL, Teradata, Tableau, Exasol, Druid). Drives
     * [[Engine]]'s name-flattening literal scan, which runs on the raw
     * input text BEFORE this dialect's rewrite — scanning an ANSI literal
     * like `'C:\'` with backslash escapes would swallow its closing quote
@@ -476,7 +477,9 @@ object Dialect {
     * parser does, so literals are scanned with esc and not doubled.
     */
   case object RedshiftIsh extends Dialect {
-    override val literalBackslashEscapes: Boolean = false
+    // inherits literalBackslashEscapes = true: Redshift literals process
+    // backslash escapes (see the class doc above), matching this shim's
+    // own rewrites, which all scan with `esc = true`
     private val renames = Map(
       "getdate" -> "current_timestamp", "sysdate" -> "current_timestamp",
       "len" -> "length", "strpos" -> "instr", "charindex" -> "locate")

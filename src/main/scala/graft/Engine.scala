@@ -99,7 +99,10 @@ object Engine {
     require(rows.nonEmpty, "tableFromRows requires at least one row")
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
-    val cols = rows.head.keys.toSeq.sorted
+    // column set is the UNION over all rows, not row 0's keys — the same
+    // no-trust-in-row-0 rationale as the type scan below; a column first
+    // appearing in a later row must not silently vanish
+    val cols = rows.iterator.flatMap(_.keys).toSeq.distinct.sorted
     def inferType(v: Any): DataType = v match {
       case _: Int | _: java.lang.Integer => IntegerType
       case _: Long | _: java.lang.Long => LongType

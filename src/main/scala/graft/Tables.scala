@@ -21,15 +21,28 @@ object Tables {
     // vectorized reader only accepts as long via nanosAsLong) and as
     // TIMESTAMP(MICROS) depending on the generator version — dispatch on
     // the type the footer actually declares rather than assuming either.
-    // The legacy flag is scoped to the events table: setting it for every
-    // load would silently change TIMESTAMP(NANOS) read semantics for the
-    // user's OWN spark.read calls in the same session. It must stay set
+    // Probe-first: a plain read succeeds for MICROS footers and the
+    // session-global legacy flag never flips; only a footer Spark
+    // rejects outright (the NANOS case) sets it. It must then stay set
     // while events plans/executes (the reader consults it lazily), so it
-    // is not restored — but only the one table that needs it flips it.
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    // is not restored — the probe keeps the flip to the one footer
+    // layout that needs it instead of every session that loads events.
+    val path = s"$dir/$name.parquet"
+    if (name == "events") {
+      val probed =
+        try spark.read.parquet(path)
+        catch {
+          // ONLY the NANOS-footer rejection ([PARQUET_TYPE_ILLEGAL],
+          // verified against Spark 4.1) takes the flagged retry — a
+          // missing path or transient I/O error must propagate without
+          // flipping the session-global conf
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(path)
+        }
+      normalizeEventTs(probed)
+    } else spark.read.parquet(path)
   }
 
   /** Normalize the `ts` column to session-zoned TimestampType regardless of
@@ -59,17 +72,29 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  // Per-session lock objects: temp views are per-session state, so only
+  // same-session registrations need to serialize. A single global monitor
+  // around the ten-footer load loop would make session B's registration
+  // wait out session A's parquet I/O for no correctness gain.
+  private val regLocks = new java.util.WeakHashMap[SparkSession, Object]()
+  private def regLock(spark: SparkSession): Object = regLocks.synchronized {
+    var l = regLocks.get(spark)
+    if (l == null) { l = new Object; regLocks.put(spark, l) }
+    l
+  }
+
   /** Register every test table as a temp view over `dir`. Cached: views
     * are only (re)created when the session's current dir changes —
     * registration is metadata-only, but avoiding 10 parquet-footer
     * re-reads per query matters when the driver runs the whole query map
     * back-to-back.
     */
-  def register(spark: SparkSession, dir: String): Unit = registered.synchronized {
-    // the whole check-then-register sequence is one critical section:
-    // two threads registering different dirs would otherwise interleave
-    // their per-table loops and leave the views a MIX of both dirs while
-    // the cache claims one dir is fully live
+  def register(spark: SparkSession, dir: String): Unit = regLock(spark).synchronized {
+    // the whole check-then-register sequence is one critical section PER
+    // SESSION: two threads registering different dirs into the same
+    // session would otherwise interleave their per-table loops and leave
+    // the views a MIX of both dirs while the cache claims one dir is
+    // fully live; independent sessions proceed in parallel
     if (registered.get(spark) != dir) {
       // Invalidate BEFORE mutating views: if this registration fails
       // partway, the cache must not claim the previous dir is still live.

@@ -39,18 +39,28 @@ object Streams {
     * across generator versions.
     */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the probe needs at least one footer; an empty directory at stream
-    // start (the canonical file-source pattern: open first, drop files
-    // later) defaults to the generator's long/nanos layout and the
-    // normalizer handles either physical type from there. ONLY the
-    // schema-inference/missing-path failure (AnalysisException) takes
-    // that default — a transient I/O or corrupt-footer error on a real
-    // store must surface at open time, not silently mis-type the stream
+    // Probe-first so a MICROS directory never flips the session-global
+    // nanosAsLong flag. Failure ladder on the one-time footer probe:
+    //   plain read OK                  → MICROS/NTZ footer, flag untouched
+    //   [PARQUET_TYPE_ILLEGAL]         → NANOS footer: set the flag (the
+    //     stream's scans consult it at execution time too, so it stays
+    //     set for the stream's lifetime) and re-probe
+    //   other AnalysisException        → empty/missing dir at stream start
+    //     (the canonical file-source pattern: open first, drop files
+    //     later): default to the generator's long/nanos layout with the
+    //     flag set so late-arriving NANOS files scan; the normalizer
+    //     handles either physical type from there
+    // A transient I/O or corrupt-footer error is NOT AnalysisException and
+    // must surface at open time, not silently mis-type the stream.
     val tsType =
       try spark.read.parquet(eventsDir).schema("ts").dataType
       catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(eventsDir).schema("ts").dataType
         case _: org.apache.spark.sql.AnalysisException =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           org.apache.spark.sql.types.LongType
       }
     graft.Tables.normalizeEventTs(

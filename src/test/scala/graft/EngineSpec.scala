@@ -84,6 +84,52 @@ class EngineSpec extends SparkSpec {
     assert(types === Map("b" -> "boolean", "d" -> "double", "i" -> "int", "l" -> "bigint", "s" -> "string"))
   }
 
+  test("tableFromRows takes the column UNION across rows, not row 0's keys") {
+    val df = Engine.tableFromRows(spark, Seq(
+      Map("a" -> 1),
+      Map("a" -> 2, "b" -> "x")))
+    assert(df.columns.toSeq === Seq("a", "b"))
+    val rows = df.orderBy("a").collect()
+    assert(rows.map(r => Option(r.get(1))).toSeq === Seq(None, Some("x")))
+  }
+
+  test("redshift: backslash-escaped literal before a nested name still flattens") {
+    // Redshift literals honor backslash escapes (standard_conforming_strings
+    // = off ancestry); with the ANSI esc=false scan the quote after the
+    // backslash would close the literal, mark db.t as inside a string, and
+    // flattening would skip it → table-not-found
+    val n = Engine.execute(spark,
+      "SELECT 'it\\'s' AS s, COUNT(*) AS n FROM db.t GROUP BY 1",
+      Map("db.t" -> t1), Dialect.RedshiftIsh).collect()
+    assert(n.length === 1)
+    assert(n.head.getString(0) === "it's")
+    assert(n.head.getLong(1) === 100L)
+  }
+
+  test("events load probes the footer before flipping nanosAsLong") {
+    import spark.implicits._
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_micros").toString
+    try {
+      spark.conf.unset(key)
+      Seq(("click", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("etype", "ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = Tables.load(spark, dir, "events")
+      assert(out.schema("ts").dataType.typeName === "timestamp")
+      // probe succeeded without the legacy flag — the session-global conf
+      // must stay at its false default for a MICROS (non-NANOS) footer
+      // (getOption reports the registered SQLConf default, so compare values)
+      assert(spark.conf.get(key, "false") === "false")
+      // a missing path is NOT the NANOS-footer failure — it must propagate
+      // as-is and leave the session conf alone (no flagged retry)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        Tables.load(spark, s"$dir/definitely_absent", "events")
+      }
+      assert(spark.conf.get(key, "false") === "false")
+    } finally prev.foreach(spark.conf.set(key, _))
+  }
+
   test("dialect: == rewrite preserves string literals (ANSI '' doubling, backslash plain)") {
     assert(Dialect.rewriteDoubleEquals("SELECT 'a==b' WHERE x == 1") ===
       "SELECT 'a==b' WHERE x = 1")
