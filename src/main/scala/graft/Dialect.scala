@@ -226,6 +226,8 @@ object Dialect {
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
         rewriteTrinoDateFns,
+        rewriteTrinoTry,
+        s => rewriteUnnest(s, esc = false),
         s => renameFunctions(s, renames))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -255,6 +257,7 @@ object Dialect {
         s => renameFunctions(s, renames, esc = true), // to_char joins to_varchar
         s => rewriteDoubleQuotedIdents(s, esc = true),
         s => rewriteQualify(s, esc = true),
+        rewriteSnowFlatten,
         rewriteSnowDateAdd,
         rewriteSnowDateDiff,
         rewriteSnowDayMonthName,
@@ -282,6 +285,9 @@ object Dialect {
       "safe_divide" -> "try_divide", "safe_add" -> "try_add",
       "safe_subtract" -> "try_subtract", "safe_multiply" -> "try_multiply",
       "array_length" -> "size",
+      // same (array, separator) signature on both sides
+      "array_to_string" -> "array_join",
+      "to_json_string" -> "to_json",
       "starts_with" -> "startswith", "ends_with" -> "endswith",
       // BigQuery FORMAT is printf-style — Spark's format_string
       "format" -> "format_string")
@@ -292,6 +298,8 @@ object Dialect {
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
         s => rewriteQualify(s, esc = true),
+        s => rewriteUnnest(s, esc = true),
+        rewriteBqSubscript,
         rewriteFormatDate,
         rewriteBqDateDiff,
         rewriteBqDateAddSub,
@@ -2832,6 +2840,289 @@ object Dialect {
       }
     }
 
+  /** Words that cannot be an UNNEST/FLATTEN alias — seeing one where the
+    * alias should be means the alias was omitted.
+    */
+  private val AliasStopWords = Set("where", "group", "order", "limit",
+    "having", "on", "with", "join", "cross", "left", "right", "inner",
+    "full", "union", "intersect", "except", "qualify", "window", "lateral",
+    "as", "select")
+
+  /** FROM-clause `UNNEST` → Spark `LATERAL VIEW`.
+    *
+    * BigQuery form (0-based `WITH OFFSET` = posexplode's pos exactly):
+    *   `, UNNEST(e) [AS] x [WITH OFFSET [AS] off]`
+    *   `CROSS JOIN UNNEST(e) [AS] x …`
+    *   `LEFT JOIN UNNEST(e) [AS] x … ON TRUE` → `LATERAL VIEW OUTER`
+    *     (BigQuery keeps the left row with NULL x on an empty/NULL array —
+    *     exactly OUTER explode's contract)
+    * Trino form (single-column table alias):
+    *   `[CROSS JOIN | ,] UNNEST(e) [AS] t(x)`
+    *
+    * Trino's `WITH ORDINALITY` is 1-based and a LATERAL VIEW column alias
+    * cannot carry the `+1` — fail fast rather than silently emit the
+    * 0-based pos. Multi-array `UNNEST(a, b)` (Trino zip semantics) is
+    * likewise outside the shimmed surface.
+    */
+  private[graft] def rewriteUnnest(sql: String, esc: Boolean): String = {
+    val re = "(?i)(,|\\bCROSS\\s+JOIN\\b|\\bLEFT\\s+JOIN\\b)\\s*UNNEST\\s*\\(".r
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val spans = literalSpans(cur, esc)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val joiner = m.group(1).trim.toUpperCase
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced UNNEST( in: $cur")
+          val arrArgs = splitArgs(cur, spans, open + 1, close).map(_.trim)
+          if (arrArgs.length != 1)
+            throw new graft.UnsupportedError(
+              "multi-array UNNEST (Trino zip form) is not supported")
+          val arr = arrArgs.head
+          var rest = cur.substring(close + 1)
+          if ("(?is)^\\s*WITH\\s+ORDINALITY\\b".r.findFirstIn(rest).isDefined)
+            throw new graft.UnsupportedError(
+              "UNNEST WITH ORDINALITY (1-based) is not supported; BigQuery WITH OFFSET (0-based) is")
+          val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
+            .findFirstMatchIn(rest)
+            .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
+            .getOrElse(throw new graft.UnsupportedError(
+              "FROM-clause UNNEST requires an [AS] alias"))
+          val name = aliasM.group(1)
+          rest = rest.substring(aliasM.end)
+          var tableAlias = "__unnest_" + name
+          var colName = name
+          var offName: Option[String] = None
+          "(?s)^\\s*\\(([^)]*)\\)".r.findFirstMatchIn(rest) match {
+            case Some(cm) => // Trino `t(cols)` table alias
+              val cols = cm.group(1).split(',').map(_.trim)
+              if (cols.length != 1 || !cols.head.matches("[A-Za-z_][A-Za-z0-9_]*"))
+                throw new graft.UnsupportedError(
+                  "UNNEST table alias must carry exactly one column: " + cm.group(0))
+              tableAlias = name; colName = cols.head; rest = rest.substring(cm.end)
+            case None =>
+              val offM = "(?is)^\\s*WITH\\s+OFFSET(?:\\s+AS)?\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+                .findFirstMatchIn(rest)
+              offM.foreach { om =>
+                offName = Some(om.group(1)); rest = rest.substring(om.end)
+              }
+          }
+          var outer = false
+          if (joiner.startsWith("LEFT")) {
+            val onM = "(?is)^\\s*ON\\s+TRUE\\b".r.findFirstMatchIn(rest)
+              .getOrElse(throw new graft.UnsupportedError(
+                "LEFT JOIN UNNEST is supported only with ON TRUE"))
+            rest = rest.substring(onM.end)
+            outer = true
+          }
+          val gen = offName match {
+            case Some(o) => s"posexplode($arr) $tableAlias AS $o, $colName"
+            case None    => s"explode($arr) $tableAlias AS $colName"
+          }
+          cur = cur.substring(0, m.start).stripTrailing() +
+            s" LATERAL VIEW ${if (outer) "OUTER " else ""}$gen" + rest
+      }
+    }
+    throw new graft.UnsupportedError("UNNEST rewrite did not terminate")
+  }
+
+  /** BigQuery array subscripts `base[OFFSET(i)]` (0-based, erroring on
+    * out-of-range — matching Spark's ANSI element_at), `[SAFE_OFFSET(i)]`
+    * (0-based, NULL out-of-range), `[ORDINAL(i)]` (1-based, erroring),
+    * `[SAFE_ORDINAL(i)]` (1-based, NULL) → `element_at`/`try_element_at`.
+    * The base expression is recovered by a backward scan over one postfix
+    * primary (identifier chain with call/subscript suffixes, or a
+    * parenthesized expression); anything else fails loudly downstream in
+    * Spark's parser rather than silently mis-grouping.
+    */
+  private[graft] def rewriteBqSubscript(sql: String): String = {
+    val re = "(?i)\\[\\s*(SAFE_OFFSET|SAFE_ORDINAL|OFFSET|ORDINAL)\\s*\\(".r
+    var cur = sql
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val spans = literalSpans(cur, backslashEscapes = true)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced ${m.group(1)}( in: $cur")
+          val idx = cur.substring(open + 1, close).trim
+          var j = close + 1
+          while (j < cur.length && cur.charAt(j).isWhitespace) j += 1
+          if (j >= cur.length || cur.charAt(j) != ']')
+            throw new graft.UnsupportedError(
+              s"expected ] after ${m.group(1)}($idx)")
+          val baseStart = primaryStartBefore(cur, spans, m.start)
+          val base = cur.substring(baseStart, m.start).trim
+          if (base.isEmpty)
+            throw new graft.UnsupportedError(
+              s"cannot locate the array expression before [${m.group(1)}(...)]")
+          val repl = m.group(1).toLowerCase match {
+            case "offset"       => s"element_at($base, ($idx) + 1)"
+            case "safe_offset"  => s"try_element_at($base, ($idx) + 1)"
+            case "ordinal"      => s"element_at($base, $idx)"
+            case _              => s"try_element_at($base, $idx)"
+          }
+          cur = cur.substring(0, baseStart) + repl + cur.substring(j + 1)
+      }
+    }
+    throw new graft.UnsupportedError("array subscript rewrite did not terminate")
+  }
+
+  /** Start index of the postfix primary ending just before `posEx`:
+    * walks backwards over identifier characters, `.` chains, and balanced
+    * `(...)`/`[...]` suffix groups.
+    */
+  private def primaryStartBefore(sql: String, spans: Vector[(Int, Int)],
+      posEx: Int): Int = {
+    var i = posEx - 1
+    while (i >= 0 && sql.charAt(i).isWhitespace) i -= 1
+    var consumed = false
+    while (i >= 0) {
+      val c = sql.charAt(i)
+      if (!outsideLiterals(spans, i)) return i + 1
+      else if (c == ')' || c == ']') {
+        val o = backwardMatch(sql, spans, i)
+        if (o < 0) return i + 1
+        i = o - 1; consumed = true
+      } else if (c.isLetterOrDigit || c == '_' || c == '.' || c == '`') {
+        i -= 1; consumed = true
+      } else return i + 1
+    }
+    0
+  }
+
+  /** Index of the opener matching the closer at `closeIdx`, scanning
+    * backwards (literal-aware); -1 when unbalanced.
+    */
+  private def backwardMatch(sql: String, spans: Vector[(Int, Int)],
+      closeIdx: Int): Int = {
+    val closeC = sql.charAt(closeIdx)
+    val openC = if (closeC == ')') '(' else '['
+    var depth = 0
+    var i = closeIdx
+    while (i >= 0) {
+      if (outsideLiterals(spans, i)) {
+        val c = sql.charAt(i)
+        if (c == closeC) depth += 1
+        else if (c == openC) { depth -= 1; if (depth == 0) return i }
+      }
+      i -= 1
+    }
+    -1
+  }
+
+  /** Snowflake `[ , | CROSS JOIN ] LATERAL FLATTEN(input => e
+    * [, outer => true]) [AS] f` → `LATERAL VIEW [OUTER] posexplode(e) f
+    * AS index, value`. `f.index` (0-based) and `f.value` keep their
+    * Snowflake names; `outer => true` keeps empty/NULL-array rows with
+    * NULL index/value (OUTER posexplode's contract). The VARIANT-object
+    * columns (`seq`/`key`/`path`/`this`) and the `path`/`recursive`/`mode`
+    * arguments are outside the shimmed surface — fail fast.
+    */
+  private[graft] def rewriteSnowFlatten(sql: String): String = {
+    val re = "(?i)(,|\\bCROSS\\s+JOIN\\b)\\s*LATERAL\\s+FLATTEN\\s*\\(".r
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val spans = literalSpans(cur, backslashEscapes = true)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced FLATTEN( in: $cur")
+          val args = splitArgs(cur, spans, open + 1, close).map(_.trim)
+          var input: Option[String] = None
+          var outer = false
+          val named = "(?is)^([A-Za-z_]+)\\s*=>\\s*(.*)$".r
+          args.foreach {
+            case named(k, v) => k.toLowerCase match {
+              case "input" => input = Some(v.trim)
+              case "outer" => outer = v.trim.equalsIgnoreCase("true")
+              case other => throw new graft.UnsupportedError(
+                s"FLATTEN argument $other => … is not supported (input/outer only)")
+            }
+            case bare if input.isEmpty => input = Some(bare)
+            case bare => throw new graft.UnsupportedError(
+              s"unexpected FLATTEN argument: $bare")
+          }
+          val e = input.getOrElse(throw new graft.UnsupportedError(
+            "FLATTEN requires input => <array>"))
+          val rest0 = cur.substring(close + 1)
+          val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
+            .findFirstMatchIn(rest0)
+            .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
+            .getOrElse(throw new graft.UnsupportedError(
+              "LATERAL FLATTEN requires an [AS] alias (its value/index columns are referenced through it)"))
+          val alias = aliasM.group(1)
+          cur = cur.substring(0, m.start).stripTrailing() +
+            s" LATERAL VIEW ${if (outer) "OUTER " else ""}posexplode($e) $alias AS index, value" +
+            rest0.substring(aliasM.end)
+      }
+    }
+    throw new graft.UnsupportedError("FLATTEN rewrite did not terminate")
+  }
+
+  /** Trino `TRY(expr)` — NULL instead of error. Spark has no generic TRY;
+    * the shimmed forms map onto Spark's try_ family:
+    *   TRY(CAST(x AS T))      → try_cast(x AS T)
+    *   TRY(element_at(a, i))  → try_element_at(a, i)
+    *   TRY(a / b)             → try_divide(a, b)   (single top-level /)
+    *   TRY(a % b)             → try_mod(a, b)      (single top-level %)
+    * Anything else fails fast — a silently-dropped TRY would turn Trino's
+    * NULL-on-error contract into an ANSI runtime error.
+    */
+  private[graft] def rewriteTrinoTry(sql: String): String =
+    rewriteCall(sql, "try") { (_, args) =>
+      if (args.length != 1)
+        throw new graft.UnsupportedError("TRY takes exactly one expression")
+      val a = args.head
+      val spans = literalSpans(a)
+      def wholeCall(name: String): Option[String] = {
+        ("(?is)^" + name + "\\s*\\(").r.findFirstMatchIn(a).flatMap { mm =>
+          val close = matchParen(a, spans, mm.end - 1)
+          if (close >= 0 && a.substring(close + 1).trim.isEmpty)
+            Some(a.substring(mm.end - 1)) // the parenthesized argument list
+          else None
+        }
+      }
+      def topLevelBinary(op: Char): Option[(String, String)] = {
+        var depth = 0
+        var at = -1
+        var i = 0
+        while (i < a.length) {
+          if (outsideLiterals(spans, i)) {
+            val c = a.charAt(i)
+            if (c == '(' || c == '[') depth += 1
+            else if (c == ')' || c == ']') depth -= 1
+            else if (c == op && depth == 0) {
+              if (at >= 0) return None // more than one — ambiguous, unsupported
+              at = i
+            }
+          }
+          i += 1
+        }
+        if (at < 0) None else Some((a.substring(0, at).trim, a.substring(at + 1).trim))
+      }
+      wholeCall("cast").map("try_cast" + _)
+        .orElse(wholeCall("element_at").map("try_element_at" + _))
+        .orElse(topLevelBinary('/').map { case (l, r) => s"try_divide($l, $r)" })
+        .orElse(topLevelBinary('%').map { case (l, r) => s"try_mod($l, $r)" })
+        .getOrElse(throw new graft.UnsupportedError(
+          s"TRY is shimmed for CAST / element_at / single '/' or '%' only, got: TRY($a)"))
+    }
+
   // ---- Tableau-ish helpers ------------------------------------------------
 
   /** Tableau IF-block → CASE: `IF` → `CASE WHEN`, `ELSEIF` → `WHEN`, at
@@ -2992,12 +3283,26 @@ object Dialect {
       }
     }
 
-  /** Exasol ADD_unit date arithmetic. Day-or-coarser forms return DATE
-    * (Spark's `date_add`/`add_months` contract — Exasol's
-    * timestamp-preserving overload of the same names is outside the
-    * shimmed surface); sub-day forms return TIMESTAMP via timestampadd.
-    * One-pass rewrite because ADD_MONTHS maps onto Spark's same-named
-    * function (a re-scanning rewriter would loop on its own output).
+  /** Exasol ADD_unit date arithmetic. Exasol's forms are TYPE-PRESERVING
+    * (DATE in → DATE out, TIMESTAMP in → TIMESTAMP out):
+    *
+    *  - ADD_MONTHS/ADD_YEARS emit `x + INTERVAL '1' MONTH/YEAR * n` — a
+    *    typed year-month interval, which Spark adds type-preservingly
+    *    (date+YM → DATE, timestamp+YM → TIMESTAMP, month-end clamping on
+    *    both), where a bare `add_months` would truncate a timestamp's
+    *    time-of-day to DATE. (`make_interval`'s CalendarIntervalType is
+    *    NOT usable here: Spark promotes date+CalendarInterval to
+    *    timestamp.)
+    *  - ADD_DAYS/ADD_WEEKS: Spark has no type-preserving day addition
+    *    (date + day-time interval promotes to TIMESTAMP), so they emit
+    *    `date_add` guarded by a per-row assertion that the input carries
+    *    no time-of-day — a midnight timestamp truncates losslessly, any
+    *    other raises (the shim family's fail-fast convention) instead of
+    *    silently drifting.
+    *  - Sub-day forms return TIMESTAMP via timestampadd (Exasol promotes
+    *    a DATE input to TIMESTAMP for those too).
+    *
+    * One-pass rewrite so the emitted Spark functions are never re-scanned.
     */
   private[graft] def rewriteExasolAddUnits(sql: String): String =
     rewriteCallOnePass(sql,
@@ -3006,11 +3311,16 @@ object Dialect {
       if (args.length != 2)
         throw new graft.UnsupportedError(s"$fn expects (datetime, count)")
       val (x, n) = (args(0), args(1))
+      def guardedDateAdd(days: String): String =
+        s"(CASE WHEN CAST(CAST(($x) AS DATE) AS TIMESTAMP) = CAST(($x) AS TIMESTAMP) " +
+          s"THEN date_add(($x), $days) ELSE raise_error(" +
+          s"'${fn.toUpperCase}: TIMESTAMP input with time-of-day is outside the " +
+          "shimmed surface (Exasol preserves it; Spark date_add would truncate)') END)"
       fn.toLowerCase match {
-        case "add_days"    => s"date_add($x, CAST($n AS INT))"
-        case "add_weeks"   => s"date_add($x, (7 * CAST($n AS INT)))"
-        case "add_months"  => s"add_months($x, CAST($n AS INT))"
-        case "add_years"   => s"add_months($x, (12 * CAST($n AS INT)))"
+        case "add_days"    => guardedDateAdd(s"CAST($n AS INT)")
+        case "add_weeks"   => guardedDateAdd(s"(7 * CAST($n AS INT))")
+        case "add_months"  => s"(($x) + INTERVAL '1' MONTH * CAST($n AS INT))"
+        case "add_years"   => s"(($x) + INTERVAL '1' YEAR * CAST($n AS INT))"
         case "add_hours"   => s"timestampadd(HOUR, CAST($n AS INT), CAST($x AS TIMESTAMP))"
         case "add_minutes" => s"timestampadd(MINUTE, CAST($n AS INT), CAST($x AS TIMESTAMP))"
         case _             => s"timestampadd(SECOND, CAST($n AS INT), CAST($x AS TIMESTAMP))"

@@ -87,7 +87,10 @@ object PlanCheck {
     "llm_retrieval_rrf" ->
       ("rrfFuse windows partition by query_id; the single-query gate passes a literal " +
         "query id that constant-folds away — inputs are top-k legs (≤50 rows/query, " +
-        "broadcast-sized), and multi-query fusion keeps the keyed partition"))
+        "broadcast-sized), and multi-query fusion keeps the keyed partition"),
+    "llm_corpus_concentration" ->
+      ("rank/cum-share windows run on the groupBy-collapsed per-source frame — " +
+        "|sources| rows at ANY corpus scale; the corpus itself is scanned once"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench

@@ -37,12 +37,24 @@ object Tables {
           // missing path or transient I/O error must propagate without
           // flipping the session-global conf
           case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+              if isNanosFooterRejection(e) =>
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             spark.read.parquet(path)
         }
       normalizeEventTs(probed)
     } else spark.read.parquet(path)
+  }
+
+  /** The NANOS-footer rejection, identified by ERROR CLASS — formatted
+    * message text is brittle across Spark versions/locales; fall back to
+    * message matching only when the throwable carries no class (the
+    * pre-error-class legacy constructor path).
+    */
+  private[graft] def isNanosFooterRejection(
+      e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val cls = e.getCondition
+    if (cls != null) cls == "PARQUET_TYPE_ILLEGAL"
+    else e.getMessage != null && e.getMessage.contains("PARQUET_TYPE_ILLEGAL")
   }
 
   /** Normalize the `ts` column to session-zoned TimestampType regardless of

@@ -787,15 +787,19 @@ object Dedup {
   def thresholdSweep(docs: DataFrame, thresholdsPpm: Seq[Long],
       textCol: String = "text"): DataFrame = {
     require(thresholdsPpm.nonEmpty, "thresholdsPpm must be non-empty")
+    // a repeated threshold would duplicate both the explode rows and the
+    // allTs join keys — the fan-out double-counts every metric for that
+    // threshold — so the sweep is defined over the DISTINCT thresholds
+    val thresholds = thresholdsPpm.distinct.sorted
     // the pair list feeds THREE consumers (pairAgg + both union legs of
     // docAgg); an eager localCheckpoint prices the prefix-filtered join
     // pipeline ONCE — without it each consumer replays the Σdf² join and
     // the 'computed once' contract in the scaladoc is a lie (same rule as
     // dedupClusterStats' checkpointed pair list)
-    val base = prefixFilteredJaccardPairs(docs, thresholdsPpm.min, textCol)
+    val base = prefixFilteredJaccardPairs(docs, thresholds.min, textCol)
       .select(col("a_id"), col("b_id"), col("common"), col("na"), col("nb"))
       .localCheckpoint(true)
-    val ts = explode(array(thresholdsPpm.sorted.map(lit): _*)).as("threshold_ppm")
+    val ts = explode(array(thresholds.map(lit): _*)).as("threshold_ppm")
     val q = base.select(ts, col("a_id"), col("b_id"), col("common"),
         col("na"), col("nb"))
       .filter(col("common") * 1000000L >=
@@ -812,7 +816,7 @@ object Dedup {
     // (callers index the sweep by threshold)
     val allTs = docs.sparkSession.createDataFrame(
       docs.sparkSession.sparkContext
-        .parallelize(thresholdsPpm.sorted.map(org.apache.spark.sql.Row(_)), 1),
+        .parallelize(thresholds.map(org.apache.spark.sql.Row(_)), 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("threshold_ppm",
           org.apache.spark.sql.types.LongType, nullable = false))))

@@ -2206,7 +2206,58 @@ object LlmQueries {
            |UNION ALL SELECT 4, 'distinct_ratio_30pct', f4, s4, n_docs FROM a
            |ORDER BY rule_ord""".stripMargin))
 
+  /** Curriculum schedule plan ([[Mixing.curriculumPlan]]): exact integer
+    * difficulty (length + repetition in ppm), fixed-threshold bands (a
+    * pure per-row map + one counted groupBy — no per-source sort), per
+    * (source, band) volume. Full DuckDB oracle — the score is integer
+    * arithmetic both engines floor identically.
+    */
+  val curriculumPlanQ = OpQ("llm_curriculum_plan",
+    (s, d) => Mixing.curriculumPlan(docs(s, d), bands = 4),
+    Some("""SELECT source, least(difficulty_ppm // 250000, 3) AS band,
+           |  COUNT(*) AS n_docs, SUM(n_tok)::BIGINT AS n_tokens,
+           |  MIN(difficulty_ppm) AS min_difficulty_ppm,
+           |  MAX(difficulty_ppm) AS max_difficulty_ppm
+           |FROM (
+           |  SELECT source, n_tok,
+           |    ((1000000 * least(n_tok, 512) // 512) +
+           |     (1000000 - 1000000 * n_dis // n_tok)) // 2 AS difficulty_ppm
+           |  FROM (
+           |    SELECT source,
+           |      len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tok,
+           |      len(list_distinct(string_split(coalesce(text, ''), ' ')))::BIGINT AS n_dis
+           |    FROM documents) r) sc
+           |GROUP BY source, band
+           |ORDER BY source, band""".stripMargin))
+
+  /** Corpus concentration report ([[Mixing.corpusConcentration]]):
+    * per-source token share, rank, cumulative share, and the HHI — all
+    * integer ppm, windows only over the |sources|-row collapsed frame
+    * (allowlisted in [[graft.PlanCheck.globalWindowAllowlist]]).
+    */
+  val corpusConcentrationQ = OpQ("llm_corpus_concentration",
+    (s, d) => Mixing.corpusConcentration(docs(s, d)),
+    Some("""WITH per_source AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    SUM(CASE WHEN text IS NULL THEN 0
+           |             ELSE len(string_split(text, ' ')) END)::BIGINT AS n_tokens
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT SUM(n_tokens)::BIGINT AS total_tokens FROM per_source),
+           |shared AS (
+           |  SELECT s.*, (1000000 * n_tokens // total_tokens)::BIGINT AS share_ppm
+           |  FROM per_source s, tot),
+           |ranked AS (
+           |  SELECT *,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS BIGINT) AS rank,
+           |    (SUM(share_ppm) OVER (ORDER BY n_tokens DESC, source
+           |      ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_share_ppm
+           |  FROM shared),
+           |hhi AS (SELECT (SUM(share_ppm * share_ppm) // 1000000)::BIGINT AS hhi_ppm FROM shared)
+           |SELECT source, n_docs, n_tokens, share_ppm, rank, cum_share_ppm, hhi_ppm
+           |FROM ranked, hhi ORDER BY rank""".stripMargin))
+
   val all: Seq[OpQ] = Seq(
+    curriculumPlanQ, corpusConcentrationQ,
     dsirWeightsQ, retrievalRrf, dedupThresholdSweepQ, corpusDataCardQ,
     filterFunnelQ,
     textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,

@@ -504,6 +504,13 @@ object Mixing {
         """CAST((CAST(1000000 AS DECIMAL(38,0)) * (tgt_c + 1L) * raw_total)
           | DIV (CAST(raw_c + 1L AS DECIMAL(38,0)) * tgt_total) AS BIGINT)"""
           .stripMargin.replace("\n", "")))
+      // beyond the documented ~1e15-raw-token bound the decimal product
+      // overflows to NULL with ANSI off, and sum(ppm) would silently SKIP
+      // those tokens — scores would skew quietly. Fail loudly instead,
+      // symmetric with the named empty-target assert above; the predicate
+      // rides the vocab-sized frame (one boolean per distinct token).
+      .filter(expr(
+        "assert_true(ppm IS NOT NULL, 'dsirWeights: ppm ratio overflowed DECIMAL(38,0) — corpus exceeds the exact-arithmetic bound; use a log-space variant')").isNull)
       .select(col("t"), col("ppm"))
     val scored = tok.join(broadcast(ppm), "t")
       .groupBy(col(idCol))
@@ -515,5 +522,90 @@ object Mixing {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("score_ppm"), lit(0L)).as("score_ppm"))
       .orderBy(col(idCol))
+  }
+
+  /** Curriculum schedule plan — the staging report a curriculum-training
+    * pipeline publishes before a run: every document gets an exact
+    * integer difficulty score, documents are binned into fixed difficulty
+    * BANDS, and the plan reports per (source, band) volume so the trainer
+    * can stage easy→hard. The difficulty here is a deterministic stand-in
+    * (production swaps in an LM-loss or teacher-score column — the plan
+    * shape is identical):
+    *
+    *   len_ppm  = 1e6 · min(n_tok, 512) / 512      (longer is harder)
+    *   rep_ppm  = 1e6 − 1e6 · n_distinct / n_tok   (repetitive is harder)
+    *   difficulty_ppm = (len_ppm + rep_ppm) div 2
+    *
+    * Bands are FIXED thresholds (`difficulty_ppm div (1e6 / bands)`,
+    * clamped to bands−1), NOT per-source ntile: fixed-threshold binning
+    * is a pure per-row map feeding one counted groupBy — no per-source
+    * sort, no window, nothing that degrades when one source holds 10 TB
+    * (the ntile variant is the op_histogram_equifreq trade; its approx
+    * sibling shows the boundary-first pattern if data-relative bands are
+    * ever needed). NULL text scores len 0 / rep 1e6 — maximal-repetition
+    * band, never dropped.
+    */
+  def curriculumPlan(docs: DataFrame, bands: Int = 4,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(bands > 0, "bands must be positive")
+    val width = 1000000L / bands
+    val perRow = docs
+      .select(col(srcCol).as("source"),
+        split(coalesce(col(textCol), lit("")), " ").as("w"))
+      .select(col("source"),
+        size(col("w")).cast("long").as("n_tok"),
+        size(array_distinct(col("w"))).cast("long").as("n_dis"))
+      // exact integer fixed point end to end (div, never double /);
+      // n_tok ≥ 1 always — split('') is [''] — so the ratio is defined
+      .select(col("source"), col("n_tok"),
+        expr("""((1000000L * least(n_tok, 512L) div 512L) +
+               |  (1000000L - 1000000L * n_dis div n_tok)) div 2L"""
+          .stripMargin).as("difficulty_ppm"))
+    perRow
+      .withColumn("band",
+        expr(s"least(difficulty_ppm div ${width}L, ${bands - 1}L)"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("difficulty_ppm")).as("min_difficulty_ppm"),
+        max(col("difficulty_ppm")).as("max_difficulty_ppm"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  /** Corpus concentration report — the diversity card a pipeline checks
+    * before training: per-source token share, the cumulative share of the
+    * largest sources, and the Herfindahl–Hirschman index (HHI, Σ share²)
+    * as the single concentration number. All exact integer ppm so any two
+    * engines agree bit-for-bit. Scale shape: one map-side-combined
+    * groupBy collapses the corpus to |sources| rows; the rank/cumulative
+    * windows and the HHI rollup run on that collapsed frame (a few
+    * hundred rows at any corpus size), and the 1-row totals/HHI frame is
+    * broadcast back — the corpus is scanned exactly once.
+    */
+  def corpusConcentration(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val perSource = docs
+      .select(col(srcCol).as("source"),
+        when(col(textCol).isNull, 0L)
+          .otherwise(size(split(col(textCol), " "))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val totals = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
+    val shared = perSource.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("1000000L * n_tokens div total_tokens"))
+    val ranked = shared
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_tokens").desc, col("source"))).cast("long"))
+      .withColumn("cum_share_ppm", sum(col("share_ppm")).over(
+        Window.orderBy(col("n_tokens").desc, col("source"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // HHI from the integer shares: Σ share_ppm² div 1e6 (10 000 = one
+    // source owns everything · ppm scale)
+    val hhi = shared.agg(
+      expr("sum(share_ppm * share_ppm) div 1000000L").as("hhi_ppm"))
+    ranked.crossJoin(broadcast(hhi))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share_ppm"),
+        col("rank"), col("cum_share_ppm"), col("hhi_ppm"))
+      .orderBy(col("rank"))
   }
 }

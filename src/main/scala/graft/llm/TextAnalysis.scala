@@ -506,9 +506,13 @@ object TextAnalysis {
     // repetitionStats); four independent split() calls would quadruple
     // the dominant per-row cost wherever subexpression elimination
     // doesn't fire across the mixed expr()/Column trees
+    // NULL text is normalized to zero per-row stats (the corpusDataCard
+    // convention in this file): without it length(NULL) makes every rule
+    // predicate NULL, so a null-text doc lands in n_docs but in NEITHER
+    // count_if(NOT r) nor the survivor stack and the funnel stops tying out
     val perRow = docs
-      .select(split(col(textCol), " ").as("w"),
-        length(col(textCol)).cast("long").as("len"))
+      .select(split(coalesce(col(textCol), lit("")), " ").as("w"),
+        coalesce(length(col(textCol)), lit(0)).cast("long").as("len"))
       .select(
         size(col("w")).cast("long").as("n_tok"),
         (col("len") - size(col("w")) + 1).cast("long").as("n_ch"),

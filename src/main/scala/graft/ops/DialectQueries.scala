@@ -569,8 +569,10 @@ object DialectQueries {
     * (NULL-on-div-zero, gated by a modulus that actually hits zero),
     * `GENERATE_ARRAY` → guarded sequence — the `gempty` column's
     * start > stop rows must come back `[]` per BigQuery, where bare
-    * sequence would generate DESCENDING arrays (lists compared via
-    * check.py's JSON canonicalization) — `ARRAY_LENGTH`, `STARTS_WITH`/`ENDS_WITH`,
+    * sequence would generate DESCENDING arrays (arrays serialized through
+    * `ARRAY_TO_STRING` → array_join so the driver's comparator sees scalar
+    * strings: '' for empty vs '2,1' for a wrongly-descending sequence) —
+    * `ARRAY_LENGTH`, `STARTS_WITH`/`ENDS_WITH`,
     * printf-style `FORMAT` → format_string (DuckDB printf), and
     * `DATE_ADD`/`DATE_SUB` with INTERVAL n part (calendar semantics —
     * month-end clamping matches DuckDB's `+ INTERVAL`).
@@ -581,8 +583,8 @@ object DialectQueries {
       Engine.execute(s,
         """SELECT o_orderkey,
           |  SAFE_DIVIDE(CAST(o_totalprice AS FLOAT64), o_orderkey % 3) AS ratio,
-          |  GENERATE_ARRAY(1, o_orderkey % 4 + 1) AS garr,
-          |  GENERATE_ARRAY(2, o_orderkey % 4) AS gempty,
+          |  ARRAY_TO_STRING(GENERATE_ARRAY(1, o_orderkey % 4 + 1), ',') AS garr,
+          |  ARRAY_TO_STRING(GENERATE_ARRAY(2, o_orderkey % 4), ',') AS gempty,
           |  CAST(ARRAY_LENGTH(GENERATE_ARRAY(1, o_orderkey % 4 + 1)) AS INT64) AS alen,
           |  STARTS_WITH(o_orderpriority, '1') AS sw,
           |  ENDS_WITH(o_orderpriority, 'T') AS ew,
@@ -595,8 +597,8 @@ object DialectQueries {
     },
     Some("""SELECT o_orderkey,
            |  o_totalprice::DOUBLE / NULLIF(o_orderkey % 3, 0) AS ratio,
-           |  generate_series(1, o_orderkey % 4 + 1) AS garr,
-           |  generate_series(2, o_orderkey % 4) AS gempty,
+           |  array_to_string(generate_series(1, o_orderkey % 4 + 1), ',') AS garr,
+           |  coalesce(array_to_string(generate_series(2, o_orderkey % 4), ','), '') AS gempty,
            |  CAST(len(generate_series(1, o_orderkey % 4 + 1)) AS BIGINT) AS alen,
            |  starts_with(o_orderpriority, '1') AS sw,
            |  o_orderpriority LIKE '%T' AS ew,
@@ -1132,7 +1134,11 @@ object DialectQueries {
            |FROM i GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin))
 
   /** Exasol surface ([[Dialect.ExasolIsh]]): the ADD_unit /
-    * unit_BETWEEN date-arithmetic family, ZEROIFNULL/NULLIFZERO,
+    * unit_BETWEEN date-arithmetic family — ADD_MONTHS/ADD_YEARS are
+    * TYPE-PRESERVING (o_orderdate ships as midnight timestamps, so
+    * due3m/due1y stay timestamps, rendered 'YYYY-MM-DD HH:MM:SS' on both
+    * engines; ADD_DAYS/ADD_WEEKS date_add through the midnight guard) —
+    * ZEROIFNULL/NULLIFZERO,
     * Oracle-style DECODE / TO_CHAR / TO_DATE, 2-arg TRUNC with Oracle
     * format names, and NVL/NULLIF/MOD pass-throughs. o_orderdate is
     * midnight-timestamped, so HOURS_BETWEEN's double result is exact
@@ -1146,8 +1152,8 @@ object DialectQueries {
         """SELECT o_orderkey,
           |  CAST(ADD_DAYS(o_orderdate, 30) AS VARCHAR(10)) AS due30,
           |  CAST(ADD_WEEKS(o_orderdate, 2) AS VARCHAR(10)) AS due2w,
-          |  CAST(ADD_MONTHS(o_orderdate, 3) AS VARCHAR(10)) AS due3m,
-          |  CAST(ADD_YEARS(o_orderdate, 1) AS VARCHAR(10)) AS due1y,
+          |  CAST(ADD_MONTHS(o_orderdate, 3) AS VARCHAR(19)) AS due3m,
+          |  CAST(ADD_YEARS(o_orderdate, 1) AS VARCHAR(19)) AS due1y,
           |  ADD_HOURS(o_orderdate, 6) AS t6h,
           |  CAST(DAYS_BETWEEN(DATE '1998-12-31', o_orderdate) AS BIGINT) AS age_days,
           |  HOURS_BETWEEN(TIMESTAMP '1999-01-01 00:00:00', o_orderdate) AS age_hours,
@@ -1167,8 +1173,8 @@ object DialectQueries {
     Some("""SELECT o_orderkey,
            |  CAST(o_orderdate::DATE + 30 AS VARCHAR) AS due30,
            |  CAST(o_orderdate::DATE + 14 AS VARCHAR) AS due2w,
-           |  CAST(CAST(o_orderdate::DATE + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS due3m,
-           |  CAST(CAST(o_orderdate::DATE + INTERVAL 12 MONTH AS DATE) AS VARCHAR) AS due1y,
+           |  CAST(o_orderdate + INTERVAL 3 MONTH AS VARCHAR) AS due3m,
+           |  CAST(o_orderdate + INTERVAL 12 MONTH AS VARCHAR) AS due1y,
            |  o_orderdate + INTERVAL 6 HOUR AS t6h,
            |  CAST(date_diff('day', o_orderdate::DATE, DATE '1998-12-31') AS BIGINT) AS age_days,
            |  (epoch(TIMESTAMP '1999-01-01 00:00:00')::DOUBLE
@@ -1255,6 +1261,99 @@ object DialectQueries {
            |FROM events WHERE user_id <= 30
            |GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** BigQuery table-valued UNNEST + array subscripts ([[Dialect.BigQueryish]],
+    * third gate): FROM-clause `UNNEST(arr) AS x WITH OFFSET AS off` →
+    * LATERAL VIEW posexplode (BigQuery's OFFSET is 0-based — exactly
+    * posexplode's pos), and the four subscript forms — `[OFFSET(i)]`
+    * (0-based erroring), `[SAFE_OFFSET(i)]` (0-based, NULL out-of-range),
+    * `[ORDINAL(i)]` (1-based erroring), `[SAFE_ORDINAL(i)]` → element_at /
+    * try_element_at. The oracle replays the unnest as DuckDB's zipped
+    * SELECT-position unnests and the subscripts as 1-based list indexing
+    * (DuckDB is NULL out-of-range, matching the SAFE_ forms; the erroring
+    * forms are probed in range only).
+    */
+  val bigqueryUnnest = OpQ("op_dialect_bigquery_unnest",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, x,
+          |  CAST(off AS INT64) AS off,
+          |  GENERATE_ARRAY(1, o_orderkey % 3 + 1)[OFFSET(0)] AS first_off,
+          |  GENERATE_ARRAY(1, o_orderkey % 3 + 1)[SAFE_OFFSET(5)] AS oob_off,
+          |  GENERATE_ARRAY(1, o_orderkey % 3 + 1)[ORDINAL(1)] AS first_ord,
+          |  GENERATE_ARRAY(1, o_orderkey % 3 + 1)[SAFE_ORDINAL(9)] AS oob_ord
+          |FROM orders, UNNEST(GENERATE_ARRAY(1, o_orderkey % 3 + 1)) AS x WITH OFFSET AS off
+          |WHERE o_orderkey <= 200
+          |ORDER BY o_orderkey, off""".stripMargin,
+        dialect = Dialect.BigQueryish)
+    },
+    Some("""SELECT o_orderkey, x, CAST(off AS BIGINT) AS off,
+           |  (generate_series(1, o_orderkey % 3 + 1))[1] AS first_off,
+           |  (generate_series(1, o_orderkey % 3 + 1))[6] AS oob_off,
+           |  (generate_series(1, o_orderkey % 3 + 1))[1] AS first_ord,
+           |  (generate_series(1, o_orderkey % 3 + 1))[9] AS oob_ord
+           |FROM (SELECT o_orderkey,
+           |        unnest(generate_series(1, o_orderkey % 3 + 1)) AS x,
+           |        unnest(generate_series(0, o_orderkey % 3)) AS off
+           |      FROM orders WHERE o_orderkey <= 200) t
+           |ORDER BY o_orderkey, off""".stripMargin))
+
+  /** Snowflake `LATERAL FLATTEN` ([[Dialect.Snowflakeish]], third gate):
+    * `, LATERAL FLATTEN(input => arr) f` → LATERAL VIEW posexplode with
+    * the Snowflake column names kept (`f.index` 0-based, `f.value`). The
+    * oracle replays it as DuckDB zipped unnests over the same split.
+    */
+  val snowflakeFlatten = OpQ("op_dialect_snowflake_flatten",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, CAST(f.index AS BIGINT) AS idx, f.value AS val
+          |FROM orders, LATERAL FLATTEN(input => SPLIT(o_orderpriority, '-')) f
+          |WHERE o_orderkey <= 300
+          |ORDER BY o_orderkey, idx""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT o_orderkey, idx, val FROM (
+           |  SELECT o_orderkey,
+           |    unnest(generate_series(0, len(string_split(o_orderpriority, '-')) - 1)) AS idx,
+           |    unnest(string_split(o_orderpriority, '-')) AS val
+           |  FROM orders WHERE o_orderkey <= 300) t
+           |ORDER BY o_orderkey, idx""".stripMargin))
+
+  /** Trino `TRY(...)` + table-valued UNNEST ([[Dialect.Trinoish]], third
+    * gate): TRY around a failing CAST → try_cast (NULL), around `%` with a
+    * zero divisor → try_mod (NULL — probed by a modulus that actually hits
+    * zero), around an out-of-range `element_at` → try_element_at; plus the
+    * Trino FROM-clause `CROSS JOIN UNNEST(arr) AS t(tok)` single-column
+    * table alias → LATERAL VIEW explode. The oracle states each
+    * NULL-on-error contract explicitly (TRY_CAST, a zero-guard CASE,
+    * DuckDB's NULL out-of-range list index).
+    */
+  val trinoTryUnnest = OpQ("op_dialect_trino_try_unnest",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  TRY(CAST(o_orderstatus AS INTEGER)) AS bad_cast,
+          |  TRY(o_orderkey % (o_orderkey % 3)) AS mod3,
+          |  TRY(ELEMENT_AT(SPLIT(o_orderpriority, '-'), 5)) AS oob,
+          |  ELEMENT_AT(SPLIT(o_orderpriority, '-'), 1) AS first_tok,
+          |  tok
+          |FROM orders CROSS JOIN UNNEST(SPLIT(o_orderpriority, '-')) AS t(tok)
+          |WHERE o_orderkey <= 200
+          |ORDER BY o_orderkey, tok""".stripMargin,
+        dialect = Dialect.Trinoish)
+    },
+    Some("""SELECT o_orderkey,
+           |  TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+           |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+           |       ELSE o_orderkey % (o_orderkey % 3) END AS mod3,
+           |  string_split(o_orderpriority, '-')[5] AS oob,
+           |  string_split(o_orderpriority, '-')[1] AS first_tok,
+           |  unnest(string_split(o_orderpriority, '-')) AS tok
+           |FROM orders WHERE o_orderkey <= 200
+           |ORDER BY o_orderkey, tok""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1263,5 +1362,6 @@ object DialectQueries {
     athena, starrocks, materialize, teradata, teradataQualify, tableau,
     snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg,
     mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
-    exasol, druid, singlestore)
+    exasol, druid, singlestore,
+    bigqueryUnnest, snowflakeFlatten, trinoTryUnnest)
 }

@@ -56,7 +56,7 @@ object Streams {
       try spark.read.parquet(eventsDir).schema("ts").dataType
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+            if graft.Tables.isNanosFooterRejection(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(eventsDir).schema("ts").dataType
         case _: org.apache.spark.sql.AnalysisException =>

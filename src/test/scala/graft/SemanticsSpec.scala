@@ -62,6 +62,33 @@ class SemanticsSpec extends SparkSpec {
     assert(isNull("try_divide(1, 0)"))
   }
 
+  test("Exasol ADD_unit forms never silently truncate a timestamp's time-of-day") {
+    initLog()
+    // ADD_MONTHS/ADD_YEARS are fully type-preserving (typed YM interval)
+    val row = Engine.execute(spark,
+      """SELECT ADD_MONTHS(TIMESTAMP '2020-01-31 23:59:59', 1) AS ts2,
+        |       ADD_YEARS(DATE '2020-02-29', 1) AS d2,
+        |       ADD_DAYS(DATE '2020-01-02', 1) AS d1""".stripMargin,
+      dialect = Dialect.ExasolIsh)
+    assert(row.schema("ts2").dataType.typeName === "timestamp")
+    assert(row.schema("d2").dataType.typeName === "date")
+    assert(row.schema("d1").dataType.typeName === "date")
+    val r = row.head()
+    // month-end clamping preserved, time-of-day intact on timestamps
+    assert(r.getAs[java.sql.Timestamp]("ts2").toString === "2020-02-29 23:59:59.0")
+    assert(r.getAs[java.sql.Date]("d2").toString === "2021-02-28")
+    assert(r.getAs[java.sql.Date]("d1").toString === "2020-01-03")
+    // ADD_DAYS on a midnight timestamp truncates losslessly…
+    val mid = Engine.execute(spark,
+      "SELECT ADD_DAYS(TIMESTAMP '2020-01-02 00:00:00', 1) AS d",
+      dialect = Dialect.ExasolIsh).head().getAs[java.sql.Date]("d")
+    assert(mid.toString === "2020-01-03")
+    // …but a real time-of-day raises instead of silently drifting
+    intercept[Exception](Engine.execute(spark,
+      "SELECT ADD_DAYS(TIMESTAMP '2020-01-02 03:04:05', 1) AS d",
+      dialect = Dialect.ExasolIsh).collect())
+  }
+
   test("Engine.execute wraps parse and analysis failures in ExecuteError") {
     intercept[ExecuteError](Engine.execute(spark, "SELEC nonsense"))
     intercept[ExecuteError](Engine.execute(spark, "SELECT * FROM table_that_is_not_there"))
