@@ -193,6 +193,8 @@ object Dialect {
         rewriteQualify(_),
         rewriteDistinctOn(_),
         rewriteExclude,
+        s => rewriteStarReplace(spark, s, esc = false),
+        s => rewriteGenerateSeriesTable(s, esc = false),
         rewriteIntDiv,
         rewriteColonCast,
         rewriteStrftime,
@@ -298,6 +300,7 @@ object Dialect {
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
         s => rewriteQualify(s, esc = true),
+        s => rewriteStarReplace(spark, s, esc = true),
         s => rewriteUnnest(s, esc = true),
         rewriteBqSubscript,
         rewriteFormatDate,
@@ -367,6 +370,7 @@ object Dialect {
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
         rewriteColonCast,
+        s => rewriteGenerateSeriesTable(s, esc = false),
         rewriteRsBareTypes, // unsized VARCHAR/TEXT casts are Postgres-legal too
         rewritePgToChar,
         rewritePgRegexMatch,
@@ -1518,6 +1522,74 @@ object Dialect {
     }
     out.append(cur.substring(last))
     out.toString
+  }
+
+  /** DuckDB/BigQuery `SELECT * REPLACE (expr AS col[, …]) FROM <table>` —
+    * Spark has `* EXCEPT` natively but no REPLACE, and an EXCEPT+append
+    * emulation would move the replaced column to the END of the row
+    * (REPLACE keeps its position). The star is instead expanded to the
+    * FROM table's explicit column list — resolved from the registered
+    * view at rewrite time ([[Engine.execute]] registers tables before
+    * dialect rewriting) — with each replaced column's expression
+    * substituted IN POSITION under its original name. Scope (fail fast
+    * otherwise): the starred select must be the bare `* REPLACE` form and
+    * FROM must name a single resolvable table (alias allowed after it);
+    * a replacement naming a column the table lacks raises, matching
+    * DuckDB/BigQuery's own binder error.
+    */
+  private[graft] def rewriteStarReplace(spark: SparkSession, sql: String,
+      esc: Boolean): String = {
+    val re = "(?i)\\*\\s*REPLACE\\s*\\(".r
+    var cur = sql
+    var guard = 0
+    while (guard < 16) {
+      guard += 1
+      val spans = literalSpans(cur, esc)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced * REPLACE( in: $cur")
+          val repls = splitArgs(cur, spans, open + 1, close).map(_.trim).map { item =>
+            "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$".r
+              .findFirstMatchIn(item) match {
+              case Some(mm) =>
+                mm.group(2).stripPrefix("`").stripSuffix("`").toLowerCase -> mm.group(1)
+              case None => throw new graft.UnsupportedError(
+                s"* REPLACE items must be `expr AS col`, got: $item")
+            }
+          }.toMap
+          val depth = depthAt(cur, spans)
+          val d0 = depth(m.start)
+          val fromM = "(?i)\\bFROM\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)".r
+            .findAllMatchIn(cur)
+            .find(mm => mm.start > close && depth(mm.start) == d0 &&
+              outsideLiterals(spans, mm.start))
+            .getOrElse(throw new graft.UnsupportedError(
+              "* REPLACE requires a FROM <table> at the same query level"))
+          val tbl = fromM.group(1)
+          val schema =
+            try spark.table(tbl).schema
+            catch { case _: Exception => throw new graft.UnsupportedError(
+              s"* REPLACE: cannot resolve table $tbl to expand the star") }
+          val known = schema.fieldNames.map(_.toLowerCase).toSet
+          repls.keys.find(!known.contains(_)).foreach { missing =>
+            throw new graft.UnsupportedError(
+              s"* REPLACE names column $missing which table $tbl lacks")
+          }
+          val items = schema.fieldNames.map { c =>
+            repls.get(c.toLowerCase) match {
+              case Some(e) => s"($e) AS `$c`"
+              case None    => s"`$c`"
+            }
+          }
+          cur = cur.substring(0, m.start) + items.mkString(", ") +
+            cur.substring(close + 1)
+      }
+    }
+    throw new graft.UnsupportedError("* REPLACE rewrite did not terminate")
   }
 
   /** DuckDB/Postgres `SELECT DISTINCT ON (keys) items … ORDER BY ord`:
@@ -2929,6 +3001,69 @@ object Dialect {
       }
     }
     throw new graft.UnsupportedError("UNNEST rewrite did not terminate")
+  }
+
+  /** Postgres/DuckDB table-function `GENERATE_SERIES` in the FROM clause
+    * (the date-spine / numbers-table idiom) → explode over Spark's
+    * `sequence` (both ends inclusive on all three engines):
+    *
+    *   `FROM generate_series(a, b[, s]) [AS] g`      → `FROM (SELECT
+    *       explode(sequence(a, b[, s])) AS g) g`     (uncorrelated)
+    *   `FROM generate_series(a, b) [AS] t(i)`        → column name i
+    *   `, generate_series(a, b) [AS] g` / `CROSS JOIN …`
+    *       → `LATERAL VIEW explode(sequence(a, b)) __gs_g AS g`
+    *       (correlated against the preceding table, like Postgres
+    *       implicit-LATERAL)
+    *
+    * A single bare alias names the COLUMN (Postgres' alias-names-the-row
+    * convention collapsed to the 1-column case); the `t(i)` form names
+    * both. SELECT-position generate_series (DuckDB's scalar-context
+    * list form) is outside the shimmed surface and fails at the parser.
+    */
+  private[graft] def rewriteGenerateSeriesTable(sql: String, esc: Boolean): String = {
+    val re = "(?i)(,|\\bCROSS\\s+JOIN\\b|\\bFROM\\b)\\s*GENERATE_SERIES\\s*\\(".r
+    var cur = sql
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val spans = literalSpans(cur, esc)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val joiner = m.group(1).trim.toUpperCase
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced GENERATE_SERIES( in: $cur")
+          val args = splitArgs(cur, spans, open + 1, close).map(_.trim)
+          if (args.length < 2 || args.length > 3)
+            throw new graft.UnsupportedError(
+              "GENERATE_SERIES table function expects (start, stop[, step])")
+          val seq = s"sequence(${args.mkString(", ")})"
+          var rest = cur.substring(close + 1)
+          val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
+            .findFirstMatchIn(rest)
+            .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
+            .getOrElse(throw new graft.UnsupportedError(
+              "GENERATE_SERIES in FROM requires an [AS] alias"))
+          val name = aliasM.group(1)
+          rest = rest.substring(aliasM.end)
+          var (tableAlias, colName) = (name, name)
+          "(?s)^\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r.findFirstMatchIn(rest)
+            .foreach { cm => colName = cm.group(1); rest = rest.substring(cm.end) }
+          val repl =
+            if (joiner == "FROM")
+              s" FROM (SELECT explode($seq) AS $colName) $tableAlias"
+            else {
+              // keep the table alias addressable (t.i) when the t(i) form
+              // named both; the bare form needs a distinct generator alias
+              val lv = if (colName == tableAlias) "__gs_" + tableAlias else tableAlias
+              s" LATERAL VIEW explode($seq) $lv AS $colName"
+            }
+          cur = cur.substring(0, m.start).stripTrailing() + repl + rest
+      }
+    }
+    throw new graft.UnsupportedError("GENERATE_SERIES rewrite did not terminate")
   }
 
   /** BigQuery array subscripts `base[OFFSET(i)]` (0-based, erroring on

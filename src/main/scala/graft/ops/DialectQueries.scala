@@ -1354,6 +1354,58 @@ object DialectQueries {
            |FROM orders WHERE o_orderkey <= 200
            |ORDER BY o_orderkey, tok""".stripMargin))
 
+  /** DuckDB/BigQuery `SELECT * REPLACE (expr AS col)` ([[Dialect]]
+    * rewriteStarReplace): the star expands to the registered table's
+    * column list with each replaced expression substituted IN POSITION
+    * under its original name (an EXCEPT+append emulation would move it
+    * to the end). DuckDB runs the identical text natively as the oracle.
+    */
+  val duckdbReplace = OpQ("op_dialect_duckdb_replace",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+          |                  upper(o_orderstatus) AS o_orderstatus)
+          |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.DuckDbish)
+    },
+    Some("""SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+           |                  upper(o_orderstatus) AS o_orderstatus)
+           |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin))
+
+  /** Postgres table-function `GENERATE_SERIES` in FROM ([[Dialect]]
+    * rewriteGenerateSeriesTable): the uncorrelated spine form
+    * (`FROM generate_series(1, 5) AS g(i)` → explode subquery) and the
+    * correlated lateral form (`, generate_series(0, expr) AS gs(d)` →
+    * LATERAL VIEW explode) in one query. The oracle replays the spine
+    * natively (DuckDB has the table function) and the correlated form as
+    * a LATERAL unnest subquery (DuckDB's table functions cannot take
+    * lateral column arguments).
+    */
+  val pgSeries = OpQ("op_dialect_pg_series",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """WITH spine AS (
+          |  SELECT CAST(g.i AS BIGINT) AS i FROM generate_series(1, 5) AS g(i))
+          |SELECT s.i AS bucket, COUNT(*) AS n_rows, CAST(SUM(t.d) AS BIGINT) AS sum_d
+          |FROM spine s
+          |JOIN (SELECT o_orderkey, o_orderkey % 5 + 1 AS b, gs.d
+          |      FROM orders, generate_series(0, o_orderkey % 3) AS gs(d)
+          |      WHERE o_orderkey <= 1000) t ON t.b = s.i
+          |GROUP BY s.i ORDER BY s.i""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""WITH spine AS (
+           |  SELECT CAST(g.i AS BIGINT) AS i FROM generate_series(1, 5) AS g(i)),
+           |base AS (SELECT o_orderkey, o_orderkey % 5 + 1 AS b, ls.d
+           |         FROM orders,
+           |           LATERAL (SELECT unnest(generate_series(0, o_orderkey % 3)) AS d) ls
+           |         WHERE o_orderkey <= 1000)
+           |SELECT s.i AS bucket, COUNT(*) AS n_rows, CAST(SUM(base.d) AS BIGINT) AS sum_d
+           |FROM spine s JOIN base ON base.b = s.i
+           |GROUP BY s.i ORDER BY s.i""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1363,5 +1415,6 @@ object DialectQueries {
     snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg,
     mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
     exasol, druid, singlestore,
-    bigqueryUnnest, snowflakeFlatten, trinoTryUnnest)
+    bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
+    pgSeries)
 }

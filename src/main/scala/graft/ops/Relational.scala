@@ -399,7 +399,7 @@ object Relational {
     * fingerprint (verify a migration, a format conversion, or two engines'
     * copies of the same table without moving the data). Per row: the
     * first 15 hex digits (60 bits) of md5 over all columns, joined with a
-    *  separator and a  NULL marker (so (a,NULL) never collides
+    * U+0001 separator and a U+0000 NULL marker (so (a,NULL) never collides
     * with (a,'')); per table: `bit_xor` of the row hashes (order- and
     * partitioning-independent, overflow-free) plus a modular sum (catches
     * the duplicated-pair rows XOR cancels) and the row count. One

@@ -89,6 +89,27 @@ class SemanticsSpec extends SparkSpec {
       dialect = Dialect.ExasolIsh).collect())
   }
 
+  test("* REPLACE expands the star in position from the registered view") {
+    initLog()
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("star_replace_t")
+    val out = Engine.execute(spark,
+      "SELECT * REPLACE (v * 2 AS v) FROM star_replace_t ORDER BY k",
+      dialect = Dialect.DuckDbish)
+    // replaced column keeps its POSITION and name
+    assert(out.columns.toSeq === Seq("k", "s", "v"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((1L, 20L), (2L, 40L)))
+    // a replacement naming a missing column fails fast, as does a
+    // FROM the rewriter cannot resolve
+    intercept[Exception](Engine.execute(spark,
+      "SELECT * REPLACE (x + 1 AS x) FROM star_replace_t",
+      dialect = Dialect.DuckDbish))
+    intercept[Exception](Engine.execute(spark,
+      "SELECT * REPLACE (v * 2 AS v) FROM table_nobody_registered",
+      dialect = Dialect.DuckDbish))
+  }
+
   test("Engine.execute wraps parse and analysis failures in ExecuteError") {
     intercept[ExecuteError](Engine.execute(spark, "SELEC nonsense"))
     intercept[ExecuteError](Engine.execute(spark, "SELECT * FROM table_that_is_not_there"))
