@@ -235,6 +235,36 @@ object Examples {
         s"funnel=${funnel.mkString(",")} sweep=${sweep.mkString(",")}")
     }
 
+    // example16: the table-valued dialect constructs — BigQuery UNNEST
+    // WITH OFFSET + SAFE_OFFSET subscripts, Snowflake LATERAL FLATTEN,
+    // Trino TRY, DuckDB * REPLACE — each through its own dialect string
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, "a-b"), (2L, "c")).toDF("id", "tags")
+      val bq = Engine.execute(spark,
+        """SELECT id, x, off, SPLIT(tags, '-')[SAFE_OFFSET(1)] AS second
+          |FROM t, UNNEST(SPLIT(tags, '-')) AS x WITH OFFSET AS off
+          |ORDER BY id, off""".stripMargin,
+        tables = Map("t" -> t), dialect = Dialect.forName("bigquery"))
+        .collect().map(r => s"${r.getLong(0)}/${r.getString(1)}@${r.getInt(2)}")
+      val snow = Engine.execute(spark,
+        """SELECT id, f.index AS i, f.value AS v
+          |FROM t, LATERAL FLATTEN(input => SPLIT(tags, '-')) f
+          |ORDER BY id, i""".stripMargin,
+        tables = Map("t" -> t), dialect = Dialect.forName("snowflake"))
+        .count()
+      val trino = Engine.execute(spark,
+        "SELECT TRY(CAST(tags AS INTEGER)) AS bad, TRY(id % (id - 1)) AS m FROM t ORDER BY id",
+        tables = Map("t" -> t), dialect = Dialect.forName("trino"))
+        .collect().map(r => s"${r.isNullAt(0)}/${if (r.isNullAt(1)) "null" else r.getLong(1)}")
+      val repl = Engine.execute(spark,
+        "SELECT * REPLACE (upper(tags) AS tags) FROM t ORDER BY id",
+        tables = Map("t" -> t), dialect = Dialect.forName("duckdb"))
+        .collect().map(_.getString(1))
+      println(s"example16(unnest/flatten/try/replace): bq=${bq.mkString(",")} " +
+        s"snow_rows=$snow trino=${trino.mkString(",")} repl=${repl.mkString(",")}")
+    }
+
     spark.stop()
   }
 }

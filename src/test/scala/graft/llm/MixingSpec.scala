@@ -374,4 +374,41 @@ class MixingSpec extends SparkSpec {
       (err.getMessage.contains("target slice is empty") ||
         Option(err.getCause).exists(_.getMessage.contains("target slice is empty"))))
   }
+
+  test("curriculumPlan: exact band arithmetic, fixed thresholds, NULL text") {
+    // "a b c" → n_tok 3, n_dis 3: len_ppm = 1e6*3 div 512 = 5859,
+    //   rep_ppm = 1e6 - 1e6*3 div 3 = 0 → difficulty (5859+0) div 2 = 2929 → band 0
+    // "a a a a" → n_tok 4, n_dis 1: len 7812, rep 750000 → 378906 → band 1
+    // NULL → [''] : n_tok 1, n_dis 1: len 1953, rep 0 → 976 → band 0
+    val docs = Seq((1L, "s", "a b c"), (2L, "s", "a a a a"),
+      (3L, "s", null.asInstanceOf[String])).toDF("doc_id", "source", "text")
+    val out = Mixing.curriculumPlan(docs, bands = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("s", 0L)) === ((2L, 4L, 976L, 2929L)))
+    assert(out(("s", 1L)) === ((1L, 4L, 378906L, 378906L)))
+    // a maximal difficulty lands in the LAST band, never past it
+    val extreme = Seq((1L, "t", ("z " * 600).trim)).toDF("doc_id", "source", "text")
+    val b = Mixing.curriculumPlan(extreme, bands = 4)
+      .select(col("band")).head().getLong(0)
+    assert(b === 3L) // len 1e6, rep 1e6-1e6*1 div 600 = 998334 → 999167 → band 3
+  }
+
+  test("corpusConcentration: shares, ranks, cumulative and HHI are exact") {
+    // a: 6 tokens, b: 3, c: 1 → total 10; shares 600000/300000/100000 ppm
+    val docs = Seq(
+      (1L, "a", "t1 t2 t3"), (2L, "a", "t4 t5 t6"),
+      (3L, "b", "u1 u2 u3"),
+      (4L, "c", "v1"), (5L, "c", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val rows = Mixing.corpusConcentration(docs).collect()
+    val byS = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (n_docs, n_tokens, share_ppm, rank, cum_share_ppm)
+    assert(byS("a") === ((2L, 6L, 600000L, 1L, 600000L)))
+    assert(byS("b") === ((1L, 3L, 300000L, 2L, 900000L)))
+    assert(byS("c") === ((2L, 1L, 100000L, 3L, 1000000L))) // NULL doc counted, 0 tokens
+    // HHI = (6e5² + 3e5² + 1e5²) div 1e6 = 460000, same on every row
+    assert(rows.map(_.getLong(6)).toSet === Set(460000L))
+  }
 }
