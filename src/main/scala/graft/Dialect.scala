@@ -260,6 +260,7 @@ object Dialect {
         s => rewriteDoubleQuotedIdents(s, esc = true),
         s => rewriteQualify(s, esc = true),
         rewriteSnowFlatten,
+        rewriteSnowTryTo,
         rewriteSnowDateAdd,
         rewriteSnowDateDiff,
         rewriteSnowDayMonthName,
@@ -466,6 +467,8 @@ object Dialect {
         rewriteBracketIdents,
         rewriteTsqlTop,
         rewriteTsqlOffsetFetch,
+        rewriteTsqlApply,  // before rewriteStringSplit maps the call itself
+        rewriteStringSplit,
         rewriteTsqlConvert,
         rewriteTsqlDateAdd,
         rewriteTsqlDateDiff,
@@ -587,6 +590,7 @@ object Dialect {
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
+        rewriteChArrayJoin, // FIRST: the clause wraps exprs later steps rewrite
         rewriteChAggIf,
         rewriteChMultiIf,
         rewriteChTo,
@@ -3002,6 +3006,114 @@ object Dialect {
     }
     throw new graft.UnsupportedError("UNNEST rewrite did not terminate")
   }
+
+  /** ClickHouse `[LEFT] ARRAY JOIN <expr> AS <alias>` clause → Spark
+    * `LATERAL VIEW [OUTER] explode`. LEFT ARRAY JOIN keeps empty-array
+    * rows with a NULL element — exactly OUTER explode's contract. The
+    * alias is REQUIRED here (ClickHouse's bare form replaces the source
+    * column in place, which a LATERAL VIEW cannot express without
+    * shadowing — fail fast rather than emit an ambiguous name); the
+    * multi-array zip form (`ARRAY JOIN a AS x, b AS y`) is outside the
+    * shimmed surface and fails downstream in Spark's parser.
+    */
+  private[graft] def rewriteChArrayJoin(sql: String): String = {
+    val re = "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\b".r
+    var cur = sql
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val spans = literalSpans(cur, backslashEscapes = true)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val outer = m.group(1) != null
+          val rest0 = cur.substring(m.end)
+          val rSpans = literalSpans(rest0, backslashEscapes = true)
+          val rDepth = depthAt(rest0, rSpans)
+          val asIdx = topLevelKeyword(rest0, rSpans, rDepth, "AS")
+          if (asIdx < 0)
+            throw new graft.UnsupportedError(
+              "ARRAY JOIN requires `expr AS alias` (the bare in-place form is not supported)")
+          val arr = rest0.substring(0, asIdx).trim
+          if (arr.isEmpty)
+            throw new graft.UnsupportedError("ARRAY JOIN requires an array expression")
+          val aliasM = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)".r
+            .findFirstMatchIn(rest0.substring(asIdx + 2))
+            .getOrElse(throw new graft.UnsupportedError(
+              "ARRAY JOIN: cannot parse the alias after AS"))
+          val alias = aliasM.group(1)
+          cur = cur.substring(0, m.start).stripTrailing() +
+            s" LATERAL VIEW ${if (outer) "OUTER " else ""}explode($arr) __aj_$alias AS $alias" +
+            rest0.substring(asIdx + 2 + aliasM.end)
+      }
+    }
+    throw new graft.UnsupportedError("ARRAY JOIN rewrite did not terminate")
+  }
+
+  /** T-SQL `CROSS APPLY STRING_SPLIT(expr, 'sep') [AS] t` /
+    * `OUTER APPLY …` → `LATERAL VIEW [OUTER] explode(string_split(…)) t
+    * AS value` — the column is named `value` exactly as T-SQL's
+    * STRING_SPLIT emits it, and the string_split call itself is mapped
+    * to regex-quoted `split` by the shared [[rewriteStringSplit]] step
+    * that follows in the T-SQL pipeline (its 3-arg `enable_ordinal`
+    * form fails fast there). General `APPLY (subquery)` is outside the
+    * shimmed surface — unmatched, it fails loudly in Spark's parser.
+    */
+  private[graft] def rewriteTsqlApply(sql: String): String = {
+    val re = "(?i)\\b(CROSS|OUTER)\\s+APPLY\\s+STRING_SPLIT\\s*\\(".r
+    var cur = sql
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val spans = literalSpans(cur, backslashEscapes = true)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val outer = m.group(1).equalsIgnoreCase("OUTER")
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced STRING_SPLIT( in: $cur")
+          val args = cur.substring(open + 1, close)
+          var rest = cur.substring(close + 1)
+          var alias = "__apply"
+          "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r.findFirstMatchIn(rest)
+            .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
+            .foreach { mm => alias = mm.group(1); rest = rest.substring(mm.end) }
+          cur = cur.substring(0, m.start).stripTrailing() +
+            s" LATERAL VIEW ${if (outer) "OUTER " else ""}explode(string_split($args)) $alias AS value" +
+            rest
+      }
+    }
+    throw new graft.UnsupportedError("APPLY rewrite did not terminate")
+  }
+
+  /** Snowflake `TRY_TO_*` conversions → `try_cast` (NULL on failure,
+    * matching Snowflake's contract): TRY_TO_NUMBER/DECIMAL/NUMERIC with
+    * the default NUMBER(38,0) or explicit (precision, scale);
+    * TRY_TO_DOUBLE; TRY_TO_DATE (default format only); TRY_TO_BOOLEAN.
+    * Format-string arguments fail fast — Snowflake format elements are
+    * not Spark cast semantics and a silent pass-through would parse
+    * differently.
+    */
+  private[graft] def rewriteSnowTryTo(sql: String): String =
+    rewriteCall(sql,
+      "try_to_number|try_to_decimal|try_to_numeric|try_to_double|try_to_date|try_to_boolean",
+      esc = true) { (fn, args) =>
+      val f = fn.toLowerCase
+      (f, args) match {
+        case ("try_to_number" | "try_to_decimal" | "try_to_numeric", Seq(x)) =>
+          s"try_cast($x AS DECIMAL(38, 0))"
+        case ("try_to_number" | "try_to_decimal" | "try_to_numeric", Seq(x, p, sc))
+            if p.matches("\\d+") && sc.matches("\\d+") =>
+          s"try_cast($x AS DECIMAL($p, $sc))"
+        case ("try_to_double", Seq(x))  => s"try_cast($x AS DOUBLE)"
+        case ("try_to_date", Seq(x))    => s"try_cast($x AS DATE)"
+        case ("try_to_boolean", Seq(x)) => s"try_cast($x AS BOOLEAN)"
+        case _ => throw new graft.UnsupportedError(
+          s"$fn with a format argument is not supported (default-format forms only)")
+      }
+    }
 
   /** Postgres/DuckDB table-function `GENERATE_SERIES` in the FROM clause
     * (the date-spine / numbers-table idiom) → explode over Spark's

@@ -1406,6 +1406,79 @@ object DialectQueries {
            |FROM spine s JOIN base ON base.b = s.i
            |GROUP BY s.i ORDER BY s.i""".stripMargin))
 
+  /** ClickHouse `ARRAY JOIN` clause ([[Dialect]] rewriteChArrayJoin):
+    * `FROM t ARRAY JOIN splitByChar(…) AS x` → LATERAL VIEW explode,
+    * composing with the splitByChar (separator-first, literal) rewrite
+    * that runs after it. Oracle: DuckDB unnest over the same split.
+    */
+  val clickhouseArrayJoin = OpQ("op_dialect_clickhouse_arrayjoin",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, x
+          |FROM orders ARRAY JOIN splitByChar('-', o_orderpriority) AS x
+          |WHERE o_orderkey <= 200
+          |ORDER BY o_orderkey, x""".stripMargin,
+        dialect = Dialect.ClickHouseIsh)
+    },
+    Some("""SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS x
+           |FROM orders WHERE o_orderkey <= 200
+           |ORDER BY o_orderkey, x""".stripMargin))
+
+  /** T-SQL `CROSS APPLY STRING_SPLIT` ([[Dialect]] rewriteTsqlApply):
+    * the table-valued split idiom → LATERAL VIEW explode with the
+    * T-SQL-fixed `value` column name; the separator is literal (regex
+    * metachars \Q-quoted by the shared string_split rewrite).
+    */
+  val tsqlApply = OpQ("op_dialect_tsql_apply",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, t.value AS part,
+          |  LEN(t.value) AS part_len
+          |FROM orders CROSS APPLY STRING_SPLIT(o_orderpriority, '-') AS t
+          |WHERE o_orderkey <= 200
+          |ORDER BY o_orderkey, part""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""SELECT o_orderkey, part, CAST(length(part) AS INTEGER) AS part_len
+           |FROM (SELECT o_orderkey,
+           |        unnest(string_split(o_orderpriority, '-')) AS part
+           |      FROM orders WHERE o_orderkey <= 200) t
+           |ORDER BY o_orderkey, part""".stripMargin))
+
+  /** Snowflake `TRY_TO_*` conversions ([[Dialect]] rewriteSnowTryTo):
+    * NULL-on-failure casts — TRY_TO_NUMBER (default NUMBER(38,0) and
+    * explicit precision/scale), TRY_TO_DOUBLE, TRY_TO_DATE,
+    * TRY_TO_BOOLEAN — against DuckDB's TRY_CAST.
+    */
+  val snowflakeTryTo = OpQ("op_dialect_snowflake_tryto",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  CAST(TRY_TO_NUMBER(o_orderpriority) AS BIGINT) AS n_bad,
+          |  CAST(TRY_TO_NUMBER(TO_VARCHAR(o_orderkey)) AS BIGINT) AS n_ok,
+          |  CAST(TRY_TO_NUMBER('12.75', 8, 2) AS DOUBLE) AS n_dec,
+          |  TRY_TO_DOUBLE('3.5') AS d_ok,
+          |  TRY_TO_DOUBLE(o_orderstatus) AS d_bad,
+          |  TO_VARCHAR(TRY_TO_DATE(SUBSTR(TO_VARCHAR(o_orderdate), 1, 10))) AS dt,
+          |  TRY_TO_BOOLEAN('true') AS b
+          |FROM orders WHERE o_orderkey <= 150
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT o_orderkey,
+           |  TRY_CAST(o_orderpriority AS BIGINT) AS n_bad,
+           |  CAST(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DECIMAL(38, 0)) AS BIGINT) AS n_ok,
+           |  CAST(TRY_CAST('12.75' AS DECIMAL(8, 2)) AS DOUBLE) AS n_dec,
+           |  TRY_CAST('3.5' AS DOUBLE) AS d_ok,
+           |  TRY_CAST(o_orderstatus AS DOUBLE) AS d_bad,
+           |  CAST(TRY_CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS DATE) AS VARCHAR) AS dt,
+           |  TRY_CAST('true' AS BOOLEAN) AS b
+           |FROM orders WHERE o_orderkey <= 150
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1416,5 +1489,5 @@ object DialectQueries {
     mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
-    pgSeries)
+    pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo)
 }
