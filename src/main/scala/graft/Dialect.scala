@@ -195,6 +195,7 @@ object Dialect {
         rewriteExclude,
         s => rewriteStarReplace(spark, s, esc = false),
         s => rewriteGenerateSeriesTable(s, esc = false),
+        s => rewriteArrayLiteral(s, esc = false),
         rewriteIntDiv,
         rewriteColonCast,
         rewriteStrftime,
@@ -229,6 +230,7 @@ object Dialect {
         rewriteDoubleQuotedIdents(_),
         rewriteTrinoDateFns,
         rewriteTrinoTry,
+        s => rewriteArrayLiteral(s, esc = false),
         s => rewriteUnnest(s, esc = false),
         s => renameFunctions(s, renames))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -372,6 +374,7 @@ object Dialect {
         rewriteDoubleQuotedIdents(_),
         rewriteColonCast,
         s => rewriteGenerateSeriesTable(s, esc = false),
+        s => rewriteArrayLiteral(s, esc = false),
         rewriteRsBareTypes, // unsized VARCHAR/TEXT casts are Postgres-legal too
         rewritePgToChar,
         rewritePgRegexMatch,
@@ -3005,6 +3008,46 @@ object Dialect {
       }
     }
     throw new graft.UnsupportedError("UNNEST rewrite did not terminate")
+  }
+
+  /** ANSI/Trino/Postgres `ARRAY[e1, e2, …]` literal constructor → Spark
+    * `array(e1, e2, …)`. Spark's parser has no bracket constructor (its
+    * brackets are subscripts only), so the bracketed body is re-emitted
+    * in call form; nested `ARRAY[ARRAY[…]]` rewrites inside-out across
+    * loop passes, and an `ARRAY[]` empty literal (legal in Postgres only
+    * with a cast, in Trino bare) becomes `array()`. A bare subscript
+    * (`arr[1]`) has no ARRAY keyword and is never touched.
+    */
+  private[graft] def rewriteArrayLiteral(sql: String, esc: Boolean): String = {
+    val re = "(?i)\\bARRAY\\s*\\[".r
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val spans = literalSpans(cur, esc)
+      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val open = m.end - 1
+          // forward bracket match (literal-aware; parens inside don't count)
+          var depth = 0
+          var i = open
+          var close = -1
+          while (i < cur.length && close < 0) {
+            if (outsideLiterals(spans, i)) {
+              val c = cur.charAt(i)
+              if (c == '[') depth += 1
+              else if (c == ']') { depth -= 1; if (depth == 0) close = i }
+            }
+            i += 1
+          }
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced ARRAY[ in: $cur")
+          cur = cur.substring(0, m.start) + "array(" +
+            cur.substring(open + 1, close) + ")" + cur.substring(close + 1)
+      }
+    }
+    throw new graft.UnsupportedError("ARRAY literal rewrite did not terminate")
   }
 
   /** ClickHouse `[LEFT] ARRAY JOIN <expr> AS <alias>` clause → Spark

@@ -1479,6 +1479,33 @@ object DialectQueries {
            |FROM orders WHERE o_orderkey <= 150
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** ANSI/Trino `ARRAY[…]` literal constructor ([[Dialect]]
+    * rewriteArrayLiteral; also wired for Postgres/DuckDB): bracket
+    * literals, nesting, and the Spark-native element_at / cardinality /
+    * array_join surface over them. Oracle: DuckDB's own bracket lists.
+    */
+  val trinoArrayLiteral = OpQ("op_dialect_trino_array_literal",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey,
+          |  ELEMENT_AT(ARRAY['alpha', 'beta', 'gamma'],
+          |             CAST(o_orderkey % 3 + 1 AS INTEGER)) AS pick,
+          |  CAST(CARDINALITY(ARRAY[o_orderkey, o_orderkey + 1, o_orderkey * 2]) AS BIGINT) AS card,
+          |  CAST(CARDINALITY(ARRAY[ARRAY[1, 2], ARRAY[3]]) AS BIGINT) AS nested_card,
+          |  ARRAY_JOIN(ARRAY['x', 'y'], '-') AS joined
+          |FROM orders WHERE o_orderkey <= 200
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.Trinoish)
+    },
+    Some("""SELECT o_orderkey,
+           |  (['alpha', 'beta', 'gamma'])[CAST(o_orderkey % 3 + 1 AS INTEGER)] AS pick,
+           |  CAST(len([o_orderkey, o_orderkey + 1, o_orderkey * 2]) AS BIGINT) AS card,
+           |  CAST(len([[1, 2], [3]]) AS BIGINT) AS nested_card,
+           |  array_to_string(['x', 'y'], '-') AS joined
+           |FROM orders WHERE o_orderkey <= 200
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1489,5 +1516,6 @@ object DialectQueries {
     mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
-    pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo)
+    pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
+    trinoArrayLiteral)
 }
