@@ -286,6 +286,49 @@ object StressCheck {
       println(f"STRESS filter_funnel_${factor}x rules=${fF.length}%d " +
         f"invariant_violations=$bad%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // curriculum plan at factor-x: difficulty is a pure function of the
+    // text, so per (source, band) min/max difficulty are amplification-
+    // INVARIANT while n_docs/n_tokens scale exactly factor× — and the
+    // output stays |sources|·bands rows at any corpus size (fixed-band
+    // binning: no per-source sort to grow).
+    locally {
+      val srcd = (d: DataFrame) => d
+        .withColumn("source", format_string("src%d", pmod(col("doc_id") % 1000000L, lit(5L))))
+      val p1 = graft.llm.Mixing.curriculumPlan(srcd(docs)).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val t0 = System.nanoTime()
+      val pF = graft.llm.Mixing.curriculumPlan(srcd(docsAmp)).collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      val bad = pF.count { case (k, (nd, nt, lo, hi)) =>
+        val (nd1, nt1, lo1, hi1) = p1(k)
+        nd != factor * nd1 || nt != factor * nt1 || lo != lo1 || hi != hi1
+      }
+      println(f"STRESS curriculum_plan_${factor}x cells=${pF.length}%d " +
+        f"invariant_violations=$bad%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    // concentration report at factor-x: shares, ranks, cumulative shares
+    // and the HHI are RATIOS — amplification-invariant bit-for-bit —
+    // while n_docs/n_tokens scale factor×. One corpus scan either way.
+    locally {
+      val srcd = (d: DataFrame) => d
+        .withColumn("source", format_string("src%d", pmod(col("doc_id") % 1000000L, lit(5L))))
+      val c1 = graft.llm.Mixing.corpusConcentration(srcd(docs)).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      val t0 = System.nanoTime()
+      val cF = graft.llm.Mixing.corpusConcentration(srcd(docsAmp)).collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      val bad = cF.count { case (s, (nd, share, rank, cum, hhi)) =>
+        val (nd1, share1, rank1, cum1, hhi1) = c1(s)
+        nd != factor * nd1 || share != share1 || rank != rank1 ||
+          cum != cum1 || hhi != hhi1
+      }
+      println(f"STRESS concentration_${factor}x sources=${cF.length}%d " +
+        f"invariant_violations=$bad%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString
