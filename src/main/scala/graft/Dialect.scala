@@ -1570,13 +1570,37 @@ object Dialect {
           }.toMap
           val depth = depthAt(cur, spans)
           val d0 = depth(m.start)
-          val fromM = "(?i)\\bFROM\\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)".r
-            .findAllMatchIn(cur)
+          // anchor on the FROM TOKEN (not `FROM ident`) so a subquery FROM
+          // `FROM (…) t` is seen and rejected here instead of silently
+          // matching a LATER FROM in a union branch and expanding the star
+          // against the wrong table's schema
+          val fromTok = "(?i)\\bFROM\\b".r.findAllMatchIn(cur)
             .find(mm => mm.start > close && depth(mm.start) == d0 &&
               outsideLiterals(spans, mm.start))
             .getOrElse(throw new graft.UnsupportedError(
               "* REPLACE requires a FROM <table> at the same query level"))
-          val tbl = fromM.group(1)
+          val afterFrom = cur.substring(fromTok.end)
+          val tblM = "(?s)^\\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)".r
+            .findFirstMatchIn(afterFrom)
+            .getOrElse(throw new graft.UnsupportedError(
+              "* REPLACE requires FROM <single table> (subquery FROM is not supported)"))
+          val tbl = tblM.group(1)
+          // single-table scope is load-bearing, not cosmetic: with a JOIN
+          // or comma-join the star covers BOTH tables in DuckDB/BigQuery,
+          // and expanding only the first would silently DROP the other
+          // side's columns — fail fast per the documented contract
+          locally {
+            var tail = afterFrom.substring(tblM.end)
+            val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
+              .findFirstMatchIn(tail)
+              .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
+            aliasM.foreach(mm => tail = tail.substring(mm.end))
+            val ok = "(?is)^\\s*((WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY)\\b.*)?$".r
+            if (!ok.matches(tail))
+              throw new graft.UnsupportedError(
+                "* REPLACE is supported only over a single FROM table " +
+                  s"(joins/multi-table FROM would drop the other side's columns): …FROM $tbl${tail.take(40)}")
+          }
           val schema =
             try spark.table(tbl).schema
             catch { case _: Exception => throw new graft.UnsupportedError(
@@ -2985,10 +3009,17 @@ object Dialect {
                   "UNNEST table alias must carry exactly one column: " + cm.group(0))
               tableAlias = name; colName = cols.head; rest = rest.substring(cm.end)
             case None =>
-              val offM = "(?is)^\\s*WITH\\s+OFFSET(?:\\s+AS)?\\s+([A-Za-z_][A-Za-z0-9_]*)".r
-                .findFirstMatchIn(rest)
-              offM.foreach { om =>
-                offName = Some(om.group(1)); rest = rest.substring(om.end)
+              val withOffM = "(?is)^\\s*WITH\\s+OFFSET\\b".r.findFirstMatchIn(rest)
+              withOffM.foreach { wm =>
+                rest = rest.substring(wm.end)
+                // the alias is optional in BigQuery — bare WITH OFFSET
+                // names the column `offset`; a following clause keyword is
+                // NOT an alias (stop-word filtered)
+                val offAliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
+                  .findFirstMatchIn(rest)
+                  .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
+                offName = Some(offAliasM.map(_.group(1)).getOrElse("offset"))
+                offAliasM.foreach(mm => rest = rest.substring(mm.end))
               }
           }
           var outer = false
@@ -3255,11 +3286,21 @@ object Dialect {
           if (base.isEmpty)
             throw new graft.UnsupportedError(
               s"cannot locate the array expression before [${m.group(1)}(...)]")
+          // index guards: BigQuery's SAFE_ forms return NULL for ANY
+          // out-of-range index including negatives and ORDINAL(0), but
+          // Spark's element_at reads a NEGATIVE index from the array END
+          // (silent wrong value) and throws on 0 even in the try_ form —
+          // so non-positive indices are mapped to NULL (SAFE_) or to the
+          // erroring 0 (plain forms, which BigQuery also errors on)
           val repl = m.group(1).toLowerCase match {
-            case "offset"       => s"element_at($base, ($idx) + 1)"
-            case "safe_offset"  => s"try_element_at($base, ($idx) + 1)"
-            case "ordinal"      => s"element_at($base, $idx)"
-            case _              => s"try_element_at($base, $idx)"
+            case "offset" =>
+              s"element_at($base, (CASE WHEN ($idx) >= 0 THEN ($idx) + 1 ELSE 0 END))"
+            case "safe_offset" =>
+              s"try_element_at($base, (CASE WHEN ($idx) >= 0 THEN ($idx) + 1 END))"
+            case "ordinal" =>
+              s"element_at($base, (CASE WHEN ($idx) >= 1 THEN ($idx) ELSE 0 END))"
+            case _ =>
+              s"try_element_at($base, (CASE WHEN ($idx) >= 1 THEN ($idx) END))"
           }
           cur = cur.substring(0, baseStart) + repl + cur.substring(j + 1)
       }
@@ -3372,6 +3413,13 @@ object Dialect {
     *   TRY(a % b)             → try_mod(a, b)      (single top-level %)
     * Anything else fails fast — a silently-dropped TRY would turn Trino's
     * NULL-on-error contract into an ANSI runtime error.
+    *
+    * Division semantics note: `/` carries SPARK division semantics here
+    * (integer operands divide to DOUBLE), exactly as the shim's bare
+    * `a / b` pass-through already does everywhere — TRY-wrapping changes
+    * only the error contract, never the arithmetic, so the two forms stay
+    * consistent. Trino's integral `/` is outside the shimmed surface
+    * (documented scope, same as the bare operator).
     */
   private[graft] def rewriteTrinoTry(sql: String): String =
     rewriteCall(sql, "try") { (_, args) =>
@@ -3601,8 +3649,12 @@ object Dialect {
       if (args.length != 2)
         throw new graft.UnsupportedError(s"$fn expects (datetime, count)")
       val (x, n) = (args(0), args(1))
+      // the IS NULL arm keeps Exasol's NULL-propagation: without it a NULL
+      // input makes the midnight predicate NULL, the ELSE branch fires, and
+      // raise_error aborts the query where ADD_DAYS(NULL, n) must be NULL
       def guardedDateAdd(days: String): String =
-        s"(CASE WHEN CAST(CAST(($x) AS DATE) AS TIMESTAMP) = CAST(($x) AS TIMESTAMP) " +
+        s"(CASE WHEN ($x) IS NULL " +
+          s"OR CAST(CAST(($x) AS DATE) AS TIMESTAMP) = CAST(($x) AS TIMESTAMP) " +
           s"THEN date_add(($x), $days) ELSE raise_error(" +
           s"'${fn.toUpperCase}: TIMESTAMP input with time-of-day is outside the " +
           "shimmed surface (Exasol preserves it; Spark date_add would truncate)') END)"

@@ -2183,8 +2183,8 @@ object LlmQueries {
            |    CAST(len(list_filter(string_split(text, ' '),
            |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
            |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dis
-           |  FROM (SELECT text,
-           |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM (SELECT coalesce(text, '') AS text,
+           |          CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
            |        FROM documents)),
            |r AS (SELECT n_tok BETWEEN 45 AND 500 AS r1,
            |        n_ch BETWEEN 4 * n_tok AND 6 * n_tok AS r2,

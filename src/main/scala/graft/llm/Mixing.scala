@@ -591,8 +591,11 @@ object Mixing {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
     val totals = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
+    // a zero-token corpus (every text NULL/empty) must yield a degenerate
+    // report (all shares 0, HHI 0), not an ANSI DIVIDE_BY_ZERO abort
     val shared = perSource.crossJoin(broadcast(totals))
-      .withColumn("share_ppm", expr("1000000L * n_tokens div total_tokens"))
+      .withColumn("share_ppm",
+        expr("IF(total_tokens = 0, 0L, 1000000L * n_tokens div total_tokens)"))
     val ranked = shared
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_tokens").desc, col("source"))).cast("long"))

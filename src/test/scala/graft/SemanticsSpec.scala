@@ -87,6 +87,30 @@ class SemanticsSpec extends SparkSpec {
     intercept[Exception](Engine.execute(spark,
       "SELECT ADD_DAYS(TIMESTAMP '2020-01-02 03:04:05', 1) AS d",
       dialect = Dialect.ExasolIsh).collect())
+    // NULL input propagates NULL (never trips the guard's raise_error)
+    assert(Engine.execute(spark,
+      "SELECT ADD_DAYS(CAST(NULL AS TIMESTAMP), 1) AS d",
+      dialect = Dialect.ExasolIsh).head().isNullAt(0))
+  }
+
+  test("* REPLACE rejects multi-table and subquery FROM (single-table scope)") {
+    initLog()
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "v").createOrReplaceTempView("srt_a")
+    Seq((1L, 20L)).toDF("k", "w").createOrReplaceTempView("srt_b")
+    // a JOIN would make the star cover BOTH tables — expanding one side
+    // silently drops the other's columns, so it must fail fast
+    intercept[Exception](Engine.execute(spark,
+      "SELECT * REPLACE (v * 2 AS v) FROM srt_a JOIN srt_b ON srt_a.k = srt_b.k",
+      dialect = Dialect.DuckDbish))
+    // a subquery FROM must not fall through to a LATER FROM's table
+    intercept[Exception](Engine.execute(spark,
+      "SELECT * REPLACE (v * 2 AS v) FROM (SELECT * FROM srt_a) t",
+      dialect = Dialect.DuckDbish))
+    // single table + alias + WHERE stays supported
+    assert(Engine.execute(spark,
+      "SELECT * REPLACE (v * 2 AS v) FROM srt_a a WHERE k = 1",
+      dialect = Dialect.DuckDbish).head().getLong(1) === 20L)
   }
 
   test("* REPLACE expands the star in position from the registered view") {

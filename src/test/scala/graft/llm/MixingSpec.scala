@@ -410,5 +410,12 @@ class MixingSpec extends SparkSpec {
     assert(byS("c") === ((2L, 1L, 100000L, 3L, 1000000L))) // NULL doc counted, 0 tokens
     // HHI = (6e5² + 3e5² + 1e5²) div 1e6 = 460000, same on every row
     assert(rows.map(_.getLong(6)).toSet === Set(460000L))
+    // a zero-token corpus yields a degenerate report (shares/HHI 0),
+    // never an ANSI DIVIDE_BY_ZERO abort
+    val empty = Seq((1L, "a", null.asInstanceOf[String]), (2L, "b", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val er = Mixing.corpusConcentration(empty).collect()
+    assert(er.length === 2)
+    assert(er.forall(r => r.getLong(3) === 0L && r.getLong(6) === 0L))
   }
 }
