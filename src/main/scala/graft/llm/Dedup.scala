@@ -164,6 +164,36 @@ object Dedup {
       .drop("__in_corpus")
   }
 
+  /** [[incrementalDedup]]'s 100 TB probe tier: when the corpus digest set
+    * is itself too large to broadcast, the batch probe is
+    * bloom-PREFILTERED ([[graft.ops.Relational.bloomSemiJoin]]) before
+    * the exact digest semi-join — the bloom (one ~MB blob relayed as an
+    * uncorrelated scalar subquery, never a collect) drops the
+    * non-duplicate bulk of the batch from the join's shuffle, and the
+    * exact semi-join confirms every hit, so a bloom false positive can
+    * never flag a fresh document: the output is BIT-IDENTICAL to
+    * [[incrementalDedup]] (the driver gate reuses the same DuckDB
+    * oracle). `expectedItems` tunes only the false-positive rate, i.e.
+    * how much shuffle the prefilter saves. Within-batch first-occurrence
+    * is the same min-id window over batch rows only.
+    */
+  def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      expectedItems: Long = 4000000L): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    val corpusHashes = corpus.select(md5(col(textCol)).as("h")).distinct()
+    val b = batch
+      .withColumn("h", md5(col(textCol)))
+      .withColumn("dup_in_batch", col(idCol) =!= min(col(idCol)).over(w))
+    val hits = graft.ops.Relational.bloomSemiJoin(
+        b.select(col(idCol), col("h")), corpusHashes, "h", "h", expectedItems)
+      .select(col(idCol)).withColumn("__in_corpus", lit(true))
+    b.join(hits, Seq(idCol), "left")
+      .withColumn("dup_of_corpus", coalesce(col("__in_corpus"), lit(false)))
+      .withColumn("keep", !col("dup_in_batch") && !col("dup_of_corpus"))
+      .drop("__in_corpus")
+  }
+
   /** Word 3-gram shingles as a distinct array column `shingles`.
     * Documents shorter than 3 tokens contribute their whole text as the
     * single shingle.

@@ -1616,22 +1616,30 @@ object LlmQueries {
     * (`%7==1`, kept), and a pair of identical new texts (`%7==2`, first
     * kept / second flagged dup_in_batch).
     */
+  /** The incremental-dedup fixture batch: exact corpus copies (dup of
+    * corpus), genuinely fresh docs, and a within-batch duplicated pair —
+    * shared by the exact-join and bloom-prefiltered gates, whose outputs
+    * must be bit-identical.
+    */
+  private def incrementalBatch(all: DataFrame): DataFrame = {
+    val copies = all.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val fresh = all.filter(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" fresh "), col("doc_id")).as("text"))
+    val pairA = all.filter(col("doc_id") % 7 === 2)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" batchdup")).as("text"))
+    val pairB = all.filter(col("doc_id") % 7 === 2)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" batchdup")).as("text"))
+    copies.unionByName(fresh).unionByName(pairA).unionByName(pairB)
+  }
+
   val dedupIncremental = OpQ("llm_dedup_incremental",
     (s, d) => {
       val all = docs(s, d)
-      val copies = all.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      val fresh = all.filter(col("doc_id") % 7 === 1)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          concat(col("text"), lit(" fresh "), col("doc_id")).as("text"))
-      val pairA = all.filter(col("doc_id") % 7 === 2)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(col("text"), lit(" batchdup")).as("text"))
-      val pairB = all.filter(col("doc_id") % 7 === 2)
-        .select((col("doc_id") + 400000).as("doc_id"),
-          concat(col("text"), lit(" batchdup")).as("text"))
-      Dedup.incrementalDedup(all, copies.unionByName(fresh)
-          .unionByName(pairA).unionByName(pairB))
+      Dedup.incrementalDedup(all, incrementalBatch(all))
         .select(col("doc_id"), col("h"), col("dup_in_batch"),
           col("dup_of_corpus"), col("keep"))
         .orderBy(col("doc_id"))
@@ -1654,6 +1662,24 @@ object LlmQueries {
            |SELECT doc_id, h, dup_in_batch, dup_of_corpus,
            |  NOT dup_in_batch AND NOT dup_of_corpus AS keep
            |FROM marked ORDER BY doc_id""".stripMargin))
+
+  /** Bloom-prefiltered incremental dedup ([[Dedup.incrementalDedupBloom]]):
+    * the 100 TB probe tier — the corpus digest set feeds an internal
+    * BloomFilterAggregate, the batch probe is might_contain-prefiltered
+    * before the exact semi-join, and the exact join confirms every hit,
+    * so the output (and therefore the DuckDB oracle) is BIT-IDENTICAL to
+    * [[dedupIncremental]]'s. What this gate pins is that the bloom tier
+    * never changes answers — only shuffle volume.
+    */
+  val dedupIncrementalBloom = OpQ("llm_dedup_incremental_bloom",
+    (s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalDedupBloom(all, incrementalBatch(all))
+        .select(col("doc_id"), col("h"), col("dup_in_batch"),
+          col("dup_of_corpus"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    dedupIncremental.oracle)
 
   /** Span-dedup rewrite ([[Dedup.spanDedupRewrite]], window=4): duplicated
     * spans REMOVED from later documents, survivors reassembled in order —
@@ -2274,7 +2300,7 @@ object LlmQueries {
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,
-    dedupIncremental, vocabOovQ, dedupKeepBest,
+    dedupIncremental, dedupIncrementalBloom, vocabOovQ, dedupKeepBest,
     chunkDocs, decontaminate, textRepetition, textNovelty,
     multimodalDecode, multimodalPng, multimodalJpeg, multimodalWav,
     multimodalAudioResample, multimodalFrames,
