@@ -1674,7 +1674,10 @@ object LlmQueries {
   val dedupIncrementalBloom = OpQ("llm_dedup_incremental_bloom",
     (s, d) => {
       val all = docs(s, d)
-      Dedup.incrementalDedupBloom(all, incrementalBatch(all))
+      // expectedItems sized to the corpus (the 4M default would build a
+      // ~4 MB blob for a 5k-digest fixture — the tuning knob callers set)
+      Dedup.incrementalDedupBloom(all, incrementalBatch(all),
+          expectedItems = 100000L)
         .select(col("doc_id"), col("h"), col("dup_in_batch"),
           col("dup_of_corpus"), col("keep"))
         .orderBy(col("doc_id"))
