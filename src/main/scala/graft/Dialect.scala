@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.StructType
   *   - `READ_CSV('path' [, 'delimiter', 'd']) AS alias` table function
   *     (reference tests/test_tpc_h.py:47-52, executor.py:290-308); a
   *     declared schema for the alias wins over inference (executor.py:303-305)
+  *   - aggregate `FILTER (WHERE …)` → conditional aggregates (shared with
+  *     Postgres/SQLite/Trino — see [[rewriteAggFilter]]); `GROUP BY ALL` /
+  *     `ORDER BY ALL` are Spark-native and pass through
   *
   * [[Dialect.Trinoish]] (Presto/Trino names for Spark builtins):
   *   approx_distinct→approx_count_distinct, strpos→instr,
@@ -198,6 +201,7 @@ object Dialect {
         s => rewriteArrayLiteral(s, esc = false),
         rewriteIntDiv,
         rewriteColonCast,
+        s => rewriteAggFilter(s, esc = true),
         rewriteStrftime,
         rewriteStringSplit,
         rewriteEpoch,
@@ -230,6 +234,7 @@ object Dialect {
         rewriteDoubleQuotedIdents(_),
         rewriteTrinoDateFns,
         rewriteTrinoTry,
+        s => rewriteAggFilter(s, esc = true),
         s => rewriteArrayLiteral(s, esc = false),
         s => rewriteUnnest(s, esc = false),
         s => renameFunctions(s, renames))
@@ -373,6 +378,7 @@ object Dialect {
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
         rewriteColonCast,
+        s => rewriteAggFilter(s, esc = true),
         s => rewriteGenerateSeriesTable(s, esc = false),
         s => rewriteArrayLiteral(s, esc = false),
         rewriteRsBareTypes, // unsized VARCHAR/TEXT casts are Postgres-legal too
@@ -404,6 +410,7 @@ object Dialect {
         rewriteDoubleQuotedIdents(_),
         rewriteSqliteStrftime,
         rewriteSqliteDateFn,
+        s => rewriteAggFilter(s, esc = true),
         rewriteSqliteGlob)
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -2500,6 +2507,107 @@ object Dialect {
         case _ => None
       }
     }
+
+  /** ANSI aggregate `FILTER (WHERE cond)` clause (SQL:2003 feature T612 —
+    * Postgres/DuckDB/SQLite/Trino all ship it). Spark 4 parses the plain
+    * aggregate form natively, but rejects it on window functions
+    * ("Window aggregate function with filter predicate is not supported
+    * yet" — probed on 4.1.2), which Postgres allows. The shim rewrites
+    * every occurrence to the conditional-aggregate forms — semantically
+    * identical, equally codegen'd, and uniform across the grouped and
+    * windowed positions:
+    *
+    *  - `COUNT(*) FILTER (WHERE c)` → `count_if(c)` (FALSE and NULL
+    *    conditions both excluded, matching FILTER row semantics)
+    *  - single-argument aggregates wrap the value:
+    *    `agg([DISTINCT] x) FILTER (WHERE c)` →
+    *    `agg([DISTINCT] CASE WHEN c THEN x END)` — non-matching rows
+    *    become NULL, which every SQL aggregate skips (a DISTINCT prefix
+    *    stays outside the CASE; the extra NULL it could contribute is
+    *    skipped the same way)
+    *  - the two-column covariance/correlation/regression family wraps
+    *    EVERY argument: those aggregates drop a row when any argument is
+    *    NULL, so per-argument CASE is exactly row-level FILTER
+    *  - `string_agg`/`listagg`/`group_concat` wrap only the value — the
+    *    separator argument must stay a separator
+    *
+    * The rewrite is purely local to the call text, so a trailing window
+    * `OVER (…)` composes unchanged (`sum(x) FILTER (WHERE c) OVER w` →
+    * `sum(CASE WHEN c THEN x END) OVER w`), which is Postgres's window
+    * FILTER semantics. Aggregates taking 2+ non-value arguments (e.g.
+    * approx forms with accuracy knobs) are outside the shimmed surface
+    * and raise rather than silently mis-wrap.
+    */
+  private[graft] def rewriteAggFilter(sql: String, esc: Boolean = false): String = {
+    val re = "(?i)\\)\\s*FILTER\\s*\\(".r
+    val distinctRe = "(?is)^DISTINCT\\s+(.*)$".r
+    val whereRe = "(?is)^WHERE\\b(.*)$".r
+    var cur = sql
+    var changed = true
+    var guard = 0
+    while (changed) {
+      changed = false
+      guard += 1
+      if (guard > 256)
+        throw new graft.UnsupportedError("FILTER rewrite did not terminate")
+      val spans = literalSpans(cur, esc)
+      re.findAllMatchIn(cur)
+        .find(m => outsideLiterals(spans, m.start) && outsideLiterals(spans, m.end - 1))
+        .foreach { m =>
+          val aggClose = m.start // the aggregate call's ')'
+          val filtOpen = m.end - 1 // the '(' after FILTER
+          val filtClose = matchParen(cur, spans, filtOpen)
+          if (filtClose < 0)
+            throw new graft.UnsupportedError(s"unbalanced FILTER ( in: $cur")
+          val cond = cur.substring(filtOpen + 1, filtClose).trim match {
+            case whereRe(c) => c.trim
+            case other => throw new graft.UnsupportedError(
+              s"FILTER requires (WHERE <condition>), got: ($other)")
+          }
+          // locate the aggregate call's '(' by a depth-counting backward scan
+          var depth = 0
+          var i = aggClose
+          var aggOpen = -1
+          while (i >= 0 && aggOpen < 0) {
+            if (outsideLiterals(spans, i)) {
+              val c = cur.charAt(i)
+              if (c == ')') depth += 1
+              else if (c == '(') { depth -= 1; if (depth == 0) aggOpen = i }
+            }
+            i -= 1
+          }
+          if (aggOpen < 0)
+            throw new graft.UnsupportedError(s"unbalanced ) before FILTER in: $cur")
+          var e = aggOpen
+          while (e > 0 && Character.isWhitespace(cur.charAt(e - 1))) e -= 1
+          var b = e
+          while (b > 0 && (Character.isLetterOrDigit(cur.charAt(b - 1)) || cur.charAt(b - 1) == '_')) b -= 1
+          val fn = cur.substring(b, e)
+          if (fn.isEmpty)
+            throw new graft.UnsupportedError(
+              "FILTER must follow an aggregate function call")
+          val args = splitArgs(cur, spans, aggOpen + 1, aggClose).map(_.trim)
+          def wrap(a: String): String = a match {
+            case distinctRe(core) => s"DISTINCT CASE WHEN $cond THEN $core END"
+            case _ => s"CASE WHEN $cond THEN $a END"
+          }
+          val replacement = (fn.toLowerCase, args) match {
+            case ("count", Seq("*")) => s"count_if($cond)"
+            case ("corr" | "covar_pop" | "covar_samp" | "regr_slope" |
+                "regr_intercept" | "regr_r2" | "regr_count", as) =>
+              fn + "(" + as.map(wrap).mkString(", ") + ")"
+            case ("string_agg" | "listagg" | "group_concat", v +: rest) =>
+              fn + "(" + (wrap(v) +: rest).mkString(", ") + ")"
+            case (_, Seq(a)) => s"$fn(${wrap(a)})"
+            case _ => throw new graft.UnsupportedError(
+              s"FILTER on $fn with ${args.length} arguments is outside the shimmed surface")
+          }
+          cur = cur.substring(0, b) + replacement + cur.substring(filtClose + 1)
+          changed = true
+        }
+    }
+    cur
+  }
 
   // ---- Redshift-ish helpers ----------------------------------------------
 

@@ -1506,6 +1506,102 @@ object DialectQueries {
            |FROM orders WHERE o_orderkey <= 200
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** ANSI aggregate `FILTER (WHERE …)` clause ([[Dialect]]
+    * rewriteAggFilter; wired for Postgres/DuckDB/SQLite/Trino): the
+    * grouped forms — `COUNT(*)` → count_if, plain and DISTINCT
+    * single-argument wraps, `string_agg` with its inline ORDER BY
+    * (composing with rewritePgStringAgg, which runs after). The windowed
+    * `FILTER … OVER` form — which Spark's native parser rejects outright
+    * ("filter predicate is not supported yet" on 4.1.2) and only works
+    * through the rewrite — is gated in DialectPropertySpec. The oracle is
+    * DuckDB's own native FILTER clause — same construct, independently
+    * implemented.
+    */
+  val pgFilter = OpQ("op_dialect_pg_filter",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio,
+          |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+          |  CAST(COUNT(o_orderstatus) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_even,
+          |  CAST(COUNT(DISTINCT o_orderstatus) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS n_st3,
+          |  CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+          |    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
+          |  COALESCE(MIN(o_orderstatus) FILTER (WHERE o_orderkey % 7 = 0), '~') AS min_st7,
+          |  COALESCE(string_agg(o_orderstatus, '' ORDER BY o_orderkey)
+          |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq
+          |FROM orders WHERE o_orderkey <= 2000
+          |GROUP BY o_orderpriority
+          |ORDER BY prio""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           |  CAST(COUNT(o_orderstatus) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_even,
+           |  CAST(COUNT(DISTINCT o_orderstatus) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS n_st3,
+           |  CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+           |    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
+           |  COALESCE(MIN(o_orderstatus) FILTER (WHERE o_orderkey % 7 = 0), '~') AS min_st7,
+           |  COALESCE(string_agg(o_orderstatus, '' ORDER BY o_orderkey)
+           |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq
+           |FROM orders WHERE o_orderkey <= 2000
+           |GROUP BY o_orderpriority
+           |ORDER BY prio""".stripMargin))
+
+  /** DuckDB `GROUP BY ALL` / `ORDER BY ALL` — verified Spark-native
+    * (4.1.2 parses both; probed), so the shim's duty is merely not to
+    * mangle them: the gate runs them through the full DuckDbish rewrite
+    * stack. Both engines resolve ALL to the non-aggregate select columns
+    * (GROUP BY) and the full output column list left-to-right (ORDER BY).
+    */
+  val duckdbByAll = OpQ("op_dialect_duckdb_by_all",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio, o_orderstatus AS st,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM orders WHERE o_orderkey <= 1500
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin,
+        dialect = Dialect.DuckDbish)
+    },
+    Some("""SELECT o_orderpriority AS prio, o_orderstatus AS st,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM orders WHERE o_orderkey <= 1500
+           |GROUP BY ALL
+           |ORDER BY ALL""".stripMargin))
+
+  /** SQL `PIVOT` clause through the Snowflake shim — Spark's native
+    * PIVOT syntax (`PIVOT (agg FOR col IN (v AS alias, …))`) matches
+    * Snowflake's modulo output-column naming, so the gate pins explicit
+    * aliases in the IN list and COALESCEs the empty cells (Spark yields
+    * NULL where a direct GROUP BY would give COUNT = 0). Oracle: the
+    * equivalent conditional-CASE aggregation in DuckDB.
+    */
+  val snowflakePivot = OpQ("op_dialect_snowflake_pivot",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT prio,
+          |  CAST(COALESCE(n_f, 0) AS BIGINT) AS n_f,
+          |  CAST(COALESCE(n_o, 0) AS BIGINT) AS n_o,
+          |  CAST(COALESCE(n_p, 0) AS BIGINT) AS n_p
+          |FROM (SELECT o_orderpriority AS prio, o_orderstatus AS st, o_orderkey
+          |      FROM orders WHERE o_orderkey <= 2000)
+          |  PIVOT (COUNT(o_orderkey) FOR st IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
+          |ORDER BY prio""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT) AS n_f,
+           |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS BIGINT) AS n_o,
+           |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS BIGINT) AS n_p
+           |FROM orders WHERE o_orderkey <= 2000
+           |GROUP BY o_orderpriority
+           |ORDER BY prio""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1517,5 +1613,5 @@ object DialectQueries {
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
-    trinoArrayLiteral)
+    trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }

@@ -93,6 +93,22 @@ class SemanticsSpec extends SparkSpec {
       dialect = Dialect.ExasolIsh).head().isNullAt(0))
   }
 
+  test("aggregate FILTER: the windowed form Spark rejects works through the shim") {
+    initLog()
+    import spark.implicits._
+    Seq((1L, "a", "F"), (2L, "a", "O"), (3L, "b", "F")).toDF("id", "g", "st")
+      .createOrReplaceTempView("aggf_t")
+    // native Spark parses grouped FILTER but rejects it on a window fn
+    intercept[Exception](spark.sql(
+      "SELECT id, SUM(id) FILTER (WHERE st = 'F') OVER (PARTITION BY g) FROM aggf_t").collect())
+    val out = Engine.execute(spark,
+      """SELECT id, SUM(id) FILTER (WHERE st = 'F') OVER (PARTITION BY g) AS s
+        |FROM aggf_t ORDER BY id""".stripMargin,
+      dialect = Dialect.Postgresish)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
   test("* REPLACE rejects multi-table and subquery FROM (single-table scope)") {
     initLog()
     import spark.implicits._
