@@ -1897,6 +1897,37 @@ object LlmQueries {
            |FROM per, tot
            |ORDER BY mean_freq_ppb DESC, doc_id""".stripMargin))
 
+  /** Bigram-LM fluency ranking ([[TextAnalysis.bigramLmScore]]): mean
+    * conditional bigram probability P(b|a) = C(a b)/C(a) in exact ppb
+    * integer math — the n-gram LM filter tier above the unigram score.
+    * The oracle zips two parallel UNNESTed list_transform projections
+    * (DuckDB zips equal-length UNNESTs positionally) and replays the
+    * identical count/DIV arithmetic.
+    */
+  val textLmBigram = OpQ("llm_text_lm_bigram",
+    (s, d) => TextAnalysis.bigramLmScore(docs(s, d))
+      .orderBy(col("mean_cond_ppb").desc, col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g2 AS (
+           |  SELECT doc_id,
+           |    UNNEST(list_transform(range(1, len(w)), i -> w[i])) AS tok_a,
+           |    UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+           |  FROM toks),
+           |cg AS (SELECT gram, COUNT(*) AS c_gram FROM g2 GROUP BY gram),
+           |ct AS (SELECT tok_a, COUNT(*) AS c_tok FROM
+           |        (SELECT UNNEST(string_split(text, ' ')) AS tok_a FROM documents)
+           |       GROUP BY tok_a),
+           |per AS (
+           |  SELECT doc_id, COUNT(*) AS n_bigrams,
+           |    SUM((c_gram * 1000000000) // c_tok) AS sum_ppb
+           |  FROM g2 JOIN cg USING (gram) JOIN ct USING (tok_a)
+           |  GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           |  CAST(COALESCE(sum_ppb // n_bigrams, 0) AS BIGINT) AS mean_cond_ppb
+           |FROM documents d LEFT JOIN per USING (doc_id)
+           |ORDER BY mean_cond_ppb DESC, doc_id""".stripMargin))
+
   /** Corpus top bigrams ([[TextAnalysis.topNgrams]]) — boilerplate
     * census; the DuckDB oracle builds the same adjacent-token grams with
     * `list_transform(range(...))` over 1-indexed lists.
@@ -2289,7 +2320,7 @@ object LlmQueries {
     curriculumPlanQ, corpusConcentrationQ,
     dsirWeightsQ, retrievalRrf, dedupThresholdSweepQ, corpusDataCardQ,
     filterFunnelQ,
-    textLmScore, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
+    textLmScore, textLmBigram, ngramFreq, multimodalPhash, dedupSemantic, mixTemperature,
     dedupWinnow,
     dedupExact, dedupCrossSource, dedupMinHash, dedupSimHash, dedupNgramJaccard, dedupEmbedding,
     dedupJaccardPrefix, dedupClusterStatsQ, contaminationReportQ,

@@ -393,6 +393,46 @@ object TextAnalysis {
           .as("mean_freq_ppb"))
   }
 
+  /** Bigram-LM fluency score — the n-gram step up from
+    * [[unigramLmScore]], the no-external-model stand-in for a
+    * KenLM-style perplexity filter (the CCNet / Wenzek et al. 2020 LM
+    * stage). Per document: the mean maximum-likelihood conditional
+    * probability of each adjacent token pair, P(b|a) = C(a b) / C(a)
+    * with C(a) the corpus unigram count, kept in exact parts-per-billion
+    * integer math (`DIV`) so results are partition-invariant and
+    * oracle-replayable. Documents with < 2 tokens have no bigrams and
+    * come back with n_bigrams = 0, mean_cond_ppb = 0.
+    *
+    * Scale: bigram generation is per-row codegen (`zip_with` over
+    * shifted `slice`s — no shuffle, no self-join); the corpus C(a b)
+    * and C(a) tables cost one map-side-combined shuffle each and are
+    * vocab-sized, not corpus-sized. They are broadcast to the probe
+    * side at gate scale; at 100 TB both joins fall back to plain
+    * shuffle joins on the gram/token key (swap `broadcast` for a hint
+    * threshold) — the structure stays the same.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = docs.select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("tok_a"), concat(a, lit(" "), b).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.tok_a").as("tok_a"), col("g.gram").as("gram"))
+    val tokCounts = docs.select(explode(split(col(textCol), " ")).as("tok_a"))
+      .groupBy(col("tok_a")).agg(count(lit(1)).as("c_tok"))
+    val gramCounts = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_gram"))
+    val per = grams
+      .join(broadcast(gramCounts), Seq("gram"))
+      .join(broadcast(tokCounts), Seq("tok_a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(c_gram * 1000000000L) DIV c_tok")).as("sum_ppb"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sum_ppb DIV n_bigrams"), lit(0L)).as("mean_cond_ppb"))
+  }
+
   /** Corpus-level n-gram frequency — the repetition/boilerplate census
     * run before inter-document span dedup: the most frequent word
     * n-grams across the whole corpus (headers, footers, license

@@ -2285,6 +2285,61 @@ object ExtraQueries {
            |  regexp_extract(url, '#(.*)$', 1) AS fragment
            |FROM u ORDER BY doc_id""".stripMargin))
 
+  /** Welch's two-sample t-test per event_type (unequal variances; the
+    * A/B-comparison primitive an analytics engine runs after a split
+    * experiment). Groups: even vs odd user_id — a deterministic split
+    * present at every SF. All first/second moments are exact BIGINT cent
+    * sums (one map-side-combined shuffle; partition-order invariant), and
+    * the t statistic and Welch–Satterthwaite df come from the SAME
+    * chained scalar double expressions on both engines, so the FLOOR(×1e3)
+    * fixings hash-match bit-exactly. At 100 TB the only cost is the one
+    * groupBy shuffle over 6 long columns — the test itself is O(groups).
+    */
+  val statsTtest = OpQ("op_stats_ttest",
+    (s, d) => Tables.load(s, d, "events")
+      .select(col("event_type"),
+        (col("user_id") % 2 === 0).as("in_a"),
+        Relational.cents(col("value")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("in_a"), lit(1))).as("na"),
+        count(when(!col("in_a"), lit(1))).as("nb"),
+        sum(when(col("in_a"), col("c"))).as("s1a"),
+        sum(when(col("in_a"), col("c") * col("c"))).as("s2a"),
+        sum(when(!col("in_a"), col("c"))).as("s1b"),
+        sum(when(!col("in_a"), col("c") * col("c"))).as("s2b"))
+      .selectExpr("event_type", "na", "nb",
+        "CAST(s1a AS DOUBLE) / na / 100.0 AS ma",
+        "CAST(s1b AS DOUBLE) / nb / 100.0 AS mb",
+        "(CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / na) / (na - 1) / 10000.0 / na AS ra",
+        "(CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / nb) / (nb - 1) / 10000.0 / nb AS rb")
+      .selectExpr("event_type",
+        "CAST(na AS BIGINT) AS n_a", "CAST(nb AS BIGINT) AS n_b",
+        "CAST(FLOOR((ma - mb) / SQRT(ra + rb) * 1000) AS BIGINT) AS t_milli",
+        "CAST(FLOOR((ra + rb) * (ra + rb) / (ra * ra / (na - 1) + rb * rb / (nb - 1)) * 1000) AS BIGINT) AS df_milli")
+      .orderBy(col("event_type")),
+    Some("""WITH v AS (SELECT event_type, user_id % 2 = 0 AS in_a,
+           |    CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+           |m AS (SELECT event_type,
+           |    COUNT(CASE WHEN in_a THEN 1 END) AS na,
+           |    COUNT(CASE WHEN NOT in_a THEN 1 END) AS nb,
+           |    CAST(SUM(CASE WHEN in_a THEN c END) AS BIGINT) AS s1a,
+           |    CAST(SUM(CASE WHEN in_a THEN c * c END) AS BIGINT) AS s2a,
+           |    CAST(SUM(CASE WHEN NOT in_a THEN c END) AS BIGINT) AS s1b,
+           |    CAST(SUM(CASE WHEN NOT in_a THEN c * c END) AS BIGINT) AS s2b
+           |  FROM v GROUP BY event_type),
+           |w AS (SELECT event_type, na, nb,
+           |    CAST(s1a AS DOUBLE) / na / 100.0 AS ma,
+           |    CAST(s1b AS DOUBLE) / nb / 100.0 AS mb,
+           |    (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / na) / (na - 1) / 10000.0 / na AS ra,
+           |    (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE) / nb) / (nb - 1) / 10000.0 / nb AS rb
+           |  FROM m)
+           |SELECT event_type,
+           |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           |  CAST(FLOOR((ma - mb) / SQRT(ra + rb) * 1000) AS BIGINT) AS t_milli,
+           |  CAST(FLOOR((ra + rb) * (ra + rb) / (ra * ra / (na - 1) + rb * rb / (nb - 1)) * 1000) AS BIGINT) AS df_milli
+           |FROM w ORDER BY event_type""".stripMargin))
+
   val all: Seq[OpQ] = Seq(joinSalted, joinAsOf, joinAsOfNative, joinRange, joinBucketed,
     tableDiff, interpLinear, mapFunctions, histogramEquifreq,
     histogramEquifreqApprox, skewDiagnose,
@@ -2304,5 +2359,5 @@ object ExtraQueries {
     sourceOrcRoundtrip, sourceTextRoundtrip, sourceXmlRoundtrip,
     attributionMultitouch, timeseriesVwap, prorate, statsMad,
     statsWinsorize, snapshotAsOf, cooccurrence, driftCheck,
-    bitmapDistinct, urlFunctions, profileTableApprox, joinDpp)
+    bitmapDistinct, urlFunctions, profileTableApprox, joinDpp, statsTtest)
 }
