@@ -1550,16 +1550,35 @@ object Dialect {
     * FROM must name a single resolvable table (alias allowed after it);
     * a replacement naming a column the table lacks raises, matching
     * DuckDB/BigQuery's own binder error.
+    *
+    * The trigger only fires when the `*` sits in SELECT-LIST STAR
+    * position — the previous non-whitespace character is `,` or `(`, or
+    * the previous token is SELECT/DISTINCT/ALL. A `*` in any other
+    * position is the multiplication operator, so
+    * `price * replace(name, 'a', 'b')` passes through untouched as
+    * arithmetic over the `replace()` string function instead of being
+    * spuriously rejected as a malformed star clause.
     */
   private[graft] def rewriteStarReplace(spark: SparkSession, sql: String,
       esc: Boolean): String = {
     val re = "(?i)\\*\\s*REPLACE\\s*\\(".r
+    def starPosition(s: String, at: Int): Boolean = {
+      var i = at - 1
+      while (i >= 0 && Character.isWhitespace(s.charAt(i))) i -= 1
+      if (i < 0) return true
+      val c = s.charAt(i)
+      if (c == ',' || c == '(') return true
+      var b = i + 1
+      while (b > 0 && (Character.isLetterOrDigit(s.charAt(b - 1)) || s.charAt(b - 1) == '_')) b -= 1
+      Set("select", "distinct", "all").contains(s.substring(b, i + 1).toLowerCase)
+    }
     var cur = sql
     var guard = 0
     while (guard < 16) {
       guard += 1
       val spans = literalSpans(cur, esc)
-      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
+      re.findAllMatchIn(cur).find(m =>
+          outsideLiterals(spans, m.start) && starPosition(cur, m.start)) match {
         case None => return cur
         case Some(m) =>
           val open = m.end - 1
@@ -2522,9 +2541,18 @@ object Dialect {
     *  - single-argument aggregates wrap the value:
     *    `agg([DISTINCT] x) FILTER (WHERE c)` →
     *    `agg([DISTINCT] CASE WHEN c THEN x END)` — non-matching rows
-    *    become NULL, which every SQL aggregate skips (a DISTINCT prefix
-    *    stays outside the CASE; the extra NULL it could contribute is
-    *    skipped the same way)
+    *    become NULL, which a NULL-SKIPPING aggregate ignores (a DISTINCT
+    *    prefix stays outside the CASE; the extra NULL it could contribute
+    *    is skipped the same way). The wrap is only applied to an
+    *    allowlist of known null-skipping aggregates: Spark's
+    *    `first`/`last`/`any_value` default to ignoreNulls=false, so the
+    *    CASE wrap would silently return a non-matching row's NULL
+    *    instead of the first matching value — those raise
+    *    [[graft.UnsupportedError]] instead (correct-or-fail-fast)
+    *  - value-plus-knob aggregates (`approx_count_distinct(x, rsd)`,
+    *    `percentile_approx`/`approx_percentile`/`percentile(x, pct[,
+    *    acc])`) wrap only the VALUE argument — the accuracy/percentage
+    *    knobs are per-call constants, not per-row values
     *  - the two-column covariance/correlation/regression family wraps
     *    EVERY argument: those aggregates drop a row when any argument is
     *    NULL, so per-argument CASE is exactly row-level FILTER
@@ -2538,6 +2566,23 @@ object Dialect {
     * approx forms with accuracy knobs) are outside the shimmed surface
     * and raise rather than silently mis-wrap.
     */
+  /** Single-argument aggregates verified to SKIP NULL inputs on Spark
+    * 4.1.2 — the precondition for [[rewriteAggFilter]]'s CASE-wrap being
+    * exactly row-level FILTER. Deliberately NOT "everything but
+    * first/last": an unknown aggregate fails fast rather than betting on
+    * its NULL behavior.
+    */
+  private val NullSkippingAggs: Set[String] = Set(
+    "count", "sum", "avg", "mean", "min", "max",
+    "stddev", "stddev_pop", "stddev_samp", "std",
+    "variance", "var_pop", "var_samp", "skewness", "kurtosis",
+    "collect_list", "collect_set", "array_agg",
+    "approx_count_distinct", "approx_percentile", "percentile_approx",
+    "percentile", "median", "mode",
+    "bool_and", "bool_or", "every", "any", "some",
+    "bit_and", "bit_or", "bit_xor", "sum_distinct",
+    "hll_sketch_agg", "try_sum", "try_avg")
+
   private[graft] def rewriteAggFilter(sql: String, esc: Boolean = false): String = {
     val re = "(?i)\\)\\s*FILTER\\s*\\(".r
     val distinctRe = "(?is)^DISTINCT\\s+(.*)$".r
@@ -2598,7 +2643,20 @@ object Dialect {
               fn + "(" + as.map(wrap).mkString(", ") + ")"
             case ("string_agg" | "listagg" | "group_concat", v +: rest) =>
               fn + "(" + (wrap(v) +: rest).mkString(", ") + ")"
-            case (_, Seq(a)) => s"$fn(${wrap(a)})"
+            case ("approx_count_distinct" | "approx_percentile" |
+                "percentile_approx" | "percentile", v +: rest) if rest.nonEmpty =>
+              fn + "(" + (wrap(v) +: rest).mkString(", ") + ")"
+            case ("first" | "first_value" | "last" | "last_value" |
+                "any_value", _) =>
+              throw new graft.UnsupportedError(
+                s"FILTER on $fn is outside the shimmed surface: Spark's " +
+                  s"$fn defaults to ignoreNulls=false, so the CASE-wrap " +
+                  "rewrite would silently return a non-matching row's NULL")
+            case (f, Seq(a)) if NullSkippingAggs.contains(f) => s"$fn(${wrap(a)})"
+            case (f, Seq(_)) => throw new graft.UnsupportedError(
+              s"FILTER on $f is outside the shimmed surface: the CASE-wrap " +
+                "rewrite is only correct for null-skipping aggregates " +
+                "(count/sum/min/max/avg/stddev/collect_*/…)")
             case _ => throw new graft.UnsupportedError(
               s"FILTER on $fn with ${args.length} arguments is outside the shimmed surface")
           }

@@ -82,8 +82,9 @@ object PlanCheck {
     "op_histogram_equifreq" ->
       "documented exact-ntile semantics gate; the scale path is op_histogram_equifreq_approx",
     "op_interp_linear" ->
-      ("interpolation over the generated Q1-1995 day spine (90 rows, broadcast-sized); " +
-        "per-series corpora use interpolateLinear's partitionCols path"),
+      ("interpolation over the generated Q1-1995 day spine (90 rows, broadcast-sized), " +
+        "opted in via interpolateLinear's explicit globalWindowOk flag; per-series " +
+        "corpora use the partitionCols path and need no opt-in"),
     "llm_retrieval_rrf" ->
       ("rrfFuse windows partition by query_id; the single-query gate passes a literal " +
         "query id that constant-folds away — inputs are top-k legs (≤50 rows/query, " +
@@ -404,6 +405,9 @@ object PlanCheck {
         f("partial_agg") == 0),
     Rule("llm_bpe_pairs", "word collapse and pair count both map-side combined; top-k not a global sort",
       f => f("partial_agg") >= 4 && f("topk") >= 1),
+    Rule("llm_bpe_encode", "pure per-row merge-chain codegen: no join shapes, no aggregation, only the output sort exchanges",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
+        f("partial_agg") == 0 && f("exchange") <= 1 && f("global_window") == 0),
     Rule("llm_dedup_jaccard_prefix", "prefix-token self-join equi-keyed, verify joins broadcast, never cartesian",
       f => f("cartesian") + f("bnlj") == 0 && f("bhj") >= 1),
     Rule("op_cooccurrence", "pair top-k via TakeOrderedAndProject; only the 1-row total is nested-loop-broadcast",

@@ -329,6 +329,85 @@ object StressCheck {
       println(f"STRESS concentration_${factor}x sources=${cF.length}%d " +
         f"invariant_violations=$bad%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    // incremental-dedup bloom tier vs exact tier: (a) outputs must be
+    // BIT-IDENTICAL — the tier's contract — and (b) the batch-side
+    // bloom must cut the CORPUS-digest shuffle (only the suspected
+    // fraction of corpus digests may reach the confirm join), which is
+    // its whole reason to exist. The fixture is the tier's actual
+    // regime: corpus = factor× DISTINCT texts (an incremental-dedup
+    // state is deduplicated by construction — amplifying by verbatim
+    // copies would fake a 90% dup-rate corpus no refresh pipeline has),
+    // batch = corpus/10 rows, ~9% corpus copies + 91% fresh (the
+    // crawl-refresh shape). Broadcast is disabled to emulate the 100 TB
+    // regime (a digest set exceeding every broadcast threshold, forcing
+    // shuffle joins); with broadcast on, both tiers degenerate to the
+    // same broadcast plan at test scale and the comparison measures
+    // nothing.
+    locally {
+      // corpus scales 10× past the fact amplification: the tier's
+      // regime is corpus ≫ batch (500k distinct digests vs a 5k batch
+      // at factor 10), and the exact tier's cost is the corpus-digest
+      // shuffle, so THAT is the axis the probe stretches. One explode
+      // off a single scan — NOT an N-leg union, which is an
+      // N-plan-stage artifact no real corpus table has (measured: a
+      // 100-leg union spends minutes in per-leg stage overhead and
+      // would swamp the data movement this probe measures).
+      val legs = factor * 10
+      val corpusState = docs
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(0L, ${legs - 1}L)")).as("i"))
+        .select((col("doc_id") + col("i") * 1000000L).as("doc_id"),
+          concat(col("text"), lit(" v"), col("i")).as("text"))
+      val batch = corpusState.filter(col("doc_id") % (11L * legs) === 0)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 =!= 0)
+          .select((col("doc_id") + 60000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh "), col("doc_id")).as("text")))
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskMetrics != null)
+            shuffleBytes.addAndGet(e.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def run(df: DataFrame): (Array[(Long, Boolean, Boolean, Boolean)], Long, Double) = {
+        org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        val rows = df
+          .select(col("doc_id"), col("dup_in_batch"), col("dup_of_corpus"), col("keep"))
+          .collect()
+          .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+          .sortBy(t => (t._1, t._2, t._3, t._4))
+        val secs = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+        (rows, shuffleBytes.get, secs)
+      }
+      val (exactRows, exactB, exactS) =
+        run(graft.llm.Dedup.incrementalDedup(corpusState, batch))
+      // bloom sized to the BATCH digest count (~5k rows here): the
+      // partial-bloom merge is partitions × bitmap, so oversizing it
+      // only inflates that fixed cost
+      val (bloomRows, bloomB, bloomS) =
+        run(graft.llm.Dedup.incrementalDedupBloom(corpusState, batch,
+          expectedItems = 10000L))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sparkContext.removeSparkListener(listener)
+      // what the batch-side bloom reduces at ANY scale: the corpus
+      // digest rows entering the confirm join — ALL of them without it,
+      // the ~(dup-rate + fpp) suspected fraction with it
+      val hits = bloomRows.count(_._3)
+      val saving = 100.0 * (exactB - bloomB) / math.max(exactB, 1L)
+      println(f"STRESS incr_bloom_${factor}x batch_rows=${bloomRows.length}%d " +
+        f"identical=${bloomRows.sameElements(exactRows)} " +
+        f"corpus_digests=${corpusState.count()}%d batch_dup_digests~=$hits%d " +
+        f"exact_shuffle_mb=${exactB / 1e6}%.1f bloom_shuffle_mb=${bloomB / 1e6}%.1f " +
+        f"shuffle_saving_pct=$saving%.0f exact=${exactS}%.2fs bloom=${bloomS}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString

@@ -164,31 +164,51 @@ object Dedup {
       .drop("__in_corpus")
   }
 
-  /** [[incrementalDedup]]'s 100 TB probe tier: when the corpus digest set
-    * is itself too large to broadcast, the batch probe is
-    * bloom-PREFILTERED ([[graft.ops.Relational.bloomSemiJoin]]) before
-    * the exact digest semi-join — the bloom (one ~MB blob relayed as an
-    * uncorrelated scalar subquery, never a collect) drops the
-    * non-duplicate bulk of the batch from the join's shuffle, and the
-    * exact semi-join confirms every hit, so a bloom false positive can
-    * never flag a fresh document: the output is BIT-IDENTICAL to
-    * [[incrementalDedup]] (the driver gate reuses the same DuckDB
-    * oracle). `expectedItems` tunes only the false-positive rate, i.e.
-    * how much shuffle the prefilter saves. Within-batch first-occurrence
-    * is the same min-id window over batch rows only.
+  /** [[incrementalDedup]]'s 100 TB probe tier — the classic BLOOM JOIN
+    * with the sides the way the corpus-refresh scenario actually has
+    * them: the corpus digest set is enormous (too large to broadcast,
+    * expensive even to shuffle), the batch is comparatively small. The
+    * bloom is therefore built over the BATCH digests (partial-bloom
+    * merge traffic = partitions × a batch-sized bitmap — independent of
+    * corpus volume; relayed as an uncorrelated scalar subquery, never a
+    * collect), and the CORPUS digest scan streams map-side through
+    * `might_contain`: only the ~(dup-rate + fpp) fraction of corpus
+    * digests ever shuffles into the exact confirm semi-join against the
+    * batch digests, instead of the exact tier's full corpus-digest
+    * shuffle. (The r11 shape built the bloom over the corpus and
+    * filtered the batch — backwards for corpus ≫ batch: it paid the
+    * full corpus-digest shuffle anyway and added a corpus-sized
+    * partial-bloom merge on top.)
+    *
+    * Exactness: the confirm semi-join eliminates corpus-side bloom
+    * false positives and the bloom has no false negatives, so the
+    * confirmed digest set is EXACTLY corpus ∩ batch digests and the
+    * output is BIT-IDENTICAL to [[incrementalDedup]] (the driver gate
+    * reuses the same DuckDB oracle). The confirmed set keys on the
+    * DIGEST alone and is deduplicated, so a batch repeating a doc_id —
+    * even with different texts, one a corpus dup, one fresh — is
+    * flagged per ROW, never smeared across id-twins or fanned out; the
+    * join-back on `h` reuses the dup_in_batch window's hash(h)
+    * partitioning, so the batch never shuffles twice. `expectedItems`
+    * sizes the bloom to the BATCH digest count and tunes only the
+    * corpus-side false-positive (excess confirm-shuffle) rate.
+    * Within-batch first-occurrence is the same min-id window over batch
+    * rows only.
     */
   def incrementalDedupBloom(corpus: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       expectedItems: Long = 4000000L): DataFrame = {
     val w = Window.partitionBy(col("h"))
-    val corpusHashes = corpus.select(md5(col(textCol)).as("h")).distinct()
-    val b = batch
-      .withColumn("h", md5(col(textCol)))
-      .withColumn("dup_in_batch", col(idCol) =!= min(col(idCol)).over(w))
-    val hits = graft.ops.Relational.bloomSemiJoin(
-        b.select(col(idCol), col("h")), corpusHashes, "h", "h", expectedItems)
-      .select(col(idCol)).withColumn("__in_corpus", lit(true))
-    b.join(hits, Seq(idCol), "left")
+    val bh = batch.withColumn("h", md5(col(textCol)))
+    val b = bh.withColumn("dup_in_batch", col(idCol) =!= min(col(idCol)).over(w))
+    // bloomSemiJoin(big = corpus digests, small = batch digests): the
+    // bloom subquery reads bh (pre-window) so the batch window shuffle
+    // is never replayed into the bloom build
+    val confirmed = graft.ops.Relational.bloomSemiJoin(
+        corpus.select(md5(col(textCol)).as("h")), bh.select(col("h")),
+        "h", "h", expectedItems)
+      .distinct().withColumn("__in_corpus", lit(true))
+    b.join(confirmed, Seq("h"), "left")
       .withColumn("dup_of_corpus", coalesce(col("__in_corpus"), lit(false)))
       .withColumn("keep", !col("dup_in_batch") && !col("dup_of_corpus"))
       .drop("__in_corpus")

@@ -1165,6 +1165,45 @@ object LlmQueries {
            |  MAX(jaccard) AS max_jaccard
            |FROM x GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin))
 
+  /** BPE merge APPLICATION ([[TextAnalysis.bpeEncode]]): tokenizer-aware
+    * token counts under the canonical fixed merge list
+    * ([[TextAnalysis.DefaultBpeMerges]]) — the encode-side complement of
+    * [[TextAnalysis.bpePairCounts]], closing the loop from merge
+    * candidates to token-budget planning. The oracle replays the
+    * IDENTICAL boundary-wrapped replace chain in DuckDB — both SQL texts
+    * are generated from the same Scala merge list, so the chains cannot
+    * drift — and literal `replace` is left-to-right non-overlapping in
+    * both engines, making the greedy merge semantics bit-exact.
+    */
+  val bpeEncodeQ = OpQ("llm_bpe_encode",
+    (s, d) => TextAnalysis.bpeEncode(docs(s, d)).orderBy(col("doc_id")),
+    Some(bpeEncodeOracle))
+
+  /** DuckDB replay of [[TextAnalysis.bpeEncode]]'s merge chain, generated
+    * from the same [[TextAnalysis.DefaultBpeMerges]] list (RE2 spelling:
+    * `\1` backreference + explicit 'g' flag; Spark side uses `$1` with
+    * global-by-default — same rewrite).
+    */
+  private def bpeEncodeOracle: String = {
+    val sep = "\u001F"
+    val base = s"regexp_replace(w, '(.)', '$sep\\1$sep', 'g')"
+    val chain = TextAnalysis.DefaultBpeMerges.foldLeft(base) {
+      case (acc, (x, y)) =>
+        s"replace($acc, '$sep$x$sep$sep$y$sep', '$sep$x$y$sep')"
+    }
+    s"""WITH enc AS (
+       |  SELECT doc_id,
+       |    string_split_regex(lower(coalesce(text, '')), '\\s+') AS ws
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(ws, w -> length(w) >= 1)) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(list_sum(list_transform(
+       |    list_transform(ws, w -> $chain),
+       |    s -> (length(s) - length(replace(s, '$sep', ''))) // 2)), 0) AS BIGINT) AS n_tokens_bpe
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   /** BPE merge-candidate counting ([[TextAnalysis.bpePairCounts]]): the
     * top-50 adjacent character pairs weighted by word frequency — the
     * statistic one iteration of byte-pair-encoding vocabulary induction
@@ -1664,9 +1703,10 @@ object LlmQueries {
            |FROM marked ORDER BY doc_id""".stripMargin))
 
   /** Bloom-prefiltered incremental dedup ([[Dedup.incrementalDedupBloom]]):
-    * the 100 TB probe tier — the corpus digest set feeds an internal
-    * BloomFilterAggregate, the batch probe is might_contain-prefiltered
-    * before the exact semi-join, and the exact join confirms every hit,
+    * the 100 TB probe tier — a bloom built over the BATCH digests
+    * prefilters the corpus digest scan map-side, so only the suspected
+    * fraction of corpus digests shuffles into the exact confirm
+    * semi-join, and the confirm join eliminates bloom false positives,
     * so the output (and therefore the DuckDB oracle) is BIT-IDENTICAL to
     * [[dedupIncremental]]'s. What this gate pins is that the bloom tier
     * never changes answers — only shuffle volume.
@@ -1674,8 +1714,9 @@ object LlmQueries {
   val dedupIncrementalBloom = OpQ("llm_dedup_incremental_bloom",
     (s, d) => {
       val all = docs(s, d)
-      // expectedItems sized to the corpus (the 4M default would build a
-      // ~4 MB blob for a 5k-digest fixture — the tuning knob callers set)
+      // expectedItems sized to the BATCH digest count (the 4M default
+      // would build a ~4 MB blob for a ~3k-row fixture batch — the
+      // tuning knob callers set)
       Dedup.incrementalDedupBloom(all, incrementalBatch(all),
           expectedItems = 100000L)
         .select(col("doc_id"), col("h"), col("dup_in_batch"),
@@ -2330,7 +2371,7 @@ object LlmQueries {
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
     splitTrainVal, splitByContentQ, splitLeakageQ, splitLeakageNearDupQ,
-    packingEfficiencyQ, epochPlanQ, bpePairs,
+    packingEfficiencyQ, epochPlanQ, bpePairs, bpeEncodeQ,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

@@ -309,8 +309,11 @@ object Mixing {
     * (the bucket index is monotone in the permutation value), so the kept
     * set is bit-identical to the single-window formulation at any
     * partitioning. Tokens are whitespace counts ([[TextAnalysis]]
-    * convention); swap the token expression for a BPE-aware column when
-    * real tokenizer counts are available.
+    * convention); for tokenizer-faithful budgets, feed the
+    * `n_tokens_bpe` column from [[TextAnalysis.bpeEncode]] (a learned
+    * merge list applied greedily, oracle-gated) in place of the
+    * whitespace expression — every planner in this object is agnostic
+    * to which token count column it sums.
     */
   def mixDomainsByTokens(docs: DataFrame, weights: DataFrame, budgetTokens: Long,
       sourceCol: String = "source", idCol: String = "doc_id",
@@ -542,8 +545,11 @@ object Mixing {
     * sort, no window, nothing that degrades when one source holds 10 TB
     * (the ntile variant is the op_histogram_equifreq trade; its approx
     * sibling shows the boundary-first pattern if data-relative bands are
-    * ever needed). NULL text scores len 0 / rep 1e6 — maximal-repetition
-    * band, never dropped.
+    * ever needed). NULL text coalesces to '' before the split, and
+    * `split('', ' ')` is `['']` — one token, one distinct token — so a
+    * NULL/empty document scores len_ppm = 1953, rep_ppm = 0, difficulty
+    * 976 and lands in band 0 (the EASIEST band), never dropped; the
+    * DuckDB oracle mirrors the same coalesce so both engines agree.
     */
   def curriculumPlan(docs: DataFrame, bands: Int = 4,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {

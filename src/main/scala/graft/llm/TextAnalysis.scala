@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.RollingHash64.rolling_hash64
 
@@ -375,8 +375,11 @@ object TextAnalysis {
     * though the two orderings are not formally identical.
     *
     * Scale: the unigram table is vocabulary-sized — millions of rows
-    * against billions of documents — so the probe join broadcasts;
-    * corpus pass = one explode + one groupBy(token) + one
+    * against billions of documents. The probe join carries no explicit
+    * broadcast hint (a hint is honored unconditionally; a web-scale
+    * vocab can outgrow the driver): AQE broadcasts it while it fits and
+    * falls back to a shuffle join on the token key when it doesn't.
+    * Corpus pass = one explode + one groupBy(token) + one
     * groupBy(doc_id), all map-side-combinable.
     */
   def unigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -384,7 +387,7 @@ object TextAnalysis {
       explode(split(col(textCol), " ")).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
-    toks.join(broadcast(counts), Seq("tok"))
+    toks.join(counts, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("sum_c"))
       .crossJoin(broadcast(total))
@@ -406,10 +409,14 @@ object TextAnalysis {
     * Scale: bigram generation is per-row codegen (`zip_with` over
     * shifted `slice`s — no shuffle, no self-join); the corpus C(a b)
     * and C(a) tables cost one map-side-combined shuffle each and are
-    * vocab-sized, not corpus-sized. They are broadcast to the probe
-    * side at gate scale; at 100 TB both joins fall back to plain
-    * shuffle joins on the gram/token key (swap `broadcast` for a hint
-    * threshold) — the structure stays the same.
+    * vocab-sized, not corpus-sized. The probe joins carry NO explicit
+    * broadcast hint — a hint is honored unconditionally and the
+    * distinct-bigram table grows with the corpus, so a hard-coded
+    * broadcast would collect it to the driver and OOM at 100 TB.
+    * Instead autoBroadcastJoinThreshold/AQE broadcast the tables while
+    * they fit (they do at gate scale) and fall back to shuffle joins on
+    * the gram/token key when they don't — same plan at gate scale,
+    * safe at corpus scale.
     */
   def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val w = split(col(textCol), " ")
@@ -421,8 +428,8 @@ object TextAnalysis {
       .groupBy(col("tok_a")).agg(count(lit(1)).as("c_tok"))
     val gramCounts = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_gram"))
     val per = grams
-      .join(broadcast(gramCounts), Seq("gram"))
-      .join(broadcast(tokCounts), Seq("tok_a"))
+      .join(gramCounts, Seq("gram"))
+      .join(tokCounts, Seq("tok_a"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(expr("(c_gram * 1000000000L) DIV c_tok")).as("sum_ppb"))
@@ -480,6 +487,72 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
+  }
+
+  /** Canonical merge list for the [[bpeEncode]] gate — a small learned-
+    * tokenizer stand-in ranked the way BPE induction would emit it over
+    * an English-ish corpus (th/the/an/in/er/or/re/st). Production swaps
+    * in the merge table loaded from a real tokenizer file; the
+    * application machinery is identical for any fixed list.
+    */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n",
+    "e" -> "r", "o" -> "r", "r" -> "e", "s" -> "t")
+
+  /** BPE merge APPLICATION — the encode side of byte-pair encoding
+    * (Sennrich et al., ACL 2016): given a FIXED learned merge list
+    * (rank-ordered pairs), tokenize each document the way the trained
+    * tokenizer would and report tokenizer-aware token counts, replacing
+    * the whitespace counts every token-budget plan otherwise runs on
+    * ([[Mixing.tokenBudgetPlan]] et al. accept these counts directly).
+    *
+    * Encoding is EXACT GREEDY, applied rank-by-rank: each word becomes a
+    * boundary-wrapped symbol stream (`␟c␟` per character, U+001F as the
+    * separator — a character that cannot appear in text), and merge
+    * (x, y) is ONE literal left-to-right non-overlapping
+    * `replace('␟x␟␟y␟' → '␟xy␟')` pass. Because every symbol carries its
+    * OWN leading and trailing separator (adjacent symbols are separated
+    * by TWO ␟), a match consumes only whole symbols and leaves the
+    * neighbours' boundaries intact, so repeated-symbol runs merge
+    * greedily left-to-right (`a a a a` + merge(a,a) → `aa aa`, not
+    * `aa a a`), and a pair can never match a symbol's prefix/suffix.
+    * Applying rank r globally before rank r+1 is equivalent to
+    * lowest-rank-first greedy encoding: a merge replaces two symbols
+    * with a FUSED one, so it can only create new pairs INVOLVING the new
+    * symbol — pairs of pre-existing symbols (all earlier ranks) are
+    * never created, hence each rank's single pass is final. The token
+    * count per word is half its separator count; no string ever leaves
+    * the row.
+    *
+    * Scale: pure per-row whole-stage-codegen expressions — split, |merges|
+    * literal replaces, two length()s — zero shuffle, zero UDFs, zero
+    * driver state; the merge list is compiled INTO the expression tree
+    * (a fixed tokenizer is a constant of the job, not data). The DuckDB
+    * oracle replays the identical replace chain, and `replace` is
+    * left-to-right non-overlapping in both engines, so counts are
+    * bit-exact.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)] = DefaultBpeMerges,
+      textCol: String = "text"): DataFrame = {
+    val sep = "\u001F"
+    require(merges.nonEmpty, "bpeEncode: merge list must be non-empty")
+    merges.foreach { case (x, y) =>
+      require(x.nonEmpty && y.nonEmpty && !(x + y).contains(sep),
+        "bpeEncode: merge symbols must be non-empty and must not contain U+001F") }
+    val words = split(lower(coalesce(col(textCol), lit(""))), "\\s+")
+    def encodeWord(w: Column): Column = merges.foldLeft(
+      regexp_replace(w, "(.)", sep + "$1" + sep)) { case (acc, (x, y)) =>
+        replace(acc, lit(sep + x + sep + sep + y + sep), lit(sep + x + y + sep))
+    }
+    // seps per post-merge string = 2·symbols; shiftright(…,1) keeps the
+    // count in exact integer arithmetic (Column `/` would go double)
+    def symCount(s: Column): Column =
+      shiftright(length(s) - length(replace(s, lit(sep), lit(""))), 1)
+    docs.select(col("doc_id"),
+      size(filter(words, w => length(w) >= 1)).cast("long").as("n_words"),
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
+      aggregate(transform(words, encodeWord(_)), lit(0L),
+        (acc, s) => acc + symCount(s)).as("n_tokens_bpe"))
   }
 
   /** Per-source corpus data card — the one-page report a pipeline

@@ -1515,7 +1515,15 @@ object DialectQueries {
     * ("filter predicate is not supported yet" on 4.1.2) and only works
     * through the rewrite — is gated in DialectPropertySpec. The oracle is
     * DuckDB's own native FILTER clause — same construct, independently
-    * implemented.
+    * implemented. The value-plus-knob widening (r12) is gated by
+    * hashing `approx_count_distinct(k, rsd) FILTER` against the
+    * oracle's exact `COUNT(DISTINCT k) FILTER`: the ~50 filtered
+    * distinct values sit far inside HLL++'s EXACT (deterministic)
+    * sparse mode, and a mis-routed filter would double the cardinality
+    * and break the hash. (Emitting the approx value — rather than a
+    * second Spark-side COUNT(DISTINCT) comparison — matters: a second
+    * distinct-aggregate group next to listagg's WITHIN GROUP trips a
+    * RewriteDistinctAggregates SortOrder ClassCastException on 4.1.2.)
     */
   val pgFilter = OpQ("op_dialect_pg_filter",
     (s, d) => {
@@ -1529,7 +1537,9 @@ object DialectQueries {
           |    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
           |  COALESCE(MIN(o_orderstatus) FILTER (WHERE o_orderkey % 7 = 0), '~') AS min_st7,
           |  COALESCE(string_agg(o_orderstatus, '' ORDER BY o_orderkey)
-          |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq
+          |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq,
+          |  CAST(approx_count_distinct(o_orderkey % 100, 0.01)
+          |    FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS acd_even
           |FROM orders WHERE o_orderkey <= 2000
           |GROUP BY o_orderpriority
           |ORDER BY prio""".stripMargin,
@@ -1543,7 +1553,9 @@ object DialectQueries {
            |    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
            |  COALESCE(MIN(o_orderstatus) FILTER (WHERE o_orderkey % 7 = 0), '~') AS min_st7,
            |  COALESCE(string_agg(o_orderstatus, '' ORDER BY o_orderkey)
-           |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq
+           |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq,
+           |  CAST(COUNT(DISTINCT o_orderkey % 100)
+           |    FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS acd_even
            |FROM orders WHERE o_orderkey <= 2000
            |GROUP BY o_orderpriority
            |ORDER BY prio""".stripMargin))

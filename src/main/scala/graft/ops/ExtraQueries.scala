@@ -1861,7 +1861,8 @@ object ExtraQueries {
       val joined = spine.join(daily, Seq("day"), "left")
         .withColumn("x",
           datediff(col("day"), lit("1995-01-01").cast("date")).cast("long"))
-      Relational.interpolateLinear(joined, "x", "cents")
+      Relational.interpolateLinear(joined, "x", "cents",
+          globalWindowOk = true) // 90-row generated spine, broadcast-sized
         .select(col("day").cast("string").as("day"), col("x"),
           col("cents"), col("cents_interp"))
         .orderBy(col("day"))

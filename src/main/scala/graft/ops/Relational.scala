@@ -1268,9 +1268,26 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Linear interpolation of NULL gaps in `valueCol` ordered by `xCol`:
+    * interior gaps take floor-divided linear interpolants between the
+    * bracketing known points, edge gaps carry the nearest known value.
+    * Adds `<valueCol>_interp`.
+    *
+    * Scale: with `partitionCols` the windows shuffle once on the series
+    * key — the 100 TB path (one series per key, each sorted
+    * independently). An EMPTY `partitionCols` is a GLOBAL single-
+    * partition sort and must be opted into with `globalWindowOk = true`
+    * — reserved for provably tiny inputs (the op_interp_linear gate's
+    * 90-row generated spine); forgetting the argument fails fast instead
+    * of silently handing a scale-killer to the caller.
+    */
   def interpolateLinear(df: DataFrame, xCol: String, valueCol: String,
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil, globalWindowOk: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(partitionCols.nonEmpty || globalWindowOk,
+      "interpolateLinear: empty partitionCols is a GLOBAL single-partition " +
+        "window sort — pass series key columns, or opt in explicitly with " +
+        "globalWindowOk = true for a provably tiny input")
     requireNoWorkingCols(df, "interpolateLinear",
       "__pv", "__px", "__nv", "__nx")
     val base = partitionCols match {

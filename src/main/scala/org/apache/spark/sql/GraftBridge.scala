@@ -10,6 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Drain the async listener bus so a task-metrics listener (the
+    * StressCheck shuffle accounting) has observed every completed task
+    * before its counters are read. `listenerBus` is `private[spark]`,
+    * hence the package-placed accessor.
+    */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** Replace a materialized (persisted-and-computed) DataFrame's logical

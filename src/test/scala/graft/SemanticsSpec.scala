@@ -109,6 +109,22 @@ class SemanticsSpec extends SparkSpec {
       Seq((1L, 1L), (2L, 1L), (3L, 3L)))
   }
 
+  test("* before replace() in expression position parses as multiplication") {
+    initLog()
+    Seq((2L, "aaa"), (3L, "ab")).toDF("k", "nm")
+      .createOrReplaceTempView("star_mul_t")
+    // `expr * replace(...)` is arithmetic over the replace() string
+    // function, NOT a malformed star clause — both dialects that run
+    // the star-REPLACE rewriter must leave it alone
+    for (d <- Seq(Dialect.DuckDbish, Dialect.BigQueryish)) {
+      val out = Engine.execute(spark,
+        """SELECT k, k * length(replace(nm, 'a', 'xx')) AS x
+          |FROM star_mul_t ORDER BY k""".stripMargin, dialect = d)
+      assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((2L, 12L), (3L, 9L)))
+    }
+  }
+
   test("* REPLACE rejects multi-table and subquery FROM (single-table scope)") {
     initLog()
     import spark.implicits._

@@ -29,6 +29,36 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(_.getAs[Long]("doc_id") == 0L).head.getAs[Long]("n_copies") === 3L)
   }
 
+  test("incrementalDedupBloom is bit-identical to the exact tier, incl. duplicate-id batches") {
+    val corpus = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    // doc_id 10 appears TWICE with DIFFERENT texts — one a corpus copy,
+    // one fresh. The exact tier flags per ROW (digest join); the bloom
+    // tier's (id, digest) hit key must neither fan out the repeated id
+    // nor smear the corpus-hit onto the fresh twin. 12/13 are a
+    // within-batch duplicate pair on top.
+    val batch = Seq(
+      (10L, "seen one"), (10L, "fresh a"), (11L, "fresh b"),
+      (12L, "fresh c"), (13L, "fresh c"), (14L, "seen two")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "h", "dup_in_batch", "dup_of_corpus", "keep").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4)))
+        .sortBy(t => (t._1, t._2))
+    val exact = norm(Dedup.incrementalDedup(corpus, batch))
+    val bloom = norm(Dedup.incrementalDedupBloom(corpus, batch, expectedItems = 100L))
+    assert(bloom === exact)
+    assert(exact.length === 6) // one output row per batch row — no fan-out
+    val byRow = exact.map(t => (t._1, t._2.take(4)) -> (t._3, t._4, t._5)).toMap
+    // the corpus-copy twin is flagged, the fresh twin of the SAME id kept
+    assert(exact.count(t => t._1 == 10L && t._4) === 1)
+    assert(exact.count(t => t._1 == 10L && t._5) === 1)
+    // within-batch pair: first kept, second dup_in_batch
+    assert(exact.find(_._1 == 12L).get._5 && exact.find(_._1 == 13L).get._3)
+    assert(!exact.find(_._1 == 14L).get._5 && exact.find(_._1 == 14L).get._4)
+    assert(byRow.size === 6)
+  }
+
   test("crossSourceDupStats counts shared contents and multiplicity-product pairs") {
     // text A: web×2, wiki×1, code×1 → (code,web):(1,2) (code,wiki):(1,1)
     //   (web,wiki):(1,2); text B: web×1, wiki×2 → (web,wiki) gains (1,2);

@@ -20,6 +20,44 @@ class TextAnalysisSpec extends SparkSpec {
     math.floor(1000000.0 * (idf * tfp)).toLong
   }
 
+  test("bpeEncode applies merges greedily with whole-symbol boundaries") {
+    initLog()
+    def enc(text: String, merges: Seq[(String, String)]): (Long, Long, Long) = {
+      val row = TextAnalysis.bpeEncode(
+        Seq((0L, text)).toDF("doc_id", "text"), merges).head()
+      (row.getAs[Long]("n_words"), row.getAs[Long]("n_chars"),
+        row.getAs[Long]("n_tokens_bpe"))
+    }
+    val aa = Seq("a" -> "a")
+    // greedy left-to-right in repeated-symbol runs: aaaa → aa|aa (NOT
+    // aa|a|a — the boundary-wrapped replace must not starve the second
+    // pair), aaa → aa|a
+    assert(enc("aaaa", aa) === (1L, 4L, 2L))
+    assert(enc("aaa", aa) === (1L, 3L, 2L))
+    assert(enc("aaaaaa", aa) === (1L, 6L, 3L))
+    // a merge never matches a symbol's PREFIX: (a,b) must not fire
+    // inside "abc"'s "bc" tail after c blocks the boundary… but does
+    // fire on the exact pair
+    assert(enc("ab", Seq("a" -> "b")) === (1L, 2L, 1L))
+    assert(enc("abc", Seq("a" -> "b")) === (1L, 3L, 2L)) // ab|c
+    assert(enc("abc", Seq("b" -> "c")) === (1L, 3L, 2L)) // a|bc
+    // ranks compose: merged symbols participate in later merges
+    assert(enc("the", Seq("t" -> "h", "th" -> "e")) === (1L, 3L, 1L))
+    // default list spot-checks: order → or|d|er, stream → st|re|a|m
+    assert(enc("order", TextAnalysis.DefaultBpeMerges)._3 === 3L)
+    assert(enc("stream", TextAnalysis.DefaultBpeMerges)._3 === 4L)
+    // scan → s|c|an, the → the, window → w|in|d|o|w
+    assert(enc("scan the window", TextAnalysis.DefaultBpeMerges) === (3L, 13L, 9L))
+    // NULL text → empty counts, never dropped
+    val nullRow = TextAnalysis.bpeEncode(
+      Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")).head()
+    assert((nullRow.getLong(1), nullRow.getLong(2), nullRow.getLong(3)) ===
+      (0L, 0L, 0L))
+    // merge symbols may not contain the separator / be empty
+    intercept[IllegalArgumentException](
+      TextAnalysis.bpeEncode(Seq((0L, "x")).toDF("doc_id", "text"), Seq("" -> "a")))
+  }
+
   test("bm25Rank scores and ranks a known corpus exactly") {
     initLog()
     val docs = Seq(

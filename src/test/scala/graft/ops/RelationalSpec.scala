@@ -353,9 +353,24 @@ class RelationalSpec extends SparkSpec {
       (2L, null.asInstanceOf[java.lang.Long]), (3L, null.asInstanceOf[java.lang.Long]),
       (4L, java.lang.Long.valueOf(400L)), (5L, null.asInstanceOf[java.lang.Long])
     ).toDF("x", "v")
-    val got = Relational.interpolateLinear(df, "x", "v")
+    val got = Relational.interpolateLinear(df, "x", "v", globalWindowOk = true)
       .orderBy("x").select("v_interp").collect().map(_.getLong(0))
     assert(got.toSeq === Seq(100L, 100L, 200L, 300L, 400L, 400L))
+  }
+
+  test("interpolateLinear refuses the global-window path unless opted in") {
+    val df = Seq((0L, java.lang.Long.valueOf(1L))).toDF("x", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.interpolateLinear(df, "x", "v")
+    }
+    assert(e.getMessage.contains("globalWindowOk"))
+    // a keyed series needs no opt-in — the window shuffles on the key
+    val keyed = Seq(("a", 0L, java.lang.Long.valueOf(1L)),
+      ("a", 1L, null.asInstanceOf[java.lang.Long]),
+      ("a", 2L, java.lang.Long.valueOf(3L))).toDF("k", "x", "v")
+    val got = Relational.interpolateLinear(keyed, "x", "v", Seq("k"))
+      .orderBy("x").select("v_interp").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L, 3L))
   }
 
   test("merged distinct sketches track exact and the single-pass estimate") {
@@ -500,7 +515,7 @@ class RelationalSpec extends SparkSpec {
       (0L, java.lang.Long.valueOf(0L)), (1L, null.asInstanceOf[java.lang.Long]),
       (2L, null.asInstanceOf[java.lang.Long]), (3L, java.lang.Long.valueOf(10L))
     ).toDF("x", "v")
-    val got = Relational.interpolateLinear(df, "x", "v")
+    val got = Relational.interpolateLinear(df, "x", "v", globalWindowOk = true)
       .orderBy("x").select("v_interp").collect().map(_.getLong(0))
     assert(got.toSeq === Seq(0L, 3L, 6L, 10L)) // floor(10/3), floor(20/3)
   }
