@@ -134,6 +134,16 @@ object PlanCheck {
       f => f("smj") + f("shj") == 0 && f("exchange") <= 1),
     Rule("q9_product_profit", "dim joins broadcast", _("bhj") >= 3),
     Rule("q18_large_volume_customer", "top-100 via TakeOrderedAndProject", _("topk") >= 1),
+    // r12: q18's bench wobble (r10 0.67s → r11/r12 ~0.85s) re-measured as
+    // environment variance — the executed plan is the intended one (all
+    // joins broadcast incl. the HAVING semi-join set, map-side partial
+    // aggs, no shuffle join) and is pinned here so a future slow round
+    // can distinguish a real plan regression from container noise
+    Rule("q18_large_volume_customer", "HAVING set + dims broadcast; never a shuffle join",
+      f => f("bhj") >= 3 && f("smj") + f("shj") + f("cartesian") == 0 &&
+        f("partial_agg") >= 2),
+    Rule("q12_priority_lines", "shipmode/date filters pushed; orders join at this SF stays hash, no cartesian",
+      f => f("pushed_filters") >= 1 && f("cartesian") + f("bnlj") == 0),
     Rule("q21_waiting_supplier", "semi/anti + dim joins stay broadcast", _("bhj") >= 3),
     Rule("q21_waiting_supplier", "top-k via TakeOrderedAndProject", _("topk") >= 1),
     Rule("op_topk", "TakeOrderedAndProject with NO exchange (a global sort would shuffle)",
