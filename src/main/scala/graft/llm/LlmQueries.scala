@@ -1204,6 +1204,55 @@ object LlmQueries {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE vocabulary induction ([[TextAnalysis.bpeLearnMerges]], 8
+    * rounds): the full learning loop, run declaratively — each round's
+    * winning pair is a 1-row argmax frame joined back as columns, never
+    * a collect. The oracle replays the identical loop as staged DuckDB
+    * CTEs (pair explode → top-1 → scalar-subquery replace), generated
+    * from the same round count, so the learned merge sequence and its
+    * exact weighted counts hash bit-for-bit.
+    */
+  val bpeLearnQ = OpQ("llm_bpe_learn",
+    (s, d) => TextAnalysis.bpeLearnMerges(docs(s, d), rounds = 8),
+    Some(bpeLearnOracle(8)))
+
+  /** DuckDB replay of [[TextAnalysis.bpeLearnMerges]]: s0 is the
+    * boundary-wrapped word-frequency table; per round r, `p_r` explodes
+    * adjacent symbol pairs weighted by word count, `t_r` takes the
+    * arg-max pair (ties lexicographic), and `s_r` applies the merge via
+    * scalar subqueries on `t_r` — a data-dependent replace, exactly the
+    * Spark side's broadcast-joined pair columns. An exhausted round
+    * yields an empty `t_r` (NULL subqueries null out `s_r`, producing
+    * no further pairs), matching the Spark side's empty-frame cross
+    * join: both engines simply stop emitting rows.
+    */
+  private def bpeLearnOracle(rounds: Int): String = {
+    val q = "\u001F"
+    val stages = (1 to rounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT x, y, CAST(SUM(wc) AS BIGINT) AS n FROM (
+         |    SELECT wc, sy[i] AS x, sy[i + 1] AS y
+         |    FROM (SELECT wc, string_split(trim(s, '$q'), '$q$q') AS sy FROM $prev),
+         |         UNNEST(range(1, len(sy))) t(i))
+         |  GROUP BY x, y),
+         |t$r AS (SELECT $r AS round, x, y, n FROM p$r ORDER BY n DESC, x, y LIMIT 1),
+         |s$r AS (SELECT wc, replace(s,
+         |  (SELECT '$q' || x || '$q$q' || y || '$q' FROM t$r),
+         |  (SELECT '$q' || x || y || '$q' FROM t$r)) AS s FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |s0 AS (SELECT wc, regexp_replace(word, '(.)', '$q\\1$q', 'g') AS s FROM w),
+       |$stages
+       |SELECT CAST(round AS BIGINT) AS round, x, y, x || y AS merged, n
+       |FROM ($union) ORDER BY round""".stripMargin
+  }
+
   /** BPE merge-candidate counting ([[TextAnalysis.bpePairCounts]]): the
     * top-50 adjacent character pairs weighted by word frequency — the
     * statistic one iteration of byte-pair-encoding vocabulary induction
@@ -2371,7 +2420,7 @@ object LlmQueries {
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
     splitTrainVal, splitByContentQ, splitLeakageQ, splitLeakageNearDupQ,
-    packingEfficiencyQ, epochPlanQ, bpePairs, bpeEncodeQ,
+    packingEfficiencyQ, epochPlanQ, bpePairs, bpeEncodeQ, bpeLearnQ,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

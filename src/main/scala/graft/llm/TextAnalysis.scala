@@ -555,6 +555,68 @@ object TextAnalysis {
         (acc, s) => acc + symCount(s)).as("n_tokens_bpe"))
   }
 
+  /** BPE vocabulary INDUCTION — the learning loop [[bpePairCounts]] is
+    * one statistic of and [[bpeEncode]] consumes: `rounds` iterations of
+    * (count adjacent symbol pairs weighted by word frequency → take the
+    * most frequent pair, ties by pair lexicographically → merge it
+    * everywhere), exactly Sennrich et al.'s algorithm. Returns one row
+    * per learned merge: `(round, x, y, merged, n)` with `n` the exact
+    * weighted pair count that won the round; fewer than `rounds` rows
+    * come back if the corpus runs out of pairs.
+    *
+    * Fully declarative — no `collect()`, no driver loop over data: each
+    * round's winning pair is a 1-row argmax frame, `localCheckpoint`ed
+    * (the established loop-flattening discipline — a 1-row deterministic
+    * frame, so partition invariance is unaffected) and broadcast-joined
+    * back so the NEXT round's `replace` takes the pair as COLUMNS. The
+    * symbol stream is [[bpeEncode]]'s boundary-wrapped form, so each
+    * merge is the same greedy whole-symbol replace the encoder applies.
+    *
+    * Scale: the corpus collapses to its word-frequency table first (one
+    * map-side-combined shuffle — |vocab| rows, not corpus rows); every
+    * round then costs one vocab-sized pair aggregation + a 1-row
+    * broadcast. Rounds are sequential by nature (BPE is an inherently
+    * iterative algorithm); the per-round cost is corpus-independent
+    * after the initial collapse.
+    */
+  def bpeLearnMerges(docs: DataFrame, rounds: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(rounds > 0 && rounds <= 64, "rounds must be in 1..64")
+    val sep = "\u001F"
+    val sep2 = sep + sep
+    val words = docs
+      .select(explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        regexp_replace(col("word"), "(.)", sep + "$1" + sep).as("s"))
+    def topPair(cur: DataFrame): DataFrame = {
+      val syms = split(trim(col("s"), sep), sep2)
+      cur
+        .select(col("wc"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1), slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("x"), col("y"))
+        .limit(1)
+    }
+    val out = Seq.newBuilder[DataFrame]
+    var cur = words
+    for (r <- 1 to rounds) {
+      // 1-row deterministic frame; checkpointing keeps round r+1's plan
+      // from re-nesting every earlier round's aggregation
+      val top = topPair(cur).localCheckpoint()
+      out += top.select(lit(r.toLong).as("round"), col("x"), col("y"),
+        concat(col("x"), col("y")).as("merged"), col("n"))
+      cur = cur.crossJoin(broadcast(top.select(col("x"), col("y"))))
+        .select(col("wc"), replace(col("s"),
+          concat(lit(sep), col("x"), lit(sep2), col("y"), lit(sep)),
+          concat(lit(sep), col("x"), col("y"), lit(sep))).as("s"))
+    }
+    out.result().reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** Per-source corpus data card — the one-page report a pipeline
     * publishes with every crawl snapshot: volume (docs, tokens, chars),
     * language mix, and exact duplicate rate, all integer-exact so any two

@@ -58,6 +58,28 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bpeEncode(Seq((0L, "x")).toDF("doc_id", "text"), Seq("" -> "a")))
   }
 
+  test("bpeLearnMerges learns the hand-computed merge sequence and feeds bpeEncode") {
+    initLog()
+    // words: aa×1, ab×2. Round 1: pairs (a,a)×1, (a,b)×2 → (a,b).
+    // Round 2: ab is fused, only (a,a)×1 remains → (a,a).
+    // Round 3+: no pairs left → rounds stop emitting.
+    val docs = Seq((0L, "aa ab"), (1L, "ab x")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeLearnMerges(docs, rounds = 4).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("x"),
+        r.getAs[String]("y"), r.getAs[String]("merged"), r.getAs[Long]("n")))
+    assert(learned.toSeq === Seq((1L, "a", "b", "ab", 2L), (2L, "a", "a", "aa", 1L)))
+    // ties break lexicographically on (x, y)
+    val tied = TextAnalysis.bpeLearnMerges(
+      Seq((0L, "cd ab")).toDF("doc_id", "text"), rounds = 1).collect()
+    assert(tied.head.getAs[String]("merged") === "ab")
+    // the learned list drives the encoder: "aab ab" under [(a,b),(a,a)]
+    // → aab = a|ab (the (a,a) rank can no longer fire), ab = ab
+    val merges = learned.toSeq.map(t => t._2 -> t._3)
+    val enc = TextAnalysis.bpeEncode(
+      Seq((0L, "aab ab")).toDF("doc_id", "text"), merges).head()
+    assert(enc.getAs[Long]("n_tokens_bpe") === 3L)
+  }
+
   test("bm25Rank scores and ranks a known corpus exactly") {
     initLog()
     val docs = Seq(
