@@ -1553,18 +1553,25 @@ object Dialect {
     *
     * The trigger only fires when the `*` sits in SELECT-LIST STAR
     * position — the previous non-whitespace character is `,` or `(`, or
-    * the previous token is SELECT/DISTINCT/ALL. A `*` in any other
-    * position is the multiplication operator, so
-    * `price * replace(name, 'a', 'b')` passes through untouched as
-    * arithmetic over the `replace()` string function instead of being
-    * spuriously rejected as a malformed star clause.
+    * the previous token is SELECT/DISTINCT/ALL, or the star is a
+    * QUALIFIED star `alias.*` whose alias token itself sits in one of
+    * those positions (DuckDB/BigQuery allow `t.* REPLACE (…)`; the
+    * alias must resolve to the FROM table — vestigial under the
+    * single-table contract, but validated so a typo'd qualifier fails
+    * loudly). A `*` in any other position is the multiplication
+    * operator, so `price * replace(name, 'a', 'b')` passes through
+    * untouched as arithmetic over the `replace()` string function
+    * instead of being spuriously rejected as a malformed star clause.
+    * Out of scope (documented contract narrowing): a star directly
+    * preceded by a closed block comment (comment-close token then
+    * `* REPLACE`) is not recognized as star position and passes
+    * through to Spark's parser.
     */
   private[graft] def rewriteStarReplace(spark: SparkSession, sql: String,
       esc: Boolean): String = {
     val re = "(?i)\\*\\s*REPLACE\\s*\\(".r
-    def starPosition(s: String, at: Int): Boolean = {
-      var i = at - 1
-      while (i >= 0 && Character.isWhitespace(s.charAt(i))) i -= 1
+    def isStarContext(s: String, i: Int): Boolean = {
+      // i = index of last non-whitespace char before the star/qualifier
       if (i < 0) return true
       val c = s.charAt(i)
       if (c == ',' || c == '(') return true
@@ -1572,15 +1579,38 @@ object Dialect {
       while (b > 0 && (Character.isLetterOrDigit(s.charAt(b - 1)) || s.charAt(b - 1) == '_')) b -= 1
       Set("select", "distinct", "all").contains(s.substring(b, i + 1).toLowerCase)
     }
+    /** For a star at `at`: Some((spanStart, qualifier)) when it sits in
+      * select-list star position — spanStart is where the rewrite span
+      * begins (the qualifier's first char for `alias.*`, else the star)
+      * and qualifier is the alias token when present.
+      */
+    def starAt(s: String, at: Int): Option[(Int, Option[String])] = {
+      var i = at - 1
+      while (i >= 0 && Character.isWhitespace(s.charAt(i))) i -= 1
+      if (i >= 0 && s.charAt(i) == '.') {
+        var b = i
+        while (b > 0 && (Character.isLetterOrDigit(s.charAt(b - 1)) || s.charAt(b - 1) == '_')) b -= 1
+        val name = s.substring(b, i)
+        if (name.isEmpty || Character.isDigit(name.charAt(0))) None
+        else {
+          var j = b - 1
+          while (j >= 0 && Character.isWhitespace(s.charAt(j))) j -= 1
+          if (isStarContext(s, j)) Some((b, Some(name))) else None
+        }
+      } else if (isStarContext(s, i)) Some((at, None))
+      else None
+    }
     var cur = sql
     var guard = 0
     while (guard < 16) {
       guard += 1
       val spans = literalSpans(cur, esc)
-      re.findAllMatchIn(cur).find(m =>
-          outsideLiterals(spans, m.start) && starPosition(cur, m.start)) match {
+      re.findAllMatchIn(cur)
+        .flatMap(m => if (outsideLiterals(spans, m.start))
+          starAt(cur, m.start).map { case (s0, q) => (m, s0, q) } else None)
+        .nextOption() match {
         case None => return cur
-        case Some(m) =>
+        case Some((m, replStart, qualifier)) =>
           val open = m.end - 1
           val close = matchParen(cur, spans, open)
           if (close < 0)
@@ -1615,7 +1645,7 @@ object Dialect {
           // or comma-join the star covers BOTH tables in DuckDB/BigQuery,
           // and expanding only the first would silently DROP the other
           // side's columns — fail fast per the documented contract
-          locally {
+          val tableAlias: Option[String] = {
             var tail = afterFrom.substring(tblM.end)
             val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
               .findFirstMatchIn(tail)
@@ -1626,6 +1656,19 @@ object Dialect {
               throw new graft.UnsupportedError(
                 "* REPLACE is supported only over a single FROM table " +
                   s"(joins/multi-table FROM would drop the other side's columns): …FROM $tbl${tail.take(40)}")
+            aliasM.map(_.group(1))
+          }
+          // a qualified star's alias must name the FROM table: its alias
+          // when one is declared (an aliased table's original name is NOT
+          // addressable in DuckDB/BigQuery), else the table's last dotted
+          // component — anything else is an unresolvable qualifier
+          qualifier.foreach { qn =>
+            val target = tableAlias.getOrElse(
+              tbl.stripPrefix("`").stripSuffix("`").split('.').last)
+            if (!qn.equalsIgnoreCase(target))
+              throw new graft.UnsupportedError(
+                s"qualified star $qn.* REPLACE: $qn does not resolve to the FROM table " +
+                  s"($target) — only the single FROM table's own star is supported")
           }
           val schema =
             try spark.table(tbl).schema
@@ -1642,7 +1685,7 @@ object Dialect {
               case None    => s"`$c`"
             }
           }
-          cur = cur.substring(0, m.start) + items.mkString(", ") +
+          cur = cur.substring(0, replStart) + items.mkString(", ") +
             cur.substring(close + 1)
       }
     }
@@ -3128,10 +3171,16 @@ object Dialect {
     * Trino form (single-column table alias):
     *   `[CROSS JOIN | ,] UNNEST(e) [AS] t(x)`
     *
-    * Trino's `WITH ORDINALITY` is 1-based and a LATERAL VIEW column alias
-    * cannot carry the `+1` — fail fast rather than silently emit the
-    * 0-based pos. Multi-array `UNNEST(a, b)` (Trino zip semantics) is
-    * likewise outside the shimmed surface.
+    * Trino `WITH ORDINALITY` form (r13): `UNNEST(e) WITH ORDINALITY
+    * [AS] t(x, ord)` — ordinality is 1-BASED and a LATERAL VIEW column
+    * alias cannot carry a `+1`, so the rewrite builds the pair inside
+    * the array instead: `inline(transform(e, (v, i) -> struct(v AS x,
+    * CAST(i + 1 AS BIGINT) AS ord)))` — `inline` generates both columns
+    * directly, the +1 lives in codegen'd per-row arithmetic, and the
+    * ordinal is BIGINT exactly as Trino types it. The two-column table
+    * alias is REQUIRED (Trino's own spelling); the bare-alias BigQuery
+    * mix `WITH ORDINALITY x` fails fast. Multi-array `UNNEST(a, b)`
+    * (Trino zip semantics) remains outside the shimmed surface.
     */
   private[graft] def rewriteUnnest(sql: String, esc: Boolean): String = {
     val re = "(?i)(,|\\bCROSS\\s+JOIN\\b|\\bLEFT\\s+JOIN\\b)\\s*UNNEST\\s*\\(".r
@@ -3154,9 +3203,11 @@ object Dialect {
               "multi-array UNNEST (Trino zip form) is not supported")
           val arr = arrArgs.head
           var rest = cur.substring(close + 1)
-          if ("(?is)^\\s*WITH\\s+ORDINALITY\\b".r.findFirstIn(rest).isDefined)
-            throw new graft.UnsupportedError(
-              "UNNEST WITH ORDINALITY (1-based) is not supported; BigQuery WITH OFFSET (0-based) is")
+          var ordinality = false
+          "(?is)^\\s*WITH\\s+ORDINALITY\\b".r.findFirstMatchIn(rest).foreach { om =>
+            ordinality = true
+            rest = rest.substring(om.end)
+          }
           val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
             .findFirstMatchIn(rest)
             .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
@@ -3167,14 +3218,22 @@ object Dialect {
           var tableAlias = "__unnest_" + name
           var colName = name
           var offName: Option[String] = None
+          var ordName: Option[String] = None
           "(?s)^\\s*\\(([^)]*)\\)".r.findFirstMatchIn(rest) match {
             case Some(cm) => // Trino `t(cols)` table alias
               val cols = cm.group(1).split(',').map(_.trim)
-              if (cols.length != 1 || !cols.head.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              val want = if (ordinality) 2 else 1
+              if (cols.length != want || !cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
                 throw new graft.UnsupportedError(
-                  "UNNEST table alias must carry exactly one column: " + cm.group(0))
+                  (if (ordinality)
+                    "UNNEST WITH ORDINALITY table alias must carry exactly two columns (value, ordinal): "
+                  else "UNNEST table alias must carry exactly one column: ") + cm.group(0))
               tableAlias = name; colName = cols.head; rest = rest.substring(cm.end)
+              if (ordinality) ordName = Some(cols(1))
             case None =>
+              if (ordinality)
+                throw new graft.UnsupportedError(
+                  "UNNEST WITH ORDINALITY requires a two-column table alias t(value, ordinal)")
               val withOffM = "(?is)^\\s*WITH\\s+OFFSET\\b".r.findFirstMatchIn(rest)
               withOffM.foreach { wm =>
                 rest = rest.substring(wm.end)
@@ -3196,9 +3255,13 @@ object Dialect {
             rest = rest.substring(onM.end)
             outer = true
           }
-          val gen = offName match {
-            case Some(o) => s"posexplode($arr) $tableAlias AS $o, $colName"
-            case None    => s"explode($arr) $tableAlias AS $colName"
+          val gen = (offName, ordName) match {
+            case (Some(o), _) => s"posexplode($arr) $tableAlias AS $o, $colName"
+            case (None, Some(ord)) =>
+              s"inline(transform($arr, (__unv, __uni) -> " +
+                s"struct(__unv AS $colName, CAST(__uni + 1 AS BIGINT) AS $ord))) " +
+                s"$tableAlias AS $colName, $ord"
+            case (None, None) => s"explode($arr) $tableAlias AS $colName"
           }
           cur = cur.substring(0, m.start).stripTrailing() +
             s" LATERAL VIEW ${if (outer) "OUTER " else ""}$gen" + rest
@@ -3247,17 +3310,36 @@ object Dialect {
     throw new graft.UnsupportedError("ARRAY literal rewrite did not terminate")
   }
 
-  /** ClickHouse `[LEFT] ARRAY JOIN <expr> AS <alias>` clause → Spark
-    * `LATERAL VIEW [OUTER] explode`. LEFT ARRAY JOIN keeps empty-array
-    * rows with a NULL element — exactly OUTER explode's contract. The
-    * alias is REQUIRED here (ClickHouse's bare form replaces the source
+  /** ClickHouse `[LEFT] ARRAY JOIN <expr> AS <alias>[, <expr> AS
+    * <alias>…]` clause → Spark `LATERAL VIEW [OUTER] explode`
+    * (single array) or `LATERAL VIEW [OUTER] inline(...)` (multi-array
+    * zip, r13). LEFT ARRAY JOIN keeps empty-array rows with a NULL
+    * element — exactly OUTER explode/inline's contract. Aliases are
+    * REQUIRED on every item (ClickHouse's bare form replaces the source
     * column in place, which a LATERAL VIEW cannot express without
-    * shadowing — fail fast rather than emit an ambiguous name); the
-    * multi-array zip form (`ARRAY JOIN a AS x, b AS y`) is outside the
-    * shimmed surface and fails downstream in Spark's parser.
+    * shadowing — fail fast rather than emit an ambiguous name).
+    *
+    * The multi-array form zips POSITIONALLY, exactly ClickHouse's
+    * semantics: one output row per index, each alias bound to its
+    * array's element at that index. Emitted as
+    * `inline(transform(array_repeat(0, greatest(size(a), size(b))),
+    * (_, i) -> struct(try_element_at(a, i+1) AS x,
+    * try_element_at(b, i+1) AS y)))` — index-driven so empty inputs
+    * yield zero rows (`array_repeat` count 0/-1 → empty array, dodging
+    * `sequence(1, 0)`'s descending-step trap), and `try_element_at`
+    * NULL-pads where ClickHouse would error on unequal lengths (the
+    * one documented divergence — padding beats a runtime abort in a
+    * shim whose inputs are equal-length by the source contract).
     */
   private[graft] def rewriteChArrayJoin(sql: String): String = {
     val re = "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\b".r
+    // JOIN itself ends the clause too (a following `JOIN t2 ON …` is not
+    // an ARRAY JOIN item); LEFT/RIGHT alone are NOT enders — they double
+    // as string functions (`LEFT(s, 2) AS x`), and a join keyword always
+    // brings its own JOIN token to cut at
+    val clauseEnders = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+      "QUALIFY", "UNION", "SETTINGS", "INTERSECT", "EXCEPT", "JOIN",
+      "INNER", "CROSS", "FULL")
     var cur = sql
     var guard = 0
     while (guard < 32) {
@@ -3270,21 +3352,37 @@ object Dialect {
           val rest0 = cur.substring(m.end)
           val rSpans = literalSpans(rest0, backslashEscapes = true)
           val rDepth = depthAt(rest0, rSpans)
-          val asIdx = topLevelKeyword(rest0, rSpans, rDepth, "AS")
-          if (asIdx < 0)
-            throw new graft.UnsupportedError(
-              "ARRAY JOIN requires `expr AS alias` (the bare in-place form is not supported)")
-          val arr = rest0.substring(0, asIdx).trim
-          if (arr.isEmpty)
+          val stop = clauseEnders
+            .map(k => topLevelKeyword(rest0, rSpans, rDepth, k))
+            .filter(_ >= 0).sorted.headOption.getOrElse(rest0.length)
+          val items = splitArgs(rest0, rSpans, 0, stop).map(_.trim).filter(_.nonEmpty)
+          if (items.isEmpty)
             throw new graft.UnsupportedError("ARRAY JOIN requires an array expression")
-          val aliasM = "(?s)^\\s*([A-Za-z_][A-Za-z0-9_]*)".r
-            .findFirstMatchIn(rest0.substring(asIdx + 2))
-            .getOrElse(throw new graft.UnsupportedError(
-              "ARRAY JOIN: cannot parse the alias after AS"))
-          val alias = aliasM.group(1)
+          val itemRe = "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+          val pairs = items.map { item =>
+            itemRe.findFirstMatchIn(item) match {
+              case Some(im) => (im.group(1).trim, im.group(2))
+              case None => throw new graft.UnsupportedError(
+                s"ARRAY JOIN requires `expr AS alias` on every item " +
+                  s"(the bare in-place form is not supported), got: $item")
+            }
+          }
+          val view = pairs match {
+            case Seq((arr, alias)) =>
+              s"explode($arr) __aj_$alias AS $alias"
+            case many =>
+              val sizes = many.map { case (a, _) => s"size($a)" }.mkString(", ")
+              val fields = many
+                .map { case (a, al) => s"try_element_at($a, __aji + 1) AS $al" }
+                .mkString(", ")
+              val aliases = many.map(_._2).mkString(", ")
+              s"inline(transform(array_repeat(0, greatest($sizes)), " +
+                s"(__ajx, __aji) -> struct($fields))) __aj_${many.head._2} AS $aliases"
+          }
+          val restOut = rest0.substring(stop)
           cur = cur.substring(0, m.start).stripTrailing() +
-            s" LATERAL VIEW ${if (outer) "OUTER " else ""}explode($arr) __aj_$alias AS $alias" +
-            rest0.substring(asIdx + 2 + aliasM.end)
+            s" LATERAL VIEW ${if (outer) "OUTER " else ""}$view" +
+            (if (restOut.isEmpty) "" else " " + restOut)
       }
     }
     throw new graft.UnsupportedError("ARRAY JOIN rewrite did not terminate")
@@ -3518,12 +3616,21 @@ object Dialect {
   }
 
   /** Snowflake `[ , | CROSS JOIN ] LATERAL FLATTEN(input => e
-    * [, outer => true]) [AS] f` → `LATERAL VIEW [OUTER] posexplode(e) f
-    * AS index, value`. `f.index` (0-based) and `f.value` keep their
-    * Snowflake names; `outer => true` keeps empty/NULL-array rows with
-    * NULL index/value (OUTER posexplode's contract). The VARIANT-object
-    * columns (`seq`/`key`/`path`/`this`) and the `path`/`recursive`/`mode`
-    * arguments are outside the shimmed surface — fail fast.
+    * [, path => 'a.b'][, outer => true][, mode => 'ARRAY']) [AS] f` →
+    * `LATERAL VIEW [OUTER] posexplode(e[.a.b]) f AS index, value`.
+    * `f.index` (0-based) and `f.value` keep their Snowflake names;
+    * `outer => true` keeps empty/NULL-array rows with NULL index/value
+    * (OUTER posexplode's contract). `path` (r13) navigates INTO the
+    * input before flattening exactly as Snowflake's dotted/subscripted
+    * VARIANT path does — emitted as Spark struct-field/array-subscript
+    * navigation `($e).a[0].b`, so it works over any struct/array column
+    * and fails in the analyzer (not silently) when the field is absent;
+    * the path literal must be a constant `'ident[i].…'` chain.
+    * `mode => 'ARRAY'` is accepted as a no-op (posexplode IS array
+    * mode); OBJECT/BOTH iterate VARIANT object keys — no typed-column
+    * equivalent, fail fast. The VARIANT-object output columns
+    * (`seq`/`key`/`path`/`this`) and `recursive` remain outside the
+    * shimmed surface — fail fast.
     */
   private[graft] def rewriteSnowFlatten(sql: String): String = {
     val re = "(?i)(,|\\bCROSS\\s+JOIN\\b)\\s*LATERAL\\s+FLATTEN\\s*\\(".r
@@ -3542,20 +3649,39 @@ object Dialect {
           val args = splitArgs(cur, spans, open + 1, close).map(_.trim)
           var input: Option[String] = None
           var outer = false
+          var path: Option[String] = None
           val named = "(?is)^([A-Za-z_]+)\\s*=>\\s*(.*)$".r
           args.foreach {
             case named(k, v) => k.toLowerCase match {
               case "input" => input = Some(v.trim)
               case "outer" => outer = v.trim.equalsIgnoreCase("true")
+              case "path" =>
+                val lit = "(?s)^'([^']*)'$".r.findFirstMatchIn(v.trim)
+                  .getOrElse(throw new graft.UnsupportedError(
+                    s"FLATTEN path must be a constant string literal, got: ${v.trim}"))
+                val p = lit.group(1).trim
+                val pathShape =
+                  "[A-Za-z_][A-Za-z0-9_]*(\\[[0-9]+\\])*(\\.[A-Za-z_][A-Za-z0-9_]*(\\[[0-9]+\\])*)*"
+                if (p.nonEmpty && !p.matches(pathShape))
+                  throw new graft.UnsupportedError(
+                    s"FLATTEN path => '$p' is not a dotted/subscripted field chain")
+                if (p.nonEmpty) path = Some(p)
+              case "mode" =>
+                val mv = v.trim.stripPrefix("'").stripSuffix("'")
+                if (!mv.equalsIgnoreCase("array"))
+                  throw new graft.UnsupportedError(
+                    s"FLATTEN mode => '$mv' iterates VARIANT object keys — only 'ARRAY' is supported")
               case other => throw new graft.UnsupportedError(
-                s"FLATTEN argument $other => … is not supported (input/outer only)")
+                s"FLATTEN argument $other => … is not supported (input/path/outer/mode only)")
             }
             case bare if input.isEmpty => input = Some(bare)
             case bare => throw new graft.UnsupportedError(
               s"unexpected FLATTEN argument: $bare")
           }
-          val e = input.getOrElse(throw new graft.UnsupportedError(
-            "FLATTEN requires input => <array>"))
+          val e = input
+            .map(in => path.fold(in)(p => s"($in).$p"))
+            .getOrElse(throw new graft.UnsupportedError(
+              "FLATTEN requires input => <array>"))
           val rest0 = cur.substring(close + 1)
           val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
             .findFirstMatchIn(rest0)

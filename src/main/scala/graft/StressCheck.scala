@@ -408,6 +408,56 @@ object StressCheck {
         f"exact_shuffle_mb=${exactB / 1e6}%.1f bloom_shuffle_mb=${bloomB / 1e6}%.1f " +
         f"shuffle_saving_pct=$saving%.0f exact=${exactS}%.2fs bloom=${bloomS}%.2fs")
     }
+    // BPE learn corpus-scan probe (r13): bpeLearnMerges localCheckpoints
+    // the word-frequency collapse ONCE, so its 8 sequential argmax
+    // actions re-read the vocab-sized checkpoint, not the corpus. The
+    // uncheckpointed shape replayed the corpus explode + collapse
+    // shuffle EVERY round (~9 corpus reads for 8 rounds — an 8× waste
+    // at 100 TB). Measured as executor input bytes (file scans AND
+    // cached-block reads both count there), against a corpus written to
+    // REAL parquet at a fixed 20× amplification — fixed, not `factor`,
+    // because the probe's discriminating power needs corpus file bytes
+    // ≫ the vocab checkpoint's in-memory size (the vocab is invariant
+    // under replication, so amplifying only grows the denominator): the
+    // full learn must then cost ~ONE corpus read (< 2× the baseline
+    // text scan), where the uncheckpointed shape measures ~9×.
+    locally {
+      val bpeDir = "/tmp/graft_stress_bpe_corpus"
+      (0 until 20)
+        .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          col("text")))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(bpeDir)
+      val corpus = spark.read.parquet(bpeDir)
+      val inputBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            inputBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measure[A](f: => A): (A, Long, Double) = {
+        org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+        inputBytes.set(0L)
+        val t0 = System.nanoTime()
+        val a = f
+        org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
+        (a, inputBytes.get, (System.nanoTime() - t0) / 1e9)
+      }
+      // baseline reads the text column end-to-end (count() alone would
+      // prune to metadata and fake a near-zero denominator)
+      val (textChars, scanB, scanS) =
+        measure(corpus.agg(sum(length(col("text")))).collect()(0).getLong(0))
+      val (merges, learnB, learnS) =
+        measure(graft.llm.TextAnalysis.bpeLearnMerges(corpus, rounds = 8).collect())
+      spark.sparkContext.removeSparkListener(listener)
+      val rescans = learnB.toDouble / math.max(scanB, 1L)
+      println(f"STRESS bpe_learn_20x text_chars=$textChars%d " +
+        f"merges=${merges.length}%d scan_mb=${scanB / 1e6}%.1f " +
+        f"learn_mb=${learnB / 1e6}%.1f corpus_reads~=$rescans%.1f " +
+        f"one_scan=${rescans < 2.0} scan=${scanS}%.2fs learn=${learnS}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString

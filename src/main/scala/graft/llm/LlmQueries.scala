@@ -159,8 +159,8 @@ object LlmQueries {
     */
   val dedupNgramJaccard = OpQ("llm_dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(docs(s, d), topK = 100),
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
            |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
            |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
@@ -185,9 +185,9 @@ object LlmQueries {
     (s, d) => Dedup.prefixFilteredJaccardPairs(
         docs(s, d).filter(col("doc_id") < 1000), thresholdPpm = 500000L)
       .orderBy(col("a_id"), col("b_id")),
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
            |               FROM documents WHERE doc_id < 1000),
-           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
            |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
            |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -209,16 +209,16 @@ object LlmQueries {
   val dedupClusterStatsQ = OpQ("llm_dedup_cluster_stats",
     (s, d) => Dedup.dedupClusterStats(
       docs(s, d).filter(col("doc_id") < 1000), thresholdPpm = 500000L),
-    Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
+    Some("""WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
            |               FROM documents WHERE doc_id < 1000),
-           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-           |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |cnt AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+           |p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |        CAST(COUNT(*) AS BIGINT) AS common
            |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
            |      GROUP BY 1, 2),
-           |tp AS (SELECT a_id, b_id FROM p
+           |tp AS MATERIALIZED (SELECT a_id, b_id FROM p
            |       JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
            |       WHERE common * 1000000 >= 500000 * (ca.n + cb.n - common)),
            |nodes AS (SELECT a_id AS node FROM tp UNION SELECT b_id FROM tp),
@@ -249,11 +249,11 @@ object LlmQueries {
       Dedup.contaminationReport(
         all.select(col("doc_id"), col("text")), bench, threshold = 0.3)
     },
-    Some("""WITH bench AS (
+    Some("""WITH bench AS MATERIALIZED (
            |  SELECT doc_id,
            |    array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
            |  FROM documents WHERE doc_id % 97 = 0),
-           |train AS (SELECT doc_id, text FROM documents),
+           |train AS MATERIALIZED (SELECT doc_id, text FROM documents),
            |ts AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
            |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
@@ -1131,9 +1131,9 @@ object LlmQueries {
         docs(s, d).filter(col("doc_id") < 1000),
         trainPpm = 700000L, valPpm = 150000L, thresholdPpm = 500000L)
       .orderBy(col("split_a"), col("split_b")),
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
            |               FROM documents WHERE doc_id < 1000),
-           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
            |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
            |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -1186,14 +1186,14 @@ object LlmQueries {
     */
   private def bpeEncodeOracle: String = {
     val sep = "\u001F"
-    val base = s"regexp_replace(w, '(.)', '$sep\\1$sep', 'g')"
+    val base = s"regexp_replace(w, '${TextAnalysis.AnyCharCapture}', '$sep\\1$sep', 'g')"
     val chain = TextAnalysis.DefaultBpeMerges.foldLeft(base) {
       case (acc, (x, y)) =>
         s"replace($acc, '$sep$x$sep$sep$y$sep', '$sep$x$y$sep')"
     }
     s"""WITH enc AS (
        |  SELECT doc_id,
-       |    string_split_regex(lower(coalesce(text, '')), '\\s+') AS ws
+       |    string_split_regex(lower(coalesce(text, '')), '${TextAnalysis.WsSplitRegex}') AS ws
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(list_filter(ws, w -> length(w) >= 1)) AS BIGINT) AS n_words,
@@ -1225,33 +1225,98 @@ object LlmQueries {
     * yields an empty `t_r` (NULL subqueries null out `s_r`, producing
     * no further pairs), matching the Spark side's empty-frame cross
     * join: both engines simply stop emitting rows.
+    *
+    * Every stage CTE is `AS MATERIALIZED`: each `s_r` is referenced
+    * twice (by `p_{r+1}` and `s_{r+1}`) and each `t_r` three times, so
+    * DuckDB's default re-inlining of unmaterialized CTEs doubles the
+    * work per round — exponential in `rounds` (measured >450 s on the
+    * 500-doc sf0.01 fixture vs 0.43 s materialized, bit-identical
+    * rows). Materialization pins linear-in-rounds oracle cost.
     */
-  private def bpeLearnOracle(rounds: Int): String = {
+  /** The learn loop's WITH-stages (everything between `WITH` and the
+    * final SELECT) — shared verbatim by [[bpeLearnOracle]] and the
+    * learn-then-encode pipeline oracle so the two replays cannot drift.
+    */
+  private def bpeLearnCtes(rounds: Int): String = {
     val q = "\u001F"
     val stages = (1 to rounds).map { r =>
       val prev = if (r == 1) "s0" else s"s${r - 1}"
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT x, y, CAST(SUM(wc) AS BIGINT) AS n FROM (
          |    SELECT wc, sy[i] AS x, sy[i + 1] AS y
          |    FROM (SELECT wc, string_split(trim(s, '$q'), '$q$q') AS sy FROM $prev),
          |         UNNEST(range(1, len(sy))) t(i))
          |  GROUP BY x, y),
-         |t$r AS (SELECT $r AS round, x, y, n FROM p$r ORDER BY n DESC, x, y LIMIT 1),
-         |s$r AS (SELECT wc, replace(s,
+         |t$r AS MATERIALIZED (SELECT $r AS round, x, y, n FROM p$r ORDER BY n DESC, x, y LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT wc, replace(s,
          |  (SELECT '$q' || x || '$q$q' || y || '$q' FROM t$r),
          |  (SELECT '$q' || x || y || '$q' FROM t$r)) AS s FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
-    s"""WITH w AS (
+    s"""w AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
-       |    SELECT unnest(string_split_regex(lower(coalesce(text, '')), '\\s+')) AS word
+       |    SELECT unnest(string_split_regex(lower(coalesce(text, '')), '${TextAnalysis.WsSplitRegex}')) AS word
        |    FROM documents)
        |  WHERE length(word) >= 2 GROUP BY word),
-       |s0 AS (SELECT wc, regexp_replace(word, '(.)', '$q\\1$q', 'g') AS s FROM w),
-       |$stages
+       |s0 AS MATERIALIZED (SELECT wc, regexp_replace(word, '${TextAnalysis.AnyCharCapture}', '$q\\1$q', 'g') AS s FROM w),
+       |$stages""".stripMargin
+  }
+
+  private def bpeLearnOracle(rounds: Int): String = {
+    val union = (1 to rounds).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
+    s"""WITH ${bpeLearnCtes(rounds)}
        |SELECT CAST(round AS BIGINT) AS round, x, y, x || y AS merged, n
        |FROM ($union) ORDER BY round""".stripMargin
   }
+
+  /** DuckDB replay of [[TextAnalysis.bpeEncodeLearned]]: the SAME learn
+    * stages as [[bpeLearnOracle]] (shared via [[bpeLearnCtes]]), then
+    * per-round encode stages `e_r` applying each learned merge to the
+    * per-document word-symbol streams via scalar subqueries on `t_r` —
+    * the declarative twin of the Spark side's broadcast array fold. An
+    * exhausted round has an empty `t_r`; `coalesce(…, chr(30))` turns
+    * its NULL search pattern into a never-matching sentinel so document
+    * rows survive unmodified (chr(30) cannot appear in a word-symbol
+    * stream built from this corpus's whitespace-split text). Documents
+    * with no length≥1 words re-enter via a LEFT JOIN with zero counts,
+    * mirroring the Spark side's per-row expressions that never drop a
+    * doc. Every stage is MATERIALIZED (each referenced by the next +
+    * the final aggregate — see the cost lint).
+    */
+  private def bpePipelineOracle(rounds: Int): String = {
+    val q = "\u001F"
+    val encodeStages = (1 to rounds).map { r =>
+      val prev = if (r == 1) "e0" else s"e${r - 1}"
+      s"""e$r AS MATERIALIZED (SELECT doc_id, replace(s,
+         |  coalesce((SELECT '$q' || x || '$q$q' || y || '$q' FROM t$r), chr(30)),
+         |  coalesce((SELECT '$q' || x || y || '$q' FROM t$r), '')) AS s FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeLearnCtes(rounds)},
+       |e0 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(word, '${TextAnalysis.AnyCharCapture}', '$q\\1$q', 'g') AS s FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')), '${TextAnalysis.WsSplitRegex}')) AS word
+       |    FROM documents)
+       |  WHERE length(word) >= 1),
+       |$encodeStages,
+       |agg AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(SUM((length(s) - length(replace(s, '$q', ''))) // 2) AS BIGINT) AS n_tokens_bpe
+       |  FROM e$rounds GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(a.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** BPE learn-then-encode pipeline ([[TextAnalysis.bpeEncodeLearned]]):
+    * the closed tokenizer loop — 8 merges induced from the corpus, then
+    * the corpus tokenized with them, all declaratively (the learned
+    * merge table rides a 1-row broadcast array, never a collect).
+    */
+  val bpePipelineQ = OpQ("llm_bpe_pipeline",
+    (s, d) => TextAnalysis.bpeEncodeLearned(docs(s, d), rounds = 8)
+      .orderBy(col("doc_id")),
+    Some(bpePipelineOracle(8)))
 
   /** BPE merge-candidate counting ([[TextAnalysis.bpePairCounts]]): the
     * top-50 adjacent character pairs weighted by word frequency — the
@@ -1261,8 +1326,8 @@ object LlmQueries {
     */
   val bpePairs = OpQ("llm_bpe_pairs",
     (s, d) => TextAnalysis.bpePairCounts(docs(s, d), k = 50),
-    Some("""WITH w AS (
-           |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    Some(s"""WITH w AS (
+           |  SELECT unnest(string_split_regex(lower(text), '${TextAnalysis.WsSplitRegex}')) AS word
            |  FROM documents),
            |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
            |  FROM w WHERE length(word) >= 2 GROUP BY word),
@@ -1473,11 +1538,11 @@ object LlmQueries {
           all.select(col("doc_id"), col("text")), bench, threshold = 0.3)
         .orderBy(col("train_id"), col("bench_id"))
     },
-    Some("""WITH bench AS (
+    Some("""WITH bench AS MATERIALIZED (
            |  SELECT doc_id,
            |    array_to_string(list_slice(string_split(text, ' '), 1, 40), ' ') AS text
            |  FROM documents WHERE doc_id % 97 = 0),
-           |train AS (SELECT doc_id, text FROM documents),
+           |train AS MATERIALIZED (SELECT doc_id, text FROM documents),
            |ts AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM train) t,
            |            UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3
@@ -1781,7 +1846,7 @@ object LlmQueries {
   val dedupSpanRewrite = OpQ("llm_dedup_span_rewrite",
     (s, d) => Dedup.spanDedupRewrite(docs(s, d), window = 4)
       .orderBy(col("doc_id")),
-    Some("""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    Some("""WITH b AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            |toks AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
            |         FROM b, UNNEST(range(1, len(w) + 1)) t(i)),
            |wins AS (SELECT doc_id, i - 1 AS wpos,
@@ -1877,9 +1942,9 @@ object LlmQueries {
           col("precision_ok"))
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
            |               FROM documents WHERE doc_id < 1000),
-           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
            |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
            |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -2096,7 +2161,7 @@ object LlmQueries {
   val dedupSemantic = OpQ("llm_dedup_semantic",
     (s, d) => Similarity.semanticDedup(emb(s, d), threshold = 0.4)
       .orderBy(col("vec_id")),
-    Some("""WITH e AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+    Some("""WITH e AS MATERIALIZED (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
            |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
            |n AS (SELECT vec_id, SUM(CAST(FLOOR(x * x * 1000000) AS BIGINT)) AS norm_m
            |      FROM e GROUP BY vec_id),
@@ -2142,18 +2207,18 @@ object LlmQueries {
     */
   val dedupWinnow = OpQ("llm_dedup_winnow",
     (s, d) => Dedup.winnowedOverlapPairs(docs(s, d)),
-    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
-           |h AS (SELECT doc_id,
+    Some("""WITH d AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+           |h AS MATERIALIZED (SELECT doc_id,
            |        list_transform(range(1, length(text) - 6),
            |          i -> list_reduce(list_transform(range(0, 8),
            |                 j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
            |               (acc, x) -> acc * 31 + x)) AS hs
            |      FROM d),
-           |wnd AS (SELECT doc_id,
+           |wnd AS MATERIALIZED (SELECT doc_id,
            |          list_distinct(list_transform(range(1, len(hs) - 2),
            |            j -> list_min(list_slice(hs, j, j + 3)))) AS fps
            |        FROM h),
-           |f0 AS (SELECT doc_id, UNNEST(fps) AS fp FROM wnd),
+           |f0 AS MATERIALIZED (SELECT doc_id, UNNEST(fps) AS fp FROM wnd),
            |rare AS (SELECT fp FROM f0 GROUP BY fp HAVING COUNT(*) <= 64),
            |f AS (SELECT f0.doc_id, f0.fp FROM f0 JOIN rare USING (fp))
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
@@ -2259,11 +2324,11 @@ object LlmQueries {
   val dedupThresholdSweepQ = OpQ("llm_dedup_threshold_sweep",
     (s, d) => Dedup.thresholdSweep(docs(s, d).filter(col("doc_id") < 1000),
       Seq(500000L, 600000L, 700000L, 800000L, 900000L)),
-    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+    Some("""WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
            |               FROM documents WHERE doc_id < 1000),
-           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           |sh AS MATERIALIZED (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-           |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+           |cnt AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
            |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            |        CAST(COUNT(*) AS BIGINT) AS common
            |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -2328,7 +2393,7 @@ object LlmQueries {
     */
   val filterFunnelQ = OpQ("llm_filter_funnel",
     (s, d) => TextAnalysis.filterFunnel(docs(s, d)),
-    Some("""WITH pr AS (
+    Some("""WITH pr AS MATERIALIZED (
            |  SELECT n_tok, length(text) - n_tok + 1 AS n_ch,
            |    CAST(len(list_filter(string_split(text, ' '),
            |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop,
@@ -2336,10 +2401,10 @@ object LlmQueries {
            |  FROM (SELECT coalesce(text, '') AS text,
            |          CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
            |        FROM documents)),
-           |r AS (SELECT n_tok BETWEEN 45 AND 500 AS r1,
+           |r AS MATERIALIZED (SELECT n_tok BETWEEN 45 AND 500 AS r1,
            |        n_ch BETWEEN 4 * n_tok AND 6 * n_tok AS r2,
            |        n_stop >= 2 AS r3, 10 * n_dis >= 3 * n_tok AS r4 FROM pr),
-           |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |a AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            |        CAST(count_if(NOT r1) AS BIGINT) AS f1,
            |        CAST(count_if(NOT r2) AS BIGINT) AS f2,
            |        CAST(count_if(NOT r3) AS BIGINT) AS f3,
@@ -2420,7 +2485,7 @@ object LlmQueries {
     textStats, textLangId, textQuality, textTokenize, textFingerprint, fingerprintRolling,
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
     splitTrainVal, splitByContentQ, splitLeakageQ, splitLeakageNearDupQ,
-    packingEfficiencyQ, epochPlanQ, bpePairs, bpeEncodeQ, bpeLearnQ,
+    packingEfficiencyQ, epochPlanQ, bpePairs, bpeEncodeQ, bpeLearnQ, bpePipelineQ,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

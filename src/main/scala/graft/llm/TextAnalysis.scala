@@ -474,10 +474,28 @@ object TextAnalysis {
     * so the pair stage costs |vocab|·avg_len regardless of corpus row
     * count, and the corpus text itself never moves twice.
     */
+  /** Whitespace-split class spelled so Java regex (Spark) and RE2
+    * (the DuckDB oracles) match the SAME character set: Java's `\s` is
+    * `[ \t\n\x0B\f\r]` but RE2's `\s` lacks `\x0B`, so the vertical tab
+    * is unioned in explicitly — a corpus containing U+000B would
+    * otherwise make the two engines' word boundaries (and every BPE
+    * count downstream) diverge. Both engines parse `\x0B` identically.
+    */
+  val WsSplitRegex: String = "[\\s\\x0B]+"
+
+  /** Any-character capture agreeing across Java and RE2: Java's `.`
+    * excludes the line separators U+0085/U+2028/U+2029 (which survive a
+    * whitespace split — neither dialect's `\s` contains them) while
+    * RE2's `.` matches U+0085 and friends; `[\s\S]` is the
+    * everything-class in BOTH dialects, so each in-word character gets
+    * boundary-wrapped identically in the two engines.
+    */
+  val AnyCharCapture: String = "([\\s\\S])"
+
   def bpePairCounts(docs: DataFrame, k: Int = 50,
       textCol: String = "text"): DataFrame = {
     val words = docs
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .select(explode(split(lower(col(textCol)), WsSplitRegex)).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
     words
@@ -539,9 +557,9 @@ object TextAnalysis {
     merges.foreach { case (x, y) =>
       require(x.nonEmpty && y.nonEmpty && !(x + y).contains(sep),
         "bpeEncode: merge symbols must be non-empty and must not contain U+001F") }
-    val words = split(lower(coalesce(col(textCol), lit(""))), "\\s+")
+    val words = split(lower(coalesce(col(textCol), lit(""))), WsSplitRegex)
     def encodeWord(w: Column): Column = merges.foldLeft(
-      regexp_replace(w, "(.)", sep + "$1" + sep)) { case (acc, (x, y)) =>
+      regexp_replace(w, AnyCharCapture, sep + "$1" + sep)) { case (acc, (x, y)) =>
         replace(acc, lit(sep + x + sep + sep + y + sep), lit(sep + x + y + sep))
     }
     // seps per post-merge string = 2·symbols; shiftright(…,1) keeps the
@@ -573,11 +591,15 @@ object TextAnalysis {
     * merge is the same greedy whole-symbol replace the encoder applies.
     *
     * Scale: the corpus collapses to its word-frequency table first (one
-    * map-side-combined shuffle — |vocab| rows, not corpus rows); every
+    * map-side-combined shuffle — |vocab| rows, not corpus rows), and
+    * that table is `localCheckpoint`ed ONCE so the collapse runs ONE
+    * time: each round's argmax is a separate action, and without the
+    * checkpoint every round would replay the corpus explode + collapse
+    * shuffle (8 rounds = 8 corpus scans — an 8× waste at 100 TB). Every
     * round then costs one vocab-sized pair aggregation + a 1-row
     * broadcast. Rounds are sequential by nature (BPE is an inherently
     * iterative algorithm); the per-round cost is corpus-independent
-    * after the initial collapse.
+    * after the materialized collapse.
     */
   def bpeLearnMerges(docs: DataFrame, rounds: Int = 8,
       textCol: String = "text"): DataFrame = {
@@ -585,11 +607,15 @@ object TextAnalysis {
     val sep = "\u001F"
     val sep2 = sep + sep
     val words = docs
-      .select(explode(split(lower(coalesce(col(textCol), lit(""))), "\\s+")).as("word"))
+      .select(explode(split(lower(coalesce(col(textCol), lit(""))), WsSplitRegex)).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(col("wc"),
-        regexp_replace(col("word"), "(.)", sep + "$1" + sep).as("s"))
+        regexp_replace(col("word"), AnyCharCapture, sep + "$1" + sep).as("s"))
+      // materialize the vocab-sized collapse ONCE: each round's argmax
+      // is its own action, and an unmaterialized `words` would replay
+      // the corpus scan + collapse shuffle every round
+      .localCheckpoint()
     def topPair(cur: DataFrame): DataFrame = {
       val syms = split(trim(col("s"), sep), sep2)
       cur
@@ -615,6 +641,51 @@ object TextAnalysis {
           concat(lit(sep), col("x"), col("y"), lit(sep))).as("s"))
     }
     out.result().reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** BPE LEARN-THEN-ENCODE — the closed loop: induce `rounds` merges
+    * from the corpus ([[bpeLearnMerges]]) and tokenize the SAME corpus
+    * with them, reporting per-document tokenizer-aware counts. This is
+    * the shape a pipeline runs when the tokenizer is trained on the
+    * data it will budget — unlike [[bpeEncode]]'s fixed
+    * [[DefaultBpeMerges]], the merge table here is DATA.
+    *
+    * Still zero `collect()`: the learned merges collapse to a 1-row
+    * frame holding the round-ordered `(round, x, y)` array
+    * (`sort_array(collect_list(struct(…)))` under a global agg — ≤
+    * `rounds` elements, driver-free), broadcast-cross-joined onto the
+    * corpus, and applied per word with `aggregate(ms, wrapped, replace)`
+    * — the SAME boundary-wrapped whole-symbol replace as the fixed-list
+    * encoder, just folding over an array column instead of a compiled-in
+    * literal chain. A corpus that exhausts before `rounds` simply yields
+    * a shorter array; `aggregate` applies what exists.
+    *
+    * Scale: learning = one materialized corpus collapse + `rounds`
+    * vocab-sized aggregations (see [[bpeLearnMerges]]); encoding = ONE
+    * corpus scan with per-row codegen'd expressions and a 1-row
+    * broadcast — no shuffle on the encode side at any corpus size.
+    */
+  def bpeEncodeLearned(docs: DataFrame, rounds: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val sep = "\u001F"
+    val sep2 = sep + sep
+    val ms = bpeLearnMerges(docs, rounds, textCol)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("round"), col("x"), col("y"))))
+        .as("ms"))
+    val words = split(lower(coalesce(col(textCol), lit(""))), WsSplitRegex)
+    def encodeWord(w: Column): Column =
+      aggregate(col("ms"), regexp_replace(w, AnyCharCapture, sep + "$1" + sep),
+        (acc, m) => replace(acc,
+          concat(lit(sep), m.getField("x"), lit(sep2), m.getField("y"), lit(sep)),
+          concat(lit(sep), m.getField("x"), m.getField("y"), lit(sep))))
+    def symCount(s: Column): Column =
+      shiftright(length(s) - length(replace(s, lit(sep), lit(""))), 1)
+    docs.crossJoin(broadcast(ms))
+      .select(col("doc_id"),
+        size(filter(words, w => length(w) >= 1)).cast("long").as("n_words"),
+        aggregate(transform(words, encodeWord(_)), lit(0L),
+          (acc, s) => acc + symCount(s)).as("n_tokens_bpe"))
   }
 
   /** Per-source corpus data card — the one-page report a pipeline

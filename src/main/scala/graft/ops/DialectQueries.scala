@@ -1354,6 +1354,81 @@ object DialectQueries {
            |FROM orders WHERE o_orderkey <= 200
            |ORDER BY o_orderkey, tok""".stripMargin))
 
+  /** Trino `UNNEST … WITH ORDINALITY` ([[Dialect]] rewriteUnnest, r13):
+    * the 1-based ordinal rides an `inline(transform(…))` struct build —
+    * the +1 lives in per-row codegen, the ordinal is BIGINT exactly as
+    * Trino types it. The oracle replays the 1-based enumeration with a
+    * DuckDB range unnest.
+    */
+  val trinoOrdinality = OpQ("op_dialect_trino_ordinality",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, tok, ord
+          |FROM orders CROSS JOIN UNNEST(SPLIT(o_orderpriority, '-'))
+          |  WITH ORDINALITY AS t(tok, ord)
+          |WHERE o_orderkey <= 150
+          |ORDER BY o_orderkey, ord""".stripMargin,
+        dialect = Dialect.Trinoish)
+    },
+    Some("""WITH b AS (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+           |           FROM orders WHERE o_orderkey <= 150)
+           |SELECT o_orderkey, parts[i] AS tok, CAST(i AS BIGINT) AS ord
+           |FROM b, UNNEST(range(1, len(parts) + 1)) t(i)
+           |ORDER BY o_orderkey, ord""".stripMargin))
+
+  /** Snowflake `FLATTEN(input => …, path => '…')` ([[Dialect]]
+    * rewriteSnowFlatten, r13): the path navigates into the input struct
+    * BEFORE flattening (`($e).tags` field access), `mode => 'ARRAY'`
+    * accepted as the no-op it is. The oracle navigates the same
+    * struct_pack field in DuckDB and enumerates 0-based like
+    * Snowflake's `f.index`.
+    */
+  val snowflakeFlattenPath = OpQ("op_dialect_snowflake_flatten_path",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, f.index AS idx, f.value AS tok
+          |FROM orders,
+          |  LATERAL FLATTEN(input => named_struct('tags', SPLIT(o_orderpriority, '-')),
+          |                  path => 'tags', mode => 'ARRAY') f
+          |WHERE o_orderkey <= 150
+          |ORDER BY o_orderkey, idx""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""WITH b AS (SELECT o_orderkey,
+           |             struct_pack(tags := string_split(o_orderpriority, '-')) AS st
+           |           FROM orders WHERE o_orderkey <= 150)
+           |SELECT o_orderkey, CAST(i - 1 AS INTEGER) AS idx, st.tags[i] AS tok
+           |FROM b, UNNEST(range(1, len(st.tags) + 1)) t(i)
+           |ORDER BY o_orderkey, idx""".stripMargin))
+
+  /** ClickHouse multi-array `ARRAY JOIN a AS x, b AS y` ([[Dialect]]
+    * rewriteChArrayJoin, r13): positional zip — one row per index, each
+    * alias bound to its array's element, via
+    * `inline(transform(array_repeat…))`. The two arrays here are
+    * equal-length by construction (the ClickHouse contract); the oracle
+    * re-derives the second array's element arithmetically from the
+    * index.
+    */
+  val clickhouseMultiArrayJoin = OpQ("op_dialect_clickhouse_multi_arrayjoin",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, tok, num
+          |FROM orders ARRAY JOIN splitByChar('-', o_orderpriority) AS tok,
+          |  array(o_orderkey * 10, o_orderkey * 10 + 1) AS num
+          |WHERE o_orderkey <= 150
+          |ORDER BY o_orderkey, num""".stripMargin,
+        dialect = Dialect.ClickHouseIsh)
+    },
+    Some("""WITH b AS (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+           |           FROM orders WHERE o_orderkey <= 150)
+           |SELECT o_orderkey, parts[i] AS tok,
+           |  CAST(o_orderkey * 10 + (i - 1) AS BIGINT) AS num
+           |FROM b, UNNEST(range(1, len(parts) + 1)) t(i)
+           |ORDER BY o_orderkey, num""".stripMargin))
+
   /** DuckDB/BigQuery `SELECT * REPLACE (expr AS col)` ([[Dialect]]
     * rewriteStarReplace): the star expands to the registered table's
     * column list with each replaced expression substituted IN POSITION
@@ -1372,6 +1447,26 @@ object DialectQueries {
     Some("""SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
            |                  upper(o_orderstatus) AS o_orderstatus)
            |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin))
+
+  /** QUALIFIED star form `alias.* REPLACE (…)` (r13 — closes the r12
+    * gap where `o.*` fell through the star-position guard as
+    * multiplication and died as a raw Spark parse error): the alias is
+    * validated against the FROM table's alias and the span including
+    * the qualifier is expanded. DuckDB runs the identical text
+    * natively as the oracle.
+    */
+  val duckdbReplaceQualified = OpQ("op_dialect_duckdb_replace_qualified",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o.* REPLACE (o_totalprice * 3 AS o_totalprice,
+          |                    lower(o_orderpriority) AS o_orderpriority)
+          |FROM orders AS o WHERE o_orderkey <= 120 ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.DuckDbish)
+    },
+    Some("""SELECT o.* REPLACE (o_totalprice * 3 AS o_totalprice,
+           |                    lower(o_orderpriority) AS o_orderpriority)
+           |FROM orders AS o WHERE o_orderkey <= 120 ORDER BY o_orderkey""".stripMargin))
 
   /** Postgres table-function `GENERATE_SERIES` in FROM ([[Dialect]]
     * rewriteGenerateSeriesTable): the uncorrelated spine form
@@ -1517,10 +1612,14 @@ object DialectQueries {
     * DuckDB's own native FILTER clause — same construct, independently
     * implemented. The value-plus-knob widening (r12) is gated by
     * hashing `approx_count_distinct(k, rsd) FILTER` against the
-    * oracle's exact `COUNT(DISTINCT k) FILTER`: the ~50 filtered
-    * distinct values sit far inside HLL++'s EXACT (deterministic)
-    * sparse mode, and a mis-routed filter would double the cardinality
-    * and break the hash. (Emitting the approx value — rather than a
+    * oracle's exact `COUNT(DISTINCT k) FILTER`: Spark's HLL++ has no
+    * sparse representation — at rsd 0.01 (p=14, 2^14 registers) the
+    * ~50 filtered distinct values land in the dense linear-counting
+    * regime, which is deterministic and VERIFIED exact for this
+    * fixture but not exact by construction (two values hashing to the
+    * same register would undercount — ~7% a-priori odds at 50 values;
+    * re-check if the fixture's key expression changes). A mis-routed
+    * filter would double the cardinality and break the hash. (Emitting the approx value — rather than a
     * second Spark-side COUNT(DISTINCT) comparison — matters: a second
     * distinct-aggregate group next to listagg's WITHIN GROUP trips a
     * RewriteDistinctAggregates SortOrder ClassCastException on 4.1.2.)
@@ -1624,6 +1723,8 @@ object DialectQueries {
     mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
+    duckdbReplaceQualified, trinoOrdinality, snowflakeFlattenPath,
+    clickhouseMultiArrayJoin,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }

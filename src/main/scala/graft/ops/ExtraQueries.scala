@@ -79,10 +79,10 @@ object ExtraQueries {
         .select((col("o_custkey") % 100).as("src"), (col("o_orderkey") % 100).as("dst"))
       Relational.pageRank(e, iterations = 3).orderBy(col("node"))
     },
-    Some("""WITH e AS (
+    Some("""WITH e AS MATERIALIZED (
            |  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
            |  FROM orders WHERE o_orderkey < 20000),
-           |nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+           |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
            |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
            |r0 AS (SELECT node, 1000000000 // (SELECT COUNT(*) FROM nodes) AS r FROM nodes),
            |i1 AS (
@@ -176,7 +176,7 @@ object ExtraQueries {
             lit("INSERTED").as("c_mktsegment"), col("c_acctbal")))
       Relational.upsert(cust, source, Seq("c_custkey")).orderBy(col("c_custkey"))
     },
-    Some("""WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    Some("""WITH cust AS MATERIALIZED (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
            |source AS (
            |  SELECT c_custkey, 'UPSERTED' AS c_mktsegment, c_acctbal + 1000 AS c_acctbal
            |  FROM cust WHERE c_custkey % 10 = 0
@@ -337,7 +337,7 @@ object ExtraQueries {
         floor(col("o_totalprice") * 100).cast("long").as("price_cents"),
         col("o_orderdate").cast("string").as("o_orderdate")))
       .orderBy(col("column_name")),
-    Some("""WITH t AS (SELECT o_orderkey, o_orderstatus,
+    Some("""WITH t AS MATERIALIZED (SELECT o_orderkey, o_orderstatus,
            |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
            |    CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS o_orderdate
            |  FROM orders)
@@ -384,7 +384,7 @@ object ExtraQueries {
             <= lit(0.05) * col("n_distinct_exact").cast("double")).as("within_tol"))
         .orderBy(col("column_name"))
     },
-    Some("""WITH t AS (SELECT o_orderkey, o_orderstatus,
+    Some("""WITH t AS MATERIALIZED (SELECT o_orderkey, o_orderstatus,
            |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_cents,
            |    CAST(CAST(o_orderdate AS TIMESTAMP) AS VARCHAR) AS o_orderdate
            |  FROM orders)
@@ -635,7 +635,7 @@ object ExtraQueries {
           keys = Seq("c_custkey"))
         .orderBy(col("c_custkey"))
     },
-    Some("""WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+    Some("""WITH cust AS MATERIALIZED (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
            |touched AS (
            |  SELECT c_custkey FROM cust WHERE c_custkey % 13 = 0
            |  UNION ALL
@@ -704,14 +704,14 @@ object ExtraQueries {
           col("valid_to").cast("string").as("valid_to"), col("is_current"))
         .orderBy(col("c_custkey"), col("valid_from"), col("is_current"))
     },
-    Some("""WITH cust AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
-           |tcur AS (SELECT c_custkey, c_nationkey, c_acctbal,
+    Some("""WITH cust AS MATERIALIZED (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+           |tcur AS MATERIALIZED (SELECT c_custkey, c_nationkey, c_acctbal,
            |           DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
            |           TRUE AS is_current FROM cust),
            |thist AS (SELECT c_custkey, c_nationkey, c_acctbal - 50 AS c_acctbal,
            |            DATE '2023-01-01' AS valid_from, DATE '2024-01-01' AS valid_to,
            |            FALSE AS is_current FROM cust WHERE c_custkey % 7 = 0),
-           |src AS (
+           |src AS MATERIALIZED (
            |  SELECT c_custkey, c_nationkey, c_acctbal + 100 AS c_acctbal
            |  FROM cust WHERE c_custkey % 3 = 0
            |  UNION ALL SELECT c_custkey, c_nationkey, c_acctbal
@@ -1580,7 +1580,7 @@ object ExtraQueries {
         Relational.RefIntegrity("o_custkey", customer, "c_custkey", "customer.c_custkey")))
         .orderBy(col("constraint_name"))
     },
-    Some("""WITH base AS (
+    Some("""WITH base AS MATERIALIZED (
            |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
            |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
            |    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uk,
@@ -2102,7 +2102,7 @@ object ExtraQueries {
       Relational.madOutliers(ev, "v", Seq("event_type"), k = 3)
         .orderBy(col("event_id"))
     },
-    Some("""WITH v AS (SELECT event_id, event_type,
+    Some("""WITH v AS MATERIALIZED (SELECT event_id, event_type,
            |    CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
            |m AS (SELECT event_type,
            |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v)
@@ -2175,7 +2175,7 @@ object ExtraQueries {
         .orderBy(col("n_pair").desc, col("item_a"), col("item_b"))
         .limit(50)
     },
-    Some("""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS item
+    Some("""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_suppkey AS item
            |  FROM lineitem),
            |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM it GROUP BY item),
            |t AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS ntotal FROM it),

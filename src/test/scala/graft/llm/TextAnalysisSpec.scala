@@ -80,6 +80,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc.getAs[Long]("n_tokens_bpe") === 3L)
   }
 
+  test("bpeEncodeLearned equals learn-then-encode with the collected merges") {
+    initLog()
+    val docs = Seq((0L, "aa ab"), (1L, "ab x"), (2L, "aab aba")).toDF("doc_id", "text")
+    // reference composition: collect the learned list (TEST-ONLY — the
+    // operator itself never collects) and feed the fixed-list encoder
+    val merges = TextAnalysis.bpeLearnMerges(docs, rounds = 4).collect()
+      .map(r => r.getAs[String]("x") -> r.getAs[String]("y")).toSeq
+    val want = TextAnalysis.bpeEncode(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens_bpe")))
+      .sortBy(_._1).toSeq
+    val got = TextAnalysis.bpeEncodeLearned(docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens_bpe")))
+      .sortBy(_._1).toSeq
+    assert(got === want)
+    // more learnable pairs than rounds requested: still consistent
+    val got2 = TextAnalysis.bpeEncodeLearned(docs, rounds = 1).head()
+    val m1 = TextAnalysis.bpeLearnMerges(docs, rounds = 1).collect()
+      .map(r => r.getAs[String]("x") -> r.getAs[String]("y")).toSeq
+    assert(got2.getAs[Long]("n_tokens_bpe") ===
+      TextAnalysis.bpeEncode(docs, m1).head().getAs[Long]("n_tokens_bpe"))
+  }
+
   test("bm25Rank scores and ranks a known corpus exactly") {
     initLog()
     val docs = Seq(

@@ -10,12 +10,44 @@ Reads <verifyOutDir>/oracle_sql.json, registers each parquet table in
 Spark parquet dump at <verifyOutDir>/<name>/ — columns sorted by name,
 rows sorted by all columns, exact value equality (bit-exact doubles).
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# Hard wall-clock budget per oracle. One pathological oracle (e.g. a
+# chained multi-referenced CTE that DuckDB re-inlines exponentially —
+# the llm_bpe_learn r12 incident) must fail ITS row loudly, never hang
+# the whole board into an empty CORRECTNESS json.
+ORACLE_TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "60"))
+
+
+class OracleTimeout(Exception):
+    pass
+
+
+def run_oracle(con, sql):
+    """Execute one oracle with a timeout: a timer thread calls
+    con.interrupt(), which makes the in-flight execute raise; we map
+    that to OracleTimeout so the caller prints a self-explaining FAIL."""
+    timed_out = threading.Event()
+
+    def _interrupt():
+        timed_out.set()
+        con.interrupt()
+
+    timer = threading.Timer(ORACLE_TIMEOUT_S, _interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchdf()
+    except Exception:
+        if timed_out.is_set():
+            raise OracleTimeout(f"oracle exceeded {ORACLE_TIMEOUT_S:.0f}s and was interrupted")
+        raise
+    finally:
+        timer.cancel()
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -60,7 +92,11 @@ def main():
             continue
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in spark_files], ignore_index=True))
-            want = norm(con.execute(sql).fetchdf())
+            want = norm(run_oracle(con, sql))
+        except OracleTimeout as e:
+            print(f"FAIL {name}: ORACLE-TIMEOUT: {e}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
