@@ -475,6 +475,7 @@ object Dialect {
       val steps: Seq[String => String] = Seq(
         escapeBackslashLiterals,
         rewriteBracketIdents,
+        rewriteTsqlPivot, // after brackets: the IN values arrive backticked
         rewriteTsqlTop,
         rewriteTsqlOffsetFetch,
         rewriteTsqlApply,  // before rewriteStringSplit maps the call itself
@@ -601,6 +602,7 @@ object Dialect {
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
         rewriteChArrayJoin, // FIRST: the clause wraps exprs later steps rewrite
+        rewriteChLimitBy, // SECOND: restructures the statement around the body
         rewriteChAggIf,
         rewriteChMultiIf,
         rewriteChTo,
@@ -3386,6 +3388,121 @@ object Dialect {
       }
     }
     throw new graft.UnsupportedError("ARRAY JOIN rewrite did not terminate")
+  }
+
+  /** T-SQL `PIVOT (agg(col) FOR key IN ([v1], [v2]))` (r13) — T-SQL
+    * spells the pivot VALUES as bracketed identifiers; after the
+    * bracket→backtick pass they read as backticked identifiers, but
+    * Spark's native PIVOT wants literal values with output aliases
+    * (`'v1' AS v1`). Each IN item becomes `'v' AS `v`` — numeric tokens
+    * stay unquoted so integer pivot keys keep their type — and Spark's
+    * own PIVOT executes the clause (the output columns keep T-SQL's
+    * value names, which the select list references through the same
+    * bracket→backtick pass). Items already spelled as literals or
+    * carrying an AS pass through untouched.
+    */
+  private[graft] def rewriteTsqlPivot(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val matches = "(?i)\\bPIVOT\\s*\\(".r.findAllMatchIn(sql)
+      .filter(m => outsideLiterals(spans, m.start)).toList
+    if (matches.isEmpty) return sql
+    var cur = sql
+    // right-to-left so earlier match indices stay valid after edits
+    matches.reverse.foreach { m =>
+      val open = m.end - 1
+      val close = matchParen(cur, spans, open)
+      if (close < 0)
+        throw new graft.UnsupportedError(s"unbalanced PIVOT( in: $cur")
+      val body = cur.substring(open + 1, close)
+      val bSpans = literalSpans(body, backslashEscapes = true)
+      val bDepth = depthAt(body, bSpans)
+      val inIdx = topLevelKeyword(body, bSpans, bDepth, "IN")
+      if (inIdx < 0)
+        throw new graft.UnsupportedError(s"PIVOT clause requires FOR … IN (…): $body")
+      val inOpen = body.indexOf('(', inIdx)
+      val inClose = if (inOpen >= 0) matchParen(body, bSpans, inOpen) else -1
+      if (inOpen < 0 || inClose < 0)
+        throw new graft.UnsupportedError(s"unbalanced PIVOT IN (…) in: $body")
+      val mapped = splitArgs(body, bSpans, inOpen + 1, inClose).map(_.trim).map { it =>
+        if (it.startsWith("'") || "(?i)\\bAS\\b".r.findFirstIn(it).isDefined) it
+        else {
+          val v = it.stripPrefix("`").stripSuffix("`")
+          if (!v.matches("[A-Za-z0-9_ .\\-]+"))
+            throw new graft.UnsupportedError(s"PIVOT IN value is not a simple token: $it")
+          if (v.matches("-?[0-9]+(\\.[0-9]+)?")) s"$v AS `$v`"
+          else s"'${v.replace("'", "''")}' AS `$v`"
+        }
+      }
+      val bodyNew = body.substring(0, inOpen + 1) + mapped.mkString(", ") +
+        body.substring(inClose)
+      // T-SQL REQUIRES a pivot-table alias after the clause; Spark's
+      // native PIVOT REJECTS one — strip it (a query referencing the
+      // alias elsewhere fails loudly in the analyzer, never silently)
+      val after = cur.substring(close + 1)
+      val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
+        .findFirstMatchIn(after)
+        .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
+      val tail = aliasM.map(mm => after.substring(mm.end)).getOrElse(after)
+      cur = cur.substring(0, open + 1) + bodyNew + ")" + tail
+    }
+    cur
+  }
+
+  /** ClickHouse `LIMIT n BY exprs` (r13) — keep the first `n` rows per
+    * distinct key set, BEFORE the final global LIMIT: the canonical
+    * ClickHouse top-n-per-group idiom. Spark has no LIMIT BY; rewritten
+    * as a row_number window — partition by the BY keys, order by the
+    * statement's ORDER BY (ClickHouse applies LIMIT BY to the sorted
+    * stream), keep rank ≤ n, re-apply the outer ORDER BY / trailing
+    * LIMIT. Without an ORDER BY the kept rows are arbitrary in
+    * ClickHouse; the rewrite orders the window by the keys for a
+    * deterministic (and therefore allowed) pick, and adds no outer sort
+    * the statement didn't have. Like QUALIFY/DISTINCT ON, select items
+    * must be nameable (alias or bare column) so the outer projection
+    * can re-select them. The offset forms (`LIMIT n, m BY`,
+    * `LIMIT n OFFSET m BY`) fail fast.
+    */
+  private[graft] def rewriteChLimitBy(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val depth = depthAt(sql, spans)
+    def topLevel(re: String): Option[scala.util.matching.Regex.Match] =
+      re.r.findAllMatchIn(sql)
+        .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
+    topLevel("(?i)\\bLIMIT\\s+\\d+\\s*(,\\s*\\d+|OFFSET\\s+\\d+)\\s+BY\\b").foreach { _ =>
+      throw new graft.UnsupportedError(
+        "LIMIT BY with an offset (LIMIT n, m BY / LIMIT n OFFSET m BY) is not supported")
+    }
+    val m = topLevel("(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\b").getOrElse(return sql)
+    val n = m.group(1)
+    val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
+    val fromIdx = topLevelKeyword(sql, spans, depth, "FROM")
+    if (selIdx != 0 || fromIdx < 0 || fromIdx > m.start)
+      throw new graft.UnsupportedError(s"cannot locate SELECT … FROM around LIMIT BY in: $sql")
+    if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(sql).isDefined)
+      throw new graft.UnsupportedError("LIMIT BY under SELECT DISTINCT is not supported")
+    val items = splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
+      .map(_.trim).filter(_.nonEmpty)
+    val names = items.map(itemName).mkString(", ")
+    val orderIdx0 = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
+    val orderIdx = if (orderIdx0 >= 0 && orderIdx0 < m.start) orderIdx0 else -1
+    val body = sql.substring(fromIdx, if (orderIdx >= 0) orderIdx else m.start).trim
+    val byStart = m.end
+    val nextLimit = topLevelKeyword(sql, spans, depth, "LIMIT", byStart)
+    val keysEnd = if (nextLimit >= 0) nextLimit else sql.length
+    val keys = sql.substring(byStart, keysEnd).trim
+    if (keys.isEmpty)
+      throw new graft.UnsupportedError("LIMIT BY requires at least one key expression")
+    val stmtOrd =
+      if (orderIdx >= 0)
+        Some(sql.substring(orderIdx + "ORDER".length, m.start).trim
+          .replaceAll("(?i)^BY\\s+", ""))
+      else None
+    val windowOrd = stmtOrd.getOrElse(keys)
+    val outerOrder = stmtOrd.map(o => s" ORDER BY $o").getOrElse("")
+    val tail = if (nextLimit >= 0) " " + sql.substring(nextLimit) else ""
+    s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+      s"row_number() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __lb $body ) __lby " +
+      s"WHERE __lb <= $n$outerOrder$tail"
   }
 
   /** T-SQL `CROSS APPLY STRING_SPLIT(expr, 'sep') [AS] t` /

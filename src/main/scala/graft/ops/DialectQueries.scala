@@ -1429,6 +1429,31 @@ object DialectQueries {
            |FROM b, UNNEST(range(1, len(parts) + 1)) t(i)
            |ORDER BY o_orderkey, num""".stripMargin))
 
+  /** ClickHouse `LIMIT n BY keys` ([[Dialect]] rewriteChLimitBy, r13):
+    * top-n per key over the ORDER-BY-sorted stream, then the trailing
+    * global LIMIT — the canonical ClickHouse top-n-per-group idiom,
+    * rewritten as a row_number window. The oracle replays the window
+    * explicitly in DuckDB.
+    */
+  val clickhouseLimitBy = OpQ("op_dialect_clickhouse_limit_by",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_custkey, o_orderkey, o_totalprice
+          |FROM orders
+          |WHERE o_orderkey <= 2000
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 2 BY o_custkey
+          |LIMIT 50""".stripMargin,
+        dialect = Dialect.ClickHouseIsh)
+    },
+    Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+           |  row_number() OVER (PARTITION BY o_custkey
+           |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 2
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin))
+
   /** DuckDB/BigQuery `SELECT * REPLACE (expr AS col)` ([[Dialect]]
     * rewriteStarReplace): the star expands to the registered table's
     * column list with each replaced expression substituted IN POSITION
@@ -1713,6 +1738,61 @@ object DialectQueries {
            |GROUP BY o_orderpriority
            |ORDER BY prio""".stripMargin))
 
+  /** T-SQL `PIVOT (agg FOR key IN ([v1], [v2]))` ([[Dialect]]
+    * rewriteTsqlPivot, r13): the bracketed VALUE tokens become literal
+    * pivot values with their T-SQL output names (`'F' AS F`), executed
+    * by Spark's native PIVOT; the select list reaches the pivoted
+    * columns through the same bracket→backtick pass. Empty cells are
+    * NULL in both engines' pivots — COALESCE'd to 0 on both sides.
+    */
+  val tsqlPivot = OpQ("op_dialect_tsql_pivot",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT prio,
+          |  CAST(COALESCE([F], 0) AS BIGINT) AS n_f,
+          |  CAST(COALESCE([O], 0) AS BIGINT) AS n_o,
+          |  CAST(COALESCE([P], 0) AS BIGINT) AS n_p
+          |FROM (SELECT o_orderpriority AS prio, o_orderstatus AS st, o_orderkey
+          |      FROM orders WHERE o_orderkey <= 2000) src
+          |PIVOT (COUNT(o_orderkey) FOR st IN ([F], [O], [P])) p
+          |ORDER BY prio""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS BIGINT) AS n_f,
+           |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN o_orderkey END) AS BIGINT) AS n_o,
+           |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN o_orderkey END) AS BIGINT) AS n_p
+           |FROM orders WHERE o_orderkey <= 2000
+           |GROUP BY o_orderpriority
+           |ORDER BY prio""".stripMargin))
+
+  /** Postgres/ANSI `LATERAL (subquery)` in FROM (r13): Spark 3.2+
+    * executes correlated lateral subqueries NATIVELY — this gate proves
+    * the pass-through (no rewrite step involved) with a correlated
+    * per-order aggregate. DuckDB runs the identical text as the oracle.
+    */
+  val pgLateral = OpQ("op_dialect_pg_lateral",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o.o_orderkey, l.n_items, l.max_price
+          |FROM orders o,
+          |  LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          |                  MAX(l_extendedprice) AS max_price
+          |           FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+          |WHERE o.o_orderkey <= 500
+          |ORDER BY o.o_orderkey""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""SELECT o.o_orderkey, l.n_items, l.max_price
+           |FROM orders o,
+           |  LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           |                  MAX(l_extendedprice) AS max_price
+           |           FROM lineitem WHERE l_orderkey = o.o_orderkey) l
+           |WHERE o.o_orderkey <= 500
+           |ORDER BY o.o_orderkey""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1724,7 +1804,7 @@ object DialectQueries {
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
     duckdbReplaceQualified, trinoOrdinality, snowflakeFlattenPath,
-    clickhouseMultiArrayJoin,
+    clickhouseMultiArrayJoin, clickhouseLimitBy, tsqlPivot, pgLateral,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }
