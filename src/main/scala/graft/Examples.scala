@@ -265,6 +265,40 @@ object Examples {
         s"snow_rows=$snow trino=${trino.mkString(",")} repl=${repl.mkString(",")}")
     }
 
+    // example17 (r13): qualified star REPLACE, Trino WITH ORDINALITY,
+    // ClickHouse LIMIT BY + multi-array ARRAY JOIN, T-SQL PIVOT, and the
+    // learned-BPE pipeline — the round's dialect + tokenizer additions
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, "a-b", 10L), (2L, "c-d", 20L), (3L, "e", 5L)).toDF("id", "tags", "v")
+      val qual = Engine.execute(spark,
+        "SELECT t.* REPLACE (v * 2 AS v) FROM t ORDER BY id",
+        tables = Map("t" -> t), dialect = Dialect.forName("duckdb"))
+        .collect().map(_.getLong(2))
+      val ord = Engine.execute(spark,
+        """SELECT id, tok, ord FROM t
+          |CROSS JOIN UNNEST(SPLIT(tags, '-')) WITH ORDINALITY AS u(tok, ord)
+          |ORDER BY id, ord""".stripMargin,
+        tables = Map("t" -> t), dialect = Dialect.forName("trino"))
+        .collect().map(r => s"${r.getString(1)}@${r.getLong(2)}")
+      val lby = Engine.execute(spark,
+        "SELECT id, v FROM t ORDER BY v DESC LIMIT 1 BY id % 2 LIMIT 2",
+        tables = Map("t" -> t), dialect = Dialect.forName("clickhouse"))
+        .count()
+      val piv = Engine.execute(spark,
+        """SELECT [a-b] FROM (SELECT tags, v FROM t) s
+          |PIVOT (SUM(v) FOR tags IN ([a-b])) p""".stripMargin,
+        tables = Map("t" -> t), dialect = Dialect.forName("tsql"))
+        .collect().map(_.getLong(0))
+      val bpe = llm.TextAnalysis.bpeEncodeLearned(
+        Seq((0L, "aa ab"), (1L, "ab ab x")).toDF("doc_id", "text"), rounds = 2)
+        .orderBy("doc_id").collect()
+        .map(r => s"${r.getLong(0)}:${r.getAs[Long]("n_tokens_bpe")}")
+      println(s"example17(r13 constructs): qual=${qual.mkString(",")} " +
+        s"ord=${ord.mkString(",")} limit_by_rows=$lby piv=${piv.mkString(",")} " +
+        s"bpe=${bpe.mkString(",")}")
+    }
+
     spark.stop()
   }
 }
