@@ -1442,7 +1442,7 @@ object Dialect {
     * else (un-aliased expression, `*`) raises — QUALIFY rewriting needs a
     * name to re-select by.
     */
-  private def itemName(item: String): String = {
+  private def itemName(item: String, construct: String = "QUALIFY"): String = {
     val t = item.trim
     val asRe = "(?i)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)\\s*$".r
     asRe.findFirstMatchIn(t) match {
@@ -1450,7 +1450,7 @@ object Dialect {
       case None =>
         if (t.matches("[A-Za-z_][A-Za-z0-9_.]*")) t.split('.').last
         else throw new graft.UnsupportedError(
-          s"QUALIFY requires aliased select items to derive output names; cannot name: $t")
+          s"$construct requires aliased select items to derive output names; cannot name: $t")
     }
   }
 
@@ -1501,7 +1501,7 @@ object Dialect {
           "QUALIFY with an inline window is not supported under SELECT DISTINCT")
       val listStart = selIdx + "SELECT".length
       val items = splitArgs(inner, iSpans, listStart, fromIdx).map(_.trim).filter(_.nonEmpty)
-      val names = items.map(itemName).mkString(", ")
+      val names = items.map(itemName(_)).mkString(", ")
       val augmented = inner.substring(0, fromIdx) + s", ($pred) AS __qual " +
         inner.substring(fromIdx)
       s"SELECT $names FROM ( $augmented ) __qualify WHERE __qual $tail"
@@ -1717,7 +1717,7 @@ object Dialect {
     if (fromIdx < 0)
       throw new graft.UnsupportedError(s"cannot locate FROM after DISTINCT ON in: $sql")
     val items = splitArgs(sql, spans, keysClose + 1, fromIdx).map(_.trim).filter(_.nonEmpty)
-    val names = items.map(itemName).mkString(", ")
+    val names = items.map(itemName(_, "DISTINCT ON")).mkString(", ")
     val orderIdx = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
     val limitIdx = topLevelKeyword(sql, spans, depth, "LIMIT", fromIdx)
     val bodyEnd = Seq(orderIdx, limitIdx).filter(_ >= 0).sorted.headOption.getOrElse(sql.length)
@@ -3335,13 +3335,17 @@ object Dialect {
     */
   private[graft] def rewriteChArrayJoin(sql: String): String = {
     val re = "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\b".r
-    // JOIN itself ends the clause too (a following `JOIN t2 ON …` is not
-    // an ARRAY JOIN item); LEFT/RIGHT alone are NOT enders — they double
-    // as string functions (`LEFT(s, 2) AS x`), and a join keyword always
-    // brings its own JOIN token to cut at
     val clauseEnders = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
-      "QUALIFY", "UNION", "SETTINGS", "INTERSECT", "EXCEPT", "JOIN",
-      "INNER", "CROSS", "FULL")
+      "QUALIFY", "UNION", "SETTINGS", "INTERSECT", "EXCEPT")
+    // A following join also ends the clause — cut at the FULL join
+    // phrase (type prefix included), not the bare JOIN token, so
+    // `ARRAY JOIN arr AS x LEFT JOIN dim ON …` cuts before LEFT instead
+    // of leaving it dangling inside the last item. LEFT/RIGHT alone are
+    // never enders (they double as string functions — `LEFT(s, 2)`);
+    // a chained `[LEFT] ARRAY JOIN` cuts at its own phrase start and is
+    // rewritten by the next loop pass.
+    val joinCut = ("(?i)\\b(?:(?:LEFT|RIGHT|FULL)\\s+(?:OUTER\\s+|SEMI\\s+|ANTI\\s+)?JOIN" +
+      "|INNER\\s+JOIN|CROSS\\s+JOIN|(?:LEFT\\s+)?ARRAY\\s+JOIN|JOIN)\\b").r
     var cur = sql
     var guard = 0
     while (guard < 32) {
@@ -3354,8 +3358,11 @@ object Dialect {
           val rest0 = cur.substring(m.end)
           val rSpans = literalSpans(rest0, backslashEscapes = true)
           val rDepth = depthAt(rest0, rSpans)
-          val stop = clauseEnders
-            .map(k => topLevelKeyword(rest0, rSpans, rDepth, k))
+          val joinStop = joinCut.findAllMatchIn(rest0)
+            .find(jm => rDepth(jm.start) == 0 && outsideLiterals(rSpans, jm.start))
+            .map(_.start)
+          val stop = (clauseEnders
+            .map(k => topLevelKeyword(rest0, rSpans, rDepth, k)) ++ joinStop.toSeq)
             .filter(_ >= 0).sorted.headOption.getOrElse(rest0.length)
           val items = splitArgs(rest0, rSpans, 0, stop).map(_.trim).filter(_.nonEmpty)
           if (items.isEmpty)
@@ -3482,7 +3489,7 @@ object Dialect {
       throw new graft.UnsupportedError("LIMIT BY under SELECT DISTINCT is not supported")
     val items = splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
       .map(_.trim).filter(_.nonEmpty)
-    val names = items.map(itemName).mkString(", ")
+    val names = items.map(itemName(_, "LIMIT BY")).mkString(", ")
     val orderIdx0 = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
     val orderIdx = if (orderIdx0 >= 0 && orderIdx0 < m.start) orderIdx0 else -1
     val body = sql.substring(fromIdx, if (orderIdx >= 0) orderIdx else m.start).trim
@@ -3497,12 +3504,32 @@ object Dialect {
         Some(sql.substring(orderIdx + "ORDER".length, m.start).trim
           .replaceAll("(?i)^BY\\s+", ""))
       else None
-    val windowOrd = stmtOrd.getOrElse(keys)
+    // The row_number window lives in the SAME projection that defines the
+    // select aliases, and Spark cannot resolve a lateral alias inside a
+    // window expression — but ORDER BY naming a select alias is canonical
+    // ClickHouse. Resolve each window sort key that starts with an item
+    // alias back to the aliased EXPRESSION (parenthesized); the OUTER
+    // ORDER BY keeps the alias, which the outer projection does expose.
+    val aliasExpr: Map[String, String] = items.flatMap { it =>
+      "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r.findFirstMatchIn(it)
+        .map(mm => mm.group(2).toLowerCase -> mm.group(1).trim)
+    }.toMap
+    def resolveAliases(ord: String): String = {
+      val oSpans = literalSpans(ord, backslashEscapes = true)
+      splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
+        "(?s)^([A-Za-z_][A-Za-z0-9_]*)(.*)$".r.findFirstMatchIn(part) match {
+          case Some(pm) if aliasExpr.contains(pm.group(1).toLowerCase) =>
+            s"(${aliasExpr(pm.group(1).toLowerCase)})${pm.group(2)}"
+          case _ => part
+        }
+      }.mkString(", ")
+    }
+    val windowOrd = resolveAliases(stmtOrd.getOrElse(keys))
     val outerOrder = stmtOrd.map(o => s" ORDER BY $o").getOrElse("")
     val tail = if (nextLimit >= 0) " " + sql.substring(nextLimit) else ""
     s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
-      s"row_number() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __lb $body ) __lby " +
-      s"WHERE __lb <= $n$outerOrder$tail"
+      s"row_number() OVER (PARTITION BY ${resolveAliases(keys)} ORDER BY $windowOrd) " +
+      s"AS __lb $body ) __lby WHERE __lb <= $n$outerOrder$tail"
   }
 
   /** T-SQL `CROSS APPLY STRING_SPLIT(expr, 'sep') [AS] t` /

@@ -95,11 +95,15 @@ class TextAnalysisSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(got === want)
     // more learnable pairs than rounds requested: still consistent
-    val got2 = TextAnalysis.bpeEncodeLearned(docs, rounds = 1).head()
+    // (both sides pinned to doc 0 — head() on an unordered frame would
+    // compare whichever docs the partition layout surfaced first)
+    val got2 = TextAnalysis.bpeEncodeLearned(docs, rounds = 1)
+      .orderBy("doc_id").head()
     val m1 = TextAnalysis.bpeLearnMerges(docs, rounds = 1).collect()
       .map(r => r.getAs[String]("x") -> r.getAs[String]("y")).toSeq
     assert(got2.getAs[Long]("n_tokens_bpe") ===
-      TextAnalysis.bpeEncode(docs, m1).head().getAs[Long]("n_tokens_bpe"))
+      TextAnalysis.bpeEncode(docs, m1).orderBy("doc_id").head()
+        .getAs[Long]("n_tokens_bpe"))
   }
 
   test("bm25Rank scores and ranks a known corpus exactly") {

@@ -10,7 +10,7 @@ Reads <verifyOutDir>/oracle_sql.json, registers each parquet table in
 Spark parquet dump at <verifyOutDir>/<name>/ — columns sorted by name,
 rows sorted by all columns, exact value equality (bit-exact doubles).
 """
-import sys, json, glob, os, threading
+import sys, json, glob, os, threading, time
 import duckdb
 import pandas as pd
 
@@ -31,23 +31,50 @@ class OracleTimeout(Exception):
 def run_oracle(con, sql):
     """Execute one oracle with a timeout: a timer thread calls
     con.interrupt(), which makes the in-flight execute raise; we map
-    that to OracleTimeout so the caller prints a self-explaining FAIL."""
-    timed_out = threading.Event()
+    that to OracleTimeout so the caller prints a self-explaining FAIL.
+
+    Race hardening: (a) the interrupt only fires while this oracle is
+    still marked in-flight (lock-guarded), so a timer landing just as
+    the query completes cannot poison the shared connection for the
+    NEXT oracle; (b) OracleTimeout is only raised when the wall clock
+    actually crossed the budget, so a genuine query error arriving in
+    the same instant is never masked as a timeout; (c) if a stray
+    interrupt still slips into the gap between execute() returning
+    inside duckdb and the done-flag flip, the single retry below
+    re-runs the (fast, non-timed-out) oracle instead of failing it."""
+    lock = threading.Lock()
+    state = {"done": False, "timed_out": False}
 
     def _interrupt():
-        timed_out.set()
-        con.interrupt()
+        with lock:
+            if state["done"]:
+                return
+            state["timed_out"] = True
+            con.interrupt()
 
-    timer = threading.Timer(ORACLE_TIMEOUT_S, _interrupt)
-    timer.start()
-    try:
-        return con.execute(sql).fetchdf()
-    except Exception:
-        if timed_out.is_set():
-            raise OracleTimeout(f"oracle exceeded {ORACLE_TIMEOUT_S:.0f}s and was interrupted")
-        raise
-    finally:
-        timer.cancel()
+    for attempt in (1, 2):
+        state["done"] = False
+        state["timed_out"] = False
+        timer = threading.Timer(ORACLE_TIMEOUT_S, _interrupt)
+        timer.start()
+        t0 = time.monotonic()
+        try:
+            result = con.execute(sql).fetchdf()
+            with lock:
+                state["done"] = True
+            return result
+        except Exception:
+            with lock:
+                state["done"] = True
+            elapsed = time.monotonic() - t0
+            if state["timed_out"] and elapsed >= ORACLE_TIMEOUT_S * 0.9:
+                raise OracleTimeout(
+                    f"oracle exceeded {ORACLE_TIMEOUT_S:.0f}s and was interrupted")
+            if attempt == 1 and elapsed < ORACLE_TIMEOUT_S * 0.9:
+                continue  # stray interrupt from the previous oracle's timer
+            raise
+        finally:
+            timer.cancel()
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
