@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 171 invariants
-  * across 157 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 172 invariants
+  * across 158 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -436,6 +436,11 @@ object PlanCheck {
     Rule("llm_bpe_pipeline", "learned merges ride a single 1-row broadcast; encode side never shuffle-joins",
       f => f("bnlj") <= 1 && f("cartesian") + f("smj") + f("shj") == 0 &&
         f("exchange") <= 4 && f("global_window") == 0),
+    // r13: langid scores + encode chain FUSE into one scan — a join here
+    // means the compose degraded to two corpus scans joined on doc_id
+    Rule("llm_tokenizer_fertility", "per-row langid+encode fused: NO join, map-side-combined per-lang aggregate",
+      f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
+        f("partial_agg") >= 2 && f("exchange") <= 2 && f("global_window") == 0),
     Rule("llm_dedup_jaccard_prefix", "prefix-token self-join equi-keyed, verify joins broadcast, never cartesian",
       f => f("cartesian") + f("bnlj") == 0 && f("bhj") >= 1),
     Rule("op_cooccurrence", "pair top-k via TakeOrderedAndProject; only the 1-row total is nested-loop-broadcast",

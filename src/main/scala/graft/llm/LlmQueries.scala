@@ -477,6 +477,50 @@ object LlmQueries {
             |       ELSE 'fr' END AS predicted_lang
             |FROM scored ORDER BY doc_id""".stripMargin))
 
+  /** Tokenizer fertility by predicted language
+    * ([[TextAnalysis.tokenizerFertility]]): tokens-per-word under the
+    * fixed merge list, per langId language — the multilingual
+    * token-budget statistic. One fused corpus scan (langid scores +
+    * encode chain are per-row expressions) and a |languages|-row
+    * aggregate; the oracle replays both expression families and the
+    * integer-exact ppm division.
+    */
+  val tokenizerFertilityQ = OpQ("llm_tokenizer_fertility",
+    (s, d) => TextAnalysis.tokenizerFertility(docs(s, d)),
+    Some {
+      val sep = "\u001F"
+      val base = s"regexp_replace(w, '${TextAnalysis.AnyCharCapture}', '$sep\\1$sep', 'g')"
+      val chain = TextAnalysis.DefaultBpeMerges.foldLeft(base) {
+        case (acc, (x, y)) =>
+          s"replace($acc, '$sep$x$sep$sep$y$sep', '$sep$x$y$sep')"
+      }
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    ${duckStopScore("de")}, ${duckStopScore("en")},
+         |    ${duckStopScore("es")}, ${duckStopScore("fr")},
+         |    string_split_regex(lower(coalesce(text, '')), '${TextAnalysis.WsSplitRegex}') AS ws
+         |  FROM documents),
+         |enc AS (
+         |  SELECT
+         |    CASE WHEN GREATEST(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+         |         WHEN score_de = GREATEST(score_de, score_en, score_es, score_fr) THEN 'de'
+         |         WHEN score_en = GREATEST(score_de, score_en, score_es, score_fr) THEN 'en'
+         |         WHEN score_es = GREATEST(score_de, score_en, score_es, score_fr) THEN 'es'
+         |         ELSE 'fr' END AS predicted_lang,
+         |    CAST(len(list_filter(ws, w -> length(w) >= 1)) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(
+         |      list_transform(ws, w -> $chain),
+         |      s -> (length(s) - length(replace(s, '$sep', ''))) // 2)), 0) AS BIGINT) AS n_tokens_bpe
+         |  FROM scored)
+         |SELECT predicted_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+         |  CASE WHEN SUM(n_words) = 0 THEN NULL
+         |       ELSE CAST(1000000 * SUM(n_tokens_bpe) // SUM(n_words) AS BIGINT) END
+         |    AS fertility_ppm
+         |FROM enc GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
+    })
+
   /** Quality score from exact integer counts (oracle mirrors the formula). */
   val textQuality = OpQ("llm_text_quality",
     (s, d) => TextAnalysis.qualityScore(docs(s, d))
@@ -2486,6 +2530,7 @@ object LlmQueries {
     textRedact, sampleStratified, sampleHash, sampleWeighted, dedupUrl,
     splitTrainVal, splitByContentQ, splitLeakageQ, splitLeakageNearDupQ,
     packingEfficiencyQ, epochPlanQ, bpePairs, bpeEncodeQ, bpeLearnQ, bpePipelineQ,
+    tokenizerFertilityQ,
     mixDomains, packSequences,
     mixTokenBudget, shuffleShard, dedupParagraph, decontaminateNearDup,
     textKeywords, textBm25, textNormalize, dedupSpan, dedupSpanRewrite,

@@ -551,7 +551,7 @@ object TextAnalysis {
     * bit-exact.
     */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)] = DefaultBpeMerges,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", keepCols: Seq[String] = Nil): DataFrame = {
     val sep = "\u001F"
     require(merges.nonEmpty, "bpeEncode: merge list must be non-empty")
     merges.foreach { case (x, y) =>
@@ -566,12 +566,38 @@ object TextAnalysis {
     // count in exact integer arithmetic (Column `/` would go double)
     def symCount(s: Column): Column =
       shiftright(length(s) - length(replace(s, lit(sep), lit(""))), 1)
-    docs.select(col("doc_id"),
-      size(filter(words, w => length(w) >= 1)).cast("long").as("n_words"),
-      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_chars"),
+    docs.select(col("doc_id") +: keepCols.map(col) :+
+      size(filter(words, w => length(w) >= 1)).cast("long").as("n_words") :+
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("n_chars") :+
       aggregate(transform(words, encodeWord(_)), lit(0L),
-        (acc, s) => acc + symCount(s)).as("n_tokens_bpe"))
+        (acc, s) => acc + symCount(s)).as("n_tokens_bpe"): _*)
   }
+
+  /** Tokenizer FERTILITY by language — tokens-per-word under a fixed
+    * merge list, per [[langId]]-predicted language: the statistic that
+    * drives multilingual token budgeting (a language whose words shred
+    * into many subword tokens consumes budget faster than its word
+    * count suggests). `fertility_ppm = 1e6 * sum(tokens) div sum(words)` in exact
+    * integer arithmetic per language.
+    *
+    * Scale: langId's stopword scores and [[bpeEncode]]'s merge chain
+    * are BOTH per-row expressions, so they fuse into ONE corpus scan
+    * (no join - the naive compose would join two scans on doc_id),
+    * followed by a single map-side-combined |languages|-row aggregate.
+    */
+  def tokenizerFertility(docs: DataFrame,
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      textCol: String = "text"): DataFrame =
+    bpeEncode(langId(docs, textCol), merges, textCol,
+      keepCols = Seq("predicted_lang"))
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+      .withColumn("fertility_ppm",
+        when(col("n_words") === 0L, lit(null).cast("long"))
+          .otherwise(expr("1000000L * n_tokens_bpe div n_words")))
+      .orderBy(col("predicted_lang"))
 
   /** BPE vocabulary INDUCTION — the learning loop [[bpePairCounts]] is
     * one statistic of and [[bpeEncode]] consumes: `rounds` iterations of

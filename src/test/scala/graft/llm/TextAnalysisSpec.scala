@@ -80,6 +80,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enc.getAs[Long]("n_tokens_bpe") === 3L)
   }
 
+  test("tokenizerFertility groups exact token/word sums by predicted language") {
+    initLog()
+    // doc 0: "the the" → en (stopword 'the' ×2); with merges (t,h),(th,e)
+    //   each "the" = 1 token → 2 words, 2 tokens
+    // doc 1: "zz qqq" → und (no stopword hits); no merge fires
+    //   → 2 words, 2+3 = 5 tokens
+    val docs = Seq((0L, "the the"), (1L, "zz qqq")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizerFertility(docs,
+      merges = Seq("t" -> "h", "th" -> "e")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens_bpe"), r.getAs[Long]("fertility_ppm")))
+    assert(out.toSeq === Seq(
+      ("en", 1L, 2L, 2L, 1000000L),
+      ("und", 1L, 2L, 5L, 2500000L)))
+  }
+
   test("bpeEncodeLearned equals learn-then-encode with the collected merges") {
     initLog()
     val docs = Seq((0L, "aa ab"), (1L, "ab x"), (2L, "aab aba")).toDF("doc_id", "text")
