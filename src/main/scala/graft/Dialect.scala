@@ -202,6 +202,7 @@ object Dialect {
         rewriteIntDiv,
         rewriteColonCast,
         s => rewriteAggFilter(s, esc = true),
+        rewritePgArrayAgg, // DuckDB shares the inline-ORDER-BY array_agg
         rewriteStrftime,
         rewriteStringSplit,
         rewriteEpoch,
@@ -386,6 +387,7 @@ object Dialect {
         rewritePgRegexMatch,
         rewritePgExtractEpoch,
         rewritePgStringAgg,
+        rewritePgArrayAgg,
         rewriteTsqlOffsetFetch, // ANSI OFFSET…FETCH paging (Postgres-legal)
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
         s => renameFunctions(s, renames))
@@ -2568,6 +2570,63 @@ object Dialect {
               val ord = rest.substring(m.end).trim
               s"listagg($x, $sep) WITHIN GROUP (ORDER BY $ord)"
             }
+        case _ => None
+      }
+    }
+
+  /** Postgres/DuckDB/BigQuery `ARRAY_AGG(x ORDER BY k [ASC|DESC])`
+    * (r13) — Spark's array_agg takes no inline ORDER BY. Rewritten as a
+    * sort-key struct collect:
+    * `transform(sort_array(collect_list(named_struct('__n', (k) IS
+    * NULL, '__o', k, '__v', x)), <asc>), s -> s.__v)` — struct ordering
+    * compares field-by-field, so the leading is-null boolean reproduces
+    * POSTGRES's default null placement in both directions (ASC: false <
+    * true → NULL keys last; DESC: true first → NULL keys first), the
+    * single sort key rides field 2, and the value extracts after the
+    * sort. The struct wrap also fixes collect_list's NULL-skipping: a
+    * NULL VALUE rides inside a non-null struct, so it stays in the
+    * array exactly as Postgres keeps it. Ties order deterministically
+    * by (key, value) — a refinement of Postgres's unspecified tie
+    * order. DISTINCT, multi-key ORDER BY, and explicit NULLS
+    * FIRST/LAST fail fast (the bool-field trick pins the DEFAULT
+    * placement; an explicit override would silently invert it).
+    */
+  private[graft] def rewritePgArrayAgg(sql: String): String =
+    rewriteCallOpt(sql, "array_agg", esc = true) { (fn, args) =>
+      args match {
+        case Seq(only) =>
+          val spans = literalSpans(only, backslashEscapes = true)
+          """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(only)
+            .find(m => outsideLiterals(spans, m.start))
+            .map { m =>
+              val x = only.substring(0, m.start).trim
+              var ord = only.substring(m.end).trim
+              if ("(?i)^\\s*DISTINCT\\b".r.findFirstIn(x).isDefined)
+                throw new graft.UnsupportedError(
+                  s"$fn(DISTINCT … ORDER BY …) is not supported")
+              if ("(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r.findFirstIn(ord).isDefined)
+                throw new graft.UnsupportedError(
+                  s"$fn ORDER BY with explicit NULLS FIRST/LAST is not supported " +
+                    "(the rewrite pins the dialect's DEFAULT null placement)")
+              val oSpans = literalSpans(ord, backslashEscapes = true)
+              val oDepth = depthAt(ord, oSpans)
+              if (splitArgs(ord, oSpans, 0, ord.length).length != 1)
+                throw new graft.UnsupportedError(
+                  s"$fn ORDER BY supports exactly one sort key, got: $ord")
+              val asc = !"(?is)\\bDESC\\s*$".r.findFirstIn(ord).isDefined
+              ord = ord.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "").trim
+              s"transform(sort_array(collect_list(named_struct(" +
+                s"'__n', ($ord) IS NULL, '__o', $ord, '__v', $x)), $asc), s -> s.__v)"
+            }
+        case first +: _ if {
+          // a multi-key ORDER BY splits at ITS top-level comma before we
+          // see it, leaving `x ORDER BY a` as the first "argument"
+          val spans = literalSpans(first, backslashEscapes = true)
+          """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(first)
+            .exists(m => outsideLiterals(spans, m.start))
+        } =>
+          throw new graft.UnsupportedError(
+            s"$fn ORDER BY supports exactly one sort key, got: ${args.mkString(", ")}")
         case _ => None
       }
     }

@@ -1793,6 +1793,46 @@ object DialectQueries {
            |WHERE o.o_orderkey <= 500
            |ORDER BY o.o_orderkey""".stripMargin))
 
+  /** Postgres/DuckDB `ARRAY_AGG(x ORDER BY k [DESC])` ([[Dialect]]
+    * rewritePgArrayAgg, r13): inline-ordered array aggregation via the
+    * sort-key struct collect (leading is-null bool reproduces the
+    * dialect's default NULL placement; NULL VALUES survive inside the
+    * struct where bare collect_list would drop them). The gate
+    * exercises ASC, DESC, NULL values kept in order, and NULL sort
+    * keys placed last-on-ASC; arrays serialize via to_json on both
+    * engines (driver-comparator convention). DuckDB runs its native
+    * inline ORDER BY as the oracle.
+    */
+  val pgArrayAgg = OpQ("op_dialect_pg_array_agg",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio,
+          |  TO_JSON(ARRAY_AGG(o_orderstatus ORDER BY o_orderkey)) AS st_asc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey ORDER BY o_orderkey DESC)) AS keys_desc,
+          |  TO_JSON(ARRAY_AGG(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+          |                         ELSE o_orderstatus END
+          |                    ORDER BY o_orderkey)) AS with_null_vals,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                  ELSE o_orderkey END)) AS null_keys_last
+          |FROM orders WHERE o_orderkey <= 400
+          |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  to_json(array_agg(o_orderstatus ORDER BY o_orderkey))::VARCHAR AS st_asc,
+           |  to_json(array_agg(o_orderkey ORDER BY o_orderkey DESC))::VARCHAR AS keys_desc,
+           |  to_json(array_agg(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                         ELSE o_orderstatus END
+           |                    ORDER BY o_orderkey))::VARCHAR AS with_null_vals,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END NULLS LAST,
+           |                    o_orderkey))::VARCHAR AS null_keys_last
+           |FROM orders WHERE o_orderkey <= 400
+           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
+
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
@@ -1805,6 +1845,7 @@ object DialectQueries {
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
     duckdbReplaceQualified, trinoOrdinality, snowflakeFlattenPath,
     clickhouseMultiArrayJoin, clickhouseLimitBy, tsqlPivot, pgLateral,
+    pgArrayAgg,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }
