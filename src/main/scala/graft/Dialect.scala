@@ -202,7 +202,9 @@ object Dialect {
         rewriteIntDiv,
         rewriteColonCast,
         s => rewriteAggFilter(s, esc = true),
-        rewritePgArrayAgg, // DuckDB shares the inline-ORDER-BY array_agg
+        // DuckDB shares the inline-ORDER-BY array_agg but defaults to
+        // NULLS LAST in BOTH sort directions (Postgres flips on DESC)
+        s => rewritePgArrayAgg(s, descNullsLast = true),
         rewriteStrftime,
         rewriteStringSplit,
         rewriteEpoch,
@@ -387,7 +389,8 @@ object Dialect {
         rewritePgRegexMatch,
         rewritePgExtractEpoch,
         rewritePgStringAgg,
-        rewritePgArrayAgg,
+        // Postgres default null placement: last on ASC, FIRST on DESC
+        s => rewritePgArrayAgg(s, descNullsLast = false),
         rewriteTsqlOffsetFetch, // ANSI OFFSET…FETCH paging (Postgres-legal)
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
         s => renameFunctions(s, renames))
@@ -2574,61 +2577,86 @@ object Dialect {
       }
     }
 
-  /** Postgres/DuckDB/BigQuery `ARRAY_AGG(x ORDER BY k [ASC|DESC])`
-    * (r13) — Spark's array_agg takes no inline ORDER BY. Rewritten as a
-    * sort-key struct collect:
-    * `transform(sort_array(collect_list(named_struct('__n', (k) IS
-    * NULL, '__o', k, '__v', x)), <asc>), s -> s.__v)` — struct ordering
-    * compares field-by-field, so the leading is-null boolean reproduces
-    * POSTGRES's default null placement in both directions (ASC: false <
-    * true → NULL keys last; DESC: true first → NULL keys first), the
-    * single sort key rides field 2, and the value extracts after the
-    * sort. The struct wrap also fixes collect_list's NULL-skipping: a
-    * NULL VALUE rides inside a non-null struct, so it stays in the
-    * array exactly as Postgres keeps it. Ties order deterministically
-    * by (key, value) — a refinement of Postgres's unspecified tie
-    * order. DISTINCT, multi-key ORDER BY, and explicit NULLS
-    * FIRST/LAST fail fast (the bool-field trick pins the DEFAULT
-    * placement; an explicit override would silently invert it).
+  /** Postgres/DuckDB/BigQuery `ARRAY_AGG(x ORDER BY k1 [, k2 …]
+    * [ASC|DESC])` (r13, multi-key + per-dialect nulls r14) — Spark's
+    * array_agg takes no inline ORDER BY. Rewritten as a sort-key struct
+    * collect: `transform(sort_array(collect_list(named_struct('__n0',
+    * (k1) <probe>, '__o0', k1, …, '__v', x)), <asc>), s -> s.__v)` —
+    * struct ordering compares field-by-field, so each key's leading
+    * is-null boolean reproduces the DIALECT's default null placement:
+    *  - ASC (both dialects default NULLS LAST): `(k) IS NULL` — false
+    *    sorts before true, so NULL keys land last;
+    *  - DESC, Postgres (`descNullsLast = false`, nulls FIRST on DESC):
+    *    `(k) IS NULL` — true sorts first under the descending compare;
+    *  - DESC, DuckDB (`descNullsLast = true`, NULLS LAST in BOTH
+    *    directions): `(k) IS NOT NULL` — non-null rows carry true and
+    *    sort first, NULL keys last.
+    * The struct wrap also fixes collect_list's NULL-skipping: a NULL
+    * VALUE rides inside a non-null struct, so it stays in the array
+    * exactly as Postgres keeps it. Ties order deterministically by
+    * (keys…, value) — a refinement of the dialects' unspecified tie
+    * order. The ORDER BY detector is depth-guarded: an ORDER BY inside
+    * a parenthesized subexpression (e.g. a scalar-subquery argument)
+    * belongs to that subexpression, so the call passes through as a
+    * plain unordered array_agg instead of splitting mid-expression.
+    * DISTINCT, explicit NULLS FIRST/LAST, and mixed ASC/DESC
+    * directions fail fast (the bool probe pins the DEFAULT placement,
+    * and sort_array sorts every struct field one way). Caveat: each
+    * sort key is spliced into both its `__n` probe and its `__o` field,
+    * so a NON-DETERMINISTIC key (e.g. random()) would evaluate twice
+    * and could yield an inconsistent probe/key pair — sort keys must be
+    * deterministic expressions.
     */
-  private[graft] def rewritePgArrayAgg(sql: String): String =
+  private[graft] def rewritePgArrayAgg(sql: String,
+      descNullsLast: Boolean): String =
     rewriteCallOpt(sql, "array_agg", esc = true) { (fn, args) =>
-      args match {
-        case Seq(only) =>
-          val spans = literalSpans(only, backslashEscapes = true)
-          """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(only)
-            .find(m => outsideLiterals(spans, m.start))
-            .map { m =>
-              val x = only.substring(0, m.start).trim
-              var ord = only.substring(m.end).trim
-              if ("(?i)^\\s*DISTINCT\\b".r.findFirstIn(x).isDefined)
-                throw new graft.UnsupportedError(
-                  s"$fn(DISTINCT … ORDER BY …) is not supported")
-              if ("(?i)\\bNULLS\\s+(FIRST|LAST)\\b".r.findFirstIn(ord).isDefined)
-                throw new graft.UnsupportedError(
-                  s"$fn ORDER BY with explicit NULLS FIRST/LAST is not supported " +
-                    "(the rewrite pins the dialect's DEFAULT null placement)")
-              val oSpans = literalSpans(ord, backslashEscapes = true)
-              val oDepth = depthAt(ord, oSpans)
-              if (splitArgs(ord, oSpans, 0, ord.length).length != 1)
-                throw new graft.UnsupportedError(
-                  s"$fn ORDER BY supports exactly one sort key, got: $ord")
-              val asc = !"(?is)\\bDESC\\s*$".r.findFirstIn(ord).isDefined
-              ord = ord.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "").trim
-              s"transform(sort_array(collect_list(named_struct(" +
-                s"'__n', ($ord) IS NULL, '__o', $ord, '__v', $x)), $asc), s -> s.__v)"
-            }
-        case first +: _ if {
-          // a multi-key ORDER BY splits at ITS top-level comma before we
-          // see it, leaving `x ORDER BY a` as the first "argument"
-          val spans = literalSpans(first, backslashEscapes = true)
-          """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(first)
-            .exists(m => outsideLiterals(spans, m.start))
-        } =>
-          throw new graft.UnsupportedError(
-            s"$fn ORDER BY supports exactly one sort key, got: ${args.mkString(", ")}")
-        case _ => None
-      }
+      // a multi-key ORDER BY splits at its top-level commas before the
+      // clause is visible, so rejoin the comma-split args first
+      val joined = args.mkString(", ").trim
+      val spans = literalSpans(joined, backslashEscapes = true)
+      val depth = depthAt(joined, spans)
+      """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(joined)
+        .find(m => depth(m.start) == 0 && outsideLiterals(spans, m.start))
+        .map { m =>
+          val x = joined.substring(0, m.start).trim
+          val ordAll = joined.substring(m.end).trim
+          if ("(?i)^DISTINCT\\b".r.findFirstIn(x).isDefined)
+            throw new graft.UnsupportedError(
+              s"$fn(DISTINCT … ORDER BY …) is not supported")
+          val xSpans = literalSpans(x, backslashEscapes = true)
+          if (x.isEmpty || splitArgs(x, xSpans, 0, x.length).length != 1)
+            throw new graft.UnsupportedError(
+              s"$fn takes exactly one aggregated expression, got: $x")
+          val oSpans = literalSpans(ordAll, backslashEscapes = true)
+          val keys = splitArgs(ordAll, oSpans, 0, ordAll.length).map(_.trim).map { k =>
+            if ("(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(k).isDefined)
+              throw new graft.UnsupportedError(
+                s"$fn ORDER BY with explicit NULLS FIRST/LAST is not supported " +
+                  "(the rewrite pins the dialect's DEFAULT null placement)")
+            val dir =
+              if ("(?is)\\bDESC\\s*$".r.findFirstIn(k).isDefined) Some(false)
+              else if ("(?is)\\bASC\\s*$".r.findFirstIn(k).isDefined) Some(true)
+              else None
+            (k.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "").trim, dir)
+          }
+          if (keys.isEmpty || keys.exists(_._1.isEmpty))
+            throw new graft.UnsupportedError(
+              s"$fn ORDER BY requires at least one sort key, got: $ordAll")
+          // an unspecified direction is ASC (the SQL default), so
+          // `ORDER BY a, b DESC` is mixed and must fail fast
+          val dirs = keys.map(_._2.getOrElse(true)).distinct
+          if (dirs.length > 1)
+            throw new graft.UnsupportedError(
+              s"$fn ORDER BY with mixed ASC/DESC directions is not supported " +
+                "(sort_array compares every struct field one way)")
+          val asc = dirs.head
+          val nullProbe = if (!asc && descNullsLast) "IS NOT NULL" else "IS NULL"
+          val keyFields = keys.map(_._1).zipWithIndex.map { case (k, i) =>
+            s"'__n$i', ($k) $nullProbe, '__o$i', $k"
+          }.mkString(", ")
+          s"transform(sort_array(collect_list(named_struct(" +
+            s"$keyFields, '__v', $x)), $asc), s -> s.__v)"
+        }
     }
 
   /** ANSI aggregate `FILTER (WHERE cond)` clause (SQL:2003 feature T612 —
@@ -3525,8 +3553,9 @@ object Dialect {
     * deterministic (and therefore allowed) pick, and adds no outer sort
     * the statement didn't have. Like QUALIFY/DISTINCT ON, select items
     * must be nameable (alias or bare column) so the outer projection
-    * can re-select them. The offset forms (`LIMIT n, m BY`,
-    * `LIMIT n OFFSET m BY`) fail fast.
+    * can re-select them. The offset forms (r14) follow ClickHouse's
+    * `LIMIT [offset,] n BY` / `LIMIT n OFFSET offset BY` grammar and
+    * keep rows `offset < rank <= offset + n` per key.
     */
   private[graft] def rewriteChLimitBy(sql: String): String = {
     val spans = literalSpans(sql, backslashEscapes = true)
@@ -3534,12 +3563,16 @@ object Dialect {
     def topLevel(re: String): Option[scala.util.matching.Regex.Match] =
       re.r.findAllMatchIn(sql)
         .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
-    topLevel("(?i)\\bLIMIT\\s+\\d+\\s*(,\\s*\\d+|OFFSET\\s+\\d+)\\s+BY\\b").foreach { _ =>
-      throw new graft.UnsupportedError(
-        "LIMIT BY with an offset (LIMIT n, m BY / LIMIT n OFFSET m BY) is not supported")
-    }
-    val m = topLevel("(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\b").getOrElse(return sql)
-    val n = m.group(1)
+    // offset spellings first — the bare pattern cannot match them (a `,`
+    // or OFFSET sits where it requires BY), so the match is unambiguous
+    val (m, off, n) =
+      topLevel("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\s+BY\\b")
+        .map(mm => (mm, mm.group(1).toLong, mm.group(2).toLong))
+        .orElse(topLevel("(?i)\\bLIMIT\\s+(\\d+)\\s+OFFSET\\s+(\\d+)\\s+BY\\b")
+          .map(mm => (mm, mm.group(2).toLong, mm.group(1).toLong)))
+        .orElse(topLevel("(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\b")
+          .map(mm => (mm, 0L, mm.group(1).toLong)))
+        .getOrElse(return sql)
     val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
     val fromIdx = topLevelKeyword(sql, spans, depth, "FROM")
     if (selIdx != 0 || fromIdx < 0 || fromIdx > m.start)
@@ -3553,7 +3586,18 @@ object Dialect {
     val orderIdx = if (orderIdx0 >= 0 && orderIdx0 < m.start) orderIdx0 else -1
     val body = sql.substring(fromIdx, if (orderIdx >= 0) orderIdx else m.start).trim
     val byStart = m.end
+    // the key list ends at the trailing LIMIT or at any other top-level
+    // clause ender — without the cut a SETTINGS/FORMAT/UNION arm would be
+    // swallowed into PARTITION BY as malformed key text
     val nextLimit = topLevelKeyword(sql, spans, depth, "LIMIT", byStart)
+    val otherEnder = Seq("SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT")
+      .map(k => k -> topLevelKeyword(sql, spans, depth, k, byStart))
+      .filter(_._2 >= 0).sortBy(_._2).headOption
+    otherEnder.foreach { case (kw, idx) =>
+      if (nextLimit < 0 || idx < nextLimit)
+        throw new graft.UnsupportedError(
+          s"LIMIT BY followed by a top-level $kw clause is not supported")
+    }
     val keysEnd = if (nextLimit >= 0) nextLimit else sql.length
     val keys = sql.substring(byStart, keysEnd).trim
     if (keys.isEmpty)
@@ -3586,9 +3630,12 @@ object Dialect {
     val windowOrd = resolveAliases(stmtOrd.getOrElse(keys))
     val outerOrder = stmtOrd.map(o => s" ORDER BY $o").getOrElse("")
     val tail = if (nextLimit >= 0) " " + sql.substring(nextLimit) else ""
+    val keep =
+      if (off == 0L) s"__lb <= $n"
+      else s"__lb > $off AND __lb <= ${off + n}"
     s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
       s"row_number() OVER (PARTITION BY ${resolveAliases(keys)} ORDER BY $windowOrd) " +
-      s"AS __lb $body ) __lby WHERE __lb <= $n$outerOrder$tail"
+      s"AS __lb $body ) __lby WHERE $keep$outerOrder$tail"
   }
 
   /** T-SQL `CROSS APPLY STRING_SPLIT(expr, 'sep') [AS] t` /

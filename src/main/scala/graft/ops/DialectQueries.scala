@@ -1454,6 +1454,33 @@ object DialectQueries {
            |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 2
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin))
 
+  /** ClickHouse `LIMIT offset, n BY keys` (r14 — the MySQL-convention
+    * offset spelling; `LIMIT n OFFSET offset BY` reads the same): skip
+    * each key's first `offset` rows of the sorted stream, keep the next
+    * `n`, then the trailing global LIMIT. Rewritten onto the same
+    * row_number window as [[clickhouseLimitBy]] with
+    * `offset < rank <= offset + n`; the oracle replays the window.
+    */
+  val clickhouseLimitByOffset = OpQ("op_dialect_clickhouse_limit_by_offset",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_custkey, o_orderkey, o_totalprice
+          |FROM orders
+          |WHERE o_orderkey <= 2000
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 1, 2 BY o_custkey
+          |LIMIT 50""".stripMargin,
+        dialect = Dialect.ClickHouseIsh)
+    },
+    Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+           |  row_number() OVER (PARTITION BY o_custkey
+           |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_custkey, o_orderkey, o_totalprice FROM r
+           |WHERE rn > 1 AND rn <= 3
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin))
+
   /** DuckDB/BigQuery `SELECT * REPLACE (expr AS col)` ([[Dialect]]
     * rewriteStarReplace): the star expands to the registered table's
     * column list with each replaced expression substituted IN POSITION
@@ -1767,6 +1794,40 @@ object DialectQueries {
            |GROUP BY o_orderpriority
            |ORDER BY prio""".stripMargin))
 
+  /** T-SQL `UNPIVOT (val FOR col IN ([a], [b])) AS u` (r14 — the pair
+    * to [[tsqlPivot]]): after the shared bracket→backtick pass the
+    * clause is NATIVE Spark UNPIVOT — Spark accepts the trailing table
+    * alias T-SQL requires (unlike PIVOT), emits the source column
+    * names as the FOR column's string values exactly as T-SQL does,
+    * and its default EXCLUDE NULLS matches T-SQL's silent NULL-row
+    * drop (pinned here by a deliberately NULL-holed column: `ship` is
+    * NULL on every 10th key, and those rows must vanish). The oracle
+    * replays the unpivot as a UNION ALL with the null-arm filtered.
+    */
+  val tsqlUnpivot = OpQ("op_dialect_tsql_unpivot",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT u.o_orderkey, u.metric, u.amount
+          |FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+          |             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+          |                  ELSE CAST(o_custkey AS DOUBLE) END AS ship
+          |      FROM orders WHERE o_orderkey <= 300) src
+          |UNPIVOT (amount FOR metric IN ([price], [ship])) AS u
+          |ORDER BY o_orderkey, metric""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""WITH src AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           |               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+           |                    ELSE CAST(o_custkey AS DOUBLE) END AS ship
+           |             FROM orders WHERE o_orderkey <= 300)
+           |SELECT o_orderkey, metric, amount FROM (
+           |  SELECT o_orderkey, 'price' AS metric, price AS amount FROM src
+           |  UNION ALL
+           |  SELECT o_orderkey, 'ship' AS metric, ship AS amount FROM src
+           |    WHERE ship IS NOT NULL)
+           |ORDER BY o_orderkey, metric""".stripMargin))
+
   /** Postgres/ANSI `LATERAL (subquery)` in FROM (r13): Spark 3.2+
     * executes correlated lateral subqueries NATIVELY — this gate proves
     * the pass-through (no rewrite step involved) with a correlated
@@ -1793,15 +1854,19 @@ object DialectQueries {
            |WHERE o.o_orderkey <= 500
            |ORDER BY o.o_orderkey""".stripMargin))
 
-  /** Postgres/DuckDB `ARRAY_AGG(x ORDER BY k [DESC])` ([[Dialect]]
-    * rewritePgArrayAgg, r13): inline-ordered array aggregation via the
-    * sort-key struct collect (leading is-null bool reproduces the
-    * dialect's default NULL placement; NULL VALUES survive inside the
-    * struct where bare collect_list would drop them). The gate
-    * exercises ASC, DESC, NULL values kept in order, and NULL sort
-    * keys placed last-on-ASC; arrays serialize via to_json on both
-    * engines (driver-comparator convention). DuckDB runs its native
-    * inline ORDER BY as the oracle.
+  /** Postgres `ARRAY_AGG(x ORDER BY k1 [, k2] [DESC])` ([[Dialect]]
+    * rewritePgArrayAgg, r13/r14): inline-ordered array aggregation via
+    * the sort-key struct collect (each key's leading is-null bool
+    * reproduces POSTGRES's default NULL placement — last on ASC, FIRST
+    * on DESC; NULL VALUES survive inside the struct where bare
+    * collect_list would drop them). The gate exercises ASC, DESC, NULL
+    * values kept in order, NULL sort keys last-on-ASC, NULL sort keys
+    * FIRST-on-DESC (r14 — the placement that diverges from DuckDB's,
+    * see [[duckdbArrayAgg]]), and a two-key ORDER BY (r14); arrays
+    * serialize via to_json on both engines (driver-comparator
+    * convention). The oracle replays Postgres's placement in DuckDB
+    * with explicit NULLS FIRST and pins the rewrite's
+    * tie-break-by-value on the null-key ties.
     */
   val pgArrayAgg = OpQ("op_dialect_pg_array_agg",
     (s, d) => {
@@ -1815,7 +1880,12 @@ object DialectQueries {
           |                    ORDER BY o_orderkey)) AS with_null_vals,
           |  TO_JSON(ARRAY_AGG(o_orderkey
           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
-          |                                  ELSE o_orderkey END)) AS null_keys_last
+          |                                  ELSE o_orderkey END)) AS null_keys_last,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                  ELSE o_orderkey END DESC)) AS null_keys_desc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY o_orderstatus, o_orderkey)) AS two_key
           |FROM orders WHERE o_orderkey <= 400
           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
         dialect = Dialect.Postgresish)
@@ -1829,7 +1899,51 @@ object DialectQueries {
            |  to_json(array_agg(o_orderkey
            |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
            |                                  ELSE o_orderkey END NULLS LAST,
-           |                    o_orderkey))::VARCHAR AS null_keys_last
+           |                    o_orderkey))::VARCHAR AS null_keys_last,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END DESC NULLS FIRST,
+           |                    o_orderkey DESC))::VARCHAR AS null_keys_desc,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY o_orderstatus, o_orderkey))::VARCHAR AS two_key
+           |FROM orders WHERE o_orderkey <= 400
+           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
+
+  /** DuckDB-dialect `ARRAY_AGG(x ORDER BY k [DESC])` (r14) — the same
+    * rewrite under the DuckDB wiring, where the default null order is
+    * NULLS LAST in BOTH directions (Postgres flips to nulls-first on
+    * DESC — the r13 verdict's confirmed divergence): the rewrite's
+    * per-dialect probe polarity (`IS NOT NULL` under DESC) keeps NULL
+    * sort keys last. DuckDB natively runs the DESC-with-NULL-keys and
+    * multi-key-DESC aggregations as the oracle (explicit NULLS LAST
+    * pins the oracle against any non-default `default_null_order`
+    * session setting; the trailing value key pins the rewrite's
+    * deterministic tie-break).
+    */
+  val duckdbArrayAgg = OpQ("op_dialect_duckdb_array_agg",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio,
+          |  TO_JSON(ARRAY_AGG(o_orderstatus ORDER BY o_orderkey)) AS st_asc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                  ELSE o_orderkey END DESC)) AS null_keys_desc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY o_orderstatus DESC, o_orderpriority DESC)) AS two_key_desc
+          |FROM orders WHERE o_orderkey <= 400
+          |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+        dialect = Dialect.DuckDbish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  to_json(array_agg(o_orderstatus ORDER BY o_orderkey))::VARCHAR AS st_asc,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END DESC NULLS LAST,
+           |                    o_orderkey DESC))::VARCHAR AS null_keys_desc,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY o_orderstatus DESC, o_orderpriority DESC,
+           |                             o_orderkey DESC))::VARCHAR AS two_key_desc
            |FROM orders WHERE o_orderkey <= 400
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 
@@ -1844,8 +1958,8 @@ object DialectQueries {
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
     duckdbReplaceQualified, trinoOrdinality, snowflakeFlattenPath,
-    clickhouseMultiArrayJoin, clickhouseLimitBy, tsqlPivot, pgLateral,
-    pgArrayAgg,
+    clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
+    tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }
