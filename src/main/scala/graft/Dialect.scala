@@ -2595,13 +2595,14 @@ object Dialect {
     * VALUE rides inside a non-null struct, so it stays in the array
     * exactly as Postgres keeps it. Ties order deterministically by
     * (keys…, value) — a refinement of the dialects' unspecified tie
-    * order. The ORDER BY detector is depth-guarded: an ORDER BY inside
-    * a parenthesized subexpression (e.g. a scalar-subquery argument)
+    * order. Explicit per-key `NULLS FIRST`/`NULLS LAST` (r14) overrides
+    * the dialect default by flipping that key's probe polarity. The
+    * ORDER BY detector is depth-guarded: an ORDER BY inside a
+    * parenthesized subexpression (e.g. a scalar-subquery argument)
     * belongs to that subexpression, so the call passes through as a
     * plain unordered array_agg instead of splitting mid-expression.
-    * DISTINCT, explicit NULLS FIRST/LAST, and mixed ASC/DESC
-    * directions fail fast (the bool probe pins the DEFAULT placement,
-    * and sort_array sorts every struct field one way). Caveat: each
+    * DISTINCT and mixed ASC/DESC directions fail fast (sort_array
+    * sorts every struct field one way). Caveat: each
     * sort key is spliced into both its `__n` probe and its `__o` field,
     * so a NON-DETERMINISTIC key (e.g. random()) would evaluate twice
     * and could yield an inconsistent probe/key pair — sort keys must be
@@ -2628,16 +2629,17 @@ object Dialect {
             throw new graft.UnsupportedError(
               s"$fn takes exactly one aggregated expression, got: $x")
           val oSpans = literalSpans(ordAll, backslashEscapes = true)
-          val keys = splitArgs(ordAll, oSpans, 0, ordAll.length).map(_.trim).map { k =>
-            if ("(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(k).isDefined)
-              throw new graft.UnsupportedError(
-                s"$fn ORDER BY with explicit NULLS FIRST/LAST is not supported " +
-                  "(the rewrite pins the dialect's DEFAULT null placement)")
+          // per key: `expr [ASC|DESC] [NULLS FIRST|LAST]`
+          val keys = splitArgs(ordAll, oSpans, 0, ordAll.length).map(_.trim).map { k0 =>
+            val explicitNullsLast =
+              "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstMatchIn(k0)
+                .map(_.group(1).equalsIgnoreCase("LAST"))
+            val k1 = k0.replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "").trim
             val dir =
-              if ("(?is)\\bDESC\\s*$".r.findFirstIn(k).isDefined) Some(false)
-              else if ("(?is)\\bASC\\s*$".r.findFirstIn(k).isDefined) Some(true)
+              if ("(?is)\\bDESC\\s*$".r.findFirstIn(k1).isDefined) Some(false)
+              else if ("(?is)\\bASC\\s*$".r.findFirstIn(k1).isDefined) Some(true)
               else None
-            (k.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "").trim, dir)
+            (k1.replaceAll("(?is)\\s+(ASC|DESC)\\s*$", "").trim, dir, explicitNullsLast)
           }
           if (keys.isEmpty || keys.exists(_._1.isEmpty))
             throw new graft.UnsupportedError(
@@ -2650,9 +2652,16 @@ object Dialect {
               s"$fn ORDER BY with mixed ASC/DESC directions is not supported " +
                 "(sort_array compares every struct field one way)")
           val asc = dirs.head
-          val nullProbe = if (!asc && descNullsLast) "IS NOT NULL" else "IS NULL"
-          val keyFields = keys.map(_._1).zipWithIndex.map { case (k, i) =>
-            s"'__n$i', ($k) $nullProbe, '__o$i', $k"
+          val keyFields = keys.zipWithIndex.map { case ((k, _, explicitNulls), i) =>
+            // requested placement: explicit NULLS FIRST/LAST wins, else the
+            // dialect default (ASC: nulls last in both dialects; DESC:
+            // Postgres nulls first, DuckDB nulls last)
+            val nullsLast = explicitNulls.getOrElse(if (asc) true else descNullsLast)
+            // the probe bool must sort null keys to the requested end given
+            // the one shared sort direction: IS NULL puts nulls last-on-ASC
+            // / first-on-DESC; IS NOT NULL flips both
+            val probe = if (nullsLast == asc) "IS NULL" else "IS NOT NULL"
+            s"'__n$i', ($k) $probe, '__o$i', $k"
           }.mkString(", ")
           s"transform(sort_array(collect_list(named_struct(" +
             s"$keyFields, '__v', $x)), $asc), s -> s.__v)"

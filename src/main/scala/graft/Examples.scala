@@ -299,6 +299,38 @@ object Examples {
         s"bpe=${bpe.mkString(",")}")
     }
 
+    // example18 (r14): ordered ARRAY_AGG with per-dialect null placement
+    // (DuckDB keeps NULLs last on DESC where Postgres puts them first),
+    // multi-key + explicit NULLS FIRST, the ClickHouse offset LIMIT BY,
+    // and T-SQL UNPIVOT passing through to Spark's native operator
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, Option(10L), 3L), (2L, Option(20L), 1L),
+        (3L, Option.empty[Long], 2L)).toDF("id", "k", "v")
+      def agg(dialect: String): String = Engine.execute(spark,
+        "SELECT TO_JSON(ARRAY_AGG(id ORDER BY k DESC)) AS a FROM t",
+        tables = Map("t" -> t), dialect = Dialect.forName(dialect))
+        .head().getString(0)
+      val multi = Engine.execute(spark,
+        "SELECT TO_JSON(ARRAY_AGG(id ORDER BY v % 2 NULLS LAST, k NULLS FIRST)) AS a FROM t",
+        tables = Map("t" -> t), dialect = Dialect.forName("postgres"))
+        .head().getString(0)
+      val lbo = Engine.execute(spark,
+        "SELECT id, v FROM t ORDER BY v DESC LIMIT 1, 1 BY id % 2",
+        tables = Map("t" -> t), dialect = Dialect.forName("clickhouse"))
+        .count()
+      val unp = Engine.execute(spark,
+        """SELECT u.id, u.metric, u.amount
+          |FROM (SELECT id, v AS [lo], v * 10 AS [hi] FROM t) s
+          |UNPIVOT (amount FOR metric IN ([lo], [hi])) AS u
+          |ORDER BY id, metric""".stripMargin,
+        tables = Map("t" -> t), dialect = Dialect.forName("tsql"))
+        .count()
+      println(s"example18(r14 constructs): pg_desc=${agg("postgres")} " +
+        s"duck_desc=${agg("duckdb")} multi=$multi " +
+        s"limit_by_offset_rows=$lbo unpivot_rows=$unp")
+    }
+
     spark.stop()
   }
 }

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 172 invariants
-  * across 158 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 184 invariants
+  * across 166 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -154,6 +154,33 @@ object PlanCheck {
         f("partial_agg") >= 2),
     Rule("q12_priority_lines", "shipmode/date filters pushed; orders join at this SF stays hash, no cartesian",
       f => f("pushed_filters") >= 1 && f("cartesian") + f("bnlj") == 0),
+    // r14: the four r13 bench wobbles (q10/q11/q15/q17, +39-64% vs r12)
+    // re-measured 3x uncontended at sf0.1 — medians back in the r12 band,
+    // i.e. container variance (see SCALE.md bench-wobble table) — and
+    // their intended plans pinned so the next slow round is decidable.
+    // Recorded sf0.001 shapes: q10 bhj=3 exch=4 pushed=4 topk=1;
+    // q11 bhj=4 exch=7 partial=4 pushed=6; q15 bhj=1 exch=5 partial=6
+    // pushed=3; q17 bhj=2 exch=4 partial=4 pushed=3.
+    Rule("q10_returned_items", "top-20 via TakeOrderedAndProject; dims broadcast, never a shuffle join",
+      f => f("topk") >= 1 && f("bhj") >= 3 &&
+        f("smj") + f("shj") + f("cartesian") + f("bnlj") == 0),
+    Rule("q10_returned_items", "returnflag/date filters pushed; exchange count stays at the recorded shape",
+      f => f("pushed_filters") >= 4 && f("exchange") <= 4),
+    Rule("q11_important_stock", "HAVING scalar-subquery decorrelation: all joins broadcast, map-side partials",
+      f => f("bhj") >= 3 && f("smj") + f("shj") + f("cartesian") + f("bnlj") == 0 &&
+        f("partial_agg") >= 4),
+    Rule("q11_important_stock", "nation filters pushed on both aggregate arms; recorded exchange budget",
+      f => f("pushed_filters") >= 5 && f("exchange") <= 7),
+    Rule("q15_top_supplier", "revenue-view max subquery: supplier join broadcast, no shuffle join, map-side partials",
+      f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
+        f("partial_agg") >= 4),
+    Rule("q15_top_supplier", "shipdate filters pushed to both revenue scans; recorded exchange budget",
+      f => f("pushed_filters") >= 2 && f("exchange") <= 5),
+    Rule("q17_small_quantity", "avg-quantity decorrelation: part side broadcast, never cartesian/shuffle join",
+      f => f("bhj") >= 2 && f("smj") + f("shj") + f("cartesian") + f("bnlj") == 0 &&
+        f("partial_agg") >= 4),
+    Rule("q17_small_quantity", "brand/container filters pushed; recorded exchange budget",
+      f => f("pushed_filters") >= 3 && f("exchange") <= 4),
     Rule("q21_waiting_supplier", "semi/anti + dim joins stay broadcast", _("bhj") >= 3),
     Rule("q21_waiting_supplier", "top-k via TakeOrderedAndProject", _("topk") >= 1),
     Rule("op_topk", "TakeOrderedAndProject with NO exchange (a global sort would shuffle)",
@@ -573,6 +600,23 @@ object PlanCheck {
     Rule("op_date_functions2", "date family per-row; ORDER BY+LIMIT plans as top-k " +
       "(no global sort exchange), no joins",
       f => f("topk") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    // r14 additions
+    Rule("stream_tokenizer_fertility", "incremental merge path: slice scans + per-language " +
+      "sums only — no join shapes, map-side partials on every slice",
+      f => f("partial_agg") >= 6 && f("exchange") <= 4 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_unpivot", "native UNPIVOT stays a per-row expand: pushed key filter, " +
+      "one output-sort exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_clickhouse_limit_by_offset", "offset LIMIT BY keeps the windowed top-k shape " +
+      "(WindowGroupLimit prunes to TakeOrdered), no joins",
+      f => f("topk") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_duckdb_array_agg", "ordered array_agg rewrite keeps partial aggregation and " +
+      "the pushed key filter, no joins",
+      f => f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

@@ -485,9 +485,12 @@ object LlmQueries {
     * aggregate; the oracle replays both expression families and the
     * integer-exact ppm division.
     */
-  val tokenizerFertilityQ = OpQ("llm_tokenizer_fertility",
-    (s, d) => TextAnalysis.tokenizerFertility(docs(s, d)),
-    Some {
+  /** Shared DuckDB replay of the fused fertility scan — used by the
+    * one-shot gate here AND the streaming twin's merged-counter gate
+    * (`stream_tokenizer_fertility`): both must reduce to the identical
+    * whole-corpus per-language report.
+    */
+  private[graft] val tokenizerFertilityOracleSql: String = {
       val sep = "\u001F"
       val base = s"regexp_replace(w, '${TextAnalysis.AnyCharCapture}', '$sep\\1$sep', 'g')"
       val chain = TextAnalysis.DefaultBpeMerges.foldLeft(base) {
@@ -519,7 +522,11 @@ object LlmQueries {
          |       ELSE CAST(1000000 * SUM(n_tokens_bpe) // SUM(n_words) AS BIGINT) END
          |    AS fertility_ppm
          |FROM enc GROUP BY predicted_lang ORDER BY predicted_lang""".stripMargin
-    })
+  }
+
+  val tokenizerFertilityQ = OpQ("llm_tokenizer_fertility",
+    (s, d) => TextAnalysis.tokenizerFertility(docs(s, d)),
+    Some(tokenizerFertilityOracleSql))
 
   /** Quality score from exact integer counts (oracle mirrors the formula). */
   val textQuality = OpQ("llm_text_quality",

@@ -12,6 +12,65 @@ import graft.functions.RollingHash64.rolling_hash64
   */
 object TextAnalysis {
 
+  /** How the BPE learn loop materializes its loop-carried frames (the
+    * word-frequency collapse and each round's 1-row winning pair). The
+    * loop runs one ACTION per round, so without materialization every
+    * round replays the corpus collapse — but the three ways to pin the
+    * frame trade fault tolerance against speed at cluster scale:
+    *
+    *  - [[Materializer.Local]] (`localCheckpoint`): stores blocks on the
+    *    executors that computed them and TRUNCATES lineage — fastest, but
+    *    an executor loss (preemption, dynamic deallocation) mid-loop
+    *    kills the whole multi-round learn with no recompute path. The
+    *    right default on a single-JVM `local[n]` master, where executor
+    *    loss means the app is dead anyway.
+    *  - [[Materializer.Persisted]] (`persist(MEMORY_AND_DISK)` + an eager
+    *    `count()`): blocks live on executors too, but lineage SURVIVES —
+    *    a lost block recomputes from upstream (cascading to the corpus
+    *    scan in the worst case: slower, never wrong). No cluster
+    *    prerequisites.
+    *  - [[Materializer.Reliable]] (`checkpoint`): writes the frame to the
+    *    configured checkpoint directory (HDFS/object store) — survives
+    *    any executor loss at the cost of a distributed write per
+    *    materialization. Requires `SparkContext.setCheckpointDir`.
+    *
+    * [[Materializer.auto]] picks Reliable when a checkpoint dir is set
+    * and Local otherwise, so local runs keep the established behavior
+    * and a cluster job opts into fault tolerance by configuring the
+    * directory it already has.
+    */
+  sealed trait Materializer {
+    def apply(df: DataFrame): DataFrame
+  }
+  object Materializer {
+    /** Executor-block localCheckpoint: fast, lineage-truncating, NOT
+      * fault-tolerant under executor loss.
+      */
+    case object Local extends Materializer {
+      def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+    }
+    /** persist(MEMORY_AND_DISK) + eager count: keeps lineage, so lost
+      * blocks recompute instead of failing the job.
+      */
+    case object Persisted extends Materializer {
+      def apply(df: DataFrame): DataFrame = {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+    }
+    /** Reliable checkpoint to the configured checkpoint directory —
+      * survives executor loss; requires `setCheckpointDir`.
+      */
+    case object Reliable extends Materializer {
+      def apply(df: DataFrame): DataFrame = df.checkpoint()
+    }
+    /** Reliable when a checkpoint dir is configured, else Local. */
+    def auto(df: DataFrame): Materializer =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) Reliable
+      else Local
+  }
+
   /** Token/character statistics: token count, distinct-token count, char
     * count, exact average word length.
     */
@@ -588,12 +647,32 @@ object TextAnalysis {
   def tokenizerFertility(docs: DataFrame,
       merges: Seq[(String, String)] = DefaultBpeMerges,
       textCol: String = "text"): DataFrame =
+    tokenizerFertilityReport(tokenizerFertilityCounts(docs, merges, textCol))
+
+  /** The MERGE-ABLE half of [[tokenizerFertility]] (r14): per-language
+    * exact counters (docs, words, BPE tokens) for one corpus slice. All
+    * three are sums, so partial counters from disjoint slices
+    * re-aggregate (`sum` by language) to the whole-corpus counters
+    * exactly — the property the incremental/streaming form
+    * ([[graft.streaming.Streams.tokenizerFertilityIncremental]]) relies
+    * on. Same fused one-scan shape as the one-shot operator.
+    */
+  def tokenizerFertilityCounts(docs: DataFrame,
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      textCol: String = "text"): DataFrame =
     bpeEncode(langId(docs, textCol), merges, textCol,
       keepCols = Seq("predicted_lang"))
       .groupBy(col("predicted_lang"))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("n_words")).as("n_words"),
         sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+
+  /** Derive the fertility report from (possibly merged) counters:
+    * `fertility_ppm = 1e6 * Σtokens div Σwords` in exact integer
+    * arithmetic, ordered by language.
+    */
+  def tokenizerFertilityReport(counts: DataFrame): DataFrame =
+    counts
       .withColumn("fertility_ppm",
         when(col("n_words") === 0L, lit(null).cast("long"))
           .otherwise(expr("1000000L * n_tokens_bpe div n_words")))
@@ -625,23 +704,29 @@ object TextAnalysis {
     * round then costs one vocab-sized pair aggregation + a 1-row
     * broadcast. Rounds are sequential by nature (BPE is an inherently
     * iterative algorithm); the per-round cost is corpus-independent
-    * after the materialized collapse.
+    * after the materialized collapse. Fault tolerance of the
+    * materialized frames is pluggable via `materializer` (r14 — see
+    * [[Materializer]]): the default picks the reliable checkpoint when
+    * a checkpoint dir is configured (cluster mode, where an 8-round
+    * learn must survive executor loss) and localCheckpoint otherwise
+    * (single-JVM local masters, the established behavior).
     */
   def bpeLearnMerges(docs: DataFrame, rounds: Int = 8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      materializer: Option[Materializer] = None): DataFrame = {
     require(rounds > 0 && rounds <= 64, "rounds must be in 1..64")
+    val mat = materializer.getOrElse(Materializer.auto(docs))
     val sep = "\u001F"
     val sep2 = sep + sep
-    val words = docs
+    // materialize the vocab-sized collapse ONCE: each round's argmax
+    // is its own action, and an unmaterialized `words` would replay
+    // the corpus scan + collapse shuffle every round
+    val words = mat(docs
       .select(explode(split(lower(coalesce(col(textCol), lit(""))), WsSplitRegex)).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(col("wc"),
-        regexp_replace(col("word"), AnyCharCapture, sep + "$1" + sep).as("s"))
-      // materialize the vocab-sized collapse ONCE: each round's argmax
-      // is its own action, and an unmaterialized `words` would replay
-      // the corpus scan + collapse shuffle every round
-      .localCheckpoint()
+        regexp_replace(col("word"), AnyCharCapture, sep + "$1" + sep).as("s")))
     def topPair(cur: DataFrame): DataFrame = {
       val syms = split(trim(col("s"), sep), sep2)
       cur
@@ -656,9 +741,9 @@ object TextAnalysis {
     val out = Seq.newBuilder[DataFrame]
     var cur = words
     for (r <- 1 to rounds) {
-      // 1-row deterministic frame; checkpointing keeps round r+1's plan
+      // 1-row deterministic frame; materializing keeps round r+1's plan
       // from re-nesting every earlier round's aggregation
-      val top = topPair(cur).localCheckpoint()
+      val top = mat(topPair(cur))
       out += top.select(lit(r.toLong).as("round"), col("x"), col("y"),
         concat(col("x"), col("y")).as("merged"), col("n"))
       cur = cur.crossJoin(broadcast(top.select(col("x"), col("y"))))
@@ -692,10 +777,11 @@ object TextAnalysis {
     * broadcast — no shuffle on the encode side at any corpus size.
     */
   def bpeEncodeLearned(docs: DataFrame, rounds: Int = 8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      materializer: Option[Materializer] = None): DataFrame = {
     val sep = "\u001F"
     val sep2 = sep + sep
-    val ms = bpeLearnMerges(docs, rounds, textCol)
+    val ms = bpeLearnMerges(docs, rounds, textCol, materializer)
       .groupBy()
       .agg(sort_array(collect_list(struct(col("round"), col("x"), col("y"))))
         .as("ms"))

@@ -1862,11 +1862,12 @@ object DialectQueries {
     * collect_list would drop them). The gate exercises ASC, DESC, NULL
     * values kept in order, NULL sort keys last-on-ASC, NULL sort keys
     * FIRST-on-DESC (r14 — the placement that diverges from DuckDB's,
-    * see [[duckdbArrayAgg]]), and a two-key ORDER BY (r14); arrays
-    * serialize via to_json on both engines (driver-comparator
-    * convention). The oracle replays Postgres's placement in DuckDB
-    * with explicit NULLS FIRST and pins the rewrite's
-    * tie-break-by-value on the null-key ties.
+    * see [[duckdbArrayAgg]]), a two-key ORDER BY (r14), and an explicit
+    * `NULLS FIRST` override of the ASC default (r14); arrays serialize
+    * via to_json on both engines (driver-comparator convention). The
+    * oracle replays Postgres's placement in DuckDB with explicit NULLS
+    * FIRST and pins the rewrite's tie-break-by-value on the null-key
+    * ties.
     */
   val pgArrayAgg = OpQ("op_dialect_pg_array_agg",
     (s, d) => {
@@ -1885,7 +1886,10 @@ object DialectQueries {
           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
           |                                  ELSE o_orderkey END DESC)) AS null_keys_desc,
           |  TO_JSON(ARRAY_AGG(o_orderkey
-          |                    ORDER BY o_orderstatus, o_orderkey)) AS two_key
+          |                    ORDER BY o_orderstatus, o_orderkey)) AS two_key,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                  ELSE o_orderkey END NULLS FIRST)) AS null_keys_first
           |FROM orders WHERE o_orderkey <= 400
           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
         dialect = Dialect.Postgresish)
@@ -1905,7 +1909,11 @@ object DialectQueries {
            |                                  ELSE o_orderkey END DESC NULLS FIRST,
            |                    o_orderkey DESC))::VARCHAR AS null_keys_desc,
            |  to_json(array_agg(o_orderkey
-           |                    ORDER BY o_orderstatus, o_orderkey))::VARCHAR AS two_key
+           |                    ORDER BY o_orderstatus, o_orderkey))::VARCHAR AS two_key,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END NULLS FIRST,
+           |                    o_orderkey))::VARCHAR AS null_keys_first
            |FROM orders WHERE o_orderkey <= 400
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 
@@ -1930,7 +1938,10 @@ object DialectQueries {
           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
           |                                  ELSE o_orderkey END DESC)) AS null_keys_desc,
           |  TO_JSON(ARRAY_AGG(o_orderkey
-          |                    ORDER BY o_orderstatus DESC, o_orderpriority DESC)) AS two_key_desc
+          |                    ORDER BY o_orderstatus DESC, o_orderpriority DESC)) AS two_key_desc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                  ELSE o_orderkey END DESC NULLS FIRST)) AS null_keys_desc_first
           |FROM orders WHERE o_orderkey <= 400
           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
         dialect = Dialect.DuckDbish)
@@ -1943,7 +1954,11 @@ object DialectQueries {
            |                    o_orderkey DESC))::VARCHAR AS null_keys_desc,
            |  to_json(array_agg(o_orderkey
            |                    ORDER BY o_orderstatus DESC, o_orderpriority DESC,
-           |                             o_orderkey DESC))::VARCHAR AS two_key_desc
+           |                             o_orderkey DESC))::VARCHAR AS two_key_desc,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END DESC NULLS FIRST,
+           |                    o_orderkey DESC))::VARCHAR AS null_keys_desc_first
            |FROM orders WHERE o_orderkey <= 400
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 

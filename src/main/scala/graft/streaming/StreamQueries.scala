@@ -336,7 +336,32 @@ object StreamQueries {
            |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
            |  FROM chg) WHERE rn = 1 ORDER BY key""".stripMargin))
 
+  /** Incremental tokenizer fertility (r14 —
+    * [[Streams.tokenizerFertilityIncremental]]'s merge path in batch
+    * mode): the documents corpus is split into three disjoint
+    * "micro-batch" slices by doc_id, each reduced to its per-language
+    * partial counters, folded through [[Streams.fertilityMergeCounts]]
+    * one slice at a time exactly as foreachBatch does, and the report
+    * derived from the merged state. Counter merging is a per-language
+    * sum — associative — so the oracle is the SAME whole-corpus DuckDB
+    * replay as `llm_tokenizer_fertility`; the real micro-batch
+    * execution (file stream, one file per trigger) is gated in
+    * StreamingSpec.
+    */
+  val tokenizerFertility = OpQ("stream_tokenizer_fertility",
+    (s, d) => {
+      val corpus = Tables.load(s, d, "documents")
+      val slices = (0 until 3).map(i =>
+        graft.llm.TextAnalysis.tokenizerFertilityCounts(
+          corpus.filter(pmod(col("doc_id"), lit(3)) === i)))
+      val merged = slices.tail.foldLeft(slices.head)(
+        (state, partial) => Streams.fertilityMergeCounts(Some(state), partial))
+      graft.llm.TextAnalysis.tokenizerFertilityReport(merged)
+    },
+    Some(graft.llm.LlmQueries.tokenizerFertilityOracleSql))
+
   val all: Seq[OpQ] = Seq(tumbling, sliding, sessions, propsExtract, dedup,
     attribution, dedupNearDup, staticEnrich, sessionWindow, attributionOuter,
-    attributionFull, approxUsers, topUsers, gapDetect, cdcLatest)
+    attributionFull, approxUsers, topUsers, gapDetect, cdcLatest,
+    tokenizerFertility)
 }

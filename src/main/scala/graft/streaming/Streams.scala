@@ -213,6 +213,71 @@ object Streams {
     else fp.dropDuplicates("simhash")
   }
 
+  /** Merge per-language fertility counters (r14): partial counters from
+    * disjoint corpus slices ([[graft.llm.TextAnalysis.tokenizerFertilityCounts]])
+    * are plain sums, so merging = re-summing by language — associative
+    * and commutative, which is what makes the incremental stream below
+    * equal the one-shot batch aggregate bit-for-bit.
+    */
+  def fertilityMergeCounts(prev: Option[DataFrame], partial: DataFrame): DataFrame =
+    prev.map(_.unionByName(partial)).getOrElse(partial)
+      .groupBy(col("predicted_lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens_bpe")).as("n_tokens_bpe"))
+
+  /** Latest persisted counter version strictly below `below` (the merge
+    * base for a batch id — a RETRIED batch re-merges from the same base,
+    * making the sink exactly-once like the overwrite-by-batch-id parquet
+    * pattern).
+    */
+  private def latestFertilityState(stateDir: String,
+      below: Long = Long.MaxValue): Option[String] = {
+    val d = new java.io.File(stateDir)
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).filter(_ < below)
+      .sorted.lastOption.map(v => s"$stateDir/v$v")
+  }
+
+  /** INCREMENTAL tokenizer fertility over a documents stream (r14) — the
+    * foreachBatch rollup topology for the fused langid+BPE scan: each
+    * micro-batch reduces to its |languages|-row partial counters (the
+    * micro-batch plan is the same zero-join one-scan shape the batch
+    * operator pins in PlanCheck), which merge into a versioned
+    * |languages|-row state table; [[tokenizerFertilityCurrent]] derives
+    * the up-to-date report from the latest version. Versioning by batch
+    * id keeps the sink exactly-once under micro-batch replay: a retried
+    * batch re-merges from the version BELOW its id and overwrites its
+    * own. At 100 TB-scale ingest the per-trigger cost is one scan of the
+    * arriving slice plus a |languages|-row shuffle, and state is
+    * |languages| rows regardless of stream length — corpus-wide token
+    * budgeting that never re-reads landed data.
+    */
+  def tokenizerFertilityIncremental(docsStream: DataFrame, stateDir: String,
+      merges: Seq[(String, String)] = graft.llm.TextAnalysis.DefaultBpeMerges)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docsStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val partial = graft.llm.TextAnalysis.tokenizerFertilityCounts(batch, merges)
+        val prev = latestFertilityState(stateDir, below = batchId)
+          .map(batch.sparkSession.read.parquet(_))
+        fertilityMergeCounts(prev, partial)
+          .coalesce(1) // |languages| rows — one tiny state file per version
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        ()
+    }
+
+  /** The current fertility report from the incremental state — re-derived
+    * from merged counters, so it equals the batch
+    * [[graft.llm.TextAnalysis.tokenizerFertility]] over everything
+    * ingested so far (StreamingSpec gate).
+    */
+  def tokenizerFertilityCurrent(spark: SparkSession, stateDir: String): DataFrame =
+    graft.llm.TextAnalysis.tokenizerFertilityReport(
+      spark.read.parquet(latestFertilityState(stateDir).getOrElse(
+        throw new IllegalStateException(s"no fertility state under $stateDir"))))
+
   /** Stream-stream interval join: each purchase joined to the SAME user's
     * view events in the preceding hour (attribution). In streaming both
     * sides carry watermarks and the join condition bounds event time on

@@ -104,6 +104,43 @@ class StreamingSpec extends SparkSpec {
       s"sink not idempotent: $first then $second, want $expected")
   }
 
+  test("tokenizerFertilityIncremental: merged micro-batch counters equal batch fertility") {
+    initLog()
+    // three landing files = three micro-batches (maxFilesPerTrigger=1),
+    // so the merge path really runs incrementally
+    val d = java.nio.file.Files.createTempDirectory("graft_docs_fert").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/slice=$i")
+    }
+    val landing = java.nio.file.Files.createTempDirectory("graft_docs_land").toString
+    (0 until 3).foreach { i =>
+      val src = new java.io.File(s"$d/slice=$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(s"$landing/docs_$i.parquet"))
+    }
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_fert_state").toString
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = Streams.tokenizerFertilityIncremental(stream, stateDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // one state version per micro-batch — the incremental path really ran
+    val versions = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+    assert(versions.length === 3, s"expected 3 state versions, got ${versions.length}")
+    val got = Streams.tokenizerFertilityCurrent(spark, stateDir)
+    val want = graft.llm.TextAnalysis.tokenizerFertility(docs)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "incremental fertility state diverges from the batch aggregate")
+    assert(got.count() > 0)
+  }
+
   test("dedupNearDupDocs: streaming fingerprint set equals the batch near-dup set") {
     initLog()
     // doubled documents landing dir = every document delivered twice

@@ -63,14 +63,20 @@ def run_oracle(con, sql):
             with lock:
                 state["done"] = True
             return result
-        except Exception:
+        except Exception as e:
             with lock:
                 state["done"] = True
             elapsed = time.monotonic() - t0
             if state["timed_out"] and elapsed >= ORACLE_TIMEOUT_S * 0.9:
                 raise OracleTimeout(
                     f"oracle exceeded {ORACLE_TIMEOUT_S:.0f}s and was interrupted")
-            if attempt == 1 and elapsed < ORACLE_TIMEOUT_S * 0.9:
+            # retry ONLY a genuine stray interrupt (a timer landing in the
+            # gap after a fast oracle completed) — a plain query error
+            # (syntax, missing table) must fail its row immediately, not
+            # re-run a known-broken query
+            is_interrupt = (isinstance(e, duckdb.InterruptException)
+                            or "INTERRUPT" in str(e).upper())
+            if attempt == 1 and is_interrupt and elapsed < ORACLE_TIMEOUT_S * 0.9:
                 continue  # stray interrupt from the previous oracle's timer
             raise
         finally:
