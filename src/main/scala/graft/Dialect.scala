@@ -3886,10 +3886,20 @@ object Dialect {
     * and fails in the analyzer (not silently) when the field is absent;
     * the path literal must be a constant `'ident[i].…'` chain.
     * `mode => 'ARRAY'` is accepted as a no-op (posexplode IS array
-    * mode); OBJECT/BOTH iterate VARIANT object keys — no typed-column
-    * equivalent, fail fast. The VARIANT-object output columns
-    * (`seq`/`key`/`path`/`this`) and `recursive` remain outside the
-    * shimmed surface — fail fast.
+    * mode). `mode => 'OBJECT'` (r14) iterates object KEYS:
+    * `LATERAL VIEW [OUTER] explode($e) f AS key, value` — Spark's MAP
+    * explode emits exactly Snowflake's (key, value) pair per entry, so
+    * the input must be MAP-typed (Spark's VARIANT-object analogue; a
+    * struct input fails loudly in the analyzer). When the input is
+    * spelled as the canonical `OBJECT_CONSTRUCT(k, v, …)` call (already
+    * renamed to named_struct by the pipeline's first step), the whole
+    * call is swapped to Spark's `map(k, v, …)` so the idiomatic
+    * Snowflake text works end-to-end; entry ORDER follows the
+    * construct's argument order (Snowflake sorts VARIANT object keys —
+    * queries that need that order must sort explicitly, which the gate
+    * does). `mode => 'BOTH'`, `recursive => true`, and the remaining
+    * VARIANT-object output columns (`seq`/`path`/`this`) stay outside
+    * the shimmed surface — fail fast with named errors.
     */
   private[graft] def rewriteSnowFlatten(sql: String): String = {
     val re = "(?i)(,|\\bCROSS\\s+JOIN\\b)\\s*LATERAL\\s+FLATTEN\\s*\\(".r
@@ -3909,6 +3919,7 @@ object Dialect {
           var input: Option[String] = None
           var outer = false
           var path: Option[String] = None
+          var objectMode = false
           val named = "(?is)^([A-Za-z_]+)\\s*=>\\s*(.*)$".r
           args.foreach {
             case named(k, v) => k.toLowerCase match {
@@ -3927,18 +3938,37 @@ object Dialect {
                 if (p.nonEmpty) path = Some(p)
               case "mode" =>
                 val mv = v.trim.stripPrefix("'").stripSuffix("'")
-                if (!mv.equalsIgnoreCase("array"))
+                if (mv.equalsIgnoreCase("object")) objectMode = true
+                else if (!mv.equalsIgnoreCase("array"))
                   throw new graft.UnsupportedError(
-                    s"FLATTEN mode => '$mv' iterates VARIANT object keys — only 'ARRAY' is supported")
+                    s"FLATTEN mode => '$mv' is not supported (ARRAY and OBJECT are)")
+              case "recursive" =>
+                if (v.trim.equalsIgnoreCase("true"))
+                  throw new graft.UnsupportedError(
+                    "FLATTEN recursive => TRUE walks nested VARIANT levels — outside the typed-column surface")
               case other => throw new graft.UnsupportedError(
-                s"FLATTEN argument $other => … is not supported (input/path/outer/mode only)")
+                s"FLATTEN argument $other => … is not supported (input/path/outer/mode/recursive only)")
             }
             case bare if input.isEmpty => input = Some(bare)
             case bare => throw new graft.UnsupportedError(
               s"unexpected FLATTEN argument: $bare")
           }
           val e = input
-            .map(in => path.fold(in)(p => s"($in).$p"))
+            .map { in0 =>
+              // canonical OBJECT_CONSTRUCT input (→ named_struct after the
+              // rename step) becomes Spark's map() under OBJECT mode —
+              // struct fields aren't explodable, map entries are
+              val in =
+                if (objectMode) {
+                  val wc = "(?is)^named_struct\\s*\\(".r.findFirstMatchIn(in0)
+                    .filter { cm =>
+                      val iSpans = literalSpans(in0, backslashEscapes = true)
+                      matchParen(in0, iSpans, cm.end - 1) == in0.length - 1
+                    }
+                  wc.map(cm => "map(" + in0.substring(cm.end)).getOrElse(in0)
+                } else in0
+              path.fold(in)(p => s"($in).$p")
+            }
             .getOrElse(throw new graft.UnsupportedError(
               "FLATTEN requires input => <array>"))
           val rest0 = cur.substring(close + 1)
@@ -3948,8 +3978,11 @@ object Dialect {
             .getOrElse(throw new graft.UnsupportedError(
               "LATERAL FLATTEN requires an [AS] alias (its value/index columns are referenced through it)"))
           val alias = aliasM.group(1)
+          val view =
+            if (objectMode) s"explode($e) $alias AS key, value"
+            else s"posexplode($e) $alias AS index, value"
           cur = cur.substring(0, m.start).stripTrailing() +
-            s" LATERAL VIEW ${if (outer) "OUTER " else ""}posexplode($e) $alias AS index, value" +
+            s" LATERAL VIEW ${if (outer) "OUTER " else ""}$view" +
             rest0.substring(aliasM.end)
       }
     }

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 184 invariants
-  * across 166 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 185 invariants
+  * across 167 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -617,6 +617,10 @@ object PlanCheck {
     Rule("op_dialect_duckdb_array_agg", "ordered array_agg rewrite keeps partial aggregation and " +
       "the pushed key filter, no joins",
       f => f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_snowflake_flatten_object", "OBJECT-mode flatten is a per-row map explode: " +
+      "pushed key filter, one output-sort exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

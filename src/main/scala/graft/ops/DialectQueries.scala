@@ -1403,6 +1403,35 @@ object DialectQueries {
            |FROM b, UNNEST(range(1, len(st.tags) + 1)) t(i)
            |ORDER BY o_orderkey, idx""".stripMargin))
 
+  /** Snowflake `FLATTEN(…, mode => 'OBJECT')` ([[Dialect]]
+    * rewriteSnowFlatten, r14): iterates object KEYS as (key, value)
+    * rows via Spark's MAP explode; the canonical
+    * `OBJECT_CONSTRUCT(k, v, …)` input is swapped whole-call to
+    * Spark's `map(k, v, …)`. Snowflake sorts VARIANT object keys, so
+    * the gate orders by key explicitly; the oracle replays the two
+    * entries as a UNION ALL.
+    */
+  val snowflakeFlattenObject = OpQ("op_dialect_snowflake_flatten_object",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, f.key AS k, f.value AS v
+          |FROM orders,
+          |  LATERAL FLATTEN(input => OBJECT_CONSTRUCT('status', o_orderstatus,
+          |                                            'prio', o_orderpriority),
+          |                  mode => 'OBJECT') f
+          |WHERE o_orderkey <= 300
+          |ORDER BY o_orderkey, k""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT o_orderkey, k, v FROM (
+           |  SELECT o_orderkey, 'status' AS k, o_orderstatus AS v
+           |  FROM orders WHERE o_orderkey <= 300
+           |  UNION ALL
+           |  SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v
+           |  FROM orders WHERE o_orderkey <= 300)
+           |ORDER BY o_orderkey, k""".stripMargin))
+
   /** ClickHouse multi-array `ARRAY JOIN a AS x, b AS y` ([[Dialect]]
     * rewriteChArrayJoin, r13): positional zip — one row per index, each
     * alias bound to its array's element, via
@@ -1973,6 +2002,7 @@ object DialectQueries {
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
     duckdbReplaceQualified, trinoOrdinality, snowflakeFlattenPath,
+    snowflakeFlattenObject,
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
