@@ -3595,13 +3595,24 @@ object Dialect {
     val orderIdx = if (orderIdx0 >= 0 && orderIdx0 < m.start) orderIdx0 else -1
     val body = sql.substring(fromIdx, if (orderIdx >= 0) orderIdx else m.start).trim
     val byStart = m.end
-    // the key list ends at the trailing LIMIT or at any other top-level
-    // clause ender — without the cut a SETTINGS/FORMAT/UNION arm would be
-    // swallowed into PARTITION BY as malformed key text
+    // the key list ends at the trailing LIMIT; any other top-level clause
+    // after the keys (SETTINGS/FORMAT/UNION arm) would be swallowed into
+    // PARTITION BY as malformed key text — fail fast naming it. Each
+    // ender matches its CLAUSE shape, not the bare word, so a key column
+    // that happens to be named `format` or `settings` stays a key.
     val nextLimit = topLevelKeyword(sql, spans, depth, "LIMIT", byStart)
-    val otherEnder = Seq("SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT")
-      .map(k => k -> topLevelKeyword(sql, spans, depth, k, byStart))
-      .filter(_._2 >= 0).sortBy(_._2).headOption
+    val enderShapes = Seq(
+      "SETTINGS" -> "(?i)\\bSETTINGS\\s+[A-Za-z_][A-Za-z0-9_.]*\\s*=",
+      "FORMAT" -> "(?is)\\bFORMAT\\s+[A-Za-z_][A-Za-z0-9_]*\\s*;?\\s*$",
+      "UNION" -> "(?i)\\bUNION\\s+(?:(?:ALL|DISTINCT)\\s+)?SELECT\\b",
+      "INTERSECT" -> "(?i)\\bINTERSECT\\s+(?:(?:ALL|DISTINCT)\\s+)?SELECT\\b",
+      "EXCEPT" -> "(?i)\\bEXCEPT\\s+(?:(?:ALL|DISTINCT)\\s+)?SELECT\\b")
+    val otherEnder = enderShapes.flatMap { case (kw, re) =>
+      re.r.findAllMatchIn(sql)
+        .filter(mm => mm.start >= byStart && depth(mm.start) == 0 &&
+          outsideLiterals(spans, mm.start))
+        .map(kw -> _.start)
+    }.sortBy(_._2).headOption
     otherEnder.foreach { case (kw, idx) =>
       if (nextLimit < 0 || idx < nextLimit)
         throw new graft.UnsupportedError(

@@ -38,6 +38,15 @@ object TextAnalysis {
     * and Local otherwise, so local runs keep the established behavior
     * and a cluster job opts into fault tolerance by configuring the
     * directory it already has.
+    *
+    * Retention: the materialized frames BACK the returned DataFrame
+    * (the learn loop's 1-row round winners union into the result), so
+    * nothing is unpersisted inside the operator — blocks are reclaimed
+    * by Spark's ContextCleaner once the caller drops the frame.
+    * Reliable's checkpoint files additionally outlive the app unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set —
+    * a repeated-learn cluster job should either set it or point the
+    * checkpoint dir at a per-run path it deletes afterwards.
     */
   sealed trait Materializer {
     def apply(df: DataFrame): DataFrame

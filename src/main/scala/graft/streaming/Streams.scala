@@ -229,14 +229,18 @@ object Streams {
   /** Latest persisted counter version strictly below `below` (the merge
     * base for a batch id — a RETRIED batch re-merges from the same base,
     * making the sink exactly-once like the overwrite-by-batch-id parquet
-    * pattern).
+    * pattern). Listed through Hadoop's FileSystem API so the state dir
+    * can live wherever the job's checkpoints do (HDFS/object store), not
+    * only on the driver's local disk.
     */
-  private def latestFertilityState(stateDir: String,
+  private def latestFertilityState(spark: SparkSession, stateDir: String,
       below: Long = Long.MaxValue): Option[String] = {
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toLong).filter(_ < below)
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toLong).filter(_ < below)
       .sorted.lastOption.map(v => s"$stateDir/v$v")
   }
 
@@ -260,7 +264,7 @@ object Streams {
     docsStream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val partial = graft.llm.TextAnalysis.tokenizerFertilityCounts(batch, merges)
-        val prev = latestFertilityState(stateDir, below = batchId)
+        val prev = latestFertilityState(batch.sparkSession, stateDir, below = batchId)
           .map(batch.sparkSession.read.parquet(_))
         fertilityMergeCounts(prev, partial)
           .coalesce(1) // |languages| rows — one tiny state file per version
@@ -275,7 +279,7 @@ object Streams {
     */
   def tokenizerFertilityCurrent(spark: SparkSession, stateDir: String): DataFrame =
     graft.llm.TextAnalysis.tokenizerFertilityReport(
-      spark.read.parquet(latestFertilityState(stateDir).getOrElse(
+      spark.read.parquet(latestFertilityState(spark, stateDir).getOrElse(
         throw new IllegalStateException(s"no fertility state under $stateDir"))))
 
   /** Stream-stream interval join: each purchase joined to the SAME user's
