@@ -238,6 +238,9 @@ object Dialect {
         rewriteTrinoDateFns,
         rewriteTrinoTry,
         s => rewriteAggFilter(s, esc = true),
+        // Trino's array_agg takes the inline ORDER BY too; its nulls sort
+        // highest (Postgres polarity) and null VALUES are kept
+        s => rewritePgArrayAgg(s, descNullsLast = false),
         s => rewriteArrayLiteral(s, esc = false),
         s => rewriteUnnest(s, esc = false),
         s => renameFunctions(s, renames))
@@ -269,6 +272,11 @@ object Dialect {
         s => renameFunctions(s, renames, esc = true), // to_char joins to_varchar
         s => rewriteDoubleQuotedIdents(s, esc = true),
         s => rewriteQualify(s, esc = true),
+        // Snowflake spells ordered array_agg WITHIN GROUP; its nulls sort
+        // highest (last-on-ASC/first-on-DESC, like Postgres) and — unlike
+        // Postgres — NULL VALUES are silently dropped from the array
+        rewriteWithinGroupArrayAgg,
+        s => rewritePgArrayAgg(s, descNullsLast = false, skipNullValues = true),
         rewriteSnowFlatten,
         rewriteSnowTryTo,
         rewriteSnowDateAdd,
@@ -2609,7 +2617,7 @@ object Dialect {
     * deterministic expressions.
     */
   private[graft] def rewritePgArrayAgg(sql: String,
-      descNullsLast: Boolean): String =
+      descNullsLast: Boolean, skipNullValues: Boolean = false): String =
     rewriteCallOpt(sql, "array_agg", esc = true) { (fn, args) =>
       // a multi-key ORDER BY splits at its top-level commas before the
       // clause is visible, so rejoin the comma-split args first
@@ -2663,10 +2671,61 @@ object Dialect {
             val probe = if (nullsLast == asc) "IS NULL" else "IS NOT NULL"
             s"'__n$i', ($k) $probe, '__o$i', $k"
           }.mkString(", ")
-          s"transform(sort_array(collect_list(named_struct(" +
-            s"$keyFields, '__v', $x)), $asc), s -> s.__v)"
+          val struct = s"named_struct($keyFields, '__v', $x)"
+          // Snowflake's ARRAY_AGG SKIPS null values (Postgres/DuckDB/Trino
+          // keep them): a null entry makes collect_list drop the row
+          val entry =
+            if (skipNullValues) s"CASE WHEN ($x) IS NULL THEN NULL ELSE $struct END"
+            else struct
+          s"transform(sort_array(collect_list($entry), $asc), s -> s.__v)"
         }
     }
+
+  /** Snowflake's ordered-set spelling `ARRAY_AGG([DISTINCT] x) WITHIN
+    * GROUP (ORDER BY …)` (r14) → the inline form
+    * `array_agg(x ORDER BY …)`, which the pipeline's subsequent
+    * [[rewritePgArrayAgg]] step turns into the sort-key struct collect
+    * (with Snowflake's null polarity and null-VALUE skipping). Targets
+    * array_agg ONLY — LISTAGG/percentile WITHIN GROUP are Spark-native
+    * pass-throughs. A WITHIN GROUP body without ORDER BY fails fast.
+    */
+  private[graft] def rewriteWithinGroupArrayAgg(sql: String): String = {
+    val re = "(?i)\\barray_agg\\s*\\(".r
+    var cur = sql
+    var from = 0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val spans = literalSpans(cur, backslashEscapes = true)
+      re.findAllMatchIn(cur)
+        .find(m => m.start >= from && outsideLiterals(spans, m.start)) match {
+        case None => return cur
+        case Some(m) =>
+          val open = m.end - 1
+          val close = matchParen(cur, spans, open)
+          if (close < 0)
+            throw new graft.UnsupportedError(s"unbalanced array_agg( in: $cur")
+          val after = cur.substring(close + 1)
+          "(?is)^\\s*WITHIN\\s+GROUP\\s*\\(".r.findFirstMatchIn(after) match {
+            case None => from = close + 1
+            case Some(w) =>
+              val aSpans = literalSpans(after, backslashEscapes = true)
+              val wOpen = w.end - 1
+              val wClose = matchParen(after, aSpans, wOpen)
+              if (wClose < 0)
+                throw new graft.UnsupportedError(s"unbalanced WITHIN GROUP ( in: $cur")
+              val body = after.substring(wOpen + 1, wClose).trim
+              val ob = "(?is)^ORDER\\s+BY\\b(.*)$".r.findFirstMatchIn(body)
+                .getOrElse(throw new graft.UnsupportedError(
+                  s"ARRAY_AGG WITHIN GROUP requires ORDER BY, got: $body"))
+              cur = cur.substring(0, close) + " ORDER BY " + ob.group(1).trim +
+                ")" + after.substring(wClose + 1)
+              from = 0 // re-scan: the rewritten call no longer matches WITHIN GROUP
+          }
+      }
+    }
+    throw new graft.UnsupportedError("WITHIN GROUP rewrite did not terminate")
+  }
 
   /** ANSI aggregate `FILTER (WHERE cond)` clause (SQL:2003 feature T612 —
     * Postgres/DuckDB/SQLite/Trino all ship it). Spark 4 parses the plain

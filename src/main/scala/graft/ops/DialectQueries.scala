@@ -1432,6 +1432,70 @@ object DialectQueries {
            |  FROM orders WHERE o_orderkey <= 300)
            |ORDER BY o_orderkey, k""".stripMargin))
 
+  /** Snowflake `ARRAY_AGG(x) WITHIN GROUP (ORDER BY …)` ([[Dialect]]
+    * rewriteWithinGroupArrayAgg → rewritePgArrayAgg, r14): the
+    * ordered-set spelling converts to the inline form and then the
+    * struct collect with SNOWFLAKE semantics — nulls sort highest
+    * (first under DESC) and NULL VALUES are silently dropped from the
+    * array (Postgres keeps them — the `st_wg` column pins the skip).
+    * The oracle replays in DuckDB with a FILTER null-drop and explicit
+    * NULLS FIRST.
+    */
+  val snowflakeArrayAgg = OpQ("op_dialect_snowflake_array_agg",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio,
+          |  TO_JSON(ARRAY_AGG(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+          |                         ELSE o_orderstatus END)
+          |          WITHIN GROUP (ORDER BY o_orderkey)) AS st_wg,
+          |  TO_JSON(ARRAY_AGG(o_orderkey)
+          |          WITHIN GROUP (ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                      ELSE o_orderkey END DESC)) AS keys_desc
+          |FROM orders WHERE o_orderkey <= 400
+          |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  to_json(array_agg(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                         ELSE o_orderstatus END
+           |                    ORDER BY o_orderkey)
+           |          FILTER (WHERE (CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                              ELSE o_orderstatus END) IS NOT NULL)
+           |         )::VARCHAR AS st_wg,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END DESC NULLS FIRST,
+           |                    o_orderkey DESC))::VARCHAR AS keys_desc
+           |FROM orders WHERE o_orderkey <= 400
+           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
+
+  /** Trino inline-ordered `array_agg(x ORDER BY k)` ([[Dialect]]
+    * rewritePgArrayAgg wired into the Trino pipeline, r14): Trino
+    * keeps NULL values (its documented array_agg quirk) and sorts null
+    * keys highest like Postgres. DuckDB replays natively.
+    */
+  val trinoArrayAgg = OpQ("op_dialect_trino_array_agg",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio,
+          |  TO_JSON(ARRAY_AGG(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+          |                         ELSE o_orderstatus END
+          |                    ORDER BY o_orderkey)) AS st_asc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey ORDER BY o_orderkey DESC)) AS keys_desc
+          |FROM orders WHERE o_orderkey <= 400
+          |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+        dialect = Dialect.Trinoish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  to_json(array_agg(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                         ELSE o_orderstatus END
+           |                    ORDER BY o_orderkey))::VARCHAR AS st_asc,
+           |  to_json(array_agg(o_orderkey ORDER BY o_orderkey DESC))::VARCHAR AS keys_desc
+           |FROM orders WHERE o_orderkey <= 400
+           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
+
   /** ClickHouse multi-array `ARRAY JOIN a AS x, b AS y` ([[Dialect]]
     * rewriteChArrayJoin, r13): positional zip — one row per index, each
     * alias bound to its array's element, via
@@ -2005,6 +2069,7 @@ object DialectQueries {
     snowflakeFlattenObject,
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
+    snowflakeArrayAgg, trinoArrayAgg,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }
