@@ -399,6 +399,7 @@ object Dialect {
         rewritePgStringAgg,
         // Postgres default null placement: last on ASC, FIRST on DESC
         s => rewritePgArrayAgg(s, descNullsLast = false),
+        rewriteFetchFirstWithTies, // FETCH FIRST n ROWS WITH TIES (rank filter)
         rewriteTsqlOffsetFetch, // ANSI OFFSET…FETCH paging (Postgres-legal)
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
         s => renameFunctions(s, renames))
@@ -452,6 +453,7 @@ object Dialect {
         rewriteOracleToDate,
         rewritePgToChar,
         rewriteOracleRownum,
+        rewriteFetchFirstWithTies, // FETCH FIRST n ROWS WITH TIES (rank filter)
         rewriteTsqlOffsetFetch, // Oracle 12c OFFSET…FETCH paging
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
         s => rewriteWord(s, "MINUS", "EXCEPT"),
@@ -2374,8 +2376,10 @@ object Dialect {
     * LIMIT inserted at the END of that SELECT's scope: the first `)` that
     * closes an enclosing paren, a same-depth set-operation keyword, or
     * end-of-string — so TOP works inside subqueries and on either side of
-    * a UNION. `TOP n PERCENT` and `WITH TIES` have no LIMIT equivalent and
-    * raise.
+    * a UNION. `TOP n WITH TIES` (r14) rewrites the OUTERMOST statement
+    * through [[buildWithTies]]'s rank filter (recursing so nested plain
+    * TOPs in the body still rewrite); a subquery-level WITH TIES and
+    * `TOP n PERCENT` (needs a global count) stay fail-fast.
     */
   private[graft] def rewriteTsqlTop(sql: String): String = {
     val re = """(?i)\bSELECT\s+TOP\s+\(?\s*(\d+)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
@@ -2388,8 +2392,14 @@ object Dialect {
       re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
         if (m.group(2) != null)
           throw new graft.UnsupportedError("TOP n PERCENT is not supported")
-        if (m.group(3) != null)
-          throw new graft.UnsupportedError("TOP … WITH TIES is not supported")
+        if (m.group(3) != null) {
+          if (m.start != 0)
+            throw new graft.UnsupportedError(
+              "TOP … WITH TIES is only supported on the outermost SELECT")
+          val stripped = "SELECT " + cur.substring(m.end)
+          return rewriteTsqlTop(
+            buildWithTies(stripped, m.group(1), stripped.length, stripped.length))
+        }
         val n = m.group(1)
         var i = m.end
         var depth = 0
@@ -3209,6 +3219,74 @@ object Dialect {
         case _ => s"((dayofweek(${args(0)}) + 5) % 7)"
       }
     }
+
+  /** Shared WITH TIES construction (r14): `SELECT items FROM body ORDER
+    * BY ord <ties clause>` → a rank()-filtered subquery keeping every
+    * row that ties with the n-th on the ORDER BY keys:
+    * `SELECT names FROM ( SELECT items, rank() OVER (ORDER BY ord) AS
+    * __wt FROM body ) __wtq WHERE __wt <= n ORDER BY ord`. Spark's
+    * InferWindowGroupLimit turns the rank-filter into a per-partition
+    * group limit (each partition pre-prunes to ≤ n rows before the
+    * single-partition rank — the same residual shape as a global
+    * top-k), which is what makes the rewrite scale-safe; the PlanCheck
+    * gate pins the WindowGroupLimit node. Select items must be
+    * nameable (alias or bare column) like QUALIFY's, and window sort
+    * keys naming a select alias resolve back to the aliased expression
+    * (Spark cannot read a lateral alias inside a window).
+    */
+  private def buildWithTies(sql: String, n: String,
+      ordEnd: Int, tiesEnd: Int): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val depth = depthAt(sql, spans)
+    val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
+    val fromIdx = topLevelKeyword(sql, spans, depth, "FROM")
+    val orderIdx = topLevelKeyword(sql, spans, depth, "ORDER")
+    if (selIdx != 0 || fromIdx < 0 || orderIdx < 0 || orderIdx > ordEnd ||
+        fromIdx > orderIdx)
+      throw new graft.UnsupportedError(
+        "WITH TIES requires the top-level SELECT … FROM … ORDER BY … shape")
+    if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(sql).isDefined)
+      throw new graft.UnsupportedError("WITH TIES under SELECT DISTINCT is not supported")
+    if (sql.substring(tiesEnd).trim.nonEmpty)
+      throw new graft.UnsupportedError(
+        s"WITH TIES must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
+    val items = splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
+      .map(_.trim).filter(_.nonEmpty)
+    val names = items.map(itemName(_, "WITH TIES")).mkString(", ")
+    val body = sql.substring(fromIdx, orderIdx).trim
+    val ord = sql.substring(orderIdx + "ORDER".length, ordEnd).trim
+      .replaceAll("(?i)^BY\\s+", "")
+    val aliasExpr: Map[String, String] = items.flatMap { it =>
+      "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r.findFirstMatchIn(it)
+        .map(mm => mm.group(2).toLowerCase -> mm.group(1).trim)
+    }.toMap
+    val oSpans = literalSpans(ord, backslashEscapes = true)
+    val windowOrd = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
+      "(?s)^([A-Za-z_][A-Za-z0-9_]*)(.*)$".r.findFirstMatchIn(part) match {
+        case Some(pm) if aliasExpr.contains(pm.group(1).toLowerCase) =>
+          s"(${aliasExpr(pm.group(1).toLowerCase)})${pm.group(2)}"
+        case _ => part
+      }
+    }.mkString(", ")
+    s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+      s"rank() OVER (ORDER BY $windowOrd) AS __wt $body ) __wtq " +
+      s"WHERE __wt <= $n ORDER BY $ord"
+  }
+
+  /** ANSI/Postgres-13 `ORDER BY … FETCH FIRST n ROWS WITH TIES` (r14) →
+    * [[buildWithTies]]'s rank filter. Only the outermost single-SELECT
+    * statement shape is shimmed; the OFFSET-prefixed combination stays
+    * outside the surface (unmatched, it fails loudly in the parser).
+    */
+  private[graft] def rewriteFetchFirstWithTies(sql: String): String = {
+    val re = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+WITH\s+TIES\b""".r
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val depth = depthAt(sql, spans)
+    val m = re.findAllMatchIn(sql)
+      .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
+      .getOrElse(return sql)
+    buildWithTies(sql, m.group(1), m.start, m.end)
+  }
 
   /** Standalone ANSI/Oracle-12c `FETCH FIRST|NEXT n ROWS ONLY` (no
     * OFFSET clause) → `LIMIT n`. The OFFSET-prefixed combined form is

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 185 invariants
-  * across 167 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 189 invariants
+  * across 171 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -35,6 +35,7 @@ object PlanCheck {
       "pushed_filters" -> "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length,
       "bloom" -> count("(?i)might_contain"),
       "dpp" -> count("(?i)dynamicpruning"),
+      "wgl" -> count("WindowGroupLimit"),
       "global_window" -> globalWindows(plan))
   }
 
@@ -91,7 +92,15 @@ object PlanCheck {
         "broadcast-sized), and multi-query fusion keeps the keyed partition"),
     "llm_corpus_concentration" ->
       ("rank/cum-share windows run on the groupBy-collapsed per-source frame — " +
-        "|sources| rows at ANY corpus scale; the corpus itself is scanned once"))
+        "|sources| rows at ANY corpus scale; the corpus itself is scanned once"),
+    "op_dialect_pg_fetch_ties" ->
+      ("WITH TIES rank filter: InferWindowGroupLimit pre-prunes every partition " +
+        "to ≤ n rows before the single-partition rank — the same residual shape " +
+        "as a global top-k (WindowGroupLimit pinned by rule)"),
+    "op_dialect_tsql_top_ties" ->
+      ("WITH TIES rank filter: InferWindowGroupLimit pre-prunes every partition " +
+        "to ≤ n rows before the single-partition rank — the same residual shape " +
+        "as a global top-k (WindowGroupLimit pinned by rule)"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -621,6 +630,22 @@ object PlanCheck {
     Rule("op_dialect_snowflake_flatten_object", "OBJECT-mode flatten is a per-row map explode: " +
       "pushed key filter, one output-sort exchange, no joins",
       f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_fetch_ties", "WITH TIES rank filter optimized to a per-partition " +
+      "WindowGroupLimit pre-prune (the property that makes the global rank scale-safe); no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_top_ties", "WITH TIES rank filter optimized to a per-partition " +
+      "WindowGroupLimit pre-prune; no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_snowflake_array_agg", "WITHIN GROUP rewrite keeps partial aggregation " +
+      "and the pushed key filter, no joins",
+      f => f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_trino_array_agg", "inline-ordered array_agg keeps partial aggregation " +
+      "and the pushed key filter, no joins",
+      f => f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 
   /** Build every driver query's executed-plan string ONCE. Planning is

@@ -1496,6 +1496,53 @@ object DialectQueries {
            |FROM orders WHERE o_orderkey <= 400
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 
+  /** ANSI/Postgres-13 `FETCH FIRST n ROWS WITH TIES` ([[Dialect]]
+    * rewriteFetchFirstWithTies → buildWithTies, r14): keeps every row
+    * tying with the n-th on the ORDER BY keys via a rank() filter —
+    * ordering by the 5-value o_orderpriority guarantees the tie path
+    * actually fires (the whole first priority class comes back, not 10
+    * rows). Spark's InferWindowGroupLimit turns the rank filter into a
+    * per-partition pre-prune (pinned in PlanCheck), so the single-
+    * partition rank only ever sees ≤ n·partitions rows. The oracle
+    * replays the rank window in DuckDB.
+    */
+  val pgFetchTies = OpQ("op_dialect_pg_fetch_ties",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, o_orderpriority
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY o_orderpriority
+          |FETCH FIRST 10 ROWS WITH TIES""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderpriority,
+           |  rank() OVER (ORDER BY o_orderpriority) AS rk
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_orderkey, o_orderpriority FROM r WHERE rk <= 10
+           |ORDER BY o_orderpriority""".stripMargin))
+
+  /** T-SQL `SELECT TOP n WITH TIES … ORDER BY …` ([[Dialect]]
+    * rewriteTsqlTop → buildWithTies, r14): the same rank-filter rewrite
+    * as [[pgFetchTies]] for the outermost statement (subquery-level
+    * WITH TIES stays fail-fast); same guaranteed-tie ordering and
+    * DuckDB rank replay.
+    */
+  val tsqlTopTies = OpQ("op_dialect_tsql_top_ties",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT TOP 10 WITH TIES o_orderkey, o_orderpriority
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY o_orderpriority""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderpriority,
+           |  rank() OVER (ORDER BY o_orderpriority) AS rk
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_orderkey, o_orderpriority FROM r WHERE rk <= 10
+           |ORDER BY o_orderpriority""".stripMargin))
+
   /** ClickHouse multi-array `ARRAY JOIN a AS x, b AS y` ([[Dialect]]
     * rewriteChArrayJoin, r13): positional zip — one row per index, each
     * alias bound to its array's element, via
@@ -2069,7 +2116,7 @@ object DialectQueries {
     snowflakeFlattenObject,
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
-    snowflakeArrayAgg, trinoArrayAgg,
+    snowflakeArrayAgg, trinoArrayAgg, pgFetchTies, tsqlTopTies,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }
