@@ -327,6 +327,8 @@ object Dialect {
         rewriteBqDateAddSub,
         rewriteBqSplit,
         rewriteBqGenerateArray,
+        // IGNORE-NULLS ordered aggregation; BigQuery sorts nulls SMALLEST
+        rewriteBqArrayAgg,
         s => renameWords(s, typeRenames, esc = true),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -2629,9 +2631,22 @@ object Dialect {
   private[graft] def rewritePgArrayAgg(sql: String,
       descNullsLast: Boolean, skipNullValues: Boolean = false): String =
     rewriteCallOpt(sql, "array_agg", esc = true) { (fn, args) =>
-      // a multi-key ORDER BY splits at its top-level commas before the
-      // clause is visible, so rejoin the comma-split args first
-      val joined = args.mkString(", ").trim
+      orderedCollectExpr(fn, args.mkString(", ").trim, descNullsLast,
+        ascNullsFirst = false, skipNullValues = skipNullValues)
+    }
+
+  /** Core of the inline-ordered array_agg rewrite: given the JOINED
+    * argument text of ONE array_agg call (`expr ORDER BY k1 [, k2 …]`),
+    * build the sort-key struct collect, or None when there is no
+    * top-level ORDER BY (a plain array_agg passes through). The default
+    * null placement is `ascNullsFirst`/`descNullsLast` per dialect:
+    * Postgres/Trino/Snowflake sort nulls LARGEST (false/false), DuckDB
+    * pins NULLS LAST both ways (false/true), BigQuery sorts nulls
+    * SMALLEST (true/true).
+    */
+  private def orderedCollectExpr(fn: String, joined: String,
+      descNullsLast: Boolean, ascNullsFirst: Boolean,
+      skipNullValues: Boolean): Option[String] = {
       val spans = literalSpans(joined, backslashEscapes = true)
       val depth = depthAt(joined, spans)
       """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(joined)
@@ -2671,10 +2686,10 @@ object Dialect {
                 "(sort_array compares every struct field one way)")
           val asc = dirs.head
           val keyFields = keys.zipWithIndex.map { case ((k, _, explicitNulls), i) =>
-            // requested placement: explicit NULLS FIRST/LAST wins, else the
-            // dialect default (ASC: nulls last in both dialects; DESC:
-            // Postgres nulls first, DuckDB nulls last)
-            val nullsLast = explicitNulls.getOrElse(if (asc) true else descNullsLast)
+            // requested placement: explicit NULLS FIRST/LAST wins, else
+            // the dialect default per direction (see the param doc)
+            val nullsLast =
+              explicitNulls.getOrElse(if (asc) !ascNullsFirst else descNullsLast)
             // the probe bool must sort null keys to the requested end given
             // the one shared sort direction: IS NULL puts nulls last-on-ASC
             // / first-on-DESC; IS NOT NULL flips both
@@ -2689,6 +2704,52 @@ object Dialect {
             else struct
           s"transform(sort_array(collect_list($entry), $asc), s -> s.__v)"
         }
+    }
+
+  /** BigQuery `ARRAY_AGG(x IGNORE NULLS [ORDER BY …] [LIMIT n])` (r14):
+    * the IGNORE NULLS form maps onto the null-VALUE-skipping struct
+    * collect with BIGQUERY's default null placement (nulls sort
+    * SMALLEST — first-on-ASC/last-on-DESC, the opposite of Postgres);
+    * a trailing `LIMIT n` truncates the SORTED result via
+    * `slice(…, 1, n)`. Without ORDER BY the call reduces to plain
+    * `array_agg(x)` (Spark's collect_list already drops nulls). The
+    * bare/RESPECT NULLS ordered forms fail fast: BigQuery RAISES when
+    * the result array would contain a NULL element, and neither
+    * keeping nor dropping the element reproduces an error — only
+    * IGNORE NULLS has exact Spark semantics.
+    */
+  private[graft] def rewriteBqArrayAgg(sql: String): String =
+    rewriteCallOpt(sql, "array_agg", esc = true) { (fn, args) =>
+      val joined = args.mkString(", ").trim
+      val spans = literalSpans(joined, backslashEscapes = true)
+      val depth = depthAt(joined, spans)
+      def topLevel(re: String): Option[scala.util.matching.Regex.Match] =
+        re.r.findAllMatchIn(joined)
+          .find(m => depth(m.start) == 0 && outsideLiterals(spans, m.start))
+      val limitM = topLevel("(?i)\\bLIMIT\\s+(\\d+)\\s*$")
+      val core0 = limitM.map(m => joined.substring(0, m.start)).getOrElse(joined).trim
+      val cSpans = literalSpans(core0, backslashEscapes = true)
+      val cDepth = depthAt(core0, cSpans)
+      def inCore(re: String): Option[scala.util.matching.Regex.Match] =
+        re.r.findAllMatchIn(core0)
+          .find(m => cDepth(m.start) == 0 && outsideLiterals(cSpans, m.start))
+      val ign = inCore("(?i)\\bIGNORE\\s+NULLS\\b")
+      ign match {
+        case None =>
+          if (inCore("(?i)\\bRESPECT\\s+NULLS\\b").isDefined ||
+              inCore("(?i)\\bORDER\\s+BY\\b").isDefined || limitM.isDefined)
+            throw new graft.UnsupportedError(
+              s"BigQuery $fn RAISES on NULL result elements — only the IGNORE NULLS " +
+                "form has exact Spark semantics; spell " +
+                "ARRAY_AGG(x IGNORE NULLS [ORDER BY …] [LIMIT n])")
+          None // plain array_agg(x): Spark-native, nulls dropped on both sides
+        case Some(im) =>
+          val core = (core0.substring(0, im.start) + " " + core0.substring(im.end)).trim
+          val inner = orderedCollectExpr(fn, core, descNullsLast = true,
+            ascNullsFirst = true, skipNullValues = true)
+            .getOrElse(s"$fn($core)")
+          Some(limitM.map(m => s"slice($inner, 1, ${m.group(1)})").getOrElse(inner))
+      }
     }
 
   /** Snowflake's ordered-set spelling `ARRAY_AGG([DISTINCT] x) WITHIN

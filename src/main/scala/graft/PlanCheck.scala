@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 189 invariants
-  * across 171 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 190 invariants
+  * across 172 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -645,6 +645,10 @@ object PlanCheck {
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_trino_array_agg", "inline-ordered array_agg keeps partial aggregation " +
       "and the pushed key filter, no joins",
+      f => f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_bigquery_array_agg", "IGNORE-NULLS ordered array_agg keeps partial " +
+      "aggregation and the pushed key filter, no joins",
       f => f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0))
 

@@ -1496,6 +1496,47 @@ object DialectQueries {
            |FROM orders WHERE o_orderkey <= 400
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 
+  /** BigQuery `ARRAY_AGG(x IGNORE NULLS ORDER BY … [LIMIT n])`
+    * ([[Dialect]] rewriteBqArrayAgg, r14): null-value-skipping ordered
+    * aggregation with BIGQUERY's null placement — nulls sort SMALLEST,
+    * so null sort keys land FIRST on ASC (the opposite of Postgres,
+    * pinned by the null_keys_first column) — and the in-aggregate
+    * LIMIT truncating the sorted result. The oracle replays with a
+    * FILTER null-drop, explicit NULLS FIRST, and a list slice.
+    */
+  val bigqueryArrayAgg = OpQ("op_dialect_bigquery_array_agg",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS prio,
+          |  TO_JSON(ARRAY_AGG(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+          |                         ELSE o_orderstatus END
+          |                    IGNORE NULLS ORDER BY o_orderkey)) AS st_asc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey IGNORE NULLS
+          |                    ORDER BY o_orderkey DESC LIMIT 5)) AS top5_desc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey IGNORE NULLS
+          |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                  ELSE o_orderkey END)) AS null_keys_first
+          |FROM orders WHERE o_orderkey <= 400
+          |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
+        dialect = Dialect.BigQueryish)
+    },
+    Some("""SELECT o_orderpriority AS prio,
+           |  to_json(array_agg(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                         ELSE o_orderstatus END
+           |                    ORDER BY o_orderkey)
+           |          FILTER (WHERE (CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                              ELSE o_orderstatus END) IS NOT NULL)
+           |         )::VARCHAR AS st_asc,
+           |  to_json((array_agg(o_orderkey ORDER BY o_orderkey DESC))[1:5])::VARCHAR
+           |    AS top5_desc,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END NULLS FIRST,
+           |                    o_orderkey))::VARCHAR AS null_keys_first
+           |FROM orders WHERE o_orderkey <= 400
+           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
+
   /** ANSI/Postgres-13 `FETCH FIRST n ROWS WITH TIES` ([[Dialect]]
     * rewriteFetchFirstWithTies → buildWithTies, r14): keeps every row
     * tying with the n-th on the ORDER BY keys via a rank() filter —
@@ -2116,7 +2157,7 @@ object DialectQueries {
     snowflakeFlattenObject,
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
-    snowflakeArrayAgg, trinoArrayAgg, pgFetchTies, tsqlTopTies,
+    snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies, tsqlTopTies,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }
