@@ -326,9 +326,34 @@ object Examples {
           |ORDER BY id, metric""".stripMargin,
         tables = Map("t" -> t), dialect = Dialect.forName("tsql"))
         .count()
+      // Snowflake's WITHIN GROUP drops the NULL value (id=3's k) where
+      // Postgres would keep it; BigQuery needs IGNORE NULLS spelled and
+      // sorts null keys FIRST on ASC; WITH TIES keeps the rank-3 tie;
+      // FLATTEN OBJECT iterates construct keys as (key, value) rows
+      val wg = Engine.execute(spark,
+        "SELECT TO_JSON(ARRAY_AGG(k) WITHIN GROUP (ORDER BY v)) AS a FROM t",
+        tables = Map("t" -> t), dialect = Dialect.forName("snowflake"))
+        .head().getString(0)
+      val bq = Engine.execute(spark,
+        "SELECT TO_JSON(ARRAY_AGG(id IGNORE NULLS ORDER BY k LIMIT 2)) AS a FROM t",
+        tables = Map("t" -> t), dialect = Dialect.forName("bigquery"))
+        .head().getString(0)
+      val ties = Engine.execute(spark,
+        "SELECT id, v % 2 AS par FROM t ORDER BY par DESC FETCH FIRST 1 ROWS WITH TIES",
+        tables = Map("t" -> t), dialect = Dialect.forName("postgres"))
+        .count()
+      val obj = Engine.execute(spark,
+        """SELECT f.key, f.value FROM t,
+          |  LATERAL FLATTEN(input => OBJECT_CONSTRUCT('i', id, 'w', v),
+          |                  mode => 'OBJECT') f
+          |WHERE id = 1 ORDER BY f.key""".stripMargin,
+        tables = Map("t" -> t), dialect = Dialect.forName("snowflake"))
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
       println(s"example18(r14 constructs): pg_desc=${agg("postgres")} " +
         s"duck_desc=${agg("duckdb")} multi=$multi " +
-        s"limit_by_offset_rows=$lbo unpivot_rows=$unp")
+        s"limit_by_offset_rows=$lbo unpivot_rows=$unp " +
+        s"within_group=$wg bq_ignore_nulls=$bq ties_rows=$ties " +
+        s"flatten_obj=${obj.mkString(",")}")
     }
 
     spark.stop()

@@ -458,6 +458,34 @@ object StressCheck {
         f"learn_mb=${learnB / 1e6}%.1f corpus_reads~=$rescans%.1f " +
         f"one_scan=${rescans < 2.0} scan=${scanS}%.2fs learn=${learnS}%.2fs")
     }
+    // Incremental-fertility merge probe (r14): the foreachBatch rollup's
+    // merge path at a 20× corpus — four disjoint slices reduced to
+    // per-language counters and folded through fertilityMergeCounts must
+    // equal the ONE-SHOT whole-corpus aggregate bit-for-bit (counter
+    // merging is a per-language sum, so slicing can never change the
+    // report), and the folded state stays |languages| rows at any scale.
+    locally {
+      val corpus = (0 until 20)
+        .map(i => docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          col("text")))
+        .reduce(_ union _)
+      val t0 = System.nanoTime()
+      val oneShot = graft.llm.TextAnalysis.tokenizerFertility(corpus)
+        .collect().map(_.toSeq).toSeq
+      val oneS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val slices = (0 until 4).map(i =>
+        graft.llm.TextAnalysis.tokenizerFertilityCounts(
+          corpus.filter(pmod(col("doc_id"), lit(4)) === i)))
+      val merged = slices.tail.foldLeft(slices.head)(
+        (state, partial) => graft.streaming.Streams.fertilityMergeCounts(Some(state), partial))
+      val incr = graft.llm.TextAnalysis.tokenizerFertilityReport(merged)
+        .collect().map(_.toSeq).toSeq
+      val incrS = (System.nanoTime() - t1) / 1e9
+      println(f"STRESS fertility_incremental_20x langs=${oneShot.length}%d " +
+        f"identical=${incr == oneShot} one_shot=${oneS}%.2fs " +
+        f"merged_4_slices=${incrS}%.2fs")
+    }
     // plan sanity at amplified scale: dims still broadcast, filters pushed
     val plan = li.join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(col("l_quantity") > 45).queryExecution.executedPlan.toString
