@@ -2923,7 +2923,23 @@ object Dialect {
                 s"FILTER on $fn is outside the shimmed surface: Spark's " +
                   s"$fn defaults to ignoreNulls=false, so the CASE-wrap " +
                   "rewrite would silently return a non-matching row's NULL")
-            case (f, Seq(a)) if NullSkippingAggs.contains(f) => s"$fn(${wrap(a)})"
+            case (f, Seq(a)) if NullSkippingAggs.contains(f) =>
+              // an ordered collect (`array_agg(x ORDER BY y)`, pre-rewrite)
+              // cannot take the CASE wrap: the null the CASE produces for a
+              // filtered-out row would SURVIVE the keep-nulls struct collect
+              // as a spurious array element — r14 names the combination
+              // instead of emitting garbage SQL
+              if (Set("array_agg", "collect_list", "collect_set").contains(f)) {
+                val aSpans = literalSpans(a, esc)
+                val aDepth = depthAt(a, aSpans)
+                if ("(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(a)
+                    .exists(mm => aDepth(mm.start) == 0 && outsideLiterals(aSpans, mm.start)))
+                  throw new graft.UnsupportedError(
+                    s"FILTER on an inline-ORDER-BY $f is outside the shimmed " +
+                      "surface (the CASE wrap would inject the filtered rows " +
+                      "back as NULL array elements); filter in a subquery instead")
+              }
+              s"$fn(${wrap(a)})"
             case (f, Seq(_)) => throw new graft.UnsupportedError(
               s"FILTER on $f is outside the shimmed surface: the CASE-wrap " +
                 "rewrite is only correct for null-skipping aggregates " +
