@@ -2395,12 +2395,15 @@ object Dialect {
         if (m.group(2) != null)
           throw new graft.UnsupportedError("TOP n PERCENT is not supported")
         if (m.group(3) != null) {
-          if (m.start != 0)
+          if (cur.substring(0, m.start).trim.nonEmpty)
             throw new graft.UnsupportedError(
               "TOP … WITH TIES is only supported on the outermost SELECT")
+          // T-SQL sorts nulls SMALLEST — Spark's own default — so the
+          // rank window needs no placement pin (nullsLargest = false)
           val stripped = "SELECT " + cur.substring(m.end)
           return rewriteTsqlTop(
-            buildWithTies(stripped, m.group(1), stripped.length, stripped.length))
+            buildWithTies(stripped, m.group(1), stripped.length, stripped.length,
+              nullsLargest = false))
         }
         val n = m.group(1)
         var i = m.end
@@ -2711,12 +2714,14 @@ object Dialect {
     * collect with BIGQUERY's default null placement (nulls sort
     * SMALLEST — first-on-ASC/last-on-DESC, the opposite of Postgres);
     * a trailing `LIMIT n` truncates the SORTED result via
-    * `slice(…, 1, n)`. Without ORDER BY the call reduces to plain
-    * `array_agg(x)` (Spark's collect_list already drops nulls). The
-    * bare/RESPECT NULLS ordered forms fail fast: BigQuery RAISES when
-    * the result array would contain a NULL element, and neither
-    * keeping nor dropping the element reproduces an error — only
-    * IGNORE NULLS has exact Spark semantics.
+    * `slice(…, 1, n)`. Without ORDER BY the IGNORE NULLS call reduces
+    * to plain `array_agg(x)` (Spark's collect_list already drops
+    * nulls). BigQuery RAISES when the result array would contain a
+    * NULL element, so the bare unordered form gets a `raise_error`
+    * guard reproducing that runtime contract exactly (r14 review fix —
+    * a silent null-drop would diverge), while the bare/RESPECT NULLS
+    * ORDERED forms fail fast at rewrite time (the ordered struct
+    * collect has no error-reproducing path).
     */
   private[graft] def rewriteBqArrayAgg(sql: String): String =
     rewriteCallOpt(sql, "array_agg", esc = true) { (fn, args) =>
@@ -2742,12 +2747,26 @@ object Dialect {
               s"BigQuery $fn RAISES on NULL result elements — only the IGNORE NULLS " +
                 "form has exact Spark semantics; spell " +
                 "ARRAY_AGG(x IGNORE NULLS [ORDER BY …] [LIMIT n])")
-          None // plain array_agg(x): Spark-native, nulls dropped on both sides
+          // plain array_agg(x): BigQuery RAISES at runtime when x is NULL
+          // on any row (Spark's collect_list would silently drop it) — a
+          // raise_error guard reproduces the error contract exactly. The
+          // rescan declines on the emitted form (it contains raise_error).
+          if ("(?i)\\braise_error\\s*\\(".r.findFirstIn(joined).isDefined) None
+          else {
+            val (prefix, v) = "(?is)^DISTINCT\\s+(.*)$".r.findFirstMatchIn(joined)
+              .map(mm => ("DISTINCT ", mm.group(1).trim)).getOrElse(("", joined))
+            Some(s"$fn(${prefix}CASE WHEN ($v) IS NULL THEN " +
+              "raise_error('ARRAY_AGG: array cannot have a NULL element " +
+              s"(BigQuery semantics); use $fn(x IGNORE NULLS)') ELSE $v END)")
+          }
         case Some(im) =>
           val core = (core0.substring(0, im.start) + " " + core0.substring(im.end)).trim
+          // the no-ORDER-BY fallback emits Spark's collect_list NAME (the
+          // same function array_agg aliases): the rescan must not re-visit
+          // an `array_agg(` spelling and wrap it with the bare-form guard
           val inner = orderedCollectExpr(fn, core, descNullsLast = true,
             ascNullsFirst = true, skipNullValues = true)
-            .getOrElse(s"$fn($core)")
+            .getOrElse(s"collect_list($core)")
           Some(limitM.map(m => s"slice($inner, 1, ${m.group(1)})").getOrElse(inner))
       }
     }
@@ -2829,6 +2848,16 @@ object Dialect {
     *    NULL, so per-argument CASE is exactly row-level FILTER
     *  - `string_agg`/`listagg`/`group_concat` wrap only the value — the
     *    separator argument must stay a separator
+    *  - the collect family (`array_agg`/`collect_list`/`collect_set`) in
+    *    the GROUPED position wraps the value in a one-field struct
+    *    (`transform(fn(CASE WHEN c THEN named_struct('__f', x) END),
+    *    s -> s.__f)`, r14): FILTER dialects KEEP a matching row's NULL
+    *    element, and the struct wrap preserves it while the filtered-out
+    *    rows' null structs drop — the bare CASE wrap would conflate the
+    *    two. The windowed position keeps the CASE wrap (fn must stay
+    *    outermost for OVER; a matching NULL element is dropped there —
+    *    documented narrowing), and the inline-ORDER-BY collect fails
+    *    fast (no correct wrap exists)
     *
     * The rewrite is purely local to the call text, so a trailing window
     * `OVER (…)` composes unchanged (`sum(x) FILTER (WHERE c) OVER w` →
@@ -2924,22 +2953,38 @@ object Dialect {
                   s"$fn defaults to ignoreNulls=false, so the CASE-wrap " +
                   "rewrite would silently return a non-matching row's NULL")
             case (f, Seq(a)) if NullSkippingAggs.contains(f) =>
-              // an ordered collect (`array_agg(x ORDER BY y)`, pre-rewrite)
-              // cannot take the CASE wrap: the null the CASE produces for a
-              // filtered-out row would SURVIVE the keep-nulls struct collect
-              // as a spurious array element — r14 names the combination
-              // instead of emitting garbage SQL
+              // the collect family needs care: every FILTER dialect keeps
+              // NULL elements in array_agg, so the bare CASE wrap would
+              // conflate a genuine NULL element with a filtered-out row
               if (Set("array_agg", "collect_list", "collect_set").contains(f)) {
                 val aSpans = literalSpans(a, esc)
                 val aDepth = depthAt(a, aSpans)
+                // an ordered collect (`array_agg(x ORDER BY y)`, pre-rewrite)
+                // has no correct wrap at all (the downstream struct collect
+                // would surface filtered rows as NULLs) — named fail-fast
                 if ("(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(a)
                     .exists(mm => aDepth(mm.start) == 0 && outsideLiterals(aSpans, mm.start)))
                   throw new graft.UnsupportedError(
                     s"FILTER on an inline-ORDER-BY $f is outside the shimmed " +
                       "surface (the CASE wrap would inject the filtered rows " +
                       "back as NULL array elements); filter in a subquery instead")
-              }
-              s"$fn(${wrap(a)})"
+                // grouped position: struct-wrap so a matching row's NULL
+                // value SURVIVES (the null STRUCT of a filtered-out row is
+                // what collect_list drops) — exact FILTER semantics. The
+                // windowed position must keep fn(...) outermost for the
+                // trailing OVER, so it keeps the value-losing CASE wrap
+                // (pre-r14 behavior, nulls dropped) rather than breaking.
+                val windowed = "(?is)^\\s*OVER\\b".r
+                  .findFirstIn(cur.substring(filtClose + 1)).isDefined
+                if (!windowed) {
+                  val (prefix, v) = a match {
+                    case distinctRe(core) => ("DISTINCT ", core)
+                    case _ => ("", a)
+                  }
+                  s"transform($fn(${prefix}CASE WHEN $cond THEN " +
+                    s"named_struct('__f', $v) END), s -> s.__f)"
+                } else s"$fn(${wrap(a)})"
+              } else s"$fn(${wrap(a)})"
             case (f, Seq(_)) => throw new graft.UnsupportedError(
               s"FILTER on $f is outside the shimmed surface: the CASE-wrap " +
                 "rewrite is only correct for null-skipping aggregates " +
@@ -3309,10 +3354,19 @@ object Dialect {
     * gate pins the WindowGroupLimit node. Select items must be
     * nameable (alias or bare column) like QUALIFY's, and window sort
     * keys naming a select alias resolve back to the aliased expression
-    * (Spark cannot read a lateral alias inside a window).
+    * (Spark cannot read a lateral alias inside a window). When
+    * `nullsLargest` (Postgres/Oracle — nulls sort last-on-ASC/
+    * first-on-DESC, the OPPOSITE of Spark's default), every sort key
+    * without an explicit placement gets the dialect default pinned in
+    * BOTH the rank window and the outer ORDER BY: the window decides
+    * row MEMBERSHIP, so an unpinned key would return a different row
+    * set whenever it holds NULLs. T-SQL sorts nulls smallest — Spark's
+    * own default — and passes `nullsLargest = false` (no pin needed).
+    * Top-level set operations fail fast (the rank would inject into
+    * one arm only).
     */
   private def buildWithTies(sql: String, n: String,
-      ordEnd: Int, tiesEnd: Int): String = {
+      ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean): String = {
     val spans = literalSpans(sql, backslashEscapes = true)
     val depth = depthAt(sql, spans)
     val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
@@ -3324,6 +3378,12 @@ object Dialect {
         "WITH TIES requires the top-level SELECT … FROM … ORDER BY … shape")
     if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(sql).isDefined)
       throw new graft.UnsupportedError("WITH TIES under SELECT DISTINCT is not supported")
+    Seq("UNION", "INTERSECT", "EXCEPT").foreach { k =>
+      if (topLevelKeyword(sql, spans, depth, k) >= 0)
+        throw new graft.UnsupportedError(
+          s"WITH TIES over a top-level $k is not supported " +
+            "(the rank filter would apply to one arm only)")
+    }
     if (sql.substring(tiesEnd).trim.nonEmpty)
       throw new graft.UnsupportedError(
         s"WITH TIES must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
@@ -3337,32 +3397,48 @@ object Dialect {
       "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r.findFirstMatchIn(it)
         .map(mm => mm.group(2).toLowerCase -> mm.group(1).trim)
     }.toMap
-    val oSpans = literalSpans(ord, backslashEscapes = true)
-    val windowOrd = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
-      "(?s)^([A-Za-z_][A-Za-z0-9_]*)(.*)$".r.findFirstMatchIn(part) match {
-        case Some(pm) if aliasExpr.contains(pm.group(1).toLowerCase) =>
-          s"(${aliasExpr(pm.group(1).toLowerCase)})${pm.group(2)}"
-        case _ => part
-      }
-    }.mkString(", ")
+    // per sort key: [alias-resolve] then pin the dialect's default null
+    // placement when none is spelled (Spark would otherwise flip it)
+    def keyList(o: String, resolveAliases: Boolean): String = {
+      val oSpans = literalSpans(o, backslashEscapes = true)
+      splitArgs(o, oSpans, 0, o.length).map(_.trim).map { part0 =>
+        val part =
+          if (!resolveAliases) part0
+          else "(?s)^([A-Za-z_][A-Za-z0-9_]*)(.*)$".r.findFirstMatchIn(part0) match {
+            case Some(pm) if aliasExpr.contains(pm.group(1).toLowerCase) =>
+              s"(${aliasExpr(pm.group(1).toLowerCase)})${pm.group(2)}"
+            case _ => part0
+          }
+        if (!nullsLargest ||
+            "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(part).isDefined) part
+        else if ("(?is)\\bDESC\\s*$".r.findFirstIn(part).isDefined)
+          part + " NULLS FIRST"
+        else part + " NULLS LAST"
+      }.mkString(", ")
+    }
     s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
-      s"rank() OVER (ORDER BY $windowOrd) AS __wt $body ) __wtq " +
-      s"WHERE __wt <= $n ORDER BY $ord"
+      s"rank() OVER (ORDER BY ${keyList(ord, resolveAliases = true)}) AS __wt $body ) __wtq " +
+      s"WHERE __wt <= $n ORDER BY ${keyList(ord, resolveAliases = false)}"
   }
 
   /** ANSI/Postgres-13 `ORDER BY … FETCH FIRST n ROWS WITH TIES` (r14) →
-    * [[buildWithTies]]'s rank filter. Only the outermost single-SELECT
-    * statement shape is shimmed; the OFFSET-prefixed combination stays
-    * outside the surface (unmatched, it fails loudly in the parser).
+    * [[buildWithTies]]'s rank filter with the nulls-largest default
+    * placement both wired dialects (Postgres, Oracle) share. Only the
+    * outermost single-SELECT statement shape is shimmed; combining with
+    * a top-level OFFSET fails fast with a named error.
     */
   private[graft] def rewriteFetchFirstWithTies(sql: String): String = {
+    val s = sql.trim
     val re = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+WITH\s+TIES\b""".r
-    val spans = literalSpans(sql, backslashEscapes = true)
-    val depth = depthAt(sql, spans)
-    val m = re.findAllMatchIn(sql)
+    val spans = literalSpans(s, backslashEscapes = true)
+    val depth = depthAt(s, spans)
+    val m = re.findAllMatchIn(s)
       .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
       .getOrElse(return sql)
-    buildWithTies(sql, m.group(1), m.start, m.end)
+    if (topLevelKeyword(s, spans, depth, "OFFSET") >= 0)
+      throw new graft.UnsupportedError(
+        "OFFSET combined with FETCH … WITH TIES is not supported")
+    buildWithTies(s, m.group(1), m.start, m.end, nullsLargest = true)
   }
 
   /** Standalone ANSI/Oracle-12c `FETCH FIRST|NEXT n ROWS ONLY` (no

@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
   * ".explain and iterate" loop from the build brief turned into a
   * repeatable report.
   *
-  * Since round 4 it is also a FAILING gate: [[rules]] pins 190 invariants
-  * across 172 audited queries (a pushed filter that stops pushing, a dim
+  * Since round 4 it is also a FAILING gate: [[rules]] pins 191 invariants
+  * across 173 audited queries (a pushed filter that stops pushing, a dim
   * join degrading to sort-merge, a top-k degrading to a global sort, a
   * map-only operator growing a join or extra exchange); the main exits
   * non-zero on any violation, and `PlanGateSpec` runs the same audit at
@@ -97,6 +97,9 @@ object PlanCheck {
       ("WITH TIES rank filter: InferWindowGroupLimit pre-prunes every partition " +
         "to ≤ n rows before the single-partition rank — the same residual shape " +
         "as a global top-k (WindowGroupLimit pinned by rule)"),
+    "op_dialect_pg_fetch_ties_nulls" ->
+      ("WITH TIES rank filter over a nullable key: same WindowGroupLimit " +
+        "pre-prune as op_dialect_pg_fetch_ties (pinned by rule)"),
     "op_dialect_tsql_top_ties" ->
       ("WITH TIES rank filter: InferWindowGroupLimit pre-prunes every partition " +
         "to ≤ n rows before the single-partition rank — the same residual shape " +
@@ -633,6 +636,10 @@ object PlanCheck {
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_fetch_ties", "WITH TIES rank filter optimized to a per-partition " +
       "WindowGroupLimit pre-prune (the property that makes the global rank scale-safe); no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_fetch_ties_nulls", "nullable-key WITH TIES keeps the WindowGroupLimit " +
+      "pre-prune; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_tsql_top_ties", "WITH TIES rank filter optimized to a per-partition " +

@@ -1516,7 +1516,8 @@ object DialectQueries {
           |                    ORDER BY o_orderkey DESC LIMIT 5)) AS top5_desc,
           |  TO_JSON(ARRAY_AGG(o_orderkey IGNORE NULLS
           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
-          |                                  ELSE o_orderkey END)) AS null_keys_first
+          |                                  ELSE o_orderkey END)) AS null_keys_first,
+          |  CAST(ARRAY_LENGTH(ARRAY_AGG(o_orderstatus)) AS BIGINT) AS n_plain
           |FROM orders WHERE o_orderkey <= 400
           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
         dialect = Dialect.BigQueryish)
@@ -1533,7 +1534,8 @@ object DialectQueries {
            |  to_json(array_agg(o_orderkey
            |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
            |                                  ELSE o_orderkey END NULLS FIRST,
-           |                    o_orderkey))::VARCHAR AS null_keys_first
+           |                    o_orderkey))::VARCHAR AS null_keys_first,
+           |  CAST(len(array_agg(o_orderstatus)) AS BIGINT) AS n_plain
            |FROM orders WHERE o_orderkey <= 400
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 
@@ -1562,6 +1564,33 @@ object DialectQueries {
            |  FROM orders WHERE o_orderkey <= 2000)
            |SELECT o_orderkey, o_orderpriority FROM r WHERE rk <= 10
            |ORDER BY o_orderpriority""".stripMargin))
+
+  /** WITH TIES over a NULLABLE sort key (r14 review fix): Postgres
+    * sorts nulls LARGEST (last on ASC), Spark's default is the
+    * opposite — and in a WITH TIES rank the placement decides row
+    * MEMBERSHIP, not just order. The null-holed key here would return
+    * the NULL rows under Spark's default; the pinned NULLS LAST brings
+    * back the smallest non-null class like Postgres. Oracle replays
+    * the rank with the explicit placement.
+    */
+  val pgFetchTiesNulls = OpQ("op_dialect_pg_fetch_ties_nulls",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL
+          |                       ELSE o_orderpriority END AS p
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY p
+          |FETCH FIRST 10 ROWS WITH TIES""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""WITH r AS (SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN NULL
+           |                                 ELSE o_orderpriority END AS p,
+           |  rank() OVER (ORDER BY CASE WHEN o_orderkey % 5 = 0 THEN NULL
+           |                             ELSE o_orderpriority END NULLS LAST) AS rk
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_orderkey, p FROM r WHERE rk <= 10
+           |ORDER BY p NULLS LAST""".stripMargin))
 
   /** T-SQL `SELECT TOP n WITH TIES … ORDER BY …` ([[Dialect]]
     * rewriteTsqlTop → buildWithTies, r14): the same rank-filter rewrite
@@ -1871,7 +1900,10 @@ object DialectQueries {
           |  COALESCE(string_agg(o_orderstatus, '' ORDER BY o_orderkey)
           |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq,
           |  CAST(approx_count_distinct(o_orderkey % 100, 0.01)
-          |    FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS acd_even
+          |    FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS acd_even,
+          |  TO_JSON(SORT_ARRAY(ARRAY_AGG(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+          |                                    ELSE o_orderstatus END)
+          |    FILTER (WHERE o_orderkey % 2 = 0))) AS st_arr
           |FROM orders WHERE o_orderkey <= 2000
           |GROUP BY o_orderpriority
           |ORDER BY prio""".stripMargin,
@@ -1887,7 +1919,11 @@ object DialectQueries {
            |  COALESCE(string_agg(o_orderstatus, '' ORDER BY o_orderkey)
            |    FILTER (WHERE o_orderkey % 97 = 0), '') AS st_seq,
            |  CAST(COUNT(DISTINCT o_orderkey % 100)
-           |    FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS acd_even
+           |    FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS acd_even,
+           |  to_json(list_sort(array_agg(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                                   ELSE o_orderstatus END)
+           |    FILTER (WHERE o_orderkey % 2 = 0),
+           |    'ASC', 'NULLS FIRST'))::VARCHAR AS st_arr
            |FROM orders WHERE o_orderkey <= 2000
            |GROUP BY o_orderpriority
            |ORDER BY prio""".stripMargin))
@@ -2157,7 +2193,8 @@ object DialectQueries {
     snowflakeFlattenObject,
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
-    snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies, tsqlTopTies,
+    snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
+    pgFetchTiesNulls, tsqlTopTies,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, duckdbByAll, snowflakePivot)
 }

@@ -130,6 +130,31 @@ class EngineSpec extends SparkSpec {
     } finally prev.foreach(spark.conf.set(key, _))
   }
 
+  test("bigquery bare ARRAY_AGG reproduces the raise-on-NULL-element contract") {
+    initLog()
+    import spark.implicits._
+    val clean = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dirty = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "v")
+    // non-null input: the guard is a no-op and the aggregate succeeds
+    val ok = Engine.execute(spark,
+      "SELECT ARRAY_LENGTH(ARRAY_AGG(v)) AS n FROM t",
+      Map("t" -> clean), Dialect.BigQueryish).head().getInt(0)
+    assert(ok === 2)
+    // a NULL element RAISES at runtime (BigQuery semantics) instead of
+    // being silently dropped the way Spark's collect_list would
+    val e = intercept[Exception](Engine.execute(spark,
+      "SELECT ARRAY_AGG(v) AS a FROM t",
+      Map("t" -> dirty), Dialect.BigQueryish).collect())
+    assert(e.getMessage.contains("NULL element") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL element")),
+      s"unexpected error: ${e.getMessage.take(200)}")
+    // IGNORE NULLS is the sanctioned escape hatch
+    val ign = Engine.execute(spark,
+      "SELECT ARRAY_LENGTH(ARRAY_AGG(v IGNORE NULLS)) AS n FROM t",
+      Map("t" -> dirty), Dialect.BigQueryish).head().getInt(0)
+    assert(ign === 1)
+  }
+
   test("dialect: == rewrite preserves string literals (ANSI '' doubling, backslash plain)") {
     assert(Dialect.rewriteDoubleEquals("SELECT 'a==b' WHERE x == 1") ===
       "SELECT 'a==b' WHERE x = 1")
