@@ -33,6 +33,24 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // calibration canary (r15, verdict item 7): a FIXED-work in-memory
+    // sort-aggregate over a generated frame — no I/O, no testdata, no SF
+    // dependence — so cross-round totals can be normalized for container/
+    // environment speed shifts (r14 burned a 3× re-measure cycle proving a
+    // ~20% uniform shift). One untimed JIT pass, then the median of 3.
+    // Reading: canary_r{N}/canary_r{M} estimates the host-speed ratio
+    // between rounds; per-query deltas beyond that ratio are real.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id % 9973 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .orderBy("s").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce()
+    val canary = Seq.fill(3)(canaryOnce()).sorted.apply(1)
+
     // pinned alphabetical execution order (stable across rounds); each query
     // is timed twice and the min reported, so a transient host-contention
     // window during one pass can't masquerade as a plan regression.
@@ -56,7 +74,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"queries":$qs,"sf":"$sfDir"}"""
     val outs = Seq("bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       try java.nio.file.Files.write(
@@ -76,6 +94,6 @@ object Bench {
     // and a long line ahead of the short one breaks its parser. Humans get
     // the full per-query map from bench.json / $SPARK_GRAFT_BENCH_OUT.
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"queries_run":${results.count(_._2 >= 0)}$failedPart,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"queries":$shortQs,"queries_run":${results.count(_._2 >= 0)}$failedPart,"sf":"$sfDir"}""")
   }
 }

