@@ -2430,11 +2430,16 @@ object Dialect {
     * end-of-string — so TOP works inside subqueries and on either side of
     * a UNION. `TOP n WITH TIES` (r14) rewrites the OUTERMOST statement
     * through [[buildWithTies]]'s rank filter (recursing so nested plain
-    * TOPs in the body still rewrite); a subquery-level WITH TIES and
-    * `TOP n PERCENT` (needs a global count) stay fail-fast.
+    * TOPs in the body still rewrite). `TOP n PERCENT [WITH TIES]` (r15)
+    * rides the same builder with a `count(*) OVER ()` cutoff —
+    * `CEILING(count * n / 100.0)` per T-SQL's round-up — over
+    * row_number (plain) or rank (WITH TIES); n may be fractional there
+    * (`TOP 2.5 PERCENT`), and PERCENT without ORDER BY fails fast (an
+    * arbitrary n% sample is not a deterministic rewrite). Subquery-level
+    * WITH TIES / PERCENT stay fail-fast.
     */
   private[graft] def rewriteTsqlTop(sql: String): String = {
-    val re = """(?i)\bSELECT\s+TOP\s+\(?\s*(\d+)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
+    val re = """(?i)\bSELECT\s+TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
     val setOps = Seq("UNION", "INTERSECT", "EXCEPT")
     var cur = sql
     var changed = true
@@ -2442,8 +2447,16 @@ object Dialect {
       changed = false
       val spans = literalSpans(cur, backslashEscapes = true)
       re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
-        if (m.group(2) != null)
-          throw new graft.UnsupportedError("TOP n PERCENT is not supported")
+        if (m.group(2) != null) {
+          if (cur.substring(0, m.start).trim.nonEmpty)
+            throw new graft.UnsupportedError(
+              "TOP … PERCENT is only supported on the outermost SELECT")
+          val stripped = "SELECT " + cur.substring(m.end)
+          return rewriteTsqlTop(
+            buildWithTies(stripped, m.group(1), stripped.length, stripped.length,
+              nullsLargest = false, percent = true, ties = m.group(3) != null,
+              construct = "TOP PERCENT"))
+        }
         if (m.group(3) != null) {
           if (cur.substring(0, m.start).trim.nonEmpty)
             throw new graft.UnsupportedError(
@@ -2456,6 +2469,9 @@ object Dialect {
               nullsLargest = false))
         }
         val n = m.group(1)
+        if (n.contains('.'))
+          throw new graft.UnsupportedError(
+            "TOP with a fractional count requires PERCENT")
         var i = m.end
         var depth = 0
         var insertAt = cur.length
@@ -3579,9 +3595,20 @@ object Dialect {
     * own default — and passes `nullsLargest = false` (no pin needed).
     * Top-level set operations fail fast (the rank would inject into
     * one arm only).
+    *
+    * r15 generalization — T-SQL `TOP n PERCENT [WITH TIES]` rides the
+    * same builder: `percent = true` adds a `count(*) OVER () AS __wtc`
+    * column and the keep-filter becomes `__wt <= CEILING(__wtc * n /
+    * 100.0)` (T-SQL rounds the row count UP), and `ties = false`
+    * (plain PERCENT) ranks with `row_number()` instead of `rank()` so
+    * exactly the first n% of the sorted stream survives. The percent
+    * form's global count is inherent to the construct's semantics —
+    * its gate carries a windowLint allowlist entry.
     */
   private def buildWithTies(sql: String, n: String,
-      ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean): String = {
+      ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean,
+      percent: Boolean = false, ties: Boolean = true,
+      construct: String = "WITH TIES"): String = {
     val spans = literalSpans(sql, backslashEscapes = true)
     val depth = depthAt(sql, spans)
     val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
@@ -3590,21 +3617,21 @@ object Dialect {
     if (selIdx != 0 || fromIdx < 0 || orderIdx < 0 || orderIdx > ordEnd ||
         fromIdx > orderIdx)
       throw new graft.UnsupportedError(
-        "WITH TIES requires the top-level SELECT … FROM … ORDER BY … shape")
+        s"$construct requires the top-level SELECT … FROM … ORDER BY … shape")
     if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(sql).isDefined)
-      throw new graft.UnsupportedError("WITH TIES under SELECT DISTINCT is not supported")
+      throw new graft.UnsupportedError(s"$construct under SELECT DISTINCT is not supported")
     Seq("UNION", "INTERSECT", "EXCEPT").foreach { k =>
       if (topLevelKeyword(sql, spans, depth, k) >= 0)
         throw new graft.UnsupportedError(
-          s"WITH TIES over a top-level $k is not supported " +
+          s"$construct over a top-level $k is not supported " +
             "(the rank filter would apply to one arm only)")
     }
     if (sql.substring(tiesEnd).trim.nonEmpty)
       throw new graft.UnsupportedError(
-        s"WITH TIES must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
+        s"$construct must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
     val items = splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
       .map(_.trim).filter(_.nonEmpty)
-    val names = items.map(itemName(_, "WITH TIES")).mkString(", ")
+    val names = items.map(itemName(_, construct)).mkString(", ")
     val body = sql.substring(fromIdx, orderIdx).trim
     val ord = sql.substring(orderIdx + "ORDER".length, ordEnd).trim
       .replaceAll("(?i)^BY\\s+", "")
@@ -3633,10 +3660,14 @@ object Dialect {
     }
     // window keys: ordinals FIRST (an integer is a constant inside OVER),
     // then aliases; the outer ORDER BY keeps both (correct at statement level)
-    val windowOrd = resolveOrdinalSortKeys(ord, items, "WITH TIES")
+    val windowOrd = resolveOrdinalSortKeys(ord, items, construct)
+    val rankFn = if (ties) "rank()" else "row_number()"
+    val extraCol = if (percent) ", count(*) OVER () AS __wtc" else ""
+    val keep =
+      if (percent) s"__wt <= CEILING(__wtc * ($n) / 100.0)" else s"__wt <= $n"
     s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
-      s"rank() OVER (ORDER BY ${keyList(windowOrd, resolveAliases = true)}) AS __wt $body ) __wtq " +
-      s"WHERE __wt <= $n ORDER BY ${keyList(ord, resolveAliases = false)}"
+      s"$rankFn OVER (ORDER BY ${keyList(windowOrd, resolveAliases = true)}) AS __wt$extraCol $body ) __wtq " +
+      s"WHERE $keep ORDER BY ${keyList(ord, resolveAliases = false)}"
   }
 
   /** ANSI/Postgres-13 `ORDER BY … FETCH FIRST n ROWS WITH TIES` (r14) →
@@ -4426,9 +4457,13 @@ object Dialect {
     * Snowflake text works end-to-end; entry ORDER follows the
     * construct's argument order (Snowflake sorts VARIANT object keys —
     * queries that need that order must sort explicitly, which the gate
-    * does). `mode => 'BOTH'`, `recursive => true`, and the remaining
-    * VARIANT-object output columns (`seq`/`path`/`this`) stay outside
-    * the shimmed surface — fail fast with named errors.
+    * does). The VARIANT-metadata output columns (r15): `f.path` is
+    * exactly `'[' || index || ']'` for the non-recursive path-less
+    * ARRAY flatten and `f.this` is the flattened input itself — both
+    * substituted at every reference site; `f.seq` (an arbitrary
+    * per-input-row number even in Snowflake) and `mode => 'BOTH'` /
+    * `recursive => true` stay outside the shimmed surface — fail fast
+    * with named errors.
     */
   private[graft] def rewriteSnowFlatten(sql: String): String = {
     val re = "(?i)(,|\\bCROSS\\s+JOIN\\b)\\s*LATERAL\\s+FLATTEN\\s*\\(".r
@@ -4510,9 +4545,42 @@ object Dialect {
           val view =
             if (objectMode) s"explode($e) $alias AS key, value"
             else s"posexplode($e) $alias AS index, value"
-          cur = cur.substring(0, m.start).stripTrailing() +
+          var next = cur.substring(0, m.start).stripTrailing() +
             s" LATERAL VIEW ${if (outer) "OUTER " else ""}$view" +
             rest0.substring(aliasM.end)
+          // VARIANT-metadata output columns (r15): for the non-recursive
+          // ARRAY flatten, PATH is exactly '[<index>]' and THIS is the
+          // input being flattened — both derivable, substituted at every
+          // reference site. SEQ is an arbitrary per-input-row number even
+          // in Snowflake (no deterministic analogue) — named fail-fast.
+          val metaRe = ("(?i)\\b" + java.util.regex.Pattern.quote(alias) +
+            "\\s*\\.\\s*(seq|path|this)\\b").r
+          var metaGuard = 0
+          var metaFound = true
+          while (metaFound && metaGuard < 256) {
+            metaGuard += 1
+            val nSpans = literalSpans(next, backslashEscapes = true)
+            metaRe.findAllMatchIn(next)
+              .find(mm => outsideLiterals(nSpans, mm.start)) match {
+              case None => metaFound = false
+              case Some(mm) =>
+                val repl = mm.group(1).toLowerCase match {
+                  case "seq" => throw new graft.UnsupportedError(
+                    s"FLATTEN column $alias.seq has no deterministic Spark " +
+                      "analogue (Snowflake's SEQ is an arbitrary per-input-row " +
+                      s"number); use $alias.index or a row_number window")
+                  case "path" =>
+                    if (objectMode || path.isDefined)
+                      throw new graft.UnsupportedError(
+                        s"FLATTEN column $alias.path is only supported for " +
+                          "ARRAY mode without a path => argument")
+                    s"concat('[', CAST($alias.index AS STRING), ']')"
+                  case _ => s"($e)"
+                }
+                next = next.substring(0, mm.start) + repl + next.substring(mm.end)
+            }
+          }
+          cur = next
       }
     }
     throw new graft.UnsupportedError("FLATTEN rewrite did not terminate")

@@ -111,7 +111,13 @@ object PlanCheck {
       ("windowed-FILTER construct gate on a ≤500-key slice; the global running " +
         "window is the USER'S OVER clause passed through verbatim — a production " +
         "pipeline partitions it, and the rewrite (transform composed over the " +
-        "window) preserves any PARTITION BY unchanged"))
+        "window) preserves any PARTITION BY unchanged"),
+    "op_dialect_tsql_top_percent" ->
+      ("TOP n PERCENT needs the exact global row count by DEFINITION (the cutoff " +
+        "is CEILING(count * n / 100)) — the global count(*) window and the " +
+        "row_number over the statement's sort are the construct's semantics, " +
+        "not an avoidable shuffle; the bounded-n TOP/WITH TIES forms keep the " +
+        "WindowGroupLimit pre-prune path"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -653,6 +659,10 @@ object PlanCheck {
     Rule("op_dialect_tsql_top_ties", "WITH TIES rank filter optimized to a per-partition " +
       "WindowGroupLimit pre-prune; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_top_percent", "TOP PERCENT keeps the pushed key filter and stays " +
+      "join-free (global count + row_number are the construct's own semantics)",
+      f => f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_fetch_ties_row", "count-omitted WITH TIES (rank <= 1) keeps the " +
       "WindowGroupLimit pre-prune; no joins",

@@ -1303,21 +1303,29 @@ object DialectQueries {
 
   /** Snowflake `LATERAL FLATTEN` ([[Dialect.Snowflakeish]], third gate):
     * `, LATERAL FLATTEN(input => arr) f` → LATERAL VIEW posexplode with
-    * the Snowflake column names kept (`f.index` 0-based, `f.value`). The
-    * oracle replays it as DuckDB zipped unnests over the same split.
+    * the Snowflake column names kept (`f.index` 0-based, `f.value`),
+    * plus the VARIANT-metadata columns (r15): `f.path` = `'[index]'`
+    * and `f.this` = the flattened input, substituted at each reference
+    * site (`f.seq` stays a named fail-fast — arbitrary in Snowflake
+    * too). The oracle replays it as DuckDB zipped unnests over the
+    * same split with the path/this expressions stated explicitly.
     */
   val snowflakeFlatten = OpQ("op_dialect_snowflake_flatten",
     (s, d) => {
       Tables.register(s, d)
       Engine.execute(s,
-        """SELECT o_orderkey, CAST(f.index AS BIGINT) AS idx, f.value AS val
+        """SELECT o_orderkey, CAST(f.index AS BIGINT) AS idx, f.value AS val,
+          |  f.path AS pth, TO_JSON(f.this) AS src
           |FROM orders, LATERAL FLATTEN(input => SPLIT(o_orderpriority, '-')) f
           |WHERE o_orderkey <= 300
           |ORDER BY o_orderkey, idx""".stripMargin,
         dialect = Dialect.Snowflakeish)
     },
-    Some("""SELECT o_orderkey, idx, val FROM (
-           |  SELECT o_orderkey,
+    Some("""SELECT o_orderkey, idx, val,
+           |  '[' || idx || ']' AS pth,
+           |  to_json(string_split(o_orderpriority, '-'))::VARCHAR AS src
+           |FROM (
+           |  SELECT o_orderkey, o_orderpriority,
            |    unnest(generate_series(0, len(string_split(o_orderpriority, '-')) - 1)) AS idx,
            |    unnest(string_split(o_orderpriority, '-')) AS val
            |  FROM orders WHERE o_orderkey <= 300) t
@@ -1623,6 +1631,31 @@ object DialectQueries {
            |  FROM orders WHERE o_orderkey <= 2000)
            |SELECT o_orderkey, p FROM r WHERE rk <= 10
            |ORDER BY p NULLS LAST""".stripMargin))
+
+  /** T-SQL `SELECT TOP n PERCENT … ORDER BY …` (r15 — a named
+    * fail-fast through r14): row_number over the statement's ORDER BY
+    * with a `count(*) OVER ()` cutoff, keeping the first
+    * `CEILING(count * n / 100.0)` rows (T-SQL rounds the row count
+    * UP). The global count is inherent to the construct — windowLint
+    * carries the justification. The oracle replays both windows in
+    * DuckDB.
+    */
+  val tsqlTopPercent = OpQ("op_dialect_tsql_top_percent",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT TOP 10 PERCENT o_orderkey, o_totalprice
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_totalprice,
+           |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           |  count(*) OVER () AS ct
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_orderkey, o_totalprice FROM r
+           |WHERE rn <= ceiling(ct * 10 / 100.0)
+           |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
 
   /** Count-omitted ANSI/Postgres `FETCH FIRST ROW WITH TIES` (r15 —
     * the count defaults to 1; before, neither FETCH regex matched and
@@ -2341,7 +2374,7 @@ object DialectQueries {
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
     snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
-    pgFetchTiesNulls, pgFetchTiesRow, tsqlTopTies,
+    pgFetchTiesNulls, pgFetchTiesRow, tsqlTopTies, tsqlTopPercent,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, pgFilterWindow, duckdbByAll, snowflakePivot)
 }
