@@ -461,6 +461,7 @@ object Dialect {
         rewriteOracleToDate,
         rewritePgToChar,
         rewriteOracleRownum,
+        rewriteFetchFirstPercent, // FETCH FIRST n PERCENT (r15, before the plain forms)
         rewriteFetchFirstWithTies, // FETCH FIRST n ROWS WITH TIES (rank filter)
         rewriteTsqlOffsetFetch, // Oracle 12c OFFSET…FETCH paging
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
@@ -3604,11 +3605,25 @@ object Dialect {
     * exactly the first n% of the sorted stream survives. The percent
     * form's global count is inherent to the construct's semantics —
     * its gate carries a windowLint allowlist entry.
+    *
+    * `offset = Some(m)` (r15 — ANSI `OFFSET m ROWS FETCH NEXT n ROWS
+    * WITH TIES`, a named fail-fast before): result = rows m+1..m+n of
+    * the sorted stream plus every row tying with row m+n. Membership
+    * is `row_number > m AND rank <= rank(row m+n)` — the cutoff rank
+    * is `max(CASE WHEN row_number <= m+n THEN rank END) OVER ()` over
+    * a frame PRE-FILTERED to `rank <= m+n` (safe: every kept row's
+    * rank is ≤ the cutoff ≤ m+n since rank ≤ row_number, and the
+    * static rank filter sits directly above the window so the frame
+    * is bounded before the global max runs). Fewer than m+n rows →
+    * the cutoff is the last row's rank and everything after the
+    * offset comes back, exactly Postgres. Offset composes only with
+    * the plain ties form (percent has no ANSI offset spelling).
     */
   private def buildWithTies(sql: String, n: String,
       ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean,
       percent: Boolean = false, ties: Boolean = true,
-      construct: String = "WITH TIES"): String = {
+      construct: String = "WITH TIES",
+      offset: Option[String] = None): String = {
     val spans = literalSpans(sql, backslashEscapes = true)
     val depth = depthAt(sql, spans)
     val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
@@ -3661,26 +3676,90 @@ object Dialect {
     // window keys: ordinals FIRST (an integer is a constant inside OVER),
     // then aliases; the outer ORDER BY keeps both (correct at statement level)
     val windowOrd = resolveOrdinalSortKeys(ord, items, construct)
-    val rankFn = if (ties) "rank()" else "row_number()"
-    val extraCol = if (percent) ", count(*) OVER () AS __wtc" else ""
-    val keep =
-      if (percent) s"__wt <= CEILING(__wtc * ($n) / 100.0)" else s"__wt <= $n"
-    s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
-      s"$rankFn OVER (ORDER BY ${keyList(windowOrd, resolveAliases = true)}) AS __wt$extraCol $body ) __wtq " +
-      s"WHERE $keep ORDER BY ${keyList(ord, resolveAliases = false)}"
+    val winKeys = keyList(windowOrd, resolveAliases = true)
+    val outerOrd = keyList(ord, resolveAliases = false)
+    offset match {
+      case Some(off) =>
+        val lim = s"(($off) + ($n))"
+        s"SELECT $names FROM ( SELECT *, " +
+          s"max(CASE WHEN __wtn <= $lim THEN __wt END) OVER () AS __wtcut " +
+          s"FROM ( SELECT ${items.mkString(", ")}, " +
+          s"rank() OVER (ORDER BY $winKeys) AS __wt, " +
+          s"row_number() OVER (ORDER BY $winKeys) AS __wtn $body ) __wtq " +
+          s"WHERE __wt <= $lim ) __wtq2 " +
+          s"WHERE __wtn > ($off) AND __wt <= __wtcut ORDER BY $outerOrd"
+      case None =>
+        val rankFn = if (ties) "rank()" else "row_number()"
+        val extraCol = if (percent) ", count(*) OVER () AS __wtc" else ""
+        val keep =
+          if (percent) s"__wt <= CEILING(__wtc * ($n) / 100.0)" else s"__wt <= $n"
+        s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+          s"$rankFn OVER (ORDER BY $winKeys) AS __wt$extraCol $body ) __wtq " +
+          s"WHERE $keep ORDER BY $outerOrd"
+    }
   }
 
-  /** ANSI/Postgres-13 `ORDER BY … FETCH FIRST n ROWS WITH TIES` (r14) →
-    * [[buildWithTies]]'s rank filter with the nulls-largest default
-    * placement both wired dialects (Postgres, Oracle) share. Only the
-    * outermost single-SELECT statement shape is shimmed; combining with
-    * a top-level OFFSET fails fast with a named error.
+  /** ANSI/Postgres-13 `ORDER BY … [OFFSET m ROWS] FETCH FIRST n ROWS
+    * WITH TIES` (r14; OFFSET combination r15) → [[buildWithTies]]'s
+    * rank filter with the nulls-largest default placement both wired
+    * dialects (Postgres, Oracle) share. A literal top-level OFFSET is
+    * stripped from the statement and becomes the builder's
+    * `row_number > m` skip with the cutoff-rank tie rule; a
+    * non-literal OFFSET count keeps a named error. Only the outermost
+    * single-SELECT statement shape is shimmed.
     */
   private[graft] def rewriteFetchFirstWithTies(sql: String): String = {
-    val s = sql.trim
+    val s0 = sql.trim
     // the count is optional in ANSI/Postgres — `FETCH FIRST ROW WITH
     // TIES` defaults to 1 (r14 verdict item 4)
     val re = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\b""".r
+    val spans0 = literalSpans(s0, backslashEscapes = true)
+    val depth0 = depthAt(s0, spans0)
+    val m0 = re.findAllMatchIn(s0)
+      .find(mm => depth0(mm.start) == 0 && outsideLiterals(spans0, mm.start))
+      .getOrElse(return sql)
+    val offIdx = topLevelKeyword(s0, spans0, depth0, "OFFSET")
+    if (offIdx < 0)
+      return buildWithTies(s0, Option(m0.group(1)).getOrElse("1"), m0.start, m0.end,
+        nullsLargest = true)
+    val om = """(?i)\bOFFSET\s+(\d+)(?:\s+ROWS?)?""".r.findAllMatchIn(s0)
+      .find(_.start == offIdx)
+      .getOrElse(throw new graft.UnsupportedError(
+        "OFFSET combined with FETCH … WITH TIES requires a literal row count"))
+    if (om.start > m0.start)
+      throw new graft.UnsupportedError(
+        "OFFSET after FETCH … WITH TIES is not supported (ANSI order is OFFSET then FETCH)")
+    // the literal match must be the WHOLE offset clause — `OFFSET 1 + 4`
+    // matches only its `1` prefix, and stripping that prefix would splice
+    // `+ 4` into the ORDER BY keys (a silent wrong answer)
+    if (s0.substring(om.end, m0.start).trim.nonEmpty)
+      throw new graft.UnsupportedError(
+        "OFFSET combined with FETCH … WITH TIES requires a literal row count " +
+          s"immediately before the FETCH clause, got: ${s0.substring(om.start, m0.start).trim}")
+    // strip the OFFSET clause, re-locate the FETCH clause, and hand the
+    // skip count to the builder's rank/row_number membership rule
+    val s = s0.substring(0, om.start) + s0.substring(om.end)
+    val spans = literalSpans(s, backslashEscapes = true)
+    val depth = depthAt(s, spans)
+    val m = re.findAllMatchIn(s)
+      .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
+      .getOrElse(return sql)
+    buildWithTies(s, Option(m.group(1)).getOrElse("1"), m.start, m.end,
+      nullsLargest = true, offset = Some(om.group(1)))
+  }
+
+  /** Oracle-12c/ANSI `FETCH FIRST n PERCENT ROWS ONLY|WITH TIES`
+    * (r15) → [[buildWithTies]]'s percent cutoff: row_number (ONLY) or
+    * rank (WITH TIES) over the statement's ORDER BY keeping
+    * `CEILING(count * n / 100.0)` rows — Oracle rounds the row count
+    * UP — with the nulls-largest placement pinned like the plain
+    * FETCH forms. n may be fractional. A top-level OFFSET combined
+    * with the percent form stays a named fail-fast.
+    */
+  private[graft] def rewriteFetchFirstPercent(sql: String): String = {
+    val s = sql.trim
+    val re =
+      """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+(?:\.\d+)?)\s+PERCENT\s+ROWS?\s+(ONLY|WITH\s+TIES)\b""".r
     val spans = literalSpans(s, backslashEscapes = true)
     val depth = depthAt(s, spans)
     val m = re.findAllMatchIn(s)
@@ -3688,9 +3767,10 @@ object Dialect {
       .getOrElse(return sql)
     if (topLevelKeyword(s, spans, depth, "OFFSET") >= 0)
       throw new graft.UnsupportedError(
-        "OFFSET combined with FETCH … WITH TIES is not supported")
-    buildWithTies(s, Option(m.group(1)).getOrElse("1"), m.start, m.end,
-      nullsLargest = true)
+        "OFFSET combined with FETCH … PERCENT is not supported")
+    buildWithTies(s, m.group(1), m.start, m.end, nullsLargest = true,
+      percent = true, ties = !m.group(2).equalsIgnoreCase("ONLY"),
+      construct = "FETCH PERCENT")
   }
 
   /** Standalone ANSI/Oracle-12c `FETCH FIRST|NEXT n ROWS ONLY` (no

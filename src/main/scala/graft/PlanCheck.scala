@@ -117,6 +117,16 @@ object PlanCheck {
         "is CEILING(count * n / 100)) — the global count(*) window and the " +
         "row_number over the statement's sort are the construct's semantics, " +
         "not an avoidable shuffle; the bounded-n TOP/WITH TIES forms keep the " +
+        "WindowGroupLimit pre-prune path"),
+    "op_dialect_pg_fetch_ties_offset" ->
+      ("OFFSET+TIES paging is global top-(m+n) by definition; the static " +
+        "rank <= m+n filter sits directly above the rank/row_number window " +
+        "bounding the frame before the cutoff-rank global max runs, so no " +
+        "unbounded data reaches the single-partition stage"),
+    "op_dialect_oracle_fetch_percent" ->
+      ("FETCH FIRST n PERCENT needs the exact global row count by DEFINITION " +
+        "(cutoff = CEILING(count * n / 100)) — same justification as " +
+        "op_dialect_tsql_top_percent; the bounded-n FETCH forms keep the " +
         "WindowGroupLimit pre-prune path"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
@@ -662,6 +672,14 @@ object PlanCheck {
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_tsql_top_percent", "TOP PERCENT keeps the pushed key filter and stays " +
       "join-free (global count + row_number are the construct's own semantics)",
+      f => f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_oracle_fetch_percent", "FETCH PERCENT keeps the pushed key filter and " +
+      "stays join-free (global count + row_number are the construct's own semantics)",
+      f => f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_fetch_ties_offset", "OFFSET+TIES keeps the pushed key filter and stays " +
+      "join-free (static rank bound + cutoff max are the construct's semantics)",
       f => f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_fetch_ties_row", "count-omitted WITH TIES (rank <= 1) keeps the " +

@@ -1632,6 +1632,58 @@ object DialectQueries {
            |SELECT o_orderkey, p FROM r WHERE rk <= 10
            |ORDER BY p NULLS LAST""".stripMargin))
 
+  /** ANSI `OFFSET m ROWS FETCH NEXT n ROWS WITH TIES` (r15 — a named
+    * fail-fast before): skip the sorted stream's first 300 rows, keep
+    * the next 200 plus every row tying with row 500. The 5-value
+    * priority key guarantees the offset lands MID-class and the tie
+    * rule fires across the 500 boundary, so the result is the first
+    * class's tail plus the entire second class — deterministic as a
+    * multiset because only the sort key is projected. The oracle
+    * replays the rank/row_number membership rule in DuckDB.
+    */
+  val pgFetchTiesOffset = OpQ("op_dialect_pg_fetch_ties_offset",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY p
+          |OFFSET 300 ROWS FETCH NEXT 200 ROWS WITH TIES""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""WITH b AS (SELECT o_orderpriority AS p,
+           |  rank() OVER (ORDER BY o_orderpriority) AS rk,
+           |  row_number() OVER (ORDER BY o_orderpriority) AS rn
+           |  FROM orders WHERE o_orderkey <= 2000),
+           |c AS (SELECT p, rk, rn,
+           |  max(CASE WHEN rn <= 500 THEN rk END) OVER () AS cut FROM b)
+           |SELECT p FROM c WHERE rn > 300 AND rk <= cut
+           |ORDER BY p""".stripMargin))
+
+  /** Oracle-12c `FETCH FIRST n PERCENT ROWS ONLY` (r15): the same
+    * percent-cutoff builder as T-SQL's TOP PERCENT — row_number over
+    * the statement's ORDER BY with `CEILING(count * n / 100.0)` rows
+    * kept (Oracle rounds up) — under the Oracle wiring's nulls-largest
+    * placement. The oracle replays both windows in DuckDB.
+    */
+  val oracleFetchPercent = OpQ("op_dialect_oracle_fetch_percent",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, o_totalprice
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |FETCH FIRST 5 PERCENT ROWS ONLY""".stripMargin,
+        dialect = Dialect.OracleIsh)
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_totalprice,
+           |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           |  count(*) OVER () AS ct
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_orderkey, o_totalprice FROM r
+           |WHERE rn <= ceiling(ct * 5 / 100.0)
+           |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
+
   /** T-SQL `SELECT TOP n PERCENT … ORDER BY …` (r15 — a named
     * fail-fast through r14): row_number over the statement's ORDER BY
     * with a `count(*) OVER ()` cutoff, keeping the first
@@ -2374,7 +2426,8 @@ object DialectQueries {
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
     snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
-    pgFetchTiesNulls, pgFetchTiesRow, tsqlTopTies, tsqlTopPercent,
+    pgFetchTiesNulls, pgFetchTiesRow, pgFetchTiesOffset, tsqlTopTies, tsqlTopPercent,
+    oracleFetchPercent,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, pgFilterWindow, duckdbByAll, snowflakePivot)
 }
