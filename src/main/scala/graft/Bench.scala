@@ -40,12 +40,17 @@ object Bench {
     // ~20% uniform shift). One untimed JIT pass, then the median of 3.
     // Reading: canary_r{N}/canary_r{M} estimates the host-speed ratio
     // between rounds; per-query deltas beyond that ratio are real.
+    // the sort is consumed by a row_number filter so EliminateSorts
+    // cannot drop it under the final count (a bare orderBy().count()
+    // would time scan+shuffle only — r15 review fix); the dominant
+    // fixed work remains the 20M-row scan + shuffle aggregate
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, 32)
         .selectExpr("id % 9973 AS k", "id AS v")
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
-        .orderBy("s").count()
+        .selectExpr("s", "row_number() OVER (ORDER BY s, k) AS r")
+        .where("r % 7 = 0").count()
       (System.nanoTime() - t0) / 1e9
     }
     canaryOnce()

@@ -2458,6 +2458,13 @@ object Dialect {
               nullsLargest = false, percent = true, ties = m.group(3) != null,
               construct = "TOP PERCENT"))
         }
+        val n = m.group(1)
+        // T-SQL rejects a non-integer TOP count without PERCENT — check
+        // BEFORE the WITH TIES branch so `TOP 2.5 WITH TIES` raises too
+        // (r15 review fix: the guard was unreachable for the ties form)
+        if (n.contains('.'))
+          throw new graft.UnsupportedError(
+            "TOP with a fractional count requires PERCENT")
         if (m.group(3) != null) {
           if (cur.substring(0, m.start).trim.nonEmpty)
             throw new graft.UnsupportedError(
@@ -2466,13 +2473,9 @@ object Dialect {
           // rank window needs no placement pin (nullsLargest = false)
           val stripped = "SELECT " + cur.substring(m.end)
           return rewriteTsqlTop(
-            buildWithTies(stripped, m.group(1), stripped.length, stripped.length,
+            buildWithTies(stripped, n, stripped.length, stripped.length,
               nullsLargest = false))
         }
-        val n = m.group(1)
-        if (n.contains('.'))
-          throw new graft.UnsupportedError(
-            "TOP with a fractional count requires PERCENT")
         var i = m.end
         var depth = 0
         var insertAt = cur.length
@@ -2707,6 +2710,33 @@ object Dialect {
         ascNullsFirst = false, skipNullValues = skipNullValues)
     }
 
+  /** Consume a trailing `OVER <(spec)|name>` span at the start of
+    * `after` (the text following a call's closing paren):
+    * Some((specText, endExclusive)) when present, None otherwise. A
+    * parenthesized spec is matched balance-aware; a named-window
+    * reference is a single identifier. The OVER keyword is
+    * word-bounded, so an implicit select-item alias merely STARTING
+    * with "over" (e.g. `… overall FROM`) is not consumed (r15 review
+    * fix — shared by the windowed-FILTER and keep-null collect
+    * rewrites so the two cannot drift).
+    */
+  private def consumeOverSpec(after: String, esc: Boolean,
+      context: => String): Option[(String, Int)] =
+    "(?is)^(\\s*OVER\\b\\s*)".r.findFirstMatchIn(after).map { om =>
+      val p = om.end
+      if (p < after.length && after.charAt(p) == '(') {
+        val oc = matchParen(after, literalSpans(after, esc), p)
+        if (oc < 0)
+          throw new graft.UnsupportedError(s"unbalanced OVER ( in: $context")
+        (after.substring(p, oc + 1), oc + 1)
+      } else {
+        val id = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(after.substring(p))
+          .getOrElse(throw new graft.UnsupportedError(
+            s"cannot parse the window after OVER in: $context"))
+        (id, p + id.length)
+      }
+    }
+
   /** Postgres, Trino, and DuckDB all KEEP NULL elements in a bare
     * `array_agg(x)` where Spark's collect_list silently drops them (r14
     * ADVICE — probed against DuckDB: `array_agg(s)` over {a, NULL, c}
@@ -2755,23 +2785,8 @@ object Dialect {
             val base = s"$collectFn(named_struct('__v', $v))"
             val after = cur.substring(close + 1)
             val (replacement, consumed) =
-              "(?is)^(\\s*OVER\\s*)".r.findFirstMatchIn(after) match {
-                case Some(om) =>
-                  val p = om.end
-                  val (spec, specEnd) =
-                    if (p < after.length && after.charAt(p) == '(') {
-                      val oc = matchParen(after,
-                        literalSpans(after, backslashEscapes = true), p)
-                      if (oc < 0) throw new graft.UnsupportedError(
-                        s"unbalanced OVER ( in: $cur")
-                      (after.substring(p, oc + 1), oc + 1)
-                    } else {
-                      val id = "^[A-Za-z_][A-Za-z0-9_]*".r
-                        .findFirstIn(after.substring(p))
-                        .getOrElse(throw new graft.UnsupportedError(
-                          s"cannot parse the window after array_agg … OVER in: $cur"))
-                      (id, p + id.length)
-                    }
+              consumeOverSpec(after, esc = true, cur) match {
+                case Some((spec, specEnd)) =>
                   (s"transform($base OVER $spec, s -> s.__v)", specEnd)
                 case None => (s"transform($base, s -> s.__v)", 0)
               }
@@ -3196,22 +3211,8 @@ object Dialect {
                 val wrapped = s"$fn(${prefix}CASE WHEN $cond THEN " +
                   s"named_struct('__f', $v) END)"
                 val after = cur.substring(filtClose + 1)
-                "(?is)^(\\s*OVER\\s*)".r.findFirstMatchIn(after) match {
-                  case Some(om) =>
-                    val p = om.end
-                    val (spec, specEnd) =
-                      if (p < after.length && after.charAt(p) == '(') {
-                        val oc = matchParen(after, literalSpans(after, esc), p)
-                        if (oc < 0) throw new graft.UnsupportedError(
-                          s"unbalanced OVER ( in: $cur")
-                        (after.substring(p, oc + 1), oc + 1)
-                      } else {
-                        val id = "^[A-Za-z_][A-Za-z0-9_]*".r
-                          .findFirstIn(after.substring(p))
-                          .getOrElse(throw new graft.UnsupportedError(
-                            s"cannot parse the window after FILTER … OVER in: $cur"))
-                        (id, p + id.length)
-                      }
+                consumeOverSpec(after, esc, cur) match {
+                  case Some((spec, specEnd)) =>
                     spanEnd = filtClose + 1 + specEnd
                     s"transform($wrapped OVER $spec, s -> s.__f)"
                   case None => s"transform($wrapped, s -> s.__f)"
