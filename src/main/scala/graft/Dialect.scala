@@ -2429,15 +2429,15 @@ object Dialect {
     * LIMIT inserted at the END of that SELECT's scope: the first `)` that
     * closes an enclosing paren, a same-depth set-operation keyword, or
     * end-of-string — so TOP works inside subqueries and on either side of
-    * a UNION. `TOP n WITH TIES` (r14) rewrites the OUTERMOST statement
-    * through [[buildWithTies]]'s rank filter (recursing so nested plain
-    * TOPs in the body still rewrite). `TOP n PERCENT [WITH TIES]` (r15)
-    * rides the same builder with a `count(*) OVER ()` cutoff —
-    * `CEILING(count * n / 100.0)` per T-SQL's round-up — over
-    * row_number (plain) or rank (WITH TIES); n may be fractional there
-    * (`TOP 2.5 PERCENT`), and PERCENT without ORDER BY fails fast (an
-    * arbitrary n% sample is not a deterministic rewrite). Subquery-level
-    * WITH TIES / PERCENT stay fail-fast.
+    * a UNION. `TOP n WITH TIES` (r14) and `TOP n PERCENT [WITH TIES]`
+    * (r15) rewrite through [[buildWithTies]]'s rank filter / percent
+    * cutoff applied to that SELECT's own scope span — since r15 at ANY
+    * subquery level, not just the outermost statement (the span is
+    * rebuilt in place and the scan continues over the splice). The
+    * percent cutoff is `CEILING(count * n / 100.0)` per T-SQL's
+    * round-up over row_number (plain) or rank (WITH TIES); n may be
+    * fractional only with PERCENT, and PERCENT without ORDER BY fails
+    * fast (an arbitrary n% sample is not a deterministic rewrite).
     */
   private[graft] def rewriteTsqlTop(sql: String): String = {
     val re = """(?i)\bSELECT\s+TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
@@ -2448,37 +2448,19 @@ object Dialect {
       changed = false
       val spans = literalSpans(cur, backslashEscapes = true)
       re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
-        if (m.group(2) != null) {
-          if (cur.substring(0, m.start).trim.nonEmpty)
-            throw new graft.UnsupportedError(
-              "TOP … PERCENT is only supported on the outermost SELECT")
-          val stripped = "SELECT " + cur.substring(m.end)
-          return rewriteTsqlTop(
-            buildWithTies(stripped, m.group(1), stripped.length, stripped.length,
-              nullsLargest = false, percent = true, ties = m.group(3) != null,
-              construct = "TOP PERCENT"))
-        }
+        val isPercent = m.group(2) != null
+        val isTies = m.group(3) != null
         val n = m.group(1)
-        // T-SQL rejects a non-integer TOP count without PERCENT — check
-        // BEFORE the WITH TIES branch so `TOP 2.5 WITH TIES` raises too
-        // (r15 review fix: the guard was unreachable for the ties form)
-        if (n.contains('.'))
+        // T-SQL rejects a non-integer TOP count without PERCENT — checked
+        // before the WITH TIES branch so `TOP 2.5 WITH TIES` raises too
+        if (!isPercent && n.contains('.'))
           throw new graft.UnsupportedError(
             "TOP with a fractional count requires PERCENT")
-        if (m.group(3) != null) {
-          if (cur.substring(0, m.start).trim.nonEmpty)
-            throw new graft.UnsupportedError(
-              "TOP … WITH TIES is only supported on the outermost SELECT")
-          // T-SQL sorts nulls SMALLEST — Spark's own default — so the
-          // rank window needs no placement pin (nullsLargest = false)
-          val stripped = "SELECT " + cur.substring(m.end)
-          return rewriteTsqlTop(
-            buildWithTies(stripped, n, stripped.length, stripped.length,
-              nullsLargest = false))
-        }
+        // this SELECT's scope ends at the first enclosing-paren closer, a
+        // same-depth set-operation keyword, or end-of-string
         var i = m.end
         var depth = 0
-        var insertAt = cur.length
+        var scopeEnd = cur.length
         var found = false
         while (i < cur.length && !found) {
           if (!outsideLiterals(spans, i)) i += 1
@@ -2486,7 +2468,7 @@ object Dialect {
             val c = cur.charAt(i)
             if (c == '(') { depth += 1; i += 1 }
             else if (c == ')') {
-              if (depth == 0) { insertAt = i; found = true }
+              if (depth == 0) { scopeEnd = i; found = true }
               else { depth -= 1; i += 1 }
             } else if (depth == 0 && c.isLetter &&
                 (i == 0 || { val p = cur.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
@@ -2494,12 +2476,28 @@ object Dialect {
                   (i + k.length == cur.length || {
                     val q = cur.charAt(i + k.length); !q.isLetterOrDigit && q != '_'
                   }))) {
-              insertAt = i; found = true
+              scopeEnd = i; found = true
             } else i += 1
           }
         }
-        cur = cur.substring(0, m.start) + "SELECT " + cur.substring(m.end, insertAt) +
-          s" LIMIT $n " + cur.substring(insertAt)
+        val replacement =
+          if (isPercent || isTies) {
+            // the rank/percent rewrite applies to the span and splices
+            // back — the rescan continues over the rebuilt text (it
+            // spells no TOP), so nested plain TOPs still rewrite
+            val stripped = "SELECT " + cur.substring(m.end, scopeEnd)
+            if (isPercent)
+              buildWithTies(stripped, n, stripped.length, stripped.length,
+                nullsLargest = false, percent = true, ties = isTies,
+                construct = "TOP PERCENT")
+            else
+              // T-SQL sorts nulls SMALLEST — Spark's own default — so the
+              // rank window needs no placement pin (nullsLargest = false)
+              buildWithTies(stripped, n, stripped.length, stripped.length,
+                nullsLargest = false)
+          } else
+            "SELECT " + cur.substring(m.end, scopeEnd) + s" LIMIT $n "
+        cur = cur.substring(0, m.start) + replacement + cur.substring(scopeEnd)
         changed = true
       }
     }
@@ -3716,9 +3714,34 @@ object Dialect {
     val re = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\b""".r
     val spans0 = literalSpans(s0, backslashEscapes = true)
     val depth0 = depthAt(s0, spans0)
-    val m0 = re.findAllMatchIn(s0)
-      .find(mm => depth0(mm.start) == 0 && outsideLiterals(spans0, mm.start))
+    val mAny = re.findAllMatchIn(s0)
+      .find(mm => outsideLiterals(spans0, mm.start))
       .getOrElse(return sql)
+    if (depth0(mAny.start) > 0) {
+      // SUBQUERY-level WITH TIES (r15 — a raw Spark parse error before):
+      // rewrite the innermost parenthesized statement containing the
+      // clause in place, then rescan (more subqueries may carry one)
+      var i = mAny.start - 1
+      var d = 0
+      var open = -1
+      while (i >= 0 && open < 0) {
+        if (outsideLiterals(spans0, i)) {
+          val c = s0.charAt(i)
+          if (c == ')') d += 1
+          else if (c == '(') { if (d == 0) open = i else d -= 1 }
+        }
+        i -= 1
+      }
+      val close = matchParen(s0, spans0, open)
+      if (open < 0 || close < 0)
+        throw new graft.UnsupportedError(s"unbalanced subquery around WITH TIES in: $s0")
+      val inner = s0.substring(open + 1, close)
+      val rebuilt = rewriteFetchFirstWithTies(inner)
+      if (rebuilt == inner) return sql // not a rewritable inner statement — stay loud
+      return rewriteFetchFirstWithTies(
+        s0.substring(0, open + 1) + rebuilt + s0.substring(close))
+    }
+    val m0 = mAny
     val offIdx = topLevelKeyword(s0, spans0, depth0, "OFFSET")
     if (offIdx < 0)
       return buildWithTies(s0, Option(m0.group(1)).getOrElse("1"), m0.start, m0.end,

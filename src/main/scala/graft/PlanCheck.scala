@@ -127,7 +127,11 @@ object PlanCheck {
       ("FETCH FIRST n PERCENT needs the exact global row count by DEFINITION " +
         "(cutoff = CEILING(count * n / 100)) — same justification as " +
         "op_dialect_tsql_top_percent; the bounded-n FETCH forms keep the " +
-        "WindowGroupLimit pre-prune path"))
+        "WindowGroupLimit pre-prune path"),
+    "op_dialect_tsql_top_ties_subquery" ->
+      ("subquery-level WITH TIES rank filter: the same WindowGroupLimit " +
+        "pre-prune as op_dialect_tsql_top_ties applies inside the subquery " +
+        "(pinned by rule)"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -677,6 +681,10 @@ object PlanCheck {
     Rule("op_dialect_oracle_fetch_percent", "FETCH PERCENT keeps the pushed key filter and " +
       "stays join-free (global count + row_number are the construct's own semantics)",
       f => f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_top_ties_subquery", "subquery-level WITH TIES keeps the " +
+      "WindowGroupLimit pre-prune and the pushed key filter; no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_fetch_ties_offset", "OFFSET+TIES keeps the pushed key filter and stays " +
       "join-free (static rank bound + cutoff max are the construct's semantics)",

@@ -1660,6 +1660,31 @@ object DialectQueries {
            |SELECT p FROM c WHERE rn > 300 AND rk <= cut
            |ORDER BY p""".stripMargin))
 
+  /** SUBQUERY-level `TOP n WITH TIES` (r15 — a named fail-fast
+    * before): the rank rewrite applies to the inner SELECT's own scope
+    * span and splices back, so WITH TIES composes under aggregation.
+    * The outer GROUP BY counts the tie class the inner top-10 expands
+    * to. The oracle replays the rank subquery in DuckDB.
+    */
+  val tsqlTopTiesSubquery = OpQ("op_dialect_tsql_top_ties_subquery",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT s.o_orderpriority AS prio, COUNT(*) AS n
+          |FROM (SELECT TOP 10 WITH TIES o_orderkey, o_orderpriority
+          |      FROM orders WHERE o_orderkey <= 2000
+          |      ORDER BY o_orderpriority) s
+          |GROUP BY s.o_orderpriority
+          |ORDER BY prio""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""WITH r AS (SELECT o_orderkey, o_orderpriority,
+           |  rank() OVER (ORDER BY o_orderpriority) AS rk
+           |  FROM orders WHERE o_orderkey <= 2000)
+           |SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM r WHERE rk <= 10
+           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
+
   /** Oracle-12c `FETCH FIRST n PERCENT ROWS ONLY` (r15): the same
     * percent-cutoff builder as T-SQL's TOP PERCENT — row_number over
     * the statement's ORDER BY with `CEILING(count * n / 100.0)` rows
@@ -2427,7 +2452,7 @@ object DialectQueries {
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
     snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
     pgFetchTiesNulls, pgFetchTiesRow, pgFetchTiesOffset, tsqlTopTies, tsqlTopPercent,
-    oracleFetchPercent,
+    oracleFetchPercent, tsqlTopTiesSubquery,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, pgFilterWindow, duckdbByAll, snowflakePivot)
 }
