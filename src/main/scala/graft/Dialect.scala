@@ -2482,6 +2482,21 @@ object Dialect {
         }
         val replacement =
           if (isPercent || isTies) {
+            val construct = if (isPercent) "TOP PERCENT" else "TOP WITH TIES"
+            // the construct is only meaningful for a WHOLE select
+            // statement — the outermost one or a parenthesized
+            // subquery/CTE body. A set-operation ARM is rejected like
+            // T-SQL rejects it (r15 review fix: the span splice must
+            // neither hijack the union's trailing ORDER BY as the arm's
+            // rank sort nor glue the rank filter onto the set-op keyword)
+            val prefix = cur.substring(0, m.start).trim
+            if (!(prefix.isEmpty || prefix.endsWith("(")))
+              throw new graft.UnsupportedError(
+                s"$construct is only supported on the outermost SELECT " +
+                  "or a parenthesized subquery")
+            if (scopeEnd < cur.length && cur.charAt(scopeEnd) != ')')
+              throw new graft.UnsupportedError(
+                s"$construct in a set-operation arm is not supported")
             // the rank/percent rewrite applies to the span and splices
             // back — the rescan continues over the rebuilt text (it
             // spells no TOP), so nested plain TOPs still rewrite
