@@ -36,6 +36,10 @@ object PlanCheck {
       "bloom" -> count("(?i)might_contain"),
       "dpp" -> count("(?i)dynamicpruning"),
       "wgl" -> count("WindowGroupLimit"),
+      // the PERCENT forms' scale plan: approx_percentile cutoff column
+      // (produced by the broadcast stats row) referenced by the pre-rank
+      // filter — presence pins the filter-below-window shape
+      "pcut" -> count("__pcut"),
       "global_window" -> globalWindows(plan))
   }
 
@@ -113,25 +117,29 @@ object PlanCheck {
         "pipeline partitions it, and the rewrite (transform composed over the " +
         "window) preserves any PARTITION BY unchanged"),
     "op_dialect_tsql_top_percent" ->
-      ("TOP n PERCENT needs the exact global row count by DEFINITION (the cutoff " +
-        "is CEILING(count * n / 100)) — the global count(*) window and the " +
-        "row_number over the statement's sort are the construct's semantics, " +
-        "not an avoidable shuffle; the bounded-n TOP/WITH TIES forms keep the " +
-        "WindowGroupLimit pre-prune path"),
+      ("TOP n PERCENT keeps one exact global rank window by DEFINITION, but " +
+        "since r16 its input is PRE-FILTERED below the window to ~n% of rows " +
+        "by the approx_percentile cutoff (broadcast one-row stats; exactness " +
+        "guard in buildWithTies.percentScalePlan, pcut filter pinned by rule) " +
+        "— the single-partition stage no longer sees the whole relation"),
     "op_dialect_pg_fetch_ties_offset" ->
       ("OFFSET+TIES paging is global top-(m+n) by definition; the static " +
         "rank <= m+n filter sits directly above the rank/row_number window " +
         "bounding the frame before the cutoff-rank global max runs, so no " +
         "unbounded data reaches the single-partition stage"),
     "op_dialect_oracle_fetch_percent" ->
-      ("FETCH FIRST n PERCENT needs the exact global row count by DEFINITION " +
-        "(cutoff = CEILING(count * n / 100)) — same justification as " +
-        "op_dialect_tsql_top_percent; the bounded-n FETCH forms keep the " +
-        "WindowGroupLimit pre-prune path"),
+      ("FETCH FIRST n PERCENT keeps one exact global rank window by DEFINITION, " +
+        "but since r16 its input is PRE-FILTERED below the window to ~n% of " +
+        "rows by the approx_percentile cutoff — same two-stage scale plan as " +
+        "op_dialect_tsql_top_percent (pcut filter pinned by rule)"),
     "op_dialect_tsql_top_ties_subquery" ->
       ("subquery-level WITH TIES rank filter: the same WindowGroupLimit " +
         "pre-prune as op_dialect_tsql_top_ties applies inside the subquery " +
-        "(pinned by rule)"))
+        "(pinned by rule)"),
+    "op_dialect_pg_fetch_ties_star" ->
+      ("star-expanded WITH TIES rank filter: identical shape to " +
+        "op_dialect_pg_fetch_ties — InferWindowGroupLimit pre-prunes every " +
+        "partition to ≤ n rows before the single-partition rank (pinned by rule)"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -674,14 +682,16 @@ object PlanCheck {
       "WindowGroupLimit pre-prune; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
-    Rule("op_dialect_tsql_top_percent", "TOP PERCENT keeps the pushed key filter and stays " +
-      "join-free (global count + row_number are the construct's own semantics)",
-      f => f("pushed_filters") >= 1 &&
-        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
-    Rule("op_dialect_oracle_fetch_percent", "FETCH PERCENT keeps the pushed key filter and " +
-      "stays join-free (global count + row_number are the construct's own semantics)",
-      f => f("pushed_filters") >= 1 &&
-        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_top_percent", "TOP PERCENT runs the two-stage scale plan (r16): " +
+      "approx_percentile cutoff pre-filters BELOW the exact rank window (pcut in the plan), " +
+      "the one-row stats side joins by broadcast, and the key filter stays pushed",
+      f => f("pushed_filters") >= 1 && f("pcut") >= 1 && f("bnlj") >= 1 &&
+        f("cartesian") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_oracle_fetch_percent", "FETCH PERCENT runs the two-stage scale plan (r16): " +
+      "approx_percentile cutoff pre-filters BELOW the exact rank window (pcut in the plan), " +
+      "the one-row stats side joins by broadcast, and the key filter stays pushed",
+      f => f("pushed_filters") >= 1 && f("pcut") >= 1 && f("bnlj") >= 1 &&
+        f("cartesian") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_tsql_top_ties_subquery", "subquery-level WITH TIES keeps the " +
       "WindowGroupLimit pre-prune and the pushed key filter; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
@@ -693,6 +703,18 @@ object PlanCheck {
     Rule("op_dialect_pg_fetch_ties_row", "count-omitted WITH TIES (rank <= 1) keeps the " +
       "WindowGroupLimit pre-prune; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_fetch_ties_star", "star-expanded WITH TIES keeps the WindowGroupLimit " +
+      "pre-prune and the pushed key filter; no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_distinct_on", "Postgres-wired DISTINCT ON keeps the keyed (partitioned) " +
+      "row_number — per-key WindowGroupLimit pre-prune, pushed key filter, no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_paging_zero", "zero-count paging short-circuits to LIMIT 0 — " +
+      "no window, no rank, no join in any of the five legs",
+      f => f("global_window") == 0 && f("wgl") == 0 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_filter_window", "windowed FILTER keeps the pushed key filter and " +
       "stays join-free (transform composes over the window, no extra shuffle)",
