@@ -193,7 +193,7 @@ object Dialect {
         escapeBackslashLiterals, // FIRST: later steps generate Spark-escaped literals
         rewriteDoubleEquals,
         rewriteDoubleQuotedIdents(_),
-        rewriteQualify(_),
+        s => rewriteQualify(s, spark = Some(spark)),
         s => rewriteDistinctOn(s, spark = Some(spark)),
         rewriteExclude,
         s => rewriteStarReplace(spark, s, esc = false),
@@ -282,7 +282,7 @@ object Dialect {
       val steps: Seq[String => String] = Seq(
         s => renameFunctions(s, renames, esc = true), // to_char joins to_varchar
         s => rewriteDoubleQuotedIdents(s, esc = true),
-        s => rewriteQualify(s, esc = true),
+        s => rewriteQualify(s, esc = true, spark = Some(spark)),
         // Snowflake spells ordered array_agg WITHIN GROUP; its nulls sort
         // highest (last-on-ASC/first-on-DESC, like Postgres) and — unlike
         // Postgres — NULL VALUES are silently dropped from the array
@@ -329,7 +329,7 @@ object Dialect {
     def rewrite(spark: SparkSession, sql: String,
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
-        s => rewriteQualify(s, esc = true),
+        s => rewriteQualify(s, esc = true, spark = Some(spark)),
         s => rewriteStarReplace(spark, s, esc = true),
         s => rewriteUnnest(s, esc = true),
         rewriteBqSubscript,
@@ -418,6 +418,7 @@ object Dialect {
         // bare array_agg keeps NULL elements (struct wrap, r15)
         s => rewritePgArrayAgg(s, descNullsLast = false),
         rewriteKeepNullArrayAgg,
+        rewriteLimitAll,        // LIMIT ALL → no limit (Postgres no-op spelling)
         s => rewriteFetchFirstWithTies(s, Some(spark)), // FETCH FIRST n ROWS WITH TIES (rank filter)
         rewriteTsqlOffsetFetch, // ANSI OFFSET…FETCH paging (Postgres-legal)
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
@@ -556,7 +557,7 @@ object Dialect {
         rewriteRsDateAdd,
         rewriteRsDateDiff,
         rewriteRsBareTypes,
-        s => rewriteQualify(s, esc = true),
+        s => rewriteQualify(s, esc = true, spark = Some(spark)),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -599,7 +600,7 @@ object Dialect {
         rewriteTeradataPower,
         rewriteTeradataZeroNull,
         s => rewriteTsqlTop(s, Some(spark)),
-        s => rewriteQualify(s, esc = true),
+        s => rewriteQualify(s, esc = true, spark = Some(spark)),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
@@ -637,7 +638,7 @@ object Dialect {
         schemas: Map[String, StructType]): String = {
       val steps: Seq[String => String] = Seq(
         rewriteChArrayJoin, // FIRST: the clause wraps exprs later steps rewrite
-        rewriteChLimitBy, // SECOND: restructures the statement around the body
+        s => rewriteChLimitBy(s, Some(spark)), // SECOND: restructures the statement around the body
         rewriteChAggIf,
         rewriteChMultiIf,
         rewriteChTo,
@@ -1576,8 +1577,16 @@ object Dialect {
     * unfiltered: windows see the same rows they would in the source engine.
     * Only a top-level QUALIFY is rewritten; SELECT DISTINCT with an inline
     * window raises (adding the __qual column would change the distinct).
+    * The inline-window form's outer projection re-selects by NAME, so a
+    * star select list — `SELECT * FROM t QUALIFY row_number() OVER (…) =
+    * 1`, the single most common QUALIFY idiom — expands from the
+    * registered schemas via [[expandStarItems]] (r16; "cannot name: *"
+    * before). The inner query keeps the star text itself (`SELECT *,
+    * (pred) AS __qual` is valid Spark); only the names come from the
+    * expansion.
     */
-  private[graft] def rewriteQualify(sql: String, esc: Boolean = false): String = {
+  private[graft] def rewriteQualify(sql: String, esc: Boolean = false,
+      spark: Option[SparkSession] = None): String = {
     val spans = literalSpans(sql, esc)
     val depth = depthAt(sql, spans)
     val qIdx = topLevelKeyword(sql, spans, depth, "QUALIFY")
@@ -1607,7 +1616,9 @@ object Dialect {
         throw new graft.UnsupportedError(
           "QUALIFY with an inline window is not supported under SELECT DISTINCT")
       val listStart = selIdx + "SELECT".length
-      val items = splitArgs(inner, iSpans, listStart, fromIdx).map(_.trim).filter(_.nonEmpty)
+      val items = expandStarItems(spark,
+        splitArgs(inner, iSpans, listStart, fromIdx).map(_.trim).filter(_.nonEmpty),
+        inner.substring(fromIdx), "QUALIFY")
       val names = items.map(itemName(_)).mkString(", ")
       val augmented = inner.substring(0, fromIdx) + s", ($pred) AS __qual " +
         inner.substring(fromIdx)
@@ -1825,8 +1836,16 @@ object Dialect {
     if (fromIdx < 0)
       throw new graft.UnsupportedError(s"cannot locate FROM after DISTINCT ON in: $sql")
     val orderIdx = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
-    val limitIdx = topLevelKeyword(sql, spans, depth, "LIMIT", fromIdx)
-    val bodyEnd = Seq(orderIdx, limitIdx).filter(_ >= 0).sorted.headOption.getOrElse(sql.length)
+    // the statement tail starts at the first top-level LIMIT, OFFSET, or
+    // FETCH after the keys (r16 — OFFSET/FETCH are Postgres-legal after
+    // DISTINCT ON; before, their text was swallowed into the ORDER BY
+    // key list and died as a spliced parse error). The tail is re-emitted
+    // after the rewrite, where the chain's later paging rewrites (FETCH
+    // → LIMIT / WITH TIES rank) pick it up.
+    val tailIdx = Seq("LIMIT", "OFFSET", "FETCH")
+      .map(kw => topLevelKeyword(sql, spans, depth, kw, fromIdx))
+      .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+    val bodyEnd = Seq(orderIdx, tailIdx).filter(_ >= 0).sorted.headOption.getOrElse(sql.length)
     val body = sql.substring(fromIdx, bodyEnd).trim // "FROM …"
     val items = expandStarItems(spark,
       splitArgs(sql, spans, keysClose + 1, fromIdx).map(_.trim).filter(_.nonEmpty),
@@ -1834,10 +1853,10 @@ object Dialect {
     val names = items.map(itemName(_, "DISTINCT ON")).mkString(", ")
     val ord =
       if (orderIdx >= 0) {
-        val ordEnd = if (limitIdx > orderIdx) limitIdx else sql.length
+        val ordEnd = if (tailIdx > orderIdx) tailIdx else sql.length
         sql.substring(orderIdx + "ORDER".length, ordEnd).trim.replaceAll("(?i)^BY\\s+", "")
       } else keys
-    val tail = if (limitIdx >= 0) " " + sql.substring(limitIdx) else ""
+    val tail = if (tailIdx >= 0) " " + sql.substring(tailIdx) else ""
     val outerOrder = s" ORDER BY $ord"
     // the window's sort keys must resolve ordinals to select items (an
     // integer inside OVER is a constant — r14 judge finding); the keys
@@ -2488,7 +2507,10 @@ object Dialect {
     */
   private[graft] def rewriteTsqlTop(sql: String,
       spark: Option[SparkSession] = None): String = {
-    val re = """(?i)\bSELECT\s+TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
+    // T-SQL clause order is SELECT [DISTINCT] TOP n — DISTINCT applies
+    // FIRST, then TOP keeps n of the distinct rows (r16; the DISTINCT
+    // spelling didn't match before and died as a raw parse error)
+    val re = """(?i)\bSELECT\s+(DISTINCT\s+)?TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
     val setOps = Seq("UNION", "INTERSECT", "EXCEPT")
     var cur = sql
     var changed = true
@@ -2496,9 +2518,10 @@ object Dialect {
       changed = false
       val spans = literalSpans(cur, backslashEscapes = true)
       re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
-        val isPercent = m.group(2) != null
-        val isTies = m.group(3) != null
-        val n = m.group(1)
+        val distinctKw = if (m.group(1) != null) "DISTINCT " else ""
+        val isPercent = m.group(3) != null
+        val isTies = m.group(4) != null
+        val n = m.group(2)
         // T-SQL rejects a non-integer TOP count without PERCENT — checked
         // before the WITH TIES branch so `TOP 2.5 WITH TIES` raises too
         if (!isPercent && n.contains('.'))
@@ -2548,7 +2571,7 @@ object Dialect {
             // the rank/percent rewrite applies to the span and splices
             // back — the rescan continues over the rebuilt text (it
             // spells no TOP), so nested plain TOPs still rewrite
-            val stripped = "SELECT " + cur.substring(m.end, scopeEnd)
+            val stripped = "SELECT " + distinctKw + cur.substring(m.end, scopeEnd)
             if (isPercent)
               buildWithTies(stripped, n, stripped.length, stripped.length,
                 nullsLargest = false, percent = true, ties = isTies,
@@ -2559,7 +2582,7 @@ object Dialect {
               buildWithTies(stripped, n, stripped.length, stripped.length,
                 nullsLargest = false, spark = spark)
           } else
-            "SELECT " + cur.substring(m.end, scopeEnd) + s" LIMIT $n "
+            "SELECT " + distinctKw + cur.substring(m.end, scopeEnd) + s" LIMIT $n "
         cur = cur.substring(0, m.start) + replacement + cur.substring(scopeEnd)
         changed = true
       }
@@ -3720,7 +3743,14 @@ object Dialect {
     */
   private def expandStarItems(spark: Option[SparkSession], items: Seq[String],
       body: String, construct: String): Seq[String] = {
-    val starRe = "(?s)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?\\*\\s*$".r
+    // bare or qualified star, optionally with a trailing EXCEPT/EXCLUDE
+    // column list (DuckDB spells EXCLUDE; Spark's native spelling is
+    // EXCEPT — the probe normalizes so analysis expands both). Only the
+    // BARE star takes the EXCEPT form (a qualified `t.* EXCEPT` is not
+    // Spark-analyzable and keeps the named error below).
+    val starRe = ("(?is)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?\\*" +
+      "\\s*(?:(?:EXCEPT|EXCLUDE)\\s*\\(([^()]*)\\)" +
+      "|(?:EXCEPT|EXCLUDE)\\s+([A-Za-z_][A-Za-z0-9_]*))?\\s*$").r
     if (!items.exists(it => starRe.findFirstMatchIn(it).isDefined)) return items
     val s = spark.getOrElse(throw new graft.UnsupportedError(
       s"$construct over a star select list needs registered tables to expand *"))
@@ -3729,7 +3759,13 @@ object Dialect {
         case None => Seq(it)
         case Some(sm) =>
           val q = Option(sm.group(1))
-          val star = q.map(_ + ".*").getOrElse("*")
+          val except = Option(sm.group(2)).orElse(Option(sm.group(3)))
+            .map(_.trim).filter(_.nonEmpty)
+          if (q.isDefined && except.isDefined)
+            throw new graft.UnsupportedError(
+              s"$construct cannot expand a qualified star with EXCEPT/EXCLUDE: $it")
+          val star = q.map(_ + ".*").getOrElse("*") +
+            except.map(e => s" EXCEPT ($e)").getOrElse("")
           val fields =
             try s.sql(s"SELECT $star $body").schema.fieldNames.toSeq
             catch {
@@ -3768,8 +3804,19 @@ object Dialect {
         fromIdx > orderIdx)
       throw new graft.UnsupportedError(
         s"$construct requires the top-level SELECT … FROM … ORDER BY … shape")
-    if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(sql).isDefined)
-      throw new graft.UnsupportedError(s"$construct under SELECT DISTINCT is not supported")
+    // SELECT DISTINCT composes since r16 (a named fail-fast before):
+    // DISTINCT applies FIRST in every source dialect, then the rank/
+    // percent filter runs over the DISTINCT output — so the emit ranks
+    // a `( SELECT DISTINCT … )` subquery and the window sort keys must
+    // resolve to that subquery's OUTPUT NAMES (expressions aren't in
+    // scope across the boundary). DISTINCT ON never reaches here (its
+    // rewrite runs earlier in every wired chain) — raise if it does.
+    val distinctM =
+      "(?i)^\\s*SELECT\\s+DISTINCT\\b\\s*".r.findFirstMatchIn(sql)
+    if (distinctM.isDefined &&
+        "(?i)^\\s*SELECT\\s+DISTINCT\\s+ON\\b".r.findFirstIn(sql).isDefined)
+      throw new graft.UnsupportedError(
+        s"$construct under SELECT DISTINCT ON is not supported (rewrite DISTINCT ON first)")
     Seq("UNION", "INTERSECT", "EXCEPT").foreach { k =>
       if (topLevelKeyword(sql, spans, depth, k) >= 0)
         throw new graft.UnsupportedError(
@@ -3781,7 +3828,8 @@ object Dialect {
         s"$construct must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
     val body = sql.substring(fromIdx, orderIdx).trim
     val items = expandStarItems(spark,
-      splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
+      splitArgs(sql, spans,
+        distinctM.map(_.end).getOrElse(selIdx + "SELECT".length), fromIdx)
         .map(_.trim).filter(_.nonEmpty),
       body, construct)
     val names = items.map(itemName(_, construct)).mkString(", ")
@@ -3813,6 +3861,63 @@ object Dialect {
     }
     def keyList(o: String, resolveAliases: Boolean): String =
       keyParts(o, resolveAliases).mkString(", ")
+    if (distinctM.isDefined) {
+      // Resolve every sort key to a DISTINCT-output NAME: an ordinal →
+      // the n-th item's name; an item name/alias → itself; a key whose
+      // text matches an item's expression → that item's name. Anything
+      // else mirrors Postgres's own error ("for SELECT DISTINCT, ORDER
+      // BY expressions must appear in the select list").
+      def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
+      val itemNames = items.map(itemName(_, construct))
+      val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
+      val byName = itemNames.map(nm => nm.toLowerCase -> nm).toMap
+      val oSpans = literalSpans(ord, backslashEscapes = true)
+      val dKeys = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
+        val pm = "(?is)^(.*?)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)\\s*$".r
+          .findFirstMatchIn(part).get
+        val (e, sfx) = (pm.group(1).trim, pm.group(2))
+        val resolved =
+          if (e.matches("\\d+")) {
+            val i = e.toInt
+            if (i < 1 || i > items.length)
+              throw new graft.UnsupportedError(
+                s"$construct ORDER BY position $i is not in the select list (1..${items.length})")
+            itemNames(i - 1)
+          } else byName.getOrElse(nrm(e), byExpr.getOrElse(nrm(e),
+            throw new graft.UnsupportedError(
+              s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
+                s"to appear in the select list; cannot resolve: $e")))
+        val pinned = resolved + sfx
+        if (!nullsLargest ||
+            "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(pinned).isDefined) pinned
+        else if ("(?is)\\bDESC\\s*$".r.findFirstIn(pinned).isDefined) pinned + " NULLS FIRST"
+        else pinned + " NULLS LAST"
+      }.mkString(", ")
+      val inner = s"( SELECT DISTINCT ${items.mkString(", ")} $body )"
+      if (n.matches("\\d+(?:\\.\\d+)?") && n.toDouble == 0.0)
+        return s"SELECT $names FROM $inner __wtq LIMIT 0"
+      // the resolved-name key list serves as the OUTER ORDER BY too: the
+      // outer projection exposes exactly the item names, and the original
+      // ORDER BY text may spell expressions that are out of scope there
+      return offset match {
+        case Some(off) =>
+          val lim = s"(($off) + ($n))"
+          s"SELECT $names FROM ( SELECT *, " +
+            s"max(CASE WHEN __wtn <= $lim THEN __wt END) OVER () AS __wtcut " +
+            s"FROM ( SELECT *, rank() OVER (ORDER BY $dKeys) AS __wt, " +
+            s"row_number() OVER (ORDER BY $dKeys) AS __wtn FROM $inner __wtd ) __wtq " +
+            s"WHERE __wt <= $lim ) __wtq2 " +
+            s"WHERE __wtn > ($off) AND __wt <= __wtcut ORDER BY $dKeys"
+        case None =>
+          val rankFn = if (ties) "rank()" else "row_number()"
+          val extraCol = if (percent) ", count(*) OVER () AS __wtc" else ""
+          val keep =
+            if (percent) s"__wt <= CEILING(__wtc * ($n) / 100.0)" else s"__wt <= $n"
+          s"SELECT $names FROM ( SELECT *, " +
+            s"$rankFn OVER (ORDER BY $dKeys) AS __wt$extraCol FROM $inner __wtd ) __wtq " +
+            s"WHERE $keep ORDER BY $dKeys"
+      }
+    }
     // window keys: ordinals FIRST (an integer is a constant inside OVER),
     // then aliases; the outer ORDER BY keeps both (correct at statement level)
     val windowOrd = resolveOrdinalSortKeys(ord, items, construct)
@@ -3929,6 +4034,27 @@ object Dialect {
     }
   }
 
+
+  /** Postgres `LIMIT ALL` — a spelled-out "no limit" (query builders
+    * emit it when a limit parameter is absent); Spark's parser rejects
+    * it. Stripped wherever it appears outside literals — the meaning is
+    * identical at any nesting level — keeping any OFFSET clause, which
+    * Spark 4 supports natively (r16).
+    */
+  private[graft] def rewriteLimitAll(sql: String): String = {
+    val spans = literalSpans(sql, backslashEscapes = true)
+    val out = new StringBuilder
+    var last = 0
+    // the match consumes its LEADING whitespace so the splice leaves no
+    // double space behind
+    """(?i)\s*\bLIMIT\s+ALL\b""".r.findAllMatchIn(sql)
+      .filter(m => outsideLiterals(spans, m.end - 1)).foreach { m =>
+        out.append(sql.substring(last, m.start))
+        last = m.end
+      }
+    out.append(sql.substring(last))
+    out.toString
+  }
 
   /** ANSI/Postgres-13 `ORDER BY … [OFFSET m ROWS] FETCH FIRST n ROWS
     * WITH TIES` (r14; OFFSET combination r15) → [[buildWithTies]]'s
@@ -4448,7 +4574,8 @@ object Dialect {
     * `LIMIT [offset,] n BY` / `LIMIT n OFFSET offset BY` grammar and
     * keep rows `offset < rank <= offset + n` per key.
     */
-  private[graft] def rewriteChLimitBy(sql: String): String = {
+  private[graft] def rewriteChLimitBy(sql: String,
+      spark: Option[SparkSession] = None): String = {
     val spans = literalSpans(sql, backslashEscapes = true)
     val depth = depthAt(sql, spans)
     def topLevel(re: String): Option[scala.util.matching.Regex.Match] =
@@ -4470,12 +4597,14 @@ object Dialect {
       throw new graft.UnsupportedError(s"cannot locate SELECT … FROM around LIMIT BY in: $sql")
     if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(sql).isDefined)
       throw new graft.UnsupportedError("LIMIT BY under SELECT DISTINCT is not supported")
-    val items = splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
-      .map(_.trim).filter(_.nonEmpty)
-    val names = items.map(itemName(_, "LIMIT BY")).mkString(", ")
     val orderIdx0 = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
     val orderIdx = if (orderIdx0 >= 0 && orderIdx0 < m.start) orderIdx0 else -1
     val body = sql.substring(fromIdx, if (orderIdx >= 0) orderIdx else m.start).trim
+    val items = expandStarItems(spark,
+      splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
+        .map(_.trim).filter(_.nonEmpty),
+      body, "LIMIT BY")
+    val names = items.map(itemName(_, "LIMIT BY")).mkString(", ")
     val byStart = m.end
     // the key list ends at the trailing LIMIT; any other top-level clause
     // after the keys (SETTINGS/FORMAT/UNION arm) would be swallowed into

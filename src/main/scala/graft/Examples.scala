@@ -425,9 +425,17 @@ object Examples {
           |LATERAL FLATTEN(input => st, path => 'tags') f""".stripMargin,
         dialect = Dialect.forName("snowflake"))
         .collect().map(_.getString(0)).mkString(",")
+      // DISTINCT applies first, then the rank over the distinct output:
+      // distinct s = {a, b, null}; rank by s → the single smallest value
+      val dties = Engine.execute(spark,
+        "SELECT DISTINCT s FROM t ORDER BY s FETCH FIRST 1 ROWS WITH TIES",
+        tables = Map("t" -> t), dialect = Dialect.forName("postgres")).count()
+      val lall = Engine.execute(spark,
+        "SELECT k FROM t ORDER BY k LIMIT ALL OFFSET 2",
+        tables = Map("t" -> t), dialect = Dialect.forName("postgres")).count()
       println(s"example20(r16 constructs): pg_distinct_on_rows=$don " +
         s"star_ties_rows=$star zero_fetch_rows=$zero list_bare_nulls=$lst " +
-        s"flatten_paths=$pth")
+        s"flatten_paths=$pth distinct_ties_rows=$dties limit_all_offset_rows=$lall")
     }
 
     spark.stop()

@@ -139,7 +139,12 @@ object PlanCheck {
     "op_dialect_pg_fetch_ties_star" ->
       ("star-expanded WITH TIES rank filter: identical shape to " +
         "op_dialect_pg_fetch_ties — InferWindowGroupLimit pre-prunes every " +
-        "partition to ≤ n rows before the single-partition rank (pinned by rule)"))
+        "partition to ≤ n rows before the single-partition rank (pinned by rule)"),
+    "op_dialect_pg_distinct_ties" ->
+      ("DISTINCT + WITH TIES: the rank runs over the groupBy-collapsed " +
+        "DISTINCT output (|distinct pairs| rows, map-side combined) with the " +
+        "same WindowGroupLimit pre-prune as op_dialect_pg_fetch_ties " +
+        "(pinned by rule)"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -252,6 +257,10 @@ object PlanCheck {
       f => f("exchange") <= 2 && f("bhj") + f("smj") + f("shj") + f("bnlj") == 0),
     Rule("op_percentile_exact", "partial + final ordered-set aggregation", _("partial_agg") >= 2),
     Rule("op_dialect_qualify", "QUALIFY rewrite keeps the top-k shape", _("topk") >= 1),
+    Rule("op_dialect_qualify_star", "star-expanded QUALIFY keeps the keyed (partitioned) " +
+      "window with a per-key WindowGroupLimit pre-prune; no joins",
+      f => f("wgl") >= 1 && f("global_window") == 0 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("stream_interval_join", "event-type filters pushed to the scan", _("pushed_filters") >= 2),
     Rule("stream_interval_join", "a real join (any strategy), never cartesian",
       f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0),
@@ -707,6 +716,10 @@ object PlanCheck {
     Rule("op_dialect_pg_fetch_ties_star", "star-expanded WITH TIES keeps the WindowGroupLimit " +
       "pre-prune and the pushed key filter; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_distinct_ties", "DISTINCT + WITH TIES: map-side-combined distinct " +
+      "aggregation below the WindowGroupLimit-pre-pruned rank; no joins",
+      f => f("wgl") >= 1 && f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_distinct_on", "Postgres-wired DISTINCT ON keeps the keyed (partitioned) " +
       "row_number — per-key WindowGroupLimit pre-prune, pushed key filter, no joins",

@@ -292,6 +292,29 @@ object DialectQueries {
            |                           ORDER BY c_acctbal DESC, c_custkey) <= 2
            |ORDER BY c_mktsegment, c_custkey LIMIT 100""".stripMargin))
 
+  /** QUALIFY over a STAR select list (r16 — `SELECT * FROM t QUALIFY
+    * row_number() OVER (…) = 1` is the single most common QUALIFY
+    * idiom and raised "cannot name: *" before): the inline-window
+    * rewrite's outer projection re-selects by name, so the star
+    * expands from the registered view's schema. Run through the
+    * SNOWFLAKE wiring (QUALIFY's home dialect); DuckDB runs the same
+    * construct natively as the oracle.
+    */
+  val qualifyStar = OpQ("op_dialect_qualify_star",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT * FROM customer
+          |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+          |                           ORDER BY c_acctbal DESC, c_custkey) = 1
+          |ORDER BY c_mktsegment""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT * FROM customer
+           |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+           |                           ORDER BY c_acctbal DESC, c_custkey) = 1
+           |ORDER BY c_mktsegment""".stripMargin))
+
   /** DISTINCT ON (DuckDB/Postgres) — first row per key set by ORDER BY,
     * rewritten to a row_number window; plus `* EXCLUDE` → `* EXCEPT`.
     * The middle sort key is the ORDINAL 3 (r15 ordinal fix — inside the
@@ -1825,6 +1848,31 @@ object DialectQueries {
            |  ('tsql_top_zero_ties')) AS v(form)
            |ORDER BY form""".stripMargin))
 
+  /** `SELECT DISTINCT … FETCH FIRST n ROWS WITH TIES` (r16 — a named
+    * fail-fast before; legal Postgres): DISTINCT applies FIRST, then
+    * the rank filter runs over the DISTINCT output — the rewrite ranks
+    * a `( SELECT DISTINCT … )` subquery with the sort keys resolved to
+    * its OUTPUT NAMES. The 3-status × 5-priority key space guarantees
+    * the tie path fires (every distinct pair with the minimum status
+    * ties at rank 1). The oracle replays the rank over DuckDB's own
+    * DISTINCT subquery.
+    */
+  val pgDistinctTies = OpQ("op_dialect_pg_distinct_ties",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT DISTINCT o_orderstatus AS st, o_orderpriority AS prio
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY st
+          |FETCH FIRST 2 ROWS WITH TIES""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""WITH dq AS (SELECT DISTINCT o_orderstatus AS st, o_orderpriority AS prio
+           |            FROM orders WHERE o_orderkey <= 2000),
+           |r AS (SELECT st, prio, rank() OVER (ORDER BY st) AS rk FROM dq)
+           |SELECT st, prio FROM r WHERE rk <= 2
+           |ORDER BY st""".stripMargin))
+
   /** WITH TIES over a QUALIFIED STAR select list + ordinal sort key
     * (r15 verdict item 4 — `SELECT * … FETCH FIRST n ROWS WITH TIES`
     * is legal Postgres and used to die as "cannot name: *"): `t.*` is
@@ -2552,7 +2600,7 @@ object DialectQueries {
 
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
-    intDivNeg, literalEdges, snowflake, bigquery, qualifyOp,
+    intDivNeg, literalEdges, snowflake, bigquery, qualifyOp, qualifyStar,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
     athena, starrocks, materialize, teradata, teradataQualify, tableau,
@@ -2567,7 +2615,7 @@ object DialectQueries {
     snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
     pgFetchTiesNulls, pgFetchTiesRow, pgFetchTiesOffset, tsqlTopTies, tsqlTopPercent,
     oracleFetchPercent, tsqlTopTiesSubquery,
-    pgDistinctOn, pagingZero, pgFetchTiesStar,
+    pgDistinctOn, pagingZero, pgFetchTiesStar, pgDistinctTies,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, pgFilterWindow, duckdbByAll, snowflakePivot)
 }
