@@ -2563,7 +2563,10 @@ object DialectQueries {
           |                                    ELSE o_orderstatus END))) AS bare_nulls_kept,
           |  TO_JSON(LIST(o_orderstatus ORDER BY o_orderkey)) AS list_ordered,
           |  TO_JSON(SORT_ARRAY(LIST(CASE WHEN o_orderkey % 50 = 0 THEN NULL
-          |                               ELSE o_orderstatus END))) AS list_bare_nulls
+          |                               ELSE o_orderstatus END))) AS list_bare_nulls,
+          |  TO_JSON(SORT_ARRAY(LIST(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+          |                               ELSE o_orderstatus END)
+          |                     FILTER (WHERE o_orderkey % 2 = 0))) AS list_filtered
           |FROM orders WHERE o_orderkey <= 400
           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
         dialect = Dialect.DuckDbish)
@@ -2594,7 +2597,11 @@ object DialectQueries {
            |  to_json(list(o_orderstatus ORDER BY o_orderkey))::VARCHAR AS list_ordered,
            |  to_json(list_sort(list(CASE WHEN o_orderkey % 50 = 0 THEN NULL
            |                              ELSE o_orderstatus END),
-           |                    'ASC', 'NULLS FIRST'))::VARCHAR AS list_bare_nulls
+           |                    'ASC', 'NULLS FIRST'))::VARCHAR AS list_bare_nulls,
+           |  to_json(list_sort(list(CASE WHEN o_orderkey % 50 = 0 THEN NULL
+           |                              ELSE o_orderstatus END)
+           |                    FILTER (WHERE o_orderkey % 2 = 0),
+           |                    'ASC', 'NULLS FIRST'))::VARCHAR AS list_filtered
            |FROM orders WHERE o_orderkey <= 400
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 

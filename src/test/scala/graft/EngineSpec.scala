@@ -267,6 +267,20 @@ class EngineSpec extends SparkSpec {
       Map("t" -> t), Dialect.TsqlIsh)
     assert(!s.queryExecution.executedPlan.toString.contains("__pcut"))
     assert(s.count() === 10L)
+    // heavy duplicates: the percentile cutoff lands INSIDE a duplicate
+    // run, the exact case where a naive prune could split a tie class.
+    // 13 distinct values over 2000 rows; TOP 10 PERCENT WITH TIES keeps
+    // rank <= 200, whose tie rule pulls in the whole second value class
+    val dup = (1L to 2000L).map(i => (i, i % 13)).toDF("k", "v")
+    val wt = Engine.execute(spark,
+      "SELECT TOP 10 PERCENT WITH TIES k, v FROM dup ORDER BY v",
+      Map("dup" -> dup), Dialect.TsqlIsh)
+    assert(wt.queryExecution.executedPlan.toString.contains("__pcut"))
+    val gotD = wt.collect().map(_.getLong(1)).sorted
+    val ranked = (1L to 2000L).map(i => i % 13).sorted.zipWithIndex
+    val ranks = ranked.groupBy(_._1).view.mapValues(_.map(_._2).min + 1).toMap
+    val expectedD = ranked.map(_._1).filter(v => ranks(v) <= 200).sorted
+    assert(gotD.toSeq === expectedD)
   }
 
   test("dialect: == rewrite preserves string literals (ANSI '' doubling, backslash plain)") {
