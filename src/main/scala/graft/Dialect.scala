@@ -1032,6 +1032,34 @@ object Dialect {
   }
 
   /** Find the `)` matching the `(` at `open` (literal-span aware). */
+  /** The innermost parenthesized span enclosing position `at`:
+    * Some((open, close)) indices of the paren pair, None at depth 0 or
+    * on unbalanced text. Shared by the subquery-level WITH TIES /
+    * QUALIFY / DISTINCT ON recursions (r15 inline in WITH TIES;
+    * factored r16): the clause's enclosing statement — a subquery or a
+    * CTE body — is rewritten in place, then the caller rescans the
+    * splice.
+    */
+  private def enclosingParen(sql: String, spans: Vector[(Int, Int)],
+      at: Int): Option[(Int, Int)] = {
+    var i = at - 1
+    var d = 0
+    var open = -1
+    while (i >= 0 && open < 0) {
+      if (outsideLiterals(spans, i)) {
+        val c = sql.charAt(i)
+        if (c == ')') d += 1
+        else if (c == '(') { if (d == 0) open = i else d -= 1 }
+      }
+      i -= 1
+    }
+    if (open < 0) None
+    else {
+      val close = matchParen(sql, spans, open)
+      if (close < 0) None else Some((open, close))
+    }
+  }
+
   private def matchParen(sql: String, spans: Vector[(Int, Int)], open: Int): Int = {
     var depth = 0
     var i = open
@@ -1593,7 +1621,22 @@ object Dialect {
     val spans = literalSpans(sql, esc)
     val depth = depthAt(sql, spans)
     val qIdx = topLevelKeyword(sql, spans, depth, "QUALIFY")
-    if (qIdx < 0) return sql
+    if (qIdx < 0) {
+      // SUBQUERY/CTE-level QUALIFY (r16 — a raw Spark parse error
+      // before; `WITH x AS (SELECT … QUALIFY …)` is the canonical
+      // Snowflake idiom): rewrite the innermost parenthesized statement
+      // containing the clause in place, then rescan the splice
+      val m = "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sql)
+        .find(mm => outsideLiterals(spans, mm.start) && depth(mm.start) > 0)
+        .getOrElse(return sql)
+      val (open, close) = enclosingParen(sql, spans, m.start)
+        .getOrElse(return sql)
+      val inner = sql.substring(open + 1, close)
+      val rebuilt = rewriteQualify(inner, esc, spark)
+      if (rebuilt == inner) return sql // not a rewritable inner statement — stay loud
+      return rewriteQualify(
+        sql.substring(0, open + 1) + rebuilt + sql.substring(close), esc, spark)
+    }
     val afterQ = qIdx + "QUALIFY".length
     val boundary = Seq("ORDER", "LIMIT")
       .map(kw => topLevelKeyword(sql, spans, depth, kw, afterQ))
@@ -1829,7 +1872,21 @@ object Dialect {
     val depth = depthAt(sql, spans)
     val m = "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findAllMatchIn(sql)
       .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
-      .getOrElse(return sql)
+      .getOrElse {
+        // SUBQUERY/CTE-level DISTINCT ON (r16 — a raw `Cannot resolve
+        // routine ON` before): rewrite the innermost parenthesized
+        // statement containing the clause in place, then rescan
+        val nested = "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findAllMatchIn(sql)
+          .find(mm => depth(mm.start) > 0 && outsideLiterals(spans, mm.start))
+          .getOrElse(return sql)
+        val (open, close) = enclosingParen(sql, spans, nested.start)
+          .getOrElse(return sql)
+        val inner = sql.substring(open + 1, close)
+        val rebuilt = rewriteDistinctOn(inner, esc, spark)
+        if (rebuilt == inner) return sql // not a rewritable inner statement — stay loud
+        return rewriteDistinctOn(
+          sql.substring(0, open + 1) + rebuilt + sql.substring(close), esc, spark)
+      }
     val keysOpen = m.end - 1
     val keysClose = matchParen(sql, spans, keysOpen)
     if (keysClose < 0)
@@ -4101,20 +4158,9 @@ object Dialect {
       // SUBQUERY-level WITH TIES (r15 — a raw Spark parse error before):
       // rewrite the innermost parenthesized statement containing the
       // clause in place, then rescan (more subqueries may carry one)
-      var i = mAny.start - 1
-      var d = 0
-      var open = -1
-      while (i >= 0 && open < 0) {
-        if (outsideLiterals(spans0, i)) {
-          val c = s0.charAt(i)
-          if (c == ')') d += 1
-          else if (c == '(') { if (d == 0) open = i else d -= 1 }
-        }
-        i -= 1
-      }
-      val close = matchParen(s0, spans0, open)
-      if (open < 0 || close < 0)
-        throw new graft.UnsupportedError(s"unbalanced subquery around WITH TIES in: $s0")
+      val (open, close) = enclosingParen(s0, spans0, mAny.start)
+        .getOrElse(throw new graft.UnsupportedError(
+          s"unbalanced subquery around WITH TIES in: $s0"))
       val inner = s0.substring(open + 1, close)
       val rebuilt = rewriteFetchFirstWithTies(inner, spark)
       if (rebuilt == inner) return sql // not a rewritable inner statement — stay loud

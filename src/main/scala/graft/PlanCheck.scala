@@ -261,6 +261,10 @@ object PlanCheck {
       "window with a per-key WindowGroupLimit pre-prune; no joins",
       f => f("wgl") >= 1 && f("global_window") == 0 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_qualify_cte", "CTE-level QUALIFY keeps the keyed window + WindowGroupLimit " +
+      "pre-prune below a map-side-combined aggregate; no joins",
+      f => f("wgl") >= 1 && f("global_window") == 0 && f("partial_agg") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("stream_interval_join", "event-type filters pushed to the scan", _("pushed_filters") >= 2),
     Rule("stream_interval_join", "a real join (any strategy), never cartesian",
       f => f("bhj") + f("smj") + f("shj") >= 1 && f("cartesian") == 0),

@@ -315,6 +315,34 @@ object DialectQueries {
            |                           ORDER BY c_acctbal DESC, c_custkey) = 1
            |ORDER BY c_mktsegment""".stripMargin))
 
+  /** QUALIFY inside a CTE body (r16 — a raw Spark parse error before;
+    * `WITH x AS (SELECT … QUALIFY …)` is the canonical Snowflake
+    * dedup-then-join pattern): the innermost enclosing statement is
+    * rewritten in place. The outer query aggregates over the
+    * deduplicated CTE to prove the splice composes. DuckDB runs the
+    * same text natively as the oracle.
+    */
+  val qualifyCte = OpQ("op_dialect_qualify_cte",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """WITH latest AS (
+          |  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+          |  QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+          |                             ORDER BY c_acctbal DESC, c_custkey) <= 3)
+          |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+          |       MAX(c_custkey) AS top_key
+          |FROM latest GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""WITH latest AS (
+           |  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+           |  QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+           |                             ORDER BY c_acctbal DESC, c_custkey) <= 3)
+           |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           |       MAX(c_custkey) AS top_key
+           |FROM latest GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** DISTINCT ON (DuckDB/Postgres) — first row per key set by ORDER BY,
     * rewritten to a row_number window; plus `* EXCLUDE` → `* EXCEPT`.
     * The middle sort key is the ORDINAL 3 (r15 ordinal fix — inside the
@@ -2607,7 +2635,7 @@ object DialectQueries {
 
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
-    intDivNeg, literalEdges, snowflake, bigquery, qualifyOp, qualifyStar,
+    intDivNeg, literalEdges, snowflake, bigquery, qualifyOp, qualifyStar, qualifyCte,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
     athena, starrocks, materialize, teradata, teradataQualify, tableau,

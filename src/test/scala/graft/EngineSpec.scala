@@ -219,6 +219,32 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot expand"))
   }
 
+  test("QUALIFY and DISTINCT ON rewrite inside CTE bodies and subqueries") {
+    initLog()
+    import spark.implicits._
+    val t = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L)).toDF("s", "k")
+    def rows(sql: String, dial: Dialect): Seq[String] =
+      Engine.execute(spark, sql, Map("t" -> t), dial)
+        .collect().map(_.toSeq.mkString(":")).sorted.toSeq
+    // canonical Snowflake pattern: dedup in a CTE, consume outside
+    assert(rows(
+      """WITH x AS (SELECT s, k FROM t
+        |           QUALIFY row_number() OVER (PARTITION BY s ORDER BY k DESC) = 1)
+        |SELECT s, k FROM x""".stripMargin, Dialect.Snowflakeish) ===
+      Seq("a:2", "b:4", "c:5"))
+    assert(rows(
+      """SELECT y.s FROM (SELECT s, k FROM t
+        |  QUALIFY row_number() OVER (PARTITION BY s ORDER BY k DESC) = 1) y""".stripMargin,
+      Dialect.DuckDbish) === Seq("a", "b", "c"))
+    assert(rows(
+      """WITH x AS (SELECT DISTINCT ON (s) s, k FROM t ORDER BY s, k DESC)
+        |SELECT s, k FROM x""".stripMargin, Dialect.Postgresish) ===
+      Seq("a:2", "b:4", "c:5"))
+    assert(rows(
+      "SELECT y.k FROM (SELECT DISTINCT ON (s) s, k FROM t ORDER BY s, k DESC) y",
+      Dialect.DuckDbish) === Seq("2", "4", "5"))
+  }
+
   test("zero-count paging forms return the empty set in every dialect spelling") {
     initLog()
     import spark.implicits._
