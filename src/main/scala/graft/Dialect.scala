@@ -285,6 +285,13 @@ object Dialect {
       val steps: Seq[String => String] = Seq(
         s => renameFunctions(s, renames, esc = true), // to_char joins to_varchar
         s => rewriteDoubleQuotedIdents(s, esc = true),
+        // Snowflake supports `SELECT TOP n` (no PERCENT/TIES — those
+        // spellings are T-SQL's; accepting them here is a harmless
+        // superset). Runs BEFORE the QUALIFY rewrite so the emitted
+        // LIMIT lands after the QUALIFY clause and the QUALIFY rewrite
+        // carries it as its tail — QUALIFY filters first, then TOP,
+        // exactly Snowflake's evaluation order (r16).
+        s => rewriteTsqlTop(s, Some(spark)),
         s => rewriteQualify(s, esc = true, spark = Some(spark)),
         // Snowflake spells ordered array_agg WITHIN GROUP; its nulls sort
         // highest (last-on-ASC/first-on-DESC, like Postgres) and — unlike

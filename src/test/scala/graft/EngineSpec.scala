@@ -243,6 +243,15 @@ class EngineSpec extends SparkSpec {
     assert(rows(
       "SELECT y.k FROM (SELECT DISTINCT ON (s) s, k FROM t ORDER BY s, k DESC) y",
       Dialect.DuckDbish) === Seq("2", "4", "5"))
+    // Snowflake's own `SELECT TOP n` spelling (r16 wiring), composing
+    // with QUALIFY in Snowflake's evaluation order: QUALIFY filters
+    // first, then TOP truncates the ordered result
+    assert(rows("SELECT TOP 2 s FROM t ORDER BY s", Dialect.Snowflakeish) ===
+      Seq("a", "a"))
+    assert(rows(
+      """SELECT TOP 1 s, k FROM t
+        |QUALIFY row_number() OVER (PARTITION BY s ORDER BY k DESC) = 1
+        |ORDER BY s""".stripMargin, Dialect.Snowflakeish) === Seq("a:2"))
   }
 
   test("zero-count paging forms return the empty set in every dialect spelling") {
@@ -293,6 +302,46 @@ class EngineSpec extends SparkSpec {
       Map("t" -> t), Dialect.TsqlIsh)
     assert(!s.queryExecution.executedPlan.toString.contains("__pcut"))
     assert(s.count() === 10L)
+    // differential check across adversarial shapes: null-dominated
+    // inputs (the runtime guard must disable pruning), tiny percents,
+    // 100%, DESC with nulls-first, and tiny relations — the engine's
+    // scale plan must return the SAME multiset as the legacy
+    // full-window plan spelled directly. No tie-break key, so the rank
+    // ties are heavy and membership is decided by the tie rule alone
+    // (ONLY-forms compare by value multiset, which stays deterministic).
+    val rnd = new scala.util.Random(42)
+    val shapes = Seq(
+      // (rows, null fraction, percent, asc?, distinct values, ties?)
+      (1500, 0.0, "5", true, 7, true),
+      (1500, 0.3, "10", false, 13, true),
+      (1500, 0.9, "50", true, 5, true),
+      (1500, 0.0, "99", false, 997, false),
+      (1500, 0.25, "0.5", true, 3, false),
+      (1500, 0.5, "100", true, 11, true),
+      (30, 0.2, "10", true, 4, true))
+    shapes.zipWithIndex.foreach { case ((nRows, nullFrac, pct, asc, card, ties), ci) =>
+      val df = (1 to nRows).map { i =>
+        (i.toLong,
+          if (rnd.nextDouble() < nullFrac) None else Some(rnd.nextInt(card).toLong))
+      }.toDF("k", "v")
+      val dir = if (asc) "" else " DESC"
+      val form = if (ties) "WITH TIES" else "ONLY"
+      val engine = Engine.execute(spark,
+        s"SELECT k, v FROM t ORDER BY v$dir FETCH FIRST $pct PERCENT ROWS $form",
+        Map("t" -> df), Dialect.OracleIsh)
+      df.createOrReplaceTempView("pctref")
+      val vnulls = if (asc) "NULLS LAST" else "NULLS FIRST" // Oracle's pinned default
+      val rankFn = if (ties) "rank()" else "row_number()"
+      val legacy = spark.sql(
+        s"""SELECT k, v FROM (
+           |  SELECT k, v, $rankFn OVER (ORDER BY v$dir $vnulls) AS rk,
+           |         count(*) OVER () AS ct FROM pctref)
+           |WHERE rk <= CEILING(ct * ($pct) / 100.0)""".stripMargin)
+      def vs(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+        d.collect().map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).sorted.toSeq
+      assert(vs(engine) === vs(legacy),
+        s"shape $ci (rows=$nRows nulls=$nullFrac pct=$pct asc=$asc card=$card ties=$ties)")
+    }
     // heavy duplicates: the percentile cutoff lands INSIDE a duplicate
     // run, the exact case where a naive prune could split a tie class.
     // 13 distinct values over 2000 rows; TOP 10 PERCENT WITH TIES keeps
