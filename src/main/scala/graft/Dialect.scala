@@ -220,7 +220,11 @@ object Dialect {
         rewriteStrftime,
         rewriteStringSplit,
         rewriteEpoch,
-        s => renameFunctions(s, renames))
+        s => renameFunctions(s, renames),
+        // LAST: membership null-placement pin (DuckDB sorts NULLS LAST
+        // both ways) — after every rewrite that emits or carries a
+        // window / truncated ORDER BY
+        s => pinSortNulls(s, alwaysLast = true, esc = true))
       rewriteReadCsv(spark, steps.foldLeft(sql)((s, f) => f(s)), schemas)
     }
   }
@@ -257,7 +261,17 @@ object Dialect {
         rewriteKeepNullArrayAgg,
         s => rewriteArrayLiteral(s, esc = false),
         s => rewriteUnnest(s, esc = false),
-        s => renameFunctions(s, renames))
+        s => renameFunctions(s, renames),
+        // Trino speaks the full ANSI paging surface (r16 — raw parse
+        // errors before): FETCH FIRST n ROWS WITH TIES rides the shared
+        // rank builder (Trino sorts nulls largest, the builder's
+        // nullsLargest default), OFFSET…FETCH and the bare FETCH map to
+        // LIMIT/OFFSET
+        s => rewriteFetchFirstWithTies(s, Some(spark)),
+        rewriteTsqlOffsetFetch,
+        rewriteFetchFirst,
+        // LAST: membership null-placement pin (Trino sorts nulls largest)
+        s => pinSortNulls(s, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -304,7 +318,11 @@ object Dialect {
         rewriteSnowDateDiff,
         rewriteSnowDayMonthName,
         rewriteTeradataZeroNull, // ZEROIFNULL/NULLIFZERO are Snowflake builtins too
-        rewriteToVarchar)
+        rewriteToVarchar,
+        // LAST: membership null-placement pin (Snowflake sorts nulls
+        // largest — r16 review: the TOP wiring's LIMIT made the
+        // statement ORDER BY placement membership-relevant)
+        s => pinSortNulls(s, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -432,7 +450,9 @@ object Dialect {
         s => rewriteFetchFirstWithTies(s, Some(spark)), // FETCH FIRST n ROWS WITH TIES (rank filter)
         rewriteTsqlOffsetFetch, // ANSI OFFSET…FETCH paging (Postgres-legal)
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
-        s => renameFunctions(s, renames))
+        s => renameFunctions(s, renames),
+        // LAST: membership null-placement pin (Postgres sorts nulls largest)
+        s => pinSortNulls(s, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -488,7 +508,9 @@ object Dialect {
         rewriteTsqlOffsetFetch, // Oracle 12c OFFSET…FETCH paging
         rewriteFetchFirst,      // …and the standalone FETCH FIRST n
         s => rewriteWord(s, "MINUS", "EXCEPT"),
-        s => rewriteWord(s, "SYSDATE", "current_timestamp()"))
+        s => rewriteWord(s, "SYSDATE", "current_timestamp()"),
+        // LAST: membership null-placement pin (Oracle sorts nulls largest)
+        s => pinSortNulls(s, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -568,7 +590,9 @@ object Dialect {
         rewriteRsDateDiff,
         rewriteRsBareTypes,
         s => rewriteQualify(s, esc = true, spark = Some(spark)),
-        s => renameFunctions(s, renames, esc = true))
+        s => renameFunctions(s, renames, esc = true),
+        // LAST: membership null-placement pin (Redshift sorts nulls largest)
+        s => pinSortNulls(s, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -658,7 +682,10 @@ object Dialect {
         rewriteChUniq,
         rewriteChEmpty,
         rewriteChPosition,
-        s => renameFunctions(s, renames, esc = true))
+        s => renameFunctions(s, renames, esc = true),
+        // LAST: membership null-placement pin (ClickHouse defaults to
+        // NULLS LAST in both sort directions, like DuckDB)
+        s => pinSortNulls(s, alwaysLast = true, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -3897,11 +3924,14 @@ object Dialect {
       throw new graft.UnsupportedError(
         s"$construct under SELECT DISTINCT ON is not supported (rewrite DISTINCT ON first)")
     // the set-operation guard matches the CLAUSE shape (keyword followed
-    // by a [parenthesized] SELECT arm), not the bare word — `SELECT *
-    // EXCEPT (cols)` is a star clause, not a set operation (r16 probe)
+    // by an arm: [parenthesized] SELECT/VALUES/TABLE/WITH), not the bare
+    // word — `SELECT * EXCEPT (cols)` is a star clause, not a set
+    // operation (r16 probe; arm shapes per review — a VALUES/TABLE arm
+    // must keep the named error, not fall through to a raw arity error)
     Seq("UNION", "INTERSECT", "EXCEPT").foreach { k =>
       val armRe = ("(?is)\\b" + k +
-        "\\s+(?:(?:ALL|DISTINCT)\\s+)?(?:SELECT\\b|\\(\\s*SELECT\\b)").r
+        "\\s+(?:(?:ALL|DISTINCT)\\s+)?" +
+        "(?:SELECT\\b|VALUES\\b|TABLE\\b|WITH\\b|\\(\\s*(?:SELECT|VALUES|TABLE|WITH)\\b)").r
       if (armRe.findAllMatchIn(sql).exists(mm =>
           depth(mm.start) == 0 && outsideLiterals(spans, mm.start)))
         throw new graft.UnsupportedError(
@@ -3911,6 +3941,16 @@ object Dialect {
     if (sql.substring(tiesEnd).trim.nonEmpty)
       throw new graft.UnsupportedError(
         s"$construct must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
+    // a top-level QUALIFY still in the body would rank the PRE-QUALIFY
+    // rows (the qualify rewrite runs later and would materialize the
+    // rank alongside the filter — inverting the dialects'
+    // QUALIFY-before-TOP evaluation order, r16 review): fail fast. The
+    // plain-TOP LIMIT path composes correctly and is unaffected.
+    if (topLevelKeyword(sql, spans, depth, "QUALIFY") >= 0)
+      throw new graft.UnsupportedError(
+        s"$construct combined with QUALIFY is not supported " +
+          "(the rank would run before the QUALIFY filter); " +
+          "apply QUALIFY in a subquery and the row limit outside")
     val body = sql.substring(fromIdx, orderIdx).trim
     val items = expandStarItems(spark,
       splitArgs(sql, spans,
@@ -4119,6 +4159,111 @@ object Dialect {
     }
   }
 
+
+  /** Pin the dialect's DEFAULT null placement into sort keys wherever
+    * the placement decides row MEMBERSHIP, not just display order —
+    * Spark's default (nulls smallest: first-on-ASC/last-on-DESC) is the
+    * OPPOSITE of the nulls-largest dialects' and of DuckDB/ClickHouse's
+    * both-ways NULLS LAST (r16 review: the WITH TIES family has pinned
+    * this since r14, but a plain `ORDER BY nullable LIMIT n` and every
+    * USER window — `row_number() OVER (ORDER BY nullable)` under
+    * QUALIFY, ordered frames — kept Spark's polarity: a silent
+    * membership change on nullable keys). Pinned sites:
+    *   - every `OVER (… ORDER BY keys [frame])` span and every named
+    *     `WINDOW w AS (…)` spec (recognized by an `AS (` whose content
+    *     OPENS with PARTITION/ORDER/ROWS/RANGE/GROUPS — a CTE or
+    *     derived-table `AS (SELECT …)` opens with SELECT/WITH and is
+    *     recursed as a statement scope instead);
+    *   - a statement-scope ORDER BY whose scope continues with
+    *     LIMIT/FETCH/OFFSET — truncation turns order into membership.
+    *     An un-truncated ORDER BY is left untouched (the full row set
+    *     is order-insensitive as a relation).
+    * Keys already spelling NULLS FIRST/LAST keep the user's placement;
+    * the paging rewrites' own pinned windows are unchanged for the
+    * same reason. `alwaysLast = false` → nulls-largest (Postgres /
+    * Oracle / Trino / Snowflake / Redshift: LAST on ASC, FIRST on
+    * DESC); `true` → DuckDB / ClickHouse's NULLS LAST both ways.
+    * Runs LAST in each wired chain so the windows other rewrites EMIT
+    * (DISTINCT ON's row_number, LIMIT BY's, a materialized QUALIFY
+    * predicate) are pinned too.
+    */
+  private[graft] def pinSortNulls(sql: String, alwaysLast: Boolean = false,
+      esc: Boolean = false): String = {
+    def pinKeys(keysText: String): String = {
+      val kSpans = literalSpans(keysText, esc)
+      val parts = splitArgs(keysText, kSpans, 0, keysText.length)
+      if (parts.exists(_.trim.isEmpty)) return keysText // malformed — leave loud
+      parts.map(_.trim).map { part =>
+        if ("(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(part).isDefined) part
+        else if ("(?is)\\bDESC\\s*$".r.findFirstIn(part).isDefined)
+          part + (if (alwaysLast) " NULLS LAST" else " NULLS FIRST")
+        else part + " NULLS LAST"
+      }.mkString(", ")
+    }
+    def process(s: String, isWindowSpec: Boolean): String = {
+      var cur = s
+      // recurse into this scope's paren groups, back to front so the
+      // recorded indices stay valid through the splices
+      val spans0 = literalSpans(cur, esc)
+      val depth0 = depthAt(cur, spans0)
+      val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
+      var i = 0
+      while (i < cur.length) {
+        if (cur.charAt(i) == '(' && outsideLiterals(spans0, i) && depth0(i) == 0) {
+          val close = matchParen(cur, spans0, i)
+          if (close > i) {
+            var j = i - 1
+            while (j >= 0 && Character.isWhitespace(cur.charAt(j))) j -= 1
+            var b = j + 1
+            while (b > 0 && (Character.isLetterOrDigit(cur.charAt(b - 1)) ||
+                cur.charAt(b - 1) == '_')) b -= 1
+            val tok = if (j < 0) "" else cur.substring(b, j + 1).toLowerCase
+            val content = cur.substring(i + 1, close)
+            val childIsWin = tok == "over" ||
+              (tok == "as" && "(?is)^\\s*(PARTITION|ORDER|ROWS|RANGE|GROUPS)\\b".r
+                .findFirstIn(content).isDefined)
+            groups += ((i, close, childIsWin))
+            i = close + 1
+          } else i += 1
+        } else i += 1
+      }
+      groups.reverseIterator.foreach { case (o, c, w) =>
+        cur = cur.substring(0, o + 1) + process(cur.substring(o + 1, c), w) +
+          cur.substring(c)
+      }
+      // this scope's own ORDER BY sites — found once, spliced back to
+      // front (a site's start index stays valid because every earlier
+      // splice happened at a later position); spans/depth are
+      // recomputed per splice since the tail text has changed
+      val spans1 = literalSpans(cur, esc)
+      val depth1 = depthAt(cur, spans1)
+      val sites = "(?is)\\bORDER\\s+BY\\b".r.findAllMatchIn(cur)
+        .filter(m => depth1(m.start) == 0 && outsideLiterals(spans1, m.start))
+        .map(_.end).toList
+      sites.reverseIterator.foreach { keysStart =>
+        val spans = literalSpans(cur, esc)
+        val depth = depthAt(cur, spans)
+        val keysEnd =
+          if (isWindowSpec)
+            Seq("ROWS", "RANGE", "GROUPS")
+              .map(kw => topLevelKeyword(cur, spans, depth, kw, keysStart))
+              .filter(_ >= 0).sorted.headOption.getOrElse(cur.length)
+          else {
+            val bound = Seq("LIMIT", "FETCH", "OFFSET")
+              .map(kw => topLevelKeyword(cur, spans, depth, kw, keysStart))
+              .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+            bound // no truncation → no membership → skip
+          }
+        if (keysEnd >= 0) {
+          val keys = cur.substring(keysStart, keysEnd)
+          cur = cur.substring(0, keysStart) + " " + pinKeys(keys.trim) + " " +
+            cur.substring(keysEnd)
+        }
+      }
+      cur
+    }
+    process(sql, isWindowSpec = false)
+  }
 
   /** Postgres `LIMIT ALL` — a spelled-out "no limit" (query builders
     * emit it when a limit parameter is absent); Spark's parser rejects

@@ -144,7 +144,11 @@ object PlanCheck {
       ("DISTINCT + WITH TIES: the rank runs over the groupBy-collapsed " +
         "DISTINCT output (|distinct pairs| rows, map-side combined) with the " +
         "same WindowGroupLimit pre-prune as op_dialect_pg_fetch_ties " +
-        "(pinned by rule)"))
+        "(pinned by rule)"),
+    "op_dialect_trino_fetch_paging" ->
+      ("Trino WITH TIES rank filter: the same WindowGroupLimit pre-prune " +
+        "as op_dialect_pg_fetch_ties (pinned by rule); the OFFSET…FETCH leg " +
+        "is a plain LIMIT/OFFSET"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -724,6 +728,18 @@ object PlanCheck {
     Rule("op_dialect_pg_distinct_ties", "DISTINCT + WITH TIES: map-side-combined distinct " +
       "aggregation below the WindowGroupLimit-pre-pruned rank; no joins",
       f => f("wgl") >= 1 && f("partial_agg") >= 2 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_duckdb_order_nulls", "null-pinned QUALIFY window stays keyed with a " +
+      "per-key WindowGroupLimit pre-prune, and the pinned outer LIMIT is a top-k; no joins",
+      f => f("wgl") >= 1 && f("global_window") == 0 && f("topk") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_window_nulls", "null-pinned ranking window stays keyed with a " +
+      "per-key WindowGroupLimit pre-prune, and the pinned outer LIMIT is a top-k; no joins",
+      f => f("wgl") >= 1 && f("global_window") == 0 && f("topk") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_trino_fetch_paging", "Trino WITH TIES keeps the WindowGroupLimit " +
+      "pre-prune and pushed key filters; no joins",
+      f => f("wgl") >= 1 && f("pushed_filters") >= 2 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_distinct_on", "Postgres-wired DISTINCT ON keeps the keyed (partitioned) " +
       "row_number — per-key WindowGroupLimit pre-prune, pushed key filter, no joins",

@@ -1876,6 +1876,101 @@ object DialectQueries {
            |  ('tsql_top_zero_ties')) AS v(form)
            |ORDER BY form""".stripMargin))
 
+  /** Membership null-placement pin, DuckDB wiring (r16 review finding:
+    * Spark sorts nulls SMALLEST by default, DuckDB pins NULLS LAST both
+    * ways — under a LIMIT or a ranking window the placement decides
+    * MEMBERSHIP, and an unpinned nullable key silently returned
+    * Spark's row set). A null-holed key under ORDER BY…LIMIT and under
+    * a QUALIFY row_number window, same text in DuckDB as the oracle.
+    */
+  val duckdbOrderNulls = OpQ("op_dialect_duckdb_order_nulls",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |            ELSE o_orderpriority END AS p, o_orderkey AS k
+          |FROM orders WHERE o_orderkey <= 300
+          |QUALIFY row_number() OVER (PARTITION BY o_orderkey % 3
+          |                           ORDER BY CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |                                         ELSE o_orderpriority END, o_orderkey) <= 5
+          |ORDER BY p, k LIMIT 12""".stripMargin,
+        dialect = Dialect.DuckDbish)
+    },
+    Some("""SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |            ELSE o_orderpriority END AS p, o_orderkey AS k
+           |FROM orders WHERE o_orderkey <= 300
+           |QUALIFY row_number() OVER (PARTITION BY o_orderkey % 3
+           |                           ORDER BY CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |                                         ELSE o_orderpriority END, o_orderkey) <= 5
+           |ORDER BY p, k LIMIT 12""".stripMargin))
+
+  /** Membership null-placement pin, Postgres wiring (r16): Postgres
+    * sorts nulls LARGEST — last on ASC, FIRST on DESC, both the
+    * opposite of Spark — so the DESC ranking window picks the NULL row
+    * first per partition and the ASC outer LIMIT keeps non-nulls. The
+    * oracle replays in DuckDB with the placements spelled explicitly.
+    */
+  val pgWindowNulls = OpQ("op_dialect_pg_window_nulls",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT p, k FROM (
+          |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |              ELSE o_orderpriority END AS p,
+          |         o_orderkey AS k,
+          |         row_number() OVER (PARTITION BY o_orderkey % 3
+          |                            ORDER BY CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |                                          ELSE o_orderpriority END DESC,
+          |                                     o_orderkey) AS rn
+          |  FROM orders WHERE o_orderkey <= 300) x
+          |WHERE rn <= 5
+          |ORDER BY p, k LIMIT 12""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""SELECT p, k FROM (
+           |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |              ELSE o_orderpriority END AS p,
+           |         o_orderkey AS k,
+           |         row_number() OVER (PARTITION BY o_orderkey % 3
+           |                            ORDER BY CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |                                          ELSE o_orderpriority END DESC NULLS FIRST,
+           |                                     o_orderkey) AS rn
+           |  FROM orders WHERE o_orderkey <= 300) x
+           |WHERE rn <= 5
+           |ORDER BY p NULLS LAST, k LIMIT 12""".stripMargin))
+
+  /** Trino's ANSI paging surface (r16 — raw parse errors before):
+    * OFFSET…FETCH maps to LIMIT/OFFSET and FETCH FIRST n ROWS WITH
+    * TIES rides the shared rank builder with Trino's nulls-largest
+    * placement. The oracle replays the rank membership in DuckDB.
+    */
+  val trinoFetchPaging = OpQ("op_dialect_trino_fetch_paging",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY p
+          |FETCH FIRST 10 ROWS WITH TIES""".stripMargin,
+        dialect = Dialect.Trinoish)
+        .unionAll(Engine.execute(s,
+          """SELECT o_orderpriority AS p
+            |FROM orders WHERE o_orderkey <= 2000
+            |ORDER BY p, o_orderkey OFFSET 5 ROWS FETCH NEXT 7 ROWS ONLY""".stripMargin,
+          dialect = Dialect.Trinoish))
+        .orderBy("p")
+    },
+    Some("""WITH r AS (SELECT o_orderpriority AS p,
+           |             rank() OVER (ORDER BY o_orderpriority) AS rk
+           |           FROM orders WHERE o_orderkey <= 2000),
+           |u AS (
+           |  SELECT p FROM r WHERE rk <= 10
+           |  UNION ALL
+           |  (SELECT o_orderpriority AS p
+           |   FROM orders WHERE o_orderkey <= 2000
+           |   ORDER BY o_orderpriority, o_orderkey LIMIT 7 OFFSET 5))
+           |SELECT p FROM u ORDER BY p""".stripMargin))
+
   /** `SELECT DISTINCT … FETCH FIRST n ROWS WITH TIES` (r16 — a named
     * fail-fast before; legal Postgres): DISTINCT applies FIRST, then
     * the rank filter runs over the DISTINCT output — the rewrite ranks
@@ -2651,6 +2746,7 @@ object DialectQueries {
     pgFetchTiesNulls, pgFetchTiesRow, pgFetchTiesOffset, tsqlTopTies, tsqlTopPercent,
     oracleFetchPercent, tsqlTopTiesSubquery,
     pgDistinctOn, pagingZero, pgFetchTiesStar, pgDistinctTies,
+    duckdbOrderNulls, pgWindowNulls, trinoFetchPaging,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, pgFilterWindow, duckdbByAll, snowflakePivot)
 }
