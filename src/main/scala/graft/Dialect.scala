@@ -254,10 +254,12 @@ object Dialect {
         rewriteTrinoDateFns,
         rewriteTrinoTry,
         s => rewriteAggFilter(s, esc = true),
-        // Trino's array_agg takes the inline ORDER BY too; its nulls sort
-        // highest (Postgres polarity) and null VALUES are kept — in the
-        // bare form too (struct wrap, r15)
-        s => rewritePgArrayAgg(s, descNullsLast = false),
+        // Trino's array_agg takes the inline ORDER BY too; its default
+        // null ordering is NULLS LAST regardless of direction (r16
+        // second review — previously mis-pinned to the Postgres
+        // nulls-largest polarity, wrong on DESC keys) and null VALUES
+        // are kept — in the bare form too (struct wrap, r15)
+        s => rewritePgArrayAgg(s, descNullsLast = true),
         rewriteKeepNullArrayAgg,
         s => rewriteArrayLiteral(s, esc = false),
         s => rewriteUnnest(s, esc = false),
@@ -267,11 +269,14 @@ object Dialect {
         // rank builder (Trino sorts nulls largest, the builder's
         // nullsLargest default), OFFSET…FETCH and the bare FETCH map to
         // LIMIT/OFFSET
-        s => rewriteFetchFirstWithTies(s, Some(spark)),
+        s => rewriteFetchFirstWithTies(s, Some(spark), nullsAlwaysLast = true),
         rewriteTsqlOffsetFetch,
         rewriteFetchFirst,
-        // LAST: membership null-placement pin (Trino sorts nulls largest)
-        s => pinSortNulls(s, esc = true))
+        // LAST: membership null-placement pin — Trino's documented
+        // default is NULLS LAST regardless of direction (r16 second
+        // review: the first wiring mis-grouped Trino with the
+        // nulls-largest dialects)
+        s => pinSortNulls(s, alwaysLast = true, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
     }
   }
@@ -3900,7 +3905,8 @@ object Dialect {
       percent: Boolean = false, ties: Boolean = true,
       construct: String = "WITH TIES",
       offset: Option[String] = None,
-      spark: Option[SparkSession] = None): String = {
+      spark: Option[SparkSession] = None,
+      nullsAlwaysLast: Boolean = false): String = {
     val spans = literalSpans(sql, backslashEscapes = true)
     val depth = depthAt(sql, spans)
     val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
@@ -3945,12 +3951,27 @@ object Dialect {
     // rows (the qualify rewrite runs later and would materialize the
     // rank alongside the filter — inverting the dialects'
     // QUALIFY-before-TOP evaluation order, r16 review): fail fast. The
-    // plain-TOP LIMIT path composes correctly and is unaffected.
-    if (topLevelKeyword(sql, spans, depth, "QUALIFY") >= 0)
-      throw new graft.UnsupportedError(
-        s"$construct combined with QUALIFY is not supported " +
-          "(the rank would run before the QUALIFY filter); " +
-          "apply QUALIFY in a subquery and the row limit outside")
+    // plain-TOP LIMIT path composes correctly and is unaffected. The
+    // guard matches the CLAUSE position only — a table/alias named
+    // qualify (legal in the QUALIFY-less dialects this builder also
+    // serves) is preceded by FROM/JOIN/AS/comma and passes (r16 second
+    // review: the bare-word check false-failed `FROM qualify`).
+    val qIdx = topLevelKeyword(sql, spans, depth, "QUALIFY")
+    if (qIdx >= 0) {
+      var j = qIdx - 1
+      while (j >= 0 && Character.isWhitespace(sql.charAt(j))) j -= 1
+      var b0 = j + 1
+      while (b0 > 0 && (Character.isLetterOrDigit(sql.charAt(b0 - 1)) ||
+          sql.charAt(b0 - 1) == '_')) b0 -= 1
+      val prev = if (j < 0) "" else sql.substring(b0, j + 1).toLowerCase
+      val isIdentifier = prev == "from" || prev == "join" || prev == "as" ||
+        (j >= 0 && (sql.charAt(j) == ',' || sql.charAt(j) == '.'))
+      if (!isIdentifier)
+        throw new graft.UnsupportedError(
+          s"$construct combined with QUALIFY is not supported " +
+            "(the rank would run before the QUALIFY filter); " +
+            "apply QUALIFY in a subquery and the row limit outside")
+    }
     val body = sql.substring(fromIdx, orderIdx).trim
     val items = expandStarItems(spark,
       splitArgs(sql, spans,
@@ -3977,10 +3998,12 @@ object Dialect {
               s"(${aliasExpr(pm.group(1).toLowerCase)})${pm.group(2)}"
             case _ => part0
           }
-        if (!nullsLargest ||
+        if ((!nullsLargest && !nullsAlwaysLast) ||
             "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(part).isDefined) part
         else if ("(?is)\\bDESC\\s*$".r.findFirstIn(part).isDefined)
-          part + " NULLS FIRST"
+          // nulls-largest pins FIRST on DESC; Trino/DuckDB-style
+          // always-last pins LAST in both directions
+          part + (if (nullsAlwaysLast) " NULLS LAST" else " NULLS FIRST")
         else part + " NULLS LAST"
       }
     }
@@ -4013,9 +4036,10 @@ object Dialect {
               s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
                 s"to appear in the select list; cannot resolve: $e")))
         val pinned = resolved + sfx
-        if (!nullsLargest ||
+        if ((!nullsLargest && !nullsAlwaysLast) ||
             "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(pinned).isDefined) pinned
-        else if ("(?is)\\bDESC\\s*$".r.findFirstIn(pinned).isDefined) pinned + " NULLS FIRST"
+        else if ("(?is)\\bDESC\\s*$".r.findFirstIn(pinned).isDefined)
+          pinned + (if (nullsAlwaysLast) " NULLS LAST" else " NULLS FIRST")
         else pinned + " NULLS LAST"
       }.mkString(", ")
       val inner = s"( SELECT DISTINCT ${items.mkString(", ")} $body )"
@@ -4189,17 +4213,40 @@ object Dialect {
     */
   private[graft] def pinSortNulls(sql: String, alwaysLast: Boolean = false,
       esc: Boolean = false): String = {
-    def pinKeys(keysText: String): String = {
+    def pinKeys(keysText: String): Option[String] = {
       val kSpans = literalSpans(keysText, esc)
+      // a COMMENT inside the key region would swallow the appended pin
+      // (and, trim-joined onto one line, the clause after it — a silent
+      // dropped LIMIT, r16 second review): None → the caller leaves the
+      // whole site byte-identical, the pre-pin behavior
+      if ("--|/\\*".r.findAllMatchIn(keysText)
+          .exists(m => outsideLiterals(kSpans, m.start))) return None
       val parts = splitArgs(keysText, kSpans, 0, keysText.length)
-      if (parts.exists(_.trim.isEmpty)) return keysText // malformed — leave loud
-      parts.map(_.trim).map { part =>
+      if (parts.exists(_.trim.isEmpty)) return None // malformed — leave loud
+      Some(parts.map(_.trim).map { part =>
         if ("(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(part).isDefined) part
         else if ("(?is)\\bDESC\\s*$".r.findFirstIn(part).isDefined)
           part + (if (alwaysLast) " NULLS LAST" else " NULLS FIRST")
         else part + " NULLS LAST"
-      }.mkString(", ")
+      }.mkString(", "))
     }
+    // backtick spans (quoted identifiers) — literalSpans tracks string
+    // quotes only, so a column named `limit`/`rows` would otherwise
+    // terminate the key region MID-identifier (r16 second review)
+    def backtickSpans(s: String, spans: Vector[(Int, Int)]): Vector[(Int, Int)] = {
+      val b = Vector.newBuilder[(Int, Int)]
+      var i = 0
+      var open = -1
+      while (i < s.length) {
+        if (s.charAt(i) == '`' && outsideLiterals(spans, i)) {
+          if (open < 0) open = i else { b += ((open, i)); open = -1 }
+        }
+        i += 1
+      }
+      b.result()
+    }
+    def outsideTicks(ticks: Vector[(Int, Int)], i: Int): Boolean =
+      !ticks.exists { case (a, b) => i >= a && i <= b }
     def process(s: String, isWindowSpec: Boolean): String = {
       var cur = s
       // recurse into this scope's paren groups, back to front so the
@@ -4219,9 +4266,16 @@ object Dialect {
                 cur.charAt(b - 1) == '_')) b -= 1
             val tok = if (j < 0) "" else cur.substring(b, j + 1).toLowerCase
             val content = cur.substring(i + 1, close)
+            // `OVER (spec)`, `WINDOW w AS (spec)` (content opens with a
+            // window keyword — a CTE/derived `AS (SELECT …)` recurses as
+            // a statement), and `WITHIN GROUP (ORDER BY …)` (r16 second
+            // review: listagg/string_agg output strings depend on the
+            // sort placement too; `GROUP BY (…)` has token `by`, never
+            // `group`, so it cannot match)
             val childIsWin = tok == "over" ||
-              (tok == "as" && "(?is)^\\s*(PARTITION|ORDER|ROWS|RANGE|GROUPS)\\b".r
-                .findFirstIn(content).isDefined)
+              ((tok == "as" || tok == "group") &&
+                "(?is)^\\s*(PARTITION|ORDER|ROWS|RANGE|GROUPS)\\b".r
+                  .findFirstIn(content).isDefined)
             groups += ((i, close, childIsWin))
             i = close + 1
           } else i += 1
@@ -4237,27 +4291,31 @@ object Dialect {
       // recomputed per splice since the tail text has changed
       val spans1 = literalSpans(cur, esc)
       val depth1 = depthAt(cur, spans1)
+      val ticks1 = backtickSpans(cur, spans1)
       val sites = "(?is)\\bORDER\\s+BY\\b".r.findAllMatchIn(cur)
-        .filter(m => depth1(m.start) == 0 && outsideLiterals(spans1, m.start))
+        .filter(m => depth1(m.start) == 0 && outsideLiterals(spans1, m.start) &&
+          outsideTicks(ticks1, m.start))
         .map(_.end).toList
       sites.reverseIterator.foreach { keysStart =>
         val spans = literalSpans(cur, esc)
         val depth = depthAt(cur, spans)
+        val ticks = backtickSpans(cur, spans)
+        def bound(kws: Seq[String]): Int = kws
+          .map(kw => ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(cur)
+            .find(m => m.start >= keysStart && depth(m.start) == 0 &&
+              outsideLiterals(spans, m.start) && outsideTicks(ticks, m.start))
+            .map(_.start).getOrElse(-1))
+          .filter(_ >= 0).sorted.headOption.getOrElse(-1)
         val keysEnd =
-          if (isWindowSpec)
-            Seq("ROWS", "RANGE", "GROUPS")
-              .map(kw => topLevelKeyword(cur, spans, depth, kw, keysStart))
-              .filter(_ >= 0).sorted.headOption.getOrElse(cur.length)
-          else {
-            val bound = Seq("LIMIT", "FETCH", "OFFSET")
-              .map(kw => topLevelKeyword(cur, spans, depth, kw, keysStart))
-              .filter(_ >= 0).sorted.headOption.getOrElse(-1)
-            bound // no truncation → no membership → skip
-          }
+          if (isWindowSpec) {
+            val b = bound(Seq("ROWS", "RANGE", "GROUPS"))
+            if (b >= 0) b else cur.length
+          } else bound(Seq("LIMIT", "FETCH", "OFFSET")) // -1 = no truncation → skip
         if (keysEnd >= 0) {
-          val keys = cur.substring(keysStart, keysEnd)
-          cur = cur.substring(0, keysStart) + " " + pinKeys(keys.trim) + " " +
-            cur.substring(keysEnd)
+          pinKeys(cur.substring(keysStart, keysEnd).trim).foreach { pinned =>
+            cur = cur.substring(0, keysStart) + " " + pinned + " " +
+              cur.substring(keysEnd)
+          }
         }
       }
       cur
@@ -4296,7 +4354,8 @@ object Dialect {
     * single-SELECT statement shape is shimmed.
     */
   private[graft] def rewriteFetchFirstWithTies(sql: String,
-      spark: Option[SparkSession] = None): String = {
+      spark: Option[SparkSession] = None,
+      nullsAlwaysLast: Boolean = false): String = {
     val s0 = sql.trim
     // the count is optional in ANSI/Postgres — `FETCH FIRST ROW WITH
     // TIES` defaults to 1 (r14 verdict item 4)
@@ -4314,16 +4373,17 @@ object Dialect {
         .getOrElse(throw new graft.UnsupportedError(
           s"unbalanced subquery around WITH TIES in: $s0"))
       val inner = s0.substring(open + 1, close)
-      val rebuilt = rewriteFetchFirstWithTies(inner, spark)
+      val rebuilt = rewriteFetchFirstWithTies(inner, spark, nullsAlwaysLast)
       if (rebuilt == inner) return sql // not a rewritable inner statement — stay loud
       return rewriteFetchFirstWithTies(
-        s0.substring(0, open + 1) + rebuilt + s0.substring(close), spark)
+        s0.substring(0, open + 1) + rebuilt + s0.substring(close), spark,
+        nullsAlwaysLast)
     }
     val m0 = mAny
     val offIdx = topLevelKeyword(s0, spans0, depth0, "OFFSET")
     if (offIdx < 0)
       return buildWithTies(s0, Option(m0.group(1)).getOrElse("1"), m0.start, m0.end,
-        nullsLargest = true, spark = spark)
+        nullsLargest = true, spark = spark, nullsAlwaysLast = nullsAlwaysLast)
     val om = """(?i)\bOFFSET\s+(\d+)(?:\s+ROWS?)?""".r.findAllMatchIn(s0)
       .find(_.start == offIdx)
       .getOrElse(throw new graft.UnsupportedError(
@@ -4347,7 +4407,8 @@ object Dialect {
       .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
       .getOrElse(return sql)
     buildWithTies(s, Option(m.group(1)).getOrElse("1"), m.start, m.end,
-      nullsLargest = true, offset = Some(om.group(1)), spark = spark)
+      nullsLargest = true, offset = Some(om.group(1)), spark = spark,
+      nullsAlwaysLast = nullsAlwaysLast)
   }
 
   /** Oracle-12c/ANSI `FETCH FIRST n PERCENT ROWS ONLY|WITH TIES`

@@ -1538,10 +1538,14 @@ object DialectQueries {
   /** Trino inline-ordered `array_agg(x ORDER BY k)` ([[Dialect]]
     * rewritePgArrayAgg wired into the Trino pipeline, r14): Trino
     * keeps NULL values (its documented array_agg quirk) and sorts null
-    * keys highest like Postgres. r15 adds the BARE form, where NULL
-    * elements survive through the keep-null struct wrap (the r14
-    * ADVICE item — bare collect_list silently dropped them; sorted
-    * outside the aggregate for determinism). DuckDB replays natively.
+    * keys NULLS LAST regardless of direction — Trino's documented
+    * default (r16 second review: previously mis-pinned to the Postgres
+    * nulls-largest polarity; the `null_keys_desc_last` column now pins
+    * the DESC side where the two diverge). r15 adds the BARE form,
+    * where NULL elements survive through the keep-null struct wrap
+    * (the r14 ADVICE item — bare collect_list silently dropped them;
+    * sorted outside the aggregate for determinism). DuckDB replays
+    * natively with the placement spelled explicitly.
     */
   val trinoArrayAgg = OpQ("op_dialect_trino_array_agg",
     (s, d) => {
@@ -1552,6 +1556,9 @@ object DialectQueries {
           |                         ELSE o_orderstatus END
           |                    ORDER BY o_orderkey)) AS st_asc,
           |  TO_JSON(ARRAY_AGG(o_orderkey ORDER BY o_orderkey DESC)) AS keys_desc,
+          |  TO_JSON(ARRAY_AGG(o_orderkey
+          |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+          |                                  ELSE o_orderkey END DESC)) AS null_keys_desc_last,
           |  TO_JSON(SORT_ARRAY(ARRAY_AGG(CASE WHEN o_orderkey % 50 = 0 THEN NULL
           |                                    ELSE o_orderstatus END))) AS bare_nulls_kept
           |FROM orders WHERE o_orderkey <= 400
@@ -1563,6 +1570,10 @@ object DialectQueries {
            |                         ELSE o_orderstatus END
            |                    ORDER BY o_orderkey))::VARCHAR AS st_asc,
            |  to_json(array_agg(o_orderkey ORDER BY o_orderkey DESC))::VARCHAR AS keys_desc,
+           |  to_json(array_agg(o_orderkey
+           |                    ORDER BY CASE WHEN o_orderkey % 70 = 0 THEN NULL
+           |                                  ELSE o_orderkey END DESC NULLS LAST,
+           |                    o_orderkey DESC))::VARCHAR AS null_keys_desc_last,
            |  to_json(list_sort(array_agg(CASE WHEN o_orderkey % 50 = 0 THEN NULL
            |                                   ELSE o_orderstatus END),
            |                    'ASC', 'NULLS FIRST'))::VARCHAR AS bare_nulls_kept
