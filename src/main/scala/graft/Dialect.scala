@@ -266,9 +266,9 @@ object Dialect {
         s => renameFunctions(s, renames),
         // Trino speaks the full ANSI paging surface (r16 — raw parse
         // errors before): FETCH FIRST n ROWS WITH TIES rides the shared
-        // rank builder (Trino sorts nulls largest, the builder's
-        // nullsLargest default), OFFSET…FETCH and the bare FETCH map to
-        // LIMIT/OFFSET
+        // rank builder in always-last mode (Trino's documented default:
+        // NULLS LAST regardless of direction), OFFSET…FETCH and the
+        // bare FETCH map to LIMIT/OFFSET
         s => rewriteFetchFirstWithTies(s, Some(spark), nullsAlwaysLast = true),
         rewriteTsqlOffsetFetch,
         rewriteFetchFirst,
@@ -2992,9 +2992,10 @@ object Dialect {
     * build the sort-key struct collect, or None when there is no
     * top-level ORDER BY (a plain array_agg passes through). The default
     * null placement is `ascNullsFirst`/`descNullsLast` per dialect:
-    * Postgres/Trino/Snowflake sort nulls LARGEST (false/false), DuckDB
-    * pins NULLS LAST both ways (false/true), BigQuery sorts nulls
-    * SMALLEST (true/true). Three shapes (r15 closed the two former
+    * Postgres/Snowflake sort nulls LARGEST (false/false), Trino and
+    * DuckDB pin NULLS LAST both ways (false/true — Trino's documented
+    * direction-independent default, corrected r16), BigQuery sorts
+    * nulls SMALLEST (true/true). Three shapes (r15 closed the two former
     * fail-fasts):
     *  - uniform direction → `transform(sort_array(collect_list(struct),
     *    asc), s -> s.__v)` with per-key is-null probe booleans pinning
@@ -3951,27 +3952,39 @@ object Dialect {
     // rows (the qualify rewrite runs later and would materialize the
     // rank alongside the filter — inverting the dialects'
     // QUALIFY-before-TOP evaluation order, r16 review): fail fast. The
-    // plain-TOP LIMIT path composes correctly and is unaffected. The
-    // guard matches the CLAUSE position only — a table/alias named
-    // qualify (legal in the QUALIFY-less dialects this builder also
-    // serves) is preceded by FROM/JOIN/AS/comma and passes (r16 second
-    // review: the bare-word check false-failed `FROM qualify`).
-    val qIdx = topLevelKeyword(sql, spans, depth, "QUALIFY")
-    if (qIdx >= 0) {
-      var j = qIdx - 1
-      while (j >= 0 && Character.isWhitespace(sql.charAt(j))) j -= 1
-      var b0 = j + 1
-      while (b0 > 0 && (Character.isLetterOrDigit(sql.charAt(b0 - 1)) ||
-          sql.charAt(b0 - 1) == '_')) b0 -= 1
-      val prev = if (j < 0) "" else sql.substring(b0, j + 1).toLowerCase
-      val isIdentifier = prev == "from" || prev == "join" || prev == "as" ||
-        (j >= 0 && (sql.charAt(j) == ',' || sql.charAt(j) == '.'))
-      if (!isIdentifier)
-        throw new graft.UnsupportedError(
-          s"$construct combined with QUALIFY is not supported " +
-            "(the rank would run before the QUALIFY filter); " +
-            "apply QUALIFY in a subquery and the row limit outside")
-    }
+    // guard classifies EVERY top-level occurrence of the word (r16
+    // third review: checking only the first let `FROM qualify QUALIFY
+    // rn = 1` slip past) and matches the CLAUSE position only: a word
+    // preceded by an identifier-context token — FROM/JOIN/AS/SELECT,
+    // boolean/comparison/arithmetic context, a comma, dot, or paren —
+    // is a table/column/alias named qualify, legal in the QUALIFY-less
+    // dialects this builder also serves. A clause sits where the FROM
+    // section just ENDED: after a bare identifier, a literal, or `)`.
+    val identCtx = Set("from", "join", "as", "select", "where", "and",
+      "or", "on", "not", "by", "when", "then", "else", "distinct", "in",
+      "like", "between", "all", "top", "ties")
+    "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sql)
+      .filter(m => depth(m.start) == 0 && outsideLiterals(spans, m.start))
+      .foreach { m =>
+        var j = m.start - 1
+        while (j >= 0 && Character.isWhitespace(sql.charAt(j))) j -= 1
+        var b0 = j + 1
+        while (b0 > 0 && (Character.isLetterOrDigit(sql.charAt(b0 - 1)) ||
+            sql.charAt(b0 - 1) == '_')) b0 -= 1
+        val prev = if (j < 0) "" else sql.substring(b0, j + 1).toLowerCase
+        val prevCh = if (j < 0) ' ' else sql.charAt(j)
+        // a preceding `)` stays AMBIGUOUS (derived-table alias vs a
+        // clause after a call-ending predicate) — classified as a
+        // clause, i.e. the loud named error, never the silent
+        // wrong-evaluation-order rewrite
+        val isIdentifier = identCtx.contains(prev) ||
+          ",.=<>+-*/%".indexOf(prevCh) >= 0
+        if (!isIdentifier)
+          throw new graft.UnsupportedError(
+            s"$construct combined with QUALIFY is not supported " +
+              "(the rank would run before the QUALIFY filter); " +
+              "apply QUALIFY in a subquery and the row limit outside")
+      }
     val body = sql.substring(fromIdx, orderIdx).trim
     val items = expandStarItems(spark,
       splitArgs(sql, spans,
@@ -4213,14 +4226,43 @@ object Dialect {
     */
   private[graft] def pinSortNulls(sql: String, alwaysLast: Boolean = false,
       esc: Boolean = false): String = {
+    // OPAQUE spans — the regions where no clause keyword, paren, or
+    // ORDER BY can live: string literals + quoted identifiers
+    // ([[literalAndIdentSpans]]: a backticked column named `limit` or
+    // `a--b` is neither a keyword nor a comment — r16 second/third
+    // reviews) + SQL comments (`-- …\n`, `/* … */`): an ORDER BY or
+    // LIMIT spelled inside a COMMENT is text, not a clause (the third
+    // review's confirmed repro: a comment mentioning ORDER BY before a
+    // real LIMIT swallowed the LIMIT into the comment).
+    def commentSpans(s: String, base: Vector[(Int, Int)]): Vector[(Int, Int)] = {
+      val b = Vector.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < s.length - 1) {
+        if (!outsideLiterals(base, i)) i += 1
+        else if (s.charAt(i) == '-' && s.charAt(i + 1) == '-') {
+          val e = s.indexOf('\n', i)
+          val end = if (e < 0) s.length else e + 1
+          b += ((i, end)); i = end
+        } else if (s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+          val e = s.indexOf("*/", i + 2)
+          val end = if (e < 0) s.length else e + 2
+          b += ((i, end)); i = end
+        } else i += 1
+      }
+      b.result()
+    }
+    def opaque(s: String): Vector[(Int, Int)] = {
+      val base = literalAndIdentSpans(s, backslashEscapes = esc)
+      base ++ commentSpans(s, base)
+    }
     def pinKeys(keysText: String): Option[String] = {
-      val kSpans = literalSpans(keysText, esc)
       // a COMMENT inside the key region would swallow the appended pin
       // (and, trim-joined onto one line, the clause after it — a silent
       // dropped LIMIT, r16 second review): None → the caller leaves the
       // whole site byte-identical, the pre-pin behavior
-      if ("--|/\\*".r.findAllMatchIn(keysText)
-          .exists(m => outsideLiterals(kSpans, m.start))) return None
+      val base = literalAndIdentSpans(keysText, backslashEscapes = esc)
+      if (commentSpans(keysText, base).nonEmpty) return None
+      val kSpans = opaque(keysText)
       val parts = splitArgs(keysText, kSpans, 0, keysText.length)
       if (parts.exists(_.trim.isEmpty)) return None // malformed — leave loud
       Some(parts.map(_.trim).map { part =>
@@ -4230,28 +4272,11 @@ object Dialect {
         else part + " NULLS LAST"
       }.mkString(", "))
     }
-    // backtick spans (quoted identifiers) — literalSpans tracks string
-    // quotes only, so a column named `limit`/`rows` would otherwise
-    // terminate the key region MID-identifier (r16 second review)
-    def backtickSpans(s: String, spans: Vector[(Int, Int)]): Vector[(Int, Int)] = {
-      val b = Vector.newBuilder[(Int, Int)]
-      var i = 0
-      var open = -1
-      while (i < s.length) {
-        if (s.charAt(i) == '`' && outsideLiterals(spans, i)) {
-          if (open < 0) open = i else { b += ((open, i)); open = -1 }
-        }
-        i += 1
-      }
-      b.result()
-    }
-    def outsideTicks(ticks: Vector[(Int, Int)], i: Int): Boolean =
-      !ticks.exists { case (a, b) => i >= a && i <= b }
     def process(s: String, isWindowSpec: Boolean): String = {
       var cur = s
       // recurse into this scope's paren groups, back to front so the
       // recorded indices stay valid through the splices
-      val spans0 = literalSpans(cur, esc)
+      val spans0 = opaque(cur)
       val depth0 = depthAt(cur, spans0)
       val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Boolean)]
       var i = 0
@@ -4289,21 +4314,18 @@ object Dialect {
       // front (a site's start index stays valid because every earlier
       // splice happened at a later position); spans/depth are
       // recomputed per splice since the tail text has changed
-      val spans1 = literalSpans(cur, esc)
+      val spans1 = opaque(cur)
       val depth1 = depthAt(cur, spans1)
-      val ticks1 = backtickSpans(cur, spans1)
       val sites = "(?is)\\bORDER\\s+BY\\b".r.findAllMatchIn(cur)
-        .filter(m => depth1(m.start) == 0 && outsideLiterals(spans1, m.start) &&
-          outsideTicks(ticks1, m.start))
+        .filter(m => depth1(m.start) == 0 && outsideLiterals(spans1, m.start))
         .map(_.end).toList
       sites.reverseIterator.foreach { keysStart =>
-        val spans = literalSpans(cur, esc)
+        val spans = opaque(cur)
         val depth = depthAt(cur, spans)
-        val ticks = backtickSpans(cur, spans)
         def bound(kws: Seq[String]): Int = kws
           .map(kw => ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(cur)
             .find(m => m.start >= keysStart && depth(m.start) == 0 &&
-              outsideLiterals(spans, m.start) && outsideTicks(ticks, m.start))
+              outsideLiterals(spans, m.start))
             .map(_.start).getOrElse(-1))
           .filter(_ >= 0).sorted.headOption.getOrElse(-1)
         val keysEnd =
