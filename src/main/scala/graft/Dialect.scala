@@ -1281,6 +1281,61 @@ object Dialect {
     spans.result()
   }
 
+  /** One-pass lexer over the three opaque region kinds at once —
+    * string literals, quoted identifiers (both with quote-doubling
+    * escapes), and SQL comments (`-- …\n`, `/* … */`) — returning the
+    * spans plus whether any comment was seen. Interleaving matters
+    * (r16 fourth review): scanning literals FIRST let an apostrophe
+    * inside a comment flip literal parity and expose a real string
+    * literal's contents as clause text (or hide a real clause inside a
+    * bogus literal span).
+    */
+  private[graft] def opaqueSpans(s: String,
+      backslashEscapes: Boolean = false): (Vector[(Int, Int)], Boolean) = {
+    val b = Vector.newBuilder[(Int, Int)]
+    var saw = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val st = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          val ch = s.charAt(i)
+          if (backslashEscapes && ch == '\\' && i + 1 < s.length) i += 2
+          else if (ch == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') i += 2
+          else if (ch == '\'') { done = true; i += 1 }
+          else i += 1
+        }
+        b += ((st, i))
+      } else if (c == '"' || c == '`') {
+        val st = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          if (s.charAt(i) == c && i + 1 < s.length && s.charAt(i + 1) == c) i += 2
+          else if (s.charAt(i) == c) { done = true; i += 1 }
+          else i += 1
+        }
+        b += ((st, i))
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        saw = true
+        val e = s.indexOf('\n', i)
+        val end = if (e < 0) s.length else e + 1
+        b += ((i, end))
+        i = end
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        saw = true
+        val e = s.indexOf("*/", i + 2)
+        val end = if (e < 0) s.length else e + 2
+        b += ((i, end))
+        i = end
+      } else i += 1
+    }
+    (b.result(), saw)
+  }
+
   /** [[renameWords]] over [[literalAndIdentSpans]] — keyword rewriting
     * that leaves quoted identifiers untouched.
     */
@@ -3960,14 +4015,32 @@ object Dialect {
     // is a table/column/alias named qualify, legal in the QUALIFY-less
     // dialects this builder also serves. A clause sits where the FROM
     // section just ENDED: after a bare identifier, a literal, or `)`.
+    // words after which a bare `qualify` can only be an identifier — a
+    // clause sits where the FROM section just ENDED (after an arbitrary
+    // identifier, a literal, or `)`). Words that can themselves END a
+    // predicate (NULL, END, ALL after GROUP BY ALL) are deliberately
+    // ABSENT: there the word is ambiguous and the loud named error
+    // beats a silent wrong-evaluation-order rewrite (r16 fourth
+    // review — "all" used to let `GROUP BY ALL QUALIFY …` slip past).
     val identCtx = Set("from", "join", "as", "select", "where", "and",
       "or", "on", "not", "by", "when", "then", "else", "distinct", "in",
-      "like", "between", "all", "top", "ties")
+      "like", "between", "top", "ties", "having", "using")
+    val (qSpans, _) = opaqueSpans(sql, backslashEscapes = true)
     "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sql)
-      .filter(m => depth(m.start) == 0 && outsideLiterals(spans, m.start))
+      .filter(m => depth(m.start) == 0 && outsideLiterals(qSpans, m.start))
       .foreach { m =>
+        // previous token, skipping whitespace AND opaque spans (a
+        // comment's own `*/` or `--` characters are not operators —
+        // r16 fourth review)
         var j = m.start - 1
-        while (j >= 0 && Character.isWhitespace(sql.charAt(j))) j -= 1
+        var moved = true
+        while (moved) {
+          moved = false
+          while (j >= 0 && Character.isWhitespace(sql.charAt(j))) { j -= 1; moved = true }
+          qSpans.find { case (a, b) => j >= a && j < b }.foreach { case (a, _) =>
+            j = a - 1; moved = true
+          }
+        }
         var b0 = j + 1
         while (b0 > 0 && (Character.isLetterOrDigit(sql.charAt(b0 - 1)) ||
             sql.charAt(b0 - 1) == '_')) b0 -= 1
@@ -4234,35 +4307,14 @@ object Dialect {
     // LIMIT spelled inside a COMMENT is text, not a clause (the third
     // review's confirmed repro: a comment mentioning ORDER BY before a
     // real LIMIT swallowed the LIMIT into the comment).
-    def commentSpans(s: String, base: Vector[(Int, Int)]): Vector[(Int, Int)] = {
-      val b = Vector.newBuilder[(Int, Int)]
-      var i = 0
-      while (i < s.length - 1) {
-        if (!outsideLiterals(base, i)) i += 1
-        else if (s.charAt(i) == '-' && s.charAt(i + 1) == '-') {
-          val e = s.indexOf('\n', i)
-          val end = if (e < 0) s.length else e + 1
-          b += ((i, end)); i = end
-        } else if (s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
-          val e = s.indexOf("*/", i + 2)
-          val end = if (e < 0) s.length else e + 2
-          b += ((i, end)); i = end
-        } else i += 1
-      }
-      b.result()
-    }
-    def opaque(s: String): Vector[(Int, Int)] = {
-      val base = literalAndIdentSpans(s, backslashEscapes = esc)
-      base ++ commentSpans(s, base)
-    }
+    def opaque(s: String): Vector[(Int, Int)] = opaqueSpans(s, esc)._1
     def pinKeys(keysText: String): Option[String] = {
       // a COMMENT inside the key region would swallow the appended pin
       // (and, trim-joined onto one line, the clause after it — a silent
       // dropped LIMIT, r16 second review): None → the caller leaves the
       // whole site byte-identical, the pre-pin behavior
-      val base = literalAndIdentSpans(keysText, backslashEscapes = esc)
-      if (commentSpans(keysText, base).nonEmpty) return None
-      val kSpans = opaque(keysText)
+      val (kSpans, sawComment) = opaqueSpans(keysText, esc)
+      if (sawComment) return None
       val parts = splitArgs(keysText, kSpans, 0, keysText.length)
       if (parts.exists(_.trim.isEmpty)) return None // malformed — leave loud
       Some(parts.map(_.trim).map { part =>
