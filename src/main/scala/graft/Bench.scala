@@ -33,17 +33,34 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // calibration canary (r15, verdict item 7): a FIXED-work in-memory
-    // sort-aggregate over a generated frame — no I/O, no testdata, no SF
-    // dependence — so cross-round totals can be normalized for container/
-    // environment speed shifts (r14 burned a 3× re-measure cycle proving a
-    // ~20% uniform shift). One untimed JIT pass, then the median of 3.
-    // Reading: canary_r{N}/canary_r{M} estimates the host-speed ratio
-    // between rounds; per-query deltas beyond that ratio are real.
-    // the sort is consumed by a row_number filter so EliminateSorts
-    // cannot drop it under the final count (a bare orderBy().count()
-    // would time scan+shuffle only — r15 review fix); the dominant
-    // fixed work remains the 20M-row scan + shuffle aggregate
+    // calibration canary (r15 verdict item 7; instrument rebuilt per the
+    // r16 verdict item 1): FIXED work — no testdata, no SF dependence —
+    // so cross-round totals can be normalized for container/environment
+    // speed shifts. Two components per reading:
+    //   CPU+shuffle: a 20M-row in-memory sort-aggregate (the sort is
+    //   consumed by a row_number filter so EliminateSorts cannot drop it
+    //   under the final count — a bare orderBy().count() would time
+    //   scan+shuffle only, r15 review fix);
+    //   I/O: a pinned-size parquet fixture (4M md5 strings ≈ 140 MB —
+    //   random hex defeats compression so real file bytes move) written
+    //   once per run to a temp dir and scanned TWICE per reading through
+    //   an h-dependent filter (count() alone would prune the column and
+    //   read metadata only). Disk/page-cache contention — invisible to
+    //   the r15/r16 CPU-only canary, which sat flat at 0.635 while the
+    //   r16 run total grew 85% under mid-run container load — registers
+    //   here.
+    // Readings are taken START / MIDDLE / END of the timed query loop
+    // (the r16 failure mode was load ARRIVING mid-run after a start-only
+    // reading) and all three are emitted as "canaries":[…] plus the
+    // median as "canary" (the cross-round normalizer) and the max as
+    // "canary_worst". Reading protocol (SCALE.md): compare the run total
+    // against the WORST canary — a total that grew with the worst canary
+    // is environment; one that grew against a flat canary band is a plan
+    // regression, decidable from the one run.
+    val canaryDir = java.nio.file.Files.createTempDirectory("graft-canary")
+    spark.range(0L, 4000000L, 1L, 8)
+      .selectExpr("id", "md5(cast(id AS string)) AS h")
+      .write.mode("overwrite").parquet(canaryDir.toString)
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, 32)
@@ -51,10 +68,13 @@ object Bench {
         .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
         .selectExpr("s", "row_number() OVER (ORDER BY s, k) AS r")
         .where("r % 7 = 0").count()
+      (0 until 2).foreach { _ =>
+        spark.read.parquet(canaryDir.toString).where("h LIKE '%a%'").count()
+      }
       (System.nanoTime() - t0) / 1e9
     }
-    canaryOnce()
-    val canary = Seq.fill(3)(canaryOnce()).sorted.apply(1)
+    canaryOnce() // untimed JIT/page-cache warm pass
+    val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce())
 
     // pinned alphabetical execution order (stable across rounds); each query
     // is timed twice and the min reported, so a transient host-contention
@@ -66,20 +86,33 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = sortedQueries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == sortedQueries.length / 2) canaries += canaryOnce() // MIDDLE reading
       val a = timeOnce(name, fn)
       // failures are marked -1 (not a fast success) and excluded from total
       val best = if (a < 0) a else { val b = timeOnce(name, fn); if (b < 0) a else math.min(a, b) }
       name -> best
     }
+    canaries += canaryOnce() // END reading
+    val canary = canaries.sorted.apply(canaries.length / 2)
+    val canaryWorst = canaries.max
+    try { // best-effort fixture cleanup (temp dir, ~140 MB)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(canaryDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val canariesJson = canaries.map(fmt).mkString("[", ",", "]")
+    val canaryPart =
+      s""""canary":${fmt(canary)},"canaries":$canariesJson,"canary_worst":${fmt(canaryWorst)}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$canaryPart,"queries":$qs,"sf":"$sfDir"}"""
     val outs = Seq("bench.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       try java.nio.file.Files.write(
@@ -99,6 +132,6 @@ object Bench {
     // and a long line ahead of the short one breaks its parser. Humans get
     // the full per-query map from bench.json / $SPARK_GRAFT_BENCH_OUT.
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary":${fmt(canary)},"queries":$shortQs,"queries_run":${results.count(_._2 >= 0)}$failedPart,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$canaryPart,"queries":$shortQs,"queries_run":${results.count(_._2 >= 0)}$failedPart,"sf":"$sfDir"}""")
   }
 }
