@@ -438,6 +438,43 @@ object Examples {
         s"flatten_paths=$pth distinct_ties_rows=$dties limit_all_offset_rows=$lall")
     }
 
+    // example21 (r17): WITH TIES over a set operation (the combined
+    // result is ranked, sort vocabulary = the arms' output names),
+    // QUALIFY composing with SELECT DISTINCT (QUALIFY evaluates first),
+    // star REPLACE / qualified-star EXCLUDE expanded through the naming
+    // rewrites, a comment inside an ORDER BY…LIMIT key span pinned
+    // instead of silently declined, and DISTINCT TOP PERCENT through
+    // the two-stage scale plan
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, "x", 10L), (2L, "x", 30L), (3L, "y", 30L), (4L, "y", 20L))
+        .toDF("k", "g", "v")
+      val setop = Engine.execute(spark,
+        "(SELECT g, k FROM t WHERE k <= 2) UNION (SELECT g, k FROM t WHERE k >= 2) " +
+          "ORDER BY g FETCH FIRST 1 ROWS WITH TIES",
+        tables = Map("t" -> t), dialect = Dialect.forName("postgres")).count()
+      val qd = Engine.execute(spark,
+        "SELECT DISTINCT g, v % 20 AS m FROM t " +
+          "QUALIFY row_number() OVER (PARTITION BY g ORDER BY k) <= 2",
+        tables = Map("t" -> t), dialect = Dialect.forName("snowflake")).count()
+      val repl = Engine.execute(spark,
+        "SELECT * REPLACE (v * 100 AS v) FROM (SELECT k, g, v FROM t) s " +
+          "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1 ORDER BY g",
+        tables = Map("t" -> t), dialect = Dialect.forName("duckdb"))
+        .collect().map(_.getLong(2)).mkString(",")
+      val cpin = Engine.execute(spark,
+        "SELECT CASE WHEN k = 3 THEN NULL ELSE g END AS gg FROM t " +
+          "ORDER BY gg -- nulls last under the limit\nLIMIT 3",
+        tables = Map("t" -> t), dialect = Dialect.forName("duckdb"))
+        .collect().map(r => if (r.isNullAt(0)) "?" else r.getString(0)).mkString(",")
+      val dpct = Engine.execute(spark,
+        "SELECT DISTINCT TOP 50 PERCENT v % 20 AS m FROM t ORDER BY m",
+        tables = Map("t" -> t), dialect = Dialect.forName("tsql")).count()
+      println(s"example21(r17 constructs): setop_ties_rows=$setop " +
+        s"qualify_distinct_rows=$qd star_replace_v=$repl comment_pin=$cpin " +
+        s"distinct_percent_rows=$dpct")
+    }
+
     spark.stop()
   }
 }

@@ -148,7 +148,25 @@ object PlanCheck {
     "op_dialect_trino_fetch_paging" ->
       ("Trino WITH TIES rank filter: the same WindowGroupLimit pre-prune " +
         "as op_dialect_pg_fetch_ties (pinned by rule); the OFFSET…FETCH leg " +
-        "is a plain LIMIT/OFFSET"))
+        "is a plain LIMIT/OFFSET"),
+    "op_dialect_pg_setop_ties" ->
+      ("WITH TIES over a UNION: the rank runs over the dedup-collapsed " +
+        "(map-side-combined) set-op output with the same WindowGroupLimit " +
+        "pre-prune as op_dialect_pg_fetch_ties; the OFFSET leg's static " +
+        "rank <= m+n filter bounds the cutoff-max frame (both pinned by rule)"),
+    "op_dialect_oracle_setop_percent" ->
+      ("FETCH PERCENT over a UNION ALL keeps one exact global rank window " +
+        "by DEFINITION, but its input is PRE-FILTERED below the window to " +
+        "~n% of rows by the approx_percentile cutoff — the same two-stage " +
+        "scale plan as op_dialect_oracle_fetch_percent, now fed by the " +
+        "set-op subquery (pcut filter pinned by rule)"),
+    "op_dialect_tsql_distinct_top_percent" ->
+      ("DISTINCT TOP PERCENT keeps one exact global rank window by " +
+        "DEFINITION, but since r17 its input is the DISTINCT subquery " +
+        "PRE-FILTERED below the window by the approx_percentile cutoff " +
+        "(the stats stage counts the distinct OUTPUT — the percent base; " +
+        "pcut + broadcast stats pinned by rule), so the single-partition " +
+        "stage sees ~n% of the distinct rows, not all of them"))
 
   /** Suite-wide lint: NO query's plan may contain an unpartitioned Window
     * over non-broadcast input unless allowlisted above — turns the bench
@@ -713,6 +731,29 @@ object PlanCheck {
       "WindowGroupLimit pre-prune and the pushed key filter; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_snow_qualify_distinct", "QUALIFY-before-DISTINCT keeps the keyed " +
+      "(partitioned) window with its WindowGroupLimit pre-prune, the distinct map-side " +
+      "combined, and the key filter pushed; no joins",
+      f => f("wgl") >= 1 && f("global_window") == 0 && f("partial_agg") >= 2 &&
+        f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_setop_ties", "set-op WITH TIES ranks the dedup-collapsed UNION " +
+      "output (map-side-combined) under a WindowGroupLimit pre-prune, with both arms' " +
+      "key filters pushed; no joins",
+      f => f("wgl") >= 1 && f("partial_agg") >= 2 && f("pushed_filters") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_oracle_setop_percent", "set-op FETCH PERCENT runs the two-stage " +
+      "scale plan: approx_percentile cutoff pre-filters BELOW the exact rank window " +
+      "(pcut), the one-row stats side joins by broadcast, both arms' key filters pushed",
+      f => f("pushed_filters") >= 2 && f("pcut") >= 1 && f("bnlj") >= 1 &&
+        f("cartesian") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_distinct_top_percent", "DISTINCT TOP PERCENT runs the " +
+      "two-stage scale plan over the distinct subquery: approx_percentile cutoff " +
+      "pre-filters BELOW the exact rank window (pcut), the one-row stats side joins " +
+      "by broadcast, the distinct aggregates map-side combine, key filter pushed",
+      f => f("pushed_filters") >= 1 && f("pcut") >= 1 && f("bnlj") >= 1 &&
+        f("partial_agg") >= 2 &&
+        f("cartesian") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_fetch_ties_offset", "OFFSET+TIES keeps the pushed key filter and stays " +
       "join-free (static rank bound + cutoff max are the construct's semantics)",
       f => f("pushed_filters") >= 1 &&
@@ -740,6 +781,11 @@ object PlanCheck {
     Rule("op_dialect_trino_fetch_paging", "Trino WITH TIES keeps the WindowGroupLimit " +
       "pre-prune and pushed key filters; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_comment_order_nulls", "comment-normalized null pins keep the keyed " +
+      "(partitioned) ranking window with its WindowGroupLimit pre-prune and the pinned " +
+      "LIMIT leg a top-k; no joins",
+      f => f("wgl") >= 1 && f("global_window") == 0 && f("topk") >= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_distinct_on", "Postgres-wired DISTINCT ON keeps the keyed (partitioned) " +
       "row_number — per-key WindowGroupLimit pre-prune, pushed key filter, no joins",

@@ -315,6 +315,78 @@ object DialectQueries {
            |                           ORDER BY c_acctbal DESC, c_custkey) = 1
            |ORDER BY c_mktsegment""".stripMargin))
 
+  /** QUALIFY under `SELECT DISTINCT` (r17 — a named fail-fast before;
+    * legal Snowflake/DuckDB, where the evaluation order is QUALIFY
+    * BEFORE DISTINCT): the window filter keeps each priority's first 6
+    * orders — seen by the window as raw rows — and only THEN does
+    * DISTINCT collapse the (priority, key-bucket) pairs, so several
+    * priorities return fewer than 4 buckets. A DISTINCT-first
+    * evaluation could not even analyze (the window's o_orderkey is
+    * gone after the distinct). DuckDB runs the same text natively as
+    * the oracle.
+    */
+  val snowQualifyDistinct = OpQ("op_dialect_snow_qualify_distinct",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT DISTINCT o_orderpriority AS p, o_orderkey % 4 AS b
+          |FROM orders WHERE o_orderkey <= 400
+          |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+          |                           ORDER BY o_orderkey) <= 6
+          |ORDER BY p, b""".stripMargin,
+        dialect = Dialect.Snowflakeish)
+    },
+    Some("""SELECT DISTINCT o_orderpriority AS p, o_orderkey % 4 AS b
+           |FROM orders WHERE o_orderkey <= 400
+           |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+           |                           ORDER BY o_orderkey) <= 6
+           |ORDER BY p, b""".stripMargin))
+
+  /** Star `REPLACE` and QUALIFIED-star `EXCLUDE` through the naming
+    * rewrites (r17 — named errors before): leg 1 is `* REPLACE (expr AS
+    * col)` over a SUBQUERY FROM under QUALIFY — the case the plain
+    * single-table rewriteStarReplace cannot serve — expanded by
+    * schema-only analysis with the replacement substituted in position;
+    * leg 2 is `t.* EXCLUDE (cols)` (Spark cannot parse a qualified star
+    * with EXCEPT — the expansion subtracts the columns itself). DuckDB
+    * runs both texts natively as the oracle.
+    */
+  val qualifyStarReplace = OpQ("op_dialect_qualify_star_replace",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+          |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice
+          |      FROM orders WHERE o_orderkey <= 300) t
+          |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+          |                           ORDER BY o_orderkey) <= 3
+          |ORDER BY o_orderkey""".stripMargin,
+        dialect = Dialect.DuckDbish)
+        .unionByName(Engine.execute(s,
+          """SELECT t.* EXCLUDE (o_custkey, o_orderstatus, o_orderdate)
+            |FROM orders t WHERE o_orderkey <= 300
+            |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+            |                           ORDER BY o_orderkey) <= 3
+            |ORDER BY o_orderkey""".stripMargin,
+          dialect = Dialect.DuckDbish))
+        .orderBy("o_orderpriority", "o_orderkey", "o_totalprice")
+    },
+    Some("""WITH l1 AS (
+           |  SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+           |  FROM (SELECT o_orderkey, o_orderpriority, o_totalprice
+           |        FROM orders WHERE o_orderkey <= 300) t
+           |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+           |                             ORDER BY o_orderkey) <= 3),
+           |l2 AS (
+           |  SELECT t.* EXCLUDE (o_custkey, o_orderstatus, o_orderdate)
+           |  FROM orders t WHERE o_orderkey <= 300
+           |  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+           |                             ORDER BY o_orderkey) <= 3)
+           |SELECT o_orderkey, o_orderpriority, o_totalprice FROM l1
+           |UNION ALL
+           |SELECT o_orderkey, o_orderpriority, o_totalprice FROM l2
+           |ORDER BY o_orderpriority, o_orderkey, o_totalprice""".stripMargin))
+
   /** QUALIFY inside a CTE body (r16 — a raw Spark parse error before;
     * `WITH x AS (SELECT … QUALIFY …)` is the canonical Snowflake
     * dedup-then-join pattern): the innermost enclosing statement is
@@ -1774,6 +1846,97 @@ object DialectQueries {
            |WHERE rn <= ceiling(ct * 5 / 100.0)
            |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
 
+  /** `WITH TIES` over a SET OPERATION (r17 — a named fail-fast before;
+    * Postgres legally applies `(SELECT …) UNION (SELECT …) ORDER BY k
+    * FETCH FIRST n ROWS WITH TIES` to the COMBINED result, and
+    * paginated UNION queries are common in generated SQL). The whole
+    * set-op body becomes the rank subquery; sort keys resolve against
+    * the arms' output names only (Postgres's own scope rule). Leg A:
+    * parenthesized arms + name key — the two arms' bucket spaces (mod 3
+    * vs mod 5) overlap so UNION dedup matters, and every minimum-
+    * priority pair ties at rank 1 (5 rows back from FETCH 2). Leg B:
+    * ordinal keys, DESC, OFFSET+TIES membership over the same arms.
+    * The oracle replays both rank memberships over DuckDB's own UNION.
+    */
+  val pgSetopTies = OpQ("op_dialect_pg_setop_ties",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """(SELECT o_orderpriority AS p, o_orderkey % 3 AS b
+          | FROM orders WHERE o_orderkey <= 900)
+          |UNION
+          |(SELECT o_orderpriority AS p, o_orderkey % 5 AS b
+          | FROM orders WHERE o_orderkey <= 900)
+          |ORDER BY p
+          |FETCH FIRST 2 ROWS WITH TIES""".stripMargin,
+        dialect = Dialect.Postgresish)
+        .unionAll(Engine.execute(s,
+          """(SELECT o_orderpriority AS p, o_orderkey % 3 AS b
+            | FROM orders WHERE o_orderkey <= 900)
+            |UNION
+            |(SELECT o_orderpriority AS p, o_orderkey % 5 AS b
+            | FROM orders WHERE o_orderkey <= 900)
+            |ORDER BY 1 DESC, 2
+            |OFFSET 1 ROWS FETCH NEXT 3 ROWS WITH TIES""".stripMargin,
+          dialect = Dialect.Postgresish))
+        .orderBy("p", "b")
+    },
+    Some("""WITH u AS MATERIALIZED (
+           |  (SELECT o_orderpriority AS p, o_orderkey % 3 AS b
+           |   FROM orders WHERE o_orderkey <= 900)
+           |  UNION
+           |  (SELECT o_orderpriority AS p, o_orderkey % 5 AS b
+           |   FROM orders WHERE o_orderkey <= 900)),
+           |a AS (SELECT p, b FROM (
+           |        SELECT p, b, rank() OVER (ORDER BY p) AS rk FROM u) x
+           |      WHERE rk <= 2),
+           |bb AS (SELECT p, b FROM (
+           |        SELECT p, b, row_number() OVER (ORDER BY p DESC, b) AS rn
+           |        FROM u) y
+           |      WHERE rn > 1 AND rn <= 4)
+           |SELECT p, b FROM (SELECT * FROM a UNION ALL SELECT * FROM bb) z
+           |ORDER BY p, b""".stripMargin))
+
+  /** `FETCH FIRST n PERCENT` over a SET OPERATION through the two-stage
+    * percent scale plan (r17): the UNION ALL body is wrapped as the
+    * rank subquery and the numeric nullable leading key keeps the plan
+    * percentile-sketchable, so the approx-cutoff pre-filter +
+    * broadcast one-row stats apply to set-op inputs too (pcut pinned
+    * by rule). Oracle's nulls-largest polarity pins NULLS FIRST on the
+    * DESC key — the null rows (two different hole patterns per arm)
+    * lead the 10% slice. The oracle replays the row_number membership
+    * over DuckDB's own UNION ALL.
+    */
+  val oracleSetopPercent = OpQ("op_dialect_oracle_setop_percent",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS nk,
+          |       o_orderkey AS k
+          |FROM orders WHERE o_orderkey <= 500
+          |UNION ALL
+          |SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderkey END AS nk,
+          |       o_orderkey + 10000 AS k
+          |FROM orders WHERE o_orderkey <= 500
+          |ORDER BY nk DESC, k
+          |FETCH FIRST 10 PERCENT ROWS ONLY""".stripMargin,
+        dialect = Dialect.OracleIsh)
+    },
+    Some("""WITH u AS (
+           |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS nk,
+           |         o_orderkey AS k
+           |  FROM orders WHERE o_orderkey <= 500
+           |  UNION ALL
+           |  SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderkey END AS nk,
+           |         o_orderkey + 10000 AS k
+           |  FROM orders WHERE o_orderkey <= 500),
+           |r AS (SELECT nk, k,
+           |        row_number() OVER (ORDER BY nk DESC NULLS FIRST, k) AS rn,
+           |        count(*) OVER () AS ct
+           |      FROM u)
+           |SELECT nk, k FROM r WHERE rn <= ceiling(ct * 10 / 100.0)
+           |ORDER BY nk DESC NULLS FIRST, k""".stripMargin))
+
   /** T-SQL `SELECT TOP n PERCENT … ORDER BY …` (r15 — a named
     * fail-fast through r14): row_number over the statement's ORDER BY
     * with a `count(*) OVER ()` cutoff, keeping the first
@@ -1798,6 +1961,34 @@ object DialectQueries {
            |SELECT o_orderkey, o_totalprice FROM r
            |WHERE rn <= ceiling(ct * 10 / 100.0)
            |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
+
+  /** T-SQL `SELECT DISTINCT TOP n PERCENT` through the two-stage scale
+    * plan (r17 — the DISTINCT percent path kept the legacy global-count
+    * window over the distinct output before, unbounded for
+    * high-cardinality key sets): the stats/cutoff stage now runs over
+    * the `( SELECT DISTINCT … )` subquery — its exact row count is the
+    * percent base — and the approx_percentile cutoff pre-filters below
+    * the exact rank window (pcut + broadcast stats pinned by rule).
+    * The (m, p) key pair is a total order over the distinct output, so
+    * row_number is deterministic. DuckDB replays the distinct-then-rank
+    * membership as the oracle.
+    */
+  val tsqlDistinctTopPercent = OpQ("op_dialect_tsql_distinct_top_percent",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT DISTINCT TOP 10 PERCENT o_orderkey % 100 AS m, o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY m, p""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""WITH dq AS (SELECT DISTINCT o_orderkey % 100 AS m, o_orderpriority AS p
+           |            FROM orders WHERE o_orderkey <= 2000),
+           |r AS (SELECT m, p, row_number() OVER (ORDER BY m, p) AS rn,
+           |             count(*) OVER () AS ct
+           |      FROM dq)
+           |SELECT m, p FROM r WHERE rn <= ceiling(ct * 10 / 100.0)
+           |ORDER BY m, p""".stripMargin))
 
   /** Count-omitted ANSI/Postgres `FETCH FIRST ROW WITH TIES` (r15 —
     * the count defaults to 1; before, neither FETCH regex matched and
@@ -1915,6 +2106,63 @@ object DialectQueries {
            |                                         ELSE o_orderpriority END, o_orderkey) <= 5
            |ORDER BY p, k LIMIT 12""".stripMargin))
 
+  /** Membership null-placement pin THROUGH a SQL comment in the key
+    * span (r17 — the r16 implementation DECLINED such sites, silently
+    * keeping Spark's null polarity: the exact membership drift the pin
+    * exists to kill). Comments inside the extracted key text are
+    * normalized to whitespace and the pin applied normally. Branch a:
+    * DuckDB wiring, `ORDER BY p -- note⏎, k LIMIT 12` over a null-holed
+    * key (DuckDB pins NULLS LAST; unpinned Spark would return the null
+    * rows). Branch b: Postgres wiring, a `/* */` comment inside a DESC
+    * ranking window (Postgres nulls-largest → NULLS FIRST on DESC; the
+    * keyed top-2 filter keeps each partition's null rows, unpinned
+    * Spark would keep non-nulls). The oracle replays branch a verbatim in DuckDB
+    * (comments and all) and branch b with the placement spelled.
+    */
+  val commentOrderNulls = OpQ("op_dialect_comment_order_nulls",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |            ELSE o_orderpriority END AS p, o_orderkey AS k
+          |FROM orders WHERE o_orderkey <= 300
+          |ORDER BY p -- nulls pinned through the comment
+          |, k LIMIT 12""".stripMargin,
+        dialect = Dialect.DuckDbish)
+        .unionAll(Engine.execute(s,
+          """SELECT p, k FROM (
+            |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            |              ELSE o_orderpriority END AS p,
+            |         o_orderkey AS k,
+            |         row_number() OVER (PARTITION BY o_orderkey % 3
+            |                            ORDER BY CASE WHEN o_orderkey % 7 = 0 THEN NULL
+            |                                         ELSE o_orderpriority END /* largest first */ DESC,
+            |                                     o_orderkey) AS rn
+            |  FROM orders WHERE o_orderkey <= 300) x
+            |WHERE rn <= 2""".stripMargin,
+          dialect = Dialect.Postgresish))
+        .orderBy(asc_nulls_first("p"), asc("k"))
+    },
+    Some("""WITH a AS (
+           |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |              ELSE o_orderpriority END AS p, o_orderkey AS k
+           |  FROM orders WHERE o_orderkey <= 300
+           |  ORDER BY p -- nulls pinned through the comment
+           |  , k LIMIT 12),
+           |b AS (
+           |  SELECT p, k FROM (
+           |    SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |                ELSE o_orderpriority END AS p,
+           |           o_orderkey AS k,
+           |           row_number() OVER (PARTITION BY o_orderkey % 3
+           |                              ORDER BY CASE WHEN o_orderkey % 7 = 0 THEN NULL
+           |                                           ELSE o_orderpriority END DESC NULLS FIRST,
+           |                                         o_orderkey) AS rn
+           |    FROM orders WHERE o_orderkey <= 300) x
+           |  WHERE rn <= 2)
+           |SELECT p, k FROM (SELECT * FROM a UNION ALL SELECT * FROM b) u
+           |ORDER BY p NULLS FIRST, k""".stripMargin))
+
   /** Membership null-placement pin, Postgres wiring (r16): Postgres
     * sorts nulls LARGEST — last on ASC, FIRST on DESC, both the
     * opposite of Spark — so the DESC ranking window picks the NULL row
@@ -1952,8 +2200,11 @@ object DialectQueries {
 
   /** Trino's ANSI paging surface (r16 — raw parse errors before):
     * OFFSET…FETCH maps to LIMIT/OFFSET and FETCH FIRST n ROWS WITH
-    * TIES rides the shared rank builder with Trino's nulls-largest
-    * placement. The oracle replays the rank membership in DuckDB.
+    * TIES rides the shared rank builder with Trino's direction-
+    * independent NULLS LAST placement (`nullsAlwaysLast = true` — nulls
+    * sort last on ASC and on DESC alike, unlike the Postgres/Oracle
+    * nulls-largest polarity; mis-documented as "nulls-largest" until
+    * r17). The oracle replays the rank membership in DuckDB.
     */
   val trinoFetchPaging = OpQ("op_dialect_trino_fetch_paging",
     (s, d) => {
@@ -2742,6 +2993,7 @@ object DialectQueries {
   val all: Seq[OpQ] = Seq(castColon, quotedIdent, strftimeOp, intDiv,
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp, qualifyStar, qualifyCte,
+    snowQualifyDistinct, qualifyStarReplace,
     distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
     athena, starrocks, materialize, teradata, teradataQualify, tableau,
@@ -2755,9 +3007,10 @@ object DialectQueries {
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
     snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
     pgFetchTiesNulls, pgFetchTiesRow, pgFetchTiesOffset, tsqlTopTies, tsqlTopPercent,
-    oracleFetchPercent, tsqlTopTiesSubquery,
+    oracleFetchPercent, tsqlTopTiesSubquery, pgSetopTies, oracleSetopPercent,
+    tsqlDistinctTopPercent,
     pgDistinctOn, pagingZero, pgFetchTiesStar, pgDistinctTies,
-    duckdbOrderNulls, pgWindowNulls, trinoFetchPaging,
+    duckdbOrderNulls, pgWindowNulls, trinoFetchPaging, commentOrderNulls,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,
     trinoArrayLiteral, pgFilter, pgFilterWindow, duckdbByAll, snowflakePivot)
 }

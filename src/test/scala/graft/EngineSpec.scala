@@ -217,6 +217,37 @@ class EngineSpec extends SparkSpec {
       "SELECT * FROM nowhere_registered ORDER BY 1 FETCH FIRST 1 ROWS WITH TIES",
       dialect = Dialect.Postgresish))
     assert(e.getMessage.contains("cannot expand"))
+    // star REPLACE expands with the replacement substituted IN POSITION
+    // (r17 — a named error before), including over a subquery FROM the
+    // single-table rewriteStarReplace cannot serve
+    val qr = Engine.execute(spark,
+      """SELECT * REPLACE (v * 10 AS v) FROM (SELECT k, g, v FROM t) s
+        |QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC, k) = 1
+        |ORDER BY g""".stripMargin,
+      Map("t" -> t), Dialect.DuckDbish)
+    assert(qr.columns.toSeq === Seq("k", "g", "v"))
+    assert(qr.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+      Seq((2L, 300L), (3L, 300L)))
+    // qualified star + EXCLUDE subtracts the columns itself (Spark
+    // cannot analyze `t.* EXCEPT (…)`); a missing column stays loud
+    val qe = Engine.execute(spark,
+      """SELECT s.* EXCLUDE (k) FROM t s
+        |QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC, k) = 1
+        |ORDER BY g""".stripMargin,
+      Map("t" -> t), Dialect.DuckDbish)
+    assert(qe.columns.toSeq === Seq("g", "v"))
+    assert(qe.collect().map(_.getString(0)).toSeq === Seq("x", "y"))
+    val e2 = intercept[UnsupportedError](Engine.execute(spark,
+      """SELECT s.* EXCLUDE (zz) FROM t s
+        |QUALIFY row_number() OVER (ORDER BY k) = 1""".stripMargin,
+      Map("t" -> t), Dialect.DuckDbish))
+    assert(e2.getMessage.contains("zz"))
+    // * REPLACE under WITH TIES rides the expanded items too
+    val tr = Engine.execute(spark,
+      "SELECT * REPLACE (v + 1 AS v) FROM t ORDER BY 3 DESC FETCH FIRST 1 ROWS WITH TIES",
+      Map("t" -> t), Dialect.Postgresish).collect()
+    assert(tr.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ===
+      Seq((2L, 31L), (3L, 31L)))
   }
 
   test("QUALIFY and DISTINCT ON rewrite inside CTE bodies and subqueries") {
@@ -276,6 +307,55 @@ class EngineSpec extends SparkSpec {
       "SELECT s FROM t ORDER BY s OFFSET 1 ROWS FETCH NEXT 2 ROWS WITH TIES",
       Map("t" -> t), Dialect.Postgresish).collect().map(_.getString(0))
     assert(rows.toSeq === Seq("a", "b"))
+  }
+
+  test("WITH TIES / PERCENT over set operations rank the combined result") {
+    initLog()
+    import spark.implicits._
+    val t = Seq(("b", 1L), ("a", 2L), ("c", 3L)).toDF("s", "k")
+    val u = Seq(("a", 2L), ("b", 9L), ("a", 5L)).toDF("s", "k")
+    // UNION dedups to {(a,2),(b,1),(c,3),(b,9),(a,5)}; FETCH FIRST 1 ROWS
+    // WITH TIES keeps the whole minimum-s class — exactly Postgres over
+    // the COMBINED result (a named fail-fast through r16)
+    val r1 = Engine.execute(spark,
+      "(SELECT s, k FROM t) UNION (SELECT s, k FROM u) " +
+        "ORDER BY s FETCH FIRST 1 ROWS WITH TIES",
+      Map("t" -> t, "u" -> u), Dialect.Postgresish)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    assert(r1.toSeq === Seq(("a", 2L), ("a", 5L)))
+    // ordinal keys + DESC + OFFSET membership: (s DESC, k) orders the
+    // combined rows (c,3),(b,1),(b,9),(a,2),(a,5) — skip 1, next 2
+    val r2 = Engine.execute(spark,
+      "(SELECT s, k FROM t) UNION (SELECT s, k FROM u) " +
+        "ORDER BY 1 DESC, 2 OFFSET 1 ROWS FETCH NEXT 2 ROWS WITH TIES",
+      Map("t" -> t, "u" -> u), Dialect.Postgresish)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity)
+    assert(r2.toSeq === Seq(("b", 1L), ("b", 9L)))
+    // the zero-count short-circuit applies through the set-op path too
+    assert(Engine.execute(spark,
+      "(SELECT s FROM t) UNION (SELECT s FROM u) " +
+        "ORDER BY s FETCH FIRST 0 ROWS WITH TIES",
+      Map("t" -> t, "u" -> u), Dialect.Postgresish).count() === 0L)
+    // PERCENT over UNION ALL: 6 rows, ceil(6*40/100) = 3 largest k
+    val tn = Seq(1L, 2L, 3L).toDF("k")
+    val r3 = Engine.execute(spark,
+      "SELECT k FROM tn UNION ALL SELECT k + 10 AS j FROM tn " +
+        "ORDER BY k DESC FETCH FIRST 40 PERCENT ROWS ONLY",
+      Map("tn" -> tn), Dialect.OracleIsh)
+      .collect().map(_.getLong(0)).sorted
+    assert(r3.toSeq === Seq(11L, 12L, 13L))
+    // Postgres's scope rule stays loud: over a set op the sort
+    // vocabulary is the arms' output names (or ordinals) only
+    val e = intercept[UnsupportedError](Engine.execute(spark,
+      "(SELECT s, k FROM t) UNION (SELECT s, k FROM u) " +
+        "ORDER BY upper(s) FETCH FIRST 1 ROWS WITH TIES",
+      Map("t" -> t, "u" -> u), Dialect.Postgresish))
+    assert(e.getMessage.contains("output column names"))
+    // T-SQL TOP binds to the FIRST arm, not the combined result — the
+    // combined-result rewrite stays FETCH-family only (named error)
+    intercept[UnsupportedError](Engine.execute(spark,
+      "SELECT TOP 1 WITH TIES s FROM t UNION SELECT s FROM u ORDER BY s",
+      Map("t" -> t, "u" -> u), Dialect.TsqlIsh))
   }
 
   test("percent forms run the pre-filtered scale plan and stay exact") {
@@ -356,6 +436,18 @@ class EngineSpec extends SparkSpec {
     val ranks = ranked.groupBy(_._1).view.mapValues(_.map(_._2).min + 1).toMap
     val expectedD = ranked.map(_._1).filter(v => ranks(v) <= 200).sorted
     assert(gotD.toSeq === expectedD)
+    // DISTINCT + PERCENT rides the scale plan too (r17 — the legacy
+    // global-count window ran over the whole distinct output before):
+    // the ranked relation is the ( SELECT DISTINCT … ) subquery, whose
+    // exact row count is the percent base. (b, e) is determined by
+    // k mod 10 here — 10 distinct pairs — so ceil(10 * 20%) = 2 rows
+    val dd = Engine.execute(spark,
+      "SELECT DISTINCT TOP 20 PERCENT v % 10 AS b, k % 2 AS e FROM t ORDER BY b, e",
+      Map("t" -> t), Dialect.TsqlIsh)
+    assert(dd.queryExecution.executedPlan.toString.contains("__pcut"),
+      "expected the DISTINCT percent path to take the scale plan")
+    assert(dd.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      Seq((0L, 0L), (1L, 1L)))
   }
 
   test("dialect: == rewrite preserves string literals (ANSI '' doubling, backslash plain)") {
@@ -637,6 +729,20 @@ class EngineSpec extends SparkSpec {
     assert(Dialect.rewriteQualify(
       "SELECT a, t.b FROM t QUALIFY row_number() OVER (ORDER BY a) = 1") ===
       "SELECT a, b FROM ( SELECT a, t.b , (row_number() OVER (ORDER BY a) = 1) AS __qual FROM t ) __qualify WHERE __qual ")
+    // SELECT DISTINCT composes (r17 — a named fail-fast before):
+    // QUALIFY evaluates BEFORE DISTINCT, so the inner query drops the
+    // DISTINCT (the window sees raw rows) and the outer re-projection
+    // re-applies it without the __qual column
+    assert(Dialect.rewriteQualify(
+      "SELECT DISTINCT a, b FROM t QUALIFY row_number() OVER (ORDER BY c) = 1") ===
+      "SELECT DISTINCT a, b FROM ( SELECT a, b , " +
+        "(row_number() OVER (ORDER BY c) = 1) AS __qual FROM t ) __qualify WHERE __qual ")
+    // …the aliased-predicate (no inline window) DISTINCT form keeps the
+    // simple wrap: filtering on selected columns commutes with DISTINCT
+    assert(Dialect.rewriteQualify(
+      "SELECT DISTINCT a, rank() OVER (ORDER BY b) AS rk FROM t QUALIFY rk <= 2") ===
+      "SELECT * FROM ( SELECT DISTINCT a, rank() OVER (ORDER BY b) AS rk FROM t ) " +
+        "__qualify WHERE rk <= 2 ")
     // QUALIFY inside a subquery (depth > 0) is not touched
     val sub = "SELECT * FROM (SELECT a FROM t) x WHERE 'QUALIFY' = 'QUALIFY'"
     assert(Dialect.rewriteQualify(sub) === sub)
