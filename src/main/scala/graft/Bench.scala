@@ -99,8 +99,10 @@ object Bench {
     val canaryWorst = canaries.max
     try { // best-effort fixture cleanup (temp dir, ~140 MB)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(canaryDir).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(canaryDir)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     } catch { case _: Throwable => () }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def fmt(v: Double): String =

@@ -1741,11 +1741,17 @@ object Dialect {
     * (pred) AS __qual` is valid Spark); only the names come from the
     * expansion.
     */
-  private[graft] def rewriteQualify(sql: String, esc: Boolean = false,
+  private[graft] def rewriteQualify(sql0: String, esc: Boolean = false,
       spark: Option[SparkSession] = None): String = {
-    // comment-aware spans (r17 ADVICE): a QUALIFY keyword (or a paren
-    // skewing the depth map) inside a -- or /* */ comment must not
-    // trigger the rewrite or the nested-recursion path
+    // comments are normalized to whitespace up front (r17 review):
+    // [[blankComments]] is length-preserving, so no offset shifts; a
+    // QUALIFY keyword or a paren inside a comment can no longer trigger
+    // the rewrite or skew the depth map, and the single-line splices
+    // below (`) __qualify WHERE __qual`) cannot be swallowed by a
+    // trailing `--` comment at the end of the inner statement (a
+    // confirmed parse-error repro on legal Snowflake text). Statements
+    // the rewrite does not touch are returned byte-identical (sql0).
+    val sql = blankComments(sql0, esc)
     val spans = opaqueSpans(sql, esc)._1
     val depth = depthAt(sql, spans)
     val qIdx = topLevelKeyword(sql, spans, depth, "QUALIFY")
@@ -1756,12 +1762,12 @@ object Dialect {
       // containing the clause in place, then rescan the splice
       val m = "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sql)
         .find(mm => outsideLiterals(spans, mm.start) && depth(mm.start) > 0)
-        .getOrElse(return sql)
+        .getOrElse(return sql0)
       val (open, close) = enclosingParen(sql, spans, m.start)
-        .getOrElse(return sql)
+        .getOrElse(return sql0)
       val inner = sql.substring(open + 1, close)
       val rebuilt = rewriteQualify(inner, esc, spark)
-      if (rebuilt == inner) return sql // not a rewritable inner statement — stay loud
+      if (rebuilt == inner) return sql0 // not a rewritable inner statement — stay loud
       return rewriteQualify(
         sql.substring(0, open + 1) + rebuilt + sql.substring(close), esc, spark)
     }
@@ -1928,7 +1934,7 @@ object Dialect {
           val close = matchParen(cur, spans, open)
           if (close < 0)
             throw new graft.UnsupportedError(s"unbalanced * REPLACE( in: $cur")
-          val repls = splitArgs(cur, spans, open + 1, close).map(_.trim).map { item =>
+          val replPairs = splitArgs(cur, spans, open + 1, close).map(_.trim).map { item =>
             "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$".r
               .findFirstMatchIn(item) match {
               case Some(mm) =>
@@ -1936,7 +1942,14 @@ object Dialect {
               case None => throw new graft.UnsupportedError(
                 s"* REPLACE items must be `expr AS col`, got: $item")
             }
-          }.toMap
+          }
+          // DuckDB/BigQuery reject a twice-replaced column — toMap would
+          // silently keep the last entry (r17 review)
+          replPairs.map(_._1).groupBy(identity)
+            .collectFirst { case (nm, vs) if vs.size > 1 => nm }
+            .foreach(nm => throw new graft.UnsupportedError(
+              s"* REPLACE names column $nm more than once"))
+          val repls = replPairs.toMap
           val depth = depthAt(cur, spans)
           val d0 = depth(m.start)
           // anchor on the FROM TOKEN (not `FROM ident`) so a subquery FROM
@@ -2013,10 +2026,14 @@ object Dialect {
     * LIMIT. Like QUALIFY, select items must be nameable (alias or bare
     * column) so the outer projection can re-select them.
     */
-  private[graft] def rewriteDistinctOn(sql: String, esc: Boolean = false,
+  private[graft] def rewriteDistinctOn(sql0: String, esc: Boolean = false,
       spark: Option[SparkSession] = None): String = {
-    // comment-aware spans (r17 ADVICE): a SELECT DISTINCT ON keyword
-    // inside a comment must not trigger the rewrite or the nested path
+    // comments normalized to whitespace up front (r17, as in
+    // [[rewriteQualify]]): keyword/paren text inside a comment cannot
+    // trigger the rewrite or skew the depth map, and the emitted
+    // single-line window splice cannot be swallowed by a trailing `--`
+    // comment. Untouched statements return byte-identical (sql0).
+    val sql = blankComments(sql0, esc)
     val spans = opaqueSpans(sql, esc)._1
     val depth = depthAt(sql, spans)
     val m = "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findAllMatchIn(sql)
@@ -2027,12 +2044,12 @@ object Dialect {
         // statement containing the clause in place, then rescan
         val nested = "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findAllMatchIn(sql)
           .find(mm => depth(mm.start) > 0 && outsideLiterals(spans, mm.start))
-          .getOrElse(return sql)
+          .getOrElse(return sql0)
         val (open, close) = enclosingParen(sql, spans, nested.start)
-          .getOrElse(return sql)
+          .getOrElse(return sql0)
         val inner = sql.substring(open + 1, close)
         val rebuilt = rewriteDistinctOn(inner, esc, spark)
-        if (rebuilt == inner) return sql // not a rewritable inner statement — stay loud
+        if (rebuilt == inner) return sql0 // not a rewritable inner statement — stay loud
         return rewriteDistinctOn(
           sql.substring(0, open + 1) + rebuilt + sql.substring(close), esc, spark)
       }
@@ -4028,7 +4045,7 @@ object Dialect {
           if (close < 0 || it.substring(close + 1).trim.nonEmpty)
             throw new graft.UnsupportedError(
               s"$construct cannot expand this star REPLACE form: $it")
-          val repls = splitArgs(it, itSpans, open + 1, close).map(_.trim).map { r =>
+          val replPairs = splitArgs(it, itSpans, open + 1, close).map(_.trim).map { r =>
             "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$".r
               .findFirstMatchIn(r) match {
               case Some(mm) =>
@@ -4036,7 +4053,14 @@ object Dialect {
               case None => throw new graft.UnsupportedError(
                 s"$construct star REPLACE items must be `expr AS col`, got: $r")
             }
-          }.toMap
+          }
+          // DuckDB/BigQuery reject a twice-replaced column — toMap would
+          // silently keep the last entry (r17 review)
+          replPairs.map(_._1).groupBy(identity)
+            .collectFirst { case (nm, vs) if vs.size > 1 => nm }
+            .foreach(nm => throw new graft.UnsupportedError(
+              s"$construct star REPLACE names column $nm more than once"))
+          val repls = replPairs.toMap
           val fields = starFields(q.map(_ + ".*").getOrElse("*"))
           val known = fields.map(_.toLowerCase).toSet
           repls.keys.find(!known.contains(_)).foreach { missing =>
@@ -4095,7 +4119,18 @@ object Dialect {
     expanded
   }
 
-  private def buildWithTies(sql: String, n: String,
+  /** Split one ORDER BY key into (expression, trimmed ASC/DESC +
+    * NULLS FIRST/LAST suffix) — the shared parse for every sort-key
+    * consumer in the paging builder (r17 review: the regex literal had
+    * been copy-pasted per site).
+    */
+  private def splitSortSuffix(part: String): (String, String) = {
+    val m = "(?is)^(.*?)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)\\s*$".r
+      .findFirstMatchIn(part).get
+    (m.group(1).trim, m.group(2).trim)
+  }
+
+  private def buildWithTies(sql0: String, n: String,
       ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean,
       percent: Boolean = false, ties: Boolean = true,
       construct: String = "WITH TIES",
@@ -4104,6 +4139,16 @@ object Dialect {
       nullsAlwaysLast: Boolean = false,
       setOpOk: Boolean = false,
       qualifyIsClause: Boolean = true): String = {
+    // comments are normalized to whitespace UP FRONT (r17 review):
+    // [[blankComments]] is LENGTH-PRESERVING, so the caller's
+    // ordEnd/tiesEnd byte offsets stay valid, while (a) a paren or
+    // keyword inside a comment can no longer skew the depth map or the
+    // UNION/ORDER scans, and (b) every single-line splice this builder
+    // emits (`$body ) __wtq`, `items.mkString(", ")`) is safe from a
+    // trailing `--` comment swallowing the appended syntax. A trailing
+    // comment AFTER the ties clause is legal SQL and now passes the
+    // trailing-text check instead of raising.
+    val sql = blankComments(sql0, backslashEscapes = true)
     val spans = literalSpans(sql, backslashEscapes = true)
     val depth = depthAt(sql, spans)
     // set-operation detection runs BEFORE the single-SELECT shape check:
@@ -4112,15 +4157,15 @@ object Dialect {
     // CLAUSE shape (keyword followed by an arm: [parenthesized]
     // SELECT/VALUES/TABLE/WITH), not the bare word — `SELECT * EXCEPT
     // (cols)` is a star clause, not a set operation (r16 probe).
-    // comment-aware span filter for the detection only: a UNION spelled
-    // inside a -- or /* */ comment is text, not a set operation
-    val setOpSpans = opaqueSpans(sql, backslashEscapes = true)._1
-    val setOpHit = Seq("UNION", "INTERSECT", "EXCEPT").exists { k =>
+    // MINUS is Oracle's EXCEPT spelling and a Spark-native synonym —
+    // without it an OracleIsh FETCH over MINUS would rank the first arm
+    // only and die on a raw arity error (r17 review).
+    val setOpHit = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS").exists { k =>
       val armRe = ("(?is)\\b" + k +
         "\\s+(?:(?:ALL|DISTINCT)\\s+)?" +
         "(?:SELECT\\b|VALUES\\b|TABLE\\b|WITH\\b|\\(\\s*(?:SELECT|VALUES|TABLE|WITH)\\b)").r
       armRe.findAllMatchIn(sql).exists(mm =>
-        depth(mm.start) == 0 && outsideLiterals(setOpSpans, mm.start))
+        depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
     }
     if (setOpHit) {
       /* WITH TIES / PERCENT over a set operation (r17 — a named
@@ -4177,9 +4222,7 @@ object Dialect {
       val oSpans = literalSpans(ordText, backslashEscapes = true)
       val resolved = splitArgs(ordText, oSpans, 0, ordText.length)
         .map(_.trim).map { part =>
-          val pm = "(?is)^(.*?)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)\\s*$".r
-            .findFirstMatchIn(part).get
-          val (e, sfx) = (pm.group(1).trim, pm.group(2))
+          val (e, sfx) = splitSortSuffix(part)
           val nm =
             if (e.matches("\\d+")) {
               val i = e.toInt
@@ -4191,7 +4234,7 @@ object Dialect {
               throw new graft.UnsupportedError(
                 s"$construct over a set operation can sort only by the arms' " +
                   s"output column names or ordinals; cannot resolve: $e"))
-          nm + sfx
+          (nm + " " + sfx).trim
         }.mkString(", ")
       val tiesText = sql.substring(ordEnd, tiesEnd)
       val rebuilt = s"SELECT ${names.mkString(", ")} FROM ( $bodyText ) __wtarms " +
@@ -4411,9 +4454,7 @@ object Dialect {
       val byName = itemNames.map(nm => nm.toLowerCase -> nm).toMap
       val oSpans = literalSpans(ord, backslashEscapes = true)
       val dKeyParts = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
-        val pm = "(?is)^(.*?)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)\\s*$".r
-          .findFirstMatchIn(part).get
-        val (e, sfx) = (pm.group(1).trim, pm.group(2))
+        val (e, sfx) = splitSortSuffix(part)
         val resolved =
           if (e.matches("\\d+")) {
             val i = e.toInt
@@ -4425,7 +4466,7 @@ object Dialect {
             throw new graft.UnsupportedError(
               s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
                 s"to appear in the select list; cannot resolve: $e")))
-        val pinned = resolved + sfx
+        val pinned = (resolved + " " + sfx).trim
         if ((!nullsLargest && !nullsAlwaysLast) ||
             "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(pinned).isDefined) pinned
         else if ("(?is)\\bDESC\\s*$".r.findFirstIn(pinned).isDefined)
@@ -4457,12 +4498,8 @@ object Dialect {
           // is the percent base) and keys materialize OUTSIDE it
           val scalePlan =
             if (percent) {
-              val parsed = dKeyParts.map { part =>
-                val m = "(?is)^(.*?)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)\\s*$".r
-                  .findFirstMatchIn(part).get
-                (m.group(1).trim, m.group(2).trim)
-              }
-              percentScalePlan(rankFn, itemNames, s"FROM $inner __wtd", parsed, dKeys)
+              percentScalePlan(rankFn, itemNames, s"FROM $inner __wtd",
+                dKeyParts.map(splitSortSuffix), dKeys)
             } else None
           scalePlan.getOrElse {
             val extraCol = if (percent) ", count(*) OVER () AS __wtc" else ""
@@ -4503,12 +4540,9 @@ object Dialect {
       case None =>
         val rankFn = if (ties) "rank()" else "row_number()"
         if (percent) {
-          val parsed = keyParts(windowOrd, resolveAliases = true).map { part =>
-            val m = "(?is)^(.*?)((?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?)\\s*$".r
-              .findFirstMatchIn(part).get
-            (m.group(1).trim, m.group(2).trim)
-          }
-          percentScalePlan(rankFn, items, body, parsed, outerOrd) match {
+          percentScalePlan(rankFn, items, body,
+            keyParts(windowOrd, resolveAliases = true).map(splitSortSuffix),
+            outerOrd) match {
             case Some(plan) => plan
             case None =>
               s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
@@ -4688,10 +4722,20 @@ object Dialect {
     val out = new StringBuilder
     var last = 0
     // the match consumes its LEADING whitespace so the splice leaves no
-    // double space behind
-    """(?i)\s*\bLIMIT\s+ALL\b""".r.findAllMatchIn(sql)
+    // double space behind — UNLESS that whitespace holds a newline
+    // terminating a `--` line comment (r17 review: consuming it spliced
+    // the kept OFFSET clause INTO the comment — a silent wrong answer)
+    // or any opaque-span boundary: then the splice starts at the LIMIT
+    // token itself and the whitespace survives.
+    """(?i)(\s*)\bLIMIT\s+ALL\b""".r.findAllMatchIn(sql)
       .filter(m => outsideLiterals(spans, m.end - 1)).foreach { m =>
-        out.append(sql.substring(last, m.start))
+        val tokStart = m.start + m.group(1).length
+        val safeStart =
+          if (sql.substring(m.start, tokStart).contains('\n') ||
+              spans.exists { case (_, b) => b > m.start && b <= tokStart })
+            tokStart
+          else m.start
+        out.append(sql.substring(last, safeStart))
         last = m.end
       }
     out.append(sql.substring(last))
@@ -4710,7 +4754,12 @@ object Dialect {
   private[graft] def rewriteFetchFirstWithTies(sql: String,
       spark: Option[SparkSession] = None,
       nullsAlwaysLast: Boolean = false): String = {
-    val s0 = sql.trim
+    // comments blanked up front (r17 review, length-preserving): a paren
+    // or keyword inside a -- or /* */ comment must not skew this
+    // function's own depth map (a commented '(' used to misroute a
+    // top-level FETCH into the subquery branch and die on "unbalanced
+    // subquery"); statements without a FETCH…TIES return byte-identical
+    val s0 = blankComments(sql, backslashEscapes = true).trim
     // the count is optional in ANSI/Postgres — `FETCH FIRST ROW WITH
     // TIES` defaults to 1 (r14 verdict item 4)
     val re = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+WITH\s+TIES\b""".r
@@ -4777,7 +4826,9 @@ object Dialect {
     */
   private[graft] def rewriteFetchFirstPercent(sql: String,
       spark: Option[SparkSession] = None): String = {
-    val s = sql.trim
+    // comments blanked up front — same depth-map hazard as
+    // [[rewriteFetchFirstWithTies]] (r17 review)
+    val s = blankComments(sql, backslashEscapes = true).trim
     val re =
       """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+(?:\.\d+)?)\s+PERCENT\s+ROWS?\s+(ONLY|WITH\s+TIES)\b""".r
     val spans = literalSpans(s, backslashEscapes = true)

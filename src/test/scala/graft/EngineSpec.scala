@@ -242,6 +242,13 @@ class EngineSpec extends SparkSpec {
         |QUALIFY row_number() OVER (ORDER BY k) = 1""".stripMargin,
       Map("t" -> t), Dialect.DuckDbish))
     assert(e2.getMessage.contains("zz"))
+    // a twice-replaced column is rejected like DuckDB/BigQuery reject
+    // it — not silently collapsed to the last entry (r17 review)
+    val e3 = intercept[UnsupportedError](Engine.execute(spark,
+      """SELECT * REPLACE (v + 1 AS v, v + 2 AS v) FROM (SELECT k, g, v FROM t) s
+        |QUALIFY row_number() OVER (ORDER BY k) = 1""".stripMargin,
+      Map("t" -> t), Dialect.DuckDbish))
+    assert(e3.getMessage.contains("more than once"))
     // * REPLACE under WITH TIES rides the expanded items too
     val tr = Engine.execute(spark,
       "SELECT * REPLACE (v + 1 AS v) FROM t ORDER BY 3 DESC FETCH FIRST 1 ROWS WITH TIES",
@@ -356,6 +363,13 @@ class EngineSpec extends SparkSpec {
     intercept[UnsupportedError](Engine.execute(spark,
       "SELECT TOP 1 WITH TIES s FROM t UNION SELECT s FROM u ORDER BY s",
       Map("t" -> t, "u" -> u), Dialect.TsqlIsh))
+    // MINUS (Oracle's EXCEPT spelling, Spark-native synonym) composes:
+    // {1,2,3} MINUS {2} ordered asc, first 1 → {1}
+    val r4 = Engine.execute(spark,
+      "SELECT k FROM tn MINUS SELECT k FROM tn WHERE k = 2 " +
+        "ORDER BY k FETCH FIRST 1 ROWS WITH TIES",
+      Map("tn" -> tn), Dialect.OracleIsh).collect().map(_.getLong(0))
+    assert(r4.toSeq === Seq(1L))
   }
 
   test("percent forms run the pre-filtered scale plan and stay exact") {
