@@ -1336,10 +1336,20 @@ object Dialect {
         b += ((i, end, true))
         i = end
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        val e = s.indexOf("*/", i + 2)
-        val end = if (e < 0) s.length else e + 2
-        b += ((i, end, true))
-        i = end
+        // bracketed comments NEST in Spark (SPARK-28880) and in
+        // Postgres/DuckDB — ending at the first */ would leave the
+        // outer comment's tail as live statement text (r17 review)
+        val st = i
+        var d = 1
+        i += 2
+        while (i < s.length && d > 0) {
+          if (s.charAt(i) == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+            d += 1; i += 2
+          } else if (s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+            d -= 1; i += 2
+          } else i += 1
+        }
+        b += ((st, i, true))
       } else i += 1
     }
     b.result()
@@ -1360,7 +1370,18 @@ object Dialect {
     if (!kinds.exists(_._3)) return s
     val out = new StringBuilder(s)
     kinds.foreach { case (a, b, isComment) =>
-      if (isComment) { var i = a; while (i < b) { out.setCharAt(i, ' '); i += 1 } }
+      // Spark optimizer HINTS (`/*+ … */`) are comments to the lexer
+      // but plan directives to Spark — blanking one silently drops a
+      // BROADCAST/REPARTITION and changes the physical plan (r17
+      // review). They stay opaque for span purposes (parens inside a
+      // hint never skew a depth map) but keep their text; being
+      // self-terminating block spans they cannot swallow appended
+      // syntax the way a `--` line comment can.
+      val isHint = b - a >= 3 && s.charAt(a) == '/' && s.charAt(a + 1) == '*' &&
+        s.charAt(a + 2) == '+'
+      if (isComment && !isHint) {
+        var i = a; while (i < b) { out.setCharAt(i, ' '); i += 1 }
+      }
     }
     out.toString
   }
@@ -1806,17 +1827,31 @@ object Dialect {
           "QUALIFY with an inline window is not supported under SELECT DISTINCT ON " +
             "(rewrite DISTINCT ON first)")
       val listStart = distinctM.map(_.end).getOrElse(selIdx + "SELECT".length)
+      // a leading optimizer hint names no output column — item parsing
+      // starts after it; the emitted inner select keeps it (r17 review)
+      val hint: String = {
+        var hs = selIdx + "SELECT".length
+        while (hs < inner.length && inner.charAt(hs).isWhitespace) hs += 1
+        if (inner.startsWith("/*+", hs))
+          iSpans.find(_._1 == hs).map { case (a, b) => inner.substring(a, b) + " " }
+            .getOrElse("")
+        else ""
+      }
+      val parseStart =
+        if (hint.isEmpty) listStart
+        else inner.indexOf(hint.trim, listStart) + hint.trim.length
       val rawItems =
-        splitArgs(inner, iSpans, listStart, fromIdx).map(_.trim).filter(_.nonEmpty)
+        splitArgs(inner, iSpans, parseStart, fromIdx).map(_.trim).filter(_.nonEmpty)
       val items = expandStarItems(spark, rawItems,
         inner.substring(fromIdx), "QUALIFY")
       val names = items.map(itemName(_)).mkString(", ")
       // the inner query keeps the user's select-list text (a plain `*`
-      // is valid Spark) — EXCEPT when an item is a REPLACE-star or
-      // qualified-EXCEPT star, which Spark cannot parse inline: those
-      // splice the expansion instead (r17)
+      // is valid Spark, and a leading hint survives in place) — EXCEPT
+      // when an item is a REPLACE-star or qualified-EXCEPT star, which
+      // Spark cannot parse inline: those splice the expansion instead,
+      // re-prefixed with the hint (r17)
       val innerList =
-        if (rawItems.exists(starNeedsExpansion)) items.mkString(", ")
+        if (rawItems.exists(starNeedsExpansion)) hint + items.mkString(", ")
         else inner.substring(listStart, fromIdx).trim
       val augmented = "SELECT " + innerList +
         s" , ($pred) AS __qual " + inner.substring(fromIdx)
@@ -1886,6 +1921,32 @@ object Dialect {
     * `* REPLACE`) is not recognized as star position and passes
     * through to Spark's parser.
     */
+  /** Parse a star-REPLACE list — the text between the `REPLACE (` at
+    * `open` and its matching `close` — into lowercase-target → expr,
+    * raising named errors for non-`expr AS col` items and for a
+    * twice-replaced column (DuckDB/BigQuery reject those; a bare toMap
+    * would silently keep the last entry). Shared by
+    * [[rewriteStarReplace]] and [[expandStarItems]] (r17 review: the
+    * two copies had already started to drift).
+    */
+  private def parseReplaceItems(text: String, spans: Vector[(Int, Int)],
+      open: Int, close: Int, errPrefix: String): Map[String, String] = {
+    val pairs = splitArgs(text, spans, open + 1, close).map(_.trim).map { r =>
+      "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$".r
+        .findFirstMatchIn(r) match {
+        case Some(mm) =>
+          mm.group(2).stripPrefix("`").stripSuffix("`").toLowerCase -> mm.group(1)
+        case None => throw new graft.UnsupportedError(
+          s"$errPrefix items must be `expr AS col`, got: $r")
+      }
+    }
+    pairs.map(_._1).groupBy(identity)
+      .collectFirst { case (nm, vs) if vs.size > 1 => nm }
+      .foreach(nm => throw new graft.UnsupportedError(
+        s"$errPrefix names column $nm more than once"))
+    pairs.toMap
+  }
+
   private[graft] def rewriteStarReplace(spark: SparkSession, sql: String,
       esc: Boolean): String = {
     val re = "(?i)\\*\\s*REPLACE\\s*\\(".r
@@ -1934,22 +1995,7 @@ object Dialect {
           val close = matchParen(cur, spans, open)
           if (close < 0)
             throw new graft.UnsupportedError(s"unbalanced * REPLACE( in: $cur")
-          val replPairs = splitArgs(cur, spans, open + 1, close).map(_.trim).map { item =>
-            "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$".r
-              .findFirstMatchIn(item) match {
-              case Some(mm) =>
-                mm.group(2).stripPrefix("`").stripSuffix("`").toLowerCase -> mm.group(1)
-              case None => throw new graft.UnsupportedError(
-                s"* REPLACE items must be `expr AS col`, got: $item")
-            }
-          }
-          // DuckDB/BigQuery reject a twice-replaced column — toMap would
-          // silently keep the last entry (r17 review)
-          replPairs.map(_._1).groupBy(identity)
-            .collectFirst { case (nm, vs) if vs.size > 1 => nm }
-            .foreach(nm => throw new graft.UnsupportedError(
-              s"* REPLACE names column $nm more than once"))
-          val repls = replPairs.toMap
+          val repls = parseReplaceItems(cur, spans, open, close, "* REPLACE")
           val depth = depthAt(cur, spans)
           val d0 = depth(m.start)
           // anchor on the FROM TOKEN (not `FROM ident`) so a subquery FROM
@@ -4045,22 +4091,8 @@ object Dialect {
           if (close < 0 || it.substring(close + 1).trim.nonEmpty)
             throw new graft.UnsupportedError(
               s"$construct cannot expand this star REPLACE form: $it")
-          val replPairs = splitArgs(it, itSpans, open + 1, close).map(_.trim).map { r =>
-            "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$".r
-              .findFirstMatchIn(r) match {
-              case Some(mm) =>
-                mm.group(2).stripPrefix("`").stripSuffix("`").toLowerCase -> mm.group(1)
-              case None => throw new graft.UnsupportedError(
-                s"$construct star REPLACE items must be `expr AS col`, got: $r")
-            }
-          }
-          // DuckDB/BigQuery reject a twice-replaced column — toMap would
-          // silently keep the last entry (r17 review)
-          replPairs.map(_._1).groupBy(identity)
-            .collectFirst { case (nm, vs) if vs.size > 1 => nm }
-            .foreach(nm => throw new graft.UnsupportedError(
-              s"$construct star REPLACE names column $nm more than once"))
-          val repls = replPairs.toMap
+          val repls =
+            parseReplaceItems(it, itSpans, open, close, s"$construct star REPLACE")
           val fields = starFields(q.map(_ + ".*").getOrElse("*"))
           val known = fields.map(_.toLowerCase).toSet
           repls.keys.find(!known.contains(_)).foreach { missing =>
@@ -4149,7 +4181,10 @@ object Dialect {
     // comment AFTER the ties clause is legal SQL and now passes the
     // trailing-text check instead of raising.
     val sql = blankComments(sql0, backslashEscapes = true)
-    val spans = literalSpans(sql, backslashEscapes = true)
+    // opaque (not literal-only) spans: optimizer hints survive the
+    // blanking, and a comma or paren inside `/*+ REPARTITION(3, c) */`
+    // must not split select items or skew the depth map
+    val spans = opaqueSpans(sql, backslashEscapes = true)._1
     val depth = depthAt(sql, spans)
     // set-operation detection runs BEFORE the single-SELECT shape check:
     // a parenthesized first arm — `(SELECT …) UNION (SELECT …) ORDER BY
@@ -4161,9 +4196,12 @@ object Dialect {
     // without it an OracleIsh FETCH over MINUS would rank the first arm
     // only and die on a raw arity error (r17 review).
     val setOpHit = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS").exists { k =>
+      // `(?:\(\s*)+` — an arm may sit under ANY number of parens
+      // (`EXCEPT ((SELECT …))` is legal Postgres; a single-paren match
+      // missed it and fell through to a raw arity error, r17 review)
       val armRe = ("(?is)\\b" + k +
         "\\s+(?:(?:ALL|DISTINCT)\\s+)?" +
-        "(?:SELECT\\b|VALUES\\b|TABLE\\b|WITH\\b|\\(\\s*(?:SELECT|VALUES|TABLE|WITH)\\b)").r
+        "(?:SELECT\\b|VALUES\\b|TABLE\\b|WITH\\b|(?:\\(\\s*)+(?:SELECT|VALUES|TABLE|WITH)\\b)").r
       armRe.findAllMatchIn(sql).exists(mm =>
         depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
     }
@@ -4331,12 +4369,31 @@ object Dialect {
               "apply QUALIFY in a subquery and the row limit outside")
       }
     val body = sql.substring(fromIdx, orderIdx).trim
+    // a leading optimizer hint (`SELECT /*+ … */ items`) is held aside
+    // from item parsing — it names no output column — and re-emitted on
+    // the INNER select of every rewrite below, where the scans/joins it
+    // directs live (r17 review: blanking dropped it silently; leaving
+    // it in the first item raised a bogus cannot-name error)
+    val hint: String = {
+      var hs = selIdx + "SELECT".length
+      while (hs < sql.length && sql.charAt(hs).isWhitespace) hs += 1
+      if (sql.startsWith("/*+", hs))
+        spans.find(_._1 == hs).map { case (a, b) => sql.substring(a, b) + " " }
+          .getOrElse("")
+      else ""
+    }
+    val itemsStart = distinctM.map(_.end).getOrElse {
+      val base = selIdx + "SELECT".length
+      if (hint.isEmpty) base
+      else sql.indexOf(hint.trim, base) + hint.trim.length
+    }
     val items = expandStarItems(spark,
-      splitArgs(sql, spans,
-        distinctM.map(_.end).getOrElse(selIdx + "SELECT".length), fromIdx)
+      splitArgs(sql, spans, itemsStart, fromIdx)
         .map(_.trim).filter(_.nonEmpty),
       body, construct)
     val names = items.map(itemName(_, construct)).mkString(", ")
+    // the inner-select list: hint (if any) + parsed items
+    val itemsSql = hint + items.mkString(", ")
     val ord = sql.substring(orderIdx + "ORDER".length, ordEnd).trim
       .replaceAll("(?i)^BY\\s+", "")
     val aliasExpr: Map[String, String] = items.flatMap { it =>
@@ -4405,7 +4462,7 @@ object Dialect {
      * over the distinct OUTPUT (its exact row count is the percent
      * base) and the key materialization happens outside the distinct.
      */
-    def percentScalePlan(rankFn: String, srcItems: Seq[String], srcBody: String,
+    def percentScalePlan(rankFn: String, srcItemsSql: String, srcBody: String,
         parsed: Seq[(String, String)], outOrd: String): Option[String] = {
       val s = spark.getOrElse(return None)
       if (!n.matches("\\d+(?:\\.\\d+)?")) return None
@@ -4434,7 +4491,7 @@ object Dialect {
       Some(s"SELECT $names FROM ( SELECT *, " +
         s"$rankFn OVER (ORDER BY $winOrd) AS __wt FROM ( " +
         s"SELECT /*+ BROADCAST(__ws) */ __wb.*, __ws.__pn " +
-        s"FROM ( SELECT ${srcItems.mkString(", ")}, $keyCols $srcBody ) __wb " +
+        s"FROM ( SELECT $srcItemsSql, $keyCols $srcBody ) __wb " +
         s"CROSS JOIN ( SELECT count(*) AS __pn, count(__psk) AS __pn1, " +
         s"approx_percentile(__psk, $target, 10000) AS __pcut " +
         s"FROM ( SELECT ($k1) AS __psk $srcBody ) __wsrc ) __ws " +
@@ -4474,7 +4531,7 @@ object Dialect {
         else pinned + " NULLS LAST"
       }
       val dKeys = dKeyParts.mkString(", ")
-      val inner = s"( SELECT DISTINCT ${items.mkString(", ")} $body )"
+      val inner = s"( SELECT DISTINCT $itemsSql $body )"
       if (n.matches("\\d+(?:\\.\\d+)?") && n.toDouble == 0.0)
         return s"SELECT $names FROM $inner __wtq LIMIT 0"
       // the resolved-name key list serves as the OUTER ORDER BY too: the
@@ -4498,8 +4555,8 @@ object Dialect {
           // is the percent base) and keys materialize OUTSIDE it
           val scalePlan =
             if (percent) {
-              percentScalePlan(rankFn, itemNames, s"FROM $inner __wtd",
-                dKeyParts.map(splitSortSuffix), dKeys)
+              percentScalePlan(rankFn, itemNames.mkString(", "),
+                s"FROM $inner __wtd", dKeyParts.map(splitSortSuffix), dKeys)
             } else None
           scalePlan.getOrElse {
             val extraCol = if (percent) ", count(*) OVER () AS __wtc" else ""
@@ -4526,13 +4583,13 @@ object Dialect {
     // validation so malformed statements still raise like the non-zero
     // forms do.
     if (n.matches("\\d+(?:\\.\\d+)?") && n.toDouble == 0.0)
-      return s"SELECT $names FROM ( SELECT ${items.mkString(", ")} $body ) __wtq LIMIT 0"
+      return s"SELECT $names FROM ( SELECT $itemsSql $body ) __wtq LIMIT 0"
     offset match {
       case Some(off) =>
         val lim = s"(($off) + ($n))"
         s"SELECT $names FROM ( SELECT *, " +
           s"max(CASE WHEN __wtn <= $lim THEN __wt END) OVER () AS __wtcut " +
-          s"FROM ( SELECT ${items.mkString(", ")}, " +
+          s"FROM ( SELECT $itemsSql, " +
           s"rank() OVER (ORDER BY $winKeys) AS __wt, " +
           s"row_number() OVER (ORDER BY $winKeys) AS __wtn $body ) __wtq " +
           s"WHERE __wt <= $lim ) __wtq2 " +
@@ -4540,18 +4597,18 @@ object Dialect {
       case None =>
         val rankFn = if (ties) "rank()" else "row_number()"
         if (percent) {
-          percentScalePlan(rankFn, items, body,
+          percentScalePlan(rankFn, itemsSql, body,
             keyParts(windowOrd, resolveAliases = true).map(splitSortSuffix),
             outerOrd) match {
             case Some(plan) => plan
             case None =>
-              s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+              s"SELECT $names FROM ( SELECT $itemsSql, " +
                 s"$rankFn OVER (ORDER BY $winKeys) AS __wt, " +
                 s"count(*) OVER () AS __wtc $body ) __wtq " +
                 s"WHERE __wt <= CEILING(__wtc * ($n) / 100.0) ORDER BY $outerOrd"
           }
         } else
-          s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+          s"SELECT $names FROM ( SELECT $itemsSql, " +
             s"$rankFn OVER (ORDER BY $winKeys) AS __wt $body ) __wtq " +
             s"WHERE __wt <= $n ORDER BY $outerOrd"
     }
