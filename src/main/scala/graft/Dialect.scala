@@ -305,12 +305,13 @@ object Dialect {
         s => renameFunctions(s, renames, esc = true), // to_char joins to_varchar
         s => rewriteDoubleQuotedIdents(s, esc = true),
         // Snowflake supports `SELECT TOP n` (no PERCENT/TIES — those
-        // spellings are T-SQL's; accepting them here is a harmless
-        // superset). Runs BEFORE the QUALIFY rewrite so the emitted
+        // spellings are T-SQL's and Snowflake's parser rejects them —
+        // a NAMED error, not the silent T-SQL-semantics superset, r17).
+        // Runs BEFORE the QUALIFY rewrite so the emitted
         // LIMIT lands after the QUALIFY clause and the QUALIFY rewrite
         // carries it as its tail — QUALIFY filters first, then TOP,
         // exactly Snowflake's evaluation order (r16).
-        s => rewriteTsqlTop(s, Some(spark)),
+        s => rewriteTsqlTop(s, Some(spark), allowPercentTies = false),
         s => rewriteQualify(s, esc = true, spark = Some(spark)),
         // Snowflake spells ordered array_agg WITHIN GROUP; its nulls sort
         // highest (last-on-ASC/first-on-DESC, like Postgres) and — unlike
@@ -2778,7 +2779,8 @@ object Dialect {
     * fast (an arbitrary n% sample is not a deterministic rewrite).
     */
   private[graft] def rewriteTsqlTop(sql: String,
-      spark: Option[SparkSession] = None): String = {
+      spark: Option[SparkSession] = None,
+      allowPercentTies: Boolean = true): String = {
     // T-SQL clause order is SELECT [DISTINCT] TOP n — DISTINCT applies
     // FIRST, then TOP keeps n of the distinct rows (r16; the DISTINCT
     // spelling didn't match before and died as a raw parse error)
@@ -2793,6 +2795,15 @@ object Dialect {
         val distinctKw = if (m.group(1) != null) "DISTINCT " else ""
         val isPercent = m.group(3) != null
         val isTies = m.group(4) != null
+        // Snowflake's own TOP takes neither PERCENT nor WITH TIES —
+        // executing the T-SQL spellings there silently returned rows
+        // for statements the source engine rejects (r17, from ADVICE;
+        // the Snowflake wiring passes allowPercentTies = false)
+        if (!allowPercentTies && (isPercent || isTies))
+          throw new graft.UnsupportedError(
+            "TOP " + (if (isPercent) "PERCENT" else "WITH TIES") +
+              " is a T-SQL spelling this dialect's own parser rejects " +
+              "(Snowflake TOP takes a bare row count)")
         val n = m.group(2)
         // T-SQL rejects a non-integer TOP count without PERCENT — checked
         // before the WITH TIES branch so `TOP 2.5 WITH TIES` raises too
