@@ -1374,17 +1374,48 @@ object Dialect {
       // Spark optimizer HINTS (`/*+ … */`) are comments to the lexer
       // but plan directives to Spark — blanking one silently drops a
       // BROADCAST/REPARTITION and changes the physical plan (r17
-      // review). They stay opaque for span purposes (parens inside a
-      // hint never skew a depth map) but keep their text; being
-      // self-terminating block spans they cannot swallow appended
-      // syntax the way a `--` line comment can.
+      // review). A hint is honored by Spark ONLY directly after a
+      // SELECT keyword, so only THAT position is preserved (second r17
+      // review pass: preserving `/*+` text elsewhere — mid-select-list,
+      // inside ORDER BY keys — broke item naming and key splitting that
+      // blanking used to keep clean, for positions where the hint is
+      // inert anyway). A kept hint stays opaque for span purposes
+      // (parens inside it never skew a depth map) and, being a
+      // self-terminating block span, cannot swallow appended syntax
+      // the way a `--` line comment can.
       val isHint = b - a >= 3 && s.charAt(a) == '/' && s.charAt(a + 1) == '*' &&
         s.charAt(a + 2) == '+'
-      if (isComment && !isHint) {
+      val afterSelect = isHint && {
+        var j = a - 1
+        while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+        j >= 5 && s.regionMatches(true, j - 5, "SELECT", 0, 6) &&
+          (j - 6 < 0 || {
+            val c = s.charAt(j - 6); !c.isLetterOrDigit && c != '_'
+          })
+      }
+      if (isComment && !(isHint && afterSelect)) {
         var i = a; while (i < b) { out.setCharAt(i, ' '); i += 1 }
       }
     }
     out.toString
+  }
+
+  /** The optimizer hint directly after the SELECT at `selIdx`, as
+    * `"/*+ … */ "` (trailing space) plus the index just past it — or
+    * `("", selIdx + 6)` when none. `spans` must be the opaque spans of
+    * `sql` so the hint's extent is the lexer's, not a regex guess.
+    * Shared by the QUALIFY and paging rewrites (r17 review: two copies
+    * had already appeared).
+    */
+  private def leadingHint(sql: String, selIdx: Int,
+      spans: Vector[(Int, Int)]): (String, Int) = {
+    var hs = selIdx + "SELECT".length
+    while (hs < sql.length && sql.charAt(hs).isWhitespace) hs += 1
+    if (sql.startsWith("/*+", hs))
+      spans.find(_._1 == hs)
+        .map { case (a, b) => (sql.substring(a, b) + " ", b) }
+        .getOrElse(("", selIdx + "SELECT".length))
+    else ("", selIdx + "SELECT".length)
   }
 
   /** [[renameWords]] over [[literalAndIdentSpans]] — keyword rewriting
@@ -1814,33 +1845,25 @@ object Dialect {
       val fromIdx = topLevelKeyword(inner, iSpans, iDepth, "FROM")
       if (selIdx != 0 || fromIdx < 0)
         throw new graft.UnsupportedError(s"cannot locate SELECT … FROM around QUALIFY in: $sql")
+      // a leading optimizer hint names no output column — item parsing
+      // starts after it; the emitted inner select keeps it (r17 review)
+      val (hint, afterHint) = leadingHint(inner, selIdx, iSpans)
       // SELECT DISTINCT composes since r17 (a named fail-fast before):
       // Snowflake/DuckDB evaluation order is QUALIFY BEFORE DISTINCT —
       // windows see every pre-DISTINCT row — so the inner query drops
       // the DISTINCT (windows + __qual over the raw rows, filtered),
       // and the OUTER projection re-applies it over the original output
-      // names (__qual never leaks into the distinct). DISTINCT ON has
-      // its own earlier rewrite — raise if one reaches here.
-      val distinctM = "(?i)^\\s*SELECT\\s+DISTINCT\\b\\s*".r.findFirstMatchIn(inner)
+      // names (__qual never leaks into the distinct). Matched AFTER any
+      // leading hint (second r17 review pass). DISTINCT ON has its own
+      // earlier rewrite — raise if one reaches here.
+      val distinctM =
+        "(?is)^\\s*DISTINCT\\b\\s*".r.findFirstMatchIn(inner.substring(afterHint))
       if (distinctM.isDefined &&
-          "(?i)^\\s*SELECT\\s+DISTINCT\\s+ON\\b".r.findFirstIn(inner).isDefined)
+          "(?is)^\\s*DISTINCT\\s+ON\\b".r.findFirstIn(inner.substring(afterHint)).isDefined)
         throw new graft.UnsupportedError(
           "QUALIFY with an inline window is not supported under SELECT DISTINCT ON " +
             "(rewrite DISTINCT ON first)")
-      val listStart = distinctM.map(_.end).getOrElse(selIdx + "SELECT".length)
-      // a leading optimizer hint names no output column — item parsing
-      // starts after it; the emitted inner select keeps it (r17 review)
-      val hint: String = {
-        var hs = selIdx + "SELECT".length
-        while (hs < inner.length && inner.charAt(hs).isWhitespace) hs += 1
-        if (inner.startsWith("/*+", hs))
-          iSpans.find(_._1 == hs).map { case (a, b) => inner.substring(a, b) + " " }
-            .getOrElse("")
-        else ""
-      }
-      val parseStart =
-        if (hint.isEmpty) listStart
-        else inner.indexOf(hint.trim, listStart) + hint.trim.length
+      val parseStart = afterHint + distinctM.map(_.end).getOrElse(0)
       val rawItems =
         splitArgs(inner, iSpans, parseStart, fromIdx).map(_.trim).filter(_.nonEmpty)
       val items = expandStarItems(spark, rawItems,
@@ -1848,12 +1871,13 @@ object Dialect {
       val names = items.map(itemName(_)).mkString(", ")
       // the inner query keeps the user's select-list text (a plain `*`
       // is valid Spark, and a leading hint survives in place) — EXCEPT
-      // when an item is a REPLACE-star or qualified-EXCEPT star, which
-      // Spark cannot parse inline: those splice the expansion instead,
-      // re-prefixed with the hint (r17)
+      // when an item is a REPLACE-star or qualified-EXCEPT star (Spark
+      // cannot parse those inline: the expansion is spliced instead) or
+      // under DISTINCT (dropped from the inner; hint kept)
       val innerList =
         if (rawItems.exists(starNeedsExpansion)) hint + items.mkString(", ")
-        else inner.substring(listStart, fromIdx).trim
+        else if (distinctM.isDefined) hint + inner.substring(parseStart, fromIdx).trim
+        else inner.substring(selIdx + "SELECT".length, fromIdx).trim
       val augmented = "SELECT " + innerList +
         s" , ($pred) AS __qual " + inner.substring(fromIdx)
       val outerSel = if (distinctM.isDefined) "SELECT DISTINCT" else "SELECT"
@@ -2083,13 +2107,19 @@ object Dialect {
     val sql = blankComments(sql0, esc)
     val spans = opaqueSpans(sql, esc)._1
     val depth = depthAt(sql, spans)
-    val m = "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findAllMatchIn(sql)
+    // a leading optimizer hint may sit between SELECT and DISTINCT ON
+    // (Spark's honored hint position); it is captured and re-emitted on
+    // the inner select (second r17 review pass: the adjacency-anchored
+    // regex missed the hinted form and passed it through to a raw
+    // Spark parse error)
+    val donRe = "(?is)\\bSELECT\\s+(/\\*\\+.*?\\*/\\s*)?DISTINCT\\s+ON\\s*\\(".r
+    val m = donRe.findAllMatchIn(sql)
       .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
       .getOrElse {
         // SUBQUERY/CTE-level DISTINCT ON (r16 — a raw `Cannot resolve
         // routine ON` before): rewrite the innermost parenthesized
         // statement containing the clause in place, then rescan
-        val nested = "(?i)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findAllMatchIn(sql)
+        val nested = donRe.findAllMatchIn(sql)
           .find(mm => depth(mm.start) > 0 && outsideLiterals(spans, mm.start))
           .getOrElse(return sql0)
         val (open, close) = enclosingParen(sql, spans, nested.start)
@@ -2136,7 +2166,8 @@ object Dialect {
     // fallback (no statement ORDER BY) is expression text, never positions
     val windowOrd =
       if (orderIdx >= 0) resolveOrdinalSortKeys(ord, items, "DISTINCT ON") else ord
-    s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+    val hint = Option(m.group(1)).map(_.trim + " ").getOrElse("")
+    s"SELECT $names FROM ( SELECT $hint${items.mkString(", ")}, " +
       s"row_number() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __rn $body ) __don " +
       s"WHERE __rn = 1$outerOrder$tail"
   }
@@ -4299,19 +4330,29 @@ object Dialect {
         fromIdx > orderIdx)
       throw new graft.UnsupportedError(
         s"$construct requires the top-level SELECT … FROM … ORDER BY … shape")
+    // a leading optimizer hint (`SELECT /*+ … */ …`) is held aside —
+    // it names no output column — and re-emitted on the INNER select of
+    // every rewrite below, where the scans/joins it directs live (r17
+    // review: blanking dropped it silently; leaving it in the first
+    // item raised a bogus cannot-name error)
+    val (hint, afterHint) = leadingHint(sql, selIdx, spans)
     // SELECT DISTINCT composes since r16 (a named fail-fast before):
     // DISTINCT applies FIRST in every source dialect, then the rank/
     // percent filter runs over the DISTINCT output — so the emit ranks
     // a `( SELECT DISTINCT … )` subquery and the window sort keys must
     // resolve to that subquery's OUTPUT NAMES (expressions aren't in
-    // scope across the boundary). DISTINCT ON never reaches here (its
-    // rewrite runs earlier in every wired chain) — raise if it does.
+    // scope across the boundary). Matched AFTER any leading hint
+    // (second r17 review pass: the SELECT-anchored regex missed
+    // `SELECT /*+ … */ DISTINCT` and the first item parsed as
+    // "DISTINCT x"). DISTINCT ON never reaches here (its rewrite runs
+    // earlier in every wired chain) — raise if it does.
     val distinctM =
-      "(?i)^\\s*SELECT\\s+DISTINCT\\b\\s*".r.findFirstMatchIn(sql)
+      "(?is)^\\s*DISTINCT\\b\\s*".r.findFirstMatchIn(sql.substring(afterHint))
     if (distinctM.isDefined &&
-        "(?i)^\\s*SELECT\\s+DISTINCT\\s+ON\\b".r.findFirstIn(sql).isDefined)
+        "(?is)^\\s*DISTINCT\\s+ON\\b".r.findFirstIn(sql.substring(afterHint)).isDefined)
       throw new graft.UnsupportedError(
         s"$construct under SELECT DISTINCT ON is not supported (rewrite DISTINCT ON first)")
+    val itemsStart = afterHint + distinctM.map(_.end).getOrElse(0)
     if (sql.substring(tiesEnd).trim.nonEmpty)
       throw new graft.UnsupportedError(
         s"$construct must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
@@ -4345,7 +4386,9 @@ object Dialect {
     // and dies loudly in Spark's parser). T-SQL TOP keeps the guard:
     // its chain classifies the word so a clause-position QUALIFY gets
     // the named error rather than a raw parse error.
-    val (qSpans, _) = opaqueSpans(sql, backslashEscapes = true)
+    // `spans` is already the opaque-span vector of the blanked text —
+    // no second lex needed (r17 review)
+    val qSpans = spans
     "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sql)
       .filter(_ => qualifyIsClause)
       .filter(m => depth(m.start) == 0 && outsideLiterals(qSpans, m.start))
@@ -4380,24 +4423,6 @@ object Dialect {
               "apply QUALIFY in a subquery and the row limit outside")
       }
     val body = sql.substring(fromIdx, orderIdx).trim
-    // a leading optimizer hint (`SELECT /*+ … */ items`) is held aside
-    // from item parsing — it names no output column — and re-emitted on
-    // the INNER select of every rewrite below, where the scans/joins it
-    // directs live (r17 review: blanking dropped it silently; leaving
-    // it in the first item raised a bogus cannot-name error)
-    val hint: String = {
-      var hs = selIdx + "SELECT".length
-      while (hs < sql.length && sql.charAt(hs).isWhitespace) hs += 1
-      if (sql.startsWith("/*+", hs))
-        spans.find(_._1 == hs).map { case (a, b) => sql.substring(a, b) + " " }
-          .getOrElse("")
-      else ""
-    }
-    val itemsStart = distinctM.map(_.end).getOrElse {
-      val base = selIdx + "SELECT".length
-      if (hint.isEmpty) base
-      else sql.indexOf(hint.trim, base) + hint.trim.length
-    }
     val items = expandStarItems(spark,
       splitArgs(sql, spans, itemsStart, fromIdx)
         .map(_.trim).filter(_.nonEmpty),
@@ -4542,7 +4567,7 @@ object Dialect {
         else pinned + " NULLS LAST"
       }
       val dKeys = dKeyParts.mkString(", ")
-      val inner = s"( SELECT DISTINCT $itemsSql $body )"
+      val inner = s"( SELECT ${hint}DISTINCT ${items.mkString(", ")} $body )"
       if (n.matches("\\d+(?:\\.\\d+)?") && n.toDouble == 0.0)
         return s"SELECT $names FROM $inner __wtq LIMIT 0"
       // the resolved-name key list serves as the OUTER ORDER BY too: the
