@@ -1386,8 +1386,19 @@ object Dialect {
       val isHint = b - a >= 3 && s.charAt(a) == '/' && s.charAt(a + 1) == '*' &&
         s.charAt(a + 2) == '+'
       val afterSelect = isHint && {
+        // scan back over whitespace AND over prior comment/hint spans
+        // (third r17 review pass: Spark honors `SELECT /*+h1*/ /*+h2*/`
+        // and `SELECT /* note */ /*+h*/` — both hints must survive —
+        // and skipping spans whole also stops the word SELECT INSIDE a
+        // preceding comment from falsely qualifying an inert hint)
         var j = a - 1
-        while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+        var moved = true
+        while (moved) {
+          moved = false
+          while (j >= 0 && s.charAt(j).isWhitespace) { j -= 1; moved = true }
+          kinds.find { case (ka, kb, kc) => kc && j >= ka && j < kb }
+            .foreach { case (ka, _, _) => j = ka - 1; moved = true }
+        }
         j >= 5 && s.regionMatches(true, j - 5, "SELECT", 0, 6) &&
           (j - 6 < 0 || {
             val c = s.charAt(j - 6); !c.isLetterOrDigit && c != '_'
@@ -1409,13 +1420,44 @@ object Dialect {
     */
   private def leadingHint(sql: String, selIdx: Int,
       spans: Vector[(Int, Int)]): (String, Int) = {
-    var hs = selIdx + "SELECT".length
-    while (hs < sql.length && sql.charAt(hs).isWhitespace) hs += 1
-    if (sql.startsWith("/*+", hs))
-      spans.find(_._1 == hs)
-        .map { case (a, b) => (sql.substring(a, b) + " ", b) }
-        .getOrElse(("", selIdx + "SELECT".length))
-    else ("", selIdx + "SELECT".length)
+    val out = new StringBuilder
+    var end = selIdx + "SELECT".length
+    var hs = end
+    var more = true
+    // Spark's grammar is `SELECT (hint)* …` — CONSECUTIVE hint blocks
+    // are all honored, so all are consumed (third r17 review pass: a
+    // single-block capture left the second hint inside the first
+    // select item)
+    while (more) {
+      more = false
+      while (hs < sql.length && sql.charAt(hs).isWhitespace) hs += 1
+      if (sql.startsWith("/*+", hs)) {
+        spans.find(_._1 == hs).foreach { case (a, b) =>
+          out.append(sql.substring(a, b)).append(' ')
+          hs = b
+          end = b
+          more = true
+        }
+      }
+    }
+    (out.toString, end)
+  }
+
+  /** [[leadingHint]] plus DISTINCT detection for one select scope —
+    * `(hint, isDistinct, itemsStart)`, with DISTINCT matched AFTER the
+    * hint (the SELECT-anchored spelling misses `SELECT /*+ … */
+    * DISTINCT`) and a named error when DISTINCT ON follows instead.
+    * Shared by the QUALIFY and paging rewrites (third r17 review pass:
+    * the trio had been duplicated between them).
+    */
+  private def hintAndDistinct(sql: String, selIdx: Int,
+      spans: Vector[(Int, Int)], onDistinctOn: => String): (String, Boolean, Int) = {
+    val (hint, afterHint) = leadingHint(sql, selIdx, spans)
+    val rest = sql.substring(afterHint)
+    if ("(?is)^\\s*DISTINCT\\s+ON\\b".r.findFirstIn(rest).isDefined)
+      throw new graft.UnsupportedError(onDistinctOn)
+    val dm = "(?is)^\\s*DISTINCT\\b\\s*".r.findFirstMatchIn(rest)
+    (hint, dm.isDefined, afterHint + dm.map(_.end).getOrElse(0))
   }
 
   /** [[renameWords]] over [[literalAndIdentSpans]] — keyword rewriting
@@ -1846,24 +1888,16 @@ object Dialect {
       if (selIdx != 0 || fromIdx < 0)
         throw new graft.UnsupportedError(s"cannot locate SELECT … FROM around QUALIFY in: $sql")
       // a leading optimizer hint names no output column — item parsing
-      // starts after it; the emitted inner select keeps it (r17 review)
-      val (hint, afterHint) = leadingHint(inner, selIdx, iSpans)
-      // SELECT DISTINCT composes since r17 (a named fail-fast before):
-      // Snowflake/DuckDB evaluation order is QUALIFY BEFORE DISTINCT —
-      // windows see every pre-DISTINCT row — so the inner query drops
-      // the DISTINCT (windows + __qual over the raw rows, filtered),
-      // and the OUTER projection re-applies it over the original output
-      // names (__qual never leaks into the distinct). Matched AFTER any
-      // leading hint (second r17 review pass). DISTINCT ON has its own
-      // earlier rewrite — raise if one reaches here.
-      val distinctM =
-        "(?is)^\\s*DISTINCT\\b\\s*".r.findFirstMatchIn(inner.substring(afterHint))
-      if (distinctM.isDefined &&
-          "(?is)^\\s*DISTINCT\\s+ON\\b".r.findFirstIn(inner.substring(afterHint)).isDefined)
-        throw new graft.UnsupportedError(
-          "QUALIFY with an inline window is not supported under SELECT DISTINCT ON " +
-            "(rewrite DISTINCT ON first)")
-      val parseStart = afterHint + distinctM.map(_.end).getOrElse(0)
+      // starts after it; the emitted inner select keeps it (r17 review).
+      // SELECT DISTINCT composes since r17: QUALIFY evaluates BEFORE
+      // DISTINCT in Snowflake/DuckDB, so the inner query drops the
+      // DISTINCT (windows + __qual over the raw rows, filtered) and the
+      // OUTER projection re-applies it over the output names (__qual
+      // never leaks into the distinct). DISTINCT ON has its own earlier
+      // rewrite — named error if one reaches here.
+      val (hint, isDistinct, parseStart) = hintAndDistinct(inner, selIdx, iSpans,
+        "QUALIFY with an inline window is not supported under SELECT DISTINCT ON " +
+          "(rewrite DISTINCT ON first)")
       val rawItems =
         splitArgs(inner, iSpans, parseStart, fromIdx).map(_.trim).filter(_.nonEmpty)
       val items = expandStarItems(spark, rawItems,
@@ -1876,11 +1910,11 @@ object Dialect {
       // under DISTINCT (dropped from the inner; hint kept)
       val innerList =
         if (rawItems.exists(starNeedsExpansion)) hint + items.mkString(", ")
-        else if (distinctM.isDefined) hint + inner.substring(parseStart, fromIdx).trim
+        else if (isDistinct) hint + inner.substring(parseStart, fromIdx).trim
         else inner.substring(selIdx + "SELECT".length, fromIdx).trim
       val augmented = "SELECT " + innerList +
         s" , ($pred) AS __qual " + inner.substring(fromIdx)
-      val outerSel = if (distinctM.isDefined) "SELECT DISTINCT" else "SELECT"
+      val outerSel = if (isDistinct) "SELECT DISTINCT" else "SELECT"
       s"$outerSel $names FROM ( $augmented ) __qualify WHERE __qual $tail"
     }
   }
@@ -2107,22 +2141,28 @@ object Dialect {
     val sql = blankComments(sql0, esc)
     val spans = opaqueSpans(sql, esc)._1
     val depth = depthAt(sql, spans)
-    // a leading optimizer hint may sit between SELECT and DISTINCT ON
-    // (Spark's honored hint position); it is captured and re-emitted on
-    // the inner select (second r17 review pass: the adjacency-anchored
-    // regex missed the hinted form and passed it through to a raw
-    // Spark parse error)
-    val donRe = "(?is)\\bSELECT\\s+(/\\*\\+.*?\\*/\\s*)?DISTINCT\\s+ON\\s*\\(".r
-    val m = donRe.findAllMatchIn(sql)
-      .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
-      .getOrElse {
+    // SPAN-BASED detection (third r17 review pass: a regex hint-group
+    // `(/\*\+.*?\*/)?` could span LIVE SQL between two unrelated */
+    // sequences and match a false DISTINCT ON): each SELECT keyword's
+    // hint blocks are consumed by the span-aware [[leadingHint]], then
+    // DISTINCT ON is tested right after — also covering the no-space
+    // `SELECT/*+h*/DISTINCT ON` spelling the old `SELECT\s+` missed.
+    case class DonSite(selStart: Int, keysOpen: Int, hint: String)
+    def donAt(selStart: Int): Option[DonSite] = {
+      val (hint, afterHint) = leadingHint(sql, selStart, spans)
+      "(?is)^\\s*DISTINCT\\s+ON\\s*\\(".r.findFirstMatchIn(sql.substring(afterHint))
+        .map(m2 => DonSite(selStart, afterHint + m2.end - 1, hint))
+    }
+    val selStarts = "(?i)\\bSELECT\\b".r.findAllMatchIn(sql)
+      .filter(mm => outsideLiterals(spans, mm.start)).map(_.start).toList
+    val site = selStarts.filter(depth(_) == 0).flatMap(donAt(_).toList)
+      .headOption.getOrElse {
         // SUBQUERY/CTE-level DISTINCT ON (r16 — a raw `Cannot resolve
         // routine ON` before): rewrite the innermost parenthesized
         // statement containing the clause in place, then rescan
-        val nested = donRe.findAllMatchIn(sql)
-          .find(mm => depth(mm.start) > 0 && outsideLiterals(spans, mm.start))
-          .getOrElse(return sql0)
-        val (open, close) = enclosingParen(sql, spans, nested.start)
+        val nested = selStarts.filter(depth(_) > 0).flatMap(donAt(_).toList)
+          .headOption.getOrElse(return sql0)
+        val (open, close) = enclosingParen(sql, spans, nested.selStart)
           .getOrElse(return sql0)
         val inner = sql.substring(open + 1, close)
         val rebuilt = rewriteDistinctOn(inner, esc, spark)
@@ -2130,7 +2170,7 @@ object Dialect {
         return rewriteDistinctOn(
           sql.substring(0, open + 1) + rebuilt + sql.substring(close), esc, spark)
       }
-    val keysOpen = m.end - 1
+    val keysOpen = site.keysOpen
     val keysClose = matchParen(sql, spans, keysOpen)
     if (keysClose < 0)
       throw new graft.UnsupportedError(s"unbalanced DISTINCT ON ( in: $sql")
@@ -2166,7 +2206,7 @@ object Dialect {
     // fallback (no statement ORDER BY) is expression text, never positions
     val windowOrd =
       if (orderIdx >= 0) resolveOrdinalSortKeys(ord, items, "DISTINCT ON") else ord
-    val hint = Option(m.group(1)).map(_.trim + " ").getOrElse("")
+    val hint = site.hint
     s"SELECT $names FROM ( SELECT $hint${items.mkString(", ")}, " +
       s"row_number() OVER (PARTITION BY $keys ORDER BY $windowOrd) AS __rn $body ) __don " +
       s"WHERE __rn = 1$outerOrder$tail"
@@ -4334,25 +4374,14 @@ object Dialect {
     // it names no output column — and re-emitted on the INNER select of
     // every rewrite below, where the scans/joins it directs live (r17
     // review: blanking dropped it silently; leaving it in the first
-    // item raised a bogus cannot-name error)
-    val (hint, afterHint) = leadingHint(sql, selIdx, spans)
-    // SELECT DISTINCT composes since r16 (a named fail-fast before):
-    // DISTINCT applies FIRST in every source dialect, then the rank/
-    // percent filter runs over the DISTINCT output — so the emit ranks
-    // a `( SELECT DISTINCT … )` subquery and the window sort keys must
-    // resolve to that subquery's OUTPUT NAMES (expressions aren't in
-    // scope across the boundary). Matched AFTER any leading hint
-    // (second r17 review pass: the SELECT-anchored regex missed
-    // `SELECT /*+ … */ DISTINCT` and the first item parsed as
-    // "DISTINCT x"). DISTINCT ON never reaches here (its rewrite runs
-    // earlier in every wired chain) — raise if it does.
-    val distinctM =
-      "(?is)^\\s*DISTINCT\\b\\s*".r.findFirstMatchIn(sql.substring(afterHint))
-    if (distinctM.isDefined &&
-        "(?is)^\\s*DISTINCT\\s+ON\\b".r.findFirstIn(sql.substring(afterHint)).isDefined)
-      throw new graft.UnsupportedError(
-        s"$construct under SELECT DISTINCT ON is not supported (rewrite DISTINCT ON first)")
-    val itemsStart = afterHint + distinctM.map(_.end).getOrElse(0)
+    // item raised a bogus cannot-name error). SELECT DISTINCT composes
+    // since r16: DISTINCT applies FIRST in every source dialect, then
+    // the rank/percent filter runs over the DISTINCT output — the emit
+    // ranks a `( SELECT DISTINCT … )` subquery whose window sort keys
+    // resolve to its OUTPUT NAMES. DISTINCT ON never reaches here (its
+    // rewrite runs earlier in every wired chain) — named error if it does.
+    val (hint, isDistinct, itemsStart) = hintAndDistinct(sql, selIdx, spans,
+      s"$construct under SELECT DISTINCT ON is not supported (rewrite DISTINCT ON first)")
     if (sql.substring(tiesEnd).trim.nonEmpty)
       throw new graft.UnsupportedError(
         s"$construct must end the statement, got trailing: ${sql.substring(tiesEnd).trim}")
@@ -4535,7 +4564,7 @@ object Dialect {
         s"OR __wb.__pk0 IS NULL OR __wb.__pk0 $cmp __ws.__pcut ) __wtp ) __wtq " +
         s"WHERE __wt <= CEILING(__pn * ($n) / 100.0) ORDER BY $outOrd")
     }
-    if (distinctM.isDefined) {
+    if (isDistinct) {
       // Resolve every sort key to a DISTINCT-output NAME: an ordinal →
       // the n-th item's name; an item name/alias → itself; a key whose
       // text matches an item's expression → that item's name. Anything
