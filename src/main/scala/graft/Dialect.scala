@@ -2155,13 +2155,15 @@ object Dialect {
     }
     val selStarts = "(?i)\\bSELECT\\b".r.findAllMatchIn(sql)
       .filter(mm => outsideLiterals(spans, mm.start)).map(_.start).toList
-    val site = selStarts.filter(depth(_) == 0).flatMap(donAt(_).toList)
-      .headOption.getOrElse {
+    // lazy sweeps: donAt copies the statement tail, so stop at the
+    // first hit instead of probing every SELECT (r17 review)
+    val site = selStarts.iterator.filter(depth(_) == 0).map(donAt)
+      .collectFirst { case Some(d) => d }.getOrElse {
         // SUBQUERY/CTE-level DISTINCT ON (r16 — a raw `Cannot resolve
         // routine ON` before): rewrite the innermost parenthesized
         // statement containing the clause in place, then rescan
-        val nested = selStarts.filter(depth(_) > 0).flatMap(donAt(_).toList)
-          .headOption.getOrElse(return sql0)
+        val nested = selStarts.iterator.filter(depth(_) > 0).map(donAt)
+          .collectFirst { case Some(d) => d }.getOrElse(return sql0)
         val (open, close) = enclosingParen(sql, spans, nested.selStart)
           .getOrElse(return sql0)
         val inner = sql.substring(open + 1, close)
