@@ -639,7 +639,12 @@ object Dialect {
         rewriteTeradataInfixMod,
         rewriteTeradataPower,
         rewriteTeradataZeroNull,
-        s => rewriteTsqlTop(s, Some(spark)),
+        // Teradata QUALIFY runs BEFORE TOP: the plain-TOP path emits its
+        // LIMIT at scope end so the later QUALIFY step carries it as the
+        // tail, and the TIES/PERCENT path (r18) hands the qualify rewrite
+        // INTO the rank builder so the filtered rows are ranked
+        s => rewriteTsqlTop(s, Some(spark),
+          qualifyRewrite = Some(q => rewriteQualify(q, esc = true, spark = Some(spark)))),
         s => rewriteQualify(s, esc = true, spark = Some(spark)),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -1339,7 +1344,18 @@ object Dialect {
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
         // bracketed comments NEST in Spark (SPARK-28880) and in
         // Postgres/DuckDB — ending at the first */ would leave the
-        // outer comment's tail as live statement text (r17 review)
+        // outer comment's tail as live statement text (r17 review).
+        // DELIBERATE Spark-lexer alignment (r18, from ADVICE): MySQL
+        // (and arguably Snowflake) do NOT nest — there, `/* a /* b */`
+        // is a complete comment, and this lexer reads it as unclosed,
+        // swallowing the statement tail into one opaque span. The
+        // blast radius is pathological inputs only: rewrites decline
+        // on opaque text (never splice into it), and Spark's own
+        // parser applies the SAME nesting rule to whatever passes
+        // through, so a divergent input dies loudly at the parser
+        // instead of silently changing meaning. If a non-nesting
+        // source dialect ever needs exact comment semantics, thread a
+        // per-dialect nesting flag like `backslashEscapes`.
         val st = i
         var d = 1
         i += 2
@@ -1960,9 +1976,13 @@ object Dialect {
     * dialect rewriting) — with each replaced column's expression
     * substituted IN POSITION under its original name. Scope (fail fast
     * otherwise): the starred select must be the bare `* REPLACE` form and
-    * FROM must name a single resolvable table (alias allowed after it);
-    * a replacement naming a column the table lacks raises, matching
-    * DuckDB/BigQuery's own binder error.
+    * FROM must be a SINGLE relation — a registered table (alias allowed
+    * after it) or, since r18, a parenthesized derived table/subquery
+    * (expanded from its ANALYZED schema, the same contract
+    * [[expandStarItems]] uses — before r18 the same text was legal under
+    * QUALIFY/WITH TIES but a named error here); a replacement naming a
+    * column the relation lacks raises, matching DuckDB/BigQuery's own
+    * binder error.
     *
     * The trigger only fires when the `*` sits in SELECT-LIST STAR
     * position — the previous non-whitespace character is `,` or `(`, or
@@ -2067,17 +2087,13 @@ object Dialect {
             .getOrElse(throw new graft.UnsupportedError(
               "* REPLACE requires a FROM <table> at the same query level"))
           val afterFrom = cur.substring(fromTok.end)
-          val tblM = "(?s)^\\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)".r
-            .findFirstMatchIn(afterFrom)
-            .getOrElse(throw new graft.UnsupportedError(
-              "* REPLACE requires FROM <single table> (subquery FROM is not supported)"))
-          val tbl = tblM.group(1)
-          // single-table scope is load-bearing, not cosmetic: with a JOIN
-          // or comma-join the star covers BOTH tables in DuckDB/BigQuery,
-          // and expanding only the first would silently DROP the other
-          // side's columns — fail fast per the documented contract
-          val tableAlias: Option[String] = {
-            var tail = afterFrom.substring(tblM.end)
+          // single-relation scope is load-bearing, not cosmetic: with a
+          // JOIN or comma-join the star covers BOTH relations in
+          // DuckDB/BigQuery, and expanding only the first would silently
+          // DROP the other side's columns — fail fast per the documented
+          // contract. Shared by the table and derived-table branches.
+          def aliasAndTail(rest0: String, what: String): Option[String] = {
+            var tail = rest0
             val aliasM = "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)".r
               .findFirstMatchIn(tail)
               .filter(mm => !AliasStopWords.contains(mm.group(1).toLowerCase))
@@ -2085,30 +2101,67 @@ object Dialect {
             val ok = "(?is)^\\s*((WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY)\\b.*)?$".r
             if (!ok.matches(tail))
               throw new graft.UnsupportedError(
-                "* REPLACE is supported only over a single FROM table " +
-                  s"(joins/multi-table FROM would drop the other side's columns): …FROM $tbl${tail.take(40)}")
+                "* REPLACE is supported only over a single FROM relation " +
+                  s"(joins/multi-table FROM would drop the other side's columns): …FROM $what${tail.take(40)}")
             aliasM.map(_.group(1))
           }
-          // a qualified star's alias must name the FROM table: its alias
-          // when one is declared (an aliased table's original name is NOT
-          // addressable in DuckDB/BigQuery), else the table's last dotted
-          // component — anything else is an unresolvable qualifier
-          qualifier.foreach { qn =>
-            val target = tableAlias.getOrElse(
-              tbl.stripPrefix("`").stripSuffix("`").split('.').last)
-            if (!qn.equalsIgnoreCase(target))
-              throw new graft.UnsupportedError(
-                s"qualified star $qn.* REPLACE: $qn does not resolve to the FROM table " +
-                  s"($target) — only the single FROM table's own star is supported")
-          }
-          val schema =
-            try spark.table(tbl).schema
-            catch { case _: Exception => throw new graft.UnsupportedError(
-              s"* REPLACE: cannot resolve table $tbl to expand the star") }
+          val wsLen = afterFrom.takeWhile(_.isWhitespace).length
+          val schema: org.apache.spark.sql.types.StructType =
+            if (wsLen < afterFrom.length && afterFrom.charAt(wsLen) == '(') {
+              // derived-table FROM (r18 — "subquery FROM is not
+              // supported" before, asymmetric with the QUALIFY/TIES
+              // paths' expandStarItems): a parenthesized subquery is a
+              // single relation, so the star expands from its ANALYZED
+              // schema (schema-only — nothing executes)
+              val fSpans = literalSpans(afterFrom, esc)
+              val dClose = matchParen(afterFrom, fSpans, wsLen)
+              if (dClose < 0)
+                throw new graft.UnsupportedError(
+                  s"unbalanced derived-table FROM after * REPLACE in: $cur")
+              val derived = afterFrom.substring(wsLen, dClose + 1)
+              val dAlias = aliasAndTail(afterFrom.substring(dClose + 1), "(…) ")
+              // a qualified star's alias must name the derived table's
+              // alias — an unaliased subquery has no addressable name
+              qualifier.foreach { qn =>
+                if (!dAlias.exists(qn.equalsIgnoreCase))
+                  throw new graft.UnsupportedError(
+                    s"qualified star $qn.* REPLACE: $qn does not resolve to the " +
+                      s"FROM subquery${dAlias.fold("")(a => s" ($a)")} — alias the " +
+                      s"derived table as $qn or use the bare * REPLACE form")
+              }
+              try spark.sql(s"SELECT * FROM $derived __sr").schema
+              catch {
+                case e: Exception => throw new graft.UnsupportedError(
+                  "* REPLACE: cannot analyze the derived FROM to expand the star " +
+                    s"(${e.getMessage.linesIterator.nextOption().getOrElse("").take(120)})")
+              }
+            } else {
+              val tblM = "(?s)^\\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)".r
+                .findFirstMatchIn(afterFrom)
+                .getOrElse(throw new graft.UnsupportedError(
+                  "* REPLACE requires FROM <single table or (subquery)>"))
+              val tbl = tblM.group(1)
+              val tableAlias = aliasAndTail(afterFrom.substring(tblM.end), tbl)
+              // a qualified star's alias must name the FROM table: its
+              // alias when one is declared (an aliased table's original
+              // name is NOT addressable in DuckDB/BigQuery), else the
+              // table's last dotted component
+              qualifier.foreach { qn =>
+                val target = tableAlias.getOrElse(
+                  tbl.stripPrefix("`").stripSuffix("`").split('.').last)
+                if (!qn.equalsIgnoreCase(target))
+                  throw new graft.UnsupportedError(
+                    s"qualified star $qn.* REPLACE: $qn does not resolve to the FROM table " +
+                      s"($target) — only the single FROM table's own star is supported")
+              }
+              try spark.table(tbl).schema
+              catch { case _: Exception => throw new graft.UnsupportedError(
+                s"* REPLACE: cannot resolve table $tbl to expand the star") }
+            }
           val known = schema.fieldNames.map(_.toLowerCase).toSet
           repls.keys.find(!known.contains(_)).foreach { missing =>
             throw new graft.UnsupportedError(
-              s"* REPLACE names column $missing which table $tbl lacks")
+              s"* REPLACE names column $missing which the FROM relation lacks")
           }
           val items = schema.fieldNames.map { c =>
             repls.get(c.toLowerCase) match {
@@ -2850,21 +2903,56 @@ object Dialect {
     * round-up over row_number (plain) or rank (WITH TIES); n may be
     * fractional only with PERCENT, and PERCENT without ORDER BY fails
     * fast (an arbitrary n% sample is not a deterministic rewrite).
+    *
+    * SET-OPERATION ARMS (r18): `SELECT TOP 10 … UNION ALL SELECT TOP
+    * 10 …` binds each TOP to its OWN arm in T-SQL/Teradata (TOP is part
+    * of the query specification, never of the combined result — the
+    * legacy-report union shape). A bare `… LIMIT n UNION …` splice is a
+    * Spark parse error, so an arm-scoped TOP is wrapped as a
+    * parenthesized arm instead: `(SELECT … LIMIT n) UNION ALL …`.
+    * ORDER BY placement follows T-SQL's own scope rules:
+    *   - an ORDER BY before a same-depth set-op keyword is a T-SQL
+    *     syntax error ("Incorrect syntax near UNION" — arms cannot be
+    *     ordered even with TOP present) → named error, never a silent
+    *     pick-the-top-n-by-that-order semantics T-SQL doesn't have;
+    *   - a trailing ORDER BY after the LAST arm belongs to the
+    *     STATEMENT (it sorts the COMBINED result — ORDER BY in a
+    *     set-op query is legal only at the end and applies to the
+    *     union, per the T-SQL ORDER BY scope rule), so it stays
+    *     OUTSIDE the wrapped arm: `… UNION ALL (SELECT … LIMIT n)
+    *     ORDER BY k`. The last arm's TOP therefore picks rows without
+    *     an ordering contract, exactly T-SQL's (nondeterministic)
+    *     semantics for TOP without ORDER BY.
+    * TOP PERCENT / WITH TIES inside an arm keep their named errors
+    * (the rank rewrite needs the whole-statement shape).
     */
   private[graft] def rewriteTsqlTop(sql: String,
       spark: Option[SparkSession] = None,
-      allowPercentTies: Boolean = true): String = {
+      allowPercentTies: Boolean = true,
+      qualifyRewrite: Option[String => String] = None): String = {
     // T-SQL clause order is SELECT [DISTINCT] TOP n — DISTINCT applies
     // FIRST, then TOP keeps n of the distinct rows (r16; the DISTINCT
     // spelling didn't match before and died as a raw parse error)
     val re = """(?i)\bSELECT\s+(DISTINCT\s+)?TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
-    val setOps = Seq("UNION", "INTERSECT", "EXCEPT")
+    // MINUS is Teradata's (and Spark's own) EXCEPT synonym — without it
+    // an arm-scoped Teradata TOP before MINUS would splice into the
+    // set-op keyword (r18)
+    val setOps = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS")
     var cur = sql
     var changed = true
     while (changed) {
       changed = false
-      val spans = literalSpans(cur, backslashEscapes = true)
-      re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)).foreach { m =>
+      // SCANS run over the comment-blanked text (length-preserving, r18
+      // review): a `union` or `ORDER BY` inside a comment must not end a
+      // TOP's scope span or masquerade as the set-op context, and a
+      // commented-out `SELECT TOP` must not trigger at all. SPLICES
+      // assemble from the ORIGINAL text so comments inside the kept arm
+      // survive (the region between SELECT and TOP is consumed either
+      // way). Optimizer hints survive the blanking only SELECT-adjacent,
+      // where the TOP pattern deliberately does not match.
+      val blanked = blankComments(cur, backslashEscapes = true)
+      val spans = literalSpans(blanked, backslashEscapes = true)
+      re.findAllMatchIn(blanked).find(m => outsideLiterals(spans, m.start)).foreach { m =>
         val distinctKw = if (m.group(1) != null) "DISTINCT " else ""
         val isPercent = m.group(3) != null
         val isTies = m.group(4) != null
@@ -2887,25 +2975,51 @@ object Dialect {
         // same-depth set-operation keyword, or end-of-string
         var i = m.end
         var depth = 0
-        var scopeEnd = cur.length
+        var scopeEnd = blanked.length
         var found = false
-        while (i < cur.length && !found) {
+        while (i < blanked.length && !found) {
           if (!outsideLiterals(spans, i)) i += 1
           else {
-            val c = cur.charAt(i)
+            val c = blanked.charAt(i)
             if (c == '(') { depth += 1; i += 1 }
             else if (c == ')') {
               if (depth == 0) { scopeEnd = i; found = true }
               else { depth -= 1; i += 1 }
             } else if (depth == 0 && c.isLetter &&
-                (i == 0 || { val p = cur.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
-                setOps.exists(k => cur.regionMatches(true, i, k, 0, k.length) &&
-                  (i + k.length == cur.length || {
-                    val q = cur.charAt(i + k.length); !q.isLetterOrDigit && q != '_'
+                (i == 0 || { val p = blanked.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
+                setOps.exists(k => blanked.regionMatches(true, i, k, 0, k.length) &&
+                  (i + k.length == blanked.length || {
+                    val q = blanked.charAt(i + k.length); !q.isLetterOrDigit && q != '_'
                   }))) {
               scopeEnd = i; found = true
             } else i += 1
           }
+        }
+        // set-operation-arm detection (r18): the scope scan ended on a
+        // same-depth set-op keyword (non-last arm), or the SELECT is
+        // directly preceded by one (last arm). A parenthesized arm —
+        // prefix ending with `(` — is NOT an arm here: its scope ends at
+        // the closing paren and the in-place LIMIT splice is already
+        // legal Spark.
+        val endsAtSetOp = found && scopeEnd < blanked.length &&
+          blanked.charAt(scopeEnd) != ')'
+        val prefixTrim = blanked.substring(0, m.start).trim
+        val precededBySetOp =
+          "(?is)\\b(?:UNION|INTERSECT|EXCEPT|MINUS)(?:\\s+(?:ALL|DISTINCT))?\\s*$".r
+            .findFirstIn(prefixTrim).isDefined
+        val isArm = endsAtSetOp || precededBySetOp
+        // top-level ORDER BY inside this TOP's scope span (arm handling
+        // needs its position). The plain-TOP splices below take their
+        // ARM TEXT from the blanked span: appending ` LIMIT n` after an
+        // arm whose body ends in a `--` comment would otherwise swallow
+        // the LIMIT into the comment — a silent no-limit answer (r18
+        // review; pre-existing in the non-arm path too). Comments in
+        // that region are display-only (inner SELECT-adjacent hints are
+        // hint-preserved by the blanking).
+        val armBlank = blanked.substring(m.end, scopeEnd)
+        lazy val armOrderIdx = {
+          val aSpans = literalSpans(armBlank, backslashEscapes = true)
+          topLevelKeyword(armBlank, aSpans, depthAt(armBlank, aSpans), "ORDER")
         }
         val replacement =
           if (isPercent || isTies) {
@@ -2916,8 +3030,7 @@ object Dialect {
             // T-SQL rejects it (r15 review fix: the span splice must
             // neither hijack the union's trailing ORDER BY as the arm's
             // rank sort nor glue the rank filter onto the set-op keyword)
-            val prefix = cur.substring(0, m.start).trim
-            if (!(prefix.isEmpty || prefix.endsWith("(")))
+            if (!(prefixTrim.isEmpty || prefixTrim.endsWith("(")))
               throw new graft.UnsupportedError(
                 s"$construct is only supported on the outermost SELECT " +
                   "or a parenthesized subquery")
@@ -2931,14 +3044,33 @@ object Dialect {
             if (isPercent)
               buildWithTies(stripped, n, stripped.length, stripped.length,
                 nullsLargest = false, percent = true, ties = isTies,
-                construct = "TOP PERCENT", spark = spark)
+                construct = "TOP PERCENT", spark = spark,
+                qualifyRewrite = qualifyRewrite)
             else
               // T-SQL sorts nulls SMALLEST — Spark's own default — so the
               // rank window needs no placement pin (nullsLargest = false)
               buildWithTies(stripped, n, stripped.length, stripped.length,
-                nullsLargest = false, spark = spark)
+                nullsLargest = false, spark = spark,
+                qualifyRewrite = qualifyRewrite)
+          } else if (isArm) {
+            // arm-scoped plain TOP (r18): wrap as a parenthesized set-op
+            // arm. See the class doc for the ORDER BY scope rules.
+            if (endsAtSetOp && armOrderIdx >= 0)
+              throw new graft.UnsupportedError(
+                "ORDER BY inside a set-operation arm is not supported " +
+                  "(T-SQL/Teradata reject it too — use a derived table " +
+                  "to order an arm's TOP)")
+            if (!endsAtSetOp && armOrderIdx >= 0) {
+              // last arm with a trailing statement ORDER BY: the sort
+              // belongs to the COMBINED result and stays outside the arm
+              // (tail kept from the ORIGINAL — nothing is appended after
+              // it, so its comments are safe)
+              "(SELECT " + distinctKw + armBlank.substring(0, armOrderIdx).trim +
+                s" LIMIT $n) " + cur.substring(m.end + armOrderIdx, scopeEnd)
+            } else
+              "(SELECT " + distinctKw + armBlank.trim + s" LIMIT $n) "
           } else
-            "SELECT " + distinctKw + cur.substring(m.end, scopeEnd) + s" LIMIT $n "
+            "SELECT " + distinctKw + armBlank + s" LIMIT $n "
         cur = cur.substring(0, m.start) + replacement + cur.substring(scopeEnd)
         changed = true
       }
@@ -4254,7 +4386,8 @@ object Dialect {
       spark: Option[SparkSession] = None,
       nullsAlwaysLast: Boolean = false,
       setOpOk: Boolean = false,
-      qualifyIsClause: Boolean = true): String = {
+      qualifyIsClause: Boolean = true,
+      qualifyRewrite: Option[String => String] = None): String = {
     // comments are normalized to whitespace UP FRONT (r17 review):
     // [[blankComments]] is LENGTH-PRESERVING, so the caller's
     // ordEnd/tiesEnd byte offsets stay valid, while (a) a paren or
@@ -4345,14 +4478,22 @@ object Dialect {
       val resolved = splitArgs(ordText, oSpans, 0, ordText.length)
         .map(_.trim).map { part =>
           val (e, sfx) = splitSortSuffix(part)
+          // a QUOTED output name is legal Postgres over a set operation:
+          // `"p"` arrives backticked after the identifier rewrite, so the
+          // quoting is stripped before the name lookup (r18, from ADVICE —
+          // mirroring parseReplaceItems' alias handling)
+          val eBare =
+            if (e.length > 1 && e.startsWith("`") && e.endsWith("`"))
+              e.substring(1, e.length - 1)
+            else e
           val nm =
-            if (e.matches("\\d+")) {
-              val i = e.toInt
+            if (eBare.matches("\\d+") && !e.startsWith("`")) {
+              val i = eBare.toInt
               if (i < 1 || i > names.length)
                 throw new graft.UnsupportedError(
                   s"$construct ORDER BY position $i is not in the select list (1..${names.length})")
               names(i - 1)
-            } else byName.getOrElse(e.toLowerCase,
+            } else byName.getOrElse(eBare.toLowerCase,
               throw new graft.UnsupportedError(
                 s"$construct over a set operation can sort only by the arms' " +
                   s"output column names or ordinals; cannot resolve: $e"))
@@ -4420,10 +4561,10 @@ object Dialect {
     // `spans` is already the opaque-span vector of the blanked text —
     // no second lex needed (r17 review)
     val qSpans = spans
-    "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sql)
+    val clauseQualify = "(?i)\\bQUALIFY\\b".r.findAllMatchIn(sql)
       .filter(_ => qualifyIsClause)
       .filter(m => depth(m.start) == 0 && outsideLiterals(qSpans, m.start))
-      .foreach { m =>
+      .flatMap { m =>
         // previous token, skipping whitespace AND opaque spans (a
         // comment's own `*/` or `--` characters are not operators —
         // r16 fourth review)
@@ -4443,16 +4584,37 @@ object Dialect {
         val prevCh = if (j < 0) ' ' else sql.charAt(j)
         // a preceding `)` stays AMBIGUOUS (derived-table alias vs a
         // clause after a call-ending predicate) — classified as a
-        // clause, i.e. the loud named error, never the silent
+        // clause, i.e. the loud named error, never a silent
         // wrong-evaluation-order rewrite
         val isIdentifier = identCtx.contains(prev) ||
           ",.=<>+-*/%".indexOf(prevCh) >= 0
-        if (!isIdentifier)
-          throw new graft.UnsupportedError(
-            s"$construct combined with QUALIFY is not supported " +
-              "(the rank would run before the QUALIFY filter); " +
-              "apply QUALIFY in a subquery and the row limit outside")
+        if (isIdentifier) None else Some(prevCh)
+      }.toList
+    if (clauseQualify.nonEmpty) {
+      // QUALIFY composes for dialects where it IS a clause and the
+      // caller supplied its rewrite (r18 — Teradata `SEL TOP n WITH
+      // TIES/PERCENT … QUALIFY …`; a named fail-fast before): the
+      // dialects' evaluation order is QUALIFY FIRST, then ORDER BY +
+      // TOP, so the qualify rewrite runs on the construct-stripped
+      // statement and the rebuilt (filtered) statement re-enters this
+      // builder to be ranked. Only the UNAMBIGUOUS clause position
+      // restructures — a `)`-preceded QUALIFY may be a derived-table
+      // alias and keeps the loud named error (T-SQL, where QUALIFY is
+      // never a clause, passes no rewrite and keeps the error too).
+      qualifyRewrite match {
+        case Some(qr) if clauseQualify.size == 1 && clauseQualify.head != ')' =>
+          val q = qr(sql)
+          if (q != sql)
+            return buildWithTies(q, n, q.length, q.length, nullsLargest,
+              percent, ties, construct, offset, spark, nullsAlwaysLast,
+              setOpOk = setOpOk, qualifyIsClause = qualifyIsClause)
+        case _ => ()
       }
+      throw new graft.UnsupportedError(
+        s"$construct combined with QUALIFY is not supported " +
+          "(the rank would run before the QUALIFY filter); " +
+          "apply QUALIFY in a subquery and the row limit outside")
+    }
     val body = sql.substring(fromIdx, orderIdx).trim
     val items = expandStarItems(spark,
       splitArgs(sql, spans, itemsStart, fromIdx)
@@ -4528,6 +4690,13 @@ object Dialect {
      * `( SELECT DISTINCT … )` subquery, so the stats/cutoff stage runs
      * over the distinct OUTPUT (its exact row count is the percent
      * base) and the key materialization happens outside the distinct.
+     * The DISTINCT subquery is spelled twice in the emitted text
+     * (ranked side + stats side) but computed ONCE at runtime: both
+     * references canonicalize to the same hash-partitioned exchange and
+     * AQE stage reuse executes the scan + partial distinct + shuffle a
+     * single time (ReusedExchange on the stats side; pinned by the
+     * runtime test in PlanGateSpec, r18 — only the cheap per-consumer
+     * final aggregation above the reused stage runs per side).
      */
     def percentScalePlan(rankFn: String, srcItemsSql: String, srcBody: String,
         parsed: Seq[(String, String)], outOrd: String): Option[String] = {
@@ -4555,16 +4724,48 @@ object Dialect {
         .map { case ((e, _), i) => s"($e) AS __pk$i" }.mkString(", ")
       val winOrd = parsed.zipWithIndex
         .map { case ((_, sfx), i) => s"__pk$i $sfx".trim }.mkString(", ")
-      Some(s"SELECT $names FROM ( SELECT *, " +
-        s"$rankFn OVER (ORDER BY $winOrd) AS __wt FROM ( " +
+      // rows needed through the window: ceil(cnt*n%) plus, with OFFSET m
+      // (r18 — Oracle `OFFSET m ROWS FETCH FIRST n PERCENT`), the m
+      // skipped rows; the runtime guard compares THIS count against the
+      // sketch slack, so pruning only engages when the slack covers the
+      // offset too — exactness is preserved by the same superset argument
+      def need(pn: String): String = {
+        val base = s"CEILING($pn * ($n) / 100.0)"
+        offset.fold(base)(off => s"(($off) + $base)")
+      }
+      val prefiltered =
         s"SELECT /*+ BROADCAST(__ws) */ __wb.*, __ws.__pn " +
-        s"FROM ( SELECT $srcItemsSql, $keyCols $srcBody ) __wb " +
-        s"CROSS JOIN ( SELECT count(*) AS __pn, count(__psk) AS __pn1, " +
-        s"approx_percentile(__psk, $target, 10000) AS __pcut " +
-        s"FROM ( SELECT ($k1) AS __psk $srcBody ) __wsrc ) __ws " +
-        s"WHERE CEILING(__ws.__pn * ($n) / 100.0) > FLOOR(__ws.__pn1 * $guar) " +
-        s"OR __wb.__pk0 IS NULL OR __wb.__pk0 $cmp __ws.__pcut ) __wtp ) __wtq " +
-        s"WHERE __wt <= CEILING(__pn * ($n) / 100.0) ORDER BY $outOrd")
+          s"FROM ( SELECT $srcItemsSql, $keyCols $srcBody ) __wb " +
+          s"CROSS JOIN ( SELECT count(*) AS __pn, count(__psk) AS __pn1, " +
+          s"approx_percentile(__psk, $target, 10000) AS __pcut " +
+          s"FROM ( SELECT ($k1) AS __psk $srcBody ) __wsrc ) __ws " +
+          s"WHERE ${need("__ws.__pn")} > FLOOR(__ws.__pn1 * $guar) " +
+          s"OR __wb.__pk0 IS NULL OR __wb.__pk0 $cmp __ws.__pcut"
+      Some(offset match {
+        case None =>
+          s"SELECT $names FROM ( SELECT *, " +
+            s"$rankFn OVER (ORDER BY $winOrd) AS __wt FROM ( " +
+            prefiltered + s" ) __wtp ) __wtq " +
+            s"WHERE __wt <= ${need("__pn")} ORDER BY $outOrd"
+        case Some(off) if !ties =>
+          // OFFSET + PERCENT ONLY: row_number membership m < rn <= m+k
+          s"SELECT $names FROM ( SELECT *, " +
+            s"row_number() OVER (ORDER BY $winOrd) AS __wt FROM ( " +
+            prefiltered + s" ) __wtp ) __wtq " +
+            s"WHERE __wt > ($off) AND __wt <= ${need("__pn")} ORDER BY $outOrd"
+        case Some(off) =>
+          // OFFSET + PERCENT WITH TIES: the shared cutoff-rank rule —
+          // keep rn > m and rank <= (max rank among rn <= m+k) — over
+          // the pre-filtered frame; the static rank bound sits below
+          // the cutoff-max window
+          s"SELECT $names FROM ( SELECT *, " +
+            s"max(CASE WHEN __wtn <= ${need("__pn")} THEN __wt END) OVER () AS __wtcut " +
+            s"FROM ( SELECT *, rank() OVER (ORDER BY $winOrd) AS __wt, " +
+            s"row_number() OVER (ORDER BY $winOrd) AS __wtn FROM ( " +
+            prefiltered + s" ) __wtp ) __wtq " +
+            s"WHERE __wt <= ${need("__pn")} ) __wtq2 " +
+            s"WHERE __wtn > ($off) AND __wt <= __wtcut ORDER BY $outOrd"
+      })
     }
     if (isDistinct) {
       // Resolve every sort key to a DISTINCT-output NAME: an ordinal →
@@ -4606,13 +4807,27 @@ object Dialect {
       // ORDER BY text may spell expressions that are out of scope there
       return offset match {
         case Some(off) =>
-          val lim = s"(($off) + ($n))"
-          s"SELECT $names FROM ( SELECT *, " +
-            s"max(CASE WHEN __wtn <= $lim THEN __wt END) OVER () AS __wtcut " +
-            s"FROM ( SELECT *, rank() OVER (ORDER BY $dKeys) AS __wt, " +
-            s"row_number() OVER (ORDER BY $dKeys) AS __wtn FROM $inner __wtd ) __wtq " +
-            s"WHERE __wt <= $lim ) __wtq2 " +
-            s"WHERE __wtn > ($off) AND __wt <= __wtcut ORDER BY $dKeys"
+          // percent-aware (r18 — Oracle DISTINCT + OFFSET + FETCH
+          // PERCENT): the cutoff count is ceil(|distinct| * n%) over a
+          // count(*) window on the distinct output, never the raw n
+          val extraCol = if (percent) ", count(*) OVER () AS __wtc" else ""
+          val lim =
+            if (percent) s"(($off) + CEILING(__wtc * ($n) / 100.0))"
+            else s"(($off) + ($n))"
+          if (!ties)
+            // ONLY membership: m < rn <= m+k, no tie cutoff
+            s"SELECT $names FROM ( SELECT *, " +
+              s"row_number() OVER (ORDER BY $dKeys) AS __wtn$extraCol " +
+              s"FROM $inner __wtd ) __wtq " +
+              s"WHERE __wtn > ($off) AND __wtn <= $lim ORDER BY $dKeys"
+          else
+            s"SELECT $names FROM ( SELECT *, " +
+              s"max(CASE WHEN __wtn <= $lim THEN __wt END) OVER () AS __wtcut " +
+              s"FROM ( SELECT *, rank() OVER (ORDER BY $dKeys) AS __wt, " +
+              s"row_number() OVER (ORDER BY $dKeys) AS __wtn$extraCol " +
+              s"FROM $inner __wtd ) __wtq " +
+              s"WHERE __wt <= $lim ) __wtq2 " +
+              s"WHERE __wtn > ($off) AND __wt <= __wtcut ORDER BY $dKeys"
         case None =>
           val rankFn = if (ties) "rank()" else "row_number()"
           // DISTINCT + PERCENT takes the two-stage scale plan too (r17 —
@@ -4651,6 +4866,45 @@ object Dialect {
     // forms do.
     if (n.matches("\\d+(?:\\.\\d+)?") && n.toDouble == 0.0)
       return s"SELECT $names FROM ( SELECT $itemsSql $body ) __wtq LIMIT 0"
+    val rankFn = if (ties) "rank()" else "row_number()"
+    if (percent) {
+      // the scale plan handles every offset/ties combination (r18);
+      // the legacy fallback below mirrors its memberships with a
+      // count(*) OVER () percent base for non-sketchable leading keys
+      percentScalePlan(rankFn, itemsSql, body,
+        keyParts(windowOrd, resolveAliases = true).map(splitSortSuffix),
+        outerOrd) match {
+        case Some(plan) => return plan
+        case None =>
+          val lim = offset match {
+            case Some(off) => s"(($off) + CEILING(__wtc * ($n) / 100.0))"
+            case None => s"CEILING(__wtc * ($n) / 100.0)"
+          }
+          return (offset, ties) match {
+            case (None, _) =>
+              s"SELECT $names FROM ( SELECT $itemsSql, " +
+                s"$rankFn OVER (ORDER BY $winKeys) AS __wt, " +
+                s"count(*) OVER () AS __wtc $body ) __wtq " +
+                s"WHERE __wt <= $lim ORDER BY $outerOrd"
+            case (Some(off), false) =>
+              // OFFSET + PERCENT ONLY: row_number membership m < rn <= m+k
+              s"SELECT $names FROM ( SELECT $itemsSql, " +
+                s"row_number() OVER (ORDER BY $winKeys) AS __wt, " +
+                s"count(*) OVER () AS __wtc $body ) __wtq " +
+                s"WHERE __wt > ($off) AND __wt <= $lim ORDER BY $outerOrd"
+            case (Some(off), true) =>
+              // OFFSET + PERCENT WITH TIES: shared cutoff-rank rule
+              s"SELECT $names FROM ( SELECT *, " +
+                s"max(CASE WHEN __wtn <= $lim THEN __wt END) OVER () AS __wtcut " +
+                s"FROM ( SELECT $itemsSql, " +
+                s"rank() OVER (ORDER BY $winKeys) AS __wt, " +
+                s"row_number() OVER (ORDER BY $winKeys) AS __wtn, " +
+                s"count(*) OVER () AS __wtc $body ) __wtq " +
+                s"WHERE __wt <= $lim ) __wtq2 " +
+                s"WHERE __wtn > ($off) AND __wt <= __wtcut ORDER BY $outerOrd"
+          }
+      }
+    }
     offset match {
       case Some(off) =>
         val lim = s"(($off) + ($n))"
@@ -4662,22 +4916,9 @@ object Dialect {
           s"WHERE __wt <= $lim ) __wtq2 " +
           s"WHERE __wtn > ($off) AND __wt <= __wtcut ORDER BY $outerOrd"
       case None =>
-        val rankFn = if (ties) "rank()" else "row_number()"
-        if (percent) {
-          percentScalePlan(rankFn, itemsSql, body,
-            keyParts(windowOrd, resolveAliases = true).map(splitSortSuffix),
-            outerOrd) match {
-            case Some(plan) => plan
-            case None =>
-              s"SELECT $names FROM ( SELECT $itemsSql, " +
-                s"$rankFn OVER (ORDER BY $winKeys) AS __wt, " +
-                s"count(*) OVER () AS __wtc $body ) __wtq " +
-                s"WHERE __wt <= CEILING(__wtc * ($n) / 100.0) ORDER BY $outerOrd"
-          }
-        } else
-          s"SELECT $names FROM ( SELECT $itemsSql, " +
-            s"$rankFn OVER (ORDER BY $winKeys) AS __wt $body ) __wtq " +
-            s"WHERE __wt <= $n ORDER BY $outerOrd"
+        s"SELECT $names FROM ( SELECT $itemsSql, " +
+          s"$rankFn OVER (ORDER BY $winKeys) AS __wt $body ) __wtq " +
+          s"WHERE __wt <= $n ORDER BY $outerOrd"
     }
   }
 
@@ -4841,17 +5082,24 @@ object Dialect {
   private[graft] def rewriteLimitAll(sql: String): String = {
     // opaque (comment- and quoted-identifier-aware) spans, r17 ADVICE:
     // `LIMIT ALL` inside a comment or a backtick-quoted identifier is
-    // text, not a clause — stripping it would corrupt the statement
+    // text, not a clause — stripping it would corrupt the statement.
+    // The SCAN runs over the comment-blanked text (length-preserving,
+    // r18 ADVICE: `LIMIT /* c */ ALL` — a comment BETWEEN the tokens —
+    // is legal Postgres and used to reach Spark as a raw parse error),
+    // while the SPLICE edits the original so comments outside the
+    // stripped clause survive byte-identical.
+    val blanked = blankComments(sql, backslashEscapes = true)
     val spans = opaqueSpans(sql, backslashEscapes = true)._1
     val out = new StringBuilder
     var last = 0
     // the match consumes its LEADING whitespace so the splice leaves no
-    // double space behind — UNLESS that whitespace holds a newline
-    // terminating a `--` line comment (r17 review: consuming it spliced
-    // the kept OFFSET clause INTO the comment — a silent wrong answer)
-    // or any opaque-span boundary: then the splice starts at the LIMIT
-    // token itself and the whitespace survives.
-    """(?i)(\s*)\bLIMIT\s+ALL\b""".r.findAllMatchIn(sql)
+    // double space behind — UNLESS, in the ORIGINAL text, that
+    // whitespace holds a newline terminating a `--` line comment (r17
+    // review: consuming it spliced the kept OFFSET clause INTO the
+    // comment — a silent wrong answer) or any opaque-span boundary (the
+    // "whitespace" was a blanked comment): then the splice starts at
+    // the LIMIT token itself and the original bytes survive.
+    """(?i)(\s*)\bLIMIT\s+ALL\b""".r.findAllMatchIn(blanked)
       .filter(m => outsideLiterals(spans, m.end - 1)).foreach { m =>
         val tokStart = m.start + m.group(1).length
         val safeStart =
@@ -4940,33 +5188,59 @@ object Dialect {
       qualifyIsClause = false)
   }
 
-  /** Oracle-12c/ANSI `FETCH FIRST n PERCENT ROWS ONLY|WITH TIES`
-    * (r15) → [[buildWithTies]]'s percent cutoff: row_number (ONLY) or
-    * rank (WITH TIES) over the statement's ORDER BY keeping
+  /** Oracle-12c/ANSI `[OFFSET m ROWS] FETCH FIRST n PERCENT ROWS
+    * ONLY|WITH TIES` (r15; OFFSET combination r18) →
+    * [[buildWithTies]]'s percent cutoff: row_number (ONLY) or rank
+    * (WITH TIES) over the statement's ORDER BY keeping
     * `CEILING(count * n / 100.0)` rows — Oracle rounds the row count
-    * UP — with the nulls-largest placement pinned like the plain
-    * FETCH forms. n may be fractional. A top-level OFFSET combined
-    * with the percent form stays a named fail-fast.
+    * UP, and the percent base is the TOTAL selected row count, before
+    * the offset skips (Oracle's row_limiting_clause contract) — with
+    * the nulls-largest placement pinned like the plain FETCH forms.
+    * n may be fractional. A literal top-level OFFSET is stripped and
+    * becomes the builder's `row_number > m` skip (ONLY) or the
+    * cutoff-rank tie rule at m+k (WITH TIES); a non-literal OFFSET
+    * count keeps a named error, like the TIES form's.
     */
   private[graft] def rewriteFetchFirstPercent(sql: String,
       spark: Option[SparkSession] = None): String = {
     // comments blanked up front — same depth-map hazard as
     // [[rewriteFetchFirstWithTies]] (r17 review)
-    val s = blankComments(sql, backslashEscapes = true).trim
+    val s0 = blankComments(sql, backslashEscapes = true).trim
     val re =
       """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+(?:\.\d+)?)\s+PERCENT\s+ROWS?\s+(ONLY|WITH\s+TIES)\b""".r
+    val spans0 = literalSpans(s0, backslashEscapes = true)
+    val depth0 = depthAt(s0, spans0)
+    val m0 = re.findAllMatchIn(s0)
+      .find(mm => depth0(mm.start) == 0 && outsideLiterals(spans0, mm.start))
+      .getOrElse(return sql)
+    def build(s: String, m: scala.util.matching.Regex.Match,
+        off: Option[String]): String =
+      buildWithTies(s, m.group(1), m.start, m.end, nullsLargest = true,
+        percent = true, ties = !m.group(2).equalsIgnoreCase("ONLY"),
+        construct = "FETCH PERCENT", offset = off, spark = spark,
+        setOpOk = true, qualifyIsClause = false)
+    val offIdx = topLevelKeyword(s0, spans0, depth0, "OFFSET")
+    if (offIdx < 0) return build(s0, m0, None)
+    // literal-OFFSET handling mirrors [[rewriteFetchFirstWithTies]]:
+    // the whole clause must be a literal immediately before the FETCH
+    val om = """(?i)\bOFFSET\s+(\d+)(?:\s+ROWS?)?""".r.findAllMatchIn(s0)
+      .find(_.start == offIdx)
+      .getOrElse(throw new graft.UnsupportedError(
+        "OFFSET combined with FETCH … PERCENT requires a literal row count"))
+    if (om.start > m0.start)
+      throw new graft.UnsupportedError(
+        "OFFSET after FETCH … PERCENT is not supported (ANSI order is OFFSET then FETCH)")
+    if (s0.substring(om.end, m0.start).trim.nonEmpty)
+      throw new graft.UnsupportedError(
+        "OFFSET combined with FETCH … PERCENT requires a literal row count " +
+          s"immediately before the FETCH clause, got: ${s0.substring(om.start, m0.start).trim}")
+    val s = s0.substring(0, om.start) + s0.substring(om.end)
     val spans = literalSpans(s, backslashEscapes = true)
     val depth = depthAt(s, spans)
     val m = re.findAllMatchIn(s)
       .find(mm => depth(mm.start) == 0 && outsideLiterals(spans, mm.start))
       .getOrElse(return sql)
-    if (topLevelKeyword(s, spans, depth, "OFFSET") >= 0)
-      throw new graft.UnsupportedError(
-        "OFFSET combined with FETCH … PERCENT is not supported")
-    buildWithTies(s, m.group(1), m.start, m.end, nullsLargest = true,
-      percent = true, ties = !m.group(2).equalsIgnoreCase("ONLY"),
-      construct = "FETCH PERCENT", spark = spark, setOpOk = true,
-      qualifyIsClause = false)
+    build(s, m, Some(om.group(1)))
   }
 
   /** Standalone ANSI/Oracle-12c `FETCH FIRST|NEXT n ROWS ONLY` (no
@@ -5097,8 +5371,22 @@ object Dialect {
     * directly, the +1 lives in codegen'd per-row arithmetic, and the
     * ordinal is BIGINT exactly as Trino types it. The two-column table
     * alias is REQUIRED (Trino's own spelling); the bare-alias BigQuery
-    * mix `WITH ORDINALITY x` fails fast. Multi-array `UNNEST(a, b)`
-    * (Trino zip semantics) remains outside the shimmed surface.
+    * mix `WITH ORDINALITY x` fails fast.
+    *
+    * Multi-array `UNNEST(a, b) [WITH ORDINALITY] AS t(x, y[, ord])`
+    * (r18 — a named error before) zips POSITIONALLY with Trino's exact
+    * contract: one output row per index up to the LONGEST array,
+    * shorter arrays NULL-padded (Trino's documented behavior — unlike
+    * ClickHouse, which errors on unequal lengths). Emitted as the same
+    * index-driven `inline(transform(array_repeat(0, greatest(sizes)),
+    * (_, i) -> struct(try_element_at(a, i+1) AS x, …)))` machinery as
+    * the ClickHouse multi-ARRAY-JOIN zip: `array_repeat` count 0/NULL →
+    * empty (all-empty/NULL arrays yield zero rows; `greatest` skips the
+    * NULL sizes of NULL arrays), `try_element_at` NULL-pads past each
+    * array's end. The per-array column list in the table alias is
+    * REQUIRED (Trino's own spelling — there is no bare-alias multi
+    * form); WITH ORDINALITY appends the 1-based BIGINT index as the
+    * last aliased column.
     */
   private[graft] def rewriteUnnest(sql: String, esc: Boolean): String = {
     val re = "(?i)(,|\\bCROSS\\s+JOIN\\b|\\bLEFT\\s+JOIN\\b)\\s*UNNEST\\s*\\(".r
@@ -5116,10 +5404,9 @@ object Dialect {
           if (close < 0)
             throw new graft.UnsupportedError(s"unbalanced UNNEST( in: $cur")
           val arrArgs = splitArgs(cur, spans, open + 1, close).map(_.trim)
-          if (arrArgs.length != 1)
+          if (arrArgs.isEmpty)
             throw new graft.UnsupportedError(
-              "multi-array UNNEST (Trino zip form) is not supported")
-          val arr = arrArgs.head
+              "UNNEST requires at least one array expression")
           var rest = cur.substring(close + 1)
           var ordinality = false
           "(?is)^\\s*WITH\\s+ORDINALITY\\b".r.findFirstMatchIn(rest).foreach { om =>
@@ -5133,6 +5420,41 @@ object Dialect {
               "FROM-clause UNNEST requires an [AS] alias"))
           val name = aliasM.group(1)
           rest = rest.substring(aliasM.end)
+          if (arrArgs.length > 1) {
+            // Trino multi-array zip (r18) — see the class doc
+            val cm = "(?s)^\\s*\\(([^)]*)\\)".r.findFirstMatchIn(rest)
+              .getOrElse(throw new graft.UnsupportedError(
+                "multi-array UNNEST requires a table alias with one column " +
+                  "per array: t(x, y[, ord])"))
+            val cols = cm.group(1).split(',').map(_.trim).toSeq
+            val want = arrArgs.length + (if (ordinality) 1 else 0)
+            if (cols.length != want || !cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+              throw new graft.UnsupportedError(
+                s"multi-array UNNEST table alias must carry exactly $want " +
+                  s"column name(s) (one per array${if (ordinality) " + the ordinal" else ""}), " +
+                  s"got: ${cm.group(0).trim}")
+            rest = rest.substring(cm.end)
+            var outer = false
+            if (joiner.startsWith("LEFT")) {
+              val onM = "(?is)^\\s*ON\\s+TRUE\\b".r.findFirstMatchIn(rest)
+                .getOrElse(throw new graft.UnsupportedError(
+                  "LEFT JOIN UNNEST is supported only with ON TRUE"))
+              rest = rest.substring(onM.end)
+              outer = true
+            }
+            val sizes = arrArgs.map(a => s"size($a)").mkString(", ")
+            val valFields = arrArgs.zip(cols).map { case (a, c) =>
+              s"try_element_at($a, __uni + 1) AS $c"
+            }
+            val fields = (valFields ++
+              (if (ordinality) Seq(s"CAST(__uni + 1 AS BIGINT) AS ${cols.last}") else Nil))
+              .mkString(", ")
+            val gen = s"inline(transform(array_repeat(0, greatest($sizes)), " +
+              s"(__unv, __uni) -> struct($fields))) $name AS ${cols.mkString(", ")}"
+            cur = cur.substring(0, m.start).stripTrailing() +
+              s" LATERAL VIEW ${if (outer) "OUTER " else ""}$gen" + rest
+          } else {
+          val arr = arrArgs.head
           var tableAlias = "__unnest_" + name
           var colName = name
           var offName: Option[String] = None
@@ -5183,6 +5505,7 @@ object Dialect {
           }
           cur = cur.substring(0, m.start).stripTrailing() +
             s" LATERAL VIEW ${if (outer) "OUTER " else ""}$gen" + rest
+          }
       }
     }
     throw new graft.UnsupportedError("UNNEST rewrite did not terminate")
@@ -5385,6 +5708,11 @@ object Dialect {
     * can re-select them. The offset forms (r14) follow ClickHouse's
     * `LIMIT [offset,] n BY` / `LIMIT n OFFSET offset BY` grammar and
     * keep rows `offset < rank <= offset + n` per key.
+    * SELECT DISTINCT composes (r18): ClickHouse applies DISTINCT before
+    * ORDER BY / LIMIT BY (projection → Distinct → Sorting → LimitBy →
+    * Limit in its query pipeline), so the window ranks the DISTINCT
+    * subquery's output and all keys resolve to output names — the
+    * opposite evaluation order from Snowflake's QUALIFY∘DISTINCT.
     */
   private[graft] def rewriteChLimitBy(sql: String,
       spark: Option[SparkSession] = None): String = {
@@ -5407,13 +5735,23 @@ object Dialect {
     val fromIdx = topLevelKeyword(sql, spans, depth, "FROM")
     if (selIdx != 0 || fromIdx < 0 || fromIdx > m.start)
       throw new graft.UnsupportedError(s"cannot locate SELECT … FROM around LIMIT BY in: $sql")
-    if ("(?i)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstIn(sql).isDefined)
-      throw new graft.UnsupportedError("LIMIT BY under SELECT DISTINCT is not supported")
+    // SELECT DISTINCT composes since r18: ClickHouse's pipeline applies
+    // DISTINCT BEFORE ORDER BY and LIMIT BY (projection → Distinct →
+    // Sorting → LimitBy → Limit in InterpreterSelectQuery), so the
+    // row_number window ranks the DISTINCT OUTPUT and every key must
+    // resolve to an output name — the distinct stream has nothing else.
+    // ClickHouse's own DISTINCT ON is a different construct and stays a
+    // named error.
+    if ("(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\b".r.findFirstIn(sql).isDefined)
+      throw new graft.UnsupportedError("LIMIT BY under SELECT DISTINCT ON is not supported")
+    val distinctM = "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstMatchIn(sql)
+    val isDistinct = distinctM.isDefined
+    val itemsStart = distinctM.map(_.end).getOrElse(selIdx + "SELECT".length)
     val orderIdx0 = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
     val orderIdx = if (orderIdx0 >= 0 && orderIdx0 < m.start) orderIdx0 else -1
     val body = sql.substring(fromIdx, if (orderIdx >= 0) orderIdx else m.start).trim
     val items = expandStarItems(spark,
-      splitArgs(sql, spans, selIdx + "SELECT".length, fromIdx)
+      splitArgs(sql, spans, itemsStart, fromIdx)
         .map(_.trim).filter(_.nonEmpty),
       body, "LIMIT BY")
     val names = items.map(itemName(_, "LIMIT BY")).mkString(", ")
@@ -5475,13 +5813,49 @@ object Dialect {
     // (constants there — r14 judge finding); PARTITION BY keys are
     // expressions in ClickHouse, never positions, so only the ORDER BY
     // side is ordinal-resolved
-    val windowOrd = resolveAliases(
-      stmtOrd.map(resolveOrdinalSortKeys(_, items, "LIMIT BY")).getOrElse(keys))
-    val outerOrder = stmtOrd.map(o => s" ORDER BY $o").getOrElse("")
     val tail = if (nextLimit >= 0) " " + sql.substring(nextLimit) else ""
     val keep =
       if (off == 0L) s"__lb <= $n"
       else s"__lb > $off AND __lb <= ${off + n}"
+    if (isDistinct) {
+      // rank the DISTINCT output (ClickHouse applies DISTINCT first):
+      // every PARTITION/ORDER key must resolve to a distinct-output
+      // NAME — an ordinal (ORDER BY side), an item name/alias, or a
+      // key whose text matches an item's expression. Anything else is
+      // unavailable after the distinct, in ClickHouse and here alike.
+      def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
+      val itemNames = items.map(itemName(_, "LIMIT BY"))
+      val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
+      val byName = itemNames.map(nm => nm.toLowerCase -> nm).toMap
+      def resolveOut(text: String, ordinals: Boolean): String = {
+        val tSpans = literalSpans(text, backslashEscapes = true)
+        splitArgs(text, tSpans, 0, text.length).map(_.trim).map { part =>
+          val (e, sfx) = splitSortSuffix(part)
+          val resolved =
+            if (ordinals && e.matches("\\d+")) {
+              val i = e.toInt
+              if (i < 1 || i > items.length)
+                throw new graft.UnsupportedError(
+                  s"LIMIT BY ORDER BY position $i is not in the select list (1..${items.length})")
+              itemNames(i - 1)
+            } else byName.getOrElse(nrm(e), byExpr.getOrElse(nrm(e),
+              throw new graft.UnsupportedError(
+                "LIMIT BY under SELECT DISTINCT requires its keys and ORDER BY " +
+                  s"expressions to appear in the select list; cannot resolve: $e")))
+          (resolved + " " + sfx).trim
+        }.mkString(", ")
+      }
+      val dKeys = resolveOut(keys, ordinals = false)
+      val dOrd = stmtOrd.map(resolveOut(_, ordinals = true)).getOrElse(dKeys)
+      val dOuter = stmtOrd.map(o => s" ORDER BY ${resolveOut(o, ordinals = true)}").getOrElse("")
+      return s"SELECT $names FROM ( SELECT *, " +
+        s"row_number() OVER (PARTITION BY $dKeys ORDER BY $dOrd) AS __lb " +
+        s"FROM ( SELECT DISTINCT ${items.mkString(", ")} $body ) __lbd ) __lby " +
+        s"WHERE $keep$dOuter$tail"
+    }
+    val windowOrd = resolveAliases(
+      stmtOrd.map(resolveOrdinalSortKeys(_, items, "LIMIT BY")).getOrElse(keys))
+    val outerOrder = stmtOrd.map(o => s" ORDER BY $o").getOrElse("")
     s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
       s"row_number() OVER (PARTITION BY ${resolveAliases(keys)} ORDER BY $windowOrd) " +
       s"AS __lb $body ) __lby WHERE $keep$outerOrder$tail"

@@ -475,6 +475,45 @@ object Examples {
         s"distinct_percent_rows=$dpct")
     }
 
+    // example22 (r18): arm-scoped TOP inside set-operation arms, plain
+    // * REPLACE over a derived FROM, Oracle OFFSET composing with FETCH
+    // PERCENT, Trino multi-array UNNEST zip (NULL-padded), ClickHouse
+    // LIMIT BY under SELECT DISTINCT (DISTINCT evaluates first), and
+    // Teradata TOP WITH TIES composing with QUALIFY (QUALIFY first)
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, "x", 10L), (2L, "x", 30L), (3L, "y", 30L), (4L, "y", 20L))
+        .toDF("k", "g", "v")
+      val armTop = Engine.execute(spark,
+        "SELECT TOP 2 g FROM t WHERE g = 'x' UNION ALL SELECT TOP 1 g FROM t " +
+          "WHERE g = 'y' ORDER BY g",
+        tables = Map("t" -> t), dialect = Dialect.forName("tsql")).count()
+      val replSub = Engine.execute(spark,
+        "SELECT * REPLACE (v + 1 AS v) FROM (SELECT g, v FROM t WHERE k <= 2) d ORDER BY v",
+        tables = Map("t" -> t), dialect = Dialect.forName("duckdb"))
+        .collect().map(_.getLong(1)).mkString(",")
+      val offPct = Engine.execute(spark,
+        "SELECT k FROM t ORDER BY k OFFSET 1 ROWS FETCH NEXT 50 PERCENT ROWS ONLY",
+        tables = Map("t" -> t), dialect = Dialect.forName("oracle"))
+        .collect().map(_.getLong(0)).mkString(",")
+      val zip = Engine.execute(spark,
+        "SELECT x, y FROM t CROSS JOIN UNNEST(ARRAY[k, k + 1], ARRAY[v]) AS u(x, y) " +
+          "WHERE k = 1 ORDER BY x",
+        tables = Map("t" -> t), dialect = Dialect.forName("trino"))
+        .collect().map(r => s"${r.getLong(0)}:${if (r.isNullAt(1)) "?" else r.getLong(1)}")
+        .mkString(",")
+      val lbd = Engine.execute(spark,
+        "SELECT DISTINCT g, v % 20 AS m FROM t ORDER BY m, g LIMIT 1 BY g",
+        tables = Map("t" -> t), dialect = Dialect.forName("clickhouse")).count()
+      val tdq = Engine.execute(spark,
+        "SEL TOP 1 WITH TIES g FROM t QUALIFY row_number() OVER " +
+          "(PARTITION BY g ORDER BY k) = 1 ORDER BY g",
+        tables = Map("t" -> t), dialect = Dialect.forName("teradata")).count()
+      println(s"example22(r18 constructs): setop_arm_top_rows=$armTop " +
+        s"replace_subquery_v=$replSub offset_percent_k=$offPct unnest_zip=$zip " +
+        s"limit_by_distinct_rows=$lbd teradata_ties_qualify_rows=$tdq")
+    }
+
     spark.stop()
   }
 }

@@ -131,7 +131,23 @@ object PlanCheck {
       ("FETCH FIRST n PERCENT keeps one exact global rank window by DEFINITION, " +
         "but since r16 its input is PRE-FILTERED below the window to ~n% of " +
         "rows by the approx_percentile cutoff — same two-stage scale plan as " +
-        "op_dialect_tsql_top_percent (pcut filter pinned by rule)"),
+        "op_dialect_tsql_top_percent (pcut filter pinned by rule); the r18 " +
+        "OFFSET leg's row_number membership runs over the same pre-filtered " +
+        "frame (the guard covers the m skipped rows too)"),
+    "op_dialect_teradata_top_ties_qualify" ->
+      ("TOP WITH TIES / TOP PERCENT over QUALIFY-filtered rows: the rank input " +
+        "is the KEYED-window qualify output (one row per (priority, bucket) " +
+        "group — bounded by the key product, never the corpus), the TIES leg " +
+        "keeps the WindowGroupLimit pre-prune, and the PERCENT leg's string " +
+        "key takes the documented legacy fallback over that same collapsed " +
+        "input"),
+    "op_dialect_oracle_fetch_percent_ties_offset" ->
+      ("OFFSET+PERCENT WITH TIES over a STRING leading key pins the legacy " +
+        "fallback (non-sketchable key → no pcut prefilter, by rule): the " +
+        "count/rank/cutoff-max windows are the construct's exact semantics, " +
+        "and the static rank <= m+k filter bounds the cutoff-max frame like " +
+        "op_dialect_pg_fetch_ties_offset; the scale path for sketchable keys " +
+        "is the op_dialect_oracle_fetch_percent OFFSET leg"),
     "op_dialect_tsql_top_ties_subquery" ->
       ("subquery-level WITH TIES rank filter: the same WindowGroupLimit " +
         "pre-prune as op_dialect_tsql_top_ties applies inside the subquery " +
@@ -724,9 +740,15 @@ object PlanCheck {
         f("cartesian") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_oracle_fetch_percent", "FETCH PERCENT runs the two-stage scale plan (r16): " +
       "approx_percentile cutoff pre-filters BELOW the exact rank window (pcut in the plan), " +
-      "the one-row stats side joins by broadcast, and the key filter stays pushed",
-      f => f("pushed_filters") >= 1 && f("pcut") >= 1 && f("bnlj") >= 1 &&
+      "the one-row stats side joins by broadcast, and the key filter stays pushed — " +
+      "the r18 OFFSET leg takes the same plan (pcut per leg)",
+      f => f("pushed_filters") >= 2 && f("pcut") >= 2 && f("bnlj") >= 2 &&
         f("cartesian") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_oracle_fetch_percent_ties_offset", "OFFSET+PERCENT TIES over a string " +
+      "key pins the LEGACY fallback: no pcut prefilter (non-sketchable key), pushed key " +
+      "filter, no joins of any kind",
+      f => f("pushed_filters") >= 1 && f("pcut") == 0 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_tsql_top_ties_subquery", "subquery-level WITH TIES keeps the " +
       "WindowGroupLimit pre-prune and the pushed key filter; no joins",
       f => f("wgl") >= 1 && f("pushed_filters") >= 1 &&
@@ -750,10 +772,32 @@ object PlanCheck {
     Rule("op_dialect_tsql_distinct_top_percent", "DISTINCT TOP PERCENT runs the " +
       "two-stage scale plan over the distinct subquery: approx_percentile cutoff " +
       "pre-filters BELOW the exact rank window (pcut), the one-row stats side joins " +
-      "by broadcast, the distinct aggregates map-side combine, key filter pushed",
+      "by broadcast, the distinct aggregates map-side combine, key filter pushed; " +
+      "static budget capped at the two textual distinct references + one stats pair " +
+      "(at runtime AQE reuses the distinct shuffle — PlanGateSpec pins ReusedExchange)",
       f => f("pushed_filters") >= 1 && f("pcut") >= 1 && f("bnlj") >= 1 &&
-        f("partial_agg") >= 2 &&
+        f("partial_agg") >= 2 && f("partial_agg") <= 6 &&
         f("cartesian") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_teradata_top_ties_qualify", "QUALIFY-then-TOP keeps the keyed " +
+      "qualify windows (WindowGroupLimit pre-pruned) below the rank, pushed key " +
+      "filters on both legs, no joins",
+      f => f("wgl") >= 2 && f("pushed_filters") >= 2 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_trino_unnest_zip", "multi-array UNNEST zip stays a per-row generate " +
+      "(inline/transform in codegen): pushed key filter, one output-sort exchange, no joins",
+      f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_clickhouse_limit_by_distinct", "LIMIT BY under DISTINCT ranks the " +
+      "map-side-combined distinct output under a keyed (partitioned) window with its " +
+      "WindowGroupLimit pre-prune; the trailing LIMIT plans as top-k; no joins",
+      f => f("wgl") >= 1 && f("global_window") == 0 && f("partial_agg") >= 2 &&
+        f("topk") >= 1 && f("pushed_filters") >= 1 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_setop_top", "arm-scoped TOPs stay per-arm LIMITs over pushed " +
+      "scans (no window, no global sort of the arms); the Teradata MINUS leg's dedup " +
+      "anti-join broadcasts — no shuffle joins, no cartesian",
+      f => f("pushed_filters") >= 4 && f("global_window") == 0 &&
+        f("cartesian") + f("bnlj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_fetch_ties_offset", "OFFSET+TIES keeps the pushed key filter and stays " +
       "join-free (static rank bound + cutoff max are the construct's semantics)",
       f => f("pushed_filters") >= 1 &&

@@ -63,6 +63,21 @@ object StressCheck {
     timeIt("topk") {
       ord.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }
+    // DISTINCT TOP PERCENT scale plan (r18): the distinct shuffle is
+    // computed ONCE at runtime (AQE stage reuse — PlanGateSpec pins the
+    // ReusedExchange) and the exact rank window sees only the
+    // pcut-pre-filtered ~n% slice of the distinct output, so wall time
+    // should track the distinct aggregation, not a global sort.
+    locally {
+      ord.createOrReplaceTempView("orders")
+      timeIt("distinct_top_percent") {
+        Engine.execute(spark,
+          """SELECT DISTINCT TOP 10 PERCENT o_orderkey % 100000 AS m,
+            |  o_orderpriority AS p
+            |FROM orders ORDER BY m, p""".stripMargin,
+          dialect = Dialect.TsqlIsh)
+      }
+    }
     // simHash banding: candidate volume must grow ~linearly with corpus
     // size (amplified corpus = `factor` exact copies of every doc, so true
     // pairs grow ~factor²·dups but *bucket* fan-out per doc stays C(b,3);

@@ -1488,6 +1488,37 @@ object DialectQueries {
            |FROM orders WHERE o_orderkey <= 200
            |ORDER BY o_orderkey, tok""".stripMargin))
 
+  /** Trino MULTI-ARRAY `UNNEST(a, b) WITH ORDINALITY AS t(x, y, i)`
+    * (r18 — a named error before, while the same positional-zip
+    * machinery already served ClickHouse multi-ARRAY JOIN): one row per
+    * index up to the LONGEST array, the shorter NULL-padded (Trino's
+    * documented contract), the 1-based BIGINT ordinal appended last.
+    * The 2-token split zips against a 3-element array literal so the
+    * NULL-pad actually fires at i=3. DuckDB replays the zip with a
+    * range unnest + out-of-range list index (NULL) as the oracle.
+    */
+  val trinoUnnestZip = OpQ("op_dialect_trino_unnest_zip",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderkey, tok, num, i
+          |FROM orders CROSS JOIN UNNEST(
+          |  SPLIT(o_orderpriority, '-'),
+          |  ARRAY[o_orderkey * 10, o_orderkey * 10 + 1, o_orderkey * 10 + 2]
+          |) WITH ORDINALITY AS t(tok, num, i)
+          |WHERE o_orderkey <= 150
+          |ORDER BY o_orderkey, i""".stripMargin,
+        dialect = Dialect.Trinoish)
+    },
+    Some("""WITH b AS (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+           |           FROM orders WHERE o_orderkey <= 150)
+           |SELECT o_orderkey,
+           |  parts[i] AS tok,
+           |  CAST(o_orderkey * 10 + (i - 1) AS BIGINT) AS num,
+           |  CAST(i AS BIGINT) AS i
+           |FROM b, UNNEST(range(1, greatest(len(parts), 3) + 1)) t(i)
+           |ORDER BY o_orderkey, i""".stripMargin))
+
   /** Trino `UNNEST … WITH ORDINALITY` ([[Dialect]] rewriteUnnest, r13):
     * the 1-based ordinal rides an `inline(transform(…))` struct build —
     * the +1 lives in per-row codegen, the ordinal is BIGINT exactly as
@@ -1822,6 +1853,60 @@ object DialectQueries {
            |FROM r WHERE rk <= 10
            |GROUP BY o_orderpriority ORDER BY prio""".stripMargin))
 
+  /** Arm-scoped T-SQL/Teradata `TOP n` inside SET-OPERATION arms (r18 —
+    * a raw `LIMIT … UNION` Spark parse error before): each arm's TOP
+    * binds to its OWN arm, emitted as a parenthesized arm
+    * (`(SELECT … LIMIT n) UNION ALL …`). Legs: T-SQL first arm (TOP
+    * over identical rows — deterministic as a multiset), middle arm
+    * under DISTINCT (single-value domain), last arm with a TRAILING
+    * statement ORDER BY (which sorts the COMBINED result, per T-SQL's
+    * scope rule, and must stay outside the arm); Teradata `SEL TOP …
+    * MINUS` (MINUS is a set-op keyword for the arm scan too). TOP
+    * without ORDER BY picks arbitrary rows in T-SQL — every arm is
+    * built so the pick is value-deterministic. DuckDB replays the
+    * per-arm LIMITs as parenthesized arms.
+    */
+  val tsqlSetopTop = OpQ("op_dialect_tsql_setop_top",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT TOP 3 'arm1' AS tag, o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '1-URGENT'
+          |UNION ALL
+          |SELECT DISTINCT TOP 1 'arm2' AS tag, o_orderpriority AS p
+          |FROM orders WHERE o_orderpriority = '2-HIGH'
+          |UNION ALL
+          |SELECT TOP 4 'arm3' AS tag, o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '5-LOW'
+          |ORDER BY tag, p""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+        .unionAll(Engine.execute(s,
+          """SEL TOP 2 'td' AS tag, o_orderpriority AS p
+            |FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '3-MEDIUM'
+            |MINUS
+            |SEL 'td' AS tag, '9-NONE' AS p FROM orders""".stripMargin,
+          dialect = Dialect.TeradataIsh))
+    },
+    Some("""SELECT * FROM (
+           |  (SELECT 'arm1' AS tag, o_orderpriority AS p
+           |   FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '1-URGENT'
+           |   LIMIT 3)
+           |  UNION ALL
+           |  (SELECT DISTINCT 'arm2' AS tag, o_orderpriority AS p
+           |   FROM orders WHERE o_orderpriority = '2-HIGH'
+           |   LIMIT 1)
+           |  UNION ALL
+           |  (SELECT 'arm3' AS tag, o_orderpriority AS p
+           |   FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '5-LOW'
+           |   LIMIT 4)
+           |  ORDER BY tag, p)
+           |UNION ALL
+           |((SELECT 'td' AS tag, o_orderpriority AS p
+           |  FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '3-MEDIUM'
+           |  LIMIT 2)
+           | EXCEPT
+           | (SELECT 'td' AS tag, '9-NONE' AS p FROM orders))""".stripMargin))
+
   /** Oracle-12c `FETCH FIRST n PERCENT ROWS ONLY` (r15): the same
     * percent-cutoff builder as T-SQL's TOP PERCENT — row_number over
     * the statement's ORDER BY with `CEILING(count * n / 100.0)` rows
@@ -1837,6 +1922,17 @@ object DialectQueries {
           |ORDER BY o_totalprice DESC, o_orderkey
           |FETCH FIRST 5 PERCENT ROWS ONLY""".stripMargin,
         dialect = Dialect.OracleIsh)
+        // OFFSET + PERCENT ONLY leg (r18 — a named fail-fast before;
+        // legal Oracle 12c): skip 20 rows, keep the next
+        // ceil(count*5%) — the percent base is the TOTAL selected row
+        // count, before the skip. Numeric leading key → the two-stage
+        // scale plan (pcut prefilter + broadcast stats) applies here too.
+        .unionAll(Engine.execute(s,
+          """SELECT o_orderkey, o_totalprice
+            |FROM orders WHERE o_orderkey <= 2000
+            |ORDER BY o_totalprice DESC, o_orderkey
+            |OFFSET 20 ROWS FETCH NEXT 5 PERCENT ROWS ONLY""".stripMargin,
+          dialect = Dialect.OracleIsh))
     },
     Some("""WITH r AS (SELECT o_orderkey, o_totalprice,
            |  row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
@@ -1844,7 +1940,41 @@ object DialectQueries {
            |  FROM orders WHERE o_orderkey <= 2000)
            |SELECT o_orderkey, o_totalprice FROM r
            |WHERE rn <= ceiling(ct * 5 / 100.0)
-           |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin))
+           |UNION ALL
+           |SELECT o_orderkey, o_totalprice FROM r
+           |WHERE rn > 20 AND rn <= 20 + ceiling(ct * 5 / 100.0)""".stripMargin))
+
+  /** Oracle `OFFSET m ROWS FETCH NEXT n PERCENT ROWS WITH TIES` over a
+    * STRING leading key (r18): the non-sketchable key falls back to the
+    * legacy count(*) OVER () percent base — this gate pins that exact
+    * fallback (pcut absent by rule) — and the tie rule keeps every row
+    * sharing the boundary rank at m+k while the first m ranked rows are
+    * skipped. Output is the sort key only: which physical rows receive
+    * row_numbers 1..m within a tie class is arbitrary in Oracle and
+    * here alike, so only key-valued output is deterministic. DuckDB
+    * replays the rank/row_number membership as the oracle.
+    */
+  val oracleFetchPercentTiesOffset = OpQ("op_dialect_oracle_fetch_percent_ties_offset",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT o_orderpriority
+          |FROM orders WHERE o_orderkey <= 500
+          |ORDER BY o_orderpriority
+          |OFFSET 3 ROWS FETCH NEXT 1 PERCENT ROWS WITH TIES""".stripMargin,
+        dialect = Dialect.OracleIsh)
+    },
+    Some("""WITH r AS (SELECT o_orderpriority,
+           |  rank() OVER (ORDER BY o_orderpriority) AS rk,
+           |  row_number() OVER (ORDER BY o_orderpriority) AS rn,
+           |  count(*) OVER () AS ct
+           |  FROM orders WHERE o_orderkey <= 500),
+           |c AS (SELECT o_orderpriority, rk, rn,
+           |  max(CASE WHEN rn <= 3 + ceiling(ct * 1 / 100.0) THEN rk END)
+           |    OVER () AS cut
+           |  FROM r)
+           |SELECT o_orderpriority FROM c WHERE rn > 3 AND rk <= cut
+           |ORDER BY o_orderpriority""".stripMargin))
 
   /** `WITH TIES` over a SET OPERATION (r17 — a named fail-fast before;
     * Postgres legally applies `(SELECT …) UNION (SELECT …) ORDER BY k
@@ -1879,6 +2009,18 @@ object DialectQueries {
             |ORDER BY 1 DESC, 2
             |OFFSET 1 ROWS FETCH NEXT 3 ROWS WITH TIES""".stripMargin,
           dialect = Dialect.Postgresish))
+        // QUOTED output-name sort key (r18, from ADVICE: `"p"` arrives
+        // backticked after the identifier rewrite and used to miss the
+        // byName lookup — legal Postgres over a set operation)
+        .unionAll(Engine.execute(s,
+          """(SELECT o_orderpriority AS p, o_orderkey % 3 AS b
+            | FROM orders WHERE o_orderkey <= 900)
+            |UNION
+            |(SELECT o_orderpriority AS p, o_orderkey % 5 AS b
+            | FROM orders WHERE o_orderkey <= 900)
+            |ORDER BY "p"
+            |FETCH FIRST 2 ROWS WITH TIES""".stripMargin,
+          dialect = Dialect.Postgresish))
         .orderBy("p", "b")
     },
     Some("""WITH u AS MATERIALIZED (
@@ -1887,14 +2029,16 @@ object DialectQueries {
            |  UNION
            |  (SELECT o_orderpriority AS p, o_orderkey % 5 AS b
            |   FROM orders WHERE o_orderkey <= 900)),
-           |a AS (SELECT p, b FROM (
+           |a AS MATERIALIZED (SELECT p, b FROM (
            |        SELECT p, b, rank() OVER (ORDER BY p) AS rk FROM u) x
            |      WHERE rk <= 2),
            |bb AS (SELECT p, b FROM (
            |        SELECT p, b, row_number() OVER (ORDER BY p DESC, b) AS rn
            |        FROM u) y
            |      WHERE rn > 1 AND rn <= 4)
-           |SELECT p, b FROM (SELECT * FROM a UNION ALL SELECT * FROM bb) z
+           |SELECT p, b FROM (
+           |  SELECT * FROM a UNION ALL SELECT * FROM bb
+           |  UNION ALL SELECT * FROM a) z
            |ORDER BY p, b""".stripMargin))
 
   /** `FETCH FIRST n PERCENT` over a SET OPERATION through the two-stage
@@ -1936,6 +2080,52 @@ object DialectQueries {
            |      FROM u)
            |SELECT nk, k FROM r WHERE rn <= ceiling(ct * 10 / 100.0)
            |ORDER BY nk DESC NULLS FIRST, k""".stripMargin))
+
+  /** Teradata `SEL TOP n WITH TIES / TOP n PERCENT` combined with a
+    * QUALIFY clause in the same scope (r18 — a named fail-fast before):
+    * Teradata's evaluation order is QUALIFY FIRST, then ORDER BY + TOP,
+    * so [[Dialect]] buildWithTies hands the statement to the qualify
+    * rewrite and re-ranks the FILTERED rows. Both legs QUALIFY down to
+    * one row per (priority, bucket) group before ranking — a rank over
+    * the raw rows would return a different multiset, so the gate
+    * distinguishes the evaluation orders. Output is the sort key only
+    * (which physical row represents each group is arbitrary under the
+    * ONLY form). DuckDB runs QUALIFY natively and replays the rank
+    * membership as the oracle; the infix MOD exercises the Teradata
+    * operator chain ahead of the TOP rewrite.
+    */
+  val teradataTopTiesQualify = OpQ("op_dialect_teradata_top_ties_qualify",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SEL TOP 1 WITH TIES o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000
+          |QUALIFY row_number() OVER (PARTITION BY o_orderpriority, o_custkey MOD 7
+          |                           ORDER BY o_orderkey) = 1
+          |ORDER BY p""".stripMargin,
+        dialect = Dialect.TeradataIsh)
+        .unionAll(Engine.execute(s,
+          """SEL TOP 40 PERCENT o_orderpriority AS p
+            |FROM orders WHERE o_orderkey <= 2000
+            |QUALIFY row_number() OVER (PARTITION BY o_orderpriority, o_custkey MOD 5
+            |                           ORDER BY o_orderkey) = 1
+            |ORDER BY p""".stripMargin,
+          dialect = Dialect.TeradataIsh))
+    },
+    Some("""WITH q1 AS (SELECT o_orderpriority AS p
+           |            FROM orders WHERE o_orderkey <= 2000
+           |            QUALIFY row_number() OVER (PARTITION BY o_orderpriority,
+           |              o_custkey % 7 ORDER BY o_orderkey) = 1),
+           |r1 AS (SELECT p, rank() OVER (ORDER BY p) AS rk FROM q1),
+           |q2 AS (SELECT o_orderpriority AS p
+           |       FROM orders WHERE o_orderkey <= 2000
+           |       QUALIFY row_number() OVER (PARTITION BY o_orderpriority,
+           |         o_custkey % 5 ORDER BY o_orderkey) = 1),
+           |r2 AS (SELECT p, row_number() OVER (ORDER BY p) AS rn,
+           |              count(*) OVER () AS ct FROM q2)
+           |SELECT p FROM r1 WHERE rk <= 1
+           |UNION ALL
+           |SELECT p FROM r2 WHERE rn <= ceiling(ct * 40 / 100.0)""".stripMargin))
 
   /** T-SQL `SELECT TOP n PERCENT … ORDER BY …` (r15 — a named
     * fail-fast through r14): row_number over the statement's ORDER BY
@@ -2382,6 +2572,34 @@ object DialectQueries {
            |WHERE rn > 1 AND rn <= 3
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin))
 
+  /** ClickHouse `LIMIT n BY keys` under SELECT DISTINCT (r18 — a named
+    * fail-fast before): ClickHouse applies DISTINCT BEFORE ORDER BY and
+    * LIMIT BY (projection → Distinct → Sorting → LimitBy → Limit in its
+    * pipeline), so the row_number window ranks the DISTINCT output and
+    * the keys resolve to output names. The (b DESC, ck) statement order
+    * is total over the distinct pairs, making the per-key top-2 and the
+    * trailing global LIMIT deterministic. DuckDB replays
+    * distinct-then-window as the oracle.
+    */
+  val clickhouseLimitByDistinct = OpQ("op_dialect_clickhouse_limit_by_distinct",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT DISTINCT o_custkey % 50 AS ck, o_orderkey % 7 AS b
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY b DESC, ck
+          |LIMIT 2 BY ck
+          |LIMIT 40""".stripMargin,
+        dialect = Dialect.ClickHouseIsh)
+    },
+    Some("""WITH dd AS (SELECT DISTINCT o_custkey % 50 AS ck, o_orderkey % 7 AS b
+           |            FROM orders WHERE o_orderkey <= 2000),
+           |r AS (SELECT ck, b,
+           |        row_number() OVER (PARTITION BY ck ORDER BY b DESC, ck) AS rn
+           |      FROM dd)
+           |SELECT ck, b FROM r WHERE rn <= 2
+           |ORDER BY b DESC, ck LIMIT 40""".stripMargin))
+
   /** DuckDB/BigQuery `SELECT * REPLACE (expr AS col)` ([[Dialect]]
     * rewriteStarReplace): the star expands to the registered table's
     * column list with each replaced expression substituted IN POSITION
@@ -2396,10 +2614,26 @@ object DialectQueries {
           |                  upper(o_orderstatus) AS o_orderstatus)
           |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin,
         dialect = Dialect.DuckDbish)
+        // derived-table FROM leg (r18 — a named error before; the same
+        // text was already legal under QUALIFY/WITH TIES): the star
+        // expands from the ANALYZED subquery schema
+        .unionAll(Engine.execute(s,
+          """SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+            |                  upper(o_orderstatus) AS o_orderstatus)
+            |FROM (SELECT * FROM orders
+            |      WHERE o_orderkey > 100 AND o_orderkey <= 200) d
+            |ORDER BY o_orderkey""".stripMargin,
+          dialect = Dialect.DuckDbish))
     },
-    Some("""SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
-           |                  upper(o_orderstatus) AS o_orderstatus)
-           |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin))
+    Some("""(SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+           |                   upper(o_orderstatus) AS o_orderstatus)
+           | FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey)
+           |UNION ALL
+           |(SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+           |                   upper(o_orderstatus) AS o_orderstatus)
+           | FROM (SELECT * FROM orders
+           |       WHERE o_orderkey > 100 AND o_orderkey <= 200) d
+           | ORDER BY o_orderkey)""".stripMargin))
 
   /** QUALIFIED star form `alias.* REPLACE (…)` (r13 — closes the r12
     * gap where `o.*` fell through the star-position guard as
@@ -3000,15 +3234,17 @@ object DialectQueries {
     snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg,
     mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
     exasol, druid, singlestore,
-    bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, duckdbReplace,
+    bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, trinoUnnestZip, duckdbReplace,
     duckdbReplaceQualified, trinoOrdinality, snowflakeFlattenPath,
     snowflakeFlattenObject,
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
+    clickhouseLimitByDistinct,
     tsqlPivot, tsqlUnpivot, pgLateral, pgArrayAgg, duckdbArrayAgg,
     snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
     pgFetchTiesNulls, pgFetchTiesRow, pgFetchTiesOffset, tsqlTopTies, tsqlTopPercent,
     oracleFetchPercent, tsqlTopTiesSubquery, pgSetopTies, oracleSetopPercent,
-    tsqlDistinctTopPercent,
+    tsqlDistinctTopPercent, tsqlSetopTop, oracleFetchPercentTiesOffset,
+    teradataTopTiesQualify,
     pgDistinctOn, pagingZero, pgFetchTiesStar, pgDistinctTies,
     duckdbOrderNulls, pgWindowNulls, trinoFetchPaging, commentOrderNulls,
     pgSeries, clickhouseArrayJoin, tsqlApply, snowflakeTryTo,

@@ -125,7 +125,7 @@ class SemanticsSpec extends SparkSpec {
     }
   }
 
-  test("* REPLACE rejects multi-table and subquery FROM (single-table scope)") {
+  test("* REPLACE rejects multi-table FROM, expands derived FROM (single-relation scope)") {
     initLog()
     import spark.implicits._
     Seq((1L, 10L)).toDF("k", "v").createOrReplaceTempView("srt_a")
@@ -135,9 +135,16 @@ class SemanticsSpec extends SparkSpec {
     intercept[Exception](Engine.execute(spark,
       "SELECT * REPLACE (v * 2 AS v) FROM srt_a JOIN srt_b ON srt_a.k = srt_b.k",
       dialect = Dialect.DuckDbish))
-    // a subquery FROM must not fall through to a LATER FROM's table
-    intercept[Exception](Engine.execute(spark,
+    // a subquery FROM is a SINGLE relation and expands from its ANALYZED
+    // schema since r18 (it does NOT fall through to a later FROM's table
+    // — the expansion resolves against the derived output itself)
+    assert(Engine.execute(spark,
       "SELECT * REPLACE (v * 2 AS v) FROM (SELECT * FROM srt_a) t",
+      dialect = Dialect.DuckDbish).head().getLong(1) === 20L)
+    // …but a JOIN after the derived table still fails fast
+    intercept[Exception](Engine.execute(spark,
+      "SELECT * REPLACE (v * 2 AS v) FROM (SELECT * FROM srt_a) t " +
+        "JOIN srt_b ON t.k = srt_b.k",
       dialect = Dialect.DuckDbish))
     // single table + alias + WHERE stays supported
     assert(Engine.execute(spark,
