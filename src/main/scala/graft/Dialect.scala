@@ -3021,6 +3021,23 @@ object Dialect {
           val aSpans = literalSpans(armBlank, backslashEscapes = true)
           topLevelKeyword(armBlank, aSpans, depthAt(armBlank, aSpans), "ORDER")
         }
+        // an optimizer hint directly after `TOP n` (`SELECT TOP 100 /*+
+        // BROADCAST(d) */ …`) is honored by the SOURCE engines and lands
+        // SELECT-adjacent in the rewritten statement — but blankComments
+        // blanks it (its scan-back sees the count, not SELECT), so it is
+        // re-read from the ORIGINAL arm text and re-emitted after the
+        // SELECT each plain splice builds (r18 review; plain comments in
+        // the same position stay dropped). Consecutive hint blocks and
+        // interleaved plain comments follow the lexer's spans.
+        // the hint sits INSIDE the consumed match region: the pattern's
+        // greedy whitespace runs straight through the blanked hint bytes,
+        // so m.end is already past it — collect the original hint spans
+        // lying within [m.start, m.end)
+        val armHint = opaqueSpanKinds(cur, backslashEscapes = true)
+          .collect { case (a, b, true) if a >= m.start && b <= m.end &&
+              b - a >= 3 && cur.charAt(a + 1) == '*' && cur.charAt(a + 2) == '+' =>
+            cur.substring(a, b) + " "
+          }.mkString
         val replacement =
           if (isPercent || isTies) {
             val construct = if (isPercent) "TOP PERCENT" else "TOP WITH TIES"
@@ -3039,8 +3056,12 @@ object Dialect {
                 s"$construct in a set-operation arm is not supported")
             // the rank/percent rewrite applies to the span and splices
             // back — the rescan continues over the rebuilt text (it
-            // spells no TOP), so nested plain TOPs still rewrite
-            val stripped = "SELECT " + distinctKw + cur.substring(m.end, scopeEnd)
+            // spells no TOP), so nested plain TOPs still rewrite. A hint
+            // consumed with the TOP tokens is re-emitted SELECT-adjacent
+            // (before DISTINCT, Spark's grammar order), where
+            // buildWithTies' own blanking preserves it.
+            val stripped = "SELECT " + armHint + distinctKw +
+              cur.substring(m.end, scopeEnd)
             if (isPercent)
               buildWithTies(stripped, n, stripped.length, stripped.length,
                 nullsLargest = false, percent = true, ties = isTies,
@@ -3065,12 +3086,13 @@ object Dialect {
               // belongs to the COMBINED result and stays outside the arm
               // (tail kept from the ORIGINAL — nothing is appended after
               // it, so its comments are safe)
-              "(SELECT " + distinctKw + armBlank.substring(0, armOrderIdx).trim +
+              "(SELECT " + armHint + distinctKw +
+                armBlank.substring(0, armOrderIdx).trim +
                 s" LIMIT $n) " + cur.substring(m.end + armOrderIdx, scopeEnd)
             } else
-              "(SELECT " + distinctKw + armBlank.trim + s" LIMIT $n) "
+              "(SELECT " + armHint + distinctKw + armBlank.trim + s" LIMIT $n) "
           } else
-            "SELECT " + distinctKw + armBlank + s" LIMIT $n "
+            "SELECT " + armHint + distinctKw + armBlank + s" LIMIT $n "
         cur = cur.substring(0, m.start) + replacement + cur.substring(scopeEnd)
         changed = true
       }
@@ -3142,10 +3164,14 @@ object Dialect {
   private[graft] def rewriteTsqlOffsetFetch(sql: String): String = {
     val re = ("""(?i)\bOFFSET\s+(\d+)\s+ROWS?""" +
       """(?:\s+FETCH\s+(?:NEXT|FIRST)\s+(\d+)\s+ROWS?\s+ONLY)?""").r
-    val spans = literalSpans(sql, backslashEscapes = true)
+    // comment-blanked scan / original splice, like [[rewriteFetchFirst]]
+    // (r18 review): an OFFSET…FETCH inside a comment must not splice,
+    // and a comment between the clause's tokens must not hide it
+    val blanked = blankComments(sql, backslashEscapes = true)
+    val spans = literalSpans(blanked, backslashEscapes = true)
     val out = new StringBuilder
     var last = 0
-    re.findAllMatchIn(sql).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
+    re.findAllMatchIn(blanked).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
       val repl =
         if (m.group(2) != null) s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}"
         else s"OFFSET ${m.group(1)}"
@@ -4378,6 +4404,19 @@ object Dialect {
     (m.group(1).trim, m.group(2).trim)
   }
 
+  /** Strip one level of backtick quoting from a sort-key token — a
+    * QUOTED output name (`"p"`, backticked after the identifier
+    * rewrites) is legal wherever a bare output name is, so every
+    * resolve-to-output-name lookup unquotes before matching (r18, from
+    * ADVICE — first added to the set-op resolver, then shared with the
+    * DISTINCT and LIMIT BY resolvers, which had the same miss).
+    */
+  private def stripBacktick(e: String): String =
+    if (e.length > 1 && e.startsWith("`") && e.endsWith("`") &&
+        !e.substring(1, e.length - 1).contains("`"))
+      e.substring(1, e.length - 1)
+    else e
+
   private def buildWithTies(sql0: String, n: String,
       ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean,
       percent: Boolean = false, ties: Boolean = true,
@@ -4480,12 +4519,8 @@ object Dialect {
           val (e, sfx) = splitSortSuffix(part)
           // a QUOTED output name is legal Postgres over a set operation:
           // `"p"` arrives backticked after the identifier rewrite, so the
-          // quoting is stripped before the name lookup (r18, from ADVICE —
-          // mirroring parseReplaceItems' alias handling)
-          val eBare =
-            if (e.length > 1 && e.startsWith("`") && e.endsWith("`"))
-              e.substring(1, e.length - 1)
-            else e
+          // quoting is stripped before the name lookup (r18, from ADVICE)
+          val eBare = stripBacktick(e)
           val nm =
             if (eBare.matches("\\d+") && !e.startsWith("`")) {
               val i = eBare.toInt
@@ -4787,7 +4822,7 @@ object Dialect {
               throw new graft.UnsupportedError(
                 s"$construct ORDER BY position $i is not in the select list (1..${items.length})")
             itemNames(i - 1)
-          } else byName.getOrElse(nrm(e), byExpr.getOrElse(nrm(e),
+          } else byName.getOrElse(nrm(stripBacktick(e)), byExpr.getOrElse(nrm(e),
             throw new graft.UnsupportedError(
               s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
                 s"to appear in the select list; cannot resolve: $e")))
@@ -5249,12 +5284,17 @@ object Dialect {
     * installed, so this only sees the bare trailing spelling.
     */
   private[graft] def rewriteFetchFirst(sql: String): String = {
-    // count optional: `FETCH FIRST ROW ONLY` is LIMIT 1 in ANSI/Postgres
+    // count optional: `FETCH FIRST ROW ONLY` is LIMIT 1 in ANSI/Postgres.
+    // The SCAN runs over comment-blanked text (r18 review: a FETCH
+    // spelled inside a comment must not splice, and a comment between
+    // the clause's tokens must not hide it); splices edit the original,
+    // so comments outside the replaced clause survive.
     val re = """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(?:(\d+)\s+)?ROWS?\s+ONLY""".r
-    val spans = literalSpans(sql, backslashEscapes = true)
+    val blanked = blankComments(sql, backslashEscapes = true)
+    val spans = literalSpans(blanked, backslashEscapes = true)
     val out = new StringBuilder
     var last = 0
-    re.findAllMatchIn(sql).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
+    re.findAllMatchIn(blanked).filter(m => outsideLiterals(spans, m.start)).foreach { m =>
       out.append(sql.substring(last, m.start))
         .append(s"LIMIT ${Option(m.group(1)).getOrElse("1")}")
       last = m.end
@@ -5420,6 +5460,17 @@ object Dialect {
               "FROM-clause UNNEST requires an [AS] alias"))
           val name = aliasM.group(1)
           rest = rest.substring(aliasM.end)
+          // LEFT JOIN … ON TRUE → OUTER (shared by the single- and
+          // multi-array branches; r18 review — the block had been
+          // copy-pasted)
+          def consumeOnTrue(): Boolean =
+            if (joiner.startsWith("LEFT")) {
+              val onM = "(?is)^\\s*ON\\s+TRUE\\b".r.findFirstMatchIn(rest)
+                .getOrElse(throw new graft.UnsupportedError(
+                  "LEFT JOIN UNNEST is supported only with ON TRUE"))
+              rest = rest.substring(onM.end)
+              true
+            } else false
           if (arrArgs.length > 1) {
             // Trino multi-array zip (r18) — see the class doc
             val cm = "(?s)^\\s*\\(([^)]*)\\)".r.findFirstMatchIn(rest)
@@ -5434,14 +5485,7 @@ object Dialect {
                   s"column name(s) (one per array${if (ordinality) " + the ordinal" else ""}), " +
                   s"got: ${cm.group(0).trim}")
             rest = rest.substring(cm.end)
-            var outer = false
-            if (joiner.startsWith("LEFT")) {
-              val onM = "(?is)^\\s*ON\\s+TRUE\\b".r.findFirstMatchIn(rest)
-                .getOrElse(throw new graft.UnsupportedError(
-                  "LEFT JOIN UNNEST is supported only with ON TRUE"))
-              rest = rest.substring(onM.end)
-              outer = true
-            }
+            val outer = consumeOnTrue()
             val sizes = arrArgs.map(a => s"size($a)").mkString(", ")
             val valFields = arrArgs.zip(cols).map { case (a, c) =>
               s"try_element_at($a, __uni + 1) AS $c"
@@ -5487,14 +5531,7 @@ object Dialect {
                 offAliasM.foreach(mm => rest = rest.substring(mm.end))
               }
           }
-          var outer = false
-          if (joiner.startsWith("LEFT")) {
-            val onM = "(?is)^\\s*ON\\s+TRUE\\b".r.findFirstMatchIn(rest)
-              .getOrElse(throw new graft.UnsupportedError(
-                "LEFT JOIN UNNEST is supported only with ON TRUE"))
-            rest = rest.substring(onM.end)
-            outer = true
-          }
+          val outer = consumeOnTrue()
           val gen = (offName, ordName) match {
             case (Some(o), _) => s"posexplode($arr) $tableAlias AS $o, $colName"
             case (None, Some(ord)) =>
@@ -5714,9 +5751,17 @@ object Dialect {
     * subquery's output and all keys resolve to output names — the
     * opposite evaluation order from Snowflake's QUALIFY∘DISTINCT.
     */
-  private[graft] def rewriteChLimitBy(sql: String,
+  private[graft] def rewriteChLimitBy(sql0: String,
       spark: Option[SparkSession] = None): String = {
-    val spans = literalSpans(sql, backslashEscapes = true)
+    // comments normalized to whitespace up front (r18 review, as in the
+    // QUALIFY/DISTINCT ON/TOP rewrites): a `LIMIT n BY` inside a comment
+    // must not trigger the restructure, and the emitted single-line
+    // splices must not be swallowed by a trailing `--` comment.
+    // Statements the rewrite does not touch return byte-identical (sql0);
+    // SELECT-adjacent optimizer hints survive the blanking and are
+    // re-emitted on the inner select below.
+    val sql = blankComments(sql0, backslashEscapes = true)
+    val spans = opaqueSpans(sql, backslashEscapes = true)._1
     val depth = depthAt(sql, spans)
     def topLevel(re: String): Option[scala.util.matching.Regex.Match] =
       re.r.findAllMatchIn(sql)
@@ -5730,7 +5775,7 @@ object Dialect {
           .map(mm => (mm, mm.group(2).toLong, mm.group(1).toLong)))
         .orElse(topLevel("(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\b")
           .map(mm => (mm, 0L, mm.group(1).toLong)))
-        .getOrElse(return sql)
+        .getOrElse(return sql0)
     val selIdx = topLevelKeyword(sql, spans, depth, "SELECT")
     val fromIdx = topLevelKeyword(sql, spans, depth, "FROM")
     if (selIdx != 0 || fromIdx < 0 || fromIdx > m.start)
@@ -5741,12 +5786,11 @@ object Dialect {
     // row_number window ranks the DISTINCT OUTPUT and every key must
     // resolve to an output name — the distinct stream has nothing else.
     // ClickHouse's own DISTINCT ON is a different construct and stays a
-    // named error.
-    if ("(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\b".r.findFirstIn(sql).isDefined)
-      throw new graft.UnsupportedError("LIMIT BY under SELECT DISTINCT ON is not supported")
-    val distinctM = "(?is)^\\s*SELECT\\s+DISTINCT\\b".r.findFirstMatchIn(sql)
-    val isDistinct = distinctM.isDefined
-    val itemsStart = distinctM.map(_.end).getOrElse(selIdx + "SELECT".length)
+    // named error. DISTINCT detection rides the shared hint-aware helper
+    // (r18 review: the SELECT-anchored regex missed `SELECT /*+ … */
+    // DISTINCT` — the hint is re-emitted on the inner select).
+    val (lbHint, isDistinct, itemsStart) = hintAndDistinct(sql, selIdx, spans,
+      "LIMIT BY under SELECT DISTINCT ON is not supported")
     val orderIdx0 = topLevelKeyword(sql, spans, depth, "ORDER", fromIdx)
     val orderIdx = if (orderIdx0 >= 0 && orderIdx0 < m.start) orderIdx0 else -1
     val body = sql.substring(fromIdx, if (orderIdx >= 0) orderIdx else m.start).trim
@@ -5838,7 +5882,7 @@ object Dialect {
                 throw new graft.UnsupportedError(
                   s"LIMIT BY ORDER BY position $i is not in the select list (1..${items.length})")
               itemNames(i - 1)
-            } else byName.getOrElse(nrm(e), byExpr.getOrElse(nrm(e),
+            } else byName.getOrElse(nrm(stripBacktick(e)), byExpr.getOrElse(nrm(e),
               throw new graft.UnsupportedError(
                 "LIMIT BY under SELECT DISTINCT requires its keys and ORDER BY " +
                   s"expressions to appear in the select list; cannot resolve: $e")))
@@ -5850,13 +5894,13 @@ object Dialect {
       val dOuter = stmtOrd.map(o => s" ORDER BY ${resolveOut(o, ordinals = true)}").getOrElse("")
       return s"SELECT $names FROM ( SELECT *, " +
         s"row_number() OVER (PARTITION BY $dKeys ORDER BY $dOrd) AS __lb " +
-        s"FROM ( SELECT DISTINCT ${items.mkString(", ")} $body ) __lbd ) __lby " +
+        s"FROM ( SELECT ${lbHint}DISTINCT ${items.mkString(", ")} $body ) __lbd ) __lby " +
         s"WHERE $keep$dOuter$tail"
     }
     val windowOrd = resolveAliases(
       stmtOrd.map(resolveOrdinalSortKeys(_, items, "LIMIT BY")).getOrElse(keys))
     val outerOrder = stmtOrd.map(o => s" ORDER BY $o").getOrElse("")
-    s"SELECT $names FROM ( SELECT ${items.mkString(", ")}, " +
+    s"SELECT $names FROM ( SELECT $lbHint${items.mkString(", ")}, " +
       s"row_number() OVER (PARTITION BY ${resolveAliases(keys)} ORDER BY $windowOrd) " +
       s"AS __lb $body ) __lby WHERE $keep$outerOrder$tail"
   }
