@@ -2933,7 +2933,14 @@ object Dialect {
     // T-SQL clause order is SELECT [DISTINCT] TOP n — DISTINCT applies
     // FIRST, then TOP keeps n of the distinct rows (r16; the DISTINCT
     // spelling didn't match before and died as a raw parse error)
-    val re = """(?i)\bSELECT\s+(DISTINCT\s+)?TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
+    // SELECT-adjacent optimizer hints survive comment-blanking, so the
+    // pattern steps over them (r18 second review: `SELECT /*+ h */ TOP 3`
+    // used to miss the match entirely and die as a raw parse error);
+    // they fall inside [m.start, m.end) and are re-emitted by armHint.
+    // Hints AFTER DISTINCT/TOP are blanked to whitespace and need no
+    // pattern support.
+    val re = ("""(?i)\bSELECT\s+(?:/\*\+.*?\*/\s*)*(DISTINCT\s+)?""" +
+      """TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""").r
     // MINUS is Teradata's (and Spark's own) EXCEPT synonym — without it
     // an arm-scoped Teradata TOP before MINUS would splice into the
     // set-op keyword (r18)
@@ -4811,7 +4818,10 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, construct))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      val byName = itemNames.map(nm => nm.toLowerCase -> nm).toMap
+      // map keys stripped like the lookup keys (r18 second review: a
+      // backtick-QUOTED alias — itemName keeps the quoting — must meet
+      // a quoted or bare sort key)
+      val byName = itemNames.map(nm => stripBacktick(nm).toLowerCase -> nm).toMap
       val oSpans = literalSpans(ord, backslashEscapes = true)
       val dKeyParts = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
         val (e, sfx) = splitSortSuffix(part)
@@ -5870,7 +5880,9 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, "LIMIT BY"))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      val byName = itemNames.map(nm => nm.toLowerCase -> nm).toMap
+      // stripped map keys, like the buildWithTies DISTINCT resolver
+      // (r18 second review: quoted alias must meet quoted or bare key)
+      val byName = itemNames.map(nm => stripBacktick(nm).toLowerCase -> nm).toMap
       def resolveOut(text: String, ordinals: Boolean): String = {
         val tSpans = literalSpans(text, backslashEscapes = true)
         splitArgs(text, tSpans, 0, text.length).map(_.trim).map { part =>
