@@ -2933,18 +2933,14 @@ object Dialect {
     // T-SQL clause order is SELECT [DISTINCT] TOP n — DISTINCT applies
     // FIRST, then TOP keeps n of the distinct rows (r16; the DISTINCT
     // spelling didn't match before and died as a raw parse error)
-    // SELECT-adjacent optimizer hints survive comment-blanking, so the
-    // pattern steps over them (r18 second review: `SELECT /*+ h */ TOP 3`
-    // used to miss the match entirely and die as a raw parse error);
-    // they fall inside [m.start, m.end) and are re-emitted by armHint.
-    // Hints AFTER DISTINCT/TOP are blanked to whitespace and need no
-    // pattern support.
-    val re = ("""(?i)\bSELECT\s+(?:/\*\+.*?\*/\s*)*(DISTINCT\s+)?""" +
-      """TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""").r
+    val topTail =
+      """(?is)^\s*(DISTINCT\s+)?TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
     // MINUS is Teradata's (and Spark's own) EXCEPT synonym — without it
     // an arm-scoped Teradata TOP before MINUS would splice into the
     // set-op keyword (r18)
     val setOps = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS")
+    case class TopSite(start: Int, end: Int, distinctKw: String,
+      n: String, isPercent: Boolean, isTies: Boolean)
     var cur = sql
     var changed = true
     while (changed) {
@@ -2955,14 +2951,31 @@ object Dialect {
       // commented-out `SELECT TOP` must not trigger at all. SPLICES
       // assemble from the ORIGINAL text so comments inside the kept arm
       // survive (the region between SELECT and TOP is consumed either
-      // way). Optimizer hints survive the blanking only SELECT-adjacent,
-      // where the TOP pattern deliberately does not match.
+      // way). SELECT-adjacent optimizer hints — which the blanking
+      // deliberately preserves — are consumed by the SPAN-based
+      // [[leadingHint]] before the TOP tail is tested (r18 third review:
+      // a lazy `/*+.*?*/` regex group could backtrack across live SQL
+      // into a literal's own */ and corrupt the statement — the same bug
+      // class the DISTINCT ON rewrite fixed span-based in r17); they are
+      // re-emitted by armHint below. Spans are OPAQUE (hints included) so
+      // a paren or keyword inside a preserved hint cannot skew the scope
+      // scan either.
       val blanked = blankComments(cur, backslashEscapes = true)
-      val spans = literalSpans(blanked, backslashEscapes = true)
-      re.findAllMatchIn(blanked).find(m => outsideLiterals(spans, m.start)).foreach { m =>
-        val distinctKw = if (m.group(1) != null) "DISTINCT " else ""
-        val isPercent = m.group(3) != null
-        val isTies = m.group(4) != null
+      val spans = opaqueSpans(blanked, backslashEscapes = true)._1
+      val siteOpt = "(?i)\\bSELECT\\b".r.findAllMatchIn(blanked)
+        .filter(sm => outsideLiterals(spans, sm.start))
+        .flatMap { sm =>
+          val (_, afterHint) = leadingHint(blanked, sm.start, spans)
+          topTail.findFirstMatchIn(blanked.substring(afterHint)).map { tm =>
+            TopSite(sm.start, afterHint + tm.end,
+              if (tm.group(1) != null) "DISTINCT " else "",
+              tm.group(2), tm.group(3) != null, tm.group(4) != null)
+          }
+        }.nextOption()
+      siteOpt.foreach { m =>
+        val distinctKw = m.distinctKw
+        val isPercent = m.isPercent
+        val isTies = m.isTies
         // Snowflake's own TOP takes neither PERCENT nor WITH TIES —
         // executing the T-SQL spellings there silently returned rows
         // for statements the source engine rejects (r17, from ADVICE;
@@ -2972,7 +2985,7 @@ object Dialect {
             "TOP " + (if (isPercent) "PERCENT" else "WITH TIES") +
               " is a T-SQL spelling this dialect's own parser rejects " +
               "(Snowflake TOP takes a bare row count)")
-        val n = m.group(2)
+        val n = m.n
         // T-SQL rejects a non-integer TOP count without PERCENT — checked
         // before the WITH TIES branch so `TOP 2.5 WITH TIES` raises too
         if (!isPercent && n.contains('.'))
@@ -4424,6 +4437,29 @@ object Dialect {
       e.substring(1, e.length - 1)
     else e
 
+  /** Resolve a sort/partition key to a DISTINCT-output NAME: a
+    * backtick-QUOTED key matches an output name exactly (unquoted
+    * content, whitespace-normalized); a BARE key does only when it is a
+    * plain identifier — a dotted `t.k` is a qualified column reference,
+    * never an output name (r18 third review: a blanket strip let it
+    * silently resolve to a quoted alias `` `t.k` `` and sort by the
+    * wrong expression); anything else falls to the caller's
+    * expression-text match. `byName` must be keyed on
+    * `nrm(stripBacktick(name))` — the quoted-alias spelling
+    * `` v AS `d` `` keeps the quoting in itemName, so the map side
+    * strips too (r18 second/third reviews).
+    */
+  private def resolveOutputName(e: String,
+      byName: Map[String, String]): Option[String] = {
+    def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
+    val eq = stripBacktick(e)
+    val key =
+      if (eq != e) Some(nrm(eq))
+      else if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(nrm(e))
+      else None
+    key.flatMap(byName.get)
+  }
+
   private def buildWithTies(sql0: String, n: String,
       ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean,
       percent: Boolean = false, ties: Boolean = true,
@@ -4818,10 +4854,9 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, construct))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      // map keys stripped like the lookup keys (r18 second review: a
-      // backtick-QUOTED alias — itemName keeps the quoting — must meet
-      // a quoted or bare sort key)
-      val byName = itemNames.map(nm => stripBacktick(nm).toLowerCase -> nm).toMap
+      // map keys stripped + whitespace-normalized like the lookup keys
+      // (r18 second/third reviews — see [[resolveOutputName]])
+      val byName = itemNames.map(nm => nrm(stripBacktick(nm)) -> nm).toMap
       val oSpans = literalSpans(ord, backslashEscapes = true)
       val dKeyParts = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
         val (e, sfx) = splitSortSuffix(part)
@@ -4832,10 +4867,10 @@ object Dialect {
               throw new graft.UnsupportedError(
                 s"$construct ORDER BY position $i is not in the select list (1..${items.length})")
             itemNames(i - 1)
-          } else byName.getOrElse(nrm(stripBacktick(e)), byExpr.getOrElse(nrm(e),
-            throw new graft.UnsupportedError(
+          } else resolveOutputName(e, byName).orElse(byExpr.get(nrm(e)))
+            .getOrElse(throw new graft.UnsupportedError(
               s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
-                s"to appear in the select list; cannot resolve: $e")))
+                s"to appear in the select list; cannot resolve: $e"))
         val pinned = (resolved + " " + sfx).trim
         if ((!nullsLargest && !nullsAlwaysLast) ||
             "(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(pinned).isDefined) pinned
@@ -5880,9 +5915,9 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, "LIMIT BY"))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      // stripped map keys, like the buildWithTies DISTINCT resolver
-      // (r18 second review: quoted alias must meet quoted or bare key)
-      val byName = itemNames.map(nm => stripBacktick(nm).toLowerCase -> nm).toMap
+      // stripped + normalized map keys, like the buildWithTies DISTINCT
+      // resolver (r18 second/third reviews — see [[resolveOutputName]])
+      val byName = itemNames.map(nm => nrm(stripBacktick(nm)) -> nm).toMap
       def resolveOut(text: String, ordinals: Boolean): String = {
         val tSpans = literalSpans(text, backslashEscapes = true)
         splitArgs(text, tSpans, 0, text.length).map(_.trim).map { part =>
@@ -5894,10 +5929,10 @@ object Dialect {
                 throw new graft.UnsupportedError(
                   s"LIMIT BY ORDER BY position $i is not in the select list (1..${items.length})")
               itemNames(i - 1)
-            } else byName.getOrElse(nrm(stripBacktick(e)), byExpr.getOrElse(nrm(e),
-              throw new graft.UnsupportedError(
+            } else resolveOutputName(e, byName).orElse(byExpr.get(nrm(e)))
+              .getOrElse(throw new graft.UnsupportedError(
                 "LIMIT BY under SELECT DISTINCT requires its keys and ORDER BY " +
-                  s"expressions to appear in the select list; cannot resolve: $e")))
+                  s"expressions to appear in the select list; cannot resolve: $e"))
           (resolved + " " + sfx).trim
         }.mkString(", ")
       }
