@@ -2939,6 +2939,7 @@ object Dialect {
     // an arm-scoped Teradata TOP before MINUS would splice into the
     // set-op keyword (r18)
     val setOps = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS")
+    val selRe = "(?i)\\bSELECT\\b".r
     case class TopSite(start: Int, end: Int, distinctKw: String,
       n: String, isPercent: Boolean, isTies: Boolean)
     var cur = sql
@@ -2962,7 +2963,7 @@ object Dialect {
       // scan either.
       val blanked = blankComments(cur, backslashEscapes = true)
       val spans = opaqueSpans(blanked, backslashEscapes = true)._1
-      val siteOpt = "(?i)\\bSELECT\\b".r.findAllMatchIn(blanked)
+      val siteOpt = selRe.findAllMatchIn(blanked)
         .filter(sm => outsideLiterals(spans, sm.start))
         .flatMap { sm =>
           val (_, afterHint) = leadingHint(blanked, sm.start, spans)
@@ -4437,25 +4438,34 @@ object Dialect {
       e.substring(1, e.length - 1)
     else e
 
+  /** Canonical lookup key for an OUTPUT NAME: the unquoted content,
+    * lowercased — and nothing else. Quoted identifiers compare
+    * LITERALLY in the source dialects, so whitespace inside one is
+    * content, never collapsible (r18 fourth review: a whitespace-
+    * normalizing key conflated `` `a b` `` with `` `a  b` `` — a
+    * silent wrong-sort via toMap last-wins). A bare `d` and a quoted
+    * `` `d` `` canonicalize to the same key, matching the dialects'
+    * identifier equivalence.
+    */
+  private def nameKey(nm: String): String = stripBacktick(nm).toLowerCase
+
   /** Resolve a sort/partition key to a DISTINCT-output NAME: a
-    * backtick-QUOTED key matches an output name exactly (unquoted
-    * content, whitespace-normalized); a BARE key does only when it is a
-    * plain identifier — a dotted `t.k` is a qualified column reference,
-    * never an output name (r18 third review: a blanket strip let it
-    * silently resolve to a quoted alias `` `t.k` `` and sort by the
-    * wrong expression); anything else falls to the caller's
-    * expression-text match. `byName` must be keyed on
-    * `nrm(stripBacktick(name))` — the quoted-alias spelling
-    * `` v AS `d` `` keeps the quoting in itemName, so the map side
-    * strips too (r18 second/third reviews).
+    * backtick-QUOTED key matches an output name's literal content; a
+    * BARE key does only when it is a plain identifier — a dotted `t.k`
+    * is a qualified column reference, never an output name (r18 third
+    * review: a blanket strip let it silently resolve to a quoted alias
+    * `` `t.k` `` and sort by the wrong expression); anything else falls
+    * to the caller's expression-text match. `byName` must be keyed on
+    * [[nameKey]] — the quoted-alias spelling `` v AS `d` `` keeps the
+    * quoting in itemName, so the map side strips too (r18
+    * second/third/fourth reviews).
     */
   private def resolveOutputName(e: String,
       byName: Map[String, String]): Option[String] = {
-    def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
     val eq = stripBacktick(e)
     val key =
-      if (eq != e) Some(nrm(eq))
-      else if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(nrm(e))
+      if (eq != e) Some(eq.toLowerCase)
+      else if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(e.toLowerCase)
       else None
     key.flatMap(byName.get)
   }
@@ -4854,9 +4864,9 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, construct))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      // map keys stripped + whitespace-normalized like the lookup keys
-      // (r18 second/third reviews — see [[resolveOutputName]])
-      val byName = itemNames.map(nm => nrm(stripBacktick(nm)) -> nm).toMap
+      // map keys canonicalized like the lookup keys (r18 reviews — see
+      // [[nameKey]]/[[resolveOutputName]])
+      val byName = itemNames.map(nm => nameKey(nm) -> nm).toMap
       val oSpans = literalSpans(ord, backslashEscapes = true)
       val dKeyParts = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
         val (e, sfx) = splitSortSuffix(part)
@@ -5915,9 +5925,9 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, "LIMIT BY"))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      // stripped + normalized map keys, like the buildWithTies DISTINCT
-      // resolver (r18 second/third reviews — see [[resolveOutputName]])
-      val byName = itemNames.map(nm => nrm(stripBacktick(nm)) -> nm).toMap
+      // canonicalized map keys, like the buildWithTies DISTINCT resolver
+      // (r18 reviews — see [[nameKey]]/[[resolveOutputName]])
+      val byName = itemNames.map(nm => nameKey(nm) -> nm).toMap
       def resolveOut(text: String, ordinals: Boolean): String = {
         val tSpans = literalSpans(text, backslashEscapes = true)
         splitArgs(text, tSpans, 0, text.length).map(_.trim).map { part =>
