@@ -4461,13 +4461,23 @@ object Dialect {
     * second/third/fourth reviews).
     */
   private def resolveOutputName(e: String,
-      byName: Map[String, String]): Option[String] = {
-    val eq = stripBacktick(e)
-    val key =
-      if (eq != e) Some(eq.toLowerCase)
-      else if (e.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(e.toLowerCase)
-      else None
-    key.flatMap(byName.get)
+      byName: Map[String, String]): Option[String] =
+    if (stripBacktick(e) != e || e.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      byName.get(nameKey(e))
+    else None
+
+  /** [[nameKey]]-keyed map over output names, raising the dialects' own
+    * ambiguity error when two names collide under the canonicalization
+    * (case-differing quoted names, a bare name plus its quoted twin) —
+    * a silent toMap last-wins would sort by the WRONG column (r18 fifth
+    * review; mirrors the set-op resolver's duplicate guard).
+    */
+  private def byNameMap(itemNames: Seq[String], construct: String): Map[String, String] = {
+    itemNames.groupBy(nameKey).collectFirst { case (_, vs) if vs.size > 1 => vs }
+      .foreach(vs => throw new graft.UnsupportedError(
+        s"$construct cannot resolve sort keys against duplicate output names: " +
+          vs.mkString(", ")))
+    itemNames.map(nm => nameKey(nm) -> nm).toMap
   }
 
   private def buildWithTies(sql0: String, n: String,
@@ -4864,9 +4874,7 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, construct))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      // map keys canonicalized like the lookup keys (r18 reviews — see
-      // [[nameKey]]/[[resolveOutputName]])
-      val byName = itemNames.map(nm => nameKey(nm) -> nm).toMap
+      val byName = byNameMap(itemNames, construct)
       val oSpans = literalSpans(ord, backslashEscapes = true)
       val dKeyParts = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
         val (e, sfx) = splitSortSuffix(part)
@@ -4877,7 +4885,12 @@ object Dialect {
               throw new graft.UnsupportedError(
                 s"$construct ORDER BY position $i is not in the select list (1..${items.length})")
             itemNames(i - 1)
-          } else resolveOutputName(e, byName).orElse(byExpr.get(nrm(e)))
+          } else resolveOutputName(e, byName)
+            // a QUOTED key is an identifier reference, never expression
+            // text — falling to the whitespace-normalizing byExpr would
+            // re-conflate whitespace-distinct quoted names (r18 fifth
+            // review)
+            .orElse(if (stripBacktick(e) != e) None else byExpr.get(nrm(e)))
             .getOrElse(throw new graft.UnsupportedError(
               s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
                 s"to appear in the select list; cannot resolve: $e"))
@@ -5925,9 +5938,7 @@ object Dialect {
       def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, "LIMIT BY"))
       val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      // canonicalized map keys, like the buildWithTies DISTINCT resolver
-      // (r18 reviews — see [[nameKey]]/[[resolveOutputName]])
-      val byName = itemNames.map(nm => nameKey(nm) -> nm).toMap
+      val byName = byNameMap(itemNames, "LIMIT BY under SELECT DISTINCT")
       def resolveOut(text: String, ordinals: Boolean): String = {
         val tSpans = literalSpans(text, backslashEscapes = true)
         splitArgs(text, tSpans, 0, text.length).map(_.trim).map { part =>
@@ -5939,7 +5950,10 @@ object Dialect {
                 throw new graft.UnsupportedError(
                   s"LIMIT BY ORDER BY position $i is not in the select list (1..${items.length})")
               itemNames(i - 1)
-            } else resolveOutputName(e, byName).orElse(byExpr.get(nrm(e)))
+            } else resolveOutputName(e, byName)
+              // quoted keys never fall to the expression match (r18
+              // fifth review — see the buildWithTies resolver)
+              .orElse(if (stripBacktick(e) != e) None else byExpr.get(nrm(e)))
               .getOrElse(throw new graft.UnsupportedError(
                 "LIMIT BY under SELECT DISTINCT requires its keys and ORDER BY " +
                   s"expressions to appear in the select list; cannot resolve: $e"))
