@@ -4480,6 +4480,32 @@ object Dialect {
     itemNames.map(nm => nameKey(nm) -> nm).toMap
   }
 
+  /** The one resolve-to-output-name policy for sort/partition keys under
+    * SELECT DISTINCT (shared by the FETCH/TOP family's DISTINCT branch
+    * and LIMIT BY, r18 sixth review — the copies had already started to
+    * diverge): [[resolveOutputName]] first, then the select-list
+    * EXPRESSION match — whitespace-NORMALIZED for bare keys (formatting
+    * is not content there), EXACT for quoted keys (whitespace inside
+    * quoting IS content — the normalized match conflated `` `a b` ``
+    * with `` `a  b` ``, while the exact match keeps `ORDER BY `a b``
+    * legal when that quoted column itself appears in the select list).
+    * Returns None for an unresolvable key; the caller raises its own
+    * named error.
+    */
+  private def distinctKeyResolver(items: Seq[String], itemNames: Seq[String],
+      construct: String): String => Option[String] = {
+    def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
+    val byName = byNameMap(itemNames, construct)
+    val exprs = items.map(itemExpr)
+    val byExpr = exprs.zip(itemNames).map { case (ex, nm) => nrm(ex) -> nm }.toMap
+    val byExprExact = exprs.zip(itemNames)
+      .map { case (ex, nm) => ex.trim.toLowerCase -> nm }.toMap
+    (e: String) =>
+      resolveOutputName(e, byName).orElse(
+        if (stripBacktick(e) != e) byExprExact.get(e.trim.toLowerCase)
+        else byExpr.get(nrm(e)))
+  }
+
   private def buildWithTies(sql0: String, n: String,
       ordEnd: Int, tiesEnd: Int, nullsLargest: Boolean,
       percent: Boolean = false, ties: Boolean = true,
@@ -4871,10 +4897,8 @@ object Dialect {
       // text matches an item's expression → that item's name. Anything
       // else mirrors Postgres's own error ("for SELECT DISTINCT, ORDER
       // BY expressions must appear in the select list").
-      def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, construct))
-      val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      val byName = byNameMap(itemNames, construct)
+      val resolveKey = distinctKeyResolver(items, itemNames, construct)
       val oSpans = literalSpans(ord, backslashEscapes = true)
       val dKeyParts = splitArgs(ord, oSpans, 0, ord.length).map(_.trim).map { part =>
         val (e, sfx) = splitSortSuffix(part)
@@ -4885,12 +4909,7 @@ object Dialect {
               throw new graft.UnsupportedError(
                 s"$construct ORDER BY position $i is not in the select list (1..${items.length})")
             itemNames(i - 1)
-          } else resolveOutputName(e, byName)
-            // a QUOTED key is an identifier reference, never expression
-            // text — falling to the whitespace-normalizing byExpr would
-            // re-conflate whitespace-distinct quoted names (r18 fifth
-            // review)
-            .orElse(if (stripBacktick(e) != e) None else byExpr.get(nrm(e)))
+          } else resolveKey(e)
             .getOrElse(throw new graft.UnsupportedError(
               s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
                 s"to appear in the select list; cannot resolve: $e"))
@@ -5935,10 +5954,9 @@ object Dialect {
       // NAME — an ordinal (ORDER BY side), an item name/alias, or a
       // key whose text matches an item's expression. Anything else is
       // unavailable after the distinct, in ClickHouse and here alike.
-      def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
       val itemNames = items.map(itemName(_, "LIMIT BY"))
-      val byExpr = items.zip(itemNames).map { case (it, nm) => nrm(itemExpr(it)) -> nm }.toMap
-      val byName = byNameMap(itemNames, "LIMIT BY under SELECT DISTINCT")
+      val resolveKey =
+        distinctKeyResolver(items, itemNames, "LIMIT BY under SELECT DISTINCT")
       def resolveOut(text: String, ordinals: Boolean): String = {
         val tSpans = literalSpans(text, backslashEscapes = true)
         splitArgs(text, tSpans, 0, text.length).map(_.trim).map { part =>
@@ -5950,10 +5968,7 @@ object Dialect {
                 throw new graft.UnsupportedError(
                   s"LIMIT BY ORDER BY position $i is not in the select list (1..${items.length})")
               itemNames(i - 1)
-            } else resolveOutputName(e, byName)
-              // quoted keys never fall to the expression match (r18
-              // fifth review — see the buildWithTies resolver)
-              .orElse(if (stripBacktick(e) != e) None else byExpr.get(nrm(e)))
+            } else resolveKey(e)
               .getOrElse(throw new graft.UnsupportedError(
                 "LIMIT BY under SELECT DISTINCT requires its keys and ORDER BY " +
                   s"expressions to appear in the select list; cannot resolve: $e"))
