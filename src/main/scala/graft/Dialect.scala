@@ -4494,16 +4494,49 @@ object Dialect {
     */
   private def distinctKeyResolver(items: Seq[String], itemNames: Seq[String],
       construct: String): String => Option[String] = {
-    def nrm(x: String) = x.replaceAll("\\s+", " ").trim.toLowerCase
+    // literal-span-aware normalization (r18 sixth review): whitespace
+    // and case are FORMATTING outside literals and quoted identifiers
+    // but CONTENT inside them — a plain regex collapse conflated
+    // expression texts differing only inside a string literal or an
+    // embedded quoted name.
+    def nrm(x: String): String = {
+      val sp = literalAndIdentSpans(x, backslashEscapes = true)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < x.length) {
+        if (outsideLiterals(sp, i) && x.charAt(i).isWhitespace) {
+          sb.append(' ')
+          while (i < x.length && outsideLiterals(sp, i) &&
+            x.charAt(i).isWhitespace) i += 1
+        } else if (outsideLiterals(sp, i)) {
+          sb.append(Character.toLowerCase(x.charAt(i))); i += 1
+        } else { sb.append(x.charAt(i)); i += 1 }
+      }
+      sb.toString.trim
+    }
     val byName = byNameMap(itemNames, construct)
     val exprs = items.map(itemExpr)
-    val byExpr = exprs.zip(itemNames).map { case (ex, nm) => nrm(ex) -> nm }.toMap
-    val byExprExact = exprs.zip(itemNames)
-      .map { case (ex, nm) => ex.trim.toLowerCase -> nm }.toMap
-    (e: String) =>
+    // expression keys colliding onto DIFFERENT names are dropped — the
+    // key becomes unresolvable and the caller's loud error fires, never
+    // a toMap last-wins wrong-sort (r18 sixth review)
+    def dedup(pairs: Seq[(String, String)]): Map[String, String] =
+      pairs.groupBy(_._1).collect {
+        case (k, vs) if vs.map(_._2).distinct.size == 1 => k -> vs.head._2
+      }
+    val byExpr = dedup(exprs.zip(itemNames).map { case (ex, nm) => nrm(ex) -> nm })
+    val byExprExact = dedup(exprs.zip(itemNames)
+      .map { case (ex, nm) => ex.trim -> nm })
+    (e: String) => {
+      // a key that is backtick-DELIMITED — even with escaped inner
+      // backticks, which stripBacktick declines — is an identifier
+      // reference and takes the EXACT (case- and whitespace-sensitive)
+      // expression match only (r18 sixth review: routing the escaped
+      // spelling to the normalizing match re-opened the conflation)
+      val isQuoted = e.length > 1 && e.startsWith("`") && e.endsWith("`")
       resolveOutputName(e, byName).orElse(
-        if (stripBacktick(e) != e) byExprExact.get(e.trim.toLowerCase)
+        if (isQuoted) byExprExact.get(e.trim)
         else byExpr.get(nrm(e)))
+    }
   }
 
   private def buildWithTies(sql0: String, n: String,
