@@ -3486,7 +3486,10 @@ object Dialect {
           if (keys.isEmpty || keys.exists(_._1.isEmpty))
             throw new graft.UnsupportedError(
               s"$fn ORDER BY requires at least one sort key, got: $ordAll")
-          def norm(s: String) = s.replaceAll("\\s+", " ").trim.toLowerCase
+          // span-aware normalization (r18 seventh review: the plain
+          // regex collapse conflated sort keys differing only inside a
+          // string literal — a SILENT wrong guard pass here)
+          def norm(s: String) = normalizeExprText(s)
           if (isDistinct && (keys.length != 1 || norm(keys.head._1) != norm(x)))
             throw new graft.UnsupportedError(
               s"$fn(DISTINCT x ORDER BY …) is only supported when the sort " +
@@ -4492,51 +4495,54 @@ object Dialect {
     * Returns None for an unresolvable key; the caller raises its own
     * named error.
     */
+  /** Literal-span-aware expression-text normalization (r18 sixth
+    * review): whitespace and case are FORMATTING outside literals and
+    * quoted identifiers but CONTENT inside them — a plain regex
+    * collapse conflated expression texts differing only inside a
+    * string literal or an embedded quoted name. Because quoted-span
+    * bytes pass through verbatim, a whole-string quoted key is matched
+    * exactly (case- and whitespace-sensitive) by construction — no
+    * separate exact map needed (r18 seventh review: the extra map's
+    * routing predicate misclassified multi-token keys that merely
+    * start and end with a quoted identifier).
+    */
+  private def normalizeExprText(x: String): String = {
+    val sp = literalAndIdentSpans(x, backslashEscapes = true)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < x.length) {
+      if (outsideLiterals(sp, i) && x.charAt(i).isWhitespace) {
+        sb.append(' ')
+        while (i < x.length && outsideLiterals(sp, i) &&
+          x.charAt(i).isWhitespace) i += 1
+      } else if (outsideLiterals(sp, i)) {
+        sb.append(Character.toLowerCase(x.charAt(i))); i += 1
+      } else { sb.append(x.charAt(i)); i += 1 }
+    }
+    sb.toString.trim
+  }
+
   private def distinctKeyResolver(items: Seq[String], itemNames: Seq[String],
       construct: String): String => Option[String] = {
-    // literal-span-aware normalization (r18 sixth review): whitespace
-    // and case are FORMATTING outside literals and quoted identifiers
-    // but CONTENT inside them — a plain regex collapse conflated
-    // expression texts differing only inside a string literal or an
-    // embedded quoted name.
-    def nrm(x: String): String = {
-      val sp = literalAndIdentSpans(x, backslashEscapes = true)
-      val sb = new StringBuilder
-      var i = 0
-      while (i < x.length) {
-        if (outsideLiterals(sp, i) && x.charAt(i).isWhitespace) {
-          sb.append(' ')
-          while (i < x.length && outsideLiterals(sp, i) &&
-            x.charAt(i).isWhitespace) i += 1
-        } else if (outsideLiterals(sp, i)) {
-          sb.append(Character.toLowerCase(x.charAt(i))); i += 1
-        } else { sb.append(x.charAt(i)); i += 1 }
-      }
-      sb.toString.trim
-    }
     val byName = byNameMap(itemNames, construct)
-    val exprs = items.map(itemExpr)
-    // expression keys colliding onto DIFFERENT names are dropped — the
-    // key becomes unresolvable and the caller's loud error fires, never
-    // a toMap last-wins wrong-sort (r18 sixth review)
-    def dedup(pairs: Seq[(String, String)]): Map[String, String] =
-      pairs.groupBy(_._1).collect {
-        case (k, vs) if vs.map(_._2).distinct.size == 1 => k -> vs.head._2
+    val exprPairs = items.map(itemExpr).zip(itemNames)
+      .map { case (ex, nm) => normalizeExprText(ex) -> nm }
+    // expression keys shared by items with DIFFERENT output names are
+    // AMBIGUOUS: a key hitting one raises the dialects' own ambiguity
+    // error (r18 seventh review — a dedup-drop surfaced as a misleading
+    // not-in-select-list error; an eager raise like byNameMap's would
+    // reject legal statements whose keys use the distinct aliases)
+    val ambiguous = exprPairs.groupBy(_._1)
+      .collect { case (k, vs) if vs.map(_._2).distinct.size > 1 => k }.toSet
+    val byExpr = exprPairs.filterNot(p => ambiguous(p._1)).toMap
+    (e: String) =>
+      resolveOutputName(e, byName).orElse {
+        val key = normalizeExprText(e)
+        if (ambiguous(key))
+          throw new graft.UnsupportedError(
+            s"$construct sort key matches more than one select item: $e")
+        byExpr.get(key)
       }
-    val byExpr = dedup(exprs.zip(itemNames).map { case (ex, nm) => nrm(ex) -> nm })
-    val byExprExact = dedup(exprs.zip(itemNames)
-      .map { case (ex, nm) => ex.trim -> nm })
-    (e: String) => {
-      // a key that is backtick-DELIMITED — even with escaped inner
-      // backticks, which stripBacktick declines — is an identifier
-      // reference and takes the EXACT (case- and whitespace-sensitive)
-      // expression match only (r18 sixth review: routing the escaped
-      // spelling to the normalizing match re-opened the conflation)
-      val isQuoted = e.length > 1 && e.startsWith("`") && e.endsWith("`")
-      resolveOutputName(e, byName).orElse(
-        if (isQuoted) byExprExact.get(e.trim)
-        else byExpr.get(nrm(e)))
-    }
   }
 
   private def buildWithTies(sql0: String, n: String,
