@@ -420,7 +420,9 @@ object Dialect {
     * (`YYYY-MM-DD HH24:MI:SS`, translated to a Java pattern), the `~` /
     * `!~` regex-match operators (→ RLIKE / NOT RLIKE), `EXTRACT(EPOCH
     * FROM …)` (→ unix_timestamp, second precision), and
-    * `string_to_array` → split. `ILIKE`, `SPLIT_PART`, `POSITION(x IN
+    * `string_to_array` → split, and FROM-clause `UNNEST` (r19 — comma
+    * lateral, WITH ORDINALITY, multi-array zip; see [[rewriteUnnest]]).
+    * `ILIKE`, `SPLIT_PART`, `POSITION(x IN
     * y)`, `LEFT`/`RIGHT`, `now()` are already Spark-native and pass
     * through. Postgres standard-conforming literals treat backslash as a
     * plain character, so they are escaped for Spark's parser like
@@ -443,6 +445,15 @@ object Dialect {
         s => rewriteAggFilter(s, esc = true),
         s => rewriteGenerateSeriesTable(s, esc = false),
         s => rewriteArrayLiteral(s, esc = false),
+        // FROM-clause UNNEST is everyday Postgres (r19 — a raw Spark
+        // parse error before): the comma-FROM lateral spelling, WITH
+        // ORDINALITY, and the multi-array zip all ride the shared
+        // machinery — Postgres pads the zip to the LONGEST array with
+        // NULLs, exactly the Trino contract the builder implements.
+        // After rewriteArrayLiteral (so ARRAY[…] args arrive in call
+        // form), before the renames (string_to_array inside an UNNEST
+        // argument renames in place afterwards).
+        s => rewriteUnnest(s, esc = false),
         rewriteRsBareTypes, // unsized VARCHAR/TEXT casts are Postgres-legal too
         rewritePgToChar,
         rewritePgRegexMatch,
@@ -644,7 +655,8 @@ object Dialect {
         // tail, and the TIES/PERCENT path (r18) hands the qualify rewrite
         // INTO the rank builder so the filtered rows are ranked
         s => rewriteTsqlTop(s, Some(spark),
-          qualifyRewrite = Some(q => rewriteQualify(q, esc = true, spark = Some(spark)))),
+          qualifyRewrite = Some(q => rewriteQualify(q, esc = true, spark = Some(spark))),
+          minusIsSetOp = true), // MINUS is a Teradata set operator
         s => rewriteQualify(s, esc = true, spark = Some(spark)),
         s => renameFunctions(s, renames, esc = true))
       steps.foldLeft(sql)((s, f) => f(s))
@@ -1974,8 +1986,13 @@ object Dialect {
     * FROM table's explicit column list — resolved from the registered
     * view at rewrite time ([[Engine.execute]] registers tables before
     * dialect rewriting) — with each replaced column's expression
-    * substituted IN POSITION under its original name. Scope (fail fast
-    * otherwise): the starred select must be the bare `* REPLACE` form and
+    * substituted IN POSITION under its original name. A combined
+    * `* EXCLUDE (…) REPLACE (…)` (r19 — a raw parse error before;
+    * DuckDB's grammar order, EXCLUDE first) drops the excluded columns
+    * BEFORE the replacements apply — replacing an excluded column or
+    * excluding an unknown one raises DuckDB's own binder errors. Scope
+    * (fail fast otherwise): the starred select must be the bare
+    * `* [EXCLUDE (…)] REPLACE` form and
     * FROM must be a SINGLE relation — a registered table (alias allowed
     * after it) or, since r18, a parenthesized derived table/subquery
     * (expanded from its ANALYZED schema, the same contract
@@ -2028,7 +2045,16 @@ object Dialect {
 
   private[graft] def rewriteStarReplace(spark: SparkSession, sql: String,
       esc: Boolean): String = {
-    val re = "(?i)\\*\\s*REPLACE\\s*\\(".r
+    // an EXCLUDE/EXCEPT clause may sit BETWEEN the star and REPLACE —
+    // DuckDB's combined `* EXCLUDE (…) REPLACE (…)` (r19; its grammar
+    // puts EXCLUDE first — the reverse order is a DuckDB error too and
+    // stays out of star position here). Both the paren list and the
+    // bare single-column spellings compose; EXCEPT is matched as well
+    // because [[rewriteExclude]] may have normalized the keyword
+    // before this rewrite runs. group(1) = paren list, group(2) = bare
+    // column.
+    val re = ("(?i)\\*\\s*(?:(?:EXCEPT|EXCLUDE)\\s*(?:\\(([^()]*)\\)\\s*|" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+))?REPLACE\\s*\\(").r
     def isStarContext(s: String, i: Int): Boolean = {
       // i = index of last non-whitespace char before the star/qualifier
       if (i < 0) return true
@@ -2075,6 +2101,17 @@ object Dialect {
           if (close < 0)
             throw new graft.UnsupportedError(s"unbalanced * REPLACE( in: $cur")
           val repls = parseReplaceItems(cur, spans, open, close, "* REPLACE")
+          // combined EXCLUDE clause (r19): names dropped BEFORE the
+          // REPLACE applies — DuckDB's own evaluation order
+          val excludes = Option(m.group(1))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .orElse(Option(m.group(2)).map(Seq(_)))
+            .getOrElse(Seq.empty)
+          excludes.foreach { e =>
+            if (!e.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              throw new graft.UnsupportedError(
+                s"* EXCLUDE … REPLACE expects bare column names in the EXCLUDE list, got: $e")
+          }
           val depth = depthAt(cur, spans)
           val d0 = depth(m.start)
           // anchor on the FROM TOKEN (not `FROM ident`) so a subquery FROM
@@ -2112,8 +2149,11 @@ object Dialect {
               // supported" before, asymmetric with the QUALIFY/TIES
               // paths' expandStarItems): a parenthesized subquery is a
               // single relation, so the star expands from its ANALYZED
-              // schema (schema-only — nothing executes)
-              val fSpans = literalSpans(afterFrom, esc)
+              // schema (schema-only — nothing executes). OPAQUE spans
+              // for the paren match (r19, from ADVICE): a `)` inside a
+              // comment within the derived text must not end the match
+              // early and truncate the subquery
+              val fSpans = opaqueSpans(afterFrom, esc)._1
               val dClose = matchParen(afterFrom, fSpans, wsLen)
               if (dClose < 0)
                 throw new graft.UnsupportedError(
@@ -2163,7 +2203,22 @@ object Dialect {
             throw new graft.UnsupportedError(
               s"* REPLACE names column $missing which the FROM relation lacks")
           }
-          val items = schema.fieldNames.map { c =>
+          excludes.find(e => !known.contains(e.toLowerCase)).foreach { missing =>
+            throw new graft.UnsupportedError(
+              s"* EXCLUDE … REPLACE: EXCLUDE names column $missing which the " +
+                "FROM relation lacks")
+          }
+          val exSet = excludes.map(_.toLowerCase).toSet
+          repls.keys.find(exSet.contains).foreach { gone =>
+            throw new graft.UnsupportedError(
+              s"* EXCLUDE … REPLACE replaces column $gone which the EXCLUDE " +
+                "list already drops")
+          }
+          val kept = schema.fieldNames.filterNot(c => exSet.contains(c.toLowerCase))
+          if (kept.isEmpty)
+            throw new graft.UnsupportedError(
+              s"* EXCLUDE … REPLACE drops every column: $cur")
+          val items = kept.map { c =>
             repls.get(c.toLowerCase) match {
               case Some(e) => s"($e) AS `$c`"
               case None    => s"`$c`"
@@ -2923,22 +2978,43 @@ object Dialect {
     *     ORDER BY k`. The last arm's TOP therefore picks rows without
     *     an ordering contract, exactly T-SQL's (nondeterministic)
     *     semantics for TOP without ORDER BY.
-    * TOP PERCENT / WITH TIES inside an arm keep their named errors
-    * (the rank rewrite needs the whole-statement shape).
+    * TOP n PERCENT inside an arm (r19 — a named error before) is
+    * legal T-SQL: the arm keeps `CEILING(count * n / 100)` of its own
+    * rows with NO row choice specified (ORDER BY inside an arm is a
+    * T-SQL syntax error, so an arm percent can never carry an
+    * ordering contract). [[buildWithTies]] cannot serve it — the
+    * builder requires the SELECT … ORDER BY shape — so the arm is
+    * wrapped directly: a row_number over the arm's OWN OUTPUT COLUMNS
+    * against a `count(*) OVER ()` percent base, spliced back as a
+    * parenthesized arm. Ranking by all output columns makes the pick
+    * DETERMINISTIC AS A MULTISET (rows tying on every output column
+    * are interchangeable) — a valid pick under T-SQL's any-rows
+    * contract that an oracle can replay; null keys sort smallest,
+    * which is both Spark's default and T-SQL's. The global
+    * count/rank windows are the construct's semantics (the percent
+    * base is the whole arm). `TOP n [PERCENT] WITH TIES` in an arm
+    * keeps a named error: WITH TIES requires an ORDER BY, which
+    * T-SQL rejects inside an arm — spell it as a derived table.
     */
   private[graft] def rewriteTsqlTop(sql: String,
       spark: Option[SparkSession] = None,
       allowPercentTies: Boolean = true,
-      qualifyRewrite: Option[String => String] = None): String = {
+      qualifyRewrite: Option[String => String] = None,
+      minusIsSetOp: Boolean = false): String = {
     // T-SQL clause order is SELECT [DISTINCT] TOP n — DISTINCT applies
     // FIRST, then TOP keeps n of the distinct rows (r16; the DISTINCT
     // spelling didn't match before and died as a raw parse error)
     val topTail =
       """(?is)^\s*(DISTINCT\s+)?TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
-    // MINUS is Teradata's (and Spark's own) EXCEPT synonym — without it
-    // an arm-scoped Teradata TOP before MINUS would splice into the
-    // set-op keyword (r18)
-    val setOps = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS")
+    // MINUS is Teradata's EXCEPT synonym — without it an arm-scoped
+    // Teradata TOP before MINUS would splice into the set-op keyword
+    // (r18). Gated on the Teradata chain (r19, from ADVICE): `minus`
+    // is a legal unquoted IDENTIFIER in T-SQL/Snowflake (neither
+    // speaks the MINUS set op), so treating it as a scope terminator
+    // there would end a TOP's scope at a table/alias named minus and
+    // corrupt the splice.
+    val setOps = Seq("UNION", "INTERSECT", "EXCEPT") ++
+      (if (minusIsSetOp) Seq("MINUS") else Nil)
     val selRe = "(?i)\\bSELECT\\b".r
     case class TopSite(start: Int, end: Int, distinctKw: String,
       n: String, isPercent: Boolean, isTies: Boolean)
@@ -3026,7 +3102,8 @@ object Dialect {
           blanked.charAt(scopeEnd) != ')'
         val prefixTrim = blanked.substring(0, m.start).trim
         val precededBySetOp =
-          "(?is)\\b(?:UNION|INTERSECT|EXCEPT|MINUS)(?:\\s+(?:ALL|DISTINCT))?\\s*$".r
+          ("(?is)\\b(?:" + setOps.mkString("|") +
+            ")(?:\\s+(?:ALL|DISTINCT))?\\s*$").r
             .findFirstIn(prefixTrim).isDefined
         val isArm = endsAtSetOp || precededBySetOp
         // top-level ORDER BY inside this TOP's scope span (arm handling
@@ -3060,14 +3137,74 @@ object Dialect {
             cur.substring(a, b) + " "
           }.mkString
         val replacement =
-          if (isPercent || isTies) {
+          if ((isPercent || isTies) && isArm) {
+            // arm-scoped TOP PERCENT (r19 — a named error before; legal
+            // T-SQL). See the class doc: the arm cannot legally carry an
+            // ORDER BY, so WITH TIES keeps a named error and PERCENT
+            // wraps the arm in a deterministic count-cutoff rank over
+            // the arm's own output columns, spliced back parenthesized.
+            if (endsAtSetOp && armOrderIdx >= 0)
+              throw new graft.UnsupportedError(
+                "ORDER BY inside a set-operation arm is not supported " +
+                  "(T-SQL/Teradata reject it too — use a derived table " +
+                  "to order an arm's TOP)")
+            if (isTies)
+              throw new graft.UnsupportedError(
+                "TOP WITH TIES in a set-operation arm is not supported: " +
+                  "WITH TIES requires an ORDER BY, and T-SQL rejects " +
+                  "ORDER BY inside an arm — use a derived table")
+            val hasTrailingOrder = !endsAtSetOp && armOrderIdx >= 0
+            // last arm with a trailing statement ORDER BY: the sort
+            // belongs to the COMBINED result and stays outside the arm,
+            // exactly like the plain-TOP last-arm splice below
+            val armBody = (if (hasTrailingOrder) armBlank.substring(0, armOrderIdx)
+              else armBlank).trim
+            val tail = if (hasTrailingOrder)
+              " " + cur.substring(m.end + armOrderIdx, scopeEnd) else " "
+            if (n.toDouble == 0)
+              // literal-zero percent short-circuits to LIMIT 0 (the r16
+              // zero-count rule, applied per arm)
+              "(SELECT " + armHint + distinctKw + armBody + " LIMIT 0)" + tail
+            else {
+              val armSel = "SELECT " + armHint + distinctKw + armBody
+              val s = spark.getOrElse(throw new graft.UnsupportedError(
+                "TOP PERCENT in a set-operation arm needs registered " +
+                  "tables to name the arm's output columns"))
+              val names =
+                try s.sql(s"SELECT * FROM ( $armSel ) __tpa").schema.fieldNames.toSeq
+                catch {
+                  case e: Exception => throw new graft.UnsupportedError(
+                    "TOP PERCENT in a set-operation arm cannot analyze the arm " +
+                      s"(${e.getMessage.linesIterator.nextOption().getOrElse("").take(120)})")
+                }
+              names.foreach { f =>
+                if (!f.matches("[A-Za-z_][A-Za-z0-9_]*") ||
+                    f.equalsIgnoreCase("__tprn") || f.equalsIgnoreCase("__tpct"))
+                  throw new graft.UnsupportedError(
+                    "TOP PERCENT in a set-operation arm met an output name " +
+                      s"the outer rank cannot carry: $f — alias the item")
+              }
+              names.map(_.toLowerCase).groupBy(identity)
+                .collectFirst { case (nm, vs) if vs.size > 1 => nm }
+                .foreach(nm => throw new graft.UnsupportedError(
+                  "TOP PERCENT in a set-operation arm met a duplicate " +
+                    s"output name: $nm"))
+              val cols = names.mkString(", ")
+              "(SELECT " + cols + " FROM (SELECT __tpa.*, " +
+                s"row_number() OVER (ORDER BY $cols) AS __tprn, " +
+                "count(*) OVER () AS __tpct " +
+                s"FROM ( $armSel ) __tpa) __tpab " +
+                s"WHERE __tprn <= CEILING(__tpct * $n / 100.0))" + tail
+            }
+          } else if (isPercent || isTies) {
             val construct = if (isPercent) "TOP PERCENT" else "TOP WITH TIES"
             // the construct is only meaningful for a WHOLE select
             // statement — the outermost one or a parenthesized
-            // subquery/CTE body. A set-operation ARM is rejected like
-            // T-SQL rejects it (r15 review fix: the span splice must
-            // neither hijack the union's trailing ORDER BY as the arm's
-            // rank sort nor glue the rank filter onto the set-op keyword)
+            // subquery/CTE body (an unparenthesized set-operation ARM
+            // takes the r19 branch above; r15 review fix: the span
+            // splice must neither hijack the union's trailing ORDER BY
+            // as the arm's rank sort nor glue the rank filter onto the
+            // set-op keyword)
             if (!(prefixTrim.isEmpty || prefixTrim.endsWith("(")))
               throw new graft.UnsupportedError(
                 s"$construct is only supported on the outermost SELECT " +
@@ -4305,7 +4442,9 @@ object Dialect {
     * expansion instead when one of these is present.
     */
   private def starNeedsExpansion(item: String): Boolean =
-    "(?is)^\\s*(?:[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*)?\\*\\s*REPLACE\\s*\\(".r
+    ("(?is)^\\s*(?:[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*)?\\*\\s*" +
+      "(?:(?:EXCEPT|EXCLUDE)\\s*(?:\\([^()]*\\)\\s*|[A-Za-z_][A-Za-z0-9_]*\\s+))?" +
+      "REPLACE\\s*\\(").r
       .findFirstMatchIn(item).isDefined ||
       "(?is)^\\s*[A-Za-z_][A-Za-z0-9_]*\\s*\\.\\s*\\*\\s*(?:EXCEPT|EXCLUDE)\\b".r
         .findFirstMatchIn(item).isDefined
@@ -4322,9 +4461,15 @@ object Dialect {
       "|(?:EXCEPT|EXCLUDE)\\s+([A-Za-z_][A-Za-z0-9_]*))?\\s*$").r
     // `* REPLACE (expr AS col, …)` / `t.* REPLACE (…)` (r17 — a named
     // error before): the replace list may nest parens/commas, so it is
-    // paren-matched rather than regexed
+    // paren-matched rather than regexed. An EXCLUDE/EXCEPT clause may
+    // sit between the star and REPLACE — DuckDB's combined
+    // `* EXCLUDE (…) REPLACE (…)` (r19): the exclusions drop BEFORE
+    // the REPLACE applies (DuckDB's own order). group(2) = paren
+    // exclude list, group(3) = bare exclude column.
     val replaceRe =
-      "(?is)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?\\*\\s*REPLACE\\s*\\(".r
+      ("(?is)^\\s*(?:([A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*)?\\*\\s*" +
+        "(?:(?:EXCEPT|EXCLUDE)\\s*(?:\\(([^()]*)\\)\\s*|" +
+        "([A-Za-z_][A-Za-z0-9_]*)\\s+))?REPLACE\\s*\\(").r
     if (!items.exists(it => starRe.findFirstMatchIn(it).isDefined ||
         replaceRe.findFirstMatchIn(it).isDefined)) return items
     val s = spark.getOrElse(throw new graft.UnsupportedError(
@@ -4352,20 +4497,46 @@ object Dialect {
           val itSpans = literalSpans(it, backslashEscapes = true)
           val open = rm.end - 1
           val close = matchParen(it, itSpans, open)
-          // trailing text after the REPLACE list (an EXCLUDE combo, a
-          // second clause) keeps a named error — out of scope
+          // trailing text AFTER the REPLACE list (a REPLACE-then-EXCLUDE
+          // combo — an order DuckDB's grammar rejects too — or a second
+          // clause) keeps a named error; the EXCLUDE-then-REPLACE combo
+          // is matched in front position by replaceRe (r19)
           if (close < 0 || it.substring(close + 1).trim.nonEmpty)
             throw new graft.UnsupportedError(
               s"$construct cannot expand this star REPLACE form: $it")
           val repls =
             parseReplaceItems(it, itSpans, open, close, s"$construct star REPLACE")
+          val excludes = Option(rm.group(2))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .orElse(Option(rm.group(3)).map(Seq(_)))
+            .getOrElse(Seq.empty)
+          excludes.foreach { e =>
+            if (!e.matches("[A-Za-z_][A-Za-z0-9_]*"))
+              throw new graft.UnsupportedError(
+                s"$construct star EXCLUDE … REPLACE expects bare column " +
+                  s"names in the EXCLUDE list, got: $e")
+          }
           val fields = starFields(q.map(_ + ".*").getOrElse("*"))
           val known = fields.map(_.toLowerCase).toSet
           repls.keys.find(!known.contains(_)).foreach { missing =>
             throw new graft.UnsupportedError(
               s"$construct star REPLACE names column $missing which the FROM clause lacks")
           }
-          fields.map { f =>
+          excludes.find(e => !known.contains(e.toLowerCase)).foreach { missing =>
+            throw new graft.UnsupportedError(
+              s"$construct star EXCLUDE names column $missing which the FROM clause lacks")
+          }
+          val exSet = excludes.map(_.toLowerCase).toSet
+          repls.keys.find(exSet.contains).foreach { gone =>
+            throw new graft.UnsupportedError(
+              s"$construct star REPLACE replaces column $gone which the " +
+                "EXCLUDE list already drops")
+          }
+          val kept = fields.filterNot(f => exSet.contains(f.toLowerCase))
+          if (kept.isEmpty)
+            throw new graft.UnsupportedError(
+              s"$construct star EXCLUDE … REPLACE drops every column: $it")
+          kept.map { f =>
             repls.get(f.toLowerCase) match {
               case Some(e) => s"($e) AS $f"
               case None    => q.map(a => s"$a.$f").getOrElse(f)
@@ -4442,13 +4613,19 @@ object Dialect {
     else e
 
   /** Canonical lookup key for an OUTPUT NAME: the unquoted content,
-    * lowercased — and nothing else. Quoted identifiers compare
-    * LITERALLY in the source dialects, so whitespace inside one is
-    * content, never collapsible (r18 fourth review: a whitespace-
-    * normalizing key conflated `` `a b` `` with `` `a  b` `` — a
-    * silent wrong-sort via toMap last-wins). A bare `d` and a quoted
-    * `` `d` `` canonicalize to the same key, matching the dialects'
-    * identifier equivalence.
+    * lowercased — and nothing else. WHITESPACE inside a quoted
+    * identifier is content, never collapsible (r18 fourth review: a
+    * whitespace-normalizing key conflated `` `a b` `` with
+    * `` `a  b` `` — a silent wrong-sort via toMap last-wins). CASE is
+    * deliberately folded even for quoted content (r19 doc alignment,
+    * from the r18 verdict: the old wording claimed fully literal
+    * comparison) — Spark's own resolver is case-insensitive, so the
+    * emitted statement could not tell `` `D` `` from `` `d` `` anyway;
+    * [[byNameMap]] keeps case-differing quoted twins out of the map and
+    * [[distinctKeyResolver]] raises on a key that hits them, so the
+    * fold can misdirect nothing. A bare `d` and a quoted `` `d` ``
+    * canonicalize to the same key, matching the dialects' identifier
+    * equivalence.
     */
   private def nameKey(nm: String): String = stripBacktick(nm).toLowerCase
 
@@ -4469,18 +4646,21 @@ object Dialect {
       byName.get(nameKey(e))
     else None
 
-  /** [[nameKey]]-keyed map over output names, raising the dialects' own
-    * ambiguity error when two names collide under the canonicalization
-    * (case-differing quoted names, a bare name plus its quoted twin) —
-    * a silent toMap last-wins would sort by the WRONG column (r18 fifth
-    * review; mirrors the set-op resolver's duplicate guard).
+  /** [[nameKey]]-keyed map over output names, plus the names DUPLICATED
+    * under the canonicalization (case-differing quoted names, a bare
+    * name plus its quoted twin). The ambiguity error is raised LAZILY
+    * by [[distinctKeyResolver]] — only when a sort key actually hits a
+    * duplicated key, mirroring the expression-side ambiguity handling
+    * (r19, from ADVICE: the eager construction-time raise rejected
+    * legal statements whose keys were ordinals or never touched the
+    * duplicated name). A silent toMap last-wins would sort by the
+    * WRONG column (r18 fifth review), so duplicated keys are excluded
+    * from the map entirely.
     */
-  private def byNameMap(itemNames: Seq[String], construct: String): Map[String, String] = {
-    itemNames.groupBy(nameKey).collectFirst { case (_, vs) if vs.size > 1 => vs }
-      .foreach(vs => throw new graft.UnsupportedError(
-        s"$construct cannot resolve sort keys against duplicate output names: " +
-          vs.mkString(", ")))
-    itemNames.map(nm => nameKey(nm) -> nm).toMap
+  private def byNameMap(itemNames: Seq[String]): (Map[String, String], Map[String, Seq[String]]) = {
+    val dups = itemNames.groupBy(nameKey).filter(_._2.size > 1)
+    (itemNames.filterNot(nm => dups.contains(nameKey(nm)))
+      .map(nm => nameKey(nm) -> nm).toMap, dups)
   }
 
   /** The one resolve-to-output-name policy for sort/partition keys under
@@ -4524,7 +4704,7 @@ object Dialect {
 
   private def distinctKeyResolver(items: Seq[String], itemNames: Seq[String],
       construct: String): String => Option[String] = {
-    val byName = byNameMap(itemNames, construct)
+    val (byName, dupNames) = byNameMap(itemNames)
     val exprPairs = items.map(itemExpr).zip(itemNames)
       .map { case (ex, nm) => normalizeExprText(ex) -> nm }
     // expression keys shared by items with DIFFERENT output names are
@@ -4535,7 +4715,15 @@ object Dialect {
     val ambiguous = exprPairs.groupBy(_._1)
       .collect { case (k, vs) if vs.map(_._2).distinct.size > 1 => k }.toSet
     val byExpr = exprPairs.filterNot(p => ambiguous(p._1)).toMap
-    (e: String) =>
+    (e: String) => {
+      // a name-shaped key hitting a DUPLICATED canonical output name is
+      // ambiguous — raised here, lazily, so ordinals and keys that never
+      // touch the duplicated name stay legal (r19, from ADVICE)
+      if ((stripBacktick(e) != e || e.matches("[A-Za-z_][A-Za-z0-9_]*")) &&
+          dupNames.contains(nameKey(e)))
+        throw new graft.UnsupportedError(
+          s"$construct cannot resolve sort keys against duplicate output names: " +
+            dupNames(nameKey(e)).mkString(", "))
       resolveOutputName(e, byName).orElse {
         val key = normalizeExprText(e)
         if (ambiguous(key))
@@ -4543,6 +4731,7 @@ object Dialect {
             s"$construct sort key matches more than one select item: $e")
         byExpr.get(key)
       }
+    }
   }
 
   private def buildWithTies(sql0: String, n: String,
@@ -5553,9 +5742,20 @@ object Dialect {
     * REQUIRED (Trino's own spelling — there is no bare-alias multi
     * form); WITH ORDINALITY appends the 1-based BIGINT index as the
     * last aliased column.
+    *
+    * Postgres wiring (r19): `FROM t, UNNEST(t.arr) AS u(x)`, `WITH
+    * ORDINALITY`, and the multi-array zip `UNNEST(a, b) AS u(x, y)`
+    * are the same constructs — Postgres zips to the LONGEST array
+    * with NULL padding, exactly the Trino contract above. An explicit
+    * `LATERAL` keyword between the joiner and UNNEST (Postgres's
+    * spelling for the implicit laterality; Trino accepts it too) is
+    * consumed — LATERAL VIEW is lateral by construction. The
+    * bare-alias single form `UNNEST(arr) AS u` names the COLUMN `u`
+    * (the Postgres set-returning-function rule) like BigQuery's.
     */
   private[graft] def rewriteUnnest(sql: String, esc: Boolean): String = {
-    val re = "(?i)(,|\\bCROSS\\s+JOIN\\b|\\bLEFT\\s+JOIN\\b)\\s*UNNEST\\s*\\(".r
+    val re = ("(?i)(,|\\bCROSS\\s+JOIN\\b|\\bLEFT\\s+JOIN\\b)\\s*" +
+      "(?:LATERAL\\s+)?UNNEST\\s*\\(").r
     var cur = sql
     var guard = 0
     while (guard < 64) {

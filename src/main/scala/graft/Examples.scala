@@ -514,6 +514,41 @@ object Examples {
         s"limit_by_distinct_rows=$lbd teradata_ties_qualify_rows=$tdq")
     }
 
+    // example23 (r19): Postgres FROM-clause UNNEST (comma-lateral with
+    // WITH ORDINALITY, and the multi-array zip NULL-padded to the
+    // longest array), arm-scoped TOP PERCENT inside set-operation arms
+    // (per-arm ceil(count·n%) with a deterministic pick), and the
+    // combined DuckDB * EXCLUDE (…) REPLACE (…) star clause (EXCLUDE
+    // drops first, REPLACE substitutes in position)
+    locally {
+      import spark.implicits._
+      val t = Seq((1L, "x", 10L), (2L, "x", 30L), (3L, "y", 30L), (4L, "y", 20L))
+        .toDF("k", "g", "v")
+      val pgOrd = Engine.execute(spark,
+        "SELECT tok, ord FROM t, UNNEST(STRING_TO_ARRAY(g || '-' || k, '-')) " +
+          "WITH ORDINALITY AS u(tok, ord) WHERE k = 1 ORDER BY ord",
+        tables = Map("t" -> t), dialect = Dialect.forName("postgres"))
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
+      val pgZip = Engine.execute(spark,
+        "SELECT a, b FROM t, LATERAL UNNEST(ARRAY[k, k + 1], ARRAY[v]) AS u(a, b) " +
+          "WHERE k = 2 ORDER BY a",
+        tables = Map("t" -> t), dialect = Dialect.forName("postgres"))
+        .collect().map(r => s"${r.getLong(0)}:${if (r.isNullAt(1)) "?" else r.getLong(1)}")
+        .mkString(",")
+      val armPct = Engine.execute(spark,
+        "SELECT TOP 50 PERCENT g FROM t WHERE g = 'x' UNION ALL " +
+          "SELECT TOP 100 PERCENT g FROM t WHERE g = 'y' ORDER BY g",
+        tables = Map("t" -> t), dialect = Dialect.forName("tsql"))
+        .collect().map(_.getString(0)).mkString(",")
+      val exclRepl = Engine.execute(spark,
+        "SELECT * EXCLUDE (g) REPLACE (v * 2 AS v) FROM t WHERE k <= 2 ORDER BY k",
+        tables = Map("t" -> t), dialect = Dialect.forName("duckdb"))
+        .collect().map(_.getLong(1)).mkString(",")
+      println(s"example23(r19 constructs): pg_unnest_ordinality=$pgOrd " +
+        s"pg_unnest_zip=$pgZip setop_arm_percent_g=$armPct " +
+        s"exclude_replace_v=$exclRepl")
+    }
+
     spark.stop()
   }
 }

@@ -141,6 +141,12 @@ object PlanCheck {
         "keeps the WindowGroupLimit pre-prune, and the PERCENT leg's string " +
         "key takes the documented legacy fallback over that same collapsed " +
         "input"),
+    "op_dialect_tsql_setop_top_percent" ->
+      ("arm-scoped TOP PERCENT keeps per-arm global count/rank windows by " +
+        "DEFINITION: the percent base is the WHOLE arm, and T-SQL rejects an " +
+        "ORDER BY inside an arm, so there is no sort key to pre-filter on " +
+        "(the pcut two-stage plan needs one); each arm's window input is a " +
+        "pushed-filter slice, never the full relation"),
     "op_dialect_oracle_fetch_percent_ties_offset" ->
       ("OFFSET+PERCENT WITH TIES over a STRING leading key pins the legacy " +
         "fallback (non-sketchable key → no pcut prefilter, by rule): the " +
@@ -787,6 +793,16 @@ object PlanCheck {
       "(inline/transform in codegen): pushed key filter, one output-sort exchange, no joins",
       f => f("pushed_filters") >= 1 && f("exchange") <= 1 &&
         f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_exclude_replace", "combined EXCLUDE+REPLACE expands to a named " +
+      "in-position projection over the single scan: the trailing ORDER BY+LIMIT " +
+      "plans as a top-k — no joins, no windows, no extra shuffle",
+      f => f("topk") >= 1 && f("global_window") == 0 && f("exchange") == 0 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_pg_unnest", "Postgres FROM-clause UNNEST stays per-row generates " +
+      "on every leg (explode / ordinality inline / zip inline): all three legs' key " +
+      "filters pushed, one output-sort exchange over the union, no joins, no windows",
+      f => f("pushed_filters") >= 3 && f("exchange") <= 1 && f("global_window") == 0 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_clickhouse_limit_by_distinct", "LIMIT BY under DISTINCT ranks the " +
       "map-side-combined distinct output under a keyed (partitioned) window with its " +
       "WindowGroupLimit pre-prune; the trailing LIMIT plans as top-k; no joins",
@@ -798,6 +814,11 @@ object PlanCheck {
       "anti-join broadcasts — no shuffle joins, no cartesian",
       f => f("pushed_filters") >= 4 && f("global_window") == 0 &&
         f("cartesian") + f("bnlj") + f("smj") + f("shj") == 0),
+    Rule("op_dialect_tsql_setop_top_percent", "arm-scoped TOP PERCENT: every arm's key " +
+      "filter is pushed and the construct stays join-free — the per-arm count/rank " +
+      "windows are its semantics (allowlisted), fed by pushed-filter slices only",
+      f => f("pushed_filters") >= 3 &&
+        f("cartesian") + f("bnlj") + f("bhj") + f("smj") + f("shj") == 0),
     Rule("op_dialect_pg_fetch_ties_offset", "OFFSET+TIES keeps the pushed key filter and stays " +
       "join-free (static rank bound + cutoff max are the construct's semantics)",
       f => f("pushed_filters") >= 1 &&

@@ -440,6 +440,28 @@ object DialectQueries {
     Some("""SELECT * EXCLUDE (o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
            |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
 
+  /** DuckDB combined `* EXCLUDE (…) REPLACE (…)` (r19 — a named error
+    * before, while each clause passed separately): EXCLUDE drops its
+    * columns FIRST, then REPLACE substitutes in position over the KEPT
+    * columns — DuckDB's own grammar order (the reverse spelling is a
+    * DuckDB parse error and keeps failing loudly; replacing an
+    * excluded column keeps a named error). Exercised through
+    * [[Dialect.rewriteStarReplace]] after [[Dialect.rewriteExclude]]
+    * normalizes the keyword to EXCEPT — the regression the gate pins
+    * is that normalized combined form expanding instead of dying at
+    * Spark's parser. Same text in DuckDB (native).
+    */
+  val excludeReplace = OpQ("op_dialect_exclude_replace",
+    (s, d) => duck(s, d,
+      """SELECT * EXCLUDE (o_orderstatus, o_orderdate)
+        |  REPLACE (o_totalprice / 100 AS o_totalprice,
+        |           upper(o_orderpriority) AS o_orderpriority)
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+    Some("""SELECT * EXCLUDE (o_orderstatus, o_orderdate)
+           |  REPLACE (o_totalprice / 100 AS o_totalprice,
+           |           upper(o_orderpriority) AS o_orderpriority)
+           |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
   /** Snowflake surface ([[Dialect.Snowflakeish]]): IFF, NVL2 (Spark-native),
     * DATEADD day/month, DATEDIFF day/month/year (boundary crossings),
     * TO_VARCHAR with and without a format, quoted identifiers. Oracle is the
@@ -1542,6 +1564,60 @@ object DialectQueries {
            |FROM b, UNNEST(range(1, len(parts) + 1)) t(i)
            |ORDER BY o_orderkey, ord""".stripMargin))
 
+  /** Postgres FROM-clause `UNNEST` ([[Dialect.Postgresish]] wiring of
+    * [[Dialect.rewriteUnnest]], r19 — a raw Spark parse error before;
+    * the reference gets the grammar from sqlglot's Postgres dialect,
+    * core.py:66). Three legs: the bare comma-FROM lateral spelling
+    * with a `u(tok)` table alias; `WITH ORDINALITY` under the comma +
+    * explicit LATERAL spelling (the LATERAL keyword is consumed — a
+    * LATERAL VIEW is lateral by construction); and the multi-array zip
+    * `UNNEST(a, b) AS u(tok, num)` under CROSS JOIN LATERAL, padding
+    * the 2-token split to the 3-element ARRAY[…] literal with NULLs
+    * (Postgres zips to the LONGEST array — the same contract as the
+    * Trino machinery it rides). DuckDB replays each leg natively:
+    * SELECT-position unnest, a range enumeration, and the zip as an
+    * out-of-range list index (NULL).
+    */
+  val pgUnnest = OpQ("op_dialect_pg_unnest",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT 'plain' AS leg, o_orderkey, tok,
+          |  CAST(NULL AS BIGINT) AS num, CAST(NULL AS BIGINT) AS ord
+          |FROM orders, UNNEST(STRING_TO_ARRAY(o_orderpriority, '-')) AS u(tok)
+          |WHERE o_orderkey <= 150
+          |UNION ALL
+          |SELECT 'ord' AS leg, o_orderkey, tok, CAST(NULL AS BIGINT) AS num, ord
+          |FROM orders, LATERAL UNNEST(STRING_TO_ARRAY(o_orderpriority, '-'))
+          |  WITH ORDINALITY AS u(tok, ord)
+          |WHERE o_orderkey <= 150
+          |UNION ALL
+          |SELECT 'zip' AS leg, o_orderkey, tok, CAST(num AS BIGINT) AS num,
+          |  CAST(NULL AS BIGINT) AS ord
+          |FROM orders CROSS JOIN LATERAL UNNEST(
+          |  STRING_TO_ARRAY(o_orderpriority, '-'),
+          |  ARRAY[o_orderkey * 10, o_orderkey * 10 + 1, o_orderkey * 10 + 2]
+          |) AS u(tok, num)
+          |WHERE o_orderkey <= 150
+          |ORDER BY leg, o_orderkey, tok, num, ord""".stripMargin,
+        dialect = Dialect.Postgresish)
+    },
+    Some("""WITH b AS (SELECT o_orderkey, string_split(o_orderpriority, '-') AS parts
+           |           FROM orders WHERE o_orderkey <= 150)
+           |SELECT 'plain' AS leg, o_orderkey, unnest(parts) AS tok,
+           |  CAST(NULL AS BIGINT) AS num, CAST(NULL AS BIGINT) AS ord
+           |FROM b
+           |UNION ALL
+           |SELECT 'ord' AS leg, o_orderkey, parts[i] AS tok,
+           |  CAST(NULL AS BIGINT) AS num, CAST(i AS BIGINT) AS ord
+           |FROM b, UNNEST(range(1, len(parts) + 1)) t(i)
+           |UNION ALL
+           |SELECT 'zip' AS leg, o_orderkey, parts[i] AS tok,
+           |  CAST(o_orderkey * 10 + (i - 1) AS BIGINT) AS num,
+           |  CAST(NULL AS BIGINT) AS ord
+           |FROM b, UNNEST(range(1, greatest(len(parts), 3) + 1)) t(i)
+           |ORDER BY leg, o_orderkey, tok, num, ord""".stripMargin))
+
   /** Snowflake `FLATTEN(input => …, path => '…')` ([[Dialect]]
     * rewriteSnowFlatten, r13): the path navigates into the input struct
     * BEFORE flattening (`($e).tags` field access), `mode => 'ARRAY'`
@@ -1906,6 +1982,58 @@ object DialectQueries {
            |  LIMIT 2)
            | EXCEPT
            | (SELECT 'td' AS tag, '9-NONE' AS p FROM orders))""".stripMargin))
+
+  /** Arm-scoped T-SQL `TOP n PERCENT` inside SET-OPERATION arms (r19 —
+    * a named error before; legal T-SQL): each arm keeps
+    * `CEILING(count * n / 100)` of its OWN rows. An arm can carry no
+    * ORDER BY (T-SQL rejects it), so the rewrite picks rows by a
+    * row_number over the arm's own output columns — deterministic as a
+    * multiset, a valid pick under T-SQL's any-rows contract. Legs:
+    * first arm percent over value-identical rows, middle arm DISTINCT
+    * TOP 50 PERCENT over a two-value domain (ceil(2·0.5) = 1 row —
+    * the deterministic pick is the smaller pair), last arm percent
+    * over a heterogeneous slice with the TRAILING statement ORDER BY
+    * staying outside the arm (it sorts the COMBINED result). DuckDB
+    * replays each arm's rank membership (`rn <= ceiling(ct·n/100)`
+    * over the same output-column order).
+    */
+  val tsqlSetopTopPercent = OpQ("op_dialect_tsql_setop_top_percent",
+    (s, d) => {
+      Tables.register(s, d)
+      Engine.execute(s,
+        """SELECT TOP 40 PERCENT 'a1' AS tag, o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '1-URGENT'
+          |UNION ALL
+          |SELECT DISTINCT TOP 50 PERCENT 'a2' AS tag, o_orderpriority AS p
+          |FROM orders WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+          |UNION ALL
+          |SELECT TOP 25 PERCENT 'a3' AS tag, o_orderpriority AS p
+          |FROM orders WHERE o_orderkey <= 2000
+          |ORDER BY tag, p""".stripMargin,
+        dialect = Dialect.TsqlIsh)
+    },
+    Some("""SELECT * FROM (
+           |  (SELECT tag, p FROM (
+           |     SELECT tag, p, row_number() OVER (ORDER BY tag, p) AS rn,
+           |            count(*) OVER () AS ct
+           |     FROM (SELECT 'a1' AS tag, o_orderpriority AS p FROM orders
+           |           WHERE o_orderkey <= 2000 AND o_orderpriority = '1-URGENT') t1) r1
+           |   WHERE rn <= ceiling(ct * 40 / 100.0))
+           |  UNION ALL
+           |  (SELECT tag, p FROM (
+           |     SELECT tag, p, row_number() OVER (ORDER BY tag, p) AS rn,
+           |            count(*) OVER () AS ct
+           |     FROM (SELECT DISTINCT 'a2' AS tag, o_orderpriority AS p FROM orders
+           |           WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')) t2) r2
+           |   WHERE rn <= ceiling(ct * 50 / 100.0))
+           |  UNION ALL
+           |  (SELECT tag, p FROM (
+           |     SELECT tag, p, row_number() OVER (ORDER BY tag, p) AS rn,
+           |            count(*) OVER () AS ct
+           |     FROM (SELECT 'a3' AS tag, o_orderpriority AS p FROM orders
+           |           WHERE o_orderkey <= 2000) t3) r3
+           |   WHERE rn <= ceiling(ct * 25 / 100.0))
+           |  ORDER BY tag, p)""".stripMargin))
 
   /** Oracle-12c `FETCH FIRST n PERCENT ROWS ONLY` (r15): the same
     * percent-cutoff builder as T-SQL's TOP PERCENT — row_number over
@@ -3228,14 +3356,14 @@ object DialectQueries {
     functionsOp, nativePassthrough, trinoFunctions, readCsvTyped,
     intDivNeg, literalEdges, snowflake, bigquery, qualifyOp, qualifyStar, qualifyCte,
     snowQualifyDistinct, qualifyStarReplace,
-    distinctOn, excludeStar, mysql, mysqlGroupConcat, hive, postgres,
+    distinctOn, excludeStar, excludeReplace, mysql, mysqlGroupConcat, hive, postgres,
     sqlite, oracleDialect, tsql, tsqlPaging, clickhouse, redshift,
     athena, starrocks, materialize, teradata, teradataQualify, tableau,
     snowflakeObj, bigqueryFns, trinoDatetime, postgresAgg,
     mysqlDayNames, oracleFetch, clickhouseFmt, sqliteDate,
     exasol, druid, singlestore,
     bigqueryUnnest, snowflakeFlatten, trinoTryUnnest, trinoUnnestZip, duckdbReplace,
-    duckdbReplaceQualified, trinoOrdinality, snowflakeFlattenPath,
+    duckdbReplaceQualified, trinoOrdinality, pgUnnest, snowflakeFlattenPath,
     snowflakeFlattenObject,
     clickhouseMultiArrayJoin, clickhouseLimitBy, clickhouseLimitByOffset,
     clickhouseLimitByDistinct,
@@ -3243,7 +3371,8 @@ object DialectQueries {
     snowflakeArrayAgg, trinoArrayAgg, bigqueryArrayAgg, pgFetchTies,
     pgFetchTiesNulls, pgFetchTiesRow, pgFetchTiesOffset, tsqlTopTies, tsqlTopPercent,
     oracleFetchPercent, tsqlTopTiesSubquery, pgSetopTies, oracleSetopPercent,
-    tsqlDistinctTopPercent, tsqlSetopTop, oracleFetchPercentTiesOffset,
+    tsqlDistinctTopPercent, tsqlSetopTop, tsqlSetopTopPercent,
+    oracleFetchPercentTiesOffset,
     teradataTopTiesQualify,
     pgDistinctOn, pagingZero, pgFetchTiesStar, pgDistinctTies,
     duckdbOrderNulls, pgWindowNulls, trinoFetchPaging, commentOrderNulls,
