@@ -311,7 +311,12 @@ object Dialect {
         // LIMIT lands after the QUALIFY clause and the QUALIFY rewrite
         // carries it as its tail — QUALIFY filters first, then TOP,
         // exactly Snowflake's evaluation order (r16).
-        s => rewriteTsqlTop(s, Some(spark), allowPercentTies = false),
+        // minusIsSetOp: MINUS is a documented Snowflake synonym of
+        // EXCEPT (unlike T-SQL's, where minus is only ever an
+        // identifier — r19 review: gating it off here made a TOP
+        // before MINUS silently limit the COMBINED result)
+        s => rewriteTsqlTop(s, Some(spark), allowPercentTies = false,
+          minusIsSetOp = true),
         s => rewriteQualify(s, esc = true, spark = Some(spark)),
         // Snowflake spells ordered array_agg WITHIN GROUP; its nulls sort
         // highest (last-on-ASC/first-on-DESC, like Postgres) and — unlike
@@ -2043,6 +2048,52 @@ object Dialect {
     pairs.toMap
   }
 
+  /** Parse the regex-captured EXCLUDE clause of a combined
+    * `* EXCLUDE (…) REPLACE (…)` — the paren list or the bare
+    * single-column spelling. Shared by [[rewriteStarReplace]] and
+    * [[expandStarItems]].
+    */
+  private def parseStarExcludes(parenList: Option[String],
+      bare: Option[String]): Seq[String] =
+    parenList.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(bare.map(Seq(_))).getOrElse(Seq.empty)
+
+  /** Validate a combined-star EXCLUDE list against the expanded fields
+    * and return the KEPT fields, mirroring DuckDB's binder errors:
+    * non-bare names, a twice-excluded column (r19 review — silently
+    * deduped before, where DuckDB raises its duplicate-entry error),
+    * an unknown column, a REPLACE of an excluded column, and dropping
+    * every column all raise. One copy shared by [[rewriteStarReplace]]
+    * and [[expandStarItems]] (r19 review: the block had been pasted
+    * into both).
+    */
+  private def starExcludeKept(excludes: Seq[String], fields: Seq[String],
+      repls: Map[String, String], errPrefix: String): Seq[String] = {
+    excludes.foreach { e =>
+      if (!e.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new graft.UnsupportedError(
+          s"$errPrefix expects bare column names in the EXCLUDE list, got: $e")
+    }
+    excludes.map(_.toLowerCase).groupBy(identity)
+      .collectFirst { case (nm, vs) if vs.size > 1 => nm }
+      .foreach(nm => throw new graft.UnsupportedError(
+        s"$errPrefix EXCLUDE list names column $nm more than once"))
+    val known = fields.map(_.toLowerCase).toSet
+    excludes.find(e => !known.contains(e.toLowerCase)).foreach { missing =>
+      throw new graft.UnsupportedError(
+        s"$errPrefix EXCLUDE names column $missing which the FROM relation lacks")
+    }
+    val exSet = excludes.map(_.toLowerCase).toSet
+    repls.keys.find(exSet.contains).foreach { gone =>
+      throw new graft.UnsupportedError(
+        s"$errPrefix replaces column $gone which the EXCLUDE list already drops")
+    }
+    val kept = fields.filterNot(f => exSet.contains(f.toLowerCase))
+    if (kept.isEmpty)
+      throw new graft.UnsupportedError(s"$errPrefix drops every column")
+    kept
+  }
+
   private[graft] def rewriteStarReplace(spark: SparkSession, sql: String,
       esc: Boolean): String = {
     // an EXCLUDE/EXCEPT clause may sit BETWEEN the star and REPLACE —
@@ -2089,7 +2140,11 @@ object Dialect {
     var guard = 0
     while (guard < 16) {
       guard += 1
-      val spans = literalSpans(cur, esc)
+      // OPAQUE spans (r19 review, generalizing the derived-FROM fix
+      // below): a ')' in the REPLACE list, a FROM, or a star clause
+      // inside a COMMENT must not terminate the paren match, hijack
+      // the FROM-token scan, or trigger the rewrite
+      val spans = opaqueSpans(cur, esc)._1
       re.findAllMatchIn(cur)
         .flatMap(m => if (outsideLiterals(spans, m.start))
           starAt(cur, m.start).map { case (s0, q) => (m, s0, q) } else None)
@@ -2103,15 +2158,7 @@ object Dialect {
           val repls = parseReplaceItems(cur, spans, open, close, "* REPLACE")
           // combined EXCLUDE clause (r19): names dropped BEFORE the
           // REPLACE applies — DuckDB's own evaluation order
-          val excludes = Option(m.group(1))
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .orElse(Option(m.group(2)).map(Seq(_)))
-            .getOrElse(Seq.empty)
-          excludes.foreach { e =>
-            if (!e.matches("[A-Za-z_][A-Za-z0-9_]*"))
-              throw new graft.UnsupportedError(
-                s"* EXCLUDE … REPLACE expects bare column names in the EXCLUDE list, got: $e")
-          }
+          val excludes = parseStarExcludes(Option(m.group(1)), Option(m.group(2)))
           val depth = depthAt(cur, spans)
           val d0 = depth(m.start)
           // anchor on the FROM TOKEN (not `FROM ident`) so a subquery FROM
@@ -2203,21 +2250,8 @@ object Dialect {
             throw new graft.UnsupportedError(
               s"* REPLACE names column $missing which the FROM relation lacks")
           }
-          excludes.find(e => !known.contains(e.toLowerCase)).foreach { missing =>
-            throw new graft.UnsupportedError(
-              s"* EXCLUDE … REPLACE: EXCLUDE names column $missing which the " +
-                "FROM relation lacks")
-          }
-          val exSet = excludes.map(_.toLowerCase).toSet
-          repls.keys.find(exSet.contains).foreach { gone =>
-            throw new graft.UnsupportedError(
-              s"* EXCLUDE … REPLACE replaces column $gone which the EXCLUDE " +
-                "list already drops")
-          }
-          val kept = schema.fieldNames.filterNot(c => exSet.contains(c.toLowerCase))
-          if (kept.isEmpty)
-            throw new graft.UnsupportedError(
-              s"* EXCLUDE … REPLACE drops every column: $cur")
+          val kept = starExcludeKept(excludes, schema.fieldNames.toSeq, repls,
+            "* EXCLUDE … REPLACE")
           val items = kept.map { c =>
             repls.get(c.toLowerCase) match {
               case Some(e) => s"($e) AS `$c`"
@@ -2992,7 +3026,13 @@ object Dialect {
     * contract that an oracle can replay; null keys sort smallest,
     * which is both Spark's default and T-SQL's. The global
     * count/rank windows are the construct's semantics (the percent
-    * base is the whole arm). `TOP n [PERCENT] WITH TIES` in an arm
+    * base is the whole arm). A QUALIFY inside the arm collapses
+    * through the chain's `qualifyRewrite` before the rank. The arm's
+    * output names come from a schema-only analysis that runs
+    * MID-CHAIN — an arm leaning on rewrites that run later (function
+    * renames like GETDATE) surfaces the named cannot-analyze error,
+    * the same contract as [[expandStarItems]]'s star analysis.
+    * `TOP n [PERCENT] WITH TIES` in an arm
     * keeps a named error: WITH TIES requires an ORDER BY, which
     * T-SQL rejects inside an arm — spell it as a derived table.
     */
@@ -3006,13 +3046,14 @@ object Dialect {
     // spelling didn't match before and died as a raw parse error)
     val topTail =
       """(?is)^\s*(DISTINCT\s+)?TOP\s+\(?\s*(\d+(?:\.\d+)?)\s*\)?(\s+PERCENT)?(\s+WITH\s+TIES)?\s+""".r
-    // MINUS is Teradata's EXCEPT synonym — without it an arm-scoped
-    // Teradata TOP before MINUS would splice into the set-op keyword
-    // (r18). Gated on the Teradata chain (r19, from ADVICE): `minus`
-    // is a legal unquoted IDENTIFIER in T-SQL/Snowflake (neither
-    // speaks the MINUS set op), so treating it as a scope terminator
-    // there would end a TOP's scope at a table/alias named minus and
-    // corrupt the splice.
+    // MINUS is Teradata's AND Snowflake's EXCEPT synonym — without it
+    // an arm-scoped TOP before MINUS would splice into the set-op
+    // keyword (r18) or, worse, silently limit the combined result.
+    // Gated per chain (r19, from ADVICE + review): `minus` is a legal
+    // unquoted IDENTIFIER in T-SQL (which has no MINUS set op), so
+    // treating it as a scope terminator there would end a TOP's scope
+    // at a table/alias named minus and corrupt the splice; the
+    // Teradata and Snowflake chains pass minusIsSetOp = true.
     val setOps = Seq("UNION", "INTERSECT", "EXCEPT") ++
       (if (minusIsSetOp) Seq("MINUS") else Nil)
     val selRe = "(?i)\\bSELECT\\b".r
@@ -3166,7 +3207,13 @@ object Dialect {
               // zero-count rule, applied per arm)
               "(SELECT " + armHint + distinctKw + armBody + " LIMIT 0)" + tail
             else {
-              val armSel = "SELECT " + armHint + distinctKw + armBody
+              val armSel0 = "SELECT " + armHint + distinctKw + armBody
+              // a QUALIFY inside the arm (Teradata) collapses BEFORE
+              // the percent rank — and before the schema analysis,
+              // which cannot parse the raw clause (r19 review: the
+              // parameter was ignored here while the non-arm percent
+              // path hands it into buildWithTies)
+              val armSel = qualifyRewrite.map(f => f(armSel0)).getOrElse(armSel0)
               val s = spark.getOrElse(throw new graft.UnsupportedError(
                 "TOP PERCENT in a set-operation arm needs registered " +
                   "tables to name the arm's output columns"))
@@ -4506,36 +4553,15 @@ object Dialect {
               s"$construct cannot expand this star REPLACE form: $it")
           val repls =
             parseReplaceItems(it, itSpans, open, close, s"$construct star REPLACE")
-          val excludes = Option(rm.group(2))
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .orElse(Option(rm.group(3)).map(Seq(_)))
-            .getOrElse(Seq.empty)
-          excludes.foreach { e =>
-            if (!e.matches("[A-Za-z_][A-Za-z0-9_]*"))
-              throw new graft.UnsupportedError(
-                s"$construct star EXCLUDE … REPLACE expects bare column " +
-                  s"names in the EXCLUDE list, got: $e")
-          }
+          val excludes = parseStarExcludes(Option(rm.group(2)), Option(rm.group(3)))
           val fields = starFields(q.map(_ + ".*").getOrElse("*"))
           val known = fields.map(_.toLowerCase).toSet
           repls.keys.find(!known.contains(_)).foreach { missing =>
             throw new graft.UnsupportedError(
               s"$construct star REPLACE names column $missing which the FROM clause lacks")
           }
-          excludes.find(e => !known.contains(e.toLowerCase)).foreach { missing =>
-            throw new graft.UnsupportedError(
-              s"$construct star EXCLUDE names column $missing which the FROM clause lacks")
-          }
-          val exSet = excludes.map(_.toLowerCase).toSet
-          repls.keys.find(exSet.contains).foreach { gone =>
-            throw new graft.UnsupportedError(
-              s"$construct star REPLACE replaces column $gone which the " +
-                "EXCLUDE list already drops")
-          }
-          val kept = fields.filterNot(f => exSet.contains(f.toLowerCase))
-          if (kept.isEmpty)
-            throw new graft.UnsupportedError(
-              s"$construct star EXCLUDE … REPLACE drops every column: $it")
+          val kept = starExcludeKept(excludes, fields, repls,
+            s"$construct star EXCLUDE … REPLACE")
           kept.map { f =>
             repls.get(f.toLowerCase) match {
               case Some(e) => s"($e) AS $f"
@@ -4649,13 +4675,16 @@ object Dialect {
   /** [[nameKey]]-keyed map over output names, plus the names DUPLICATED
     * under the canonicalization (case-differing quoted names, a bare
     * name plus its quoted twin). The ambiguity error is raised LAZILY
-    * by [[distinctKeyResolver]] — only when a sort key actually hits a
-    * duplicated key, mirroring the expression-side ambiguity handling
-    * (r19, from ADVICE: the eager construction-time raise rejected
-    * legal statements whose keys were ordinals or never touched the
-    * duplicated name). A silent toMap last-wins would sort by the
-    * WRONG column (r18 fifth review), so duplicated keys are excluded
-    * from the map entirely.
+    * by [[distinctKeyResolver]] and [[guardDupOutputName]] — when a
+    * sort key hits a duplicated name directly, resolves TO one via the
+    * expression match, or lands ON one via an ordinal — mirroring the
+    * expression-side ambiguity handling (r19, from ADVICE: the eager
+    * construction-time raise rejected statements whose keys never
+    * touched the duplicated name; those now proceed, and any remaining
+    * duplicate in the emitted projection fails LOUDLY at Spark's
+    * case-insensitive analyzer — never silently). A silent toMap
+    * last-wins would sort by the WRONG column (r18 fifth review), so
+    * duplicated keys are excluded from the map entirely.
     */
   private def byNameMap(itemNames: Seq[String]): (Map[String, String], Map[String, Seq[String]]) = {
     val dups = itemNames.groupBy(nameKey).filter(_._2.size > 1)
@@ -4702,6 +4731,24 @@ object Dialect {
     sb.toString.trim
   }
 
+  /** Raise the ambiguity error when a resolved sort/partition key lands
+    * ON a duplicated canonical output name (r19 review): the emitted
+    * rank/partition clause would reference a name Spark's
+    * case-insensitive resolver cannot tell from its twin — the named
+    * error beats the raw AMBIGUOUS_REFERENCE it would otherwise become.
+    * Used by the expression-match result and the ORDINAL paths, which
+    * bypass [[distinctKeyResolver]]'s name-shaped-key guard.
+    */
+  private def guardDupOutputName(itemNames: Seq[String], construct: String,
+      nm: String): String = {
+    val twins = itemNames.filter(x => nameKey(x) == nameKey(nm))
+    if (twins.size > 1)
+      throw new graft.UnsupportedError(
+        s"$construct cannot resolve sort keys against duplicate output names: " +
+          twins.mkString(", "))
+    nm
+  }
+
   private def distinctKeyResolver(items: Seq[String], itemNames: Seq[String],
       construct: String): String => Option[String] = {
     val (byName, dupNames) = byNameMap(itemNames)
@@ -4729,7 +4776,10 @@ object Dialect {
         if (ambiguous(key))
           throw new graft.UnsupportedError(
             s"$construct sort key matches more than one select item: $e")
-        byExpr.get(key)
+        // an expression key may RESOLVE TO a duplicated name — guard the
+        // result too (r19 review: the emit would otherwise die at
+        // Spark's analyzer with a raw ambiguous-reference error)
+        byExpr.get(key).map(nm => guardDupOutputName(itemNames, construct, nm))
       }
     }
   }
@@ -5136,7 +5186,7 @@ object Dialect {
             if (i < 1 || i > items.length)
               throw new graft.UnsupportedError(
                 s"$construct ORDER BY position $i is not in the select list (1..${items.length})")
-            itemNames(i - 1)
+            guardDupOutputName(itemNames, construct, itemNames(i - 1))
           } else resolveKey(e)
             .getOrElse(throw new graft.UnsupportedError(
               s"$construct with SELECT DISTINCT requires ORDER BY expressions " +
@@ -5752,9 +5802,22 @@ object Dialect {
     * consumed — LATERAL VIEW is lateral by construction. The
     * bare-alias single form `UNNEST(arr) AS u` names the COLUMN `u`
     * (the Postgres set-returning-function rule) like BigQuery's.
+    * UNNEST as the FIRST (or only) FROM item — `SELECT x FROM
+    * UNNEST(…) AS t(x)`, common in Postgres and BigQuery alike — has
+    * no relation to hang a LATERAL VIEW on and emits a FROM-less
+    * generator subquery instead (`FROM (SELECT explode(…) AS x) t`);
+    * every alias/ORDINALITY/OFFSET/zip form composes the same way
+    * (r19 review — it fell through to a raw Spark parse error).
     */
   private[graft] def rewriteUnnest(sql: String, esc: Boolean): String = {
-    val re = ("(?i)(,|\\bCROSS\\s+JOIN\\b|\\bLEFT\\s+JOIN\\b)\\s*" +
+    // `FROM` as a "joiner": UNNEST as the FIRST (or only) FROM item —
+    // `SELECT x FROM UNNEST(…) AS t(x)`, the most common standalone
+    // Postgres/BigQuery spelling (r19 review: it fell through to a raw
+    // Spark parse error). There is no relation to hang a LATERAL VIEW
+    // on, so this form emits a FROM-less generator SUBQUERY instead;
+    // a following `, UNNEST(…)` item is picked up by the comma
+    // alternative on the next loop pass.
+    val re = ("(?i)(,|\\bCROSS\\s+JOIN\\b|\\bLEFT\\s+JOIN\\b|\\bFROM\\b)\\s*" +
       "(?:LATERAL\\s+)?UNNEST\\s*\\(").r
     var cur = sql
     var guard = 0
@@ -5819,10 +5882,17 @@ object Dialect {
             val fields = (valFields ++
               (if (ordinality) Seq(s"CAST(__uni + 1 AS BIGINT) AS ${cols.last}") else Nil))
               .mkString(", ")
-            val gen = s"inline(transform(array_repeat(0, greatest($sizes)), " +
-              s"(__unv, __uni) -> struct($fields))) $name AS ${cols.mkString(", ")}"
-            cur = cur.substring(0, m.start).stripTrailing() +
-              s" LATERAL VIEW ${if (outer) "OUTER " else ""}$gen" + rest
+            val genExpr = s"inline(transform(array_repeat(0, greatest($sizes)), " +
+              s"(__unv, __uni) -> struct($fields)))"
+            cur =
+              if (joiner == "FROM")
+                // first FROM item: FROM-less generator subquery — the
+                // struct fields already carry the column names
+                cur.substring(0, m.start) +
+                  s"FROM (SELECT $genExpr) $name" + rest
+              else cur.substring(0, m.start).stripTrailing() +
+                s" LATERAL VIEW ${if (outer) "OUTER " else ""}$genExpr " +
+                s"$name AS ${cols.mkString(", ")}" + rest
           } else {
           val arr = arrArgs.head
           var tableAlias = "__unnest_" + name
@@ -5858,16 +5928,32 @@ object Dialect {
               }
           }
           val outer = consumeOnTrue()
-          val gen = (offName, ordName) match {
-            case (Some(o), _) => s"posexplode($arr) $tableAlias AS $o, $colName"
-            case (None, Some(ord)) =>
-              s"inline(transform($arr, (__unv, __uni) -> " +
-                s"struct(__unv AS $colName, CAST(__uni + 1 AS BIGINT) AS $ord))) " +
-                s"$tableAlias AS $colName, $ord"
-            case (None, None) => s"explode($arr) $tableAlias AS $colName"
+          cur = if (joiner == "FROM") {
+            // first FROM item: FROM-less generator subquery (posexplode
+            // takes the multi-column generator alias `AS (off, col)`)
+            val sub = (offName, ordName) match {
+              case (Some(o), _) =>
+                s"(SELECT posexplode($arr) AS ($o, $colName)) $tableAlias"
+              case (None, Some(ord)) =>
+                s"(SELECT inline(transform($arr, (__unv, __uni) -> " +
+                  s"struct(__unv AS $colName, CAST(__uni + 1 AS BIGINT) AS $ord)))) " +
+                  tableAlias
+              case (None, None) =>
+                s"(SELECT explode($arr) AS $colName) $tableAlias"
+            }
+            cur.substring(0, m.start) + s"FROM $sub" + rest
+          } else {
+            val gen = (offName, ordName) match {
+              case (Some(o), _) => s"posexplode($arr) $tableAlias AS $o, $colName"
+              case (None, Some(ord)) =>
+                s"inline(transform($arr, (__unv, __uni) -> " +
+                  s"struct(__unv AS $colName, CAST(__uni + 1 AS BIGINT) AS $ord))) " +
+                  s"$tableAlias AS $colName, $ord"
+              case (None, None) => s"explode($arr) $tableAlias AS $colName"
+            }
+            cur.substring(0, m.start).stripTrailing() +
+              s" LATERAL VIEW ${if (outer) "OUTER " else ""}$gen" + rest
           }
-          cur = cur.substring(0, m.start).stripTrailing() +
-            s" LATERAL VIEW ${if (outer) "OUTER " else ""}$gen" + rest
           }
       }
     }
@@ -6206,7 +6292,8 @@ object Dialect {
               if (i < 1 || i > items.length)
                 throw new graft.UnsupportedError(
                   s"LIMIT BY ORDER BY position $i is not in the select list (1..${items.length})")
-              itemNames(i - 1)
+              guardDupOutputName(itemNames, "LIMIT BY under SELECT DISTINCT",
+                itemNames(i - 1))
             } else resolveKey(e)
               .getOrElse(throw new graft.UnsupportedError(
                 "LIMIT BY under SELECT DISTINCT requires its keys and ORDER BY " +

@@ -1567,16 +1567,19 @@ object DialectQueries {
   /** Postgres FROM-clause `UNNEST` ([[Dialect.Postgresish]] wiring of
     * [[Dialect.rewriteUnnest]], r19 — a raw Spark parse error before;
     * the reference gets the grammar from sqlglot's Postgres dialect,
-    * core.py:66). Three legs: the bare comma-FROM lateral spelling
+    * core.py:66). Four legs: the bare comma-FROM lateral spelling
     * with a `u(tok)` table alias; `WITH ORDINALITY` under the comma +
     * explicit LATERAL spelling (the LATERAL keyword is consumed — a
-    * LATERAL VIEW is lateral by construction); and the multi-array zip
+    * LATERAL VIEW is lateral by construction); the multi-array zip
     * `UNNEST(a, b) AS u(tok, num)` under CROSS JOIN LATERAL, padding
     * the 2-token split to the 3-element ARRAY[…] literal with NULLs
     * (Postgres zips to the LONGEST array — the same contract as the
-    * Trino machinery it rides). DuckDB replays each leg natively:
-    * SELECT-position unnest, a range enumeration, and the zip as an
-    * out-of-range list index (NULL).
+    * Trino machinery it rides); and UNNEST as the FIRST/only FROM
+    * item over an array literal (r19 review — emitted as a FROM-less
+    * generator subquery, since there is no relation to hang a LATERAL
+    * VIEW on). DuckDB replays each leg natively: SELECT-position
+    * unnest, range enumerations, and the zip as an out-of-range list
+    * index (NULL).
     */
   val pgUnnest = OpQ("op_dialect_pg_unnest",
     (s, d) => {
@@ -1599,6 +1602,10 @@ object DialectQueries {
           |  ARRAY[o_orderkey * 10, o_orderkey * 10 + 1, o_orderkey * 10 + 2]
           |) AS u(tok, num)
           |WHERE o_orderkey <= 150
+          |UNION ALL
+          |SELECT 'first' AS leg, CAST(0 AS BIGINT) AS o_orderkey, tok,
+          |  CAST(NULL AS BIGINT) AS num, ord
+          |FROM UNNEST(ARRAY['aa', 'bb']) WITH ORDINALITY AS u(tok, ord)
           |ORDER BY leg, o_orderkey, tok, num, ord""".stripMargin,
         dialect = Dialect.Postgresish)
     },
@@ -1616,6 +1623,11 @@ object DialectQueries {
            |  CAST(o_orderkey * 10 + (i - 1) AS BIGINT) AS num,
            |  CAST(NULL AS BIGINT) AS ord
            |FROM b, UNNEST(range(1, greatest(len(parts), 3) + 1)) t(i)
+           |UNION ALL
+           |SELECT 'first' AS leg, CAST(0 AS BIGINT) AS o_orderkey,
+           |  (['aa', 'bb'])[i] AS tok, CAST(NULL AS BIGINT) AS num,
+           |  CAST(i AS BIGINT) AS ord
+           |FROM (SELECT unnest(range(1, 3)) AS i) t
            |ORDER BY leg, o_orderkey, tok, num, ord""".stripMargin))
 
   /** Snowflake `FLATTEN(input => …, path => '…')` ([[Dialect]]
@@ -1937,7 +1949,9 @@ object DialectQueries {
     * under DISTINCT (single-value domain), last arm with a TRAILING
     * statement ORDER BY (which sorts the COMBINED result, per T-SQL's
     * scope rule, and must stay outside the arm); Teradata `SEL TOP …
-    * MINUS` (MINUS is a set-op keyword for the arm scan too). TOP
+    * MINUS` (MINUS is a set-op keyword for the arm scan too); and —
+    * r19 — Snowflake `TOP … MINUS` (MINUS is Snowflake's EXCEPT
+    * synonym, pinning the chain's minusIsSetOp wiring). TOP
     * without ORDER BY picks arbitrary rows in T-SQL — every arm is
     * built so the pick is value-deterministic. DuckDB replays the
     * per-arm LIMITs as parenthesized arms.
@@ -1962,6 +1976,16 @@ object DialectQueries {
             |MINUS
             |SEL 'td' AS tag, '9-NONE' AS p FROM orders""".stripMargin,
           dialect = Dialect.TeradataIsh))
+        // Snowflake speaks MINUS too (its EXCEPT synonym) — this leg
+        // pins the chain's minusIsSetOp wiring (r19 review: gating
+        // MINUS off here made the TOP silently limit the COMBINED
+        // result instead of its own arm)
+        .unionAll(Engine.execute(s,
+          """SELECT TOP 2 'sf' AS tag, o_orderpriority AS p
+            |FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '4-NOT SPECIFIED'
+            |MINUS
+            |SELECT 'sf' AS tag, '9-NONE' AS p FROM orders""".stripMargin,
+          dialect = Dialect.Snowflakeish))
     },
     Some("""SELECT * FROM (
            |  (SELECT 'arm1' AS tag, o_orderpriority AS p
@@ -1981,7 +2005,13 @@ object DialectQueries {
            |  FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '3-MEDIUM'
            |  LIMIT 2)
            | EXCEPT
-           | (SELECT 'td' AS tag, '9-NONE' AS p FROM orders))""".stripMargin))
+           | (SELECT 'td' AS tag, '9-NONE' AS p FROM orders))
+           |UNION ALL
+           |((SELECT 'sf' AS tag, o_orderpriority AS p
+           |  FROM orders WHERE o_orderkey <= 2000 AND o_orderpriority = '4-NOT SPECIFIED'
+           |  LIMIT 2)
+           | EXCEPT
+           | (SELECT 'sf' AS tag, '9-NONE' AS p FROM orders))""".stripMargin))
 
   /** Arm-scoped T-SQL `TOP n PERCENT` inside SET-OPERATION arms (r19 —
     * a named error before; legal T-SQL): each arm keeps
