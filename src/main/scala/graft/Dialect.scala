@@ -2054,9 +2054,18 @@ object Dialect {
     * [[expandStarItems]].
     */
   private def parseStarExcludes(parenList: Option[String],
-      bare: Option[String]): Seq[String] =
-    parenList.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      bare: Option[String]): Seq[String] = {
+    // an empty list `* EXCLUDE ()` or a blank entry `(a,)` is a DuckDB
+    // syntax error — raised here rather than silently degrading to a
+    // plain * REPLACE (r19 second review)
+    parenList.foreach { pl =>
+      if (pl.split(",", -1).map(_.trim).exists(_.isEmpty))
+        throw new graft.UnsupportedError(
+          s"star EXCLUDE list has an empty entry (DuckDB rejects it): ($pl)")
+    }
+    parenList.map(_.split(",").map(_.trim).toSeq)
       .orElse(bare.map(Seq(_))).getOrElse(Seq.empty)
+  }
 
   /** Validate a combined-star EXCLUDE list against the expanded fields
     * and return the KEPT fields, mirroring DuckDB's binder errors:
@@ -3109,6 +3118,21 @@ object Dialect {
         if (!isPercent && n.contains('.'))
           throw new graft.UnsupportedError(
             "TOP with a fractional count requires PERCENT")
+        // a top-level MINUS spelled AS A SET OP (followed by an arm) on
+        // a chain where minus is only an identifier: T-SQL rejects the
+        // statement outright, and scoping the TOP past it would
+        // silently LIMIT the combined result Spark's own MINUS synonym
+        // executes (r19 second review) — named error instead
+        if (!minusIsSetOp) {
+          val dmap = depthAt(blanked, spans)
+          "(?is)\\bMINUS\\s+(?:(?:ALL|DISTINCT)\\s+)?(?:SELECT\\b|\\()".r
+            .findAllMatchIn(blanked)
+            .find(mm => outsideLiterals(spans, mm.start) && dmap(mm.start) == 0)
+            .foreach(_ => throw new graft.UnsupportedError(
+              "MINUS as a set operation is not supported on this " +
+                "dialect's chain (spell it EXCEPT) — a TOP cannot be " +
+                "scoped against it"))
+        }
         // this SELECT's scope ends at the first enclosing-paren closer, a
         // same-depth set-operation keyword, or end-of-string
         var i = m.end
@@ -3236,7 +3260,11 @@ object Dialect {
                 .foreach(nm => throw new graft.UnsupportedError(
                   "TOP PERCENT in a set-operation arm met a duplicate " +
                     s"output name: $nm"))
-              val cols = names.mkString(", ")
+              // backticked (r19 second review, matching the star
+              // rewrite's emit): an output name that happens to be a
+              // Spark non-reserved keyword (left, union, …) must not
+              // re-parse as syntax
+              val cols = names.map(nm => s"`$nm`").mkString(", ")
               "(SELECT " + cols + " FROM (SELECT __tpa.*, " +
                 s"row_number() OVER (ORDER BY $cols) AS __tprn, " +
                 "count(*) OVER () AS __tpct " +
@@ -4666,10 +4694,18 @@ object Dialect {
     * quoting in itemName, so the map side strips too (r18
     * second/third/fourth reviews).
     */
+  /** A key is NAME-SHAPED — eligible for output-name resolution — when
+    * it is backtick-quoted or a plain bare identifier. One predicate
+    * shared by [[resolveOutputName]] and the duplicate-name guard in
+    * [[distinctKeyResolver]] (r19 second review: a drifting copy would
+    * let a key resolve by name while skipping the guard).
+    */
+  private def isNameShapedKey(e: String): Boolean =
+    stripBacktick(e) != e || e.matches("[A-Za-z_][A-Za-z0-9_]*")
+
   private def resolveOutputName(e: String,
       byName: Map[String, String]): Option[String] =
-    if (stripBacktick(e) != e || e.matches("[A-Za-z_][A-Za-z0-9_]*"))
-      byName.get(nameKey(e))
+    if (isNameShapedKey(e)) byName.get(nameKey(e))
     else None
 
   /** [[nameKey]]-keyed map over output names, plus the names DUPLICATED
@@ -4766,8 +4802,7 @@ object Dialect {
       // a name-shaped key hitting a DUPLICATED canonical output name is
       // ambiguous — raised here, lazily, so ordinals and keys that never
       // touch the duplicated name stay legal (r19, from ADVICE)
-      if ((stripBacktick(e) != e || e.matches("[A-Za-z_][A-Za-z0-9_]*")) &&
-          dupNames.contains(nameKey(e)))
+      if (isNameShapedKey(e) && dupNames.contains(nameKey(e)))
         throw new graft.UnsupportedError(
           s"$construct cannot resolve sort keys against duplicate output names: " +
             dupNames(nameKey(e)).mkString(", "))
@@ -5823,7 +5858,12 @@ object Dialect {
     var guard = 0
     while (guard < 64) {
       guard += 1
-      val spans = literalSpans(cur, esc)
+      // OPAQUE spans (r19 second review): comment text mentioning
+      // `FROM UNNEST(` — likelier now that `FROM` itself is a trigger
+      // alternative — must neither fire the rewrite nor skew the
+      // argument paren match (the sibling star rewrite got the same
+      // generalization this round)
+      val spans = opaqueSpans(cur, esc)._1
       re.findAllMatchIn(cur).find(m => outsideLiterals(spans, m.start)) match {
         case None => return cur
         case Some(m) =>
