@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, BucketedRandomProjectionLSH}
+import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,9 +10,24 @@ import org.apache.spark.sql.types._
   * spark.ml MinHashLSH; similarity: BucketedRandomProjectionLSH") —
   * complementing the hand-rolled [[Dedup.minHashDedup]] /
   * [[Similarity.lshTopK]] with the MLlib estimator/transformer pipeline:
-  * HashingTF shingle vectors → fitted LSH model → approxSimilarityJoin.
+  * HashingTF shingle vectors → fitted LSH model → banded similarity join.
   * Seeded, so results are reproducible; candidate generation is MLlib's
   * banded join (same Σ bucket² bound as the custom path).
+  *
+  * r19 (optimization round, guide §2.3/§4.1): candidate generation and
+  * verification no longer go through `model.approxSimilarityJoin`, whose
+  * physical plan shuffles FULL row structs (the 64-double features vector
+  * plus every hash vector, twice per candidate) through a `distinct()`
+  * and then pays an interpreted `keyDistance` UDF per candidate over
+  * boxed `Vector`s. [[leanSimilarityJoin]] executes the identical
+  * algorithm — the model's own hash buckets for candidates, the model's
+  * own distance definition for verification, the same strict
+  * `< threshold` filter — but shuffles only 16-byte id pairs, dedups
+  * those, and evaluates the distance with whole-stage-codegen column
+  * expressions after re-attaching the (broadcast-sized) vector table.
+  * `MlLshSpec` pins pair-set AND distance equality against
+  * `approxSimilarityJoin` on the driver corpus, so this is a plan
+  * change, not a semantics change.
   */
 object MlLsh {
 
@@ -26,8 +42,48 @@ object MlLsh {
       .transform(sh)
   }
 
-  /** Near-duplicate pairs via spark.ml MinHashLSH approxSimilarityJoin.
+  /** Candidate `(a_id, b_id)` pairs (a_id < b_id, deduplicated) from a
+    * hashed LSH dataset — exactly `approxSimilarityJoin`'s candidate set:
+    * two rows collide when ANY hash-table entry agrees. MLlib joins the
+    * exploded tables on the length-1 hash VECTOR; joining on its single
+    * unwrapped double is the same equality (IEEE bit-equal doubles, both
+    * produced by the same hash function on the same input). Only
+    * (id, entry, bucket) ever enters the exchange, and the pair dedup
+    * shuffles 16-byte rows instead of full payload structs.
+    */
+  private def leanCandidates(hashed: DataFrame, idCol: String): DataFrame = {
+    val expl = hashed.select(col(idCol),
+        posexplode(col("hashes")).as(Seq("entry", "hv")))
+      .select(col(idCol),  col("entry"),
+        org.apache.spark.ml.functions.vector_to_array(col("hv"))(0).as("bucket"))
+    // Round-robin spread of the probe side (guide §2.5 hot-key handling):
+    // LSH buckets can be few and giant (BRP over clustered embeddings
+    // collapses to a handful of buckets), so the bucket-key join must not
+    // inherit the input's partitioning — the explosion would run inside
+    // one or two tasks. The build side broadcasts either way; spreading
+    // the probe rows round-robin makes every task emit its share of the
+    // per-bucket cross product. The repartition moves (id, entry, bucket)
+    // rows only — never payloads.
+    val parts = hashed.sparkSession.sessionState.conf.numShufflePartitions
+    val a = expl.select(col(idCol).as("a_id"), col("entry"), col("bucket"))
+      .repartition(parts)
+    val b = expl.select(col(idCol).as("b_id"), col("entry"), col("bucket"))
+    a.join(broadcast(b), Seq("entry", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs via spark.ml MinHashLSH banding.
     * `maxJaccardDistance` = 1 − jaccard threshold.
+    *
+    * Verification replays `MinHashLSHModel.keyDistance` — jaccard
+    * distance `1 − |A∩B| / |A∪B|` over the ACTIVE-INDEX sets of the
+    * binary HashingTF vectors — as the same double arithmetic
+    * (`1.0 − i/u`, then the strict `< maxJaccardDistance` compare), with
+    * the per-document index sets extracted once per document (2 N rows),
+    * never per pair; the per-pair work is an integer array intersection
+    * inside codegen. MlLshSpec pins set equality vs approxSimilarityJoin.
     */
   def minHashPairsMl(docs: DataFrame, maxJaccardDistance: Double = 0.3,
       numHashTables: Int = 4): DataFrame = {
@@ -36,32 +92,54 @@ object MlLsh {
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42)
       .fit(vec)
-    model.approxSimilarityJoin(vec, vec, maxJaccardDistance, "dist")
-      .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
-        (lit(1.0) - col("dist")).as("jaccard_est"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val hashed = model.transform(vec)
+    // active-index sets: one tiny UDF call per DOCUMENT (the sparse
+    // indices are already distinct + sorted), broadcast back onto the
+    // id-pair candidates
+    val idxOf = udf((v: Vector) => v.toSparse.indices)
+    val sets = hashed.select(col("doc_id"), idxOf(col("features")).as("idx"))
+    val cand = leanCandidates(hashed, "doc_id")
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("idx").as("a_idx")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("idx").as("b_idx")), "b_id")
+      .withColumn("__common", size(array_intersect(col("a_idx"), col("b_idx"))))
+      .withColumn("dist",
+        lit(1.0) - col("__common").cast("double") /
+          (size(col("a_idx")) + size(col("b_idx")) - col("__common")).cast("double"))
+      .filter(col("dist") < maxJaccardDistance)
+      .select(col("a_id"), col("b_id"), (lit(1.0) - col("dist")).as("jaccard_est"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Embedding near-neighbor pairs via BucketedRandomProjectionLSH
     * (euclidean buckets) — spark.ml's scale path for similarity join.
+    *
+    * Verification replays `BucketedRandomProjectionLSHModel.keyDistance`
+    * — `sqrt(Vectors.sqdist(a, b))`, an ascending-index fold of
+    * `(a_i − b_i)²` — via the bit-identical codegen expression
+    * [[graft.functions.SqDistDouble]] over the same double arrays, then
+    * the same strict `< maxL2` compare.
     */
   def embeddingPairsMl(embeddings: DataFrame, maxL2: Double,
       bucketLength: Double = 0.5, numHashTables: Int = 4): DataFrame = {
     // spark.ml ships this conversion (array_to_vector) — null-safe, no
     // hand-rolled closure UDF that would NPE on a NULL embedding row
-    val vec = embeddings.select(col("vec_id"),
-      org.apache.spark.ml.functions.array_to_vector(
-        expr("transform(embedding, x -> cast(x as double))")).as("features"))
+    val arr = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("vd"))
+    val vec = arr.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(col("vd")).as("features"))
     val model = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42)
       .fit(vec)
-    model.approxSimilarityJoin(vec, vec, maxL2, "l2")
-      .select(col("datasetA.vec_id").as("a_id"), col("datasetB.vec_id").as("b_id"), col("l2"))
-      .filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val cand = leanCandidates(model.transform(vec), "vec_id")
+    cand
+      .join(arr.select(col("vec_id").as("a_id"), col("vd").as("a_vd")), "a_id")
+      .join(arr.select(col("vec_id").as("b_id"), col("vd").as("b_vd")), "b_id")
+      .withColumn("l2", sqrt(
+        graft.functions.SqDistDouble.sq_dist_double(col("a_vd"), col("b_vd"))))
+      .filter(col("l2") < maxL2)
+      .select(col("a_id"), col("b_id"), col("l2"))
       .orderBy(col("a_id"), col("b_id"))
   }
 }

@@ -35,6 +35,64 @@ class MlLshSpec extends SparkSpec {
     assert(recall >= 0.9, f"ml minhash recall $recall%.3f at sf0.1")
   }
 
+  test("lean BRP similarity join ≡ model.approxSimilarityJoin (pair set + distances)") {
+    // r19 plan optimization: MlLsh verifies candidates with codegen
+    // expressions instead of approxSimilarityJoin's payload-struct
+    // distinct + interpreted keyDistance UDF. Same model, same buckets,
+    // same distance definition — this pins the equivalence bit-exact.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val arr = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("vd"))
+    val vec = arr.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(col("vd")).as("features"))
+    val model = new org.apache.spark.ml.feature.BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+      .fit(vec)
+    val reference = model.approxSimilarityJoin(vec, vec, 1.15, "l2")
+      .select(col("datasetA.vec_id").as("a_id"), col("datasetB.vec_id").as("b_id"), col("l2"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lean = MlLsh.embeddingPairsMl(emb, maxL2 = 1.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lean.keySet == reference.keySet,
+      s"pair sets differ: lean-only=${(lean.keySet -- reference.keySet).take(5)} " +
+        s"ref-only=${(reference.keySet -- lean.keySet).take(5)}")
+    assert(reference.nonEmpty)
+    reference.foreach { case (k, d) =>
+      assert(lean(k) == d, s"distance drift at $k: lean=${lean(k)} ref=$d") // bit-equal
+    }
+  }
+
+  test("lean MinHash similarity join ≡ model.approxSimilarityJoin (pair set + distances)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val sh = Dedup.withShingles(docs).select(col("doc_id"), col("shingles"))
+    val vec = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+      .transform(sh)
+    val model = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(4).setSeed(42)
+      .fit(vec)
+    val reference = model.approxSimilarityJoin(vec, vec, 0.3, "dist")
+      .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
+        (lit(1.0) - col("dist")).as("jaccard_est"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lean = MlLsh.minHashPairsMl(docs, maxJaccardDistance = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lean.keySet == reference.keySet,
+      s"pair sets differ: lean-only=${(lean.keySet -- reference.keySet).take(5)} " +
+        s"ref-only=${(reference.keySet -- lean.keySet).take(5)}")
+    assert(reference.nonEmpty)
+    reference.foreach { case (k, d) =>
+      assert(lean(k) == d, s"jaccard drift at $k: lean=${lean(k)} ref=$d") // bit-equal
+    }
+  }
+
   test("BucketedRandomProjectionLSH returns verified close pairs only") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val pairs = MlLsh.embeddingPairsMl(emb, maxL2 = 1.2).collect()
