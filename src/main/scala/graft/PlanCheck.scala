@@ -433,9 +433,19 @@ object PlanCheck {
     Rule("op_dialect_sqlite", "translated text plans a pure top-k scan",
       f => f("topk") >= 1 &&
         f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
-    Rule("op_profile_table", "single agg tree (multi-distinct Expand allows 2 exchanges), no join",
-      f => f("exchange") <= 2 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    // r19: the exact profile splits fixed-width aggregates (null counts +
+    // exact distincts — HashAggregate over the Expand, no sort) from the
+    // variable-width string min/max pass (keyless SortAggregate, no sort),
+    // met by ONE broadcast cross join of two 1-row frames. The pinned
+    // floor: the distinct tree stays HashAggregate (4 HashAggregate nodes
+    // = partial/final × two aggs) and the only join is that 1-row bnlj —
+    // never a shuffle join, never more than the recorded 4 exchanges
+    // (2 distinct-Expand + 1 min/max + broadcast).
+    Rule("op_profile_table", "split profile: hash-agg distinct tree + keyless min/max pass " +
+      "joined by one 1-row broadcast cross join; no shuffle join",
+      f => f("exchange") <= 4 && f("partial_agg") >= 4 &&
+        f("bnlj") <= 1 &&
+        f("bhj") + f("smj") + f("shj") + f("cartesian") == 0),
     Rule("op_cdc_apply", "touched-key anti join broadcasts the change batch; key filters pushed",
       f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
         f("pushed_filters") >= 2),
@@ -686,10 +696,16 @@ object PlanCheck {
     Rule("op_join_dpp", "the fact scan carries a dynamicpruningexpression partition " +
       "filter (runtime dim-driven pruning), the dim broadcasts, never cartesian",
       f => f("dpp") >= 1 && f("bhj") >= 1 && f("cartesian") + f("bnlj") == 0),
+    // r19: both profile tiers split string min/max out of their
+    // fixed-width aggregate pass (see op_profile_table), so each tier
+    // carries one benign 1-row broadcast cross join (bnlj ≤ 2 total) and
+    // the HLL pass now plans as vectorized HashAggregate — pinned floor
+    // partial_agg ≥ 6 (approx pair + exact distinct-Expand pair ×2).
     Rule("op_profile_table_approx", "the band join is a broadcast equi-join on " +
-      "column_name over two 4-row frames — never cartesian (the approx tier's HLL " +
-      "aggregate plans as ObjectHashAggregate, so no HashAggregate floor here)",
-      f => f("bhj") >= 1 && f("cartesian") + f("bnlj") == 0),
+      "column_name over two 4-row frames — never cartesian; both tiers' " +
+      "min/max splits add one 1-row broadcast cross join each",
+      f => f("bhj") >= 1 && f("partial_agg") >= 6 &&
+        f("cartesian") == 0 && f("bnlj") <= 2),
     Rule("llm_corpus_datacard", "both data-card aggregations map-side combined; the " +
       "(source, md5) pre-group bounds distinct state — no joins, no windows",
       f => f("partial_agg") >= 2 &&

@@ -79,6 +79,52 @@ object R19Prof {
             .filter(col("a_id") < col("b_id"))
             .select("a_id", "b_id").distinct().count())
         }
+      case "cluster" =>
+        val docs = Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") < 1000)
+        SparkEntry.queries("llm_dedup_cluster_stats")(spark, dir).count() // warm
+        t("prefix_pairs") {
+          println("pairs=" + llm.Dedup.prefixFilteredJaccardPairs(docs, 500000L).count())
+        }
+        t("whole_cluster_stats") {
+          SparkEntry.queries("llm_dedup_cluster_stats")(spark, dir).count()
+        }
+        t("components_q") {
+          SparkEntry.queries("op_graph_components")(spark, dir).count()
+        }
+        t("components_q_2") {
+          SparkEntry.queries("op_graph_components")(spark, dir).count()
+        }
+      case "rep3" =>
+        val q = args(1)
+        SparkEntry.queries(q)(spark, dir).count() // warm
+        (1 to 3).foreach { r =>
+          t(s"${q}_$r") { SparkEntry.queries(q)(spark, dir).count() }
+        }
+      case "finalplan" =>
+        val q = args(1)
+        val df = SparkEntry.queries(q)(spark, dir)
+        df.count()
+        println("=== FINAL ADAPTIVE PLAN " + q + " ===")
+        println(df.queryExecution.executedPlan.toString.take(8000))
+      case "shingle_micro" =>
+        val docs = Tables.load(spark, dir, "documents")
+        docs.count() // warm the scan
+        val hof =
+          """array_distinct(flatten(transform(array(split(text, ' ')), w ->
+            |  CASE WHEN size(w) >= 3
+            |       THEN transform(sequence(1, size(w) - 2),
+            |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+            |       ELSE array(text) END)))""".stripMargin
+        (1 to 3).foreach { r =>
+          t(s"hof_$r") {
+            docs.select(expr(s"sum(size($hof))")).collect()
+          }
+          t(s"expr_$r") {
+            docs.select(sum(size(
+              graft.functions.WordShingles.word_shingles(col("text"))))).collect()
+          }
+        }
       case "minhash" =>
         t("whole_minhash_1") {
           SparkEntry.queries("llm_dedup_minhash")(spark, dir).count()

@@ -113,13 +113,15 @@ object Dedup {
     val base = docs.select(col("doc_id"), split(col(textCol), " ").as("w"))
     val toks = base.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos", "tok")))
-    val wins = base.filter(size(col("w")) >= window)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(w) - $window),
-           |          i -> struct(i AS wpos,
-           |                      array_join(slice(w, i + 1, $window), ' ') AS span))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.wpos").as("wpos"), col("x.span").as("span"))
+    // r19: WordGrams emits the window spans in position order, so
+    // posexplode's index IS wpos — same spans as the struct/slice HOF
+    // this replaced (the size(w) >= window filter guarantees the
+    // full-window branch)
+    val wins = docs.select(col("doc_id"), col(textCol))
+      .filter(size(split(col(textCol), " ")) >= window)
+      .select(col("doc_id"), posexplode(
+        graft.functions.WordGrams.word_grams(col(textCol), window))
+        .as(Seq("wpos", "span")))
     val firsts = wins.groupBy(col("span")).agg(min(col("doc_id")).as("first_doc"))
     val dupWins = wins.join(firsts, "span")
       .filter(col("first_doc") < col("doc_id"))
@@ -230,12 +232,14 @@ object Dedup {
     * quadratic scan cost).
     */
   def withShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.withColumn("shingles", expr(
-      s"""array_distinct(flatten(transform(array(split(`$textCol`, ' ')), w ->
-         |  CASE WHEN size(w) >= 3
-         |       THEN transform(sequence(1, size(w) - 2),
-         |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-         |       ELSE array(`$textCol`) END)))""".stripMargin))
+    // r19: the codegen expression replaces the interpreted HOF chain
+    // (split → per-trigram element_at×3 + concat_ws + two lambda fences)
+    // with one O(bytes) pass emitting zero-copy trigram slices —
+    // bit-equal by construction and pinned by FunctionsSpec ("WordShingles
+    // ≡ builtin HOF formulation"); the DuckDB oracles replaying the HOF
+    // spelling are unchanged.
+    docs.withColumn("shingles",
+      graft.functions.WordShingles.word_shingles(col(textCol)))
 
   /** MinHash signatures: `numHashes` permutations h_j(x) = (a_j·x + b_j)
     * mod p over murmur3 shingle hashes, computed by the per-row codegen'd
@@ -544,13 +548,13 @@ object Dedup {
   def spanDedup(docs: DataFrame, window: Int = 8, hashSpans: Boolean = false,
       textCol: String = "text"): DataFrame = {
     require(window >= 2, "window must be >= 2")
+    // r19: codegen byte-slice windows (WordGrams emits token spans
+    // `i..min(i+window−1, last)`, floored at one whole-string gram for
+    // short docs — exactly the CASE/array_join(slice(...)) HOF this
+    // replaced; FunctionsSpec pins the equivalence, oracles unchanged)
     val wins = docs
-      .select(col("doc_id"), split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(w) >= $window
-           |  THEN transform(sequence(0, size(w) - $window),
-           |                 i -> array_join(slice(w, i + 1, $window), ' '))
-           |  ELSE array(array_join(w, ' ')) END""".stripMargin)).as("span"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordGrams.word_grams(col(textCol), window)).as("span"))
       .withColumn("k", if (hashSpans) xxhash64(col("span")) else col("span"))
     val firsts = wins.groupBy(col("k")).agg(min(col("doc_id")).as("first_doc"))
     wins.join(firsts, "k")

@@ -78,6 +78,15 @@ object Multimodal {
     * decode/resize/dhash trio cannot silently diverge. Returns
     * (width, height, numComponents, pixel accessor).
     */
+  // r19 (guide §4.5-adjacent): ImageIO.read(InputStream) wraps its input
+  // in a FileCacheImageInputStream when the ImageIO disk cache is on (the
+  // JDK default) — every in-memory blob was being spooled to a temp FILE
+  // and deleted again just to be decoded. The payloads here are byte
+  // arrays already in memory; the memory-cached stream decodes the same
+  // bytes with the same readers, minus one disk round-trip per blob.
+  // JVM-global, set once (ImageIO.setUseCache is a static toggle).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def decodePixels(id: Long, blob: Array[Byte]): (Int, Int, Int, (Int, Int) => Int) = {
     val n = blob.length.toLong
     if (isPng(blob) || isJpeg(blob)) {

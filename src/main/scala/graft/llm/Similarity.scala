@@ -86,8 +86,9 @@ object Similarity {
       .filter(col("a_id") < queryMaxId)
     val c = base.select(col(idCol).as("b_id"), col("qd").as("b_qd"))
     val dots = q.join(c, col("a_id") =!= col("b_id"))
+      // r19: codegen integer dot (FunctionsSpec pins ≡ the HOF fold)
       .withColumn("qdot",
-        expr("aggregate(zip_with(a_qd, b_qd, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        graft.functions.DotLong.dot_long(col("a_qd"), col("b_qd")))
     val w = Window.partitionBy(col("a_id")).orderBy(col("qdot").desc, col("b_id"))
     dots.withColumn("rn", row_number().over(w).cast("int")).filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"), col("qdot"), col("rn"))
@@ -231,8 +232,9 @@ object Similarity {
       .select(col(idCol).as("a_id"), subspaceGen)
       .select(col("a_id"), col("m_idx"), col("sub").as("qsub"))
     val dotTable = qsubs.join(broadcast(codebook), Seq("m_idx"))
+      // r19: codegen integer dot (FunctionsSpec pins ≡ the HOF fold)
       .withColumn("dot",
-        expr("aggregate(zip_with(qsub, centroid, (x, y) -> x * y), 0L, (acc, p) -> acc + p)"))
+        graft.functions.DotLong.dot_long(col("qsub"), col("centroid")))
       .select(col("a_id"), col("m_idx"), col("code"), col("dot"))
     // ADC scan: m code lookups per candidate, summed map-side
     val shortlist = parts.select(col("b_id"), col("m_idx"), col("code"))

@@ -89,8 +89,13 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .withColumn("n_distinct_tokens", size(array_distinct(col("w"))).cast("long"))
       .withColumn("n_chars_m", length(col(textCol)).cast("long"))
+      // r19: with single-space tokenization, Σ length(token) is exactly
+      // length(text) − (n_tokens − 1) separator chars — pure codegen
+      // arithmetic in place of the interpreted per-token aggregate fold
+      // (identical integers, so the double ratio is bit-equal)
       .withColumn("avg_word_len",
-        expr("aggregate(w, 0L, (acc, t) -> acc + length(t))").cast("double") / col("n_tokens"))
+        (length(col(textCol)).cast("long") - (col("n_tokens") - lit(1L)))
+          .cast("double") / col("n_tokens"))
       .drop("w")
 
   /** Tiny per-language stopword lexicons for the n-gram/stopword heuristic
@@ -172,12 +177,13 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     // token array bound as a lambda var (not an alias) so the split runs
     // once per row, not once per bigram — see Dedup.withShingles
+    // r19: codegen byte-slice bigrams replace the interpreted HOF chain
+    // (split -> per-bigram slice + concat_ws + lambda fences) — bit-equal
+    // by construction, pinned by FunctionsSpec ("WordGrams"); the DuckDB
+    // oracles replaying the HOF spelling are unchanged.
     val grams = docs
-      .select(col("doc_id"), explode(expr(
-        s"""flatten(transform(array(split(`$textCol`, ' ')), w ->
-           |  transform(sequence(1, greatest(size(w) - 1, 1)),
-           |            i -> concat_ws(' ', slice(w, i, 2)))))""".stripMargin))
-        .as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordGrams.word_grams(col(textCol), 2)).as("g"))
     grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(
@@ -203,12 +209,13 @@ object TextAnalysis {
     * sum — all shuffles on bigram/doc keys, corpus-token-linear.
     */
   def bigramNovelty(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // r19: codegen byte-slice bigrams replace the interpreted HOF chain
+    // (split -> per-bigram slice + concat_ws + lambda fences) — bit-equal
+    // by construction, pinned by FunctionsSpec ("WordGrams"); the DuckDB
+    // oracles replaying the HOF spelling are unchanged.
     val grams = docs
-      .select(col("doc_id"), explode(expr(
-        s"""flatten(transform(array(split(`$textCol`, ' ')), w ->
-           |  transform(sequence(1, greatest(size(w) - 1, 1)),
-           |            i -> concat_ws(' ', slice(w, i, 2)))))""".stripMargin))
-        .as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordGrams.word_grams(col(textCol), 2)).as("g"))
     val perDoc = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val corpus = perDoc.groupBy(col("g")).agg(sum(col("c")).as("cf"))
     perDoc.join(corpus, "g")
@@ -487,11 +494,16 @@ object TextAnalysis {
     * safe at corpus scale.
     */
   def bigramLmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = split(col(textCol), " ")
-    val grams = docs.select(col("doc_id"), explode(zip_with(
-        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => struct(a.as("tok_a"), concat(a, lit(" "), b).as("gram")))).as("g"))
-      .select(col("doc_id"), col("g.tok_a").as("tok_a"), col("g.gram").as("gram"))
+    // r19: codegen strict byte-slice bigrams replace the interpreted
+    // zip_with-over-shifted-slices chain (same grams: sub-2-token docs
+    // emit nothing); the conditioning token is the gram's byte prefix up
+    // to its first space, recovered by codegen substring_index instead
+    // of being carried through the lambda. FunctionsSpec pins the
+    // equivalence; oracles unchanged.
+    val grams = docs.select(col("doc_id"), explode(
+        graft.functions.WordGrams.word_grams_strict(col(textCol), 2)).as("gram"))
+      .select(col("doc_id"), substring_index(col("gram"), " ", 1).as("tok_a"),
+        col("gram"))
     val tokCounts = docs.select(explode(split(col(textCol), " ")).as("tok_a"))
       .groupBy(col("tok_a")).agg(count(lit(1)).as("c_tok"))
     val gramCounts = grams.groupBy(col("gram")).agg(count(lit(1)).as("c_gram"))
@@ -519,11 +531,11 @@ object TextAnalysis {
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 50,
       textCol: String = "text"): DataFrame = {
     require(n == 2, "topNgrams currently implements bigrams (n=2)")
-    val w = split(col(textCol), " ")
+    // r19: codegen strict byte-slice bigrams (see bigramLmScore) — same
+    // grams as the zip_with formulation, inside whole-stage codegen
     docs
-      .select(explode(zip_with(
-        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("gram"))
+      .select(explode(
+        graft.functions.WordGrams.word_grams_strict(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(k)

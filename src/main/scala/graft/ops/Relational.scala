@@ -327,14 +327,31 @@ object Relational {
     * comparison matters (see [[tableChecksum]]'s contract).
     */
   def profile(df: DataFrame): DataFrame = {
-    val aggs = df.columns.flatMap { c =>
+    // r19 (guide §1.2/§2): min/max over string(-cast) columns have
+    // variable-width buffers, which HashAggregate cannot hold — mixed
+    // into the same agg as the exact countDistincts they forced the
+    // WHOLE plan to SortAggregate, and the countDistinct Expand rewrite
+    // then needed its (N+1)×-multiplied input SORTED on the full
+    // (gid, value...) grouping key: two full sorts of 5× the table.
+    // Split instead: the fixed-width pass (null counts + exact
+    // distincts) keeps HashAggregate over the Expand — hash, no sort —
+    // and the min/max pass is a global aggregate with NO grouping keys,
+    // which SortAggregate executes WITHOUT any Sort in one streaming
+    // scan. The two 1-row frames meet in a broadcast cross join. Cost:
+    // one extra (column-pruned) scan; saved: both multi-gigarow sorts
+    // at scale. Plan evidence: plans/r19/op_profile_table_{before,after}.
+    val distinctAggs = df.columns.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-        countDistinct(col(c)).as(s"__d_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))
+    }
+    val minmaxAggs = df.columns.flatMap { c =>
+      Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val one = df.agg(distinctAggs.head, distinctAggs.tail.toIndexedSeq: _*)
+      .crossJoin(broadcast(df.agg(minmaxAggs.head, minmaxAggs.tail.toIndexedSeq: _*)))
     val stacked = df.columns.map { c =>
       s"struct('$c' AS column_name, `__n_$c` AS n_nulls, `__d_$c` AS n_distinct, " +
         s"`__min_$c` AS min_value, `__max_$c` AS max_value)"
@@ -352,14 +369,22 @@ object Relational {
     * [[profile]] only where exactness is contractual.
     */
   def profileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame = {
-    val aggs = df.columns.flatMap { c =>
+    // r19: same fixed-width / variable-width split as [[profile]] — the
+    // HLL sketches have fixed-width long-array buffers, so nulls +
+    // approx distincts run as one vectorized HashAggregate pass instead
+    // of the SortAggregate the string min/max used to force on them.
+    val sketchAggs = df.columns.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-        approx_count_distinct(col(c), rsd).as(s"__d_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__d_$c"))
+    }
+    val minmaxAggs = df.columns.flatMap { c =>
+      Seq(
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val one = df.agg(sketchAggs.head, sketchAggs.tail.toIndexedSeq: _*)
+      .crossJoin(broadcast(df.agg(minmaxAggs.head, minmaxAggs.tail.toIndexedSeq: _*)))
     val stacked = df.columns.map { c =>
       s"struct('$c' AS column_name, `__n_$c` AS n_nulls, `__d_$c` AS n_distinct_approx, " +
         s"`__min_$c` AS min_value, `__max_$c` AS max_value)"
@@ -553,21 +578,26 @@ object Relational {
       var round = 0
       var converged = false
       while (round < maxRounds && !converged) {
+        // r19 (guide §2.4): the start-of-round label rides along as
+        // `__old` so the convergence check is a FILTER on the jumped
+        // frame instead of a third per-round join back onto `labels`
+        // (one fewer shuffle+build per round; the comparison is the same
+        // jumped-vs-start-of-round one).
         val relaxed = {
           val nmin = und.join(labels, col("__b") === col("node"))
             .groupBy(col("__a")).agg(min(col("lbl")).as("__nmin"))
           labels.join(nmin, col("node") === col("__a"), "left")
-            .select(col("node"), least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
+            .select(col("node"), col("lbl").as("__old"),
+              least(col("lbl"), coalesce(col("__nmin"), col("lbl"))).as("lbl"))
             .persist()
         }
         relaxedLive = relaxed
         val parents = relaxed.select(col("node").as("__p"), col("lbl").as("__plbl"))
         val jumped = relaxed.join(parents, col("lbl") === col("__p"))
-          .select(col("node"), least(col("lbl"), col("__plbl")).as("lbl"))
+          .select(col("node"), col("__old"), least(col("lbl"), col("__plbl")).as("lbl"))
           .persist()
         jumpedLive = jumped
-        val changed = jumped.as("j").join(labels.as("l"), "node")
-          .filter(col("j.lbl") =!= col("l.lbl")).count() // materializes jumped
+        val changed = jumped.filter(col("lbl") =!= col("__old")).count() // materializes jumped
         converged = changed == 0
         relaxed.unpersist()
         relaxedLive = null
@@ -630,7 +660,15 @@ object Relational {
       val nodes = e.select(col("__src").as("node"))
         .union(e.select(col("__dst").as("node"))).distinct().persist()
       try {
-        val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+        // r19 (guide §2.4): e ⋈ deg is loop-INVARIANT — computing it
+        // inside the iteration re-ran the degree aggregate and its join
+        // every round (two extra exchanges per iteration). Hoisted and
+        // persisted, each round is exactly the two fundamental shuffles:
+        // contribution join on src, aggregation on dst.
+        val edeg = e.join(
+            e.groupBy(col("__src")).agg(count(lit(1)).as("__deg")), "__src")
+          .persist()
+        try {
         // One scalar action: the node count fixes the uniform start mass.
         val base = scale / nodes.count()
         // `cached` is the persisted handle (the one that can unpersist);
@@ -641,7 +679,7 @@ object Relational {
           cached.count()
           var ranks = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
           for (_ <- 1 to iterations) {
-            val contrib = e.join(deg, "__src")
+            val contrib = edeg
               .join(ranks, col("__src") === col("node"))
               .groupBy(col("__dst"))
               .agg(sum(expr("rank_ppb div __deg")).as("__s"))
@@ -659,6 +697,7 @@ object Relational {
           }
           ranks.localCheckpoint(true)
         } finally cached.unpersist()
+        } finally edeg.unpersist()
       } finally nodes.unpersist()
     } finally e.unpersist()
   }
@@ -1170,8 +1209,17 @@ object Relational {
     * (m² blowup) should be capped upstream — flag with [[skewDiagnose]].
     */
   def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    // r19 (guide §2.4/§5): the distinct (group, item) set feeds FIVE
+    // consumers (both self-join sides, two per-item counts, the group
+    // total) and the per-consumer column pruning makes their distinct
+    // exchanges canonically unequal, so neither ReuseExchange nor AQE
+    // dedups them — the final adaptive plan re-scanned and re-deduped
+    // the input five times. One eager materialization of the deduped
+    // frame (smaller than the input by construction) replaces five full
+    // scans + five distinct shuffles with one of each; same pattern as
+    // connectedComponents'/pageRank's working caches.
     val items = df.select(col(groupCol).as("__g"), col(itemCol).as("__item"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val itemCnt = items.groupBy(col("__item")).agg(count(lit(1)).as("__n"))
     val total = items.select(countDistinct(col("__g")).as("__ntotal"))
     items.as("a").join(items.as("b"),

@@ -181,6 +181,106 @@ class FunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("word_shingles equals the builtin HOF formulation (order + duplicates + edges)") {
+    import graft.functions.WordShingles
+    val hof =
+      """array_distinct(flatten(transform(array(split(text, ' ')), w ->
+        |  CASE WHEN size(w) >= 3
+        |       THEN transform(sequence(1, size(w) - 2),
+        |            i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+        |       ELSE array(text) END)))""".stripMargin
+    // full driver corpus at sf0.01 — the exact frame every shingle-based
+    // dedup gate consumes
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val ref = docs.select(col("doc_id"), expr(hof).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fast = docs.select(col("doc_id"),
+        WordShingles.word_shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast === ref) // ORDER matters: array_distinct keeps first occurrences
+    // adversarial token shapes: empties from leading/trailing/consecutive
+    // spaces, <3 tokens, duplicates, multi-byte code points, empty string
+    val edge = Seq("", "a", "a b", "a b c", "a b c d", "a  b  c",
+      " a b c", "a b c ", "a b a b a b", "ü ⚡ é ü ⚡ é", "  ", "x   y")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val edf = edge.toDF("doc_id", "text")
+    val eref = edf.select(col("doc_id"), expr(hof).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val efast = edf.select(col("doc_id"),
+        WordShingles.word_shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(efast === eref)
+    // null propagates
+    val nul = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(WordShingles.word_shingles(col("text")).as("sh")).head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("word_grams equals the builtin HOF formulation (duplicates + short-doc tail)") {
+    import graft.functions.WordGrams
+    val hof =
+      """flatten(transform(array(split(text, ' ')), w ->
+        |  transform(sequence(1, greatest(size(w) - 1, 1)),
+        |            i -> concat_ws(' ', slice(w, i, 2)))))""".stripMargin
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val ref = docs.select(col("doc_id"), expr(hof).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fast = docs.select(col("doc_id"),
+        WordGrams.word_grams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fast === ref) // order AND duplicates must match (histogram weights)
+    val edge = Seq("", "a", "a b", "a b c", " a", "a ", "a  b", "ü ⚡ é", "  ")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val edf = edge.toDF("doc_id", "text")
+    val eref = edf.select(col("doc_id"), expr(hof).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val efast = edf.select(col("doc_id"),
+        WordGrams.word_grams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(efast === eref)
+    // strict variant ≡ the zip_with-over-shifted-slices rule (LM/census
+    // operators): sub-n-token docs emit NOTHING, and tok_a recovered by
+    // substring_index equals the zip_with lambda's first operand
+    val zw =
+      """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+        |  (a, b) -> struct(a AS tok_a, concat(a, ' ', b) AS gram))""".stripMargin
+    val all = docs.select(col("doc_id"), col("text")).union(
+      edf.select(col("doc_id") + lit(100000L), col("text")))
+    val zref = all.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(zw)).as("g"))
+      .select(col("doc_id"), col("g.tok_a"), col("g.gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val zfast = all
+      .select(col("doc_id"),
+        explode(WordGrams.word_grams_strict(col("text"), 2)).as("gram"))
+      .select(col("doc_id"), substring_index(col("gram"), " ", 1).as("tok_a"),
+        col("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(zfast === zref)
+  }
+
+  test("dot_long equals the HOF zip_with/aggregate fold (values + null/length edges)") {
+    import graft.functions.DotLong.dot_long
+    val rnd = new java.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextLong() % 1000L), Seq.fill(64)(rnd.nextLong() % 1000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = df.select(col("id"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = df.select(col("id"), dot_long(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === hof)
+    // length mismatch and null array → NULL, matching zip_with's null pad
+    val edge = Seq((1L, Seq(1L, 2L), Seq(1L, 2L, 3L)))
+      .toDF("id", "a", "b")
+      .select(dot_long(col("a"), col("b")).as("d"),
+        dot_long(lit(null).cast("array<bigint>"), col("b")).as("dn"))
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("cents sums are independent of partitioning (exactness invariant)") {
     val df = (1 to 10000).map(i => i * 0.07).toDF("x")
     val one = df.repartition(1).agg(sum(ops.Relational.cents(col("x")))).as[Long].head()
