@@ -22,9 +22,10 @@ import org.apache.spark.sql.types._
   * boxed `Vector`s. [[leanSimilarityJoin]] executes the identical
   * algorithm — the model's own hash buckets for candidates, the model's
   * own distance definition for verification, the same strict
-  * `< threshold` filter — but shuffles only 16-byte id pairs, dedups
-  * those, and evaluates the distance with whole-stage-codegen column
-  * expressions after re-attaching the (broadcast-sized) vector table.
+  * `< threshold` filter — but the candidate join moves only 16-byte id
+  * rows, the distance runs as whole-stage-codegen column expressions
+  * after re-attaching the (broadcast-sized) vector table, and the pair
+  * dedup shuffles only the SURVIVORS of the distance filter.
   * `MlLshSpec` pins pair-set AND distance equality against
   * `approxSimilarityJoin` on the driver corpus, so this is a plan
   * change, not a semantics change.
@@ -42,8 +43,8 @@ object MlLsh {
       .transform(sh)
   }
 
-  /** Candidate `(a_id, b_id)` pairs (a_id < b_id, deduplicated) from a
-    * hashed LSH dataset — exactly `approxSimilarityJoin`'s candidate set:
+  /** Candidate `(a_id, b_id)` pairs (a_id < b_id, WITH multiplicity) from
+    * a hashed LSH dataset — exactly `approxSimilarityJoin`'s candidate set:
     * two rows collide when ANY hash-table entry agrees. MLlib joins the
     * exploded tables on the length-1 hash VECTOR; joining on its single
     * unwrapped double is the same equality (IEEE bit-equal doubles, both
@@ -68,10 +69,19 @@ object MlLsh {
     val a = expl.select(col(idCol).as("a_id"), col("entry"), col("bucket"))
       .repartition(parts)
     val b = expl.select(col(idCol).as("b_id"), col("entry"), col("bucket"))
+    // NOTE: candidates are returned WITH multiplicity (a pair colliding
+    // in several hash tables appears several times). Dedup moved to the
+    // callers, AFTER their cheap codegen distance filter: shuffling the
+    // raw candidate multiset for a distinct() costs a candidate-sized
+    // exchange, while re-evaluating a distance on the ≤ numHashTables
+    // duplicate occurrences is map-side-free — verification is then
+    // entirely broadcast joins and the only pair shuffle is the
+    // SURVIVORS' dropDuplicates (guide §2.3: shuffle fewer bytes; the
+    // distance is deterministic per pair, so dedup order cannot change
+    // the set).
     a.join(broadcast(b), Seq("entry", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-      .distinct()
   }
 
   /** Near-duplicate pairs via spark.ml MinHashLSH banding.
@@ -108,6 +118,7 @@ object MlLsh {
           (size(col("a_idx")) + size(col("b_idx")) - col("__common")).cast("double"))
       .filter(col("dist") < maxJaccardDistance)
       .select(col("a_id"), col("b_id"), (lit(1.0) - col("dist")).as("jaccard_est"))
+      .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -140,6 +151,7 @@ object MlLsh {
         graft.functions.SqDistDouble.sq_dist_double(col("a_vd"), col("b_vd"))))
       .filter(col("l2") < maxL2)
       .select(col("a_id"), col("b_id"), col("l2"))
+      .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
   }
 }
