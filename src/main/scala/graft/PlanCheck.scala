@@ -85,7 +85,10 @@ object PlanCheck {
     "op_timeseries_gapfill" ->
       "forward-fill over the generated date spine (~90 broadcast-sized rows), never the corpus",
     "op_histogram_equifreq" ->
-      "documented exact-ntile semantics gate; the scale path is op_histogram_equifreq_approx",
+      ("r20 scalable exact ntile (Relational.globalNtile): the surviving " +
+        "unpartitioned window runs over the per-range-partition COUNTS " +
+        "(≤ shuffle-partition-count rows) to build rank offsets; the data " +
+        "rows themselves are never single-partitioned"),
     "op_interp_linear" ->
       ("interpolation over the generated Q1-1995 day spine (90 rows, broadcast-sized), " +
         "opted in via interpolateLinear's explicit globalWindowOk flag; per-series " +
@@ -527,9 +530,10 @@ object PlanCheck {
     Rule("op_join_asof_native", "native merge operator: no SMJ/window fallback, SMJ-like exchange budget, type filters pushed",
       f => f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0 &&
         f("exchange") <= 4 && f("pushed_filters") >= 2),
-    Rule("op_histogram_equifreq", "exact ntile path: one global-sort exchange, map-side partial agg, no join",
-      f => f("exchange") <= 1 && f("partial_agg") >= 2 &&
-        f("bhj") + f("smj") + f("shj") + f("bnlj") + f("cartesian") == 0),
+    Rule("op_histogram_equifreq", "scalable exact ntile: ranks from checkpointed range " +
+      "partitions; offset/total frames broadcast (equi + one 1-row bnlj); never a shuffle join",
+      f => f("smj") + f("shj") + f("cartesian") == 0 && f("bhj") >= 1 &&
+        f("bnlj") <= 1 && f("partial_agg") >= 2),
     Rule("op_skew_diagnose", "key rollup map-side combined; only the 1-row global frame joins; top-5 via TakeOrdered",
       f => f("partial_agg") >= 2 && f("topk") >= 1 && f("bnlj") <= 1 &&
         f("smj") + f("shj") + f("cartesian") == 0),

@@ -85,8 +85,19 @@ object LlmQueries {
       // result this gate returns). Gate-scale choice: at corpus scale
       // the library entry point [[Dedup.minHashDedup]] keeps the
       // persist-scoped variant instead of materializing shingles.
-      val shingled = Dedup.withShingles(docs(s, d))
-        .select(col("doc_id"), col("shingles")).localCheckpoint(true)
+      //
+      // r20 (guide §2.5 input skew): the sf0.1 corpus is ONE parquet row
+      // group, so the scan — and everything chained map-side onto it,
+      // including the 32-permutation interpreted HOF replay below
+      // (measured 1.4 s serial) — ran in a single task. When the scan
+      // has fewer splits than the session's parallelism, spread the
+      // checkpointed shingles round-robin once; at corpus scale the
+      // scan already has more splits than cores and this is a no-op.
+      val dp = s.sparkContext.defaultParallelism
+      val base = Dedup.withShingles(docs(s, d))
+        .select(col("doc_id"), col("shingles"))
+      val shingled = (if (docs(s, d).rdd.getNumPartitions < dp)
+        base.repartition(dp) else base).localCheckpoint(true)
       val res = Dedup.minHashDedupFromShingles(shingled,
         docs(s, d).select(col("doc_id")))
       val roots = res.select(col("doc_id").as("keep_id"),

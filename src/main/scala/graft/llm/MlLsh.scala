@@ -52,22 +52,24 @@ object MlLsh {
     * (id, entry, bucket) ever enters the exchange, and the pair dedup
     * shuffles 16-byte rows instead of full payload structs.
     */
-  private def leanCandidates(hashed: DataFrame, idCol: String): DataFrame = {
+  /** Exploded hash-entry rows over which broadcasting the build side of
+    * the candidate join stays safe: ~48 bytes per (id, entry, bucket)
+    * row ⇒ the default 4M rows ≈ 200 MB built relation — comfortably
+    * inside executor memory and far under Spark's hard 8 GB / 512M-row
+    * broadcast cap. Overridable via `spark.graft.lsh.broadcastRowCap`
+    * (tests set 0 to force and pin the salted shuffle arm).
+    */
+  private val BroadcastRowCapConf = "spark.graft.lsh.broadcastRowCap"
+  private val BroadcastRowCapDefault = 4000000L
+
+  private def leanCandidates(hashed: DataFrame, idCol: String,
+      inputRows: Long, numHashTables: Int): DataFrame = {
     val expl = hashed.select(col(idCol),
         posexplode(col("hashes")).as(Seq("entry", "hv")))
       .select(col(idCol),  col("entry"),
         org.apache.spark.ml.functions.vector_to_array(col("hv"))(0).as("bucket"))
-    // Round-robin spread of the probe side (guide §2.5 hot-key handling):
-    // LSH buckets can be few and giant (BRP over clustered embeddings
-    // collapses to a handful of buckets), so the bucket-key join must not
-    // inherit the input's partitioning — the explosion would run inside
-    // one or two tasks. The build side broadcasts either way; spreading
-    // the probe rows round-robin makes every task emit its share of the
-    // per-bucket cross product. The repartition moves (id, entry, bucket)
-    // rows only — never payloads.
     val parts = hashed.sparkSession.sessionState.conf.numShufflePartitions
     val a = expl.select(col(idCol).as("a_id"), col("entry"), col("bucket"))
-      .repartition(parts)
     val b = expl.select(col(idCol).as("b_id"), col("entry"), col("bucket"))
     // NOTE: candidates are returned WITH multiplicity (a pair colliding
     // in several hash tables appears several times). Dedup moved to the
@@ -79,9 +81,43 @@ object MlLsh {
     // SURVIVORS' dropDuplicates (guide §2.3: shuffle fewer bytes; the
     // distance is deterministic per pair, so dedup order cannot change
     // the set).
-    a.join(broadcast(b), Seq("entry", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+    //
+    // r20 (guide §3.1/§2.5; r19 verdict #1): the build side is the FULL
+    // exploded hash-entry set — numHashTables × N rows, O(corpus). The
+    // r19 shape broadcast it unconditionally, which is fast while it
+    // fits but hard-fails (8 GB broadcast cap / driver OOM) on corpora
+    // past the bench scale. Size-gate it on the EXACT exploded row
+    // count (the caller counts its input once — a cheap metadata-level
+    // count next to the join itself):
+    //  - under the cap: broadcast build + round-robin spread of the
+    //    probe side, so few-and-giant LSH buckets (BRP over clustered
+    //    embeddings collapses to a handful) still emit their share of
+    //    the per-bucket cross product from every task;
+    //  - over the cap: salt-and-replicate shuffle join — the probe row
+    //    gets a deterministic per-id salt, the build side is replicated
+    //    across all salts, and the join keys on (entry, bucket, salt),
+    //    so one giant bucket spreads over `saltCount` tasks instead of
+    //    serializing one reducer. Build replication is linear (ids-only
+    //    rows); the bucket cross product it spreads is quadratic.
+    // Same pair multiset either way (each colliding (a,b,entry) meets on
+    // exactly one salt); MlLshSpec pins both arms bit-exact against
+    // model.approxSimilarityJoin.
+    val cap = hashed.sparkSession.conf
+      .get(BroadcastRowCapConf, BroadcastRowCapDefault.toString).toLong
+    if (inputRows * numHashTables <= cap) {
+      a.repartition(parts).join(broadcast(b), Seq("entry", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    } else {
+      val saltCount = math.min(parts, 32)
+      val aS = a.withColumn("__salt",
+        pmod(xxhash64(col("a_id")), lit(saltCount.toLong)).cast("int"))
+      val bS = b.withColumn("__salt",
+        explode(sequence(lit(0), lit(saltCount - 1))))
+      aS.join(bS, Seq("entry", "bucket", "__salt"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }
   }
 
   /** Near-duplicate pairs via spark.ml MinHashLSH banding.
@@ -97,18 +133,27 @@ object MlLsh {
     */
   def minHashPairsMl(docs: DataFrame, maxJaccardDistance: Double = 0.3,
       numHashTables: Int = 4): DataFrame = {
+    // one cheap input count feeds the candidate-join size gate (metadata
+    // count on a parquet-backed frame; negligible next to the join)
+    val nDocs = docs.count()
     val vec = shingleVectors(docs)
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42)
       .fit(vec)
     val hashed = model.transform(vec)
-    // active-index sets: one tiny UDF call per DOCUMENT (the sparse
-    // indices are already distinct + sorted), broadcast back onto the
-    // id-pair candidates
-    val idxOf = udf((v: Vector) => v.toSparse.indices)
+    // active-index sets: one tiny UDF call per DOCUMENT, broadcast back
+    // onto the id-pair candidates. MLlib's keyDistance iterates NON-ZERO
+    // entries, so explicitly stored zeros are dropped — with today's
+    // HashingTF(binary=true) vectors no zero is ever stored and the
+    // filter is a no-op, but it keeps the replay faithful if this helper
+    // is ever reused with non-binary vectors (r19 advice).
+    val idxOf = udf { (v: Vector) =>
+      val sp = v.toSparse
+      sp.indices.zip(sp.values).collect { case (i, x) if x != 0.0 => i }
+    }
     val sets = hashed.select(col("doc_id"), idxOf(col("features")).as("idx"))
-    val cand = leanCandidates(hashed, "doc_id")
+    val cand = leanCandidates(hashed, "doc_id", nDocs, numHashTables)
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("idx").as("a_idx")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("idx").as("b_idx")), "b_id")
@@ -133,6 +178,8 @@ object MlLsh {
     */
   def embeddingPairsMl(embeddings: DataFrame, maxL2: Double,
       bucketLength: Double = 0.5, numHashTables: Int = 4): DataFrame = {
+    // one cheap input count feeds the candidate-join size gate
+    val nVecs = embeddings.count()
     // spark.ml ships this conversion (array_to_vector) — null-safe, no
     // hand-rolled closure UDF that would NPE on a NULL embedding row
     val arr = embeddings.select(col("vec_id"),
@@ -143,7 +190,7 @@ object MlLsh {
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42)
       .fit(vec)
-    val cand = leanCandidates(model.transform(vec), "vec_id")
+    val cand = leanCandidates(model.transform(vec), "vec_id", nVecs, numHashTables)
     cand
       .join(arr.select(col("vec_id").as("a_id"), col("vd").as("a_vd")), "a_id")
       .join(arr.select(col("vec_id").as("b_id"), col("vd").as("b_vd")), "b_id")

@@ -71,6 +71,16 @@ object Multimodal {
     blob.length >= 4 && (blob(0) & 0xff) == 0xff &&
       (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff
 
+  // r19 (guide §4.5-adjacent): ImageIO.read(InputStream) wraps its input
+  // in a FileCacheImageInputStream when the ImageIO disk cache is on (the
+  // JDK default) — every in-memory blob was being spooled to a temp FILE
+  // and deleted again just to be decoded. The payloads here are byte
+  // arrays already in memory; the memory-cached stream decodes the same
+  // bytes with the same readers, minus one disk round-trip per blob.
+  // JVM-global, set once (ImageIO.setUseCache is a static toggle), so any
+  // other in-process ImageIO consumer sees the memory-cached mode too.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Shared magic-sniff + decode-or-stand-in for every pixel operator —
     * ONE definition of the degradation contract (image-magic payloads
     * that fail to decode raise naming the doc_id; non-image payloads get
@@ -78,15 +88,6 @@ object Multimodal {
     * decode/resize/dhash trio cannot silently diverge. Returns
     * (width, height, numComponents, pixel accessor).
     */
-  // r19 (guide §4.5-adjacent): ImageIO.read(InputStream) wraps its input
-  // in a FileCacheImageInputStream when the ImageIO disk cache is on (the
-  // JDK default) — every in-memory blob was being spooled to a temp FILE
-  // and deleted again just to be decoded. The payloads here are byte
-  // arrays already in memory; the memory-cached stream decodes the same
-  // bytes with the same readers, minus one disk round-trip per blob.
-  // JVM-global, set once (ImageIO.setUseCache is a static toggle).
-  javax.imageio.ImageIO.setUseCache(false)
-
   private def decodePixels(id: Long, blob: Array[Byte]): (Int, Int, Int, (Int, Int) => Int) = {
     val n = blob.length.toLong
     if (isPng(blob) || isJpeg(blob)) {

@@ -761,16 +761,25 @@ object TextAnalysis {
     }
     val out = Seq.newBuilder[DataFrame]
     var cur = words
-    for (r <- 1 to rounds) {
-      // 1-row deterministic frame; materializing keeps round r+1's plan
-      // from re-nesting every earlier round's aggregation
-      val top = mat(topPair(cur))
-      out += top.select(lit(r.toLong).as("round"), col("x"), col("y"),
-        concat(col("x"), col("y")).as("merged"), col("n"))
-      cur = cur.crossJoin(broadcast(top.select(col("x"), col("y"))))
-        .select(col("wc"), replace(col("s"),
-          concat(lit(sep), col("x"), lit(sep2), col("y"), lit(sep)),
-          concat(lit(sep), col("x"), col("y"), lit(sep))).as("s"))
+    // vocab row count sizes the scoped per-round shuffle width (r20,
+    // guide §2.2 — see Tuning): every round is a vocab-sized pair
+    // aggregation, orders of magnitude under the corpus the session
+    // conf is sized for (measured: the 8-round learn spent 49 jobs on
+    // 56 tasks — pure scheduling). The corpus collapse above already
+    // ran at session width; only the rounds are scoped.
+    val vocabN = words.count() // materialized by mat(words); metadata-cheap
+    graft.ops.Tuning.withLoopParallelism(docs.sparkSession, vocabN) {
+      for (r <- 1 to rounds) {
+        // 1-row deterministic frame; materializing keeps round r+1's plan
+        // from re-nesting every earlier round's aggregation
+        val top = mat(topPair(cur))
+        out += top.select(lit(r.toLong).as("round"), col("x"), col("y"),
+          concat(col("x"), col("y")).as("merged"), col("n"))
+        cur = cur.crossJoin(broadcast(top.select(col("x"), col("y"))))
+          .select(col("wc"), replace(col("s"),
+            concat(lit(sep), col("x"), lit(sep2), col("y"), lit(sep)),
+            concat(lit(sep), col("x"), col("y"), lit(sep))).as("s"))
+      }
     }
     out.result().reduce(_ unionByName _).orderBy(col("round"))
   }

@@ -1951,18 +1951,20 @@ object ExtraQueries {
     * counterpart of `op_histogram`'s equal-width buckets: 8 buckets of
     * (near-)equal population over order totals, reported with exact
     * boundaries and counts. The total order (cents, key) makes ntile's
-    * row assignment engine-independent. At corpus scale the global sort
-    * behind an exact ntile is the cost — production pipelines take
-    * boundaries from `approx_percentile` instead (`op_approx_quantile`);
-    * this gate pins the exact semantics.
+    * row assignment engine-independent. r20 (verdict r19 #8): the exact
+    * assignment now runs through [[Relational.globalNtile]] — range
+    * partition + partition-offset rank arithmetic, bit-identical to the
+    * `ntile(8) OVER (ORDER BY …)` the oracle replays (NtileSpec pins the
+    * equivalence) — instead of a single-partition window, so the exact
+    * path scales too; `op_approx_quantile` / `op_histogram_equifreq_approx`
+    * remain the sketch-based production companions.
     */
   val histogramEquifreq = OpQ("op_histogram_equifreq",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("cents"), col("o_orderkey"))
-      Tables.load(s, d, "orders")
-        .select(col("o_orderkey"), Relational.cents(col("o_totalprice")).as("cents"))
-        .withColumn("bucket", ntile(8).over(w).cast("long"))
+      Relational.globalNtile(
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), Relational.cents(col("o_totalprice")).as("cents")),
+        8, Seq(col("cents"), col("o_orderkey")))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))

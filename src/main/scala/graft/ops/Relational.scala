@@ -543,7 +543,10 @@ object Relational {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", nodes: Option[DataFrame] = None,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30): DataFrame =
+    // every working cache below (und, nodeIds, labels, per-round frames)
+    // is re-read by later rounds — let AQE size them by bytes (r20)
+    Tuning.withAqeSizedCaches(edges.sparkSession) {
     val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
     val und = e.union(e.select(col("__b").as("__a"), col("__a").as("__b")))
       .filter(col("__a") =!= col("__b"))
@@ -573,7 +576,15 @@ object Relational {
     var relaxedLive: DataFrame = null
     var jumpedLive: DataFrame = null
     try {
-      cached.count() // materialize before the loop reuses it on several join sides
+      // materialize before the loop reuses it on several join sides; the
+      // counts also size the loop's scoped shuffle width (r20, guide
+      // §2.2: per-round shuffles must track the working set — label,
+      // edge and node-universe rows — not the session conf; see Tuning)
+      val activeN = cached.count()
+      val edgeN = und.count() // persisted above; materialized by the line before
+      val nodeN = nodeIds.count() // the restore join below is sized by this
+      Tuning.withLoopParallelism(edges.sparkSession,
+        math.max(math.max(activeN, edgeN), nodeN)) {
       var labels = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
       var round = 0
       var converged = false
@@ -616,6 +627,7 @@ object Relational {
       nodeIds.join(labels.select(col("node"), col("lbl")), Seq("node"), "left")
         .select(col("node"), coalesce(col("lbl"), col("node")).as("component"))
         .localCheckpoint(true)
+      }
     } finally {
       if (relaxedLive != null) relaxedLive.unpersist()
       if (jumpedLive != null) jumpedLive.unpersist()
@@ -623,7 +635,7 @@ object Relational {
       nodeIds.unpersist()
       und.unpersist()
     }
-  }
+    }
 
   /** Fixed-iteration PageRank over a directed edge list, in EXACT
     * integer arithmetic: ranks live on a `scale`-denominator grid
@@ -654,6 +666,9 @@ object Relational {
       dampingPct: Long = 85L, scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0,100]")
+    // e, nodes, edeg and every per-round rank cache are re-read each
+    // iteration — let AQE size them by bytes (r20)
+    Tuning.withAqeSizedCaches(edges.sparkSession) {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct().persist()
     try {
@@ -670,12 +685,18 @@ object Relational {
           .persist()
         try {
         // One scalar action: the node count fixes the uniform start mass.
-        val base = scale / nodes.count()
+        val nodeN = nodes.count()
+        val base = scale / nodeN
+        // edge count sizes the scoped per-round shuffle width (r20, guide
+        // §2.2 — see Tuning): each round is one edges⋈ranks shuffle plus
+        // one dst aggregation, so the width must track edges, not conf
+        val edgeN = e.count() // persisted; materialized by edeg/nodes above
         // `cached` is the persisted handle (the one that can unpersist);
         // `ranks` is its plan-flattened view — see GraftBridge.flattenPlan
         // on why both are needed.
         var cached = nodes.select(col("node"), lit(base).as("rank_ppb")).persist()
         try {
+          Tuning.withLoopParallelism(edges.sparkSession, math.max(nodeN, edgeN)) {
           cached.count()
           var ranks = org.apache.spark.sql.GraftBridge.flattenPlan(cached)
           for (_ <- 1 to iterations) {
@@ -696,10 +717,12 @@ object Relational {
             ranks = org.apache.spark.sql.GraftBridge.flattenPlan(next)
           }
           ranks.localCheckpoint(true)
+          }
         } finally cached.unpersist()
         } finally edeg.unpersist()
       } finally nodes.unpersist()
     } finally e.unpersist()
+    }
   }
 
   /** Exact bivariate statistics (covariance, Pearson correlation) from six
@@ -1207,7 +1230,70 @@ object Relational {
     * corpus²; the shuffle key is the group. Item counts and the group
     * total broadcast back onto the pair table. A pathological mega-basket
     * (m² blowup) should be capped upstream — flag with [[skewDiagnose]].
+    *
+    * NOTE (r19 advice): constructing this frame EAGERLY materializes the
+    * distinct (group, item) set (an executor-memory `localCheckpoint`,
+    * reclaimed by GC when the result is dropped) — explain-only callers
+    * pay that one job too. Intentional: the set feeds five consumers
+    * whose per-consumer pruning would otherwise defeat every reuse.
     */
+  /** Exact global `ntile(buckets)` WITHOUT a single-partition window
+    * (r20, r19 verdict #8 — the last unbounded `WindowExec: No Partition
+    * Defined` in a query path): range-partition the rows on the order
+    * key, number rows within each partition, and lift to the GLOBAL rank
+    * by adding per-partition row-count offsets (a bounded, ≤#partitions-
+    * row window); buckets then follow from ntile's own arithmetic — with
+    * N rows, the first N mod k buckets hold ceil(N/k) rows, the rest
+    * floor(N/k) — bit-identical to Spark's (and DuckDB's) NTile on the
+    * same total order. `order` MUST be a total order (append a unique
+    * tiebreaker): ties straddling a range boundary would otherwise make
+    * the partition-local numbering ambiguous. The range-partitioned
+    * projection is checkpointed once — sampled range boundaries and
+    * `spark_partition_id` must be FROZEN across the two consumers
+    * (per-partition counts, the rank pass); without it each consumer
+    * re-samples its own boundaries and the offsets are garbage.
+    * Adds `bucketCol` (LONG in 1..buckets) to `df`'s columns.
+    *
+    * At scale this is two narrow parallel shuffles (range + pid) over
+    * (order-key, payload) rows instead of every row through ONE task;
+    * NtileSpec pins bit-equality against the windowed spelling,
+    * including N < buckets and all-ties inputs.
+    */
+  def globalNtile(df: DataFrame, buckets: Int, order: Seq[Column],
+      bucketCol: String = "bucket"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    requireNoWorkingCols(df, "globalNtile", "__pid", "__rank", "__off", "__ntot")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val pc = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+    val offs = pc.select(col("__pid"),
+      coalesce(sum(col("__c")).over(Window.orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    val ntot = pc.agg(sum(col("__c")).as("__ntot"))
+    // NTile's row layout over global rank r (1-based): bucketSize =
+    // N div k, remainder = N mod k; the first `remainder` buckets take
+    // bucketSize+1 rows. The ELSE branch's div-by-zero (N < k ⇒
+    // bucketSize 0) is unreachable: its threshold is then N itself, so
+    // every rank takes the THEN branch (one row per bucket, like NTile).
+    ranged
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)).cast("long"))
+      .join(broadcast(offs), Seq("__pid"))
+      .crossJoin(broadcast(ntot))
+      .withColumn("__rank", col("__rank") + col("__off"))
+      .withColumn(bucketCol, expr(
+        s"""CASE WHEN __rank <= (__ntot % $buckets) * (__ntot div $buckets + 1)
+           |THEN (__rank - 1) div (__ntot div $buckets + 1) + 1
+           |ELSE (__ntot % $buckets)
+           |  + (__rank - (__ntot % $buckets) * (__ntot div $buckets + 1) - 1)
+           |    div (__ntot div $buckets) + 1
+           |END""".stripMargin.replace("\n", " ")).cast("long"))
+      .drop("__pid", "__rank", "__off", "__ntot")
+  }
+
   def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     // r19 (guide §2.4/§5): the distinct (group, item) set feeds FIVE
     // consumers (both self-join sides, two per-item counts, the group
@@ -1222,7 +1308,19 @@ object Relational {
       .distinct().localCheckpoint(true)
     val itemCnt = items.groupBy(col("__item")).agg(count(lit(1)).as("__n"))
     val total = items.select(countDistinct(col("__g")).as("__ntotal"))
-    items.as("a").join(items.as("b"),
+    // r20 (guide §2.5): the self-join's OUTPUT is Σ m_g² — much bigger
+    // than its input — but AQE sizes the post-shuffle width from the
+    // INPUT bytes of the checkpointed set (a LogicalRDD with no stats),
+    // so at bench scale the whole pair explosion ran in 1-2 tasks.
+    // Repartition both sides by group at a width derived from the
+    // measured row count (the count is metadata-cheap on the checkpoint;
+    // an explicit width is exempt from AQE re-coalescing): the join
+    // reuses the single exchange on both sides and the explosion spreads
+    // across the derived width at any scale.
+    val parts = Tuning.loopPartitions(items.count(),
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val itemsByG = items.repartition(parts, col("__g"))
+    itemsByG.as("a").join(itemsByG.as("b"),
         col("a.__g") === col("b.__g") && col("a.__item") < col("b.__item"))
       .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
       .agg(count(lit(1)).as("n_pair"))

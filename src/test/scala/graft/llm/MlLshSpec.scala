@@ -93,6 +93,33 @@ class MlLshSpec extends SparkSpec {
     }
   }
 
+  test("salted shuffle candidate arm (over-cap) ≡ broadcast arm, both LSH legs") {
+    // r20: the candidate join's build-side broadcast is size-gated
+    // (spark.graft.lsh.broadcastRowCap); past the cap the join runs as a
+    // salt-and-replicate shuffle join. Forcing the cap to 0 exercises the
+    // salted arm on the same corpus and pins its output bit-exact against
+    // the broadcast arm (which MlLshSpec already pins against
+    // model.approxSimilarityJoin).
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    def brp() = MlLsh.embeddingPairsMl(emb, maxL2 = 1.15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def mh() = MlLsh.minHashPairsMl(docs, maxJaccardDistance = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val (brpB, mhB) = (brp(), mh())
+    spark.conf.set("spark.graft.lsh.broadcastRowCap", "0")
+    try {
+      val (brpS, mhS) = (brp(), mh())
+      assert(brpS == brpB, s"BRP salted arm drifted: " +
+        s"salted-only=${(brpS.keySet -- brpB.keySet).take(5)} " +
+        s"broadcast-only=${(brpB.keySet -- brpS.keySet).take(5)}")
+      assert(mhS == mhB, s"MinHash salted arm drifted: " +
+        s"salted-only=${(mhS.keySet -- mhB.keySet).take(5)} " +
+        s"broadcast-only=${(mhB.keySet -- mhS.keySet).take(5)}")
+      assert(brpB.nonEmpty && mhB.nonEmpty)
+    } finally spark.conf.unset("spark.graft.lsh.broadcastRowCap")
+  }
+
   test("BucketedRandomProjectionLSH returns verified close pairs only") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val pairs = MlLsh.embeddingPairsMl(emb, maxL2 = 1.2).collect()
