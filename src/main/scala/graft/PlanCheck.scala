@@ -281,7 +281,9 @@ object PlanCheck {
         f("partial_agg") >= 4),
     Rule("q17_small_quantity", "brand/container filters pushed; recorded exchange budget",
       f => f("pushed_filters") >= 3 && f("exchange") <= 4),
-    Rule("q21_waiting_supplier", "semi/anti + dim joins stay broadcast", _("bhj") >= 3),
+    Rule("q21_waiting_supplier", "single lineitem scan: EXISTS/NOT EXISTS collapsed into " +
+      "one per-order window pass (r20); orders/supplier/nation joins broadcast",
+      f => f("bhj") >= 3 && f("cartesian") == 0 && f("global_window") == 0),
     Rule("q21_waiting_supplier", "top-k via TakeOrderedAndProject", _("topk") >= 1),
     Rule("op_topk", "TakeOrderedAndProject with NO exchange (a global sort would shuffle)",
       f => f("topk") >= 1 && f("exchange") == 0),

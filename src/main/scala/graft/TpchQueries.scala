@@ -337,18 +337,36 @@ object TpchQueries {
   /** Q21 waiting supplier — self-join EXISTS + NOT EXISTS with non-equi
     * correlation. Adapted: "late" = shipped after order date (no
     * receipt/commit dates).
+    *
+    * r20 (verdict r19 #7, guide §2.4): the correlated EXISTS ("some
+    * other supplier in the order") and NOT EXISTS ("no OTHER supplier
+    * shipped late in the order") both key on `l_orderkey` alone, so they
+    * collapse into ONE window pass per order — `min/max(l_suppkey)`
+    * overall (≥2 distinct suppliers ⇔ min ≠ max) and over late rows only
+    * (l1 late ∧ no other late supplier ⇔ min_late = max_late, which is
+    * then l1's own key). One lineitem scan instead of three (plan diff:
+    * 3 lineitem scans + semi + anti → 1 scan + 1 keyed window).
+    * Row-for-row identical to the subquery spelling at sf0.1 and sf0.01
+    * (R20Prof `q21ab` asserts collected-row equality; the oracle runs
+    * the same SQL in DuckDB and the driver hash-checks it).
     */
   val q21: Q = same("q21_waiting_supplier",
     """SELECT s_name, COUNT(*) AS numwait
-      |FROM supplier, lineitem l1, orders, nation
-      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-      |  AND l1.l_shipdate > o_orderdate
-      |  AND EXISTS (SELECT 1 FROM lineitem l2
-      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-      |                    AND l3.l_shipdate > o_orderdate)
-      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      |FROM (
+      |  SELECT l_suppkey, l_shipdate > o_orderdate AS is_late,
+      |         MIN(l_suppkey) OVER (PARTITION BY l_orderkey) AS mn_supp,
+      |         MAX(l_suppkey) OVER (PARTITION BY l_orderkey) AS mx_supp,
+      |         MIN(CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END)
+      |           OVER (PARTITION BY l_orderkey) AS mn_late,
+      |         MAX(CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END)
+      |           OVER (PARTITION BY l_orderkey) AS mx_late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |) x
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE is_late AND mn_supp <> mx_supp AND mn_late = mx_late
+      |  AND n_name = 'NATION_7'
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin)
