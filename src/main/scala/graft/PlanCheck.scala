@@ -36,6 +36,10 @@ object PlanCheck {
       "bloom" -> count("(?i)might_contain"),
       "dpp" -> count("(?i)dynamicpruning"),
       "wgl" -> count("WindowGroupLimit"),
+      // Sort OPERATORS only ("Sort [col ...]"), not SortAggregate — the
+      // r19 profile win was removing the full sorts of (N+1)× Expand
+      // output; this keeps that pin expressible (r19 advice)
+      "sort" -> count("Sort \\["),
       // the PERCENT forms' scale plan: approx_percentile cutoff column
       // (produced by the broadcast stats row) referenced by the pre-rank
       // filter — presence pins the filter-below-window shape
@@ -447,9 +451,10 @@ object PlanCheck {
     // never a shuffle join, never more than the recorded 4 exchanges
     // (2 distinct-Expand + 1 min/max + broadcast).
     Rule("op_profile_table", "split profile: hash-agg distinct tree + keyless min/max pass " +
-      "joined by one 1-row broadcast cross join; no shuffle join",
+      "joined by one 1-row broadcast cross join; no shuffle join; the only Sort operator " +
+      "is the output orderBy — never above the Expand (r19 win, pinned per r19 advice)",
       f => f("exchange") <= 4 && f("partial_agg") >= 4 &&
-        f("bnlj") <= 1 &&
+        f("bnlj") <= 1 && f("sort") <= 1 &&
         f("bhj") + f("smj") + f("shj") + f("cartesian") == 0),
     Rule("op_cdc_apply", "touched-key anti join broadcasts the change batch; key filters pushed",
       f => f("bhj") >= 1 && f("smj") + f("shj") + f("cartesian") == 0 &&
@@ -711,7 +716,7 @@ object PlanCheck {
       "column_name over two 4-row frames — never cartesian; both tiers' " +
       "min/max splits add one 1-row broadcast cross join each",
       f => f("bhj") >= 1 && f("partial_agg") >= 6 &&
-        f("cartesian") == 0 && f("bnlj") <= 2),
+        f("cartesian") == 0 && f("bnlj") <= 2 && f("sort") <= 1),
     Rule("llm_corpus_datacard", "both data-card aggregations map-side combined; the " +
       "(source, md5) pre-group bounds distinct state — no joins, no windows",
       f => f("partial_agg") >= 2 &&

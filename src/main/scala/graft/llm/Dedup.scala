@@ -656,6 +656,9 @@ object Dedup {
     // stop-shingle corpus (vs 22 s for the uncapped inverted index there).
     // Checkpoint storage is released when the result reference is dropped
     // (same contract as [[minHashDedup]]).
+    // (r20 note: a cores-wide spread of this checkpoint was tried and
+    // REVERTED — the expensive pair verify is reduce-side and already
+    // parallel; spreading only added a shuffle and task count.)
     val sets = withShingles(
         docs.filter(size(split(col(textCol), " ")) >= 3), textCol)
       .select(col("doc_id"),

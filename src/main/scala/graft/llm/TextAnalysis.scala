@@ -741,7 +741,11 @@ object TextAnalysis {
     val sep2 = sep + sep
     // materialize the vocab-sized collapse ONCE: each round's argmax
     // is its own action, and an unmaterialized `words` would replay
-    // the corpus scan + collapse shuffle every round
+    // the corpus scan + collapse shuffle every round. (r20 note: a
+    // cores-wide spread of the collapse was tried and REVERTED — the
+    // measured loop cost is per-job scheduling, ~49 jobs on 56 tasks,
+    // not map-side compute, so the spread only added a shuffle and
+    // 6× the task count for flat-to-worse time.)
     val words = mat(docs
       .select(explode(split(lower(coalesce(col(textCol), lit(""))), WsSplitRegex)).as("word"))
       .filter(length(col("word")) >= 2)

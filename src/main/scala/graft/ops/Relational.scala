@@ -1217,26 +1217,6 @@ object Relational {
       .drop("__med", "__mad")
   }
 
-  /** Market-basket co-occurrence: for every unordered item pair appearing
-    * together in at least one group (order, session, basket), the pair
-    * count plus each item's own group count and the lift×10⁶ —
-    * lift = P(a,b) / (P(a)·P(b)) = n_pair·N / (n_a·n_b), computed in
-    * exact BIGINT ppm so rankings are engine-independent. Lift > 1e6
-    * means the items co-occur more than independence predicts — the
-    * association-rule screening statistic.
-    *
-    * Scale: pairs come from a per-group self-join of the DISTINCT
-    * (group, item) table — cost Σ m_g², bounded by basket size, never
-    * corpus²; the shuffle key is the group. Item counts and the group
-    * total broadcast back onto the pair table. A pathological mega-basket
-    * (m² blowup) should be capped upstream — flag with [[skewDiagnose]].
-    *
-    * NOTE (r19 advice): constructing this frame EAGERLY materializes the
-    * distinct (group, item) set (an executor-memory `localCheckpoint`,
-    * reclaimed by GC when the result is dropped) — explain-only callers
-    * pay that one job too. Intentional: the set feeds five consumers
-    * whose per-consumer pruning would otherwise defeat every reuse.
-    */
   /** Exact global `ntile(buckets)` WITHOUT a single-partition window
     * (r20, r19 verdict #8 — the last unbounded `WindowExec: No Partition
     * Defined` in a query path): range-partition the rows on the order
@@ -1264,15 +1244,27 @@ object Relational {
     require(buckets > 0, "buckets must be positive")
     import org.apache.spark.sql.expressions.Window
     requireNoWorkingCols(df, "globalNtile", "__pid", "__rank", "__off", "__ntot")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // range width from a measured row count (metadata-cheap on
+    // scan-backed frames), not the session constant: a bench-scale input
+    // range-partitions into a handful of real partitions instead of a
+    // session-width wave of micro-partitions; corpus-scale inputs hit
+    // the session cap (see Tuning.loopPartitions).
+    val parts = Tuning.loopPartitions(df.count(),
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
+    // ONE broadcast-sized frame carries both the per-partition rank
+    // offset and the grand total (two frames over the window over the
+    // same ≤`parts` count rows — same pass, one fewer broadcast job and
+    // no nested-loop cross join).
     val pc = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__pid"))
     val offs = pc.select(col("__pid"),
-      coalesce(sum(col("__c")).over(Window.orderBy(col("__pid"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
-    val ntot = pc.agg(sum(col("__c")).as("__ntot"))
+      coalesce(sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"),
+      sum(col("__c")).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)).as("__ntot"))
     // NTile's row layout over global rank r (1-based): bucketSize =
     // N div k, remainder = N mod k; the first `remainder` buckets take
     // bucketSize+1 rows. The ELSE branch's div-by-zero (N < k ⇒
@@ -1282,7 +1274,6 @@ object Relational {
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(order: _*)).cast("long"))
       .join(broadcast(offs), Seq("__pid"))
-      .crossJoin(broadcast(ntot))
       .withColumn("__rank", col("__rank") + col("__off"))
       .withColumn(bucketCol, expr(
         s"""CASE WHEN __rank <= (__ntot % $buckets) * (__ntot div $buckets + 1)
@@ -1294,6 +1285,26 @@ object Relational {
       .drop("__pid", "__rank", "__off", "__ntot")
   }
 
+  /** Market-basket co-occurrence: for every unordered item pair appearing
+    * together in at least one group (order, session, basket), the pair
+    * count plus each item's own group count and the lift×10⁶ —
+    * lift = P(a,b) / (P(a)·P(b)) = n_pair·N / (n_a·n_b), computed in
+    * exact BIGINT ppm so rankings are engine-independent. Lift > 1e6
+    * means the items co-occur more than independence predicts — the
+    * association-rule screening statistic.
+    *
+    * Scale: pairs come from a per-group self-join of the DISTINCT
+    * (group, item) table — cost Σ m_g², bounded by basket size, never
+    * corpus²; the shuffle key is the group. Item counts and the group
+    * total broadcast back onto the pair table. A pathological mega-basket
+    * (m² blowup) should be capped upstream — flag with [[skewDiagnose]].
+    *
+    * NOTE (r19 advice): constructing this frame EAGERLY materializes the
+    * distinct (group, item) set (an executor-memory `localCheckpoint`,
+    * reclaimed by GC when the result is dropped) — explain-only callers
+    * pay that one job too. Intentional: the set feeds five consumers
+    * whose per-consumer pruning would otherwise defeat every reuse.
+    */
   def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     // r19 (guide §2.4/§5): the distinct (group, item) set feeds FIVE
     // consumers (both self-join sides, two per-item counts, the group
